@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), designed so the same plan shape works at 100 TB:
+  * the query vector rides along as a broadcast single-row DataFrame
+  * (never a driver-side collect into the plan), the distance math is
+  * native `zip_with`/`aggregate` (codegen'd, no UDF), and top-k goes
+  * through `orderBy().limit(k)` which Spark executes as
+  * TakeOrderedAndProject — per-partition heaps + driver merge, no
+  * global sort shuffle.
+  */
+object Similarity {
+
+  /** Double-precision cosine similarity between two array<double> cols:
+    * dot(a,b) / (norm(a) * norm(b)), sequential left-to-right fold so it
+    * is bit-identical with the DuckDB oracle's evaluation order.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact brute-force cosine top-k against the vector with id
+    * `queryVecId`. One broadcast-nested-loop against a 1-row dimension,
+    * then TakeOrderedAndProject.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryVecId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryVecId)
+      .select(asDouble(col(vecCol)).as("qv"))
+    df.filter(col(idCol) =!= queryVecId)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** `planes`-bit random-hyperplane signature of an array<double> vector.
+    * Hyperplane p's component for dimension d is a deterministic ±1
+    * derived from xxhash64(seed, p, d) — no stored model, so executors
+    * recompute it locally and nothing is shuffled or broadcast.
+    */
+  private[graft] def hyperplaneSignature(v: Column, planes: Int, seed: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x * when(xxhash64(lit(seed), lit(p), d).bitwiseAND(1L) === 1L, 1.0)
+            .otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: prefilter to vectors whose hyperplane signature
+    * is within hamming distance 1 of the query's (multi-probe), then
+    * exact cosine top-k inside the candidate set. At scale the signature
+    * is a bucketing/partition key, so a query touches only its probe
+    * buckets instead of the full corpus.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryVecId: Long, k: Int, planes: Int, seed: Int = 42): DataFrame = {
+    val withSig = df
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", hyperplaneSignature(col("v"), planes, seed))
+    val q = withSig.filter(col(idCol) === queryVecId)
+      .select(col("v").as("qv"), col("sig").as("qsig"))
+    withSig.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 1)
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.1–§2.7) expressed
+  * Spark-first over the driver testdata, each with a DuckDB oracle.
+  *
+  * Conventions shared with the oracle SQL:
+  *  - every computed column is aliased identically on both sides;
+  *  - floating-point aggregates are `round`ed (sums to 2dp, avgs to 4dp)
+  *    so summation-order ulp drift can't flip the driver's hash compare;
+  *  - timestamps in output are cast to DATE (or epoch-bucket longs);
+  *  - result-set order is irrelevant (driver sorts) except under LIMIT,
+  *    where a total order (tiebreak on a key) is imposed on both sides.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // §2.4 grouped aggregation with partial (map-side) combine — TPC-H Q1 shape.
+    "q01_pricing_summary" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_price_c"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+            .cast("long")).as("sum_disc_price_e4"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // §2.2 filter + projection — both pushed into the parquet scan.
+    "q02_filter_project" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") < lit("1995-09-01").cast("timestamp") && col("l_quantity") < 5)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+            .cast("long").as("net_price_e4"))
+    },
+
+    // §2.3 join + §2.4 agg + §2.6 top-k (TakeOrderedAndProject) — TPC-H Q3 shape.
+    "q03_topk_revenue" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // §2.3 semi join (EXISTS).
+    "q04_exists_semijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val big = t.lineitem.filter(col("l_quantity") >= 49).select(col("l_orderkey"))
+      t.orders.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // §2.3 anti join (NOT EXISTS): customers with no high-value order.
+    "q05_not_exists_antijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val hi = t.orders.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      t.customer.join(hi, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // §2.7 DISTINCT.
+    "q06_distinct" -> { (s, dir) =>
+      Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_linestatus")).distinct()
+    },
+
+    // §2.7 UNION (dedup) across two tables.
+    "q07_union" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey").as("nk"))
+        .union(t.supplier.select(col("s_nationkey").as("nk")))
+        .distinct()
+    },
+
+    // §2.5-adjacent: ranking window (beyond-parity; reference has no OVER).
+    "q08_window_topn_per_group" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val joined = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    },
+
+    // §2.3 left outer join preserving unmatched left rows.
+    "q09_left_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.nation.join(t.customer, col("n_nationkey") === col("c_nationkey"), "left_outer")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"))
+    },
+
+    // §2.8 UNWIND/generator — explode.
+    "q10_unwind_explode" -> { (s, dir) =>
+      Tables(s, dir).part
+        .select(explode(split(col("p_name"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // §2.8 CASE expression.
+    "q11_case_when" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .select(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large").as("band"),
+          col("o_totalprice"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+    },
+
+    // §2.8 string functions.
+    "q12_string_functions" -> { (s, dir) =>
+      Tables(s, dir).customer
+        .filter(col("c_custkey") % 7 === 0)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lower(col("c_mktsegment")).as("lseg"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("name8"),
+          concat_ws("#", col("c_name"), col("c_mktsegment")).as("tagged"),
+          col("c_name").contains("1").cast("int").as("has_one"))
+    },
+
+    // §2.8 temporal functions — month bucketing.
+    "q13_date_trunc" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+    },
+
+    // §2.8 math functions on keyed rows.
+    "q14_math_functions" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          floor(col("l_discount") * 100).cast("long").as("disc_pct"),
+          ceil(col("l_tax") * 100).cast("long").as("tax_pct"),
+          abs(col("l_quantity") - 25).as("qdist"),
+          pmod(col("l_orderkey"), lit(7)).as("okmod7"))
+    },
+
+    // §2.3 multi-way join with broadcast dims (star join).
+    "q15_star_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      broadcast(t.region)
+        .join(broadcast(t.nation), col("r_regionkey") === col("n_regionkey"))
+        .join(t.customer, col("n_nationkey") === col("c_nationkey"))
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+    },
+
+    // §2.4 HAVING (post-aggregation filter).
+    "q16_having" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 300)
+    },
+
+    // §2.4 count(DISTINCT).
+    "q17_count_distinct" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"))
+    },
+
+    // §2.3 cross join (guarded small×small).
+    "q18_cross_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.region.select(col("r_name"))
+        .crossJoin(t.lineitem.select(col("l_returnflag").as("rf")).distinct())
+    },
+
+    // §2.9 batch analog of a tumbling window over the events stream table.
+    "q19_tumbling_window" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(
+          (floor(col("ts").cast("long") / 300) * 300).cast("long").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    },
+
+    // §2.8 IN / BETWEEN predicates + 3VL null-safe filtering.
+    "q20_in_between" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .filter(col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").between(10000, 20000))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+         CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+         round(avg(l_quantity),4) AS avg_qty,
+         round(avg(l_extendedprice),4) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT) AS net_price_e4
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1995-09-01' AND l_quantity < 5""",
+    "q03_topk_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+         CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1,2
+         ORDER BY revenue_e4 DESC, o_orderkey
+         LIMIT 10""",
+    "q04_exists_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         GROUP BY 1""",
+    "q05_not_exists_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+         GROUP BY 1""",
+    "q06_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q07_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION
+         SELECT s_nationkey AS nk FROM supplier""",
+    "q08_window_topn_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rn <= 3""",
+    "q09_left_join" ->
+      """SELECT n_name, count(c_custkey) AS n_customers
+         FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY 1""",
+    "q10_unwind_explode" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+         GROUP BY 1""",
+    "q11_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 150000 THEN 'medium'
+                     ELSE 'large' END AS band,
+         count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM orders GROUP BY 1""",
+    "q12_string_functions" ->
+      """SELECT c_custkey,
+         upper(c_name) AS uname,
+         lower(c_mktsegment) AS lseg,
+         length(c_name) AS name_len,
+         substring(c_name, 1, 8) AS name8,
+         concat_ws('#', c_name, c_mktsegment) AS tagged,
+         CAST(contains(c_name, '1') AS INT) AS has_one
+         FROM customer WHERE c_custkey % 7 = 0""",
+    "q13_date_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM orders GROUP BY 1""",
+    "q14_math_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(sqrt(l_extendedprice),6) AS sqrt_price,
+         CAST(floor(l_discount*100) AS BIGINT) AS disc_pct,
+         CAST(ceil(l_tax*100) AS BIGINT) AS tax_pct,
+         abs(l_quantity-25) AS qdist,
+         l_orderkey % 7 AS okmod7
+         FROM lineitem WHERE l_orderkey % 100 = 0""",
+    "q15_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1,2""",
+    "q16_having" ->
+      """SELECT l_partkey, round(sum(l_quantity),2) AS total_qty
+         FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),2) > 300""",
+    "q17_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
+         FROM orders GROUP BY 1""",
+    "q18_cross_join" ->
+      """SELECT r_name, rf FROM region
+         CROSS JOIN (SELECT DISTINCT l_returnflag AS rf FROM lineitem)""",
+    "q19_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS win_start,
+         event_type, count(*) AS n, round(sum(value),2) AS total
+         FROM events GROUP BY 1,2""",
+    "q20_in_between" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE o_orderstatus IN ('O','F')
+           AND o_totalprice BETWEEN 10000 AND 20000"""
+  )
+}

@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-generated TPC-H-ish parquet tables (see TESTDATA.md).
+  *
+  * Each accessor is a plain `spark.read.parquet` — lazy, columnar, and
+  * partition-prunable; Catalyst pushes filters/projections into the scan.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long (legacy conf) and integer-divide
+    * to micros — the same truncation DuckDB applies, so `ts` values
+    * match the oracle exactly. `div` (integer division) avoids the
+    * double-precision loss of `/` on epoch-nano magnitudes.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
