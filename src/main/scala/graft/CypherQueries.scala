@@ -2,12 +2,208 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.queries.TpchGraph
+
 /** Queries executed through the graft Cypher engine (parser + compiler)
-  * over the TPC-H graph mapping (FIXTURES.md §B), each verified against
-  * a DuckDB SQL oracle expressing the same FK joins. Populated as the
-  * engine lands.
+  * over the TPC-H graph mapping (FIXTURES.md §B). Each entry's DuckDB
+  * oracle expresses the same FK joins in SQL, making the driver's
+  * correctness gate a full differential test of parse → compile →
+  * execute. Column aliases match the oracle exactly.
   */
 object CypherQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private def run(cypher: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => TpchGraph.engine(spark, dir).query(cypher)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // entity scan + projection
+    "cy01_scan" -> run(
+      "MATCH (c:Customer) RETURN c.c_custkey AS custkey, c.c_name AS name"),
+
+    // WHERE filter (pushed to the parquet scan by Catalyst)
+    "cy02_filter" -> run(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 5000 AND c.c_mktsegment = 'BUILDING'
+         RETURN c.c_custkey AS custkey, c.c_acctbal AS bal"""),
+
+    // 1-hop traversal (FK-derived PLACED relationship)
+    "cy03_hop" -> run(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         RETURN c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+                o.o_totalprice AS price"""),
+
+    // implicit Cypher grouping (non-aggregate items are the keys)
+    "cy04_agg" -> run(
+      """MATCH (c:Customer)
+         RETURN c.c_mktsegment AS seg, count(*) AS n,
+                round(avg(c.c_acctbal), 4) AS avg_bal"""),
+
+    // 2-hop traversal with grouping
+    "cy05_twohop" -> run(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part)
+         RETURN c.c_mktsegment AS seg, count(*) AS n"""),
+
+    // OPTIONAL MATCH → left join; count(c) counts matches, not rows
+    "cy06_optional" -> run(
+      """MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n)
+         RETURN n.n_name AS nation, count(c) AS n_cust"""),
+
+    // WITH + aggregation + post-aggregation WHERE (HAVING shape)
+    "cy07_with_having" -> run(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WITH c, count(o) AS n_orders WHERE n_orders > 12
+         RETURN c.c_name AS name, n_orders"""),
+
+    // ORDER BY / LIMIT (top-k via TakeOrderedAndProject)
+    "cy08_topk" -> run(
+      """MATCH (o:Order)
+         RETURN o.o_orderkey AS orderkey, o.o_totalprice AS price
+         ORDER BY price DESC, orderkey LIMIT 5"""),
+
+    // UNION (dedup)
+    "cy09_union" -> run(
+      """MATCH (c:Customer) RETURN c.c_nationkey AS nk
+         UNION
+         MATCH (s:Supplier) RETURN s.s_nationkey AS nk"""),
+
+    // UNWIND + expression arithmetic
+    "cy10_unwind" -> run(
+      "UNWIND range(1, 10) AS x RETURN x, x * x AS sq"),
+
+    // EXISTS pattern predicate → semi join
+    "cy11_exists" -> run(
+      """MATCH (c:Customer)
+         WHERE EXISTS { (c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > 400000 }
+         RETURN c.c_mktsegment AS seg, count(*) AS n"""),
+
+    // NOT EXISTS → anti join
+    "cy12_not_exists" -> run(
+      """MATCH (c:Customer)
+         WHERE NOT EXISTS { (c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > 300000 }
+         RETURN c.c_mktsegment AS seg, count(*) AS n"""),
+
+    // scalar string functions + predicates
+    "cy13_strings" -> run(
+      """MATCH (c:Customer) WHERE c.c_name ENDS WITH '7'
+         RETURN c.c_custkey AS custkey, toUpper(c.c_name) AS uname,
+                substring(c.c_name, 0, 8) AS prefix, size(c.c_name) AS len"""),
+
+    // CASE expression with grouping
+    "cy14_case" -> run(
+      """MATCH (o:Order)
+         RETURN CASE WHEN o.o_totalprice < 100000 THEN 'lo'
+                     WHEN o.o_totalprice < 250000 THEN 'mid'
+                     ELSE 'hi' END AS band, count(*) AS n"""),
+
+    // var-length path (iterative expansion) over the nation->region edge
+    "cy15_varlength" -> run(
+      """MATCH (n:Nation)-[:IN_REGION*1..1]->(r:Region)
+         RETURN r.r_name AS region, count(*) AS n_nations"""),
+
+    // DISTINCT + ORDER BY + SKIP + LIMIT modifiers
+    "cy16_modifiers" -> run(
+      """MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg
+         ORDER BY seg SKIP 1 LIMIT 3"""),
+
+    // undirected relationship (union of both orientations)
+    "cy17_undirected" -> run(
+      """MATCH (n:Nation)-[:IN_REGION]-(x:Region)
+         RETURN n.n_name AS nation, x.r_name AS region"""),
+
+    // multi-path MATCH joined on shared variable
+    "cy18_multipath" -> run(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation), (c)-[:PLACED]->(o:Order)
+         RETURN n.n_name AS nation, count(*) AS n_orders"""),
+
+    // inline property map predicate (pushdown at the scan)
+    "cy19_prop_map" -> run(
+      """MATCH (c:Customer {c_mktsegment: 'MACHINERY'})-[:PLACED]->(o:Order)
+         RETURN count(*) AS n"""),
+
+    // list comprehension + reduce over UNWIND
+    "cy20_list_ops" -> run(
+      """UNWIND [[1,2,3,4],[5,6,7,8]] AS l
+         RETURN size([x IN l WHERE x % 2 = 0]) AS n_even,
+                reduce(s = 0, x IN l | s + x) AS total""")
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cy01_scan" ->
+      "SELECT c_custkey AS custkey, c_name AS name FROM customer",
+    "cy02_filter" ->
+      """SELECT c_custkey AS custkey, c_acctbal AS bal FROM customer
+         WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'""",
+    "cy03_hop" ->
+      """SELECT c_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS price
+         FROM customer JOIN orders ON c_custkey = o_custkey""",
+    "cy04_agg" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+         round(avg(c_acctbal), 4) AS avg_bal
+         FROM customer GROUP BY 1""",
+    "cy05_twohop" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
+    "cy06_optional" ->
+      """SELECT n_name AS nation, count(c_custkey) AS n_cust
+         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "cy07_with_having" ->
+      """SELECT c_name AS name, count(*) AS n_orders
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name HAVING count(*) > 12""",
+    "cy08_topk" ->
+      """SELECT o_orderkey AS orderkey, o_totalprice AS price
+         FROM orders ORDER BY price DESC, orderkey LIMIT 5""",
+    "cy09_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION SELECT s_nationkey AS nk FROM supplier""",
+    "cy10_unwind" ->
+      "SELECT x, x * x AS sq FROM (SELECT unnest(range(1, 11)) AS x)",
+    "cy11_exists" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         GROUP BY 1""",
+    "cy12_not_exists" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         GROUP BY 1""",
+    "cy13_strings" ->
+      """SELECT c_custkey AS custkey, upper(c_name) AS uname,
+         substring(c_name, 1, 8) AS prefix, length(c_name) AS len
+         FROM customer WHERE c_name LIKE '%7'""",
+    "cy14_case" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'lo'
+                     WHEN o_totalprice < 250000 THEN 'mid'
+                     ELSE 'hi' END AS band, count(*) AS n
+         FROM orders GROUP BY 1""",
+    "cy15_varlength" ->
+      """SELECT r_name AS region, count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+    "cy16_modifiers" ->
+      """SELECT DISTINCT c_mktsegment AS seg FROM customer
+         ORDER BY seg OFFSET 1 LIMIT 3""",
+    "cy17_undirected" ->
+      """SELECT n_name AS nation, r_name AS region
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "cy18_multipath" ->
+      """SELECT n_name AS nation, count(*) AS n_orders
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "cy19_prop_map" ->
+      """SELECT count(*) AS n
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         WHERE c_mktsegment = 'MACHINERY'""",
+    "cy20_list_ops" ->
+      """SELECT len(list_filter(l, x -> x % 2 = 0)) AS n_even,
+         CAST(list_sum(l) AS BIGINT) AS total
+         FROM (VALUES ([1,2,3,4]), ([5,6,7,8])) t(l)"""
+  )
 }

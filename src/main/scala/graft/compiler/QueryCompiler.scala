@@ -1,0 +1,500 @@
+package graft.compiler
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{GraphCatalog, RelationshipDef}
+import graft.parser.CypherAst._
+import graft.functions.FunctionRegistry
+import graft.paths.PathExpand
+
+/** Clause-by-clause Cypher AST → DataFrame compiler — the Spark-native
+  * counterpart of the reference's ClauseExecutor + PatternMatcher +
+  * FrameJoiner + ProjectionPlanner (SURVEY.md §3.1). Where the
+  * reference executes eagerly over pandas per clause, this builds ONE
+  * lazy logical plan for the whole query and lets Catalyst optimize it:
+  * filter pushdown, column pruning, join selection and reorder come
+  * free (SURVEY.md §4.1); only pattern-level concerns (join on shared
+  * variables, optional-match preservation, var-length expansion) are
+  * decided here.
+  */
+final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
+                          params: Map[String, Any]) {
+
+  private var anonCounter = 0
+  private def freshVar(): String = { anonCounter += 1; s"__anon$anonCounter" }
+
+  def compile(q: Query): DataFrame = {
+    val frames = q.statements.map(compileSingle)
+    if (frames.size == 1) frames.head.df
+    else {
+      val unioned = frames.map(_.df).reduce(_.unionByName(_))
+      val anyBareUnion = q.unionAll.contains(false)
+      if (anyBareUnion) unioned.distinct() else unioned
+    }
+  }
+
+  def compileSingle(sq: SingleQuery): Frame = {
+    var frame: Option[Frame] = None
+    sq.clauses.foreach {
+      case m: Match  => frame = Some(compileMatch(m, frame))
+      case u: Unwind => frame = Some(compileUnwind(u, frame))
+      case w: With   => frame = Some(project(frame.getOrElse(unitFrame), w.projection,
+        w.where, keepEntities = true))
+      case r: Return => frame = Some(project(frame.getOrElse(unitFrame), r.projection,
+        None, keepEntities = false))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"clause not yet supported by the compiler: ${other.getClass.getSimpleName}")
+    }
+    frame.getOrElse(throw new IllegalArgumentException("query produced no result"))
+  }
+
+  /** Single-row empty frame, for queries starting with UNWIND/RETURN. */
+  private def unitFrame: Frame = Frame(spark.range(1).select(), Map.empty)
+
+  // ---------------- MATCH ----------------
+
+  private def compileMatch(m: Match, outer: Option[Frame]): Frame = {
+    val pattern0 = m.paths.map(compilePath).reduce((a, b) => naturalJoin(a, b, "inner"))
+    if (m.optional) {
+      val outerF = outer.getOrElse(
+        throw new IllegalArgumentException("OPTIONAL MATCH requires a preceding MATCH"))
+      // WHERE belongs to the OPTIONAL MATCH: filter the pattern before the
+      // left join so non-matching rows become nulls, not dropped rows.
+      // (Predicates must be local to pattern variables.)
+      val pattern = m.where match {
+        case Some(w) => applyWhere(pattern0, w)
+        case None    => pattern0
+      }
+      naturalJoin(outerF, pattern, "left_outer")
+    } else {
+      val joined = outer match {
+        case Some(o) => naturalJoin(o, pattern0, "inner")
+        case None    => pattern0
+      }
+      m.where match {
+        case Some(w) => applyWhere(joined, w)
+        case None    => joined
+      }
+    }
+  }
+
+  /** Scan a node pattern into a fresh single-var frame (inline property
+    * predicates applied at the scan → parquet filter pushdown).
+    */
+  private def nodeFrame(varName: String, label: String,
+                        props: Seq[(String, Expr)]): Frame = {
+    val e = catalog.entity(label)
+    val attrs = e.df.columns.toSeq
+    val df = e.df.select(attrs.map(a => col(a).as(s"${varName}__$a")): _*)
+    val f = Frame(df, Map(varName -> NodeVar(label, e.idCol, attrs)))
+    applyProps(f, varName, props)
+  }
+
+  private def applyProps(f: Frame, v: String, props: Seq[(String, Expr)]): Frame =
+    props.foldLeft(f) { case (acc, (k, e)) =>
+      val c = new ExpressionCompiler(acc, params).compile(e)
+      acc.copy(df = acc.df.filter(col(acc.col(v, k)) === c))
+    }
+
+  /** Relationship frame. For BOTH direction the edge set is the union of
+    * both orientations (reference: pattern_matcher.py:572-699 direction
+    * handling re-expressed as a unioned scan).
+    */
+  private def relFrame(varName: String, rd: RelationshipDef,
+                       direction: String, props: Seq[(String, Expr)]): Frame = {
+    val attrs = rd.df.columns.toSeq
+    def prefixed(df: DataFrame): DataFrame =
+      df.select(attrs.map(a => col(a).as(s"${varName}__$a")): _*)
+    val base = direction match {
+      case "BOTH" =>
+        val fwd = rd.df
+        val bwd = rd.df.withColumnRenamed(rd.srcCol, "__tmp_swap")
+          .withColumnRenamed(rd.dstCol, rd.srcCol)
+          .withColumnRenamed("__tmp_swap", rd.dstCol)
+          .select(attrs.map(col): _*)
+        prefixed(fwd.unionByName(bwd))
+      case _ => prefixed(rd.df)
+    }
+    val f = Frame(base, Map(varName -> RelVar(rd.relType, rd.srcCol, rd.dstCol, attrs)))
+    applyProps(f, varName, props)
+  }
+
+  private def compilePath(p: PathPattern): Frame = {
+    if (p.shortest.isDefined || p.hops.exists(_._1.varLength.isDefined))
+      return compileVarLengthPath(p)
+
+    val startVar = p.start.variable.getOrElse(freshVar())
+    val startLabel = resolveLabel(p.start, p.hops.headOption.map(_._1), isStart = true)
+    var cur = nodeFrame(startVar, startLabel, p.start.props)
+    var prevVar = startVar
+    p.hops.foreach { case (rel, node) =>
+      val (next, boundVar) = compileHop(cur, prevVar, rel, node)
+      cur = next
+      prevVar = boundVar
+    }
+    cur
+  }
+
+  private def resolveLabel(np: NodePattern, rel: Option[RelPattern],
+                           isStart: Boolean): String =
+    np.labels.headOption.getOrElse {
+      val inferred = for {
+        r <- rel
+        t <- r.types.headOption
+        rd = catalog.relationship(t)
+        l <- (r.direction, isStart) match {
+          case ("OUT", true) | ("IN", false)  => rd.srcLabel
+          case ("OUT", false) | ("IN", true)  => rd.dstLabel
+          case _ => None
+        }
+      } yield l
+      inferred.getOrElse(throw new IllegalArgumentException(
+        s"cannot infer label for node ${np.variable.getOrElse("(anon)")}"))
+    }
+
+  private def compileHop(cur: Frame, fromVar: String, rel: RelPattern,
+                         node: NodePattern): (Frame, String) = {
+    val relType = rel.types.headOption.getOrElse(
+      throw new IllegalArgumentException("relationship type required"))
+    val rd = catalog.relationship(relType)
+    val relVar = rel.variable.getOrElse(freshVar())
+
+    // Undirected edges: keep only orientations whose declared src/dst
+    // labels are compatible with the endpoints. FK-derived edge tables
+    // have overlapping key spaces, so an orientation that violates the
+    // declared labels would fabricate matches a property graph with
+    // globally-unique ids could never produce.
+    val effDir = if (rel.direction == "BOTH") {
+      val fromLabel = cur.vars(fromVar) match {
+        case NodeVar(l, _, _) => Some(l); case _ => None
+      }
+      val toLabel = node.labels.headOption
+      def compat(a: Option[String], b: Option[String]) =
+        (for { x <- a; y <- b } yield x == y).getOrElse(true)
+      val fwdOk = compat(rd.srcLabel, fromLabel) && compat(rd.dstLabel, toLabel)
+      val bwdOk = compat(rd.dstLabel, fromLabel) && compat(rd.srcLabel, toLabel)
+      (fwdOk, bwdOk) match {
+        case (true, false) => "OUT"
+        case (false, true) => "IN"
+        case _             => "BOTH"
+      }
+    } else rel.direction
+
+    val rf = relFrame(relVar, rd, effDir, rel.props)
+
+    // Join key on the rel side: OUT joins cur->src, IN joins cur->dst;
+    // BOTH uses src (frame already contains both orientations).
+    val (nearAttr, farAttr) = effDir match {
+      case "IN" => (rd.dstCol, rd.srcCol)
+      case _    => (rd.srcCol, rd.dstCol)
+    }
+    val joined = cur.df.join(rf.df,
+      col(cur.idCol(fromVar)) === col(s"${relVar}__$nearAttr"))
+    val withRel = Frame(joined, cur.vars ++ rf.vars)
+
+    val nodeVarName = node.variable.getOrElse(freshVar())
+    if (cur.vars.contains(nodeVarName)) {
+      // cyclic back-reference: (a)-[]->(b)-[]->(a)
+      val filtered = withRel.df.filter(
+        col(s"${relVar}__$farAttr") === col(cur.idCol(nodeVarName)))
+      (applyProps(Frame(filtered, withRel.vars), nodeVarName, node.props), nodeVarName)
+    } else {
+      val isStartSide = effDir == "IN"
+      val label = resolveLabel(node, Some(rel.copy(direction = effDir)), isStart = isStartSide)
+      val nf = nodeFrame(nodeVarName, label, node.props)
+      val out = withRel.df.join(nf.df,
+        col(s"${relVar}__$farAttr") === col(nf.idCol(nodeVarName)))
+      (Frame(out, withRel.vars ++ nf.vars), nodeVarName)
+    }
+  }
+
+  private def compileVarLengthPath(p: PathPattern): Frame =
+    PathExpand.compile(this, catalog, p, params)
+
+  // exposed for PathExpand
+  private[graft] def mkNodeFrame(v: String, label: String,
+                                 props: Seq[(String, Expr)]): Frame =
+    nodeFrame(v, label, props)
+  private[graft] def mkFreshVar(): String = freshVar()
+  private[graft] def mkResolveLabel(np: NodePattern, rel: Option[RelPattern],
+                                    isStart: Boolean): String =
+    resolveLabel(np, rel, isStart)
+
+  // ---------------- joins on shared variables ----------------
+
+  /** Join two frames on their shared variables' identity columns —
+    * the Spark form of the reference's coerce_join / left-join
+    * preservation (frame_joiner.py:70-103, 189-310). The right side's
+    * shared-variable columns are dropped (identical by id equality), so
+    * downstream references resolve unambiguously to the left side.
+    */
+  private[compiler] def naturalJoin(a: Frame, b: Frame, joinType: String): Frame = {
+    val shared = (a.vars.keySet intersect b.vars.keySet).toSeq.sorted
+    if (shared.isEmpty) {
+      joinType match {
+        case "inner" => Frame(a.df.crossJoin(b.df), a.vars ++ b.vars)
+        case _ => throw new UnsupportedOperationException(
+          "OPTIONAL MATCH with no shared variables is not supported")
+      }
+    } else {
+      val keyCols = shared.zipWithIndex.map { case (v, i) => (v, s"__jk_$i") }
+      val bPrepared0 = keyCols.foldLeft(b.df) { case (df, (v, jk)) =>
+        df.withColumn(jk, col(b.idCol(v)))
+      }
+      val dropCols = shared.flatMap(b.varCols)
+      val bPrepared = bPrepared0.drop(dropCols: _*)
+      val cond = keyCols.map { case (v, jk) => col(a.idCol(v)) === col(jk) }
+        .reduce(_ && _)
+      val joined = a.df.join(bPrepared, cond, joinType)
+        .drop(keyCols.map(_._2): _*)
+      Frame(joined, a.vars ++ b.vars)
+    }
+  }
+
+  // ---------------- WHERE ----------------
+
+  private def conjuncts(e: Expr): Seq[Expr] = e match {
+    case BinOp("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+    case other              => Seq(other)
+  }
+
+  private[compiler] def applyWhere(f: Frame, where: Expr): Frame = {
+    var cur = f
+    val plain = mutable.ArrayBuffer.empty[Expr]
+    conjuncts(where).foreach {
+      case ExistsPattern(paths, sub, _) =>
+        cur = existsJoin(cur, paths, sub, anti = false)
+      case UnaryOp("NOT", ExistsPattern(paths, sub, _)) =>
+        cur = existsJoin(cur, paths, sub, anti = true)
+      case other => plain += other
+    }
+    if (plain.nonEmpty) {
+      val cond = plain.map(new ExpressionCompiler(cur, params).compile).reduce(_ && _)
+      cur.copy(df = cur.df.filter(cond))
+    } else cur
+  }
+
+  /** EXISTS / NOT EXISTS pattern predicate → left-semi / left-anti join
+    * on the shared variables (reference: exists_evaluator.py → SURVEY
+    * §2.3 semi/anti row).
+    */
+  private def existsJoin(f: Frame, paths: Seq[PathPattern],
+                         subWhere: Option[Expr], anti: Boolean): Frame = {
+    var sub = paths.map(compilePath).reduce((x, y) => naturalJoin(x, y, "inner"))
+    subWhere.foreach(w => sub = applyWhere(sub, w))
+    val shared = (f.vars.keySet intersect sub.vars.keySet).toSeq.sorted
+    require(shared.nonEmpty, "EXISTS pattern must share at least one variable")
+    val keyCols = shared.zipWithIndex.map { case (v, i) => (v, s"__jk_$i") }
+    val subPrepared0 = keyCols.foldLeft(sub.df) { case (df, (v, jk)) =>
+      df.withColumn(jk, col(sub.idCol(v)))
+    }
+    val subPrepared = subPrepared0.select(keyCols.map(c => col(c._2)): _*)
+    val cond = keyCols.map { case (v, jk) => col(f.idCol(v)) === col(jk) }
+      .reduce(_ && _)
+    val jt = if (anti) "left_anti" else "left_semi"
+    f.copy(df = f.df.join(subPrepared, cond, jt))
+  }
+
+  // ---------------- UNWIND ----------------
+
+  private def compileUnwind(u: Unwind, outer: Option[Frame]): Frame = {
+    val f = outer.getOrElse(unitFrame)
+    val c = new ExpressionCompiler(f, params).compile(u.expr)
+    Frame(f.df.withColumn(u.alias, explode(c)), f.vars + (u.alias -> ValueVar))
+  }
+
+  // ---------------- WITH / RETURN ----------------
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case CountStar            => true
+    case FnCall(name, args, _) =>
+      FunctionRegistry.isAggregate(name) || args.exists(containsAgg)
+    case BinOp(_, l, r)       => containsAgg(l) || containsAgg(r)
+    case UnaryOp(_, x)        => containsAgg(x)
+    case IsNull(x, _)         => containsAgg(x)
+    case CaseExpr(s, br, d)   =>
+      s.exists(containsAgg) || br.exists { case (w, t) => containsAgg(w) || containsAgg(t) } ||
+        d.exists(containsAgg)
+    case Index(s, i)          => containsAgg(s) || containsAgg(i)
+    case Slice(s, f, t)       => containsAgg(s) || f.exists(containsAgg) || t.exists(containsAgg)
+    case _                    => false
+  }
+
+  private def defaultAlias(e: Expr): String = e match {
+    case Variable(v)          => v
+    case Property(Variable(v), k) => s"$v.$k"
+    case _                    => e.toString.take(48)
+  }
+
+  /** Compile an aggregation item: aggregate calls route to the agg
+    * registry; everything around them is scalar arithmetic over the
+    * aggregated columns (Spark supports e.g. sum(x)/count(y) natively).
+    */
+  private def compileAggExpr(e: Expr, ec: ExpressionCompiler): Column = e match {
+    case CountStar => count(lit(1))
+    case FnCall(name, args, distinct) if FunctionRegistry.isAggregate(name) =>
+      // A bare entity variable as aggregate argument stands for its
+      // identity: count(c) counts matched nodes, i.e. non-null ids —
+      // a struct of null fields would not be null itself.
+      val compiled = args.map {
+        case Variable(v) if ec.frame.vars.get(v).exists {
+          case _: NodeVar | _: RelVar => true; case _ => false
+        } => col(ec.frame.idCol(v))
+        case a => ec.compile(a)
+      }
+      FunctionRegistry.aggregate(name, compiled, distinct)
+    case FnCall(name, args, _) if containsAgg(e) =>
+      // scalar function over aggregates, e.g. round(avg(x), 2)
+      FunctionRegistry.scalar(name, args.map(compileAggExpr(_, ec)), args, ec, Map.empty)
+    case BinOp(op, l, r) if containsAgg(e) =>
+      val lc = compileAggExpr(l, ec)
+      val rc = compileAggExpr(r, ec)
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "%" => lc % rc
+        case "^" => pow(lc, rc)
+        case other => throw new IllegalArgumentException(
+          s"operator $other over aggregates not supported")
+      }
+    case UnaryOp("-", x) if containsAgg(x) => negate(compileAggExpr(x, ec))
+    case other => ec.compile(other)
+  }
+
+  private def project(f: Frame, proj: Projection, where: Option[Expr],
+                      keepEntities: Boolean): Frame = {
+    // expand * to all bound vars (sorted for determinism)
+    val starItems =
+      if (proj.star) f.vars.keys.toSeq.sorted.filterNot(_.startsWith("__anon"))
+        .map(v => ReturnItem(Variable(v), Some(v)))
+      else Seq.empty
+    val items = starItems ++ proj.items
+    require(items.nonEmpty, "empty projection")
+
+    val ec = new ExpressionCompiler(f, params)
+    val hasAgg = items.exists(i => containsAgg(i.expr))
+
+    var out: Frame =
+      if (!hasAgg) projectPlain(f, items, ec, keepEntities)
+      else projectAgg(f, items, ec, keepEntities)
+
+    where.foreach { w => out = applyWhere(out, w) }
+    if (proj.distinct) out = out.copy(df = out.df.distinct())
+
+    if (proj.orderBy.nonEmpty) {
+      val oec = new ExpressionCompiler(out, params)
+      val sortCols = proj.orderBy.map { oi =>
+        val c = oec.compile(oi.expr)
+        // Cypher/Neo4j null placement: last in ASC, first in DESC.
+        if (oi.descending) c.desc_nulls_first else c.asc_nulls_last
+      }
+      out = out.copy(df = out.df.orderBy(sortCols: _*))
+    }
+    proj.skip.foreach { e => out = out.copy(df = out.df.offset(constInt(e))) }
+    proj.limit.foreach { e => out = out.copy(df = out.df.limit(constInt(e))) }
+    out
+  }
+
+  private def constInt(e: Expr): Int = e match {
+    case IntLit(v) => v.toInt
+    case Param(p)  => params(p) match {
+      case i: Int => i; case l: Long => l.toInt
+      case other  => throw new IllegalArgumentException(s"SKIP/LIMIT param: $other")
+    }
+    case other => throw new IllegalArgumentException(s"SKIP/LIMIT must be integer: $other")
+  }
+
+  private def projectPlain(f: Frame, items: Seq[ReturnItem],
+                           ec: ExpressionCompiler, keepEntities: Boolean): Frame = {
+    val cols = mutable.ArrayBuffer.empty[Column]
+    val vars = mutable.LinkedHashMap.empty[String, VarMeta]
+    items.foreach { item =>
+      val alias = item.alias.getOrElse(defaultAlias(item.expr))
+      item.expr match {
+        case Variable(v) if keepEntities && f.vars.get(v).exists {
+          case _: NodeVar | _: RelVar | _: PathVar => true; case _ => false
+        } =>
+          // entity pass-through under (possibly) a new name
+          f.vars(v) match {
+            case m: NodeVar =>
+              m.attrs.foreach(a => cols += col(f.col(v, a)).as(s"${alias}__$a"))
+              vars(alias) = m
+            case m: RelVar =>
+              m.attrs.foreach(a => cols += col(f.col(v, a)).as(s"${alias}__$a"))
+              vars(alias) = m
+            case PathVar(h) =>
+              cols += col(h).as(s"${alias}__hops")
+              vars(alias) = PathVar(s"${alias}__hops")
+            case _ =>
+          }
+        case e =>
+          cols += ec.compile(e).as(alias)
+          vars(alias) = ValueVar
+      }
+    }
+    Frame(f.df.select(cols.toSeq: _*), vars.toMap)
+  }
+
+  private def projectAgg(f: Frame, items: Seq[ReturnItem],
+                         ec: ExpressionCompiler, keepEntities: Boolean): Frame = {
+    val keyItems = items.filterNot(i => containsAgg(i.expr))
+    val aggItems = items.filter(i => containsAgg(i.expr))
+
+    // materialize key expressions as named columns first
+    val keyCols = mutable.ArrayBuffer.empty[(String, Column)] // (alias, col)
+    val outVars = mutable.LinkedHashMap.empty[String, VarMeta]
+    val groupByNames = mutable.ArrayBuffer.empty[String]
+    var work = f.df
+    keyItems.foreach { item =>
+      val alias = item.alias.getOrElse(defaultAlias(item.expr))
+      item.expr match {
+        case Variable(v) if f.vars.get(v).exists {
+          case _: NodeVar | _: RelVar => true; case _ => false
+        } =>
+          // group by the entity id; carry the remaining attrs in the keys
+          // (id is the functional determinant — SURVEY §7.4 item 6)
+          f.vars(v) match {
+            case m: NodeVar =>
+              m.attrs.foreach { a =>
+                val newName = s"${alias}__$a"
+                work = work.withColumn(newName, col(f.col(v, a)))
+                groupByNames += newName
+              }
+              outVars(alias) = m
+            case m: RelVar =>
+              m.attrs.foreach { a =>
+                val newName = s"${alias}__$a"
+                work = work.withColumn(newName, col(f.col(v, a)))
+                groupByNames += newName
+              }
+              outVars(alias) = m
+            case _ =>
+          }
+        case e =>
+          val alias2 = alias
+          work = work.withColumn(alias2, ec.compileEnv(e, Map.empty))
+          groupByNames += alias2
+          outVars(alias2) = ValueVar
+      }
+      ()
+    }
+
+    val aggCols = aggItems.map { item =>
+      val alias = item.alias.getOrElse(defaultAlias(item.expr))
+      outVars(alias) = ValueVar
+      compileAggExpr(item.expr, new ExpressionCompiler(Frame(work, f.vars), params)).as(alias)
+    }
+
+    val grouped =
+      if (groupByNames.isEmpty) work.agg(aggCols.head, aggCols.tail: _*)
+      else work.groupBy(groupByNames.map(col).toSeq: _*).agg(aggCols.head, aggCols.tail: _*)
+    // non-entity keys keep their alias name; entity keys already prefixed
+    Frame(grouped, outVars.toMap)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.model
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry mapping node labels and relationship types to DataFrames —
+  * the Spark-native counterpart of the reference's `Context` +
+  * `EntityTable`/`RelationshipTable`
+  * (/root/reference/packages/pycypher/src/pycypher/relational_models.py:
+  * 282-718, 917-1338). Reserved-column handling (`__ID__`,
+  * `__SOURCE__`, `__TARGET__`, relational_models.py:41-49) becomes
+  * explicit per-table column names declared at registration; no data is
+  * copied or renamed — the DataFrames stay lazy.
+  *
+  * Mutation clauses (CREATE/SET/DELETE/MERGE) operate on a snapshot and
+  * swap registrations atomically on commit, mirroring the reference's
+  * shadow-write transaction (relational_models.py:589-708) with
+  * immutable DataFrames instead of shadow copies.
+  */
+final case class EntityDef(label: String, df: DataFrame, idCol: String)
+
+final case class RelationshipDef(relType: String, df: DataFrame,
+                                 srcCol: String, dstCol: String,
+                                 idCol: Option[String],
+                                 srcLabel: Option[String], dstLabel: Option[String])
+
+final class GraphCatalog {
+  private val entities = TrieMap.empty[String, EntityDef]
+  private val relationships = TrieMap.empty[String, RelationshipDef]
+
+  def addEntity(label: String, df: DataFrame, idCol: String = "__ID__"): GraphCatalog = {
+    require(df.columns.contains(idCol), s"id column '$idCol' not in ${df.columns.mkString(",")}")
+    entities.put(label, EntityDef(label, df, idCol))
+    this
+  }
+
+  def addRelationship(relType: String, df: DataFrame,
+                      srcCol: String = "__SOURCE__", dstCol: String = "__TARGET__",
+                      idCol: Option[String] = None,
+                      srcLabel: Option[String] = None,
+                      dstLabel: Option[String] = None): GraphCatalog = {
+    require(df.columns.contains(srcCol) && df.columns.contains(dstCol),
+      s"src/dst columns '$srcCol'/'$dstCol' not in ${df.columns.mkString(",")}")
+    relationships.put(relType, RelationshipDef(relType, df, srcCol, dstCol, idCol,
+      srcLabel, dstLabel))
+    this
+  }
+
+  def entity(label: String): EntityDef =
+    entities.getOrElse(label, throw new NoSuchElementException(s"unknown label: $label"))
+  def relationship(relType: String): RelationshipDef =
+    relationships.getOrElse(relType,
+      throw new NoSuchElementException(s"unknown relationship type: $relType"))
+
+  def hasEntity(label: String): Boolean = entities.contains(label)
+  def hasRelationship(relType: String): Boolean = relationships.contains(relType)
+  def labels: Seq[String] = entities.keys.toSeq.sorted
+  def relTypes: Seq[String] = relationships.keys.toSeq.sorted
+
+  /** Replace a label's DataFrame (mutation commit). */
+  def replaceEntity(label: String, df: DataFrame): Unit = {
+    val old = entity(label)
+    entities.put(label, old.copy(df = df))
+  }
+  def replaceRelationship(relType: String, df: DataFrame): Unit = {
+    val old = relationship(relType)
+    relationships.put(relType, old.copy(df = df))
+  }
+
+  /** Shallow snapshot for query-scoped mutation staging. */
+  def snapshot(): GraphCatalog = {
+    val c = new GraphCatalog
+    entities.foreach { case (k, v) => c.entities.put(k, v) }
+    relationships.foreach { case (k, v) => c.relationships.put(k, v) }
+    c
+  }
+}

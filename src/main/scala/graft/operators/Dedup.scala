@@ -26,17 +26,22 @@ object Dedup {
     df.groupBy(md5(content.cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
 
-  /** Word-level n-gram shingles of `text`, lowercased.
-    * transform(sequence(...)) keeps everything inside whole-stage codegen.
+  /** Word-level n-gram shingles from an already-materialized tokens
+    * column. IMPORTANT: `toks` must be a column *attribute* (from a prior
+    * projection), not the split(...) expression itself — higher-order
+    * functions evaluate their argument expression once per lambda
+    * invocation in interpreted mode, so an inline split() would re-split
+    * the text for every shingle index (measured ~9 ms/doc vs ~0.1).
     */
-  private[graft] def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  private[graft] def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
+
+  /** Lowercased whitespace tokens. */
+  private[graft] def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** 64-bit MinHash signature: element h = min over shingles of
     * xxhash64(h, shingle). One array column, no shuffle.
@@ -63,9 +68,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sig"))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
+      .select(col("id"), minHashSignature(col("sh"), numHashes).as("sig"))
 
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -93,8 +98,7 @@ object Dedup {
     * literal; codegen's common-subexpression elimination shares the
     * per-token hash across the 64 bit extractions.
     */
-  private[graft] def simHash(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  private[graft] def simHash(toks: Column): Column = {
     (0 until 64).map { b =>
       val votes = aggregate(toks, lit(0L),
         (acc, t) => acc + when(
@@ -113,7 +117,9 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "8-block pigeonhole covers hamming<=7")
-    val sigDf = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val sigDf = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), simHash(col("toks")).as("sim"))
     val blocked = sigDf.select(col("id"), col("sim"),
       explode(array((0 until 8).map { b =>
         struct(lit(b).as("blk"),
@@ -141,7 +147,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDf: Int = 1000): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sets = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
     val inverted = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
     val rare = inverted.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))

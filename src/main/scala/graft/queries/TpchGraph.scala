@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.CypherEngine
+import graft.model.GraphCatalog
+
+/** Graph view of the driver testdata (FIXTURES.md §B): entities are the
+  * TPC-H-ish tables keyed by their natural keys; relationships are
+  * derived from the foreign keys, mirroring the reference's
+  * relationship-derivation pattern (/root/reference/packages/
+  * fastopendata/src/fastopendata/etl/relationship_derivation.py).
+  *
+  * Relationship tables are the child tables themselves with src/dst
+  * columns pointing at the FK pair — no data copies, so Catalyst prunes
+  * unused attribute columns out of every traversal scan.
+  */
+object TpchGraph {
+
+  def engine(spark: SparkSession, dir: String): CypherEngine = {
+    val t = Tables(spark, dir)
+    val catalog = new GraphCatalog()
+      .addEntity("Region", t.region, idCol = "r_regionkey")
+      .addEntity("Nation", t.nation, idCol = "n_nationkey")
+      .addEntity("Customer", t.customer, idCol = "c_custkey")
+      .addEntity("Supplier", t.supplier, idCol = "s_suppkey")
+      .addEntity("Part", t.part, idCol = "p_partkey")
+      .addEntity("Order", t.orders, idCol = "o_orderkey")
+      .addEntity("Lineitem", t.lineitem, idCol = "l_orderkey") // composite in truth; see CONTAINS
+      .addEntity("Document", t.documents, idCol = "doc_id")
+      // FK-derived relationships (child row = edge):
+      .addRelationship("IN_REGION", t.nation,
+        srcCol = "n_nationkey", dstCol = "n_regionkey",
+        srcLabel = Some("Nation"), dstLabel = Some("Region"))
+      .addRelationship("FROM_NATION", t.customer,
+        srcCol = "c_custkey", dstCol = "c_nationkey",
+        srcLabel = Some("Customer"), dstLabel = Some("Nation"))
+      .addRelationship("SUPP_NATION", t.supplier,
+        srcCol = "s_suppkey", dstCol = "s_nationkey",
+        srcLabel = Some("Supplier"), dstLabel = Some("Nation"))
+      .addRelationship("PLACED", t.orders,
+        srcCol = "o_custkey", dstCol = "o_orderkey",
+        srcLabel = Some("Customer"), dstLabel = Some("Order"))
+      .addRelationship("CONTAINS", t.lineitem,
+        srcCol = "l_orderkey", dstCol = "l_partkey",
+        srcLabel = Some("Order"), dstLabel = Some("Part"))
+      .addRelationship("SUPPLIED_BY", t.lineitem,
+        srcCol = "l_partkey", dstCol = "l_suppkey",
+        srcLabel = Some("Part"), dstLabel = Some("Supplier"))
+    new CypherEngine(spark, catalog)
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.model.GraphCatalog
+
+/** Engine semantics on the reference's hello-world graph (FIXTURES.md
+  * §A.1: Person/Company/KNOWS/WORKS_FOR with reserved __ID__ columns).
+  */
+class CypherEngineSpec extends SparkSpec {
+
+  private lazy val engine: CypherEngine = {
+    import spark.implicits._
+    val person = Seq(
+      (0L, "Alice", 30L, "eng", 100.0),
+      (1L, "Bob", 25L, "eng", 80.0),
+      (2L, "Carol", 35L, "sales", 90.0),
+      (3L, "Dan", 28L, "sales", 85.0))
+      .toDF("__ID__", "name", "age", "dept", "salary")
+    val company = Seq((0L, "Acme"), (1L, "Globex"))
+      .toDF("__ID__", "name")
+    val knows = Seq((0L, 0L, 1L, 2015L), (1L, 1L, 2L, 2018L), (2L, 2L, 3L, 2020L))
+      .toDF("__ID__", "__SOURCE__", "__TARGET__", "since")
+    val worksFor = Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 1L))
+      .toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val catalog = new GraphCatalog()
+      .addEntity("Person", person)
+      .addEntity("Company", company)
+      .addRelationship("KNOWS", knows,
+        srcLabel = Some("Person"), dstLabel = Some("Person"))
+      .addRelationship("WORKS_FOR", worksFor,
+        srcLabel = Some("Person"), dstLabel = Some("Company"))
+    new CypherEngine(spark, catalog)
+  }
+
+  private def rows(q: String, params: Map[String, Any] = Map.empty): Seq[Row] =
+    engine.query(q, params).collect().toSeq
+
+  test("hello world: scan + filter + project (reference README Quick Start)") {
+    val r = rows("MATCH (p:Person) WHERE p.age > 28 RETURN p.name AS name, p.age AS age")
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSet == Set(("Alice", 30L), ("Carol", 35L)))
+  }
+
+  test("one hop with relationship property") {
+    val r = rows(
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person) WHERE k.since >= 2018
+         RETURN a.name AS a, b.name AS b ORDER BY a""")
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Bob", "Carol"), ("Carol", "Dan")))
+  }
+
+  test("undirected hop matches both orientations") {
+    val r = rows("MATCH (a:Person {name: 'Bob'})-[:KNOWS]-(b:Person) RETURN b.name AS n")
+    assert(r.map(_.getString(0)).toSet == Set("Alice", "Carol"))
+  }
+
+  test("golden fixture: customer_summary (1-hop, WITH agg, aliasing)") {
+    // /root/reference/tests/fixtures/cypher/customer_summary.cypher
+    val r = rows(
+      """MATCH (p:Person)-[:WORKS_FOR]->(c:Company)
+         WITH c.name AS company, count(p) AS employee_count, avg(p.age) AS avg_age
+         RETURN company AS company, employee_count AS employee_count, avg_age AS avg_age
+         ORDER BY company""")
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2))) ==
+      Seq(("Acme", 2L, 27.5), ("Globex", 1L, 35.0)))
+  }
+
+  test("OPTIONAL MATCH yields nulls and count skips them") {
+    val r = rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:WORKS_FOR]->(c:Company)
+         RETURN p.name AS name, c.name AS company ORDER BY name""")
+    assert(r.size == 4)
+    assert(r.find(_.getString(0) == "Dan").get.isNullAt(1))
+    val counted = rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:WORKS_FOR]->(c:Company)
+         RETURN count(c) AS n""")
+    assert(counted.head.getLong(0) == 3L) // Dan's null company not counted
+  }
+
+  test("implicit grouping: full-table vs grouped") {
+    assert(rows("MATCH (p:Person) RETURN count(*) AS n").head.getLong(0) == 4L)
+    val grouped = rows(
+      "MATCH (p:Person) RETURN p.dept AS dept, sum(p.salary) AS total ORDER BY dept")
+    assert(grouped.map(x => (x.getString(0), x.getDouble(1))) ==
+      Seq(("eng", 180.0), ("sales", 175.0)))
+  }
+
+  test("aggregate over expression and expression over aggregate") {
+    val r = rows(
+      "MATCH (p:Person) RETURN round(sum(p.salary * 2) / 10, 1) AS x")
+    assert(r.head.getDouble(0) == 71.0)
+  }
+
+  test("collect and size") {
+    val r = rows(
+      "MATCH (p:Person) RETURN p.dept AS dept, collect(p.name) AS names ORDER BY dept")
+    assert(r.head.getSeq[String](1).toSet == Set("Alice", "Bob"))
+  }
+
+  test("var-length paths *1..2 counts walks") {
+    val r = rows(
+      """MATCH (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(b:Person)
+         RETURN b.name AS name ORDER BY name""")
+    assert(r.map(_.getString(0)) == Seq("Bob", "Carol"))
+  }
+
+  test("shortestPath collapses to min hops") {
+    val r = rows(
+      """MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*1..5]->(b:Person {name: 'Dan'}))
+         RETURN length(p) AS hops""")
+    assert(r.map(_.getLong(0)) == Seq(3L))
+  }
+
+  test("parameters") {
+    val r = rows("MATCH (p:Person) WHERE p.age > $minAge RETURN count(*) AS n",
+      Map("minAge" -> 28))
+    assert(r.head.getLong(0) == 2L)
+  }
+
+  test("null semantics: 3VL comparisons and missing properties") {
+    val r = rows("MATCH (p:Person {name: 'Alice'}) RETURN p.missing AS m, p.missing > 1 AS cmp")
+    assert(r.head.isNullAt(0) && r.head.isNullAt(1))
+  }
+
+  test("integer division vs float division") {
+    val r = rows("RETURN 7 / 2 AS i, 7.0 / 2 AS f, 7 % 2 AS m")
+    assert(r.head.getLong(0) == 3L && r.head.getDouble(1) == 3.5 && r.head.getLong(2) == 1L)
+  }
+
+  test("string concat with + and list concat") {
+    val r = rows("RETURN 'a' + 'b' AS s, [1,2] + [3] AS l")
+    assert(r.head.getString(0) == "ab" && r.head.getSeq[Long](1) == Seq(1L, 2L, 3L))
+  }
+
+  test("slicing and indexing") {
+    val r = rows("RETURN [10,20,30,40][1] AS i, [10,20,30,40][1..3] AS s, [10,20,30][-1] AS last")
+    assert(r.head.getLong(0) == 20L)
+    assert(r.head.getSeq[Long](1) == Seq(20L, 30L))
+    assert(r.head.getLong(2) == 30L)
+  }
+
+  test("=~ anchors to full match") {
+    val r = rows("RETURN ('abc' =~ 'b') AS sub, ('abc' =~ 'a.c') AS full")
+    assert(!r.head.getBoolean(0) && r.head.getBoolean(1))
+  }
+
+  test("RETURN whole node gives struct of properties") {
+    val r = rows("MATCH (p:Person {name: 'Alice'}) RETURN p")
+    val s = r.head.getStruct(0)
+    assert(s.getAs[String]("name") == "Alice" && s.getAs[Long]("age") == 30L)
+  }
+
+  test("label predicate in WHERE") {
+    assert(rows("MATCH (p:Person) WHERE p:Person RETURN count(*) AS n").head.getLong(0) == 4L)
+  }
+
+  test("UNWIND over collected list round-trips") {
+    val r = rows(
+      """MATCH (p:Person) WITH collect(p.name) AS names
+         UNWIND names AS n RETURN count(n) AS c""")
+    assert(r.head.getLong(0) == 4L)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data operator semantics on hand-built corpora where ground
+  * truth is computable exactly.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and scale"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "spark engines process data at scale with partitions"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val r = Dedup.exactByHash(docs, col("text"), col("doc_id")).collect()
+    assert(r.length == 4) // 5 docs, one exact pair
+    val dupGroup = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 5L)))
+  }
+
+  test("minhash estimate approximates true jaccard for exact dups") {
+    val est = Dedup.minHashLshPairs(docs, "doc_id", "text", 2, 64, 32)
+      .filter(col("id1") === 1 && col("id2") === 4)
+      .select(col("est_jaccard")).collect().head.getDouble(0)
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical text => identical fingerprint; near-dup within hamming 6") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 == 0))
+  }
+
+  test("ngram jaccard matches hand-computed value") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    // docs 1 and 2 share 7 of 8 bigrams each: J = 7 / (8 + 8 - 7) = 0.7778
+    assert(math.abs(pairs((1L, 2L)) - 0.7778) < 1e-3)
+  }
+
+  test("brute-force ANN ranks by exact cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 2)
+      .collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(1L, 3L))
+  }
+
+  test("embedding near-dup finds planted duplicate pair") {
+    val base = (0 until 32).map(_.toFloat / 32).toArray
+    val nearDup = base.clone(); nearDup(0) += 0.001f
+    val other = (0 until 32).map(i => ((i * 7919) % 32).toFloat / 32 - 0.5f).toArray
+    val vecs = Seq((10L, base), (11L, nearDup), (12L, other))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.999, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
+  test("language id identifies real multilingual snippets") {
+    val multi = Seq(
+      (1L, "the cat sat on the mat and it was happy for a while"),
+      (2L, "der Hund und die Katze sind nicht in der Küche mit mir"),
+      (3L, "le chat est dans la maison et je ne suis pas dans le jardin"),
+      (4L, "el perro es grande y la casa es bonita para mí y para ti"),
+      (5L, "这是一个中文句子用于测试语言识别")).toDF("doc_id", "text")
+    val preds = TextAnalysis.languageId(multi).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en" && preds(2L) == "de" && preds(3L) == "fr")
+    assert(preds(4L) == "es" && preds(5L) == "zh")
+  }
+
+  test("fingerprint is stable under whitespace reflow") {
+    val variants = Seq(
+      (1L, "Hello   world  foo"),
+      (2L, "hello world foo"),
+      (3L, "  HELLO\tworld   FOO  ")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(variants).collect().map(_.getString(1)).distinct
+    assert(fps.length == 1)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "hello, world! it's 42 degrees")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df).collect().head
+    assert(r.getAs[Int]("ws_tokens") == 5)
+    assert(r.getAs[Int]("bpe_tokens") == 9) // hello , world ! it ' s 42 degrees
+  }
+}
