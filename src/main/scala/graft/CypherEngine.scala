@@ -31,6 +31,31 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog) {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     new QueryCompiler(catalog, spark, params).compile(parse(cypher))
   }
+
+  /** Execute a query that may mutate the graph. Mutations stage into a
+    * catalog snapshot (eagerly materialized per mutation); the snapshot
+    * is swapped in atomically after the whole query compiles and runs —
+    * the reference's begin/commit/rollback protocol
+    * (relational_models.py:589-708) with immutable-DataFrame semantics.
+    * Read-only queries pass through `query` untouched (lazy).
+    */
+  def execute(cypher: String, params: Map[String, Any] = Map.empty): DataFrame = {
+    import graft.parser.CypherAst._
+    val ast = parse(cypher)
+    val mutates = ast.statements.exists(_.clauses.exists {
+      case _: Create | _: Merge | _: SetClause | _: Delete | _: Remove => true
+      case _ => false
+    })
+    if (!mutates) query(cypher, params)
+    else {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val snap = catalog.snapshot()
+      val df = new QueryCompiler(snap, spark, params).compile(ast)
+      df.count() // force any lazy tail so failures roll back (snapshot discarded)
+      catalog.absorbFrom(snap)
+      df
+    }
+  }
 }
 
 object CypherEngine {

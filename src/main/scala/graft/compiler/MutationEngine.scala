@@ -1,0 +1,337 @@
+package graft.compiler
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EntityDef, GraphCatalog, RelationshipDef}
+import graft.parser.CypherAst._
+
+/** Write-path executor — the Spark counterpart of the reference's
+  * MutationEngine + shadow-write transaction (/root/reference/packages/
+  * pycypher/src/pycypher/mutation_engine.py:53-1143,
+  * relational_models.py:589-708). Where the reference stages shadow
+  * copies and promotes them on commit, here every mutation derives a
+  * NEW immutable DataFrame (append = unionByName, delete = anti-join,
+  * set = left-join + coalesce) registered into a snapshot catalog; the
+  * engine swaps the snapshot in atomically after the whole query
+  * succeeds. `localCheckpoint` pins each mutated table so later reads
+  * in the same query see the writes without unbounded lineage growth.
+  */
+final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
+                           params: Map[String, Any]) {
+
+  private def ec(f: Frame) = new ExpressionCompiler(f, params)
+
+  /** Allocate `perRow` ids starting after the current max id. */
+  private def nextIdBase(df: DataFrame, idCol: String): Long = {
+    val m = df.agg(max(col(idCol))).head()
+    if (m.isNullAt(0)) 0L else m.getLong(0) + 1L
+  }
+
+  // ---------------- CREATE ----------------
+
+  /** CREATE per binding row: nodes get fresh ids; relationship patterns
+    * connect bound or just-created endpoint variables.
+    * (reference: mutation_engine.py:459-618, id allocation :229-323)
+    */
+  def create(f: Frame, paths: Seq[PathPattern]): Frame = {
+    var frame = withRowId(f)
+    paths.foreach { p =>
+      frame = createNodeIfUnbound(frame, p.start)
+      p.hops.foreach { case (rel, node) =>
+        frame = createNodeIfUnbound(frame, node)
+        frame = createRel(frame, p, rel, node)
+      }
+    }
+    frame.copy(df = frame.df.drop("__rowid"))
+  }
+
+  private def withRowId(f: Frame): Frame =
+    if (f.df.columns.contains("__rowid")) f
+    else f.copy(df = f.df.withColumn("__rowid", monotonically_increasing_id())
+      .localCheckpoint())
+
+  private def createNodeIfUnbound(f: Frame, np: NodePattern): Frame = {
+    val v = np.variable.getOrElse(return f) // anonymous create handled via rel
+    if (f.vars.contains(v)) return f
+    val label = np.labels.headOption.getOrElse(
+      throw new IllegalArgumentException(s"CREATE node $v requires a label"))
+
+    val (idCol, existingDf, known) =
+      if (catalog.hasEntity(label)) {
+        val e = catalog.entity(label)
+        (e.idCol, Some(e.df), true)
+      } else ("__ID__", None, false)
+
+    val base = existingDf.map(d => nextIdBase(d, idCol)).getOrElse(0L)
+    val compiler = ec(f)
+    val propCols = np.props.map { case (k, e) => compiler.compile(e).as(k) }
+    // one created node per binding row; id = base + dense row number
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__rowid"))
+    val created = f.df
+      .select(Seq(col("__rowid")) ++ propCols: _*)
+      .withColumn(idCol, (row_number().over(w) - 1).cast("long") + lit(base))
+      .localCheckpoint()
+
+    val newRows = created.drop("__rowid")
+    val merged = existingDf match {
+      case Some(d) => d.unionByName(newRows, allowMissingColumns = true)
+      case None    => newRows
+    }
+    if (known) catalog.replaceEntity(label, merged.localCheckpoint())
+    else catalog.addEntity(label, merged.localCheckpoint(), idCol)
+
+    // bind the created node's columns into the frame (prefixed)
+    val attrs = newRows.columns.toSeq
+    val prefixed = created.select(Seq(col("__rowid")) ++
+      attrs.map(a => col(a).as(s"${v}__$a")): _*)
+    Frame(f.df.join(prefixed, Seq("__rowid")),
+      f.vars + (v -> NodeVar(label, idCol, attrs)))
+  }
+
+  private def createRel(f: Frame, p: PathPattern, rel: RelPattern,
+                        node: NodePattern): Frame = {
+    val relType = rel.types.headOption.getOrElse(
+      throw new IllegalArgumentException("CREATE relationship requires a type"))
+    // endpoints: pattern start (or previous node) and this node — both must
+    // now be bound; direction decides src/dst roles.
+    val fromVar = p.start.variable.getOrElse(
+      throw new IllegalArgumentException("CREATE rel endpoints must be named"))
+    val toVar = node.variable.getOrElse(
+      throw new IllegalArgumentException("CREATE rel endpoints must be named"))
+    val (srcVar, dstVar) =
+      if (rel.direction == "IN") (toVar, fromVar) else (fromVar, toVar)
+
+    val (srcCol0, dstCol0, idColOpt, existing, known) =
+      if (catalog.hasRelationship(relType)) {
+        val r = catalog.relationship(relType)
+        (r.srcCol, r.dstCol, r.idCol, Some(r.df), true)
+      } else ("__SOURCE__", "__TARGET__", Some("__ID__"), None, false)
+
+    val compiler = ec(f)
+    val propCols = rel.props.map { case (k, e) => compiler.compile(e).as(k) }
+    var newRels = f.df.select(Seq(
+      col(f.idCol(srcVar)).as(srcCol0),
+      col(f.idCol(dstVar)).as(dstCol0)) ++ propCols: _*)
+    idColOpt.foreach { ic =>
+      val base = existing.map(d => nextIdBase(d, ic)).getOrElse(0L)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(srcCol0), col(dstCol0))
+      newRels = newRels.withColumn(ic, (row_number().over(w) - 1).cast("long") + lit(base))
+    }
+    val merged = existing match {
+      case Some(d) => d.unionByName(newRels, allowMissingColumns = true)
+      case None    => newRels
+    }
+    val srcLabel = f.vars.get(srcVar).collect { case NodeVar(l, _, _) => l }
+    val dstLabel = f.vars.get(dstVar).collect { case NodeVar(l, _, _) => l }
+    if (known) catalog.replaceRelationship(relType, merged.localCheckpoint())
+    else catalog.addRelationship(relType, merged.localCheckpoint(),
+      srcCol0, dstCol0, idColOpt, srcLabel, dstLabel)
+    f
+  }
+
+  // ---------------- SET / REMOVE ----------------
+
+  /** SET v.key = expr (per binding row). Multiple bindings of the same
+    * entity resolve to one value per id (first, as the reference's
+    * row-sequential writes make the last row win — order is undefined
+    * there too: mutation_engine.py:118-228).
+    */
+  def setItems(f: Frame, items: Seq[SetItem]): Frame = {
+    items.foreach {
+      case SetProperty(Variable(v), key, valueExpr) =>
+        val meta = f.vars.getOrElse(v,
+          throw new IllegalArgumentException(s"SET on unbound variable $v"))
+        meta match {
+          case NodeVar(label, idAttr, _) =>
+            val e = catalog.entity(label)
+            val updates = f.df
+              .select(col(f.col(v, idAttr)).as("__uid"), ec(f).compile(valueExpr).as("__uval"))
+              .groupBy(col("__uid")).agg(first(col("__uval")).as("__uval"))
+            val old = e.df
+            val hasCol = old.columns.contains(key)
+            val joined = old.join(updates, col(e.idCol) === col("__uid"), "left_outer")
+            val updated = (if (hasCol)
+              joined.withColumn(key, when(col("__uid").isNotNull, col("__uval"))
+                .otherwise(col(key)))
+            else joined.withColumn(key, col("__uval")))
+              .drop("__uid", "__uval")
+            catalog.replaceEntity(label, updated.localCheckpoint())
+          case _ => throw new UnsupportedOperationException(
+            s"SET on non-node variable $v")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"SET item not yet supported: $other")
+    }
+    // rebind touched variables so later clauses in this query read the
+    // updated values (the reference re-reads through the shadow layer)
+    val touched = items.collect { case SetProperty(Variable(v), _, _) => v }.distinct
+    touched.foldLeft(f)(rebind)
+  }
+
+  /** Re-join a node variable's prefixed columns from its (updated)
+    * catalog table by id.
+    */
+  private def rebind(f: Frame, v: String): Frame = f.vars.get(v) match {
+    case Some(NodeVar(label, idAttr, _)) =>
+      val e = catalog.entity(label)
+      val attrs = e.df.columns.toSeq
+      val idColName = f.col(v, idAttr)
+      val keep = f.df.drop(f.varCols(v).filterNot(_ == idColName): _*)
+      val prefixed = e.df.select(attrs.map(a => col(a).as(s"__rb_$a")): _*)
+      val joined = keep.join(prefixed, col(idColName) === col(s"__rb_$idAttr"))
+      val renamed = attrs.foldLeft(joined) { (df, a) =>
+        if (a == idAttr) df.drop(s"__rb_$a")
+        else df.withColumnRenamed(s"__rb_$a", f.col(v, a))
+      }
+      Frame(renamed, f.vars + (v -> NodeVar(label, idAttr, attrs)))
+    case _ => f
+  }
+
+  /** REMOVE v.key → null out the property for matched ids
+    * (reference: mutation_engine.py:1020-1060).
+    */
+  def remove(f: Frame, items: Seq[RemoveItem]): Frame = {
+    items.foreach {
+      case RemoveProperty(Variable(v), key) =>
+        f.vars.get(v) match {
+          case Some(NodeVar(label, _, _)) =>
+            val e = catalog.entity(label)
+            if (e.df.columns.contains(key)) {
+              val ids = f.df.select(col(f.idCol(v)).as("__uid")).distinct()
+              val updated = e.df.join(ids, col(e.idCol) === col("__uid"), "left_outer")
+                .withColumn(key, when(col("__uid").isNotNull, lit(null)).otherwise(col(key)))
+                .drop("__uid")
+              catalog.replaceEntity(label, updated.localCheckpoint())
+            }
+          case _ => throw new UnsupportedOperationException("REMOVE needs a node variable")
+        }
+      case _: RemoveLabels => throw new UnsupportedOperationException(
+        "REMOVE label not yet supported")
+    }
+    f
+  }
+
+  // ---------------- DELETE ----------------
+
+  /** DELETE / DETACH DELETE by anti-join on matched ids (reference:
+    * mutation_engine.py:619-745). DETACH also removes relationships
+    * whose declared src/dst label matches the deleted node label.
+    */
+  def delete(f: Frame, exprs: Seq[Expr], detach: Boolean): Frame = {
+    exprs.foreach {
+      case Variable(v) =>
+        f.vars.get(v) match {
+          case Some(NodeVar(label, _, _)) =>
+            val e = catalog.entity(label)
+            val ids = f.df.select(col(f.idCol(v)).as("__did")).distinct().localCheckpoint()
+            val remaining = e.df.join(ids, col(e.idCol) === col("__did"), "left_anti")
+            catalog.replaceEntity(label, remaining.localCheckpoint())
+            if (detach) {
+              catalog.relTypes.foreach { rt =>
+                val rd = catalog.relationship(rt)
+                val touchesSrc = rd.srcLabel.contains(label)
+                val touchesDst = rd.dstLabel.contains(label)
+                if (touchesSrc || touchesDst) {
+                  var d = rd.df
+                  if (touchesSrc)
+                    d = d.join(ids, col(rd.srcCol) === col("__did"), "left_anti")
+                  if (touchesDst)
+                    d = d.join(ids, col(rd.dstCol) === col("__did"), "left_anti")
+                  catalog.replaceRelationship(rt, d.localCheckpoint())
+                }
+              }
+            }
+          case Some(RelVar(relType, srcAttr, dstAttr, _)) =>
+            val rd = catalog.relationship(relType)
+            val pairs = f.df.select(
+              col(f.col(v, srcAttr)).as("__ds"), col(f.col(v, dstAttr)).as("__dd"))
+              .distinct().localCheckpoint()
+            val remaining = rd.df.join(pairs,
+              col(rd.srcCol) === col("__ds") && col(rd.dstCol) === col("__dd"), "left_anti")
+            catalog.replaceRelationship(relType, remaining.localCheckpoint())
+          case _ => throw new IllegalArgumentException(s"DELETE of unbound/value variable")
+        }
+      case other => throw new IllegalArgumentException(s"DELETE expects variables, got $other")
+    }
+    f
+  }
+
+  // ---------------- MERGE ----------------
+
+  /** Single-node MERGE with ON CREATE / ON MATCH (reference:
+    * mutation_engine.py:746-855): exists-split on the property keys —
+    * pre-existing keys get ON MATCH SET, missing keys are created with
+    * the merge props + ON CREATE SET, then the variable binds to the
+    * union so later clauses read the post-merge state.
+    */
+  def merge(f0: Frame, path: PathPattern,
+            onCreate: Seq[SetItem], onMatch: Seq[SetItem]): Frame = {
+    require(path.hops.isEmpty, "MERGE of relationship patterns not yet supported")
+    val np = path.start
+    val v = np.variable.getOrElse(throw new IllegalArgumentException("MERGE needs a variable"))
+    val label = np.labels.headOption.getOrElse(
+      throw new IllegalArgumentException("MERGE needs a label"))
+    require(np.props.nonEmpty, "MERGE needs property keys to match on")
+
+    val f = withRowId(f0)
+    val compiler = ec(f)
+    val keyNames = np.props.map(_._1)
+    val keyCols = np.props.map { case (k, e0) => compiler.compile(e0).as(k) }
+    val want = f.df.select(Seq(col("__rowid")) ++ keyCols: _*).localCheckpoint()
+
+    val e = catalog.entity(label)
+    val existingKeyed = e.df.select(e.df.columns.map(c => col(c).as(s"__e_$c")).toSeq: _*)
+    val joinCond = keyNames.map(k => col(k) === col(s"__e_$k")).reduce(_ && _)
+    val matchedIds = want.join(existingKeyed, joinCond, "inner")
+      .select(col(s"__e_${e.idCol}").as("__mid")).distinct().localCheckpoint()
+    val missing = want.join(existingKeyed, joinCond, "left_anti").localCheckpoint()
+
+    if (!missing.isEmpty) {
+      val base = nextIdBase(e.df, e.idCol)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__rowid"))
+      val created = missing
+        .dropDuplicates(keyNames)
+        .withColumn(e.idCol, (row_number().over(w) - 1).cast("long") + lit(base))
+        .drop("__rowid")
+      catalog.replaceEntity(label,
+        e.df.unionByName(created, allowMissingColumns = true).localCheckpoint())
+    }
+
+    // bind v's id per binding row against the post-create table
+    val e2 = catalog.entity(label)
+    val idBind = e2.df.select(
+      Seq(col(e2.idCol).as(s"${v}__${e2.idCol}")) ++
+        keyNames.map(k => col(k).as(s"__k_$k")): _*)
+    val bindCond = keyNames.map(k => col(k) === col(s"__k_$k")).reduce(_ && _)
+    val boundIds = want.join(idBind, bindCond)
+      .select(col("__rowid"), col(s"${v}__${e2.idCol}"))
+    val idOnlyFrame = Frame(
+      f.df.join(boundIds, Seq("__rowid")),
+      f.vars + (v -> NodeVar(label, e2.idCol, Seq(e2.idCol))))
+
+    // ON MATCH / ON CREATE against the id-bound frame
+    if (onMatch.nonEmpty && !matchedIds.isEmpty) {
+      val sub = idOnlyFrame.copy(df = idOnlyFrame.df.join(matchedIds,
+        col(s"${v}__${e2.idCol}") === col("__mid")).drop("__mid"))
+      setItems(sub, onMatch)
+    }
+    if (onCreate.nonEmpty) {
+      val createdOnly = idOnlyFrame.df.join(matchedIds,
+        col(s"${v}__${e2.idCol}") === col("__mid"), "left_anti")
+      if (!createdOnly.isEmpty) setItems(idOnlyFrame.copy(df = createdOnly), onCreate)
+    }
+
+    // final bind: all attributes from the post-SET table
+    val e3 = catalog.entity(label)
+    val attrs = e3.df.columns.toSeq
+    val prefixedFull = e3.df.select(attrs.map(a => col(a).as(s"__m_$a")): _*)
+    val full = idOnlyFrame.df
+      .join(prefixedFull, col(s"${v}__${e3.idCol}") === col(s"__m_${e3.idCol}"))
+    val cleaned = attrs.foldLeft(full) { (df, a) =>
+      if (a == e3.idCol) df.drop(s"__m_$a")
+      else df.withColumnRenamed(s"__m_$a", s"${v}__$a")
+    }.drop("__rowid")
+    Frame(cleaned, f.vars + (v -> NodeVar(label, e3.idCol, attrs)))
+  }
+}

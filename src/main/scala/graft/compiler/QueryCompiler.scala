@@ -36,6 +36,8 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     }
   }
 
+  private lazy val mutator = new MutationEngine(catalog, spark, params)
+
   def compileSingle(sq: SingleQuery): Frame = {
     var frame: Option[Frame] = None
     sq.clauses.foreach {
@@ -45,11 +47,50 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
         w.where, keepEntities = true))
       case r: Return => frame = Some(project(frame.getOrElse(unitFrame), r.projection,
         None, keepEntities = false))
-      case other =>
-        throw new UnsupportedOperationException(
-          s"clause not yet supported by the compiler: ${other.getClass.getSimpleName}")
+      case c: Create => frame = Some(mutator.create(frame.getOrElse(unitFrame), c.paths))
+      case sc: SetClause =>
+        frame = Some(mutator.setItems(frame.getOrElse(
+          throw new IllegalArgumentException("SET requires bound variables")), sc.items))
+      case d: Delete =>
+        frame = Some(mutator.delete(frame.getOrElse(
+          throw new IllegalArgumentException("DELETE requires bound variables")),
+          d.exprs, d.detach))
+      case rm: Remove =>
+        frame = Some(mutator.remove(frame.getOrElse(
+          throw new IllegalArgumentException("REMOVE requires bound variables")), rm.items))
+      case mg: Merge =>
+        frame = Some(mutator.merge(frame.getOrElse(unitFrame), mg.path,
+          mg.onCreate, mg.onMatch))
+      case cp: CallProcedure => frame = Some(compileCall(cp, frame))
     }
     frame.getOrElse(throw new IllegalArgumentException("query produced no result"))
+  }
+
+  /** CALL name(args) [YIELD items] — table-valued procedure dispatch.
+    * Standalone calls only (per-row correlated CALL is a later round).
+    */
+  private def compileCall(cp: CallProcedure, outer: Option[Frame]): Frame = {
+    require(outer.isEmpty, "correlated CALL after other clauses not yet supported")
+    val argVals: Seq[Any] = cp.args.map {
+      case IntLit(v) => v
+      case FloatLit(v) => v
+      case StrLit(v) => v
+      case BoolLit(v) => v
+      case Param(n) => params(n)
+      case other => throw new IllegalArgumentException(s"procedure arg must be literal: $other")
+    }
+    val df = graft.functions.ProcedureRegistry(cp.name)(spark, catalog, argVals)
+    val out = if (cp.yields.isEmpty) df else {
+      val cols = cp.yields.map { y =>
+        val c = y.expr match {
+          case Variable(n) => col(n)
+          case other => throw new IllegalArgumentException(s"YIELD expects column names: $other")
+        }
+        y.alias.map(a => c.as(a)).getOrElse(c)
+      }
+      df.select(cols: _*)
+    }
+    Frame(out, out.columns.map(c => c -> (ValueVar: VarMeta)).toMap)
   }
 
   /** Single-row empty frame, for queries starting with UNWIND/RETURN. */

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.GraphCatalog
+
+/** CALL … YIELD procedure registry — the Spark counterpart of the
+  * reference's ProcedureRegistry + built-in db.* procedures
+  * (/root/reference/packages/pycypher/src/pycypher/relational_models.py:
+  * 150-279; executor mutation_engine.py:1061-1143). A procedure is a
+  * table-valued function over the catalog.
+  */
+object ProcedureRegistry {
+
+  type Procedure = (SparkSession, GraphCatalog, Seq[Any]) => DataFrame
+
+  private val procs = scala.collection.concurrent.TrieMap.empty[String, Procedure]
+
+  def register(name: String, p: Procedure): Unit = procs.put(name.toLowerCase, p)
+
+  def apply(name: String): Procedure =
+    procs.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"unknown procedure: $name"))
+
+  // built-ins (reference: db.labels / db.relationshipTypes / db.propertyKeys)
+  register("db.labels", (spark, cat, _) => {
+    import spark.implicits._
+    cat.labels.toDF("label")
+  })
+  register("db.relationshiptypes", (spark, cat, _) => {
+    import spark.implicits._
+    cat.relTypes.toDF("relationshipType")
+  })
+  register("db.propertykeys", (spark, cat, _) => {
+    import spark.implicits._
+    val keys = (cat.labels.flatMap(l => cat.entity(l).df.columns) ++
+      cat.relTypes.flatMap(t => cat.relationship(t).df.columns)).distinct.sorted
+    keys.toDF("propertyKey")
+  })
+}

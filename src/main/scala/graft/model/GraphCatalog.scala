@@ -75,4 +75,12 @@ final class GraphCatalog {
     relationships.foreach { case (k, v) => c.relationships.put(k, v) }
     c
   }
+
+  /** Commit: adopt all registrations from a staged snapshot (the
+    * query-scoped shadow layer's `commit_query` analog).
+    */
+  def absorbFrom(other: GraphCatalog): Unit = {
+    other.entities.foreach { case (k, v) => entities.put(k, v) }
+    other.relationships.foreach { case (k, v) => relationships.put(k, v) }
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.model.GraphCatalog
+
+/** Write-path semantics (SURVEY §2.11): CREATE / SET / DELETE / MERGE /
+  * REMOVE with query-scoped snapshot-swap atomicity.
+  */
+class MutationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshEngine: CypherEngine = {
+    val person = Seq(
+      (0L, "Alice", 30L),
+      (1L, "Bob", 25L),
+      (2L, "Carol", 35L)).toDF("__ID__", "name", "age")
+    val knows = Seq((0L, 0L, 1L)).toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val cat = new GraphCatalog()
+      .addEntity("Person", person)
+      .addRelationship("KNOWS", knows,
+        srcLabel = Some("Person"), dstLabel = Some("Person"))
+    new CypherEngine(spark, cat)
+  }
+
+  test("CREATE standalone node mints an id and appends") {
+    val eng = freshEngine
+    eng.execute("CREATE (p:Person {name: 'Dave', age: 40})")
+    val r = eng.query("MATCH (p:Person) RETURN count(*) AS n").collect()
+    assert(r.head.getLong(0) == 4L)
+    val dave = eng.query(
+      "MATCH (p:Person {name: 'Dave'}) RETURN p.age AS age").collect()
+    assert(dave.head.getLong(0) == 40L)
+  }
+
+  test("CREATE with new label registers the label") {
+    val eng = freshEngine
+    eng.execute("CREATE (c:City {name: 'Oslo'})")
+    assert(eng.catalog.hasEntity("City"))
+    assert(eng.query("MATCH (c:City) RETURN c.name AS n").collect()
+      .head.getString(0) == "Oslo")
+  }
+
+  test("CREATE per matched row + relationship") {
+    val eng = freshEngine
+    eng.execute(
+      """MATCH (p:Person) WHERE p.age >= 30
+         CREATE (s:Shadow {orig: p.name})""")
+    val shadows = eng.query("MATCH (s:Shadow) RETURN s.orig AS o ORDER BY o").collect()
+    assert(shadows.map(_.getString(0)).toSeq == Seq("Alice", "Carol"))
+    // relationship creation between bound vars
+    val eng2 = freshEngine
+    eng2.execute(
+      """MATCH (a:Person {name: 'Bob'}), (b:Person {name: 'Carol'})
+         CREATE (a)-[:KNOWS]->(b)""")
+    val n = eng2.query(
+      "MATCH (:Person)-[:KNOWS]->(:Person) RETURN count(*) AS n").collect()
+    assert(n.head.getLong(0) == 2L)
+  }
+
+  test("SET updates and adds properties; later reads see it") {
+    val eng = freshEngine
+    val out = eng.execute(
+      """MATCH (p:Person {name: 'Alice'}) SET p.age = 31, p.vip = true
+         RETURN p.age AS age, p.vip AS vip""").collect()
+    assert(out.head.getLong(0) == 31L && out.head.getBoolean(1))
+    val persisted = eng.query(
+      "MATCH (p:Person {name: 'Alice'}) RETURN p.age AS a, p.vip AS v").collect()
+    assert(persisted.head.getLong(0) == 31L && persisted.head.getBoolean(1))
+    // untouched rows got null for the new column
+    val bob = eng.query("MATCH (p:Person {name: 'Bob'}) RETURN p.vip AS v").collect()
+    assert(bob.head.isNullAt(0))
+  }
+
+  test("DELETE removes matched nodes; DETACH also removes incident edges") {
+    val eng = freshEngine
+    eng.execute("MATCH (p:Person {name: 'Carol'}) DELETE p")
+    assert(eng.query("MATCH (p:Person) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 2L)
+    val eng2 = freshEngine
+    eng2.execute("MATCH (p:Person {name: 'Alice'}) DETACH DELETE p")
+    assert(eng2.query("MATCH (p:Person) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 2L)
+    assert(eng2.query("MATCH (:Person)-[k:KNOWS]->(:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 0L) // Alice's edge went with her
+  }
+
+  test("REMOVE nulls a property") {
+    val eng = freshEngine
+    eng.execute("MATCH (p:Person {name: 'Bob'}) REMOVE p.age")
+    val r = eng.query("MATCH (p:Person {name: 'Bob'}) RETURN p.age AS a").collect()
+    assert(r.head.isNullAt(0))
+    // other rows untouched
+    assert(eng.query("MATCH (p:Person {name: 'Alice'}) RETURN p.age AS a")
+      .collect().head.getLong(0) == 30L)
+  }
+
+  test("MERGE matches existing, creates missing, fires ON CREATE/ON MATCH") {
+    val eng = freshEngine
+    eng.execute(
+      """MERGE (p:Person {name: 'Alice'})
+         ON MATCH SET p.seen = 1 ON CREATE SET p.seen = 2""")
+    eng.execute(
+      """MERGE (p:Person {name: 'Zed'})
+         ON MATCH SET p.seen = 1 ON CREATE SET p.seen = 2""")
+    val seen = eng.query(
+      "MATCH (p:Person) WHERE p.seen IS NOT NULL RETURN p.name AS n, p.seen AS s ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(seen.toSeq == Seq(("Alice", 1L), ("Zed", 2L)))
+    assert(eng.query("MATCH (p:Person) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 4L)
+    // merging again neither duplicates nor re-creates
+    eng.execute("MERGE (p:Person {name: 'Zed'})")
+    assert(eng.query("MATCH (p:Person) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 4L)
+  }
+
+  test("failed mutation query leaves catalog untouched (rollback)") {
+    val eng = freshEngine
+    intercept[Throwable] {
+      eng.execute("MATCH (p:Person) SET p.age = frobnicate(p.age)")
+    }
+    assert(eng.query("MATCH (p:Person) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 3L)
+    assert(eng.query("MATCH (p:Person {name: 'Alice'}) RETURN p.age AS a")
+      .collect().head.getLong(0) == 30L)
+  }
+
+  test("CALL db.labels lists registered labels") {
+    val eng = freshEngine
+    val labels = eng.query("CALL db.labels() YIELD label RETURN label ORDER BY label")
+      .collect().map(_.getString(0))
+    assert(labels.toSeq == Seq("Person"))
+  }
+}
