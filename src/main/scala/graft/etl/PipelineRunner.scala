@@ -1,0 +1,201 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.CypherEngine
+import graft.model.GraphCatalog
+import graft.parser.CypherAst._
+
+/** YAML-configured ETL pipeline runner — the Spark counterpart of
+  * `nmetl run` (/root/reference/packages/pycypher/src/pycypher/cli/
+  * pipeline.py:653-914): load sources → register graph → run queries in
+  * dependency order → write sinks. The reference's DuckDB "streaming
+  * fast path" (:499-652) disappears: Spark is lazy end-to-end, so every
+  * pipeline is file→transform→sink with no intermediate materialization
+  * unless a query mutates the graph.
+  */
+object PipelineRunner {
+
+  final case class RunResult(queries: Map[String, DataFrame],
+                             outputsWritten: Seq[String])
+
+  // ---------------- sources (SURVEY §2.1: FileDataSource re-expressed) ----------------
+
+  /** URI-dispatch reader: csv / parquet / json(-lines) by extension,
+    * file:// or bare path (s3a:// etc. pass straight to Hadoop FS).
+    * Optional `query` runs ANSI SQL over a temp view named `source`;
+    * schema hints cast columns after load.
+    */
+  def readSource(spark: SparkSession, uri: String,
+                 query: Option[String] = None,
+                 schemaHints: Map[String, String] = Map.empty): DataFrame = {
+    val path = uri.stripPrefix("file://")
+    val lower = path.toLowerCase
+    var df =
+      if (lower.endsWith(".csv") || lower.endsWith(".csv.gz"))
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", detectDelimiter(spark, path)).csv(path)
+      else if (lower.endsWith(".parquet")) spark.read.parquet(path)
+      else if (lower.endsWith(".json") || lower.endsWith(".jsonl") ||
+        lower.endsWith(".ndjson")) spark.read.json(path)
+      else throw new IllegalArgumentException(s"unsupported source format: $uri")
+    schemaHints.foreach { case (c, t) =>
+      df = df.withColumn(c, df(c).cast(sqlTypeName(t)))
+    }
+    query match {
+      case Some(q) =>
+        df.createOrReplaceTempView("source")
+        spark.sql(q)
+      case None => df
+    }
+  }
+
+  /** Delimiter inference for csv (the reference accepts `|`-delimited
+    * fixtures — ingestion/data_sources.py format options).
+    */
+  private def detectDelimiter(spark: SparkSession, path: String): String = {
+    val head = spark.read.text(path).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("")
+    Seq("|", "\t", ";", ",").find(d => head.contains(d)).getOrElse(",")
+  }
+
+  private def sqlTypeName(t: String): String = t.toUpperCase match {
+    case "INTEGER" | "INT" | "INT4"  => "int"
+    case "BIGINT" | "INT8" | "LONG"  => "bigint"
+    case "DOUBLE" | "FLOAT8" | "REAL" => "double"
+    case "VARCHAR" | "TEXT" | "STRING" => "string"
+    case "BOOLEAN" | "BOOL" => "boolean"
+    case "DATE" => "date"
+    case "TIMESTAMP" => "timestamp"
+    case other => other.toLowerCase
+  }
+
+  /** File sink (SURVEY §2.1 output_writer parity). */
+  def writeSink(df: DataFrame, uri: String, format: Option[String]): Unit = {
+    val path = uri.stripPrefix("file://")
+    val fmt = format.getOrElse {
+      val lower = path.toLowerCase
+      if (lower.endsWith(".csv")) "csv"
+      else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) "json"
+      else "parquet"
+    }
+    fmt match {
+      case "csv"     => df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      case "json"    => df.coalesce(1).write.mode("overwrite").json(path)
+      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case other     => throw new IllegalArgumentException(s"unsupported sink format: $other")
+    }
+  }
+
+  // ---------------- dependency ordering (SURVEY §2.12) ----------------
+
+  /** produces/consumes analysis per query: labels minted by
+    * CREATE/MERGE vs labels read by MATCH; topological order so a query
+    * that reads a label runs after the query that creates it (reference:
+    * multi_query_analyzer.py, cli/pipeline.py:227-283).
+    */
+  private[etl] def dependencyOrder(engine: CypherEngine,
+                                   queries: Seq[QueryDef]): Seq[QueryDef] = {
+    def labelsOf(q: QueryDef): (Set[String], Set[String]) = {
+      val ast = engine.parse(q.cypher)
+      var produces = Set.empty[String]
+      var consumes = Set.empty[String]
+      def pathLabels(p: PathPattern): Seq[String] =
+        p.start.labels ++ p.hops.flatMap(_._2.labels)
+      ast.statements.foreach(_.clauses.foreach {
+        case m: Match  => consumes ++= m.paths.flatMap(pathLabels)
+        case c: Create => produces ++= c.paths.flatMap(pathLabels)
+        case mg: Merge => produces ++= pathLabels(mg.path)
+        case _ =>
+      })
+      (produces, consumes -- produces)
+    }
+    val info = queries.map(q => q.id -> labelsOf(q)).toMap
+    val existing = engine.catalog.labels.toSet
+    // Kahn's algorithm over produced-label edges
+    val remaining = scala.collection.mutable.LinkedHashSet(queries: _*)
+    val available = scala.collection.mutable.Set(existing.toSeq: _*)
+    val ordered = scala.collection.mutable.ArrayBuffer.empty[QueryDef]
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      progress = false
+      remaining.toSeq.foreach { q =>
+        val (produces, consumes) = info(q.id)
+        val producedElsewhere = remaining.exists(r =>
+          r.id != q.id && info(r.id)._1.intersect(consumes).nonEmpty)
+        if (consumes.forall(available.contains) || !producedElsewhere) {
+          ordered += q
+          available ++= produces
+          remaining -= q
+          progress = true
+        }
+      }
+    }
+    ordered ++= remaining // cycles: keep config order
+    ordered.toSeq
+  }
+
+  // ---------------- run / validate ----------------
+
+  def run(spark: SparkSession, config: PipelineConfig): RunResult = {
+    val catalog = new GraphCatalog
+    config.entities.foreach { e =>
+      try {
+        val df = readSource(spark, e.uri, e.query, e.schemaHints)
+        catalog.addEntity(e.entityType, df, e.idCol)
+      } catch {
+        case ex: Exception if e.onError != "fail" =>
+          if (e.onError == "warn")
+            System.err.println(s"[pipeline] source ${e.id} failed: ${ex.getMessage}")
+      }
+    }
+    config.relationships.foreach { r =>
+      try {
+        val df = readSource(spark, r.uri)
+        catalog.addRelationship(r.relationshipType, df, r.sourceCol, r.targetCol, r.idCol)
+      } catch {
+        case ex: Exception if r.onError != "fail" =>
+          if (r.onError == "warn")
+            System.err.println(s"[pipeline] source ${r.id} failed: ${ex.getMessage}")
+      }
+    }
+    val engine = new CypherEngine(spark, catalog)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    dependencyOrder(engine, config.queries).foreach { q =>
+      results(q.id) = engine.execute(q.cypher)
+    }
+    val written = config.outputs.map { o =>
+      val df = results.getOrElse(o.queryId,
+        throw new IllegalArgumentException(s"output references unknown query ${o.queryId}"))
+      writeSink(df, o.uri, o.format)
+      o.uri
+    }
+    RunResult(results.toMap, written)
+  }
+
+  /** Dry-run validation (`nmetl validate` parity): parse every query,
+    * check source files exist, check output references. Returns the
+    * list of problems (empty = valid).
+    */
+  def validate(spark: SparkSession, config: PipelineConfig): Seq[String] = {
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    (config.entities.map(e => (e.id, e.uri)) ++
+      config.relationships.map(r => (r.id, r.uri))).foreach { case (id, uri) =>
+      val p = uri.stripPrefix("file://")
+      if (!p.contains("://") && !new java.io.File(p).exists())
+        problems += s"source $id: file not found: $uri"
+    }
+    config.queries.foreach { q =>
+      try graft.parser.CypherParser.parse(q.cypher)
+      catch { case e: Exception => problems += s"query ${q.id}: ${e.getMessage}" }
+    }
+    val qids = config.queries.map(_.id).toSet
+    config.outputs.foreach { o =>
+      if (!qids.contains(o.queryId))
+        problems += s"output ${o.uri}: unknown query_id ${o.queryId}"
+    }
+    problems.toSeq
+  }
+}

@@ -108,4 +108,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Int]("ws_tokens") == 5)
     assert(r.getAs[Int]("bpe_tokens") == 9) // hello , world ! it ' s 42 degrees
   }
+
+  test("multimodal: feature extraction over binary column, batched") {
+    import graft.operators.Multimodal
+    val rows = Seq(
+      (1L, "image", "fakepng-1".getBytes, ("image/png", 64, 64, null: java.lang.Long)),
+      (2L, "image", "fakepng-2".getBytes, ("image/png", 32, 32, null: java.lang.Long)),
+      (3L, "audio", null: Array[Byte], ("audio/wav", 0, 0, java.lang.Long.valueOf(1500L))))
+      .toDF("media_id", "kind", "content", "meta")
+      .withColumn("meta", struct(col("meta._1").as("mime"), col("meta._2").as("width"),
+        col("meta._3").as("height"), col("meta._4").as("duration_ms")))
+    val out = Multimodal.extractFeatures(rows, dims = 8, batchBytes = 4)
+    val collected = out.collect()
+    assert(collected.length == 3)
+    val f1 = collected.find(_.getLong(0) == 1L).get.getSeq[Float](4)
+    val f1b = Multimodal.extractFeatures(rows, dims = 8).collect()
+      .find(_.getLong(0) == 1L).get.getSeq[Float](4)
+    assert(f1 == f1b)           // deterministic across batch sizes
+    assert(f1.length == 8)
+    val fNull = collected.find(_.getLong(0) == 3L).get.getSeq[Float](4)
+    assert(fNull.forall(_ == 0.0f)) // null content -> zero vector
+  }
+
+  test("multimodal: frame sampling expands by duration") {
+    import graft.operators.Multimodal
+    val vids = Seq(
+      (1L, "video", Array[Byte](1), ("video/mp4", 0, 0, java.lang.Long.valueOf(2500L))),
+      (2L, "image", Array[Byte](2), ("image/png", 8, 8, null: java.lang.Long)))
+      .toDF("media_id", "kind", "content", "meta")
+      .withColumn("meta", struct(col("meta._1").as("mime"), col("meta._2").as("width"),
+        col("meta._3").as("height"), col("meta._4").as("duration_ms")))
+    val frames = Multimodal.sampleFrames(vids, everyMs = 1000L)
+    val ms = frames.select("frame_ms").collect().map(_.getLong(0)).sorted
+    assert(ms.toSeq == Seq(0L, 1000L, 2000L)) // image row filtered out
+  }
 }

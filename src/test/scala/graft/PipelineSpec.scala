@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.etl.{PipelineConfig, PipelineRunner}
+
+/** ETL runner parity (`nmetl run` / `validate`, SURVEY §3.2) against
+  * the reference's fixture shapes (FIXTURES §A.3/§A.4).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def tmpDir: String =
+    Files.createTempDirectory("graft_etl").toFile.getAbsolutePath
+
+  private def writeFixtures(dir: String): Unit = {
+    // sample.csv / pipe variant / json-lines — reference fixture shapes
+    Files.writeString(java.nio.file.Paths.get(s"$dir/people.csv"),
+      "id,name,age,company_id\n1,Alice,30,10\n2,Bob,25,10\n3,Carol,35,11\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/companies.psv.csv"),
+      "id|name\n10|Acme\n11|Globex\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/works.jsonl"),
+      """{"id":1,"src":1,"dst":10}
+        |{"id":2,"src":2,"dst":10}
+        |{"id":3,"src":3,"dst":11}
+        |""".stripMargin)
+  }
+
+  private def yaml(dir: String, out: String): String =
+    s"""version: 1
+       |project:
+       |  name: test_pipeline
+       |  description: fixture pipeline
+       |sources:
+       |  entities:
+       |    - id: people
+       |      uri: file://$dir/people.csv
+       |      entity_type: Person
+       |      id_col: id
+       |      schema_hints: {age: BIGINT}
+       |    - id: companies
+       |      uri: $dir/companies.psv.csv
+       |      entity_type: Company
+       |      id_col: id
+       |  relationships:
+       |    - id: works
+       |      uri: $dir/works.jsonl
+       |      relationship_type: WORKS_AT
+       |      source_col: src
+       |      target_col: dst
+       |      id_col: id
+       |queries:
+       |  - id: summary
+       |    inline: |
+       |      MATCH (p:Person)-[:WORKS_AT]->(c:Company)
+       |      RETURN c.name AS company, count(p) AS n, round(avg(p.age), 1) AS avg_age
+       |  - id: adults
+       |    inline: "MATCH (p:Person) WHERE p.age >= 30 RETURN p.name AS name"
+       |output:
+       |  - query_id: summary
+       |    uri: $out/summary.csv
+       |    format: csv
+       |""".stripMargin
+
+  test("full pipeline: csv/pipe-csv/jsonl sources -> cypher -> csv sink") {
+    val dir = tmpDir; val out = tmpDir
+    writeFixtures(dir)
+    val config = PipelineConfig.parse(yaml(dir, out))
+    assert(config.name == "test_pipeline" && config.entities.size == 2)
+
+    val result = PipelineRunner.run(spark, config)
+    val summary = result.queries("summary").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // pipe-delimited csv parsed, WORKS_AT json edges joined
+    assert(summary == Map("Acme" -> ((2L, 27.5)), "Globex" -> ((1L, 35.0))))
+    assert(result.outputsWritten == Seq(s"$out/summary.csv"))
+    val written = spark.read.option("header", "true").csv(s"$out/summary.csv")
+    assert(written.count() == 2)
+  }
+
+  test("env substitution and missing-var error") {
+    assert(PipelineConfig.substituteEnv("path: ${HOME_X}/f", Map("HOME_X" -> "/tmp")) ==
+      "path: /tmp/f")
+    assertThrows[IllegalArgumentException](
+      PipelineConfig.substituteEnv("${NOPE_VAR}", Map.empty))
+  }
+
+  test("dependency reordering: consumer runs after producer") {
+    val dir = tmpDir
+    writeFixtures(dir)
+    val config = PipelineConfig.parse(
+      s"""project: {name: dep}
+         |sources:
+         |  entities:
+         |    - {id: people, uri: $dir/people.csv, entity_type: Person, id_col: id}
+         |queries:
+         |  - id: reads_derived
+         |    inline: "MATCH (s:Senior) RETURN count(*) AS n"
+         |  - id: makes_derived
+         |    inline: "MATCH (p:Person) WHERE p.age >= 30 CREATE (s:Senior {name: p.name})"
+         |""".stripMargin)
+    val result = PipelineRunner.run(spark, config)
+    // would throw "unknown label: Senior" if run in config order
+    assert(result.queries("reads_derived").collect().head.getLong(0) == 2L)
+  }
+
+  test("validate reports problems without running") {
+    val dir = tmpDir
+    writeFixtures(dir)
+    val bad = PipelineConfig.parse(
+      s"""project: {name: bad}
+         |sources:
+         |  entities:
+         |    - {id: ghost, uri: $dir/missing.csv, entity_type: X, id_col: id}
+         |queries:
+         |  - {id: broken, inline: "MATCH (p:Person RETURN p"}
+         |output:
+         |  - {query_id: nosuch, uri: /tmp/x.csv}
+         |""".stripMargin)
+    val problems = PipelineRunner.validate(spark, bad)
+    assert(problems.exists(_.contains("file not found")))
+    assert(problems.exists(_.startsWith("query broken")))
+    assert(problems.exists(_.contains("unknown query_id")))
+  }
+
+  test("on_error: warn skips a broken source") {
+    val dir = tmpDir
+    writeFixtures(dir)
+    val config = PipelineConfig.parse(
+      s"""project: {name: lenient}
+         |sources:
+         |  entities:
+         |    - {id: people, uri: $dir/people.csv, entity_type: Person, id_col: id}
+         |    - {id: ghost, uri: $dir/missing.csv, entity_type: Ghost, id_col: id, on_error: warn}
+         |queries:
+         |  - {id: q, inline: "MATCH (p:Person) RETURN count(*) AS n"}
+         |""".stripMargin)
+    val result = PipelineRunner.run(spark, config)
+    assert(result.queries("q").collect().head.getLong(0) == 3L)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** Structured Streaming parity (SURVEY §2.9): windows, dedup, late
+  * data, stream-static join, incremental view — driven by file sources
+  * so the real micro-batch engine runs.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Write rows as parquet and open as a stream. */
+  private def fileStream(df: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+    df.write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir)
+  }
+
+  private lazy val events = Seq(
+    ("e1", ts("2024-01-01 00:00:01"), "u1", "click", 1.0),
+    ("e2", ts("2024-01-01 00:00:04"), "u1", "click", 2.0),
+    ("e2", ts("2024-01-01 00:00:04"), "u1", "click", 2.0), // duplicate id
+    ("e3", ts("2024-01-01 00:00:11"), "u2", "view", 3.0),
+    ("e4", ts("2024-01-01 00:00:24"), "u2", "view", 4.0),
+    ("e5", ts("2024-01-01 00:01:30"), "u1", "click", 5.0))
+    .toDF("id", "ts", "user", "kind", "value")
+
+  test("tumbling window aggregation fires per 10s bucket") {
+    val out = Streams.runToMemory(
+      Streams.tumbling(fileStream(events), "ts", "10 seconds",
+        keys = Seq(col("kind")), aggs = Seq(count(lit(1)).as("n"), sum("value").as("v"))),
+      "t_tumble", OutputMode.Complete())
+    val rows = out.select(col("window.start").cast("string"), col("kind"), col("n"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 3L, 5.0)))
+    assert(rows.contains(("2024-01-01 00:00:10", "view", 1L, 3.0)))
+    assert(rows.contains(("2024-01-01 00:00:20", "view", 1L, 4.0)))
+    assert(rows.contains(("2024-01-01 00:01:30", "click", 1L, 5.0)))
+  }
+
+  test("sliding windows overlap") {
+    val out = Streams.runToMemory(
+      Streams.sliding(fileStream(events.filter(col("id") === "e1")), "ts",
+        "10 seconds", "5 seconds", keys = Seq.empty, aggs = Seq(count(lit(1)).as("n"))),
+      "t_slide", OutputMode.Complete())
+    // an event at :01 lands in windows [23:59:55,00:00:05) and [00:00:00,00:00:10)
+    assert(out.count() == 2)
+  }
+
+  test("session window merges activity within gap") {
+    val out = Streams.runToMemory(
+      Streams.session(fileStream(events), "ts", "15 seconds",
+        keys = Seq(col("user")), aggs = Seq(count(lit(1)).as("n"))),
+      "t_session", OutputMode.Complete())
+    val byUser = out.select(col("user"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    // u1: events at :01,:04 merge into one session; :01:30 is separate
+    assert(byUser("u1").map(_._2).sorted.toSeq == Seq(1L, 3L))
+    // u2: :11 and :24 within 15s gap → one session of 2
+    assert(byUser("u2").map(_._2).toSeq == Seq(2L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes the duplicated event id") {
+    val out = Streams.runToMemory(
+      Streams.dedup(fileStream(events), "id", "ts"), "t_dedup")
+    assert(out.count() == 5) // 6 rows, one duplicate id removed
+  }
+
+  test("stream-static enrichment join") {
+    val users = Seq(("u1", "pro"), ("u2", "free")).toDF("user", "tier")
+    val out = Streams.runToMemory(
+      Streams.enrich(fileStream(events), users, Seq("user")), "t_enrich")
+    assert(out.filter(col("tier") === "pro").count() == 4)
+    assert(out.filter(col("tier") === "free").count() == 2)
+  }
+
+  test("incremental view maintains latest aggregate per key") {
+    val view = new Streams.IncrementalView(Seq("kind"))
+    val agg = fileStream(events)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val q = view.sink(agg).trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val snap = view.snapshot(spark).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("n"))).toMap
+    assert(snap("click") == 4L && snap("view") == 2L)
+  }
+
+  test("late data beyond watermark is dropped from append output") {
+    // two files: first advances the watermark far ahead, second is late
+    val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
+    val onTime = Seq(("a", ts("2024-01-01 00:10:00"), 1.0)).toDF("id", "ts", "v")
+    val late = Seq(("b", ts("2024-01-01 00:00:01"), 2.0)).toDF("id", "ts", "v")
+    onTime.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(onTime.schema).parquet(dir)
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds")).agg(sum("v").as("v"))
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_late").start()
+    q.processAllAvailable()
+    late.write.mode("append").parquet(dir) // arrives after watermark passed
+    q.processAllAvailable()
+    // one more on-time batch to force emission
+    Seq(("c", ts("2024-01-01 00:20:00"), 3.0)).toDF("id", "ts", "v")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val windows = spark.table("t_late").select(col("window.start").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(!windows.contains("2024-01-01 00:00:00")) // late row never emitted
+  }
+}
