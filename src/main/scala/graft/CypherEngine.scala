@@ -13,7 +13,10 @@ import graft.parser.{CypherAst, CypherParser}
   * mechanisms (analysis exceptions, job groups, persist); execution is
   * a single Catalyst-optimized plan instead of a per-clause pandas loop.
   */
-final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog) {
+final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
+                         resultCache: Option[graft.ops.ResultCache] = None,
+                         rejectComplexityAbove: Int = Int.MaxValue,
+                         warnComplexityAbove: Int = Int.MaxValue) {
 
   // parsed-AST cache, mirroring the reference's LRU parse cache
   // (star.py:107-131) — parsing is pure so a plain bounded map suffices.
@@ -29,7 +32,23 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog) {
     */
   def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    new QueryCompiler(catalog, spark, params).compile(parse(cypher))
+    val ast = parse(cypher)
+    graft.ops.QueryComplexity.gate(ast, rejectComplexityAbove, warnComplexityAbove)
+    resultCache.flatMap(_.get(cypher, params)).getOrElse {
+      val df = new QueryCompiler(catalog, spark, params).compile(ast)
+      resultCache.map(_.put(cypher, params, df)).getOrElse(df)
+    }
+  }
+
+  /** EXPLAIN: complexity report + the Catalyst formatted physical plan
+    * (the reference's query_explainer.py analog; SURVEY §2 ops row).
+    */
+  def explain(cypher: String, params: Map[String, Any] = Map.empty): String = {
+    val report = graft.ops.QueryComplexity.score(parse(cypher))
+    val df = query(cypher, params)
+    s"complexity: ${report.score} (${report.reasons.mkString(", ")})\n" +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
   }
 
   /** Execute a query that may mutate the graph. Mutations stage into a
@@ -53,6 +72,7 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog) {
       val df = new QueryCompiler(snap, spark, params).compile(ast)
       df.count() // force any lazy tail so failures roll back (snapshot discarded)
       catalog.absorbFrom(snap)
+      resultCache.foreach(_.invalidateAll()) // epoch bump
       df
     }
   }

