@@ -123,7 +123,34 @@ object CypherQueries {
     "cy20_list_ops" -> run(
       """UNWIND [[1,2,3,4],[5,6,7,8]] AS l
          RETURN size([x IN l WHERE x % 2 = 0]) AS n_even,
-                reduce(s = 0, x IN l | s + x) AS total""")
+                reduce(s = 0, x IN l | s + x) AS total"""),
+
+    // percentileCont/percentileDisc-ish + stdev through the engine
+    "cy21_percentile" -> run(
+      """MATCH (l:Lineitem)
+         RETURN l.l_returnflag AS flag,
+                round(percentileCont(l.l_quantity, 0.5), 4) AS median_qty,
+                round(stdev(l.l_quantity), 4) AS sd_qty"""),
+
+    // collect() as deterministic joined string
+    "cy22_collect" -> run(
+      """MATCH (n:Nation)
+         RETURN n.n_regionkey AS rk,
+                join(sort(collect(n.n_name)), ',') AS nations"""),
+
+    // scalar math functions per row through the engine
+    "cy23_math" -> run(
+      """MATCH (o:Order) WHERE o.o_orderkey % 97 = 0
+         RETURN o.o_orderkey AS k,
+                round(sqrt(o.o_totalprice), 4) AS sq,
+                abs(o.o_totalprice - 100000) AS dist,
+                toInteger(o.o_totalprice / 1000) AS kprice"""),
+
+    // temporal truncation through the engine
+    "cy24_temporal" -> run(
+      """MATCH (o:Order)
+         RETURN toString(datetime.truncate('month', o.o_orderdate)) AS month,
+                count(*) AS n""")
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -204,6 +231,26 @@ object CypherQueries {
     "cy20_list_ops" ->
       """SELECT len(list_filter(l, x -> x % 2 = 0)) AS n_even,
          CAST(list_sum(l) AS BIGINT) AS total
-         FROM (VALUES ([1,2,3,4]), ([5,6,7,8])) t(l)"""
+         FROM (VALUES ([1,2,3,4]), ([5,6,7,8])) t(l)""",
+    "cy21_percentile" ->
+      """SELECT l_returnflag AS flag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(stddev_samp(l_quantity), 4) AS sd_qty
+         FROM lineitem GROUP BY 1""",
+    "cy22_collect" ->
+      """SELECT n_regionkey AS rk,
+         array_to_string(list_sort(list(n_name)), ',') AS nations
+         FROM nation GROUP BY 1""",
+    "cy23_math" ->
+      """SELECT o_orderkey AS k,
+         round(sqrt(o_totalprice), 4) AS sq,
+         abs(o_totalprice - 100000) AS dist,
+         CAST(trunc(o_totalprice / 1000) AS BIGINT) AS kprice
+         FROM orders WHERE o_orderkey % 97 = 0""",
+    "cy24_temporal" ->
+      """SELECT strftime(date_trunc('month', o_orderdate),
+                         '%Y-%m-%d %H:%M:%S') AS month,
+         count(*) AS n
+         FROM orders GROUP BY 1"""
   )
 }

@@ -214,6 +214,42 @@ object RelationalQueries {
         .filter(col("o_orderstatus").isin("O", "F") &&
           col("o_totalprice").between(10000, 20000))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    },
+
+    // §2.9 batch analog of SESSION windows: gap-based islands via
+    // lag + running sum — the exact formulation the oracle uses, so the
+    // window-function semantics themselves are differential-tested.
+    "q21_session_islands" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .withColumn("brk",
+          when(col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(wRows))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts").cast("long")).as("session_start"),
+          max(col("ts").cast("long")).as("session_end"))
+    },
+
+    // §2.4 percentiles + stddev (exact interpolated percentile).
+    "q22_percentiles" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+          round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"))
+    },
+
+    // §2.4 collect -> deterministic string form (array hashing differs
+    // across engines; a joined sorted string is bit-stable).
+    "q23_collect" -> { (s, dir) =>
+      Tables(s, dir).nation
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
     }
   )
 
@@ -327,6 +363,34 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders
          WHERE o_orderstatus IN ('O','F')
-           AND o_totalprice BETWEEN 10000 AND 20000"""
+           AND o_totalprice BETWEEN 10000 AND 20000""",
+    "q21_session_islands" ->
+      """WITH d AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                       THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sid AS (
+           SELECT user_id, ts, event_id,
+                  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           FROM d)
+         SELECT user_id, sid, count(*) AS n_events,
+                min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start,
+                max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end
+         FROM sid GROUP BY 1, 2""",
+    "q22_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(stddev_pop(l_quantity), 4) AS sdp_qty
+         FROM lineitem GROUP BY 1""",
+    "q23_collect" ->
+      """SELECT n_regionkey,
+         array_to_string(list_sort(list(n_name)), ',') AS nations
+         FROM nation GROUP BY 1"""
   )
 }

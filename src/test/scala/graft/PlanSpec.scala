@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.queries.{RelationalQueries, TpchGraph}
+
+/** Physical-plan quality gates: these assert the *shape* of the plans
+  * Catalyst produces for our operators — the properties that decide
+  * whether the same code survives a 1000-executor / 100 TB run
+  * (pushdown reaching the scan, broadcast for small dims, top-k without
+  * a global sort, column pruning through the Cypher var-prefix scheme).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("Cypher WHERE predicate reaches the parquet scan (PushedFilters)") {
+    val df = TpchGraph.engine(spark, dir).query(
+      "MATCH (c:Customer) WHERE c.c_acctbal > 5000 RETURN c.c_name AS n")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(c_acctbal,5000"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("Cypher projection prunes unused columns at the scan (ReadSchema)") {
+    val df = TpchGraph.engine(spark, dir).query(
+      "MATCH (c:Customer) RETURN c.c_name AS n")
+    val p = plan(df)
+    // only the projected column is read — the var-prefix scheme must not
+    // defeat Catalyst's ColumnPruning
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("c_name") && !readSchema.contains("c_acctbal"),
+      s"scan reads too much:\n$readSchema")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the big side)") {
+    val df = RelationalQueries.queries("q15_star_join")(spark, dir)
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("ORDER BY + LIMIT compiles to TakeOrderedAndProject") {
+    val df = TpchGraph.engine(spark, dir).query(
+      """MATCH (o:Order) RETURN o.o_orderkey AS k, o.o_totalprice AS p
+         ORDER BY p DESC LIMIT 5""")
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("EXISTS compiles to a semi join, NOT EXISTS to an anti join") {
+    val eng = TpchGraph.engine(spark, dir)
+    val semi = plan(eng.query(
+      "MATCH (c:Customer) WHERE EXISTS { (c)-[:PLACED]->(o:Order) } RETURN count(*) AS n"))
+    assert(semi.contains("LeftSemi"))
+    val anti = plan(eng.query(
+      "MATCH (c:Customer) WHERE NOT EXISTS { (c)-[:PLACED]->(o:Order) } RETURN count(*) AS n"))
+    assert(anti.contains("LeftAnti"))
+  }
+
+  test("aggregation runs partial (map-side) before the exchange") {
+    val df = TpchGraph.engine(spark, dir).query(
+      "MATCH (c:Customer) RETURN c.c_mktsegment AS s, count(*) AS n")
+    val p = plan(df)
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && exchange >= 0)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("inline property predicate is pushed, not post-filtered") {
+    val df = TpchGraph.engine(spark, dir).query(
+      "MATCH (c:Customer {c_mktsegment: 'MACHINERY'}) RETURN count(*) AS n")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(c_mktsegment,MACHINERY"),
+      s"inline prop not pushed:\n$p")
+  }
+}
