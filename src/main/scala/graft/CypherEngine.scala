@@ -62,7 +62,8 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
     import graft.parser.CypherAst._
     val ast = parse(cypher)
     val mutates = ast.statements.exists(_.clauses.exists {
-      case _: Create | _: Merge | _: SetClause | _: Delete | _: Remove => true
+      case _: Create | _: Merge | _: SetClause | _: Delete | _: Remove |
+           _: Foreach => true
       case _ => false
     })
     if (!mutates) query(cypher, params)

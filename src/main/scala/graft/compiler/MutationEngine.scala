@@ -79,7 +79,9 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       case None    => newRows
     }
     if (known) catalog.replaceEntity(label, merged.localCheckpoint())
-    else catalog.addEntity(label, merged.localCheckpoint(), idCol)
+    else if (!newRows.isEmpty) catalog.addEntity(label, merged.localCheckpoint(), idCol)
+    // zero rows created against an unknown label (e.g. FOREACH over an
+    // empty list): don't mint an empty label table
 
     // bind the created node's columns into the frame (prefixed)
     val attrs = newRows.columns.toSeq
@@ -160,6 +162,45 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
           case _ => throw new UnsupportedOperationException(
             s"SET on non-node variable $v")
         }
+      case SetVariable(v, MapLit(entries), additive) =>
+        // SET n += {..} merges keys; SET n = {..} replaces: provided keys
+        // are written and every other non-id attribute is nulled
+        // (mutation_engine.py SET map semantics).
+        entries.foreach { case (k, valueExpr) =>
+          setItems(f, Seq(SetProperty(Variable(v), k, valueExpr)))
+        }
+        if (!additive) f.vars.get(v) match {
+          case Some(NodeVar(label, idAttr, _)) =>
+            val e = catalog.entity(label)
+            val keep = Set(idAttr) ++ entries.map(_._1)
+            val ids = f.df.select(col(f.col(v, idAttr)).as("__uid")).distinct()
+            var updated = e.df.join(ids, col(e.idCol) === col("__uid"), "left_outer")
+            e.df.columns.filterNot(keep.contains).foreach { c =>
+              updated = updated.withColumn(c,
+                when(col("__uid").isNotNull, lit(null)).otherwise(col(c)))
+            }
+            catalog.replaceEntity(label, updated.drop("__uid").localCheckpoint())
+          case _ =>
+        }
+      case SetLabels(v, labels) =>
+        // An additional label copies the matched rows into that label's
+        // table (created on demand) — the multi-table analog of adding a
+        // label bit (reference: SET labels, mutation_engine.py:118-228).
+        f.vars.get(v) match {
+          case Some(NodeVar(_, idAttr, attrs)) =>
+            val rows = f.df
+              .select(attrs.map(a => col(f.col(v, a)).as(a)): _*).distinct()
+            labels.foreach { l =>
+              if (catalog.hasEntity(l)) {
+                val t = catalog.entity(l)
+                val fresh = rows.join(t.df.select(col(t.idCol)),
+                  rows(idAttr) === t.df(t.idCol), "left_anti")
+                catalog.replaceEntity(l,
+                  t.df.unionByName(fresh, allowMissingColumns = true).localCheckpoint())
+              } else catalog.addEntity(l, rows.localCheckpoint(), idAttr)
+            }
+          case _ => throw new UnsupportedOperationException("SET label needs a node variable")
+        }
       case other => throw new UnsupportedOperationException(
         s"SET item not yet supported: $other")
     }
@@ -206,8 +247,20 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
             }
           case _ => throw new UnsupportedOperationException("REMOVE needs a node variable")
         }
-      case _: RemoveLabels => throw new UnsupportedOperationException(
-        "REMOVE label not yet supported")
+      case RemoveLabels(v, labels) =>
+        // Remove from those labels' tables by id (no-op if unknown label
+        // or the node was never copied there).
+        f.vars.get(v) match {
+          case Some(NodeVar(_, idAttr, _)) =>
+            val ids = f.df.select(col(f.col(v, idAttr)).as("__rid")).distinct()
+            labels.filter(catalog.hasEntity).foreach { l =>
+              val t = catalog.entity(l)
+              catalog.replaceEntity(l,
+                t.df.join(ids, col(t.idCol) === col("__rid"), "left_anti")
+                  .localCheckpoint())
+            }
+          case _ => throw new UnsupportedOperationException("REMOVE label needs a node variable")
+        }
     }
     f
   }

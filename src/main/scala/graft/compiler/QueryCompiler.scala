@@ -62,6 +62,23 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
         frame = Some(mutator.merge(frame.getOrElse(unitFrame), mg.path,
           mg.onCreate, mg.onMatch))
       case cp: CallProcedure => frame = Some(compileCall(cp, frame))
+      case fe: Foreach =>
+        // mutations run per list element; the outer frame's cardinality
+        // and bindings are untouched (mutation_engine.py:856-1019)
+        val base = frame.getOrElse(unitFrame)
+        val listCol = new ExpressionCompiler(base, params).compile(fe.list)
+        var sub = Frame(base.df.withColumn(fe.variable, explode(listCol)),
+          base.vars + (fe.variable -> ValueVar))
+        fe.body.foreach {
+          case sc: SetClause => sub = mutator.setItems(sub, sc.items)
+          case c: Create     => sub = mutator.create(sub, c.paths)
+          case d: Delete     => sub = mutator.delete(sub, d.exprs, d.detach)
+          case rm: Remove    => sub = mutator.remove(sub, rm.items)
+          case mg: Merge     => sub = mutator.merge(sub, mg.path, mg.onCreate, mg.onMatch)
+          case other => throw new UnsupportedOperationException(
+            s"FOREACH body clause: $other")
+        }
+        // frame unchanged
     }
     frame.getOrElse(throw new IllegalArgumentException("query produced no result"))
   }

@@ -172,15 +172,16 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
-    // materialize the inverted index once — it feeds the document-
-    // frequency aggregate AND both sides of the self-join
     val inverted = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    // document frequency via one windowed count (single shuffle on the
+    // shingle — the same partitioning the self-join needs anyway); the
+    // pruned index is pinned once and feeds both join sides
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val pruned = inverted
+      .withColumn("__dfc", count(lit(1)).over(w))
+      .filter(col("__dfc") <= maxShingleDf)
+      .drop("__dfc")
       .localCheckpoint()
-    val rare = inverted.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxShingleDf)
-      .select(col("shingle"))
-    // pruned feeds BOTH sides of the self-join; pin it once
-    val pruned = inverted.join(rare, Seq("shingle")).localCheckpoint()
     val l = pruned.select(col("shingle"), col("id").as("id1"), col("set_size").as("sz1"))
     val r = pruned.select(col("shingle"), col("id").as("id2"), col("set_size").as("sz2"))
     l.join(r, Seq("shingle"))

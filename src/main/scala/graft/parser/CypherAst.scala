@@ -108,6 +108,9 @@ object CypherAst {
   final case class Remove(items: Seq[RemoveItem]) extends Clause
   final case class CallProcedure(name: String, args: Seq[Expr],
                                  yields: Seq[ReturnItem]) extends Clause
+  /** FOREACH (x IN list | mutation clauses) */
+  final case class Foreach(variable: String, list: Expr,
+                           body: Seq[Clause]) extends Clause
 
   // ---------- query ----------
   final case class SingleQuery(clauses: Seq[Clause])

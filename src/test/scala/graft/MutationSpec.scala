@@ -130,4 +130,40 @@ class MutationSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(labels.toSeq == Seq("Person"))
   }
+
+  test("SET += merges map keys; SET = replaces remaining with null") {
+    val eng = freshEngine
+    eng.execute("MATCH (p:Person {name: 'Alice'}) SET p += {age: 31, city: 'Oslo'}")
+    val a = eng.query(
+      "MATCH (p:Person {name: 'Alice'}) RETURN p.age AS a, p.city AS c").collect().head
+    assert(a.getLong(0) == 31L && a.getString(1) == "Oslo")
+    eng.execute("MATCH (p:Person {name: 'Bob'}) SET p = {name: 'Bob', age: 99}")
+    val b = eng.query(
+      "MATCH (p:Person {name: 'Bob'}) RETURN p.age AS a, p.city AS c").collect().head
+    assert(b.getLong(0) == 99L && b.isNullAt(1)) // replaced: city nulled
+  }
+
+  test("SET label copies into the label table; REMOVE label removes") {
+    val eng = freshEngine
+    eng.execute("MATCH (p:Person) WHERE p.age >= 30 SET p:Senior")
+    assert(eng.query("MATCH (s:Senior) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 2L)
+    eng.execute("MATCH (p:Senior {name: 'Carol'}) REMOVE p:Senior")
+    assert(eng.query("MATCH (s:Senior) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 1L)
+    // original label untouched
+    assert(eng.query("MATCH (p:Person) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 3L)
+  }
+
+  test("FOREACH performs per-element mutations without changing cardinality") {
+    val eng = freshEngine
+    val out = eng.execute(
+      """MATCH (p:Person {name: 'Alice'})
+         FOREACH (x IN [1, 2, 3] | CREATE (t:Tag {owner: p.name, v: x}))
+         RETURN p.name AS name""")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("Alice")) // 1 row out
+    val tags = eng.query("MATCH (t:Tag) RETURN t.v AS v ORDER BY v").collect()
+    assert(tags.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
 }
