@@ -194,7 +194,14 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       cur = next
       prevVar = boundVar
     }
-    cur
+    p.pathVariable match {
+      case Some(pv) =>
+        // fixed-length path variable: length(p) is the hop count
+        val hopsCol = s"__hops_$pv"
+        Frame(cur.df.withColumn(hopsCol, lit(p.hops.size.toLong)),
+          cur.vars + (pv -> PathVar(hopsCol)))
+      case None => cur
+    }
   }
 
   private def resolveLabel(np: NodePattern, rel: Option[RelPattern],
@@ -216,6 +223,7 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
 
   private def compileHop(cur: Frame, fromVar: String, rel: RelPattern,
                          node: NodePattern): (Frame, String) = {
+    if (rel.types.size > 1) return compileMultiTypeHop(cur, fromVar, rel, node)
     val relType = rel.types.headOption.getOrElse(
       throw new IllegalArgumentException("relationship type required"))
     val rd = catalog.relationship(relType)
@@ -268,6 +276,36 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
         col(s"${relVar}__$farAttr") === col(nf.idCol(nodeVarName)))
       (Frame(out, withRel.vars ++ nf.vars), nodeVarName)
     }
+  }
+
+  /** -[:A|B]-> alternation: each type compiles as its own hop and the
+    * results union on the shared columns (node vars identical on both
+    * branches; the rel variable carries only the columns common to all
+    * alternatives, plus a __reltype discriminator).
+    */
+  private def compileMultiTypeHop(cur: Frame, fromVar: String, rel: RelPattern,
+                                  node: NodePattern): (Frame, String) = {
+    val relVar = rel.variable.getOrElse(freshVar())
+    val branches = rel.types.map { t =>
+      val branchRel = rel.copy(types = Seq(t), variable = Some(relVar))
+      compileHop(cur, fromVar, branchRel, node)
+    }
+    val nodeVarName = branches.head._2
+    // align branch outputs to the common column set
+    val common = branches.map(_._1.df.columns.toSet).reduce(_ intersect _)
+    val aligned = branches.map { case (f, _) =>
+      f.df.select(common.toSeq.sorted.map(col): _*)
+    }
+    val unioned = aligned.reduce(_ unionByName _)
+    // rel var attrs reduce to the columns that survived the intersection
+    val firstMeta = branches.head._1.vars
+    val relAttrs = firstMeta(relVar) match {
+      case RelVar(_, srcA, dstA, attrs) =>
+        val kept = attrs.filter(a => common.contains(s"${relVar}__$a"))
+        RelVar(rel.types.mkString("|"), srcA, dstA, kept)
+      case other => other
+    }
+    (Frame(unioned, firstMeta + (relVar -> relAttrs)), nodeVarName)
   }
 
   private def compileVarLengthPath(p: PathPattern): Frame =

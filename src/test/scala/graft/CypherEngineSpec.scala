@@ -160,4 +160,25 @@ class CypherEngineSpec extends SparkSpec {
          UNWIND names AS n RETURN count(n) AS c""")
     assert(r.head.getLong(0) == 4L)
   }
+
+  test("fixed-length path variable: length(p) is the hop count") {
+    val r = rows("MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b:Person) RETURN length(p) AS l")
+    assert(r.map(_.getLong(0)) == Seq(1L))
+  }
+
+  test("multi-type relationship alternation [:A|B]") {
+    import spark.implicits._
+    val person = Seq((0L, "A"), (1L, "B"), (2L, "C")).toDF("__ID__", "name")
+    val knows = Seq((0L, 0L, 1L)).toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val likes = Seq((0L, 0L, 2L)).toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val cat = new GraphCatalog()
+      .addEntity("P", person)
+      .addRelationship("KNOWS", knows, srcLabel = Some("P"), dstLabel = Some("P"))
+      .addRelationship("LIKES", likes, srcLabel = Some("P"), dstLabel = Some("P"))
+    val e = new CypherEngine(spark, cat)
+    val r = e.query(
+      "MATCH (a:P {name: 'A'})-[:KNOWS|LIKES]->(b:P) RETURN b.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("B", "C"))
+  }
 }
