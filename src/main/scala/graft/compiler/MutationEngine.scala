@@ -320,7 +320,7 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     */
   def merge(f0: Frame, path: PathPattern,
             onCreate: Seq[SetItem], onMatch: Seq[SetItem]): Frame = {
-    require(path.hops.isEmpty, "MERGE of relationship patterns not yet supported")
+    if (path.hops.nonEmpty) return mergeRelationship(f0, path, onCreate, onMatch)
     val np = path.start
     val v = np.variable.getOrElse(throw new IllegalArgumentException("MERGE needs a variable"))
     val label = np.labels.headOption.getOrElse(
@@ -386,5 +386,66 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       else df.withColumnRenamed(s"__m_$a", s"${v}__$a")
     }.drop("__rowid")
     Frame(cleaned, f.vars + (v -> NodeVar(label, e3.idCol, attrs)))
+  }
+
+  /** Relationship MERGE: (a)-[:T {props}]->(b) with both endpoints
+    * bound — create the missing (src, dst) edges, keep existing ones
+    * (idempotent). ON CREATE / ON MATCH SET on relationship properties
+    * is not yet supported (rel-property SET would need rel identity).
+    */
+  private def mergeRelationship(f: Frame, path: PathPattern,
+                                onCreate: Seq[SetItem], onMatch: Seq[SetItem]): Frame = {
+    require(path.hops.size == 1, "relationship MERGE supports a single hop")
+    require(onCreate.isEmpty && onMatch.isEmpty,
+      "ON CREATE/ON MATCH SET on relationship MERGE not yet supported")
+    val (rel, endNode) = path.hops.head
+    val relType = rel.types.headOption.getOrElse(
+      throw new IllegalArgumentException("relationship MERGE needs a type"))
+    val fromVar = path.start.variable.getOrElse(
+      throw new IllegalArgumentException("MERGE rel endpoints must be bound variables"))
+    val toVar = endNode.variable.getOrElse(
+      throw new IllegalArgumentException("MERGE rel endpoints must be bound variables"))
+    require(f.vars.contains(fromVar) && f.vars.contains(toVar),
+      "MERGE rel endpoints must be bound by a prior MATCH/CREATE")
+    val (srcVar, dstVar) =
+      if (rel.direction == "IN") (toVar, fromVar) else (fromVar, toVar)
+
+    val (srcCol0, dstCol0, idColOpt, existing, known) =
+      if (catalog.hasRelationship(relType)) {
+        val r = catalog.relationship(relType)
+        (r.srcCol, r.dstCol, r.idCol, Some(r.df), true)
+      } else ("__SOURCE__", "__TARGET__", Some("__ID__"), None, false)
+
+    val compiler = ec(f)
+    val propCols = rel.props.map { case (k, e0) => compiler.compile(e0).as(k) }
+    val wanted = f.df.select(Seq(
+      col(f.idCol(srcVar)).as(srcCol0),
+      col(f.idCol(dstVar)).as(dstCol0)) ++ propCols: _*).distinct()
+
+    val missing = existing match {
+      case Some(d) => wanted.join(d.select(col(srcCol0), col(dstCol0))
+        .withColumnRenamed(srcCol0, "__es").withColumnRenamed(dstCol0, "__ed"),
+        col(srcCol0) === col("__es") && col(dstCol0) === col("__ed"), "left_anti")
+      case None => wanted
+    }
+    if (!missing.isEmpty) {
+      var newRels = missing
+      idColOpt.foreach { ic =>
+        val base = existing.map(d => nextIdBase(d, ic)).getOrElse(0L)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(srcCol0), col(dstCol0))
+        newRels = newRels.withColumn(ic,
+          (row_number().over(w) - 1).cast("long") + lit(base))
+      }
+      val merged = existing match {
+        case Some(d) => d.unionByName(newRels, allowMissingColumns = true)
+        case None    => newRels
+      }
+      val srcLabel = f.vars.get(srcVar).collect { case NodeVar(l, _, _) => l }
+      val dstLabel = f.vars.get(dstVar).collect { case NodeVar(l, _, _) => l }
+      if (known) catalog.replaceRelationship(relType, merged.localCheckpoint())
+      else catalog.addRelationship(relType, merged.localCheckpoint(),
+        srcCol0, dstCol0, idColOpt, srcLabel, dstLabel)
+    }
+    f
   }
 }

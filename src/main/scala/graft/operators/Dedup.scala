@@ -218,20 +218,23 @@ object Dedup {
             when(col(s"__dot_${t}_$p") > 0, lit(1L << p)).otherwise(lit(0L))
           }.reduce((a, b) => a.bitwiseOR(b))
         }: _*).as("sigs"))
-    val signed = v.join(sigs, Seq("id"))
-    val bucketed = signed.select(col("id"), col("v"), col("norm"),
+    // candidate id-pairs first (ids only through the 8-way bucket join,
+    // deduped BEFORE the 64-dim vectors are attached — an 8x cut in
+    // array bytes shuffled), then one exact-cosine verification pass
+    val bucketed = sigs.select(col("id"),
       posexplode(col("sigs")).as(Seq("tbl", "sig")))
-    val l = bucketed.select(col("tbl"), col("sig"), col("id").as("id1"),
-      col("v").as("v1"), col("norm").as("n1"))
-    val rr = bucketed.select(col("tbl"), col("sig"), col("id").as("id2"),
-      col("v").as("v2"), col("norm").as("n2"))
-    l.join(rr, Seq("tbl", "sig"))
+    val candidates = bucketed.select(col("tbl"), col("sig"), col("id").as("id1"))
+      .join(bucketed.select(col("tbl"), col("sig"), col("id").as("id2")),
+        Seq("tbl", "sig"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val vn = v.join(sigs.select(col("id"), col("norm")), Seq("id"))
+    candidates
+      .join(vn.select(col("id").as("id1"), col("v").as("v1"), col("norm").as("n1")), Seq("id1"))
+      .join(vn.select(col("id").as("id2"), col("v").as("v2"), col("norm").as("n2")), Seq("id2"))
       .select(col("id1"), col("id2"),
-        (aggregate(zip_with(col("v1"), col("v2"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2"))).as("cos"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(round(max(col("cos")), 6).as("cos_sim"))
+        round(aggregate(zip_with(col("v1"), col("v2"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

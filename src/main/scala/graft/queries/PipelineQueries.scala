@@ -41,7 +41,7 @@ object PipelineQueries {
     // Embedding near-dup: cosine >= 0.95 pairs via bucketed join (rows-only).
     "dd05_embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
-        threshold = 0.4, planes = 4, tables = 8)
+        threshold = 0.4, planes = 6, tables = 8)
     },
 
     // Brute-force cosine top-k ANN against the vec_id=0 query vector.

@@ -166,4 +166,19 @@ class MutationSpec extends SparkSpec {
     val tags = eng.query("MATCH (t:Tag) RETURN t.v AS v ORDER BY v").collect()
     assert(tags.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("relationship MERGE is idempotent and creates missing edges") {
+    val eng = freshEngine
+    // Alice->Bob exists; Bob->Carol doesn't
+    eng.execute(
+      """MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'})
+         MERGE (a)-[:KNOWS]->(b)""")
+    assert(eng.query("MATCH (:Person)-[:KNOWS]->(:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 1L) // no duplicate
+    eng.execute(
+      """MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'})
+         MERGE (b)-[:KNOWS]->(c)""")
+    assert(eng.query("MATCH (:Person)-[:KNOWS]->(:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 2L) // created
+  }
 }
