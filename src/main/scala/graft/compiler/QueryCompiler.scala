@@ -225,8 +225,13 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
           case _ => None
         }
       } yield l
-      inferred.getOrElse(throw new IllegalArgumentException(
-        s"cannot infer label for node ${np.variable.getOrElse("(anon)")}"))
+      inferred.getOrElse {
+        // single-label catalogs make bare (n) unambiguous
+        if (catalog.labels.size == 1) catalog.labels.head
+        else throw new IllegalArgumentException(
+          s"cannot infer label for node ${np.variable.getOrElse("(anon)")} — " +
+            s"add a label (registered: ${catalog.labels.mkString(", ")})")
+      }
     }
 
   private def compileHop(cur: Frame, fromVar: String, rel: RelPattern,
