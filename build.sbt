@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // scale heap with cores: local[32] on 8g thrashes GC (round-1 bench
+  // artifact was dominated by collection pauses, not plans); 1.5g/core
+  // keeps 32 threads of shuffle buffers + codegen comfortably resident
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM",
+    s"${math.max(8, java.lang.Runtime.getRuntime.availableProcessors * 3 / 2)}g")}",
 )

@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,19 +24,33 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(explode(split(lower(col("text")), "\\s+"))).count()
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // median-of-N per query so one GC pause or first-run plan compile
+    // can't masquerade as a slow plan; a query that throws is reported
+    // as -1 with its error surfaced instead of a plausible wall-time
     val results = scala.collection.immutable.ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop checkpoint/persist blocks so one query's cached state can't
-      // skew the next query's GC profile
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val times = (1 to repeats).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          None
+        }
+        // drop checkpoint/persist blocks so one run's cached state can't
+        // skew the next run's GC profile
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        t
+      }
+      val dt = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -173,15 +173,18 @@ object Dedup {
       .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
     val inverted = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
-    // document frequency via one windowed count (single shuffle on the
-    // shingle — the same partitioning the self-join needs anyway); the
-    // pruned index is pinned once and feeds both join sides
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val pruned = inverted
-      .withColumn("__dfc", count(lit(1)).over(w))
+    // document frequency via aggregate + join-back on the shingle key —
+    // the same hash partitioning the self-join needs, with map-side
+    // combine on the count. Nothing is pinned: both self-join sides
+    // canonicalize to the same exchange subtree, so Spark reuses the one
+    // shuffle instead of holding the exploded index in block-manager
+    // memory (a localCheckpoint here materialized the largest
+    // intermediate of the job and made runtimes swing 9-32 s).
+    val rareShingles = inverted.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__dfc"))
       .filter(col("__dfc") <= maxShingleDf)
-      .drop("__dfc")
-      .localCheckpoint()
+      .select(col("shingle"))
+    val pruned = inverted.join(rareShingles, Seq("shingle"))
     val l = pruned.select(col("shingle"), col("id").as("id1"), col("set_size").as("sz1"))
     val r = pruned.select(col("shingle"), col("id").as("id2"), col("set_size").as("sz2"))
     l.join(r, Seq("shingle"))
