@@ -150,7 +150,20 @@ object CypherQueries {
     "cy24_temporal" -> run(
       """MATCH (o:Order)
          RETURN toString(datetime.truncate('month', o.o_orderdate)) AS month,
-                count(*) AS n""")
+                count(*) AS n"""),
+
+    // var-length that actually iterates: walk counts over branching
+    // successor edges, depth 1..3 (oracle: recursive CTE, UNION ALL)
+    "cy25_varlength_deep" -> run(
+      """MATCH (a:Nation)-[:NEXT_N*1..3]->(b:Nation)
+         RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+                count(*) AS n_paths"""),
+
+    // shortestPath BFS distances per reachable pair
+    "cy30_shortestpath" -> run(
+      """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
+         RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+                length(p) AS hops""")
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -251,6 +264,37 @@ object CypherQueries {
       """SELECT strftime(date_trunc('month', o_orderdate),
                          '%Y-%m-%d %H:%M:%S') AS month,
          count(*) AS n
-         FROM orders GROUP BY 1"""
+         FROM orders GROUP BY 1""",
+    "cy25_varlength_deep" ->
+      """WITH RECURSIVE e AS (
+           SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+           FROM nation a JOIN nation b
+             ON b.n_nationkey = a.n_nationkey + 1
+             OR b.n_nationkey = a.n_nationkey + 2
+         ),
+         walk AS (
+           SELECT src, dst, 1 AS depth FROM e
+           UNION ALL
+           SELECT w.src, e.dst, w.depth + 1
+           FROM walk w JOIN e ON e.src = w.dst WHERE w.depth < 3
+         )
+         SELECT src AS a_key, dst AS b_key, count(*) AS n_paths
+         FROM walk GROUP BY 1, 2""",
+    "cy30_shortestpath" ->
+      """WITH RECURSIVE e AS (
+           SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+           FROM nation a JOIN nation b
+             ON b.n_nationkey = a.n_nationkey + 1
+             OR b.n_nationkey = a.n_nationkey + 2
+         ),
+         walk AS (
+           SELECT src, dst, 1 AS depth FROM e
+           UNION ALL
+           SELECT w.src, e.dst, w.depth + 1
+           FROM walk w JOIN e ON e.src = w.dst WHERE w.depth < 12
+         )
+         SELECT src AS a_key, dst AS b_key,
+                CAST(min(depth) AS BIGINT) AS hops
+         FROM walk GROUP BY 1, 2"""
   )
 }

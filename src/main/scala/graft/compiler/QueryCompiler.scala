@@ -190,23 +190,38 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
   }
 
   private def compilePath(p: PathPattern): Frame = {
-    if (p.shortest.isDefined || p.hops.exists(_._1.varLength.isDefined))
+    if (p.shortest.isDefined)
       return compileVarLengthPath(p)
 
     val startVar = p.start.variable.getOrElse(freshVar())
     val startLabel = resolveLabel(p.start, p.hops.headOption.map(_._1), isStart = true)
     var cur = nodeFrame(startVar, startLabel, p.start.props)
     var prevVar = startVar
+    var fixedHops = 0
+    val varHopCols = mutable.ArrayBuffer.empty[String]
     p.hops.foreach { case (rel, node) =>
-      val (next, boundVar) = compileHop(cur, prevVar, rel, node)
-      cur = next
-      prevVar = boundVar
+      if (rel.varLength.isDefined) {
+        // var-length segment mid-pattern: expand from the current frame
+        // and keep walking fixed hops from its end node
+        val (next, boundVar, hopsCol) =
+          PathExpand.expandSegment(this, catalog, cur, prevVar, rel, node,
+            params, shortest = None)
+        cur = next
+        prevVar = boundVar
+        varHopCols += hopsCol
+      } else {
+        val (next, boundVar) = compileHop(cur, prevVar, rel, node)
+        cur = next
+        prevVar = boundVar
+        fixedHops += 1
+      }
     }
     p.pathVariable match {
       case Some(pv) =>
-        // fixed-length path variable: length(p) is the hop count
+        // length(p) = fixed hop count + each var-length segment's hops
         val hopsCol = s"__hops_$pv"
-        Frame(cur.df.withColumn(hopsCol, lit(p.hops.size.toLong)),
+        val total = varHopCols.foldLeft(lit(fixedHops.toLong): Column)(_ + col(_))
+        Frame(cur.df.withColumn(hopsCol, total),
           cur.vars + (pv -> PathVar(hopsCol)))
       case None => cur
     }

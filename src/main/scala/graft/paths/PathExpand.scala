@@ -16,81 +16,108 @@ import graft.parser.CypherAst._
   * (hash-partitioned on the join key — at scale this is the same
   * plan GraphFrames BFS produces), with `localCheckpoint` per hop to
   * keep lineage flat and an action-based empty-frontier early stop.
-  * Multiplicity semantics: walks (edge repetition allowed), which
-  * equals Cypher path counting on acyclic graphs; the hop cap bounds
-  * cyclic inputs exactly like the reference's MAX_HOPS=20.
+  *
+  * Semantics:
+  *  - plain var-length counts WALKS (edge repetition allowed), which
+  *    equals Cypher path counting on acyclic graphs; the hop cap bounds
+  *    cyclic inputs exactly like the reference's MAX_HOPS=20;
+  *  - shortestPath runs true BFS: per-hop `(origin, node)` frontier
+  *    dedup plus a visited-set anti-join (path_expander.py:56-76), so
+  *    on a dense graph the frontier is bounded by |V| per origin instead
+  *    of growing with the walk count — first reach IS the minimum hop,
+  *    and expansion stops as soon as a frontier empties.
+  *
+  * The expansion is keyed on the START NODE ID, not a synthetic row id:
+  * walks depend only on the start node, so duplicate start rows in the
+  * outer frame share one expansion and the join-back multiplies results
+  * per row — deterministic (no monotonically_increasing_id) and strictly
+  * less work.
   */
 object PathExpand {
 
   val DefaultMaxHops = 20
 
+  /** Compile a whole shortestPath pattern (single var-length segment). */
   def compile(qc: QueryCompiler, catalog: GraphCatalog, p: PathPattern,
               params: Map[String, Any]): Frame = {
     require(p.hops.size == 1,
-      "var-length segment must be the only hop in its pattern (round-1 limit)")
+      "shortestPath requires a single relationship segment")
     val (rel, endNode) = p.hops.head
+    val startVar = p.start.variable.getOrElse(qc.mkFreshVar())
+    val startLabel = qc.mkResolveLabel(p.start, Some(rel), isStart = rel.direction != "IN")
+    val start = qc.mkNodeFrame(startVar, startLabel, p.start.props)
+    val (f, _, hopsCol) = expandSegment(qc, catalog, start, startVar, rel, endNode,
+      params, p.shortest)
+    p.pathVariable match {
+      case Some(pv) =>
+        val pc = s"__hops_$pv"
+        Frame(f.df.withColumn(pc, col(hopsCol)), f.vars + (pv -> PathVar(pc)))
+      case None => f
+    }
+  }
+
+  /** Expand one var-length segment from `fromVar` in `cur`; returns the
+    * joined frame (end node bound), the end variable name, and the name
+    * of the per-row hop-count column (for length(path)). Callable
+    * mid-pattern, so fixed hops can precede/follow the segment.
+    */
+  def expandSegment(qc: QueryCompiler, catalog: GraphCatalog, cur: Frame,
+                    fromVar: String, rel: RelPattern, endNode: NodePattern,
+                    params: Map[String, Any],
+                    shortest: Option[String]): (Frame, String, String) = {
     val (minHops, maxHopsOpt) = rel.varLength.getOrElse((1, Some(1)))
     val maxHops = maxHopsOpt.getOrElse(DefaultMaxHops)
     require(minHops <= maxHops, s"bad var-length range $minHops..$maxHops")
+    require(rel.types.nonEmpty, "var-length requires a relationship type")
 
-    val relType = rel.types.headOption.getOrElse(
-      throw new IllegalArgumentException("var-length requires a relationship type"))
-    val rd = catalog.relationship(relType)
+    // direction-adjusted, property-filtered edge set; [:A|B] alternation
+    // unions the per-type edge lists before the loop
+    val edges = rel.types.map(t => edgeSet(qc, catalog, rel, t, params))
+      .reduce(_ unionByName _)
 
-    val startVar = p.start.variable.getOrElse(qc.mkFreshVar())
-    val startLabel = qc.mkResolveLabel(p.start, Some(rel), isStart = rel.direction != "IN")
-    val start0 = qc.mkNodeFrame(startVar, startLabel, p.start.props)
-    val start = start0.copy(df = start0.df.withColumn("__origin", monotonically_increasing_id()))
-
-    // direction-adjusted edge list (BOTH = union of both orientations)
-    val fwd = rd.df.select(col(rd.srcCol).as("__src"), col(rd.dstCol).as("__dst"))
-    val bwd = rd.df.select(col(rd.dstCol).as("__src"), col(rd.srcCol).as("__dst"))
-    var edges = rel.direction match {
-      case "OUT"  => fwd
-      case "IN"   => bwd
-      case "BOTH" => fwd.unionByName(bwd)
+    val startLabel = cur.vars(fromVar) match {
+      case NodeVar(l, _, _) => Some(l)
+      case _ => None
     }
-    // inline rel property predicates filter the edge set before the loop
-    if (rel.props.nonEmpty) {
-      val relVar = rel.variable.getOrElse(qc.mkFreshVar())
-      val attrs = rd.df.columns.toSeq
-      val pref = rd.df.select(attrs.map(a => col(a).as(s"${relVar}__$a")): _*)
-      val rf = Frame(pref, Map(relVar -> graft.compiler.RelVar(rd.relType, rd.srcCol, rd.dstCol, attrs)))
-      val cond = rel.props.map { case (k, e) =>
-        col(s"${relVar}__$k") === new ExpressionCompiler(rf, params).compile(e)
-      }.reduce(_ && _)
-      val filtered = pref.filter(cond)
-        .select(col(s"${relVar}__${rd.srcCol}").as("__src"),
-          col(s"${relVar}__${rd.dstCol}").as("__dst"))
-      edges = rel.direction match {
-        case "OUT"  => filtered
-        case "IN"   => filtered.select(col("__dst").as("__src"), col("__src").as("__dst"))
-        case "BOTH" => filtered.unionByName(
-          filtered.select(col("__dst").as("__src"), col("__src").as("__dst")))
-      }
-    }
-
     val endVar = endNode.variable.getOrElse(qc.mkFreshVar())
-    val endLabel = qc.mkResolveLabel(endNode, Some(rel), isStart = rel.direction == "IN")
+    val cyclic = cur.vars.contains(endVar)
+    val endLabel =
+      if (cyclic) startLabel.getOrElse("")
+      else qc.mkResolveLabel(endNode, Some(rel), isStart = rel.direction == "IN")
 
-    val startIdCol = start.idCol(startVar)
-    var frontier: DataFrame = start.df
-      .select(col("__origin"), col(startIdCol).as("__node"), lit(0L).as("__hops"))
+    // expansion is per distinct start node, joined back to rows afterwards
+    val startIds = cur.df.select(col(cur.idCol(fromVar)).as("__origin")).distinct()
+    var frontier: DataFrame = startIds
+      .select(col("__origin"), col("__origin").as("__node"), lit(0L).as("__hops"))
     var results = Vector.empty[DataFrame]
     // A zero-length path means start and end are the SAME node, so it can
     // only contribute when the end label is the start label — otherwise an
     // id coincidence across label key spaces would fabricate matches.
-    if (minHops == 0 && endLabel == startLabel) results :+= frontier
+    if (minHops == 0 && startLabel.contains(endLabel)) results :+= frontier
+
+    // BFS dedup is only valid when any reached hop >= minHops counts
+    // (minHops <= 1); a minHops > 1 shortestPath must keep walks so a
+    // node first seen below the floor can still be reported at the floor.
+    val bfs = shortest.isDefined && minHops <= 1
+    var visited: DataFrame =
+      if (minHops == 0) frontier.select(col("__origin"), col("__node"))
+      else frontier.select(col("__origin"), col("__node")).limit(0)
 
     var hop = 1
     var exhausted = false
     while (hop <= maxHops && !exhausted) {
-      frontier = frontier.join(edges, col("__node") === col("__src"))
+      var next = frontier.join(edges, col("__node") === col("__src"))
         .select(col("__origin"), col("__dst").as("__node"),
           (col("__hops") + 1).as("__hops"))
-        .localCheckpoint() // flat lineage; also materializes for the early-stop probe
+      if (bfs) next = next.dropDuplicates("__origin", "__node")
+        .join(visited, Seq("__origin", "__node"), "left_anti")
+      frontier = next.localCheckpoint() // flat lineage; materializes the early-stop probe
       if (frontier.isEmpty) exhausted = true
-      else if (hop >= minHops) results :+= frontier
+      else {
+        if (hop >= minHops) results :+= frontier
+        if (bfs) visited = visited.unionByName(
+          frontier.select(col("__origin"), col("__node")))
+      }
       hop += 1
     }
 
@@ -98,26 +125,61 @@ object PathExpand {
       if (results.isEmpty) frontier.limit(0)
       else results.reduce(_ unionByName _)
 
-    val collapsed = p.shortest match {
-      case Some(_) =>
-        // min-hop per (origin, node); without materialized edge lists,
-        // shortestPath and allShortestPaths coincide.
+    val collapsed = shortest match {
+      // BFS already yields each (origin, node) exactly once at its min hop;
+      // the grouped min is only needed on the walk-mode fallback. Without
+      // materialized edge lists, shortestPath and allShortestPaths coincide.
+      case Some(_) if !bfs =>
         reached.groupBy(col("__origin"), col("__node"))
           .agg(min(col("__hops")).as("__hops"))
-      case None => reached
+      case _ => reached
     }
 
-    val endFrame = qc.mkNodeFrame(endVar, endLabel, endNode.props)
+    val joined0 = cur.df.join(collapsed,
+      col(cur.idCol(fromVar)) === col("__origin")).drop("__origin")
+    val (outDf, outVars) =
+      if (cyclic) {
+        require(endNode.props.isEmpty,
+          "inline props on an already-bound var-length end node are unsupported")
+        (joined0.filter(col("__node") === col(cur.idCol(endVar))), cur.vars)
+      } else {
+        val endFrame = qc.mkNodeFrame(endVar, endLabel, endNode.props)
+        (joined0.join(endFrame.df, col("__node") === col(endFrame.idCol(endVar))),
+          cur.vars ++ endFrame.vars)
+      }
+    val hopsCol = s"__vhops_$endVar"
+    val out = outDf.withColumn(hopsCol, col("__hops")).drop("__node", "__hops")
+    (Frame(out, outVars), endVar, hopsCol)
+  }
 
-    val joined = start.df.join(collapsed, Seq("__origin"))
-      .join(endFrame.df, col("__node") === col(endFrame.idCol(endVar)))
-
-    val hopsCol = s"__hops_${p.pathVariable.getOrElse(endVar)}"
-    val out = joined.withColumn(hopsCol, col("__hops"))
-      .drop("__origin", "__node", "__hops")
-
-    val pathVars: Map[String, graft.compiler.VarMeta] =
-      p.pathVariable.map(pv => pv -> PathVar(hopsCol)).toMap
-    Frame(out, start.vars ++ endFrame.vars ++ pathVars)
+  /** (src, dst) edge list for one relationship type, direction-adjusted
+    * (BOTH = union of both orientations) with inline rel property
+    * predicates filtering the edge set before the loop.
+    */
+  private def edgeSet(qc: QueryCompiler, catalog: GraphCatalog, rel: RelPattern,
+                      relType: String, params: Map[String, Any]): DataFrame = {
+    val rd = catalog.relationship(relType)
+    val base: DataFrame =
+      if (rel.props.isEmpty) rd.df
+      else {
+        val relVar = rel.variable.getOrElse(qc.mkFreshVar())
+        val attrs = rd.df.columns.toSeq
+        val pref = rd.df.select(attrs.map(a => col(a).as(s"${relVar}__$a")): _*)
+        val rf = Frame(pref,
+          Map(relVar -> graft.compiler.RelVar(rd.relType, rd.srcCol, rd.dstCol, attrs)))
+        val cond = rel.props.map { case (k, e) =>
+          col(s"${relVar}__$k") === new ExpressionCompiler(rf, params).compile(e)
+        }.reduce(_ && _)
+        pref.filter(cond).select(
+          col(s"${relVar}__${rd.srcCol}").as(rd.srcCol),
+          col(s"${relVar}__${rd.dstCol}").as(rd.dstCol))
+      }
+    val fwd = base.select(col(rd.srcCol).as("__src"), col(rd.dstCol).as("__dst"))
+    val bwd = base.select(col(rd.dstCol).as("__src"), col(rd.srcCol).as("__dst"))
+    rel.direction match {
+      case "OUT"  => fwd
+      case "IN"   => bwd
+      case "BOTH" => fwd.unionByName(bwd)
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.CypherEngine
 import graft.model.GraphCatalog
@@ -19,6 +20,19 @@ object TpchGraph {
 
   def engine(spark: SparkSession, dir: String): CypherEngine = {
     val t = Tables(spark, dir)
+    // Homogeneous Nation→Nation successor edges (n → n+1 and n → n+2,
+    // keys kept within the table): the one edge type whose composition
+    // with itself is non-trivial, so var-length *1..k and shortestPath
+    // get genuinely branching walk counts and BFS distances to verify
+    // against a DuckDB recursive CTE.
+    val nk = t.nation.select(col("n_nationkey"))
+    val steps = nk
+      .select(col("n_nationkey").as("src"), (col("n_nationkey") + 1).as("dst"))
+      .unionByName(nk
+        .select(col("n_nationkey").as("src"), (col("n_nationkey") + 2).as("dst")))
+    val nextEdges = steps
+      .join(nk.select(col("n_nationkey").as("dst")), Seq("dst"))
+      .select(col("src"), col("dst"))
     val catalog = new GraphCatalog()
       .addEntity("Region", t.region, idCol = "r_regionkey")
       .addEntity("Nation", t.nation, idCol = "n_nationkey")
@@ -47,6 +61,9 @@ object TpchGraph {
       .addRelationship("SUPPLIED_BY", t.lineitem,
         srcCol = "l_partkey", dstCol = "l_suppkey",
         srcLabel = Some("Part"), dstLabel = Some("Supplier"))
+      .addRelationship("NEXT_N", nextEdges,
+        srcCol = "src", dstCol = "dst",
+        srcLabel = Some("Nation"), dstLabel = Some("Nation"))
     new CypherEngine(spark, catalog)
   }
 }

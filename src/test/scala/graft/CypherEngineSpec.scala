@@ -104,6 +104,31 @@ class CypherEngineSpec extends SparkSpec {
     assert(r.map(_.getString(0)) == Seq("Bob", "Carol"))
   }
 
+  test("var-length segment composes with fixed hops in one pattern") {
+    // Alice -KNOWS*1..2-> x -WORKS_FOR-> c: Bob→Acme, Carol→Globex
+    val r = rows(
+      """MATCH (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(x:Person)-[:WORKS_FOR]->(c:Company)
+         RETURN x.name AS who, c.name AS company ORDER BY who""")
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Bob", "Acme"), ("Carol", "Globex")))
+  }
+
+  test("fixed hop before a var-length segment") {
+    // Alice -KNOWS-> Bob -KNOWS*1..2-> {Carol, Dan}
+    val r = rows(
+      """MATCH (a:Person {name: 'Alice'})-[:KNOWS]->(m:Person)-[:KNOWS*1..2]->(b:Person)
+         RETURN b.name AS name ORDER BY name""")
+    assert(r.map(_.getString(0)) == Seq("Carol", "Dan"))
+  }
+
+  test("path variable length over mixed fixed+var pattern") {
+    val r = rows(
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(m:Person)-[:KNOWS*1..2]->(b:Person)
+         RETURN b.name AS name, length(p) AS hops ORDER BY name""")
+    assert(r.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("Carol", 2L), ("Dan", 3L)))
+  }
+
   test("shortestPath collapses to min hops") {
     val r = rows(
       """MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*1..5]->(b:Person {name: 'Dan'}))
