@@ -159,6 +159,24 @@ object CypherQueries {
          RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
                 count(*) AS n_paths"""),
 
+    // pattern comprehension: correlated collect with predicate; size()
+    // and reduce() consume the list order-independently, and nations
+    // with no qualifying customers exercise the empty-list default
+    "cy26_pattern_comprehension" -> run(
+      """MATCH (n:Nation)
+         RETURN n.n_name AS nation,
+                size([(c:Customer)-[:FROM_NATION]->(n) WHERE c.c_acctbal > 9000 | c.c_custkey]) AS n_rich,
+                reduce(s = 0, k IN [(c:Customer)-[:FROM_NATION]->(n) WHERE c.c_acctbal > 9000 | c.c_custkey] | s + k) AS sum_rich"""),
+
+    // correlated OPTIONAL MATCH WHERE: one conjunct is pattern-local
+    // (pre-filters before the left join), the other references an outer
+    // variable (r) and moves into the left-join condition
+    "cy27_optional_correlated" -> run(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+         OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n)
+         WHERE c.c_acctbal > 3000 AND r.r_regionkey < 3
+         RETURN n.n_name AS nation, count(c) AS n_cust"""),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -280,6 +298,19 @@ object CypherQueries {
          )
          SELECT src AS a_key, dst AS b_key, count(*) AS n_paths
          FROM walk GROUP BY 1, 2""",
+    "cy26_pattern_comprehension" ->
+      """SELECT n_name AS nation,
+         count(c_custkey) AS n_rich,
+         CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS sum_rich
+         FROM nation LEFT JOIN customer
+           ON c_nationkey = n_nationkey AND c_acctbal > 9000
+         GROUP BY 1""",
+    "cy27_optional_correlated" ->
+      """SELECT n_name AS nation, count(c_custkey) AS n_cust
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         LEFT JOIN customer
+           ON c_nationkey = n_nationkey AND c_acctbal > 3000 AND r_regionkey < 3
+         GROUP BY 1""",
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

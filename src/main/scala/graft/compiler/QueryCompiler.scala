@@ -118,24 +118,35 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
   private def compileMatch(m: Match, outer: Option[Frame]): Frame = {
     val pattern0 = m.paths.map(compilePath).reduce((a, b) => naturalJoin(a, b, "inner"))
     if (m.optional && outer.isEmpty) {
-      // leading OPTIONAL MATCH: like MATCH, but an empty pattern yields
-      // one all-null row (openCypher). Approximate with plain MATCH
-      // unless empty, then a single null row per variable is unneeded at
-      // this engine's level — the common leading form is just a scan.
-      val f = m.where.map(w => applyWhere(pattern0, w)).getOrElse(pattern0)
-      return f
+      // leading OPTIONAL MATCH: like MATCH, but an empty match yields ONE
+      // all-null row (openCypher). Lazily: union a null row that survives
+      // an anti join against limit(1) of the pattern — no eager probe.
+      val f0 = m.where.map(w => applyWhere(pattern0, w)).getOrElse(pattern0)
+      val nullRow = spark.range(1).select(
+        f0.df.schema.map(sf => lit(null).cast(sf.dataType).as(sf.name)): _*)
+      val fallback = nullRow.join(
+        f0.df.limit(1).select(lit(1).as("__probe")), lit(true), "left_anti")
+      return f0.copy(df = f0.df.unionByName(fallback))
     }
     if (m.optional) {
       val outerF = outer.getOrElse(
         throw new IllegalArgumentException("OPTIONAL MATCH requires a preceding MATCH"))
-      // WHERE belongs to the OPTIONAL MATCH: filter the pattern before the
-      // left join so non-matching rows become nulls, not dropped rows.
-      // (Predicates must be local to pattern variables.)
-      val pattern = m.where match {
-        case Some(w) => applyWhere(pattern0, w)
-        case None    => pattern0
+      // WHERE belongs to the OPTIONAL MATCH (frame_joiner.py:189-310):
+      // conjuncts local to the pattern pre-filter it before the left join
+      // (best for pushdown); conjuncts referencing outer variables become
+      // part of the left-join condition so non-matching rows null out
+      // instead of dropping.
+      val patVarNames = pattern0.vars.keySet
+      val (localConjs, crossConjs) = m.where.map(conjuncts).getOrElse(Seq.empty)
+        .partition(c => freeVars(c).subsetOf(patVarNames))
+      crossConjs.foreach {
+        case _: ExistsPattern | UnaryOp("NOT", _: ExistsPattern) =>
+          throw new UnsupportedOperationException(
+            "EXISTS referencing outer variables in OPTIONAL MATCH WHERE is unsupported")
+        case _ =>
       }
-      naturalJoin(outerF, pattern, "left_outer")
+      val pattern = localConjs.foldLeft(pattern0)((acc, c) => applyWhere(acc, c))
+      naturalJoin(outerF, pattern, "left_outer", crossConjs)
     } else {
       val joined = outer match {
         case Some(o) => naturalJoin(o, pattern0, "inner")
@@ -356,13 +367,14 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     * shared-variable columns are dropped (identical by id equality), so
     * downstream references resolve unambiguously to the left side.
     */
-  private[compiler] def naturalJoin(a: Frame, b: Frame, joinType: String): Frame = {
+  private[compiler] def naturalJoin(a: Frame, b: Frame, joinType: String,
+                                    extraOn: Seq[Expr] = Seq.empty): Frame = {
     val shared = (a.vars.keySet intersect b.vars.keySet).toSeq.sorted
-    if (shared.isEmpty) {
+    if (shared.isEmpty && extraOn.isEmpty) {
       joinType match {
         case "inner" => Frame(a.df.crossJoin(b.df), a.vars ++ b.vars)
         case _ => throw new UnsupportedOperationException(
-          "OPTIONAL MATCH with no shared variables is not supported")
+          "OPTIONAL MATCH with no shared variables or correlated WHERE is not supported")
       }
     } else {
       val keyCols = shared.zipWithIndex.map { case (v, i) => (v, s"__jk_$i") }
@@ -371,12 +383,164 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       }
       val dropCols = shared.flatMap(b.varCols)
       val bPrepared = bPrepared0.drop(dropCols: _*)
-      val cond = keyCols.map { case (v, jk) => col(a.idCol(v)) === col(jk) }
-        .reduce(_ && _)
+      // correlated predicates compile against the merged namespace: shared
+      // vars resolve to the left side's columns (the right side's copies
+      // are dropped above), pattern-only vars to the right side's
+      val extraCond = if (extraOn.isEmpty) Seq.empty else {
+        val probe = Frame(a.df.crossJoin(bPrepared), a.vars ++ b.vars)
+        val pec = new ExpressionCompiler(probe, params)
+        Seq(extraOn.map(pec.compile).reduce(_ && _))
+      }
+      val cond = (keyCols.map { case (v, jk) => col(a.idCol(v)) === col(jk) } ++
+        extraCond).reduce(_ && _)
       val joined = a.df.join(bPrepared, cond, joinType)
         .drop(keyCols.map(_._2): _*)
       Frame(joined, a.vars ++ b.vars)
     }
+  }
+
+  /** Unbound (frame-level) variables referenced by an expression —
+    * lambda-bound names from comprehensions/quantifiers/reduce excluded.
+    * Pattern-bearing subexpressions contribute every variable their
+    * patterns name (overapproximation; only used for predicate routing).
+    */
+  private def freeVars(e: Expr, bound: Set[String] = Set.empty): Set[String] = e match {
+    case Variable(v)          => if (bound(v)) Set.empty else Set(v)
+    case Property(s, _)       => freeVars(s, bound)
+    case BinOp(_, l, r)       => freeVars(l, bound) ++ freeVars(r, bound)
+    case UnaryOp(_, x)        => freeVars(x, bound)
+    case IsNull(x, _)         => freeVars(x, bound)
+    case FnCall(_, args, _)   => args.flatMap(freeVars(_, bound)).toSet
+    case CaseExpr(s, br, d)   =>
+      (s.toSeq ++ br.flatMap { case (w, t) => Seq(w, t) } ++ d.toSeq)
+        .flatMap(freeVars(_, bound)).toSet
+    case Index(s, i)          => freeVars(s, bound) ++ freeVars(i, bound)
+    case Slice(s, f, t)       =>
+      (Seq(s) ++ f.toSeq ++ t.toSeq).flatMap(freeVars(_, bound)).toSet
+    case ListComprehension(v, l, w, p) =>
+      freeVars(l, bound) ++ (w.toSeq ++ p.toSeq).flatMap(freeVars(_, bound + v))
+    case Quantifier(_, v, l, w) => freeVars(l, bound) ++ freeVars(w, bound + v)
+    case Reduce(a, init, v, l, st) =>
+      freeVars(init, bound) ++ freeVars(l, bound) ++ freeVars(st, bound + a + v)
+    case HasLabel(s, _)       => freeVars(s, bound)
+    case ListLit(items)       => items.flatMap(freeVars(_, bound)).toSet
+    case MapLit(items)        => items.flatMap(x => freeVars(x._2, bound)).toSet
+    case ExistsPattern(paths, w, _) =>
+      paths.flatMap(pathVarNames).toSet ++ w.toSeq.flatMap(freeVars(_, bound))
+    case PatternComprehension(path, w, proj) =>
+      pathVarNames(path).toSet ++
+        (w.toSeq :+ proj).flatMap(freeVars(_, bound)).toSet
+    case _                    => Set.empty
+  }
+
+  private def pathVarNames(p: PathPattern): Seq[String] =
+    p.pathVariable.toSeq ++ p.start.variable.toSeq ++
+      p.hops.flatMap { case (r, n) => r.variable.toSeq ++ n.variable.toSeq }
+
+  // ---------------- pattern comprehension ----------------
+
+  /** Collect every pattern comprehension in an expression tree (treated
+    * as leaves — nested comprehensions inside one are compiled when the
+    * inner pattern frame itself is projected).
+    */
+  private def collectPCs(e: Expr): Seq[PatternComprehension] = e match {
+    case pc: PatternComprehension => Seq(pc)
+    case BinOp(_, l, r)       => collectPCs(l) ++ collectPCs(r)
+    case UnaryOp(_, x)        => collectPCs(x)
+    case IsNull(x, _)         => collectPCs(x)
+    case FnCall(_, args, _)   => args.flatMap(collectPCs)
+    case CaseExpr(s, br, d)   =>
+      s.toSeq.flatMap(collectPCs) ++
+        br.flatMap { case (w, t) => collectPCs(w) ++ collectPCs(t) } ++
+        d.toSeq.flatMap(collectPCs)
+    case Index(s, i)          => collectPCs(s) ++ collectPCs(i)
+    case Slice(s, f, t)       =>
+      collectPCs(s) ++ f.toSeq.flatMap(collectPCs) ++ t.toSeq.flatMap(collectPCs)
+    case ListComprehension(_, l, w, p) =>
+      collectPCs(l) ++ w.toSeq.flatMap(collectPCs) ++ p.toSeq.flatMap(collectPCs)
+    case Quantifier(_, _, l, w) => collectPCs(l) ++ collectPCs(w)
+    case Reduce(_, init, _, l, st) =>
+      collectPCs(init) ++ collectPCs(l) ++ collectPCs(st)
+    case ListLit(items)       => items.flatMap(collectPCs)
+    case MapLit(items)        => items.flatMap { case (_, v) => collectPCs(v) }
+    case Property(s, _)       => collectPCs(s)
+    case _                    => Seq.empty
+  }
+
+  /** Replace every occurrence of `target` (structural equality) with a
+    * plain variable reference to its precomputed column.
+    */
+  private def substPC(e: Expr, target: PatternComprehension, name: String): Expr = {
+    def go(x: Expr): Expr = x match {
+      case pc: PatternComprehension if pc == target => Variable(name)
+      case BinOp(op, l, r)     => BinOp(op, go(l), go(r))
+      case UnaryOp(op, y)      => UnaryOp(op, go(y))
+      case IsNull(y, n)        => IsNull(go(y), n)
+      case FnCall(n, args, d)  => FnCall(n, args.map(go), d)
+      case CaseExpr(s, br, d)  =>
+        CaseExpr(s.map(go), br.map { case (w, t) => (go(w), go(t)) }, d.map(go))
+      case Index(s, i)         => Index(go(s), go(i))
+      case Slice(s, f, t)      => Slice(go(s), f.map(go), t.map(go))
+      case ListComprehension(v, l, w, p) =>
+        ListComprehension(v, go(l), w.map(go), p.map(go))
+      case Quantifier(k, v, l, w) => Quantifier(k, v, go(l), go(w))
+      case Reduce(a, init, v, l, st) => Reduce(a, go(init), v, go(l), go(st))
+      case ListLit(items)      => ListLit(items.map(go))
+      case MapLit(items)       => MapLit(items.map { case (k, v) => (k, go(v)) })
+      case Property(s, k)      => Property(go(s), k)
+      case other               => other
+    }
+    go(e)
+  }
+
+  /** Compile one pattern comprehension into a precomputed list column on
+    * the frame: compile the pattern standalone, aggregate the projection
+    * with collect_list grouped by the correlation keys (the variables
+    * shared with the outer frame), left-join back, and default misses to
+    * the empty list (openCypher: no matches → []).
+    *
+    * One shuffle on the correlation key + one join — never a per-row
+    * subquery, so it scales like any other grouped aggregate.
+    */
+  private def compilePatternComprehension(f: Frame, pc: PatternComprehension,
+                                          outName: String): Frame = {
+    var pat = compilePath(pc.path)
+    pc.where.foreach(w => pat = applyWhere(pat, w))
+    val shared = (f.vars.keySet intersect pat.vars.keySet).toSeq.sorted
+    require(shared.nonEmpty,
+      "pattern comprehension must share at least one variable with the outer query")
+    val ec = new ExpressionCompiler(pat, params)
+    val projCol = ec.compile(pc.projection)
+    val keyCols = shared.zipWithIndex.map { case (v, i) =>
+      col(pat.idCol(v)).as(s"__pck_$i")
+    }
+    val grouped = pat.df.groupBy(keyCols: _*)
+      .agg(collect_list(projCol).as(outName))
+    val cond = shared.zipWithIndex.map { case (v, i) =>
+      col(f.idCol(v)) === col(s"__pck_$i")
+    }.reduce(_ && _)
+    val elemType = grouped.schema(outName).dataType
+    val joined = f.df.join(grouped, cond, "left_outer")
+      .drop(shared.indices.map(i => s"__pck_$i"): _*)
+      .withColumn(outName,
+        coalesce(col(outName), array().cast(elemType)))
+    Frame(joined, f.vars + (outName -> ValueVar))
+  }
+
+  /** Hoist all pattern comprehensions out of `exprs`: each becomes a
+    * precomputed `__anonpc*` column (hidden from RETURN *), and the
+    * expressions are rewritten to reference it.
+    */
+  private def rewritePCs(f0: Frame, exprs0: Seq[Expr]): (Frame, Seq[Expr]) = {
+    var f = f0
+    var exprs = exprs0
+    exprs.flatMap(collectPCs).distinct.foreach { pc =>
+      anonCounter += 1
+      val name = s"__anonpc$anonCounter"
+      f = compilePatternComprehension(f, pc, name)
+      exprs = exprs.map(substPC(_, pc, name))
+    }
+    (f, exprs)
   }
 
   // ---------------- WHERE ----------------
@@ -397,8 +561,9 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       case other => plain += other
     }
     if (plain.nonEmpty) {
-      val cond = plain.map(new ExpressionCompiler(cur, params).compile).reduce(_ && _)
-      cur.copy(df = cur.df.filter(cond))
+      val (fr, rewritten) = rewritePCs(cur, plain.toSeq)
+      val cond = rewritten.map(new ExpressionCompiler(fr, params).compile).reduce(_ && _)
+      fr.copy(df = fr.df.filter(cond))
     } else cur
   }
 
@@ -498,15 +663,19 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       if (proj.star) f.vars.keys.toSeq.sorted.filterNot(_.startsWith("__anon"))
         .map(v => ReturnItem(Variable(v), Some(v)))
       else Seq.empty
-    val items = starItems ++ proj.items
-    require(items.nonEmpty, "empty projection")
+    val items0 = starItems ++ proj.items
+    require(items0.nonEmpty, "empty projection")
 
-    val ec = new ExpressionCompiler(f, params)
+    // pattern comprehensions become precomputed columns before projection
+    val (fr, rewritten) = rewritePCs(f, items0.map(_.expr))
+    val items = items0.zip(rewritten).map { case (it, e) => it.copy(expr = e) }
+
+    val ec = new ExpressionCompiler(fr, params)
     val hasAgg = items.exists(i => containsAgg(i.expr))
 
     var out: Frame =
-      if (!hasAgg) projectPlain(f, items, ec, keepEntities)
-      else projectAgg(f, items, ec, keepEntities)
+      if (!hasAgg) projectPlain(fr, items, ec, keepEntities)
+      else projectAgg(fr, items, ec, keepEntities)
 
     where.foreach { w => out = applyWhere(out, w) }
     if (proj.distinct) out = out.copy(df = out.df.distinct())

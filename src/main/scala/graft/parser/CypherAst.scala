@@ -59,6 +59,15 @@ object CypherAst {
   final case class ExistsPattern(paths: Seq[PathPattern], where: Option[Expr],
                                  negated: Boolean = false) extends Expr
 
+  /** [(a)-[:R]->(b) WHERE pred | proj] — collects `proj` over every match
+    * of the pattern, correlated on the variables already bound outside
+    * (reference: collection_evaluator.py:1-13, ast_models/
+    * expressions.py:323-507). Compiled as correlated join + collect_list
+    * + left-join-back, never per-row evaluation.
+    */
+  final case class PatternComprehension(path: PathPattern, where: Option[Expr],
+                                        projection: Expr) extends Expr
+
   // ---------- patterns ----------
   /** (v:Label {prop: expr, ...}) — all parts optional. */
   final case class NodePattern(variable: Option[String], labels: Seq[String],

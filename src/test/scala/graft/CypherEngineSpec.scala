@@ -136,6 +136,47 @@ class CypherEngineSpec extends SparkSpec {
     assert(r.map(_.getLong(0)) == Seq(3L))
   }
 
+  test("leading OPTIONAL MATCH: empty pattern yields one all-null row") {
+    val r = rows("OPTIONAL MATCH (p:Person {name: 'Zed'}) RETURN p.name AS name")
+    assert(r.size == 1 && r.head.isNullAt(0))
+    // non-empty leading OPTIONAL MATCH behaves like plain MATCH
+    val r2 = rows("OPTIONAL MATCH (p:Person) RETURN count(*) AS n")
+    assert(r2.head.getLong(0) == 4L)
+  }
+
+  test("OPTIONAL MATCH WHERE referencing outer variables preserves rows") {
+    // age filter references p (outer, not in the optional pattern):
+    // it must null out non-qualifying matches, never drop Person rows
+    val r = rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:WORKS_FOR]->(c:Company)
+         WHERE p.age < 31
+         RETURN p.name AS name, c.name AS company ORDER BY name""")
+    assert(r.size == 4)
+    val m = r.map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(m == Map("Alice" -> Some("Acme"), "Bob" -> Some("Acme"),
+      "Carol" -> None, "Dan" -> None))
+  }
+
+  test("pattern comprehension collects correlated matches, [] when none") {
+    val r = rows(
+      """MATCH (p:Person)
+         RETURN p.name AS name,
+                size([(p)-[:KNOWS]->(q:Person) | q.name]) AS n_known
+         ORDER BY name""")
+    assert(r.map(x => (x.getString(0), x.getInt(1))) ==
+      Seq(("Alice", 1), ("Bob", 1), ("Carol", 1), ("Dan", 0)))
+  }
+
+  test("pattern comprehension list contents with WHERE") {
+    val r = rows(
+      """MATCH (c:Company)
+         RETURN c.name AS company,
+                [(p:Person)-[:WORKS_FOR]->(c) WHERE p.age < 31 | p.name] AS young
+         ORDER BY company""")
+    val m = r.map(x => x.getString(0) -> x.getSeq[String](1).sorted).toMap
+    assert(m == Map("Acme" -> Seq("Alice", "Bob"), "Globex" -> Seq()))
+  }
+
   test("parameters") {
     val r = rows("MATCH (p:Person) WHERE p.age > $minAge RETURN count(*) AS n",
       Map("minAge" -> 28))
