@@ -26,19 +26,30 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
   def parse(cypher: String): CypherAst.Query =
     astCache.computeIfAbsent(cypher, CypherParser.parse)
 
-  /** Compile a Cypher query to a lazy DataFrame. Spark's ANSI mode is
-    * disabled for Cypher-compatible coercion/null semantics (bad casts
-    * yield null, as in the reference's `...OrNull` conversions).
+  /** Run `body` with Spark's ANSI mode disabled — Cypher-compatible
+    * coercion/null semantics (bad casts yield null, as in the reference's
+    * `...OrNull` conversions). Scoped save/restore: cast eval modes bake
+    * into the plan at analysis time (inside `body`), so other SQL on the
+    * shared session keeps its own semantics.
     */
-  def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame = {
+  private def withCypherConf[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    val ast = parse(cypher)
-    graft.ops.QueryComplexity.gate(ast, rejectComplexityAbove, warnComplexityAbove)
-    resultCache.flatMap(_.get(cypher, params)).getOrElse {
-      val df = new QueryCompiler(catalog, spark, params).compile(ast)
-      resultCache.map(_.put(cypher, params, df)).getOrElse(df)
+    try body finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None    => spark.conf.unset("spark.sql.ansi.enabled")
     }
   }
+
+  def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame =
+    withCypherConf {
+      val ast = parse(cypher)
+      graft.ops.QueryComplexity.gate(ast, rejectComplexityAbove, warnComplexityAbove)
+      resultCache.flatMap(_.get(cypher, params)).getOrElse {
+        val df = new QueryCompiler(catalog, spark, params).compile(ast)
+        resultCache.map(_.put(cypher, params, df)).getOrElse(df)
+      }
+    }
 
   /** EXPLAIN: complexity report + the Catalyst formatted physical plan
     * (the reference's query_explainer.py analog; SURVEY §2 ops row).
@@ -77,8 +88,7 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
       case _ => false
     })
     if (!mutates) query(cypher, params)
-    else {
-      spark.conf.set("spark.sql.ansi.enabled", "false")
+    else withCypherConf {
       val snap = catalog.snapshot()
       val df = new QueryCompiler(snap, spark, params).compile(ast)
       df.count() // force any lazy tail so failures roll back (snapshot discarded)

@@ -177,6 +177,43 @@ object CypherQueries {
          WHERE c.c_acctbal > 3000 AND r.r_regionkey < 3
          RETURN n.n_name AS nation, count(c) AS n_cust"""),
 
+    // duration arithmetic: datetime ± duration (ISO string and unit-map
+    // forms), plus a duration-comparison predicate
+    "cy28_duration" -> run(
+      """MATCH (o:Order) WHERE o.o_orderkey % 100 = 0
+         RETURN o.o_orderkey AS k,
+                toString(o.o_orderdate + duration('P1M')) AS plus_month,
+                toString(o.o_orderdate - duration({days: 10, hours: 12})) AS minus_d,
+                duration('P1D') > duration('PT23H') AS cmp"""),
+
+    // mutation pipeline oracle: CREATE from a MATCH, SET, MERGE with
+    // both ON MATCH and ON CREATE arms, then read the scratch label
+    // back — the DuckDB oracle replays the same writes as CTAS/CASE
+    "mu01_mutation_pipeline" -> ((spark, dir) => {
+      val eng = TpchGraph.engine(spark, dir)
+      eng.execute(
+        """MATCH (r:Region) WHERE r.r_regionkey < 2
+           CREATE (c:Colony {ckey: r.r_regionkey + 100, cname: r.r_name})""")
+      eng.execute("MATCH (c:Colony) SET c.flag = c.ckey % 2")
+      eng.execute(
+        """MERGE (c:Colony {ckey: 100})
+           ON MATCH SET c.matched = 1 ON CREATE SET c.matched = 0""")
+      eng.execute(
+        """MERGE (c:Colony {ckey: 999})
+           ON MATCH SET c.matched = 1 ON CREATE SET c.matched = 0""")
+      eng.query(
+        """MATCH (c:Colony)
+           RETURN c.ckey AS ckey, c.cname AS cname, c.flag AS flag,
+                  c.matched AS matched""")
+    }),
+
+    // unlabeled scan over a multi-label catalog: union of candidate
+    // label tables with a runtime label predicate — the n:Label filter
+    // constant-folds per union branch, so only 2 of 8 tables are scanned
+    "cy29_multilabel" -> run(
+      """MATCH (n) WHERE n:Nation OR n:Region
+         RETURN n.__label AS label, count(*) AS cnt"""),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -311,6 +348,24 @@ object CypherQueries {
          LEFT JOIN customer
            ON c_nationkey = n_nationkey AND c_acctbal > 3000 AND r_regionkey < 3
          GROUP BY 1""",
+    "cy28_duration" ->
+      """SELECT o_orderkey AS k,
+         strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_month,
+         strftime(o_orderdate - (INTERVAL 10 DAY + INTERVAL 12 HOUR),
+                  '%Y-%m-%d %H:%M:%S') AS minus_d,
+         TRUE AS cmp
+         FROM orders WHERE o_orderkey % 100 = 0""",
+    "mu01_mutation_pipeline" ->
+      """SELECT r_regionkey + 100 AS ckey, r_name AS cname,
+                (r_regionkey + 100) % 2 AS flag,
+                CASE WHEN r_regionkey = 0 THEN 1 END AS matched
+         FROM region WHERE r_regionkey < 2
+         UNION ALL
+         SELECT 999, NULL, NULL, 0""",
+    "cy29_multilabel" ->
+      """SELECT 'Nation' AS label, count(*) AS cnt FROM nation
+         UNION ALL
+         SELECT 'Region' AS label, count(*) AS cnt FROM region""",
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

@@ -163,8 +163,13 @@ final class ExpressionCompiler(val frame: Frame, params: Map[String, Any]) {
         (a, x) => compileEnv(step, env + (acc -> a) + (v -> x)))
 
     case HasLabel(Variable(v), wanted) =>
-      // Labels are static per variable in this engine: compile to a constant.
+      // Labels are static per variable — except multi-label union scans
+      // ("*"), whose __label column discriminates at runtime (and lets
+      // Catalyst constant-fold the predicate per union branch).
       frame.vars.get(v) match {
+        case Some(NodeVar("*", _, _)) =>
+          wanted.map(w => col(frame.col(v, "__label")) === lit(w))
+            .reduce(_ && _)
         case Some(NodeVar(label, _, _)) => lit(wanted.forall(_ == label))
         case _                          => lit(false)
       }
@@ -188,28 +193,60 @@ final class ExpressionCompiler(val frame: Frame, params: Map[String, Any]) {
     case _ => false
   }
 
+  private def isTemporal(t: Option[DataType]): Boolean = t.exists {
+    case _: DateType | _: TimestampType | _: TimestampNTZType => true
+    case _ => false
+  }
+  private def isDuration(t: Option[DataType]): Boolean =
+    t.exists(FunctionRegistry.isDurationType)
+
   private def compileBinOp(op: String, le: Expr, re: Expr, env: Map[String, Column]): Column = {
     lazy val l = compileEnv(le, env)
     lazy val r = compileEnv(re, env)
+    // durations order by estimated length (months = 30 days)
+    def durCmp(f: (Column, Column) => Column): Option[Column] =
+      if (isDuration(typeOf(l)) && isDuration(typeOf(r)))
+        Some(f(FunctionRegistry.durationTotalMicros(l),
+          FunctionRegistry.durationTotalMicros(r)))
+      else None
     op match {
       case "AND" => l && r
       case "OR"  => l || r
       case "XOR" => (l && !r) || (!l && r) // 3VL: null-propagating via && / ||
       case "="   => l === r
       case "<>"  => l =!= r
-      case "<"   => l < r
-      case "<="  => l <= r
-      case ">"   => l > r
-      case ">="  => l >= r
+      case "<"   => durCmp(_ < _).getOrElse(l < r)
+      case "<="  => durCmp(_ <= _).getOrElse(l <= r)
+      case ">"   => durCmp(_ > _).getOrElse(l > r)
+      case ">="  => durCmp(_ >= _).getOrElse(l >= r)
       case "+" =>
         (typeOf(l), typeOf(r)) match {
+          case (lt, rt) if isDuration(lt) && isDuration(rt) =>
+            FunctionRegistry.durationStruct(
+              l.getField("months") + r.getField("months"),
+              l.getField("days") + r.getField("days"),
+              l.getField("micros") + r.getField("micros"))
+          case (lt, rt) if isTemporal(lt) && isDuration(rt) =>
+            l + FunctionRegistry.durationToInterval(r)
+          case (lt, rt) if isDuration(lt) && isTemporal(rt) =>
+            r + FunctionRegistry.durationToInterval(l)
           case (Some(StringType), _) | (_, Some(StringType)) => concat(l, r)
           case (Some(_: ArrayType), Some(_: ArrayType))      => concat(l, r)
           case (Some(_: ArrayType), _)                       => concat(l, array(r))
           case (_, Some(_: ArrayType))                       => concat(array(l), r)
           case _                                             => l + r
         }
-      case "-" => l - r
+      case "-" =>
+        (typeOf(l), typeOf(r)) match {
+          case (lt, rt) if isDuration(lt) && isDuration(rt) =>
+            FunctionRegistry.durationStruct(
+              l.getField("months") - r.getField("months"),
+              l.getField("days") - r.getField("days"),
+              l.getField("micros") - r.getField("micros"))
+          case (lt, rt) if isTemporal(lt) && isDuration(rt) =>
+            l - FunctionRegistry.durationToInterval(r)
+          case _ => l - r
+        }
       case "*" => l * r
       case "/" =>
         // Cypher `/` on two integers is integer division truncating toward

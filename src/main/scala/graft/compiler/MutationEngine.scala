@@ -31,20 +31,33 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
   // ---------------- CREATE ----------------
 
   /** CREATE per binding row: nodes get fresh ids; relationship patterns
-    * connect bound or just-created endpoint variables.
-    * (reference: mutation_engine.py:459-618, id allocation :229-323)
+    * connect bound or just-created endpoint variables. Anonymous node
+    * patterns get a synthesized variable so the write still happens
+    * (reference creates entities without a variable too:
+    * mutation_engine.py:513-540; id allocation :229-323).
     */
   def create(f: Frame, paths: Seq[PathPattern]): Frame = {
     var frame = withRowId(f)
-    paths.foreach { p =>
+    paths.map(nameAnonNodes).foreach { p =>
       frame = createNodeIfUnbound(frame, p.start)
+      var prevVar = p.start.variable.get
       p.hops.foreach { case (rel, node) =>
         frame = createNodeIfUnbound(frame, node)
-        frame = createRel(frame, p, rel, node)
+        frame = createRel(frame, prevVar, rel, node.variable.get)
+        prevVar = node.variable.get
       }
     }
     frame.copy(df = frame.df.drop("__rowid"))
   }
+
+  private var anonN = 0
+  private def freshVar(): String = { anonN += 1; s"__anonCre$anonN" }
+  private def nameAnonNodes(p: PathPattern): PathPattern = p.copy(
+    start = if (p.start.variable.isEmpty)
+      p.start.copy(variable = Some(freshVar())) else p.start,
+    hops = p.hops.map { case (r, n) =>
+      (r, if (n.variable.isEmpty) n.copy(variable = Some(freshVar())) else n)
+    })
 
   private def withRowId(f: Frame): Frame =
     if (f.df.columns.contains("__rowid")) f
@@ -52,7 +65,8 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       .localCheckpoint())
 
   private def createNodeIfUnbound(f: Frame, np: NodePattern): Frame = {
-    val v = np.variable.getOrElse(return f) // anonymous create handled via rel
+    val v = np.variable.getOrElse(
+      throw new IllegalStateException("CREATE node pattern not named (nameAnonNodes)"))
     if (f.vars.contains(v)) return f
     val label = np.labels.headOption.getOrElse(
       throw new IllegalArgumentException(s"CREATE node $v requires a label"))
@@ -91,16 +105,12 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       f.vars + (v -> NodeVar(label, idCol, attrs)))
   }
 
-  private def createRel(f: Frame, p: PathPattern, rel: RelPattern,
-                        node: NodePattern): Frame = {
+  private def createRel(f: Frame, fromVar: String, rel: RelPattern,
+                        toVar: String): Frame = {
     val relType = rel.types.headOption.getOrElse(
       throw new IllegalArgumentException("CREATE relationship requires a type"))
-    // endpoints: pattern start (or previous node) and this node — both must
-    // now be bound; direction decides src/dst roles.
-    val fromVar = p.start.variable.getOrElse(
-      throw new IllegalArgumentException("CREATE rel endpoints must be named"))
-    val toVar = node.variable.getOrElse(
-      throw new IllegalArgumentException("CREATE rel endpoints must be named"))
+    // endpoints: previous chain node and this node — both bound by now;
+    // direction decides src/dst roles.
     val (srcVar, dstVar) =
       if (rel.direction == "IN") (toVar, fromVar) else (fromVar, toVar)
 
@@ -283,8 +293,12 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
             if (detach) {
               catalog.relTypes.foreach { rt =>
                 val rd = catalog.relationship(rt)
-                val touchesSrc = rd.srcLabel.contains(label)
-                val touchesDst = rd.dstLabel.contains(label)
+                // undeclared endpoint labels scrub conservatively by id
+                // membership on BOTH endpoints (reference behavior) —
+                // otherwise an id reused after delete could re-attach a
+                // dangling edge to an unrelated new node
+                val touchesSrc = rd.srcLabel.forall(_ == label)
+                val touchesDst = rd.dstLabel.forall(_ == label)
                 if (touchesSrc || touchesDst) {
                   var d = rd.df
                   if (touchesSrc)
@@ -390,14 +404,13 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
 
   /** Relationship MERGE: (a)-[:T {props}]->(b) with both endpoints
     * bound — create the missing (src, dst) edges, keep existing ones
-    * (idempotent). ON CREATE / ON MATCH SET on relationship properties
-    * is not yet supported (rel-property SET would need rel identity).
+    * (idempotent). ON CREATE SET writes onto the new edges before they
+    * are appended; ON MATCH SET updates the existing edges keyed by
+    * (src, dst) (mutation_engine.py:746-855).
     */
   private def mergeRelationship(f: Frame, path: PathPattern,
                                 onCreate: Seq[SetItem], onMatch: Seq[SetItem]): Frame = {
     require(path.hops.size == 1, "relationship MERGE supports a single hop")
-    require(onCreate.isEmpty && onMatch.isEmpty,
-      "ON CREATE/ON MATCH SET on relationship MERGE not yet supported")
     val (rel, endNode) = path.hops.head
     val relType = rel.types.headOption.getOrElse(
       throw new IllegalArgumentException("relationship MERGE needs a type"))
@@ -417,10 +430,25 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       } else ("__SOURCE__", "__TARGET__", Some("__ID__"), None, false)
 
     val compiler = ec(f)
+    // ON CREATE / ON MATCH SET items must target the rel variable; their
+    // value expressions evaluate against the binding frame, carried as
+    // __oc_/__om_ columns through the (src, dst) dedup
+    def relSetCols(items: Seq[SetItem], pref: String): Seq[(String, Column)] =
+      items.map {
+        case SetProperty(Variable(rv), key, vexpr) if rel.variable.contains(rv) =>
+          key -> compiler.compile(vexpr).as(s"$pref$key")
+        case other => throw new UnsupportedOperationException(
+          s"relationship MERGE SET must target the relationship variable: $other")
+      }
+    val ocCols = relSetCols(onCreate, "__oc_")
+    val omCols = relSetCols(onMatch, "__om_")
+
     val propCols = rel.props.map { case (k, e0) => compiler.compile(e0).as(k) }
     val wanted = f.df.select(Seq(
       col(f.idCol(srcVar)).as(srcCol0),
-      col(f.idCol(dstVar)).as(dstCol0)) ++ propCols: _*).distinct()
+      col(f.idCol(dstVar)).as(dstCol0)) ++ propCols ++
+      ocCols.map(_._2) ++ omCols.map(_._2): _*)
+      .dropDuplicates(srcCol0, dstCol0)
 
     val missing = existing match {
       case Some(d) => wanted.join(d.select(col(srcCol0), col(dstCol0))
@@ -428,15 +456,37 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
         col(srcCol0) === col("__es") && col(dstCol0) === col("__ed"), "left_anti")
       case None => wanted
     }
+
+    // ON MATCH: update the pre-existing edges keyed by (src, dst)
+    if (omCols.nonEmpty) existing.foreach { d =>
+      val matchKeys = wanted.select(Seq(col(srcCol0).as("__ms"),
+        col(dstCol0).as("__md")) ++ omCols.map { case (k, _) => col(s"__om_$k") }: _*)
+      var updated = d.join(matchKeys,
+        col(srcCol0) === col("__ms") && col(dstCol0) === col("__md"), "left_outer")
+      omCols.foreach { case (k, _) =>
+        updated = updated.withColumn(k,
+          if (d.columns.contains(k))
+            when(col("__ms").isNotNull, col(s"__om_$k")).otherwise(col(k))
+          else when(col("__ms").isNotNull, col(s"__om_$k")))
+      }
+      val cleaned = updated.drop("__ms" +: "__md" +: omCols.map("__om_" + _._1): _*)
+      catalog.replaceRelationship(relType, cleaned.localCheckpoint())
+    }
+
     if (!missing.isEmpty) {
-      var newRels = missing
+      // ON CREATE values become the new edges' properties
+      var newRels = ocCols.foldLeft(missing) { case (df, (k, _)) =>
+        df.withColumn(k, col(s"__oc_$k"))
+      }.drop(ocCols.map("__oc_" + _._1) ++ omCols.map("__om_" + _._1): _*)
       idColOpt.foreach { ic =>
         val base = existing.map(d => nextIdBase(d, ic)).getOrElse(0L)
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(srcCol0), col(dstCol0))
         newRels = newRels.withColumn(ic,
           (row_number().over(w) - 1).cast("long") + lit(base))
       }
-      val merged = existing match {
+      val current = if (catalog.hasRelationship(relType))
+        Some(catalog.relationship(relType).df) else None
+      val merged = current match {
         case Some(d) => d.unionByName(newRels, allowMissingColumns = true)
         case None    => newRels
       }

@@ -84,10 +84,20 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
   }
 
   /** CALL name(args) [YIELD items] — table-valued procedure dispatch.
-    * Standalone calls only (per-row correlated CALL is a later round).
+    * Mid-query CALL joins the procedure's rows onto every outer binding
+    * row (openCypher: the procedure runs per row; with literal/param
+    * args the result set is row-invariant, so one evaluation + a cross
+    * join is the distributed equivalent of the reference's per-row loop,
+    * mutation_engine.py:1061-1143). Args referencing query variables
+    * would need a lateral evaluation and are rejected.
     */
   private def compileCall(cp: CallProcedure, outer: Option[Frame]): Frame = {
-    require(outer.isEmpty, "correlated CALL after other clauses not yet supported")
+    cp.args.foreach {
+      case Variable(v) if outer.exists(_.vars.contains(v)) =>
+        throw new UnsupportedOperationException(
+          s"CALL argument referencing query variable $v is not supported")
+      case _ =>
+    }
     val argVals: Seq[Any] = cp.args.map {
       case IntLit(v) => v
       case FloatLit(v) => v
@@ -107,7 +117,14 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       }
       df.select(cols: _*)
     }
-    Frame(out, out.columns.map(c => c -> (ValueVar: VarMeta)).toMap)
+    val callFrame = Frame(out, out.columns.map(c => c -> (ValueVar: VarMeta)).toMap)
+    outer match {
+      case None    => callFrame
+      case Some(o) =>
+        require((o.vars.keySet intersect callFrame.vars.keySet).isEmpty,
+          "CALL YIELD name collides with a bound variable")
+        Frame(o.df.crossJoin(callFrame.df), o.vars ++ callFrame.vars)
+    }
   }
 
   /** Single-row empty frame, for queries starting with UNWIND/RETURN. */
@@ -164,10 +181,45 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     */
   private def nodeFrame(varName: String, label: String,
                         props: Seq[(String, Expr)]): Frame = {
+    if (label == "*") return multiLabelFrame(varName, props)
     val e = catalog.entity(label)
     val attrs = e.df.columns.toSeq
     val df = e.df.select(attrs.map(a => col(a).as(s"${varName}__$a")): _*)
     val f = Frame(df, Map(varName -> NodeVar(label, e.idCol, attrs)))
+    applyProps(f, varName, props)
+  }
+
+  /** Unlabeled standalone scan in a multi-label catalog: union every
+    * candidate label's table over the attribute superset, tagged with a
+    * `__label` discriminator and a label-qualified string id (ids are
+    * only unique within a label). Inline property keys prune candidates
+    * to the labels that have those attributes (binding_frame.py:802-886,
+    * pattern_matcher.py:152-285); a WHERE on `n:Label` constant-folds to
+    * false in the other branches, so Catalyst prunes their scans — the
+    * union costs only the labels that can match.
+    */
+  private def multiLabelFrame(varName: String, props: Seq[(String, Expr)]): Frame = {
+    val cands = catalog.labels.toSeq.sorted.filter { l =>
+      val cols = catalog.entity(l).df.columns.toSet
+      props.forall { case (k, _) => cols.contains(k) }
+    }
+    require(cands.nonEmpty,
+      s"no label has all inline properties of unlabeled node $varName")
+    val allAttrs = cands.flatMap(l => catalog.entity(l).df.columns).distinct
+    val branches = cands.map { l =>
+      val e = catalog.entity(l)
+      val have = e.df.columns.toSet
+      val cols =
+        Seq(lit(l).as(s"${varName}____label"),
+          concat_ws(":", lit(l), col(e.idCol).cast("string"))
+            .as(s"${varName}____nid")) ++
+          allAttrs.map(a =>
+            (if (have.contains(a)) col(a) else lit(null)).as(s"${varName}__$a"))
+      e.df.select(cols: _*)
+    }
+    val attrs = Seq("__nid", "__label") ++ allAttrs
+    val f = Frame(branches.reduce(_ unionByName _),
+      Map(varName -> NodeVar("*", "__nid", attrs)))
     applyProps(f, varName, props)
   }
 
@@ -252,8 +304,11 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
         }
       } yield l
       inferred.getOrElse {
-        // single-label catalogs make bare (n) unambiguous
+        // single-label catalogs make bare (n) unambiguous; a standalone
+        // unlabeled node becomes a pruned multi-label union scan ("*");
+        // traversal endpoints must stay typed (edge ids join per-label)
         if (catalog.labels.size == 1) catalog.labels.head
+        else if (rel.isEmpty) "*"
         else throw new IllegalArgumentException(
           s"cannot infer label for node ${np.variable.getOrElse("(anon)")} — " +
             s"add a label (registered: ${catalog.labels.mkString(", ")})")

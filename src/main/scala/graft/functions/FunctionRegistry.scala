@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.compiler.ExpressionCompiler
-import graft.parser.CypherAst.{Expr, StrLit}
+import graft.parser.CypherAst.{Expr, MapLit, StrLit}
 
 /** Cypher scalar/aggregate function registry — the Spark counterpart of
   * the reference's `ScalarFunctionRegistry`
@@ -49,6 +49,52 @@ object FunctionRegistry {
         percentile_approx(args.head, args(1), lit(1000000))
       case (other, _) => throw new IllegalArgumentException(s"unknown aggregate $other")
     }
+
+  // ----- duration type (temporal_functions.py:110-613) -----
+  // Represented as struct(months, days, micros) — the same three-field
+  // shape as Spark's CalendarInterval, so datetime ± duration lowers to
+  // a native make_interval addition (codegen'd, no UDF).
+
+  val DurationFields: Seq[String] = Seq("months", "days", "micros")
+
+  def isDurationType(t: DataType): Boolean = t match {
+    case st: StructType => st.fieldNames.toSeq == DurationFields
+    case _              => false
+  }
+
+  def durationStruct(months: Column, days: Column, micros: Column): Column =
+    struct(months.cast(LongType).as("months"), days.cast(LongType).as("days"),
+      micros.cast(LongType).as("micros"))
+
+  def durationToInterval(d: Column): Column =
+    make_interval(lit(0), d.getField("months").cast(IntegerType), lit(0),
+      d.getField("days").cast(IntegerType), lit(0), lit(0),
+      (d.getField("micros") / lit(1000000.0)).cast(DecimalType(18, 6)))
+
+  /** Comparison basis: months normalize to 30 days (the reference's
+    * estimation convention for ordering durations; exact calendar
+    * ordering is undefined for mixed-unit durations in openCypher).
+    */
+  def durationTotalMicros(d: Column): Column =
+    d.getField("months") * lit(2592000000000L) +
+      d.getField("days") * lit(86400000000L) + d.getField("micros")
+
+  private val IsoDuration = Pattern.compile(
+    """^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?""" +
+      """(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$""")
+
+  /** ISO-8601 duration string → (months, days, micros). */
+  def parseIsoDuration(s: String): (Long, Long, Long) = {
+    val m = IsoDuration.matcher(s.trim)
+    require(m.matches() && s.length > 1, s"bad ISO duration: $s")
+    def g(i: Int): Long = Option(m.group(i)).map(_.toLong).getOrElse(0L)
+    val secs = Option(m.group(7)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    val months = g(1) * 12 + g(2)
+    val days = g(3) * 7 + g(4)
+    val micros = g(5) * 3600000000L + g(6) * 60000000L +
+      (secs * 1000000).toLong
+    (months, days, micros)
+  }
 
   private val userFns =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Column] => Column]
@@ -212,7 +258,29 @@ object FunctionRegistry {
       case "timestamp"  => (unix_timestamp() * 1000)
       case "date.truncate" | "datetime.truncate" | "localdatetime.truncate" =>
         date_trunc(rawStr(raw.head).getOrElse("day"), a1)
-      case "duration" => a0 // ISO duration strings kept opaque (round 2)
+      case "duration" => raw.head match {
+        case StrLit(s) =>
+          val (m, d, us) = parseIsoDuration(s)
+          durationStruct(lit(m), lit(d), lit(us))
+        case MapLit(items) =>
+          val fields = items.toMap
+          def f(k: String, scale: Long): Column = fields.get(k)
+            .map(e => ec.compileEnv(e, env).cast(LongType) * lit(scale)).getOrElse(lit(0L))
+          durationStruct(
+            f("years", 12) + f("months", 1),
+            f("weeks", 7) + f("days", 1),
+            f("hours", 3600000000L) + f("minutes", 60000000L) +
+              f("seconds", 1000000L) + f("milliseconds", 1000L) +
+              f("microseconds", 1L))
+        case other => throw new IllegalArgumentException(
+          s"duration() needs an ISO string or unit map literal, got $other")
+      }
+      case "duration.between" =>
+        // pure elapsed time (micros), not calendar components — the
+        // reference's between() decomposes into months/days; ordering and
+        // arithmetic agree for the pure form
+        durationStruct(lit(0L), lit(0L),
+          unix_micros(a1.cast(TimestampType)) - unix_micros(a0.cast(TimestampType)))
 
       // ----- hash / encoding (__init__.py:971-1003)
       case "md5"    => md5(a0.cast(BinaryType))

@@ -69,20 +69,40 @@ object Streams {
              joinType: String = "left_outer"): DataFrame =
     stream.join(table, keys, joinType)
 
-  /** Incremental materialized view: upsert each micro-batch into an
-    * in-memory keyed store, queryable via `snapshot`. The changelog
-    * semantics of the reference's IncrementalView (views.py:21-185) map
-    * to Update output mode + per-batch merge; swap the apply function
-    * for a Delta MERGE INTO when a durable sink is wanted.
+  /** Incremental materialized view: each micro-batch is upserted by key
+    * into a versioned parquet store, queryable via `snapshot`. The
+    * changelog semantics of the reference's IncrementalView
+    * (views.py:21-185) map to Update output mode + per-batch keyed merge.
+    *
+    * State lives entirely in executor-written parquet — never on the
+    * driver heap — so the view is bounded by storage, not driver memory.
+    * The merge is anti-join(existing, batch-keys) ∪ batch: one shuffle on
+    * the key per batch. Versioned directories make the swap atomic for
+    * readers (a snapshot always reads a fully-committed version); the
+    * superseded version is pruned after commit. On a cluster with Delta
+    * available, `absorb` is the seam to replace with MERGE INTO, which
+    * prunes to matching files instead of rewriting the store.
     */
-  final class IncrementalView(keyCols: Seq[String]) {
-    private val state = new java.util.concurrent.ConcurrentHashMap[Seq[Any], Row]()
-    @volatile private var schema: org.apache.spark.sql.types.StructType = _
+  final class IncrementalView(keyCols: Seq[String],
+                              storeDir: String =
+                                java.nio.file.Files.createTempDirectory("graft_iv")
+                                  .toFile.getAbsolutePath) {
+    @volatile private var version = -1
+    private def path(v: Int) = s"$storeDir/v$v"
 
-    def absorb(batch: DataFrame): Unit = {
-      schema = batch.schema
-      batch.collect().foreach { r =>
-        state.put(keyCols.map(k => r.getAs[Any](k)), r)
+    def absorb(batch: DataFrame): Unit = synchronized {
+      val spark = batch.sparkSession
+      val merged =
+        if (version < 0) batch
+        else spark.read.parquet(path(version))
+          .join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          .unionByName(batch)
+      merged.write.mode("overwrite").parquet(path(version + 1))
+      version += 1
+      if (version > 0) { // prune the superseded version
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path(version - 1)), true)
       }
     }
 
@@ -92,9 +112,8 @@ object Streams {
         .foreachBatch((batch: DataFrame, _: Long) => absorb(batch))
 
     def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-      import scala.jdk.CollectionConverters._
-      val rows = state.values().asScala.toSeq
-      spark.createDataFrame(rows.asJava, schema)
+      require(version >= 0, "IncrementalView: no batch absorbed yet")
+      spark.read.parquet(path(version))
     }
   }
 

@@ -177,6 +177,38 @@ class CypherEngineSpec extends SparkSpec {
     assert(m == Map("Acme" -> Seq("Alice", "Bob"), "Globex" -> Seq()))
   }
 
+  test("unlabeled scan unions candidate labels; label predicate filters") {
+    val all = rows("MATCH (n) RETURN count(*) AS n")
+    assert(all.head.getLong(0) == 6L) // 4 persons + 2 companies
+    val persons = rows("MATCH (n) WHERE n:Person RETURN count(*) AS n")
+    assert(persons.head.getLong(0) == 4L)
+    // shared attribute resolves across labels; missing attrs are null
+    val named = rows(
+      "MATCH (n) WHERE n.name STARTS WITH 'A' RETURN n.name AS nm ORDER BY nm")
+    assert(named.map(_.getString(0)) == Seq("Acme", "Alice"))
+    // inline props prune candidates to labels having the attribute
+    val aged = rows("MATCH (n {age: 30}) RETURN n.name AS nm")
+    assert(aged.map(_.getString(0)) == Seq("Alice"))
+  }
+
+  test("duration arithmetic and comparison") {
+    val r = rows(
+      """RETURN duration('P1Y2M3DT4H5M6.5S').months AS months,
+                duration('P1W').days AS days,
+                (duration('PT1H') + duration('PT30M')).micros AS sum_us,
+                (duration({hours: 2}) - duration({minutes: 30})).micros AS diff_us,
+                duration('P1D') > duration('PT23H') AS gt,
+                duration('PT90M') = duration({hours: 1, minutes: 30}) AS eq,
+                toString(datetime('2024-01-31 00:00:00') + duration('P1M')) AS eom""")
+    val x = r.head
+    assert(x.getLong(0) == 14L)                 // 1Y2M
+    assert(x.getLong(1) == 7L)                  // 1W
+    assert(x.getLong(2) == 5400000000L)         // 1.5h
+    assert(x.getLong(3) == 5400000000L)         // 2h - 30m
+    assert(x.getBoolean(4) && x.getBoolean(5))
+    assert(x.getString(6) == "2024-02-29 00:00:00") // leap-year clamp
+  }
+
   test("parameters") {
     val r = rows("MATCH (p:Person) WHERE p.age > $minAge RETURN count(*) AS n",
       Map("minAge" -> 28))

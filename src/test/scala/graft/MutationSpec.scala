@@ -181,4 +181,66 @@ class MutationSpec extends SparkSpec {
     assert(eng.query("MATCH (:Person)-[:KNOWS]->(:Person) RETURN count(*) AS n")
       .collect().head.getLong(0) == 2L) // created
   }
+
+  test("anonymous CREATE node still writes (no silent no-op)") {
+    val eng = freshEngine
+    eng.execute("CREATE (:Person {name: 'Eve', age: 22})")
+    val r = eng.query(
+      "MATCH (p:Person {name: 'Eve'}) RETURN p.age AS age").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(22L))
+  }
+
+  test("CREATE chains relationships between consecutive nodes") {
+    val eng = freshEngine
+    eng.execute(
+      """CREATE (x:Person {name: 'X', age: 1})-[:KNOWS]->(y:Person {name: 'Y', age: 2})-[:KNOWS]->(z:Person {name: 'Z', age: 3})""")
+    val r = eng.query(
+      """MATCH (a:Person {name: 'Y'})-[:KNOWS]->(b:Person)
+         RETURN b.name AS n""").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("Z")) // Y->Z, not X->Z
+  }
+
+  test("relationship MERGE ON CREATE SET and ON MATCH SET arms") {
+    val eng = freshEngine
+    // Alice->Bob exists → ON MATCH fires; Bob->Carol is new → ON CREATE
+    eng.execute(
+      """MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'})
+         MERGE (a)-[k:KNOWS]->(b) ON CREATE SET k.via = 'created'
+         ON MATCH SET k.via = 'matched'""")
+    eng.execute(
+      """MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'})
+         MERGE (b)-[k:KNOWS]->(c) ON CREATE SET k.via = 'created'
+         ON MATCH SET k.via = 'matched'""")
+    val r = eng.query(
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+         RETURN a.name AS a, k.via AS via ORDER BY a""").collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("Alice", "matched"), ("Bob", "created")))
+  }
+
+  test("correlated CALL mid-query joins procedure rows per binding row") {
+    val eng = freshEngine
+    val r = eng.query(
+      """MATCH (p:Person) WHERE p.age > 28
+         CALL db.labels() YIELD label
+         RETURN p.name AS name, label ORDER BY name, label""").collect()
+    // 2 matched persons x 2 labels (Person, KNOWS-less catalog has Person only)
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("Alice", "Person"), ("Carol", "Person")))
+  }
+
+  test("DETACH DELETE scrubs relationship tables with undeclared labels") {
+    import spark.implicits._
+    val person = Seq((0L, "A"), (1L, "B")).toDF("__ID__", "name")
+    val likes = Seq((0L, 0L, 1L)).toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val cat = new GraphCatalog()
+      .addEntity("Person", person)
+      .addRelationship("LIKES", likes) // no src/dst labels declared
+    val eng = new CypherEngine(spark, cat)
+    eng.execute("MATCH (p:Person {name: 'B'}) DETACH DELETE p")
+    assert(eng.query("MATCH (p:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 1L)
+    // the dangling A->B edge must be gone despite undeclared labels
+    assert(eng.catalog.relationship("LIKES").df.count() == 0L)
+  }
 }
