@@ -37,8 +37,13 @@ object Bench {
           None
         }
         // drop checkpoint/persist blocks so one run's cached state can't
-        // skew the next run's GC profile
+        // skew the next run's GC profile, and force a collection so the
+        // allocation debt of heavy queries (exploded dedup indexes) is
+        // paid OUTSIDE the next query's timed region — without this,
+        // queries sequenced after the dedup block absorb its GC pauses
+        // (observed 5x swings on otherwise-steady plans)
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
         t
       }
       val dt = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)

@@ -190,7 +190,7 @@ object CypherQueries {
     // both ON MATCH and ON CREATE arms, then read the scratch label
     // back — the DuckDB oracle replays the same writes as CTAS/CASE
     "mu01_mutation_pipeline" -> ((spark, dir) => {
-      val eng = TpchGraph.engine(spark, dir)
+      val eng = TpchGraph.freshEngine(spark, dir) // mutates: never share
       eng.execute(
         """MATCH (r:Region) WHERE r.r_regionkey < 2
            CREATE (c:Colony {ckey: r.r_regionkey + 100, cname: r.r_name})""")

@@ -71,9 +71,14 @@ object PathExpand {
     require(rel.types.nonEmpty, "var-length requires a relationship type")
 
     // direction-adjusted, property-filtered edge set; [:A|B] alternation
-    // unions the per-type edge lists before the loop
-    val edges = rel.types.map(t => edgeSet(qc, catalog, rel, t, params))
+    // unions the per-type edge lists before the loop. Materialized ONCE
+    // when the loop iterates — otherwise every hop re-executes the edge
+    // derivation subtree (the standard iterative-graph pattern; GraphX
+    // caches its edge RDD the same way).
+    val edges0 = rel.types.map(t => edgeSet(qc, catalog, rel, t, params))
       .reduce(_ unionByName _)
+    val edges = if (maxHopsOpt.getOrElse(DefaultMaxHops) > 1)
+      edges0.localCheckpoint() else edges0
 
     val startLabel = cur.vars(fromVar) match {
       case NodeVar(l, _, _) => Some(l)

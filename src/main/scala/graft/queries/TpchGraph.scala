@@ -18,7 +18,18 @@ import graft.model.GraphCatalog
   */
 object TpchGraph {
 
-  def engine(spark: SparkSession, dir: String): CypherEngine = {
+  // One engine per (session, dir): parquet schema discovery plus the
+  // derived-edge analysis cost ~1.8 s per construction, which would
+  // otherwise be paid by every query. Mutating callers take
+  // `freshEngine` so catalog writes never leak across queries.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, CypherEngine]()
+
+  def engine(spark: SparkSession, dir: String): CypherEngine =
+    cache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir",
+      _ => freshEngine(spark, dir))
+
+  def freshEngine(spark: SparkSession, dir: String): CypherEngine = {
     val t = Tables(spark, dir)
     // Homogeneous Nation→Nation successor edges (n → n+1 and n → n+2,
     // keys kept within the table): the one edge type whose composition

@@ -122,6 +122,27 @@ class PipelineSpec extends SparkSpec {
     assert(problems.exists(_.contains("unknown query_id")))
   }
 
+  test("neo4j bulk-import CSV export: ID spaces, labels, rel types") {
+    import spark.implicits._
+    val person = Seq((1L, "Alice"), (2L, "Bob")).toDF("pid", "name")
+    val knows = Seq((1L, 2L)).toDF("src", "dst")
+    val cat = new graft.model.GraphCatalog()
+      .addEntity("Person", person, idCol = "pid")
+      .addRelationship("KNOWS", knows, srcCol = "src", dstCol = "dst",
+        srcLabel = Some("Person"), dstLabel = Some("Person"))
+    val out = tmpDir
+    val dirs = graft.etl.Neo4jSink.exportBulkCsv(cat, out)
+    assert(dirs.exists(_.endsWith("nodes_Person")) &&
+      dirs.exists(_.endsWith("rels_KNOWS")))
+    val nodes = spark.read.option("header", "true").csv(s"$out/nodes_Person")
+    assert(nodes.columns.contains("pid:ID(Person)") && nodes.columns.contains(":LABEL"))
+    assert(nodes.count() == 2)
+    val rels = spark.read.option("header", "true").csv(s"$out/rels_KNOWS")
+    assert(rels.columns.toSet ==
+      Set(":START_ID(Person)", ":END_ID(Person)", ":TYPE"))
+    assert(rels.head().getString(2) == "KNOWS")
+  }
+
   test("on_error: warn skips a broken source") {
     val dir = tmpDir
     writeFixtures(dir)

@@ -76,4 +76,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(c_mktsegment,MACHINERY"),
       s"inline prop not pushed:\n$p")
   }
+
+  test("multi-label scan: label predicate prunes non-matching branch scans") {
+    // n:Nation OR n:Region constant-folds per union branch — of the 8
+    // registered labels only 2 tables may survive in the physical plan
+    val df = TpchGraph.engine(spark, dir).query(
+      "MATCH (n) WHERE n:Nation OR n:Region RETURN n.__label AS l, count(*) AS c")
+    val p = plan(df)
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    assert(scans == 2, s"expected 2 surviving scans, got $scans:\n$p")
+  }
+
+  test("pattern comprehension compiles to one grouped collect + one join-back") {
+    val df = TpchGraph.engine(spark, dir).query(
+      """MATCH (r:Region)
+         RETURN r.r_name AS name, size([(n:Nation)-[:IN_REGION]->(r) | n.n_name]) AS k""")
+    val p = plan(df)
+    // a per-row subquery would show repeated aggregates; the hoisted form
+    // has exactly one collect_list aggregate pair (partial + final)
+    val collects = p.linesIterator.count(_.contains("collect_list"))
+    assert(collects > 0 && collects <= 4, s"unexpected collect_list count $collects:\n$p")
+    assert(p.contains("Join LeftOuter") || p.contains("LeftOuter"),
+      s"no left join-back:\n$p")
+  }
 }
