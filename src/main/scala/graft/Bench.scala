@@ -44,6 +44,7 @@ object Bench {
         // (observed 5x swings on otherwise-steady plans)
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         System.gc()
+        Thread.sleep(200) // let the context cleaner drain off the timed path
         t
       }
       val dt = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)

@@ -11,13 +11,16 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    val names = if (args.nonEmpty) args.toSeq else Seq("mu01_mutation_pipeline")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("dd02_minhash_lsh", "dd05_embedding_neardup", "cy30_shortestpath")
     names.foreach { name =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         println(f"[scratch] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+        Thread.sleep(200)
       }
     }
   }
