@@ -214,6 +214,24 @@ object CypherQueries {
       """MATCH (n) WHERE n:Nation OR n:Region
          RETURN n.__label AS label, count(*) AS cnt"""),
 
+    // cyclic back-reference: the closing (a) filters the far endpoint
+    // against the already-bound start id instead of rescanning
+    "cy31_cycle" -> run(
+      """MATCH (a:Nation)-[:NEXT_N]->(b:Nation)-[:PREV_N]->(a)
+         RETURN a.n_nationkey AS a_key, count(*) AS n"""),
+
+    // introspection: keys()/properties() of a node, labels as predicate
+    "cy32_introspection" -> run(
+      """MATCH (r:Region)
+         RETURN r.r_name AS name, size(keys(r)) AS nk,
+                r:Region AS is_region"""),
+
+    // trig/constants + utility scalars through the engine
+    "cy33_scalar_misc" -> run(
+      """UNWIND range(0, 5) AS i
+         RETURN i, round(sin(i) + cos(i) + pi() / e(), 6) AS trig,
+                coalesce(nullIf(i % 2, 0), -1) AS oddity"""),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -366,6 +384,20 @@ object CypherQueries {
       """SELECT 'Nation' AS label, count(*) AS cnt FROM nation
          UNION ALL
          SELECT 'Region' AS label, count(*) AS cnt FROM region""",
+    "cy31_cycle" ->
+      """WITH e AS (
+           SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+           FROM nation a JOIN nation b
+             ON b.n_nationkey = a.n_nationkey + 1
+             OR b.n_nationkey = a.n_nationkey + 2
+         )
+         SELECT src AS a_key, count(*) AS n FROM e GROUP BY 1""",
+    "cy32_introspection" ->
+      "SELECT r_name AS name, 2 AS nk, TRUE AS is_region FROM region",
+    "cy33_scalar_misc" ->
+      """SELECT i, round(sin(i) + cos(i) + pi() / exp(1), 6) AS trig,
+         coalesce(nullif(i % 2, 0), -1) AS oddity
+         FROM (SELECT unnest(range(0, 6)) AS i)""",
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

@@ -75,6 +75,10 @@ object TpchGraph {
       .addRelationship("NEXT_N", nextEdges,
         srcCol = "src", dstCol = "dst",
         srcLabel = Some("Nation"), dstLabel = Some("Nation"))
+      .addRelationship("PREV_N", nextEdges
+        .select(col("dst").as("src"), col("src").as("dst")),
+        srcCol = "src", dstCol = "dst",
+        srcLabel = Some("Nation"), dstLabel = Some("Nation"))
     new CypherEngine(spark, catalog)
   }
 }
