@@ -232,6 +232,13 @@ object CypherQueries {
          RETURN i, round(sin(i) + cos(i) + pi() / e(), 6) AS trig,
                 coalesce(nullIf(i % 2, 0), -1) AS oddity"""),
 
+    // untyped relationship: label-compatible types union (here
+    // NEXT_N ∪ PREV_N — the Nation→Nation pair); incompatible types are
+    // pruned at compile time, before any scan
+    "cy34_untyped_rel" -> run(
+      """MATCH (a:Nation)-[]->(b:Nation)
+         RETURN a.n_nationkey AS a_key, count(*) AS n"""),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -398,6 +405,17 @@ object CypherQueries {
       """SELECT i, round(sin(i) + cos(i) + pi() / exp(1), 6) AS trig,
          coalesce(nullif(i % 2, 0), -1) AS oddity
          FROM (SELECT unnest(range(0, 6)) AS i)""",
+    "cy34_untyped_rel" ->
+      """WITH e AS (
+           SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+           FROM nation a JOIN nation b
+             ON b.n_nationkey = a.n_nationkey + 1
+             OR b.n_nationkey = a.n_nationkey + 2
+         ),
+         both_dirs AS (
+           SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+         )
+         SELECT src AS a_key, count(*) AS n FROM both_dirs GROUP BY 1""",
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

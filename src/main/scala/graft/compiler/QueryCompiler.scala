@@ -317,6 +317,34 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
 
   private def compileHop(cur: Frame, fromVar: String, rel: RelPattern,
                          node: NodePattern): (Frame, String) = {
+    if (rel.types.isEmpty) {
+      // untyped -[r]-> matches every registered relationship type
+      // (pattern_matcher.py scans all rel frames); endpoint labels prune
+      // the candidate types before any table is touched — an
+      // incompatible declared src/dst label drops the branch at compile
+      // time, so the union only scans types that can bind.
+      val fromLabel = cur.vars(fromVar) match {
+        case NodeVar(l, _, _) => Some(l); case _ => None
+      }
+      val toLabel = node.labels.headOption
+      def compat(a: Option[String], b: Option[String]) =
+        (for { x <- a; y <- b } yield x == y).getOrElse(true)
+      val cands = catalog.relTypes.filter { t =>
+        val rd = catalog.relationship(t)
+        val fwdOk = compat(rd.srcLabel, fromLabel) && compat(rd.dstLabel, toLabel)
+        val bwdOk = compat(rd.dstLabel, fromLabel) && compat(rd.srcLabel, toLabel)
+        rel.direction match {
+          case "OUT"  => fwdOk
+          case "IN"   => bwdOk
+          case "BOTH" => fwdOk || bwdOk
+        }
+      }
+      require(cands.nonEmpty,
+        s"no relationship type connects ${fromLabel.getOrElse("?")} to ${toLabel.getOrElse("?")}")
+      val typed = rel.copy(types = cands)
+      return if (cands.size > 1) compileMultiTypeHop(cur, fromVar, typed, node)
+      else compileHop(cur, fromVar, typed, node)
+    }
     if (rel.types.size > 1) return compileMultiTypeHop(cur, fromVar, rel, node)
     val relType = rel.types.headOption.getOrElse(
       throw new IllegalArgumentException("relationship type required"))

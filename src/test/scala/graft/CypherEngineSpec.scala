@@ -177,6 +177,20 @@ class CypherEngineSpec extends SparkSpec {
     assert(m == Map("Acme" -> Seq("Alice", "Bob"), "Globex" -> Seq()))
   }
 
+  test("untyped relationship matches all compatible relationship types") {
+    // Person-[]->Person can only be KNOWS; Person-[]->Company only WORKS_FOR
+    val knows = rows(
+      "MATCH (a:Person {name: 'Alice'})-[]->(b:Person) RETURN b.name AS n")
+    assert(knows.map(_.getString(0)) == Seq("Bob"))
+    // unconstrained end label: union over KNOWS and WORKS_FOR
+    val all = rows(
+      "MATCH (a:Person {name: 'Alice'})-[r]->(b:Person) RETURN count(*) AS n")
+    assert(all.head.getLong(0) == 1L)
+    val companies = rows(
+      "MATCH (p:Person)-[]->(c:Company) RETURN count(*) AS n")
+    assert(companies.head.getLong(0) == 3L)
+  }
+
   test("unlabeled scan unions candidate labels; label predicate filters") {
     val all = rows("MATCH (n) RETURN count(*) AS n")
     assert(all.head.getLong(0) == 6L) // 4 persons + 2 companies
