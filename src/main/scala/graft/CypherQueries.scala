@@ -239,6 +239,21 @@ object CypherQueries {
       """MATCH (a:Nation)-[]->(b:Nation)
          RETURN a.n_nationkey AS a_key, count(*) AS n"""),
 
+    // WITH ... ORDER BY ... LIMIT mid-query, then continue matching:
+    // the top-k subframe drives the second MATCH
+    "cy35_with_topk_rematch" -> run(
+      """MATCH (c:Customer)
+         WITH c ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 10
+         MATCH (c)-[:PLACED]->(o:Order)
+         RETURN c.c_custkey AS custkey, count(o) AS n_orders"""),
+
+    // collect → UNWIND roundtrip preserves multiset semantics
+    "cy36_collect_unwind" -> run(
+      """MATCH (n:Nation)
+         WITH n.n_regionkey AS rk, collect(n.n_name) AS names
+         UNWIND names AS nm
+         RETURN rk, count(*) AS n"""),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -416,6 +431,15 @@ object CypherQueries {
            SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
          )
          SELECT src AS a_key, count(*) AS n FROM both_dirs GROUP BY 1""",
+    "cy35_with_topk_rematch" ->
+      """SELECT c_custkey AS custkey, count(*) AS n_orders
+         FROM (SELECT c_custkey FROM customer
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "cy36_collect_unwind" ->
+      """SELECT n_regionkey AS rk, count(*) AS n
+         FROM nation GROUP BY 1""",
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst
