@@ -254,6 +254,19 @@ object CypherQueries {
          UNWIND names AS nm
          RETURN rk, count(*) AS n"""),
 
+    // dedup-pipeline clustering: near-dup PAIRS → connected components
+    // (min-label propagation + pointer jumping). The +2-step nation
+    // graph splits into exactly two components (even / odd keys), so
+    // the oracle discriminates real propagation from id echo
+    "dd06_connected_components" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val nation = graft.queries.Tables(spark, dir).nation
+      val pairs = nation
+        .select(col("n_nationkey").as("id1"), (col("n_nationkey") + 2).as("id2"))
+        .join(nation.select(col("n_nationkey").as("id2")), Seq("id2"))
+      graft.operators.Components.connectedComponents(pairs, "id1", "id2")
+    }),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -440,6 +453,19 @@ object CypherQueries {
     "cy36_collect_unwind" ->
       """SELECT n_regionkey AS rk, count(*) AS n
          FROM nation GROUP BY 1""",
+    "dd06_connected_components" ->
+      """WITH RECURSIVE e AS (
+           SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+           FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 2
+         ),
+         und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         reach AS (
+           SELECT src AS id, src AS r FROM und
+           UNION
+           SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+         )
+         SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS comp
+         FROM reach GROUP BY 1""",
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

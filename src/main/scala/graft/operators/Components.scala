@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the clustering step that
+  * turns near-duplicate PAIRS (from Dedup.*Pairs) into duplicate
+  * GROUPS, so a corpus keeps one canonical document per component.
+  * The reference's ETL dedups row-wise; at corpus scale the standard
+  * pipeline is pairs → components → keep min-id representative.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping
+  * (label(v) ← min over neighbours' labels, then label(v) ←
+  * label(label(v))). The jump halves path lengths each round, so
+  * convergence is O(log diameter) rounds, not O(diameter) — each round
+  * is two hash-partitioned equi-joins plus a checkpoint (flat lineage),
+  * the same shape GraphX's connectedComponents lowers to. No driver
+  * collect; the convergence probe is a 1-row count of changed labels.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `pairs`; component is
+    * the minimum node id reachable through the pair graph.
+    */
+  def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
+                          maxIter: Int = 25): DataFrame = {
+    // undirected edge list, deduped once and pinned for the loop
+    val und = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
+      .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
+      .distinct().localCheckpoint()
+
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbour minimum
+      val nbrMin = und.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      val stepped = labels.join(nbrMin, col("id") === col("src"), "left_outer")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c1"))
+      // pointer jump: follow the label one more level
+      val next = stepped
+        .join(stepped.select(col("id").as("jid"), col("c1").as("jc")),
+          col("c1") === col("jid"), "left_outer")
+        .select(col("id"), coalesce(col("jc"), col("c1")).as("comp"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") =!= col("old")).limit(1).isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** One canonical (minimum-id) representative per component, plus the
+    * component size — the "keep one copy" output of a dedup pipeline.
+    */
+  def canonicalPerComponent(pairs: DataFrame, idCol1: String,
+                            idCol2: String): DataFrame =
+    connectedComponents(pairs, idCol1, idCol2)
+      .groupBy(col("comp").as("component"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_members"))
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Components, Dedup, Similarity, TextAnalysis}
 
 /** Training-data operator semantics on hand-built corpora where ground
   * truth is computable exactly.
@@ -46,6 +46,18 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
     assert(exact.exists(_._3 == 0))
+  }
+
+  test("connected components: pairs collapse to min-id clusters") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 3L))
+      .toDF("id1", "id2")
+    val comps = Components.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 5L -> 5L, 6L -> 5L))
+    val canon = Components.canonicalPerComponent(pairs, "id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canon == Set((1L, 1L, 4L), (5L, 5L, 2L)))
   }
 
   test("ngram jaccard matches hand-computed value") {
