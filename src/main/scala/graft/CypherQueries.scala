@@ -224,7 +224,8 @@ object CypherQueries {
     "cy32_introspection" -> run(
       """MATCH (r:Region)
          RETURN r.r_name AS name, size(keys(r)) AS nk,
-                r:Region AS is_region"""),
+                r:Region AS is_region, id(r) AS rid,
+                elementId(r) AS eid"""),
 
     // trig/constants + utility scalars through the engine
     "cy33_scalar_misc" -> run(
@@ -428,7 +429,9 @@ object CypherQueries {
          )
          SELECT src AS a_key, count(*) AS n FROM e GROUP BY 1""",
     "cy32_introspection" ->
-      "SELECT r_name AS name, 2 AS nk, TRUE AS is_region FROM region",
+      """SELECT r_name AS name, 2 AS nk, TRUE AS is_region,
+         r_regionkey AS rid, CAST(r_regionkey AS VARCHAR) AS eid
+         FROM region""",
     "cy33_scalar_misc" ->
       """SELECT i, round(sin(i) + cos(i) + pi() / exp(1), 6) AS trig,
          coalesce(nullif(i % 2, 0), -1) AS oddity

@@ -91,6 +91,16 @@ final class ExpressionCompiler(val frame: Frame, params: Map[String, Any]) {
       if n.equalsIgnoreCase("length") && frame.vars.get(v).exists(_.isInstanceOf[PathVar]) =>
       val PathVar(h) = frame.vars(v): @unchecked
       col(h)
+    // id(n) / elementId(n): the entity's identity column (this engine's
+    // ids are the natural keys, so id() is stable — unlike Neo4j's
+    // store-internal ids); elementId stringifies per openCypher
+    case FnCall(n, Seq(Variable(v)), _)
+      if (n.equalsIgnoreCase("id") || n.equalsIgnoreCase("elementId")) &&
+        frame.vars.get(v).exists {
+          case _: NodeVar | _: RelVar => true; case _ => false
+        } =>
+      val c = col(frame.idCol(v))
+      if (n.equalsIgnoreCase("elementId")) c.cast(StringType) else c
     case f @ FnCall(name, args, _) =>
       if (FunctionRegistry.isAggregate(name))
         throw new IllegalArgumentException(s"aggregate $name outside aggregation context")

@@ -174,7 +174,27 @@ object FunctionRegistry {
       case "ceil"     => ceil(a0).cast(DoubleType)
       case "floor"    => floor(a0).cast(DoubleType)
       case "round" =>
-        if (args.size > 1) round(a0, rawInt(raw(1))) else round(a0, 0)
+        // Neo4j 5.x: round(x[, precision[, mode]]) with seven rounding
+        // modes (reference module docstring :25-28). All modes compile
+        // to native column arithmetic on the scaled value.
+        if (args.size <= 1) round(a0, 0)
+        else if (args.size == 2) round(a0, rawInt(raw(1)))
+        else {
+          val p = rawInt(raw(1))
+          val s = lit(math.pow(10, p))
+          val y = abs(a0) * s
+          val mag = rawStr(raw(2)).getOrElse("HALF_UP").toUpperCase match {
+            case "HALF_UP"   => floor(y + 0.5)
+            case "HALF_DOWN" => when(y - floor(y) > 0.5, ceil(y)).otherwise(floor(y))
+            case "HALF_EVEN" => bround(y, 0)
+            case "UP"        => ceil(y)
+            case "DOWN"      => floor(y)
+            case "CEILING"   => when(a0 >= 0, ceil(y)).otherwise(floor(y))
+            case "FLOOR"     => when(a0 >= 0, floor(y)).otherwise(ceil(y))
+            case other => throw new IllegalArgumentException(s"round mode $other")
+          }
+          signum(a0) * mag / s
+        }
       case "sign"     => signum(a0)
       case "sqrt"     => sqrt(a0)
       case "cbrt"     => cbrt(a0)

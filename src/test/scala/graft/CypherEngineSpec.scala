@@ -205,6 +205,18 @@ class CypherEngineSpec extends SparkSpec {
     assert(aged.map(_.getString(0)) == Seq("Alice"))
   }
 
+  test("round with Neo4j rounding modes") {
+    val r = rows(
+      """RETURN round(2.5, 0, 'HALF_UP') AS a, round(2.5, 0, 'HALF_DOWN') AS b,
+                round(2.5, 0, 'HALF_EVEN') AS c, round(1.4, 0, 'UP') AS d,
+                round(1.6, 0, 'DOWN') AS e2, round(-1.4, 0, 'CEILING') AS f,
+                round(-1.4, 0, 'FLOOR') AS g, round(-2.5, 0, 'HALF_UP') AS h""")
+    val x = r.head
+    assert((x.getDouble(0), x.getDouble(1), x.getDouble(2), x.getDouble(3),
+      x.getDouble(4), x.getDouble(5), x.getDouble(6), x.getDouble(7)) ==
+      ((3.0, 2.0, 2.0, 2.0, 1.0, -1.0, -2.0, -3.0)))
+  }
+
   test("duration arithmetic and comparison") {
     val r = rows(
       """RETURN duration('P1Y2M3DT4H5M6.5S').months AS months,
