@@ -756,8 +756,24 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     val ec = new ExpressionCompiler(fr, params)
     val hasAgg = items.exists(i => containsAgg(i.expr))
 
+    // openCypher: a non-aggregating projection's ORDER BY may reference
+    // the pre-projection scope (RETURN p.name ORDER BY p.age). Such
+    // expressions are carried through as hidden sort-key columns and
+    // dropped after the sort. With aggregation or DISTINCT the input
+    // scope is gone/cardinality-bearing, so only projected aliases sort.
+    val aliasSet: Set[String] =
+      items.map(i => i.alias.getOrElse(defaultAlias(i.expr))).toSet
+    val hidden: Seq[(String, Expr)] =
+      if (!hasAgg && !proj.distinct && proj.orderBy.nonEmpty)
+        proj.orderBy.zipWithIndex.collect {
+          case (oi, i) if !freeVars(oi.expr).subsetOf(aliasSet) =>
+            (s"__sortkey_$i", oi.expr)
+        }
+      else Seq.empty
+    val itemsWithHidden = items ++ hidden.map { case (n, e) => ReturnItem(e, Some(n)) }
+
     var out: Frame =
-      if (!hasAgg) projectPlain(fr, items, ec, keepEntities)
+      if (!hasAgg) projectPlain(fr, itemsWithHidden, ec, keepEntities)
       else projectAgg(fr, items, ec, keepEntities)
 
     where.foreach { w => out = applyWhere(out, w) }
@@ -765,8 +781,9 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
 
     if (proj.orderBy.nonEmpty) {
       val oec = new ExpressionCompiler(out, params)
-      val sortCols = proj.orderBy.map { oi =>
-        val c = oec.compile(oi.expr)
+      val sortCols = proj.orderBy.zipWithIndex.map { case (oi, i) =>
+        val c = if (out.df.columns.contains(s"__sortkey_$i")) col(s"__sortkey_$i")
+          else oec.compile(oi.expr)
         // Cypher/Neo4j null placement: last in ASC, first in DESC.
         if (oi.descending) c.desc_nulls_first else c.asc_nulls_last
       }
@@ -774,6 +791,8 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     }
     proj.skip.foreach { e => out = out.copy(df = out.df.offset(constInt(e))) }
     proj.limit.foreach { e => out = out.copy(df = out.df.limit(constInt(e))) }
+    if (hidden.nonEmpty)
+      out = Frame(out.df.drop(hidden.map(_._1): _*), out.vars -- hidden.map(_._1))
     out
   }
 

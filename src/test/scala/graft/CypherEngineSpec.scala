@@ -205,6 +205,17 @@ class CypherEngineSpec extends SparkSpec {
     assert(aged.map(_.getString(0)) == Seq("Alice"))
   }
 
+  test("ORDER BY can reference non-projected properties") {
+    val r = rows("MATCH (p:Person) RETURN p.name AS name ORDER BY p.age DESC")
+    assert(r.map(_.getString(0)) == Seq("Carol", "Alice", "Dan", "Bob"))
+    assert(r.head.schema.fieldNames.toSeq == Seq("name")) // sort key dropped
+    // mixed: alias + underlying property
+    val r2 = rows(
+      """MATCH (p:Person) RETURN p.dept AS dept, p.name AS name
+         ORDER BY dept, p.age DESC""")
+    assert(r2.map(_.getString(1)) == Seq("Alice", "Bob", "Carol", "Dan"))
+  }
+
   test("round with Neo4j rounding modes") {
     val r = rows(
       """RETURN round(2.5, 0, 'HALF_UP') AS a, round(2.5, 0, 'HALF_DOWN') AS b,
