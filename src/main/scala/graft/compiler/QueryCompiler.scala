@@ -754,7 +754,7 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     val items = items0.zip(rewritten).map { case (it, e) => it.copy(expr = e) }
 
     val ec = new ExpressionCompiler(fr, params)
-    val hasAgg = items.exists(i => containsAgg(i.expr))
+    val hasAggItems = items.exists(i => containsAgg(i.expr))
 
     // openCypher: a non-aggregating projection's ORDER BY may reference
     // the pre-projection scope (RETURN p.name ORDER BY p.age). Such
@@ -763,18 +763,34 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     // scope is gone/cardinality-bearing, so only projected aliases sort.
     val aliasSet: Set[String] =
       items.map(i => i.alias.getOrElse(defaultAlias(i.expr))).toSet
+    // An ORDER BY expression resolves, in order: (a) structurally equal
+    // to a projected item → its alias; (b) over projected aliases only →
+    // compiled post-projection; (c) otherwise → carried through as a
+    // hidden sort-key column (pre-projection scope for plain
+    // projections, an extra aggregate for aggregating ones) and dropped
+    // after the sort. DISTINCT forbids (c): the key would change
+    // cardinality.
+    def projectedAlias(e: Expr): Option[String] =
+      items.collectFirst { case it if it.expr == e =>
+        it.alias.getOrElse(defaultAlias(it.expr)) }
+    def needsHidden(e: Expr): Boolean =
+      projectedAlias(e).isEmpty &&
+        (if (hasAggItems) containsAgg(e)
+         else containsAgg(e) || !freeVars(e).subsetOf(aliasSet))
     val hidden: Seq[(String, Expr)] =
-      if (!hasAgg && !proj.distinct && proj.orderBy.nonEmpty)
+      if (!proj.distinct && proj.orderBy.nonEmpty)
         proj.orderBy.zipWithIndex.collect {
-          case (oi, i) if !freeVars(oi.expr).subsetOf(aliasSet) =>
-            (s"__sortkey_$i", oi.expr)
+          case (oi, i) if needsHidden(oi.expr) => (s"__sortkey_$i", oi.expr)
         }
       else Seq.empty
     val itemsWithHidden = items ++ hidden.map { case (n, e) => ReturnItem(e, Some(n)) }
+    // an aggregate appearing only in ORDER BY still makes the projection
+    // aggregate, with the projected items as the grouping keys
+    val hasAgg = hasAggItems || hidden.exists { case (_, e) => containsAgg(e) }
 
     var out: Frame =
       if (!hasAgg) projectPlain(fr, itemsWithHidden, ec, keepEntities)
-      else projectAgg(fr, items, ec, keepEntities)
+      else projectAgg(fr, itemsWithHidden, ec, keepEntities)
 
     where.foreach { w => out = applyWhere(out, w) }
     if (proj.distinct) out = out.copy(df = out.df.distinct())
@@ -782,8 +798,9 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     if (proj.orderBy.nonEmpty) {
       val oec = new ExpressionCompiler(out, params)
       val sortCols = proj.orderBy.zipWithIndex.map { case (oi, i) =>
-        val c = if (out.df.columns.contains(s"__sortkey_$i")) col(s"__sortkey_$i")
-          else oec.compile(oi.expr)
+        val c =
+          if (out.df.columns.contains(s"__sortkey_$i")) col(s"__sortkey_$i")
+          else projectedAlias(oi.expr).map(col).getOrElse(oec.compile(oi.expr))
         // Cypher/Neo4j null placement: last in ASC, first in DESC.
         if (oi.descending) c.desc_nulls_first else c.asc_nulls_last
       }

@@ -216,6 +216,19 @@ class CypherEngineSpec extends SparkSpec {
     assert(r2.map(_.getString(1)) == Seq("Alice", "Bob", "Carol", "Dan"))
   }
 
+  test("ORDER BY aggregate expressions, projected or not") {
+    // projected aggregate referenced by expression
+    val r = rows(
+      "MATCH (p:Person) RETURN p.dept AS d, count(*) AS n ORDER BY count(*) DESC, d")
+    assert(r.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("eng", 2L), ("sales", 2L)))
+    // unprojected aggregate becomes a hidden sort key
+    val r2 = rows(
+      "MATCH (p:Person) RETURN p.dept AS d ORDER BY avg(p.age) DESC")
+    assert(r2.map(_.getString(0)) == Seq("sales", "eng"))
+    assert(r2.head.schema.fieldNames.toSeq == Seq("d"))
+  }
+
   test("round with Neo4j rounding modes") {
     val r = rows(
       """RETURN round(2.5, 0, 'HALF_UP') AS a, round(2.5, 0, 'HALF_DOWN') AS b,
