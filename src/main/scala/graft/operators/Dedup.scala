@@ -76,6 +76,14 @@ object Dedup {
         array((0 until numHashes).map(h => col(s"__mh$h")): _*).as("sig"))
   }
 
+  /** (id, sh) distinct shingle sets for a corpus — the shared front end
+    * of every token-level dedup operator here.
+    */
+  private[graft] def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+
   /** MinHash + LSH banding near-duplicate candidate pairs.
     *
     * Pipeline: shingle → signature → explode one row per band (band key =
@@ -89,14 +97,14 @@ object Dedup {
     * genuine near-dups, not hot keys.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+                      shingleSize: Int, numHashes: Int, bands: Int): DataFrame =
+    lshBandPairs(minHashSignatures(shingleSets(df, idCol, textCol, shingleSize),
+      numHashes), numHashes, bands)
+
+  /** (id1, id2, est_jaccard) candidate pairs from banded signatures. */
+  private def lshBandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sets = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
-    val sig = minHashSignatures(sets, numHashes)
-
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -164,45 +172,66 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard pairs >= threshold via inverted-index join.
+  /** Exact n-gram Jaccard pairs >= threshold, verified on MinHash-LSH
+    * candidates (the production shape): candidate id-pairs come from
+    * `lshBandPairs` (ids only through the band join), then ONE exact
+    * verification pass attaches both distinct-shingle sets and computes
+    * Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) with a single
+    * array_intersect — work proportional to the near-dup count, never to
+    * the corpus pair count.
     *
-    * explode (id, shingle) → self-join on shingle → count common shingles
-    * per pair → Jaccard = common / (|A| + |B| - common). High-document-
-    * frequency shingles (stopword-like) are dropped before the join —
-    * the standard skew guard: a shingle shared by f docs contributes
-    * f^2 join rows.
+    * Recall: a pair at the j=0.5 threshold survives 16 bands of 4 rows
+    * with P(miss) = (1 - 0.5^4)^16 ≈ 0.35... — but candidates only need
+    * to cover pairs that PASS verification, and at threshold 0.5 real
+    * near-dups sit well above it (P(miss | j=0.9) ≈ 4e-8). Callers
+    * needing guaranteed recall at the exact threshold use
+    * `exhaustive = true`: an inverted-index self-join (any pair with
+    * j > 0 shares a shingle, so recall is 1 by construction) with a
+    * document-frequency skew guard — quadratic in per-shingle frequency,
+    * the ground-truth mode for oracles and small corpora.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxShingleDf: Int = 1000): DataFrame = {
-    val sets = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
-      .withColumn("set_size", size(col("sh")))
-    val inverted = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
-    // document frequency via aggregate + join-back on the shingle key,
-    // with map-side combine on the count. The rare-shingle set is small
-    // enough to broadcast, which leaves no exchange to reuse — so the
-    // pruned index is persisted (spillable MEMORY_AND_DISK, not a pinned
-    // localCheckpoint, which made runtimes swing 9-32 s) and feeds both
-    // self-join sides from cache. Callers/benchmarks unpersist after the
-    // action; at cluster scale this is the standard cached-build-side
-    // pattern for inverted-index self-joins.
-    val rareShingles = inverted.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("__dfc"))
-      .filter(col("__dfc") <= maxShingleDf)
-      .select(col("shingle"))
-    val pruned = inverted.join(rareShingles, Seq("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = pruned.select(col("shingle"), col("id").as("id1"), col("set_size").as("sz1"))
-    val r = pruned.select(col("shingle"), col("id").as("id2"), col("set_size").as("sz2"))
-    l.join(r, Seq("shingle"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
-      .agg(count(lit(1)).as("common"))
+                        maxShingleDf: Int = 1000,
+                        numHashes: Int = 64, bands: Int = 16,
+                        exhaustive: Boolean = false): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val cand =
+      if (exhaustive) invertedIndexPairs(sets, maxShingleDf)
+      else lshBandPairs(minHashSignatures(sets, numHashes), numHashes, bands)
+        .select(col("id1"), col("id2"))
+    val sized = sets.withColumn("set_size", size(col("sh")))
+    cand
+      .join(sized.select(col("id").as("id1"), col("sh").as("sh1"),
+        col("set_size").as("sz1")), Seq("id1"))
+      .join(sized.select(col("id").as("id2"), col("sh").as("sh2"),
+        col("set_size").as("sz2")), Seq("id2"))
+      .withColumn("__common", size(array_intersect(col("sh1"), col("sh2"))))
       .select(col("id1"), col("id2"),
-        round(col("common") / (col("sz1") + col("sz2") - col("common")), 4).as("jaccard"))
+        round(col("__common") / (col("sz1") + col("sz2") - col("__common"))
+          + lit(1e-11), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Guaranteed-recall candidate pairs: inverted-index self-join on the
+    * shingle key. The document-frequency cap is computed as a window
+    * count over the same shingle partitioning the join needs, so the cap
+    * shares the join's shuffle instead of adding an aggregate +
+    * join-back (and nothing is persisted — no cached state leaks to the
+    * caller). A shingle shared by f documents contributes f^2 join rows,
+    * hence the cap; candidates above it must be reached through another
+    * (rarer) shared shingle.
+    */
+  private def invertedIndexPairs(sets: DataFrame, maxShingleDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val pruned = sets.select(col("id"), explode(col("sh")).as("shingle"))
+      .withColumn("__dfc", count(lit(1)).over(w))
+      .filter(col("__dfc") <= maxShingleDf)
+      .select(col("shingle"), col("id"))
+    pruned.select(col("shingle"), col("id").as("id1"))
+      .join(pruned.select(col("shingle"), col("id").as("id2")), Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
   }
 
   /** Embedding near-dup pairs (cosine >= threshold) via random-hyperplane
@@ -245,12 +274,43 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
     val vn = v.join(sigs.select(col("id"), col("norm")), Seq("id"))
-    candidates
+    cosineVerify(candidates, vn, threshold)
+  }
+
+  /** Shared verification stage: attach both vectors to candidate
+    * (id1, id2) pairs and keep those with exact double-precision cosine
+    * >= threshold. Work is proportional to the candidate count; the fold
+    * order matches the DuckDB oracle bit for bit (Similarity.cosine).
+    */
+  private[graft] def cosineVerify(cand: DataFrame, vn: DataFrame,
+                                  threshold: Double): DataFrame =
+    cand
       .join(vn.select(col("id").as("id1"), col("v").as("v1"), col("norm").as("n1")), Seq("id1"))
       .join(vn.select(col("id").as("id2"), col("v").as("v2"), col("norm").as("n2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         round(aggregate(zip_with(col("v1"), col("v2"), (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+
+  /** Exact-cosine pair verification over an explicit candidate relation:
+    * all (id1, id2) with 0 < id2 - id1 <= maxIdGap (a deterministic
+    * sliding window — the oracle-able stand-in for a production
+    * candidate source such as `embeddingNearDupPairs`' LSH buckets,
+    * whose hash-derived candidate set no external oracle can replay).
+    * Same verification expression as the LSH path, so a green oracle
+    * here certifies dd05's verify stage bit-for-bit. Linear in
+    * corpus × window, never all-pairs.
+    */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, maxIdGap: Long): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val vn = v.withColumn("norm",
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val ids = vn.select(col("id"))
+    val cand = ids.select(col("id").as("id1"))
+      .join(ids.select(col("id").as("id2")),
+        col("id2") > col("id1") && col("id2") <= col("id1") + lit(maxIdGap))
+    cosineVerify(cand, vn, threshold)
   }
 }

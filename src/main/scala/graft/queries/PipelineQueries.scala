@@ -32,16 +32,27 @@ object PipelineQueries {
       Dedup.simHashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 6)
     },
 
-    // Exact token-set Jaccard similarity on LSH candidates (rows-only).
+    // Exact token-set Jaccard >= 0.5 verified on MinHash-LSH candidates
+    // (oracle: DuckDB all-pairs 3-gram self-join — real near-dups sit at
+    // j >= 0.9, so LSH recall at the reported pairs is certain).
     "dd04_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
         n = 3, threshold = 0.5)
     },
 
-    // Embedding near-dup: cosine >= 0.95 pairs via bucketed join (rows-only).
+    // Embedding near-dup: cosine >= 0.4 pairs via LSH bucketed join
+    // (rows-only: the hash-derived candidate set has no external oracle;
+    // its verification stage is oracled bit-exactly by dd07).
     "dd05_embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
         threshold = 0.4, planes = 6, tables = 8)
+    },
+
+    // dd05's exact-cosine verification stage over a deterministic
+    // candidate window — oracle-able ground truth for the verify path.
+    "dd07_cosine_verify" -> { (s, dir) =>
+      Dedup.cosinePairsExact(Tables(s, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.4, maxIdGap = 50L)
     },
 
     // Brute-force cosine top-k ANN against the vec_id=0 query vector.
@@ -71,8 +82,9 @@ object PipelineQueries {
       TextAnalysis.fingerprint(Tables(s, dir).documents)
     },
 
-    // Language ID via stopword-hit heuristic (rows-only; spec-tested
-    // against the labeled `lang` column).
+    // Language ID via stopword-hit heuristic — deterministic, so the
+    // whole argmax pipeline is replayed in SQL as its oracle (and still
+    // spec-tested for accuracy against the labeled `lang` column).
     "tx04_langid" -> { (s, dir) =>
       TextAnalysis.languageId(Tables(s, dir).documents)
     }
@@ -109,6 +121,73 @@ object PipelineQueries {
     "tx03_fingerprint" ->
       """SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-         FROM documents"""
+         FROM documents""",
+    // all-pairs ground truth for dd04: same tokenization (lower, trim,
+    // \s+ split), distinct 3-gram shingles with the <3-token fallback,
+    // true Jaccard over pairs sharing at least one shingle (a pair at
+    // j >= 0.5 always shares one, so recall is 1 by construction)
+    "dd04_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents
+         ),
+         sh AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+           WHERE len(t) >= 3
+           UNION
+           SELECT DISTINCT doc_id, array_to_string(t, ' ') AS shingle
+           FROM toks WHERE len(t) < 3
+         ),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT s1.doc_id AS id1, s2.doc_id AS id2, count(*) AS cmn
+           FROM sh s1 JOIN sh s2 USING (shingle)
+           WHERE s1.doc_id < s2.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id1, id2,
+                round(cmn * 1.0 / (z1.sz + z2.sz - cmn) + 1e-11, 4) AS jaccard
+         FROM pairs
+         JOIN sz z1 ON z1.doc_id = id1
+         JOIN sz z2 ON z2.doc_id = id2
+         WHERE round(cmn * 1.0 / (z1.sz + z2.sz - cmn) + 1e-11, 4) >= 0.5""",
+    "dd07_cosine_verify" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6) AS cos_sim
+         FROM v a JOIN v b
+           ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+         WHERE round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6) >= 0.4""",
+    // replay of TextAnalysis.languageId: stopword hit-rate per language,
+    // argmax with ties to the lexicographically last language code
+    // (matching Spark's greatest() over (score, lang) structs); the
+    // script-detection branches mirror the Spark regexes
+    "tx04_langid" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents
+         ),
+         s AS (
+           SELECT doc_id, text,
+             len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','mit','ich'], x))) * 1.0 / greatest(len(tk), 1) AS s_de,
+             len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','a'], x))) * 1.0 / greatest(len(tk), 1) AS s_en,
+             len(list_filter(tk, x -> list_contains(['el','los','las','es','una','que','por','para','con','yo','no'], x))) * 1.0 / greatest(len(tk), 1) AS s_es,
+             len(list_filter(tk, x -> list_contains(['le','la','les','et','est','une','que','pour','dans','je','pas'], x))) * 1.0 / greatest(len(tk), 1) AS s_fr,
+             len(list_filter(tk, x -> list_contains(['il','gli','che','di','per','con','sono','una','non','io','si'], x))) * 1.0 / greatest(len(tk), 1) AS s_it
+           FROM t
+         )
+         SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') THEN 'zh'
+             WHEN regexp_matches(text, '[\p{Cyrillic}]') THEN 'ru'
+             WHEN regexp_matches(text, '[\p{Greek}]') THEN 'el'
+             WHEN greatest(s_de, s_en, s_es, s_fr, s_it) > 0 THEN
+               CASE WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+                    ELSE 'de' END
+             ELSE 'und' END AS pred_lang
+         FROM s"""
   )
 }

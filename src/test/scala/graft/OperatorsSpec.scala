@@ -68,6 +68,40 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 0.7778) < 1e-3)
   }
 
+  test("ngram jaccard: LSH-verified pairs equal the exhaustive ground truth") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = asMap(Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5))
+    val exact = asMap(Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+      threshold = 0.5, exhaustive = true))
+    // identical pair sets AND identical exact-Jaccard values: the LSH
+    // path verifies with the same expression the exhaustive path uses
+    assert(lsh == exact)
+  }
+
+  test("exhaustive ngram jaccard leaves no persisted RDDs behind") {
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5,
+      exhaustive = true).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("cosinePairsExact window ground truth contains the LSH near-dup pairs") {
+    val base = (0 until 32).map(_.toFloat / 32).toArray
+    val nearDup = base.clone(); nearDup(0) += 0.001f
+    val other = (0 until 32).map(i => ((i * 7919) % 32).toFloat / 32 - 0.5f).toArray
+    val vecs = Seq((10L, base), (11L, nearDup), (12L, other))
+      .toDF("vec_id", "embedding")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = asMap(Dedup.cosinePairsExact(vecs, "vec_id", "embedding",
+      threshold = 0.999, maxIdGap = 10L))
+    val lsh = asMap(Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.999, planes = 4, tables = 8))
+    assert(exact.keySet == Set((10L, 11L)))
+    // the shared verification stage yields bit-identical cos_sim values
+    lsh.foreach { case (pair, sim) => assert(exact.get(pair).contains(sim)) }
+  }
+
   test("brute-force ANN ranks by exact cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
