@@ -47,16 +47,24 @@ object Bench {
         Thread.sleep(200) // let the context cleaner drain off the timed path
         t
       }
-      val dt = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      name -> dt
+      // LOWER median — times.size / 2 is the MAX for even repeat counts
+      // (the driver runs repeats=2), which reported one-off GC spikes as
+      // the steady-state number
+      val dt = if (times.isEmpty) -1.0 else times.sorted.apply((times.size - 1) / 2)
+      name -> (dt, times.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query [min, median, max] so artifacts record run-to-run spread
+    // instead of a single sample that can't be reconciled later
+    val spread = results.collect { case (k, (_, ts)) if ts.nonEmpty =>
+      s"\"" + k + "\":[" + ts.head + "," + ts.apply((ts.size - 1) / 2) + "," + ts.last + "]"
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
     }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
