@@ -70,40 +70,92 @@ object Streams {
     stream.join(table, keys, joinType)
 
   /** Incremental materialized view: each micro-batch is upserted by key
-    * into a versioned parquet store, queryable via `snapshot`. The
+    * into a hash-bucketed parquet store, queryable via `snapshot`. The
     * changelog semantics of the reference's IncrementalView
     * (views.py:21-185) map to Update output mode + per-batch keyed merge.
     *
     * State lives entirely in executor-written parquet — never on the
-    * driver heap — so the view is bounded by storage, not driver memory.
-    * The merge is anti-join(existing, batch-keys) ∪ batch: one shuffle on
-    * the key per batch. Versioned directories make the swap atomic for
-    * readers (a snapshot always reads a fully-committed version); the
-    * superseded version is pruned after commit. On a cluster with Delta
-    * available, `absorb` is the seam to replace with MERGE INTO, which
-    * prunes to matching files instead of rewriting the store.
+    * driver heap — and the per-batch write cost is O(delta), not O(state):
+    * rows are bucketed by `pmod(hash(key), numBuckets)` and a micro-batch
+    * rewrites ONLY the buckets its keys hash into. A tiny driver-side
+    * manifest (bucket → directory, at most `numBuckets` entries) plays
+    * the role of Delta's transaction log: committing a batch atomically
+    * swaps the touched buckets' entries to the freshly-written delta
+    * directory while untouched buckets keep pointing at their existing
+    * files, which are never re-read or re-written. This is the same
+    * file-pruning shape Delta's MERGE INTO produces, without requiring
+    * Delta on the classpath.
+    *
+    * Reader safety: a `snapshot` is a lazy DataFrame pinned to the file
+    * paths of the manifest current at call time. Retention keeps every
+    * file referenced by the current OR the immediately-previous manifest,
+    * so a snapshot taken before a batch remains executable after it; only
+    * files last referenced two versions ago are pruned.
     */
   final class IncrementalView(keyCols: Seq[String],
+                              numBuckets: Int = 64,
                               storeDir: String =
                                 java.nio.file.Files.createTempDirectory("graft_iv")
                                   .toFile.getAbsolutePath) {
     @volatile private var version = -1
-    private def path(v: Int) = s"$storeDir/v$v"
+    // version -> (bucket -> leaf directory holding that bucket's rows)
+    private var manifests = Map.empty[Int, Map[Int, String]]
+    private def deltaDir(v: Int) = s"$storeDir/delta_v$v"
+    private def bucketExpr: Column =
+      pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
-    def absorb(batch: DataFrame): Unit = synchronized {
-      val spark = batch.sparkSession
-      val merged =
-        if (version < 0) batch
-        else spark.read.parquet(path(version))
-          .join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-          .unionByName(batch)
-      merged.write.mode("overwrite").parquet(path(version + 1))
-      version += 1
-      if (version > 0) { // prune the superseded version
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(path(version - 1)), true)
+    private[graft] def currentManifest: Map[Int, String] = synchronized {
+      if (version < 0) Map.empty else manifests(version)
+    }
+
+    def absorb(batch0: DataFrame): Unit = synchronized {
+      val spark = batch0.sparkSession
+      val batch = batch0.withColumn("__bucket", bucketExpr).persist()
+      try {
+        // ≤ numBuckets ints — bounded driver action, independent of data size
+        val touched =
+          batch.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
+        if (touched.nonEmpty) {
+          val current =
+            if (version < 0) Map.empty[Int, String] else manifests(version)
+          val existingPaths = touched.toSeq.sorted.flatMap(current.get)
+          val merged =
+            if (existingPaths.isEmpty) batch
+            else spark.read.parquet(existingPaths: _*)
+              // partitionBy strips __bucket from the files; re-derive it
+              .withColumn("__bucket", bucketExpr)
+              .join(batch.select(keyCols.map(col): _*).distinct(),
+                    keyCols, "left_anti")
+              .unionByName(batch)
+          // only partitions present in `merged` — i.e. touched buckets —
+          // materialize under the new delta directory
+          merged.write.mode("overwrite").partitionBy("__bucket")
+            .parquet(deltaDir(version + 1))
+          val next = current ++
+            touched.map(b => b -> s"${deltaDir(version + 1)}/__bucket=$b")
+          version += 1
+          manifests += version -> next
+          prune(spark)
+        }
+      } finally { batch.unpersist(); () }
+    }
+
+    /** Delete files last referenced two manifests ago (ADVICE: snapshots
+      * pinned to the previous version must stay readable).
+      */
+    private def prune(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val live = manifests(version).values.toSet ++
+        manifests.getOrElse(version - 1, Map.empty).values.toSet
+      val obsolete = manifests.collect {
+        case (v, m) if v < version - 1 => m.values
+      }.flatten.toSet -- live
+      if (obsolete.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(storeDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        obsolete.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
       }
+      manifests = manifests.filter { case (v, _) => v >= version - 1 }
     }
 
     /** Attach as a foreachBatch sink on an Update-mode aggregation. */
@@ -111,9 +163,9 @@ object Streams {
       ds.writeStream.outputMode(OutputMode.Update())
         .foreachBatch((batch: DataFrame, _: Long) => absorb(batch))
 
-    def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame = synchronized {
       require(version >= 0, "IncrementalView: no batch absorbed yet")
-      spark.read.parquet(path(version))
+      spark.read.parquet(manifests(version).values.toSeq.distinct.sorted: _*)
     }
   }
 

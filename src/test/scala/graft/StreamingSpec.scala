@@ -95,6 +95,38 @@ class StreamingSpec extends SparkSpec {
     assert(snap("click") == 4L && snap("view") == 2L)
   }
 
+  test("incremental view rewrites only touched buckets; old snapshot survives") {
+    val view = new Streams.IncrementalView(Seq("k"), numBuckets = 16)
+    def bucketOf(k: String): Int =
+      spark.range(1).select(pmod(hash(lit(k)), lit(16))).head.getInt(0)
+    // pick two keys landing in different buckets so batch 2 leaves one alone
+    val ks = ('a' to 'z').map(_.toString)
+    val kA = ks.head
+    val kB = ks.find(k => bucketOf(k) != bucketOf(kA)).get
+
+    view.absorb(Seq((kA, 1L), (kB, 10L)).toDF("k", "n"))
+    val snapV0 = view.snapshot(spark)
+    val dirB = new java.io.File(view.currentManifest(bucketOf(kB)))
+    def bucketFiles(d: java.io.File): Map[String, (Long, Long)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val filesB = bucketFiles(dirB)
+
+    view.absorb(Seq((kA, 2L)).toDF("k", "n")) // touches only kA's bucket
+    // untouched bucket: same manifest path, byte-identical files
+    assert(view.currentManifest(bucketOf(kB)) == dirB.getAbsolutePath)
+    assert(bucketFiles(dirB) == filesB)
+    // touched bucket moved to the new delta directory
+    assert(view.currentManifest(bucketOf(kA)).contains("delta_v1"))
+    // upsert semantics
+    val snap = view.snapshot(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap == Map(kA -> 2L, kB -> 10L))
+    // a snapshot pinned before the batch still executes (version retention)
+    val old = snapV0.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(old == Map(kA -> 1L, kB -> 10L))
+  }
+
   test("late data beyond watermark is dropped from append output") {
     // two files: first advances the watermark far ahead, second is late
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
