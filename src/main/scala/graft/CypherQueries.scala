@@ -268,6 +268,26 @@ object CypherQueries {
       graft.operators.Components.connectedComponents(pairs, "id1", "id2")
     }),
 
+    // EXISTS referencing an outer-only variable inside a correlated
+    // OPTIONAL MATCH WHERE: the semi join is precomputed as a boolean
+    // flag on the outer frame and referenced in the left-join condition,
+    // so non-qualifying rows null out instead of dropping. Regions 0/1
+    // (those containing nationkeys < 3) pass; nations elsewhere count 0
+    "cy37_optional_exists" -> run(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+         OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n)
+         WHERE c.c_acctbal > 3000
+           AND EXISTS { (n2:Nation)-[:IN_REGION]->(r) WHERE n2.n_nationkey < 3 }
+         RETURN n.n_name AS nation, count(c) AS n_cust"""),
+
+    // correlated CALL: procedure arguments evaluated per DISTINCT arg
+    // tuple (one driver invocation each), results joined back on the
+    // tuple — every region row multiplies into regionkey+1 series rows
+    "cy38_correlated_call" -> run(
+      """MATCH (r:Region)
+         CALL graft.series(r.r_regionkey + 1) YIELD value
+         RETURN r.r_name AS name, value"""),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -469,6 +489,21 @@ object CypherQueries {
          )
          SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS comp
          FROM reach GROUP BY 1""",
+    "cy37_optional_exists" ->
+      """WITH flag AS (
+           SELECT DISTINCT n_regionkey AS rk FROM nation WHERE n_nationkey < 3
+         )
+         SELECT n_name AS nation, count(c_custkey) AS n_cust
+         FROM nation
+         JOIN region ON n_regionkey = r_regionkey
+         LEFT JOIN flag ON flag.rk = r_regionkey
+         LEFT JOIN customer ON c_nationkey = n_nationkey
+           AND c_acctbal > 3000 AND flag.rk IS NOT NULL
+         GROUP BY 1""",
+    "cy38_correlated_call" ->
+      """SELECT r_name AS name, s.value AS value
+         FROM region, (SELECT unnest(range(1, 6)) AS value) s
+         WHERE s.value <= r_regionkey + 1""",
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

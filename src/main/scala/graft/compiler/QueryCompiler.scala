@@ -85,19 +85,20 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
 
   /** CALL name(args) [YIELD items] — table-valued procedure dispatch.
     * Mid-query CALL joins the procedure's rows onto every outer binding
-    * row (openCypher: the procedure runs per row; with literal/param
+    * row (openCypher: the procedure runs per row). With literal/param
     * args the result set is row-invariant, so one evaluation + a cross
-    * join is the distributed equivalent of the reference's per-row loop,
-    * mutation_engine.py:1061-1143). Args referencing query variables
-    * would need a lateral evaluation and are rejected.
+    * join is the distributed equivalent of the reference's per-row loop
+    * (mutation_engine.py:1061-1143). Args referencing query variables
+    * evaluate over the DISTINCT argument tuples — one procedure
+    * invocation per distinct tuple, joined back null-safely on the
+    * tuple — strictly less driver work than the reference's per-row
+    * execution, and more faithful than its first-row-only argument
+    * sampling (mutation_engine.py:1092-1096 takes `series.iloc[0]`).
     */
   private def compileCall(cp: CallProcedure, outer: Option[Frame]): Frame = {
-    cp.args.foreach {
-      case Variable(v) if outer.exists(_.vars.contains(v)) =>
-        throw new UnsupportedOperationException(
-          s"CALL argument referencing query variable $v is not supported")
-      case _ =>
-    }
+    val correlated = outer.exists(o =>
+      cp.args.exists(a => freeVars(a).intersect(o.vars.keySet).nonEmpty))
+    if (correlated) return compileCorrelatedCall(cp, outer.get)
     val argVals: Seq[Any] = cp.args.map {
       case IntLit(v) => v
       case FloatLit(v) => v
@@ -107,7 +108,19 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       case other => throw new IllegalArgumentException(s"procedure arg must be literal: $other")
     }
     val df = graft.functions.ProcedureRegistry(cp.name)(spark, catalog, argVals)
-    val out = if (cp.yields.isEmpty) df else {
+    val out = applyYields(df, cp)
+    val callFrame = Frame(out, out.columns.map(c => c -> (ValueVar: VarMeta)).toMap)
+    outer match {
+      case None    => callFrame
+      case Some(o) =>
+        require((o.vars.keySet intersect callFrame.vars.keySet).isEmpty,
+          "CALL YIELD name collides with a bound variable")
+        Frame(o.df.crossJoin(callFrame.df), o.vars ++ callFrame.vars)
+    }
+  }
+
+  private def applyYields(df: DataFrame, cp: CallProcedure): DataFrame =
+    if (cp.yields.isEmpty) df else {
       val cols = cp.yields.map { y =>
         val c = y.expr match {
           case Variable(n) => col(n)
@@ -117,14 +130,42 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       }
       df.select(cols: _*)
     }
-    val callFrame = Frame(out, out.columns.map(c => c -> (ValueVar: VarMeta)).toMap)
-    outer match {
-      case None    => callFrame
-      case Some(o) =>
-        require((o.vars.keySet intersect callFrame.vars.keySet).isEmpty,
-          "CALL YIELD name collides with a bound variable")
-        Frame(o.df.crossJoin(callFrame.df), o.vars ++ callFrame.vars)
+
+  /** Procedures are driver-side table functions, so a correlated CALL is
+    * inherently bounded by the number of DISTINCT argument tuples: each
+    * tuple is one procedure invocation whose result is tagged with the
+    * tuple and joined back to the binding rows (null-safe equality). The
+    * tuple count is capped — at 100 TB the binding frame is unbounded
+    * but a per-tuple driver loop must not be.
+    */
+  private val maxCallTuples = 10000
+  private def compileCorrelatedCall(cp: CallProcedure, o: Frame): Frame = {
+    val ec = new ExpressionCompiler(o, params)
+    val argNames = cp.args.indices.map(i => s"__callarg$i")
+    val withArgs = cp.args.zip(argNames).foldLeft(o.df) {
+      case (df, (a, n)) => df.withColumn(n, ec.compile(a))
     }
+    val tuples = withArgs.select(argNames.map(col): _*)
+      .distinct().limit(maxCallTuples + 1).collect()
+    require(tuples.length <= maxCallTuples,
+      s"correlated CALL ${cp.name}: more than $maxCallTuples distinct argument tuples")
+    val proc = graft.functions.ProcedureRegistry(cp.name)
+    val perTuple = tuples.toSeq.map { row =>
+      val argVals = row.toSeq
+      val yielded = applyYields(proc(spark, catalog, argVals), cp)
+      argNames.zipWithIndex.foldLeft(yielded) {
+        case (df, (n, i)) => df.withColumn(s"${n}__r", lit(row.get(i)))
+      }
+    }
+    require(perTuple.nonEmpty, s"correlated CALL ${cp.name}: empty binding frame")
+    val callDf = perTuple.reduce(_.unionByName(_))
+    val yieldCols = callDf.columns.filterNot(_.endsWith("__r"))
+    require((o.vars.keySet intersect yieldCols.toSet).isEmpty,
+      "CALL YIELD name collides with a bound variable")
+    val cond = argNames.map(n => withArgs(n) <=> callDf(s"${n}__r")).reduce(_ && _)
+    val joined = withArgs.join(callDf, cond, "inner")
+      .drop(argNames: _*).drop(argNames.map(n => s"${n}__r"): _*)
+    Frame(joined, o.vars ++ yieldCols.map(c => c -> (ValueVar: VarMeta)).toMap)
   }
 
   /** Single-row empty frame, for queries starting with UNWIND/RETURN. */
@@ -150,20 +191,37 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
         throw new IllegalArgumentException("OPTIONAL MATCH requires a preceding MATCH"))
       // WHERE belongs to the OPTIONAL MATCH (frame_joiner.py:189-310):
       // conjuncts local to the pattern pre-filter it before the left join
-      // (best for pushdown); conjuncts referencing outer variables become
-      // part of the left-join condition so non-matching rows null out
-      // instead of dropping.
+      // (best for pushdown); conjuncts referencing outer-ONLY variables
+      // become part of the left-join condition so non-matching rows null
+      // out instead of dropping. A conjunct counts as cross only if it
+      // names a variable bound outside and NOT in the pattern — vars
+      // introduced inside an EXISTS subpattern are not references to
+      // outer scope (freeVars overapproximates them; intersecting with
+      // the outer-only set ignores the purely-local ones).
       val patVarNames = pattern0.vars.keySet
-      val (localConjs, crossConjs) = m.where.map(conjuncts).getOrElse(Seq.empty)
-        .partition(c => freeVars(c).subsetOf(patVarNames))
-      crossConjs.foreach {
-        case _: ExistsPattern | UnaryOp("NOT", _: ExistsPattern) =>
-          throw new UnsupportedOperationException(
-            "EXISTS referencing outer variables in OPTIONAL MATCH WHERE is unsupported")
-        case _ =>
+      val outerOnly = outerF.vars.keySet -- patVarNames
+      val (crossConjs, localConjs) = m.where.map(conjuncts).getOrElse(Seq.empty)
+        .partition(c => freeVars(c).intersect(outerOnly).nonEmpty)
+      // EXISTS referencing outer-only variables: precompute the semi join
+      // as a boolean flag column on the OUTER frame (one distinct-key
+      // left join, multiplicity preserved), then reference the flag in
+      // the left-join condition like any other correlated conjunct —
+      // the Spark form of the reference's re-entrant exists evaluator
+      // (exists_evaluator.py:1-14).
+      var outerF2 = outerF
+      val flags = mutable.ArrayBuffer.empty[String]
+      val crossRewritten = crossConjs.map {
+        case ExistsPattern(paths, sub, _) =>
+          val (f2, flag) = existsFlag(outerF2, paths, sub, patVarNames)
+          outerF2 = f2; flags += flag; Variable(flag)
+        case UnaryOp("NOT", ExistsPattern(paths, sub, _)) =>
+          val (f2, flag) = existsFlag(outerF2, paths, sub, patVarNames)
+          outerF2 = f2; flags += flag; UnaryOp("NOT", Variable(flag))
+        case other => other
       }
       val pattern = localConjs.foldLeft(pattern0)((acc, c) => applyWhere(acc, c))
-      naturalJoin(outerF, pattern, "left_outer", crossConjs)
+      val joined = naturalJoin(outerF2, pattern, "left_outer", crossRewritten)
+      Frame(joined.df.drop(flags.toSeq: _*), joined.vars -- flags)
     } else {
       val joined = outer match {
         case Some(o) => naturalJoin(o, pattern0, "inner")
@@ -669,6 +727,40 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       .reduce(_ && _)
     val jt = if (anti) "left_anti" else "left_semi"
     f.copy(df = f.df.join(subPrepared, cond, jt))
+  }
+
+  /** EXISTS as a boolean column: left join the outer frame against the
+    * DISTINCT shared-key tuples of the subpattern and coalesce the
+    * marker to false. Distinct keys keep multiplicity intact, so the
+    * flag is usable inside any predicate (left-join conditions included)
+    * rather than only as a top-level semi/anti join. A subpattern that
+    * also constrains variables of the OPTIONAL pattern itself would need
+    * the flag computed on the joined pair — rejected explicitly.
+    */
+  private def existsFlag(f: Frame, paths: Seq[PathPattern],
+                         subWhere: Option[Expr],
+                         patternVars: Set[String]): (Frame, String) = {
+    var sub = paths.map(compilePath).reduce((x, y) => naturalJoin(x, y, "inner"))
+    subWhere.foreach(w => sub = applyWhere(sub, w))
+    val spanning = sub.vars.keySet intersect (patternVars -- f.vars.keySet)
+    if (spanning.nonEmpty) throw new UnsupportedOperationException(
+      s"EXISTS in OPTIONAL MATCH WHERE referencing both outer and pattern " +
+        s"variables (${spanning.mkString(", ")}) is unsupported")
+    val shared = (f.vars.keySet intersect sub.vars.keySet).toSeq.sorted
+    require(shared.nonEmpty, "EXISTS pattern must share at least one variable")
+    anonCounter += 1
+    val flag = s"__exflag$anonCounter"
+    val keyCols = shared.zipWithIndex.map { case (v, i) => (v, s"__ek_$i") }
+    val subPrepared = keyCols.foldLeft(sub.df) { case (df, (v, jk)) =>
+      df.withColumn(jk, col(sub.idCol(v)))
+    }.select(keyCols.map(c => col(c._2)): _*).distinct()
+      .withColumn(flag, lit(true))
+    val cond = keyCols.map { case (v, jk) => col(f.idCol(v)) === col(jk) }
+      .reduce(_ && _)
+    val joined = f.df.join(subPrepared, cond, "left_outer")
+      .drop(keyCols.map(_._2): _*)
+      .withColumn(flag, coalesce(col(flag), lit(false)))
+    (Frame(joined, f.vars + (flag -> ValueVar)), flag)
   }
 
   // ---------------- UNWIND ----------------

@@ -37,4 +37,19 @@ object ProcedureRegistry {
       cat.relTypes.flatMap(t => cat.relationship(t).df.columns)).distinct.sorted
     keys.toDF("propertyKey")
   })
+
+  /** Arg-consuming built-in: `value` = 1..n inclusive. Exercises the
+    * argument-evaluation path (incl. correlated args, which run once
+    * per distinct tuple) the way the reference's docs demonstrate custom
+    * registration (relational_models.py:167-174).
+    */
+  register("graft.series", (spark, _, args) => {
+    val n = args.headOption match {
+      case Some(l: java.lang.Long)    => l.longValue
+      case Some(i: java.lang.Integer) => i.longValue
+      case Some(null) | None          => 0L
+      case Some(other)                => other.toString.toDouble.toLong
+    }
+    spark.range(1, n + 1).toDF("value")
+  })
 }

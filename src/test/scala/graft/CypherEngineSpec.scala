@@ -157,6 +157,44 @@ class CypherEngineSpec extends SparkSpec {
       "Carol" -> None, "Dan" -> None))
   }
 
+  test("OPTIONAL MATCH WHERE EXISTS with pattern-local vars pre-filters") {
+    // q is bound INSIDE the exists pattern — not a reference to outer
+    // scope, so the conjunct stays local (semi join before the left
+    // join) instead of being rejected as correlated
+    val r = rows(
+      """MATCH (c:Company) OPTIONAL MATCH (p:Person)-[:WORKS_FOR]->(c)
+         WHERE EXISTS { (p)-[:KNOWS]->(q:Person) WHERE q.dept = 'sales' }
+         RETURN c.name AS company, count(p) AS n ORDER BY company""")
+    // Acme: Alice(knows Bob/eng → no), Bob(knows Carol/sales → yes) = 1
+    // Globex: Carol(knows Dan/sales → yes) = 1; both companies preserved
+    assert(r.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("Acme", 1L), ("Globex", 1L)))
+  }
+
+  test("OPTIONAL MATCH WHERE EXISTS referencing outer-only var nulls out") {
+    // EXISTS names co, which is bound by the outer MATCH and absent from
+    // the optional pattern → compiled as a boolean flag on the outer
+    // frame, referenced in the left-join condition
+    val r = rows(
+      """MATCH (p:Person)-[:WORKS_FOR]->(co:Company)
+         OPTIONAL MATCH (p)-[:KNOWS]->(q:Person)
+         WHERE q.age < 40
+           AND EXISTS { (x:Person)-[:WORKS_FOR]->(co) WHERE x.dept = 'sales' }
+         RETURN p.name AS name, q.name AS known ORDER BY name""")
+    // only Globex employs sales (Carol): Alice/Bob rows null out but
+    // survive; Carol keeps her KNOWS match
+    assert(r.map(x => (x.getString(0), Option(x.getString(1)))) ==
+      Seq(("Alice", None), ("Bob", None), ("Carol", Some("Dan"))))
+    val rNot = rows(
+      """MATCH (p:Person)-[:WORKS_FOR]->(co:Company)
+         OPTIONAL MATCH (p)-[:KNOWS]->(q:Person)
+         WHERE q.age < 40
+           AND NOT EXISTS { (x:Person)-[:WORKS_FOR]->(co) WHERE x.dept = 'sales' }
+         RETURN p.name AS name, q.name AS known ORDER BY name""")
+    assert(rNot.map(x => (x.getString(0), Option(x.getString(1)))) ==
+      Seq(("Alice", Some("Bob")), ("Bob", Some("Carol")), ("Carol", None)))
+  }
+
   test("pattern comprehension collects correlated matches, [] when none") {
     val r = rows(
       """MATCH (p:Person)

@@ -229,6 +229,30 @@ class MutationSpec extends SparkSpec {
       Seq(("Alice", "Person"), ("Carol", "Person")))
   }
 
+  test("CALL with correlated args runs per distinct tuple and joins back") {
+    val eng = freshEngine
+    val r = eng.query(
+      """MATCH (p:Person) WHERE p.age >= 30
+         CALL graft.series(p.age - 28) YIELD value
+         RETURN p.name AS name, value ORDER BY name, value""").collect()
+    // Alice(30) → series(2) = 1,2; Carol(35) → series(7) = 1..7
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      (1 to 2).map(v => ("Alice", v.toLong)) ++
+        (1 to 7).map(v => ("Carol", v.toLong)))
+  }
+
+  test("CALL with duplicate correlated arg values dedups procedure invocations") {
+    val eng = freshEngine
+    // name lengths 5,3,5 → 2 distinct tuples for 3 persons, but every
+    // binding row still multiplies into its own tuple's result rows
+    val r = eng.query(
+      """MATCH (p:Person)
+         CALL graft.series(size(p.name)) YIELD value
+         RETURN p.name AS name, count(value) AS n ORDER BY name""").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("Alice", 5L), ("Bob", 3L), ("Carol", 5L)))
+  }
+
   test("DETACH DELETE scrubs relationship tables with undeclared labels") {
     import spark.implicits._
     val person = Seq((0L, "A"), (1L, "B")).toDF("__ID__", "name")
