@@ -37,6 +37,15 @@ object PathExpand {
 
   val DefaultMaxHops = 20
 
+  /** Edge sets at or below this row count stay on the AQE-planned path
+    * (runtime broadcast of whichever side is smaller — right for dims);
+    * above it the loop pins the co-partitioned regime so the edge table
+    * is never re-shuffled per hop (two-long rows ≈ 16 B → ~32 MB at the
+    * threshold, past any sane broadcast limit). Overridable per session
+    * via `graft.pathExpand.broadcastThreshold`.
+    */
+  val MaxBroadcastEdges = 2000000L
+
   /** Compile a whole shortestPath pattern (single var-length segment). */
   def compile(qc: QueryCompiler, catalog: GraphCatalog, p: PathPattern,
               params: Map[String, Any]): Frame = {
@@ -74,11 +83,29 @@ object PathExpand {
     // unions the per-type edge lists before the loop. Materialized ONCE
     // when the loop iterates — otherwise every hop re-executes the edge
     // derivation subtree (the standard iterative-graph pattern; GraphX
-    // caches its edge RDD the same way).
+    // caches its edge RDD the same way). The loop join strategy is then
+    // sized off the materialized count:
+    //  - small edge set → AQE's runtime plan (it broadcasts the tiny
+    //    side, so the loop joins are exchange-free already);
+    //  - large edge set → hash-partitioned on __src before a second
+    //    checkpoint (localCheckpoint preserves physical partitioning in
+    //    its LogicalRDD) and every frontier batch partitioned on __node
+    //    with the same pinned partition count, so the per-hop join never
+    //    re-shuffles the edge table: O(hops × |frontier|) shuffle
+    //    volume instead of O(hops × |E|). At 100 TB the edge table is
+    //    the side that must not move.
     val edges0 = rel.types.map(t => edgeSet(qc, catalog, rel, t, params))
       .reduce(_ unionByName _)
-    val edges = if (maxHopsOpt.getOrElse(DefaultMaxHops) > 1)
-      edges0.localCheckpoint() else edges0
+    val nPart = edges0.sparkSession.sessionState.conf.numShufflePartitions
+    val loops = maxHopsOpt.getOrElse(DefaultMaxHops) > 1
+    val materialized = if (loops) edges0.localCheckpoint() else edges0
+    val threshold = edges0.sparkSession.conf
+      .get("graft.pathExpand.broadcastThreshold", MaxBroadcastEdges.toString).toLong
+    val coPartitioned = loops && materialized.count() > threshold
+    val edges =
+      if (coPartitioned)
+        materialized.repartition(nPart, col("__src")).localCheckpoint()
+      else materialized
 
     val startLabel = cur.vars(fromVar) match {
       case NodeVar(l, _, _) => Some(l)
@@ -116,7 +143,19 @@ object PathExpand {
           (col("__hops") + 1).as("__hops"))
       if (bfs) next = next.dropDuplicates("__origin", "__node")
         .join(visited, Seq("__origin", "__node"), "left_anti")
-      frontier = next.localCheckpoint() // flat lineage; materializes the early-stop probe
+      // flat lineage; materializes the early-stop probe. In the
+      // co-partitioned (large-edge) regime the frontier is partitioned
+      // on __node so the next hop's join probes the pre-partitioned
+      // edge table with no exchange on either side (the BFS dedup's
+      // grouping keys are a superset of __node, so it reuses the same
+      // partitioning); skipped on the last hop, where the partitioning
+      // would never be consumed. The remaining per-round cost at local
+      // scale is the Spark scheduling floor (~2 stages/hop), which is
+      // exactly what buys horizontal scale-out on a cluster.
+      frontier =
+        (if (coPartitioned && hop < maxHops)
+           next.repartition(nPart, col("__node"))
+         else next).localCheckpoint()
       if (frontier.isEmpty) exhausted = true
       else {
         if (hop >= minHops) results :+= frontier

@@ -136,6 +136,23 @@ class CypherEngineSpec extends SparkSpec {
     assert(r.map(_.getLong(0)) == Seq(3L))
   }
 
+  test("co-partitioned edge regime matches broadcast-regime results") {
+    // threshold 0 forces the large-edge path (pre-partitioned edges +
+    // per-hop frontier repartition) that 100 TB edge tables take; walk
+    // counting and BFS min-hops must be identical to the AQE path
+    spark.conf.set("graft.pathExpand.broadcastThreshold", "0")
+    try {
+      val walks = rows(
+        """MATCH (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(b:Person)
+           RETURN b.name AS name ORDER BY name""")
+      assert(walks.map(_.getString(0)) == Seq("Bob", "Carol"))
+      val sp = rows(
+        """MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*1..5]->(b:Person {name: 'Dan'}))
+           RETURN length(p) AS hops""")
+      assert(sp.map(_.getLong(0)) == Seq(3L))
+    } finally spark.conf.unset("graft.pathExpand.broadcastThreshold")
+  }
+
   test("leading OPTIONAL MATCH: empty pattern yields one all-null row") {
     val r = rows("OPTIONAL MATCH (p:Person {name: 'Zed'}) RETURN p.name AS name")
     assert(r.size == 1 && r.head.isNullAt(0))
