@@ -91,7 +91,17 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
     else withCypherConf {
       val snap = catalog.snapshot()
       val df = new QueryCompiler(snap, spark, params).compile(ast)
-      df.count() // force any lazy tail so failures roll back (snapshot discarded)
+      // Every mutation materializes eagerly (localCheckpoint) during
+      // compile, so a statement ENDING in a mutation has no lazy tail
+      // left to fail after commit — forcing the frame again would only
+      // re-run the read side. A trailing read clause (RETURN/WITH) is
+      // still forced so its failures surface before the snapshot swap.
+      val endsInMutation = ast.statements.forall(_.clauses.lastOption.exists {
+        case _: Create | _: Merge | _: SetClause | _: Delete | _: Remove |
+             _: Foreach => true
+        case _ => false
+      })
+      if (!endsInMutation) df.count() // force lazy tail; failures roll back
       catalog.absorbFrom(snap)
       resultCache.foreach(_.invalidateAll()) // epoch bump
       df
