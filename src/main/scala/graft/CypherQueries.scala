@@ -288,6 +288,14 @@ object CypherQueries {
          CALL graft.series(r.r_regionkey + 1) YIELD value
          RETURN r.r_name AS name, value"""),
 
+    // Unicode NFC normalization through the native expression: the
+    // decomposed e+COMBINING ACUTE literal must compose identically to
+    // DuckDB's nfc_normalize for the hash compare to pass
+    "cy39_normalize" -> run(
+      "MATCH (r:Region) RETURN r.r_name AS name, " +
+        "normalize(r.r_name + ' cafe\u0301') AS nfc, " + // decomposed e+U+0301
+        "size(normalize('cafe\u0301')) AS n_nfc"),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -504,6 +512,9 @@ object CypherQueries {
       """SELECT r_name AS name, s.value AS value
          FROM region, (SELECT unnest(range(1, 6)) AS value) s
          WHERE s.value <= r_regionkey + 1""",
+    "cy39_normalize" ->
+      ("SELECT r_name AS name, nfc_normalize(r_name || ' cafe\u0301') AS nfc, " +
+        "length(nfc_normalize('cafe\u0301')) AS n_nfc FROM region"),
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

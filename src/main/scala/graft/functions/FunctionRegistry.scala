@@ -133,6 +133,17 @@ object FunctionRegistry {
       }
       case "join"                => array_join(a0, rawStr(raw(1)).getOrElse(","))
       case "reverse"             => reverse(a0)
+      case "normalize" =>
+        // Unicode normalization via a native codegen'd expression; the
+        // form must be a literal (it bakes into the generated code)
+        val form =
+          if (args.size > 1) rawStr(raw(1)).getOrElse(
+            throw new IllegalArgumentException(
+              "normalize: normalForm must be a string literal"))
+          else "NFC"
+        org.apache.spark.sql.graftshim.ColumnBridge.column(
+          UnicodeNormalize(
+            org.apache.spark.sql.graftshim.ColumnBridge.expression(a0), form))
       case "length" | "size" | "char_length" =>
         ec.typeOf(a0) match {
           case Some(_: ArrayType) => size(a0)

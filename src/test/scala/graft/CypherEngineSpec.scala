@@ -136,6 +136,21 @@ class CypherEngineSpec extends SparkSpec {
     assert(r.map(_.getLong(0)) == Seq(3L))
   }
 
+  test("normalize() applies Unicode normal forms as a native expression") {
+    val r = rows(
+      """RETURN normalize($s) AS nfc, size(normalize($s)) AS n_nfc,
+                size(normalize($s, 'NFD')) AS n_nfd,
+                normalize($w, 'NFKC') AS nfkc,
+                normalize($f, 'NFKCCaseFold') AS folded""",
+      Map("s" -> "café", "w" -> "ＡＢ", "f" -> "MASSE")).head
+    assert(r.getString(0) == "café") // combining acute composed
+    assert(r.getInt(1) == 4 && r.getInt(2) == 5)
+    assert(r.getString(3) == "AB") // fullwidth → compatibility ASCII
+    assert(r.getString(4) == "masse")
+    val bad = intercept[Exception](rows("RETURN normalize('x', 'NFX') AS y"))
+    assert(bad.getMessage.contains("normalForm"))
+  }
+
   test("co-partitioned edge regime matches broadcast-regime results") {
     // threshold 0 forces the large-edge path (pre-partitioned edges +
     // per-hop frontier repartition) that 100 TB edge tables take; walk
