@@ -407,6 +407,13 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     * (idempotent). ON CREATE SET writes onto the new edges before they
     * are appended; ON MATCH SET updates the existing edges keyed by
     * (src, dst) (mutation_engine.py:746-855).
+    *
+    * Duplicate binding rows for one (src, dst) pair fold
+    * DETERMINISTICALLY (max over each carried SET/prop value — a fixed
+    * linearization of Neo4j's row order, which a distributed frame does
+    * not have), and a pair duplicated within the statement applies its
+    * ON MATCH values to the edge the first row just created — Neo4j's
+    * per-row MERGE does the same: row 2 matches row 1's edge.
     */
   private def mergeRelationship(f: Frame, path: PathPattern,
                                 onCreate: Seq[SetItem], onMatch: Seq[SetItem]): Frame = {
@@ -444,11 +451,15 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     val omCols = relSetCols(onMatch, "__om_")
 
     val propCols = rel.props.map { case (k, e0) => compiler.compile(e0).as(k) }
+    val carried = rel.props.map(_._1) ++
+      ocCols.map("__oc_" + _._1) ++ omCols.map("__om_" + _._1)
     val wanted = f.df.select(Seq(
       col(f.idCol(srcVar)).as(srcCol0),
       col(f.idCol(dstVar)).as(dstCol0)) ++ propCols ++
       ocCols.map(_._2) ++ omCols.map(_._2): _*)
-      .dropDuplicates(srcCol0, dstCol0)
+      .groupBy(col(srcCol0), col(dstCol0))
+      .agg(count(lit(1)).as("__dup"),
+        carried.map(c => max(col(c)).as(c)): _*)
 
     val missing = existing match {
       case Some(d) => wanted.join(d.select(col(srcCol0), col(dstCol0))
@@ -474,10 +485,19 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     }
 
     if (!missing.isEmpty) {
-      // ON CREATE values become the new edges' properties
-      var newRels = ocCols.foldLeft(missing) { case (df, (k, _)) =>
-        df.withColumn(k, col(s"__oc_$k"))
-      }.drop(ocCols.map("__oc_" + _._1) ++ omCols.map("__om_" + _._1): _*)
+      // ON CREATE values become the new edges' properties; a key that ON
+      // MATCH also sets takes the ON MATCH value when the pair had
+      // duplicate binding rows (the duplicates matched the just-created
+      // edge and overwrote it)
+      val omKeys = omCols.map(_._1).toSet
+      val ocKeys = ocCols.map(_._1).toSet
+      var newRels = (ocKeys ++ omKeys).toSeq.sorted.foldLeft(missing) { (df, k) =>
+        val created = if (ocKeys(k)) col(s"__oc_$k") else lit(null)
+        df.withColumn(k,
+          if (omKeys(k)) when(col("__dup") > 1, col(s"__om_$k")).otherwise(created)
+          else created)
+      }.drop(("__dup" +: ocCols.map("__oc_" + _._1)) ++
+        omCols.map("__om_" + _._1): _*)
       idColOpt.foreach { ic =>
         val base = existing.map(d => nextIdBase(d, ic)).getOrElse(0L)
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(srcCol0), col(dstCol0))

@@ -869,10 +869,43 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       projectedAlias(e).isEmpty &&
         (if (hasAggItems) containsAgg(e)
          else containsAgg(e) || !freeVars(e).subsetOf(aliasSet))
+    // A hidden sort key compiles against the PRE-projection frame, where
+    // projected aliases do not exist — an ORDER BY mixing an alias with
+    // pre-projection scope (RETURN p.name AS nm ORDER BY nm + p.age)
+    // therefore substitutes each alias reference with its source
+    // expression first (Neo4j accepts the mixed form).
+    val aliasExpr: Map[String, Expr] =
+      items.map(i => i.alias.getOrElse(defaultAlias(i.expr)) -> i.expr).toMap
+    def substAliasRefs(e: Expr, bound: Set[String] = Set.empty): Expr = {
+      def go(x: Expr): Expr = substAliasRefs(x, bound)
+      e match {
+        case Variable(v) if !bound(v) && aliasExpr.contains(v) => aliasExpr(v)
+        case BinOp(op, l, r)     => BinOp(op, go(l), go(r))
+        case UnaryOp(op, y)      => UnaryOp(op, go(y))
+        case IsNull(y, n)        => IsNull(go(y), n)
+        case FnCall(n, args, d)  => FnCall(n, args.map(go), d)
+        case CaseExpr(s, br, d)  =>
+          CaseExpr(s.map(go), br.map { case (w, t) => (go(w), go(t)) }, d.map(go))
+        case Index(s, i)         => Index(go(s), go(i))
+        case Slice(s, f, t)      => Slice(go(s), f.map(go), t.map(go))
+        case ListComprehension(v, l, w, p) =>
+          ListComprehension(v, go(l),
+            w.map(substAliasRefs(_, bound + v)), p.map(substAliasRefs(_, bound + v)))
+        case Quantifier(k, v, l, w) =>
+          Quantifier(k, v, go(l), substAliasRefs(w, bound + v))
+        case Reduce(a, init, v, l, st) =>
+          Reduce(a, go(init), v, go(l), substAliasRefs(st, bound + a + v))
+        case ListLit(its)        => ListLit(its.map(go))
+        case MapLit(its)         => MapLit(its.map { case (k, v) => (k, go(v)) })
+        case Property(s, k)      => Property(go(s), k)
+        case other               => other
+      }
+    }
     val hidden: Seq[(String, Expr)] =
       if (!proj.distinct && proj.orderBy.nonEmpty)
         proj.orderBy.zipWithIndex.collect {
-          case (oi, i) if needsHidden(oi.expr) => (s"__sortkey_$i", oi.expr)
+          case (oi, i) if needsHidden(oi.expr) =>
+            (s"__sortkey_$i", substAliasRefs(oi.expr))
         }
       else Seq.empty
     val itemsWithHidden = items ++ hidden.map { case (n, e) => ReturnItem(e, Some(n)) }

@@ -136,6 +136,19 @@ class CypherEngineSpec extends SparkSpec {
     assert(r.map(_.getLong(0)) == Seq(3L))
   }
 
+  test("ORDER BY mixing a projected alias with pre-projection scope") {
+    // the hidden sort key substitutes nm with its source expression, so
+    // it compiles against the pre-projection frame (Neo4j accepts this)
+    val r = rows(
+      """MATCH (p:Person) RETURN p.name AS nm ORDER BY size(nm) - p.age, nm""")
+    assert(r.map(_.getString(0)) == Seq("Carol", "Alice", "Dan", "Bob"))
+    // aggregating variant: alias references an aggregate in the mix
+    val r2 = rows(
+      """MATCH (p:Person) RETURN p.dept AS d, count(*) AS n
+         ORDER BY n * max(p.age) DESC""")
+    assert(r2.map(_.getString(0)) == Seq("sales", "eng"))
+  }
+
   test("normalize() applies Unicode normal forms as a native expression") {
     val r = rows(
       """RETURN normalize($s) AS nfc, size(normalize($s)) AS n_nfc,

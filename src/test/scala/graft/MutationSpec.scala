@@ -229,6 +229,31 @@ class MutationSpec extends SparkSpec {
       Seq(("Alice", "Person"), ("Carol", "Person")))
   }
 
+  test("rel MERGE duplicate binding rows: ON MATCH fires on the new edge") {
+    val eng = freshEngine
+    // two binding rows for the same (Bob, Carol) pair: per Neo4j row
+    // semantics the first creates, the second matches the just-created
+    // edge and overwrites via ON MATCH
+    eng.execute(
+      """MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'})
+         UNWIND [1, 2] AS i
+         MERGE (b)-[k:KNOWS]->(c)
+         ON CREATE SET k.via = 'created' ON MATCH SET k.via = 'matched'""")
+    val r = eng.query(
+      """MATCH (:Person {name: 'Bob'})-[k:KNOWS]->(:Person {name: 'Carol'})
+         RETURN k.via AS v""").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("matched")) // one edge, om value
+    // a single binding row keeps plain ON CREATE semantics
+    eng.execute(
+      """MATCH (a:Person {name: 'Alice'}), (c:Person {name: 'Carol'})
+         MERGE (a)-[k:KNOWS]->(c)
+         ON CREATE SET k.via = 'created' ON MATCH SET k.via = 'matched'""")
+    val r2 = eng.query(
+      """MATCH (:Person {name: 'Alice'})-[k:KNOWS]->(:Person {name: 'Carol'})
+         RETURN k.via AS v""").collect()
+    assert(r2.map(_.getString(0)).toSeq == Seq("created"))
+  }
+
   test("CALL with correlated args runs per distinct tuple and joins back") {
     val eng = freshEngine
     val r = eng.query(
