@@ -22,14 +22,24 @@ object PipelineRunner {
 
   // ---------------- sources (SURVEY §2.1: FileDataSource re-expressed) ----------------
 
+  /** SQL-scheme URIs the reference's data_source_from_uri dispatches to
+    * SqlDataSource (ingestion/data_sources.py:24-25, 56, 874-875).
+    */
+  private val SqlSchemes =
+    Set("postgresql", "postgres", "mysql", "sqlite", "duckdb", "derby")
+
   /** URI-dispatch reader: csv / parquet / json(-lines) by extension,
-    * file:// or bare path (s3a:// etc. pass straight to Hadoop FS).
-    * Optional `query` runs ANSI SQL over a temp view named `source`;
-    * schema hints cast columns after load.
+    * file:// or bare path (s3a:// etc. pass straight to Hadoop FS);
+    * SQL-scheme / jdbc: URIs go through the JDBC reader. Optional
+    * `query` runs ANSI SQL over a temp view named `source` (files) or
+    * inside the source database (JDBC); schema hints cast columns
+    * after load.
     */
   def readSource(spark: SparkSession, uri: String,
                  query: Option[String] = None,
                  schemaHints: Map[String, String] = Map.empty): DataFrame = {
+    if (uri.startsWith("jdbc:") || SqlSchemes(uri.takeWhile(_ != ':')))
+      return readJdbc(spark, uri, query, schemaHints)
     val path = uri.stripPrefix("file://")
     val lower = path.toLowerCase
     var df =
@@ -49,6 +59,39 @@ object PipelineRunner {
         spark.sql(q)
       case None => df
     }
+  }
+
+  /** SqlDataSource parity (reference ingestion/data_sources.py:700-910):
+    * `query` executes INSIDE the source database via Spark's JDBC
+    * `query` option — full computation pushdown, exactly like the
+    * reference running its SQL on the caller's connection. Without a
+    * query, a `#table` URI fragment reads the whole table via
+    * `dbtable`, which is also the seam for partitioned parallel reads
+    * (partitionColumn/lowerBound/upperBound) on a cluster. Exercised
+    * offline against embedded Derby (on Spark's own classpath) in
+    * PipelineSpec; network databases only need their driver jar.
+    */
+  private def readJdbc(spark: SparkSession, uri: String,
+                       query: Option[String],
+                       schemaHints: Map[String, String]): DataFrame = {
+    val (base0, fragPart) = uri.span(_ != '#')
+    val frag = fragPart.stripPrefix("#")
+    val url0 = if (base0.startsWith("jdbc:")) base0 else s"jdbc:$base0"
+    val url = url0.replaceFirst("^jdbc:postgres:", "jdbc:postgresql:")
+    var reader = spark.read.format("jdbc").option("url", url)
+    if (url.startsWith("jdbc:derby:"))
+      reader = reader.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    reader = query match {
+      case Some(q)               => reader.option("query", q)
+      case None if frag.nonEmpty => reader.option("dbtable", frag)
+      case None => throw new IllegalArgumentException(
+        s"sql source $uri needs a `query` or a #table fragment")
+    }
+    var df = reader.load()
+    schemaHints.foreach { case (c, t) =>
+      df = df.withColumn(c, df(c).cast(sqlTypeName(t)))
+    }
+    df
   }
 
   /** Delimiter inference for csv (the reference accepts `|`-delimited
@@ -184,7 +227,8 @@ object PipelineRunner {
     (config.entities.map(e => (e.id, e.uri)) ++
       config.relationships.map(r => (r.id, r.uri))).foreach { case (id, uri) =>
       val p = uri.stripPrefix("file://")
-      if (!p.contains("://") && !new java.io.File(p).exists())
+      val isSql = p.startsWith("jdbc:") || SqlSchemes(p.takeWhile(_ != ':'))
+      if (!isSql && !p.contains("://") && !new java.io.File(p).exists())
         problems += s"source $id: file not found: $uri"
     }
     config.queries.foreach { q =>

@@ -143,6 +143,40 @@ class PipelineSpec extends SparkSpec {
     assert(rels.head().getString(2) == "KNOWS")
   }
 
+  test("JDBC source reads from an embedded Derby database") {
+    // Derby ships on Spark's classpath (Hive metastore dependency), so
+    // the SqlDataSource path runs for real with zero network egress —
+    // the same spark.read.jdbc plan a postgres/mysql URI produces
+    val db = s"$tmpDir/derbydb"
+    System.setProperty("derby.stream.error.file", s"$db.log")
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE people (id INT, name VARCHAR(32), age INT)")
+    st.execute("INSERT INTO people VALUES (1,'Alice',30),(2,'Bob',25),(3,'Carol',35)")
+    st.close(); conn.close()
+
+    // query pushdown: the SQL executes inside the database
+    val q = PipelineRunner.readSource(spark, s"jdbc:derby:$db",
+      query = Some("SELECT id, name FROM people WHERE age >= 30"))
+    assert(q.collect().map(_.getString(1)).sorted.toSeq == Seq("Alice", "Carol"))
+
+    // whole-table read via #table fragment, scheme shorthand, and a
+    // schema hint cast applied after load
+    val t = PipelineRunner.readSource(spark, s"derby:$db#people",
+      schemaHints = Map("age" -> "BIGINT"))
+    assert(t.count() == 3)
+    assert(t.schema("age").dataType == org.apache.spark.sql.types.LongType)
+
+    // a JDBC entity participates in the graph like any file source
+    val cat = new graft.model.GraphCatalog()
+      .addEntity("DbPerson", PipelineRunner.readSource(
+        spark, s"derby:$db#people").withColumnRenamed("ID", "id"), idCol = "id")
+    val eng = new CypherEngine(spark, cat)
+    val rows = eng.query(
+      "MATCH (p:DbPerson) WHERE p.AGE > 28 RETURN count(*) AS n").collect()
+    assert(rows.head.getLong(0) == 2L)
+  }
+
   test("on_error: warn skips a broken source") {
     val dir = tmpDir
     writeFixtures(dir)
