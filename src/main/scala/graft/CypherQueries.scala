@@ -296,6 +296,19 @@ object CypherQueries {
         "normalize(r.r_name + ' cafe\u0301') AS nfc, " + // decomposed e+U+0301
         "size(normalize('cafe\u0301')) AS n_nfc"),
 
+    // worst-case-optimal triangle join (SURVEY §2.3 row 21): the flag
+    // routes the closing 3-cycle through adjacency-set intersection
+    // instead of wedge materialization; triples are (a, a+1, a+2) in
+    // the successor graph, cross-checked by the SQL self-join oracle
+    "cy40_wcoj_triangles" -> ((spark, dir) => {
+      spark.conf.set("graft.wcoj.enabled", "true")
+      try TpchGraph.engine(spark, dir).query(
+        """MATCH (a:Nation)-[:NEXT_N]->(b:Nation)-[:NEXT_N]->(c:Nation)-[:PREV_N]->(a)
+           RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+                  c.n_nationkey AS c_key""")
+      finally spark.conf.unset("graft.wcoj.enabled")
+    }),
+
     // shortestPath BFS distances per reachable pair
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
@@ -515,6 +528,17 @@ object CypherQueries {
     "cy39_normalize" ->
       ("SELECT r_name AS name, nfc_normalize(r_name || ' cafe\u0301') AS nfc, " +
         "length(nfc_normalize('cafe\u0301')) AS n_nfc FROM region"),
+    "cy40_wcoj_triangles" ->
+      """WITH e AS (
+           SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+           FROM nation a JOIN nation b
+             ON b.n_nationkey = a.n_nationkey + 1
+             OR b.n_nationkey = a.n_nationkey + 2
+         )
+         SELECT e1.src AS a_key, e1.dst AS b_key, e2.dst AS c_key
+         FROM e e1
+         JOIN e e2 ON e2.src = e1.dst
+         JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
     "cy30_shortestpath" ->
       """WITH RECURSIVE e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

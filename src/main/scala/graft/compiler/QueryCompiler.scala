@@ -313,6 +313,10 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
   private def compilePath(p: PathPattern): Frame = {
     if (p.shortest.isDefined)
       return compileVarLengthPath(p)
+    compileTriangleWcoj(p) match {
+      case Some(f) => return f
+      case None    =>
+    }
 
     val startVar = p.start.variable.getOrElse(freshVar())
     val startLabel = resolveLabel(p.start, p.hops.headOption.map(_._1), isStart = true)
@@ -346,6 +350,47 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
           cur.vars + (pv -> PathVar(hopsCol)))
       case None => cur
     }
+  }
+
+  /** Triangle patterns (a)-[:X]->(b)-[:Y]->(c)-[:Z]->(a) compile via
+    * the worst-case-optimal adjacency-intersection join when
+    * `graft.wcoj.enabled` is set (SURVEY §2.3 row 21; reference
+    * leapfrog_triejoin.py) — the binary-join plan materializes the open
+    * wedge before the closing edge can filter it. Guarded narrowly:
+    * exactly three fixed OUT hops with one type each, no rel
+    * variables/props, closing on the start variable, three distinct
+    * node variables. Anything else falls back to the binary-join chain
+    * (which handles the general cyclic case, cy31).
+    */
+  private def compileTriangleWcoj(p: PathPattern): Option[Frame] = {
+    if (!spark.conf.get("graft.wcoj.enabled", "false").toBoolean) return None
+    if (p.hops.size != 3 || p.pathVariable.isDefined) return None
+    val ok = p.hops.forall { case (r, _) =>
+      r.varLength.isEmpty && r.direction == "OUT" && r.types.size == 1 &&
+        r.props.isEmpty && r.variable.isEmpty
+    }
+    if (!ok) return None
+    val aV = p.start.variable.getOrElse(return None)
+    val bV = p.hops(0)._2.variable.getOrElse(return None)
+    val cV = p.hops(1)._2.variable.getOrElse(return None)
+    if (p.hops(2)._2.variable != Some(aV) || Set(aV, bV, cV).size != 3)
+      return None
+    def edge(i: Int): DataFrame = {
+      val rd = catalog.relationship(p.hops(i)._1.types.head)
+      rd.df.select(col(rd.srcCol).as("src"), col(rd.dstCol).as("dst"))
+    }
+    val triples = graft.operators.Wcoj.triangles(edge(0), edge(1), edge(2))
+    // attach the node tables on the id triples (Catalyst prunes unused
+    // attribute columns; inline props filter at the scans)
+    val aF = nodeFrame(aV, resolveLabel(p.start, Some(p.hops(0)._1), isStart = true), p.start.props)
+    val bF = nodeFrame(bV, resolveLabel(p.hops(0)._2, Some(p.hops(0)._1), isStart = false), p.hops(0)._2.props)
+    val cF = nodeFrame(cV, resolveLabel(p.hops(1)._2, Some(p.hops(1)._1), isStart = false), p.hops(1)._2.props)
+    val df = triples
+      .join(aF.df, col("a") === col(aF.idCol(aV)))
+      .join(bF.df, col("b") === col(bF.idCol(bV)))
+      .join(cF.df, col("c") === col(cF.idCol(cV)))
+      .drop("a", "b", "c")
+    Some(Frame(df, aF.vars ++ bF.vars ++ cF.vars))
   }
 
   private def resolveLabel(np: NodePattern, rel: Option[RelPattern],

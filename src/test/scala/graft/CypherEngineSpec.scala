@@ -181,6 +181,32 @@ class CypherEngineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.pathExpand.broadcastThreshold")
   }
 
+  test("WCOJ flag: triangle pattern matches the binary-join result") {
+    // KNOWS: Alice→Bob→Carol→Dan — no triangle yet; add Carol→Alice
+    // to close one via a fresh engine-free catalog
+    import spark.implicits._
+    val person = Seq((0L, "Alice"), (1L, "Bob"), (2L, "Carol"))
+      .toDF("__ID__", "name")
+    val knows = Seq((0L, 0L, 1L), (1L, 1L, 2L), (2L, 2L, 0L), (3L, 0L, 2L))
+      .toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val cat = new graft.model.GraphCatalog()
+      .addEntity("Person", person)
+      .addRelationship("KNOWS", knows,
+        srcLabel = Some("Person"), dstLabel = Some("Person"))
+    val eng = new CypherEngine(spark, cat)
+    val q =
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(c:Person)-[:KNOWS]->(a)
+         RETURN a.name AS a, b.name AS b, c.name AS c ORDER BY a, b, c"""
+    val plain = eng.query(q).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    spark.conf.set("graft.wcoj.enabled", "true")
+    try {
+      val wcoj = eng.query(q).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(wcoj == plain && plain.nonEmpty)
+    } finally spark.conf.unset("graft.wcoj.enabled")
+  }
+
   test("leading OPTIONAL MATCH: empty pattern yields one all-null row") {
     val r = rows("OPTIONAL MATCH (p:Person {name: 'Zed'}) RETURN p.name AS name")
     assert(r.size == 1 && r.head.isNullAt(0))

@@ -48,6 +48,25 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.exists(_._3 == 0))
   }
 
+  test("WCOJ triangles: adjacency intersection equals the binary-join plan") {
+    import graft.operators.Wcoj
+    // 0→1→2→0 and 0→1→3→0 close; 0→1→4 does not; plus a distractor
+    // wedge 5→6→7 with no closing edge
+    val ab = Seq((0L, 1L), (5L, 6L)).toDF("src", "dst")
+    val bc = Seq((1L, 2L), (1L, 3L), (1L, 4L), (6L, 7L)).toDF("src", "dst")
+    val ca = Seq((2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val got = Wcoj.triangles(ab, bc, ca).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 2L), (0L, 1L, 3L)))
+    // equivalence against the straightforward binary-join enumeration
+    val binary = ab.select(col("src").as("a"), col("dst").as("b"))
+      .join(bc.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(ca.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))
+      .select("a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == binary)
+  }
+
   test("connected components: pairs collapse to min-id clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 3L))
