@@ -296,6 +296,16 @@ object CypherQueries {
         "normalize(r.r_name + ' cafe\u0301') AS nfc, " + // decomposed e+U+0301
         "size(normalize('cafe\u0301')) AS n_nfc"),
 
+    // EXISTS spanning outer (r) and pattern (n) scope inside the
+    // OPTIONAL WHERE, plus a pattern-local parity conjunct: witness-set
+    // membership drives the left join (no shared variables at all
+    // between the outer frame and the optional pattern)
+    "cy41_optional_exists_spanning" -> run(
+      """MATCH (r:Region)
+         OPTIONAL MATCH (n:Nation)
+         WHERE EXISTS { (n)-[:IN_REGION]->(r) } AND n.n_nationkey % 2 = 0
+         RETURN r.r_name AS region, count(n) AS n_even"""),
+
     // worst-case-optimal triangle join (SURVEY §2.3 row 21): the flag
     // routes the closing 3-cycle through adjacency-set intersection
     // instead of wedge materialization; triples are (a, a+1, a+2) in
@@ -528,6 +538,11 @@ object CypherQueries {
     "cy39_normalize" ->
       ("SELECT r_name AS name, nfc_normalize(r_name || ' cafe\u0301') AS nfc, " +
         "length(nfc_normalize('cafe\u0301')) AS n_nfc FROM region"),
+    "cy41_optional_exists_spanning" ->
+      """SELECT r_name AS region, count(n_nationkey) AS n_even
+         FROM region LEFT JOIN nation
+           ON n_regionkey = r_regionkey AND n_nationkey % 2 = 0
+         GROUP BY 1""",
     "cy40_wcoj_triangles" ->
       """WITH e AS (
            SELECT a.n_nationkey AS src, b.n_nationkey AS dst

@@ -202,26 +202,43 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       val outerOnly = outerF.vars.keySet -- patVarNames
       val (crossConjs, localConjs) = m.where.map(conjuncts).getOrElse(Seq.empty)
         .partition(c => freeVars(c).intersect(outerOnly).nonEmpty)
-      // EXISTS referencing outer-only variables: precompute the semi join
-      // as a boolean flag column on the OUTER frame (one distinct-key
-      // left join, multiplicity preserved), then reference the flag in
-      // the left-join condition like any other correlated conjunct —
-      // the Spark form of the reference's re-entrant exists evaluator
-      // (exists_evaluator.py:1-14).
+      // EXISTS in the correlated WHERE — two regimes, both precomputed
+      // so the left-join condition stays a plain column predicate (the
+      // Spark form of the reference's re-entrant exists evaluator,
+      // exists_evaluator.py:1-14):
+      //  * outer-only correlation → boolean flag column on the OUTER
+      //    frame (one distinct-key left join, multiplicity preserved);
+      //  * spanning correlation (outer AND pattern vars) → per-pattern-
+      //    row witness SET of outer-key structs; the join condition
+      //    becomes an array_contains membership test.
       var outerF2 = outerF
-      val flags = mutable.ArrayBuffer.empty[String]
-      val crossRewritten = crossConjs.map {
-        case ExistsPattern(paths, sub, _) =>
-          val (f2, flag) = existsFlag(outerF2, paths, sub, patVarNames)
-          outerF2 = f2; flags += flag; Variable(flag)
-        case UnaryOp("NOT", ExistsPattern(paths, sub, _)) =>
-          val (f2, flag) = existsFlag(outerF2, paths, sub, patVarNames)
-          outerF2 = f2; flags += flag; UnaryOp("NOT", Variable(flag))
-        case other => other
+      var patternF = localConjs.foldLeft(pattern0)((acc, c) => applyWhere(acc, c))
+      val dropAfter = mutable.ArrayBuffer.empty[String]
+      val extraFns = mutable.ArrayBuffer.empty[Frame => Column]
+      def rewriteExists(paths: Seq[PathPattern], sub: Option[Expr],
+                        neg: Boolean): Seq[Expr] = {
+        val subF = compileExistsSub(paths, sub)
+        val spansPattern =
+          (subF.vars.keySet intersect (patVarNames -- outerF.vars.keySet)).nonEmpty
+        if (!spansPattern) {
+          val (f2, flag) = existsFlag(outerF2, subF)
+          outerF2 = f2; dropAfter += flag
+          Seq(if (neg) UnaryOp("NOT", Variable(flag)) else Variable(flag))
+        } else {
+          val (pf2, fn, wcol) = existsWitness(outerF2, patternF, subF, neg)
+          patternF = pf2; extraFns += fn; dropAfter += wcol
+          Seq.empty
+        }
       }
-      val pattern = localConjs.foldLeft(pattern0)((acc, c) => applyWhere(acc, c))
-      val joined = naturalJoin(outerF2, pattern, "left_outer", crossRewritten)
-      Frame(joined.df.drop(flags.toSeq: _*), joined.vars -- flags)
+      val crossRewritten = crossConjs.flatMap {
+        case ExistsPattern(paths, sub, _) => rewriteExists(paths, sub, neg = false)
+        case UnaryOp("NOT", ExistsPattern(paths, sub, _)) =>
+          rewriteExists(paths, sub, neg = true)
+        case other => Seq(other)
+      }
+      val joined = naturalJoin(outerF2, patternF, "left_outer", crossRewritten,
+        extraFns.toSeq)
+      Frame(joined.df.drop(dropAfter.toSeq: _*), joined.vars -- dropAfter)
     } else {
       val joined = outer match {
         case Some(o) => naturalJoin(o, pattern0, "inner")
@@ -554,9 +571,11 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     * downstream references resolve unambiguously to the left side.
     */
   private[compiler] def naturalJoin(a: Frame, b: Frame, joinType: String,
-                                    extraOn: Seq[Expr] = Seq.empty): Frame = {
+                                    extraOn: Seq[Expr] = Seq.empty,
+                                    extraCols: Seq[Frame => Column] = Seq.empty)
+      : Frame = {
     val shared = (a.vars.keySet intersect b.vars.keySet).toSeq.sorted
-    if (shared.isEmpty && extraOn.isEmpty) {
+    if (shared.isEmpty && extraOn.isEmpty && extraCols.isEmpty) {
       joinType match {
         case "inner" => Frame(a.df.crossJoin(b.df), a.vars ++ b.vars)
         case _ => throw new UnsupportedOperationException(
@@ -571,11 +590,13 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       val bPrepared = bPrepared0.drop(dropCols: _*)
       // correlated predicates compile against the merged namespace: shared
       // vars resolve to the left side's columns (the right side's copies
-      // are dropped above), pattern-only vars to the right side's
-      val extraCond = if (extraOn.isEmpty) Seq.empty else {
+      // are dropped above), pattern-only vars to the right side's.
+      // extraCols are prebuilt Column conditions (e.g. witness-set
+      // membership) evaluated over the same merged namespace.
+      val extraCond = if (extraOn.isEmpty && extraCols.isEmpty) Seq.empty else {
         val probe = Frame(a.df.crossJoin(bPrepared), a.vars ++ b.vars)
         val pec = new ExpressionCompiler(probe, params)
-        Seq(extraOn.map(pec.compile).reduce(_ && _))
+        extraOn.map(pec.compile) ++ extraCols.map(f => f(probe))
       }
       val cond = (keyCols.map { case (v, jk) => col(a.idCol(v)) === col(jk) } ++
         extraCond).reduce(_ && _)
@@ -774,23 +795,20 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     f.copy(df = f.df.join(subPrepared, cond, jt))
   }
 
-  /** EXISTS as a boolean column: left join the outer frame against the
+  private def compileExistsSub(paths: Seq[PathPattern],
+                               subWhere: Option[Expr]): Frame = {
+    var sub = paths.map(compilePath).reduce((x, y) => naturalJoin(x, y, "inner"))
+    subWhere.foreach(w => sub = applyWhere(sub, w))
+    sub
+  }
+
+  /** EXISTS as a boolean column: left join the frame against the
     * DISTINCT shared-key tuples of the subpattern and coalesce the
     * marker to false. Distinct keys keep multiplicity intact, so the
     * flag is usable inside any predicate (left-join conditions included)
-    * rather than only as a top-level semi/anti join. A subpattern that
-    * also constrains variables of the OPTIONAL pattern itself would need
-    * the flag computed on the joined pair — rejected explicitly.
+    * rather than only as a top-level semi/anti join.
     */
-  private def existsFlag(f: Frame, paths: Seq[PathPattern],
-                         subWhere: Option[Expr],
-                         patternVars: Set[String]): (Frame, String) = {
-    var sub = paths.map(compilePath).reduce((x, y) => naturalJoin(x, y, "inner"))
-    subWhere.foreach(w => sub = applyWhere(sub, w))
-    val spanning = sub.vars.keySet intersect (patternVars -- f.vars.keySet)
-    if (spanning.nonEmpty) throw new UnsupportedOperationException(
-      s"EXISTS in OPTIONAL MATCH WHERE referencing both outer and pattern " +
-        s"variables (${spanning.mkString(", ")}) is unsupported")
+  private def existsFlag(f: Frame, sub: Frame): (Frame, String) = {
     val shared = (f.vars.keySet intersect sub.vars.keySet).toSeq.sorted
     require(shared.nonEmpty, "EXISTS pattern must share at least one variable")
     anonCounter += 1
@@ -806,6 +824,44 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       .drop(keyCols.map(_._2): _*)
       .withColumn(flag, coalesce(col(flag), lit(false)))
     (Frame(joined, f.vars + (flag -> ValueVar)), flag)
+  }
+
+  /** EXISTS spanning outer AND pattern scope: the predicate depends on
+    * the (outer row, pattern row) pair, so no single-frame flag works.
+    * Attach to each pattern row the SET of outer-key witness structs
+    * from the subframe (one grouped collect_set + one left join —
+    * multiplicity preserved, one array column per pattern row), and
+    * test membership of the outer row's keys in the join condition.
+    * Witness sets are bounded by the distinct outer keys the subpattern
+    * can produce per pattern row; NOT EXISTS is plain negation because
+    * a missing set coalesces to empty (no witness pair exists).
+    */
+  private def existsWitness(outer: Frame, pat: Frame, sub: Frame,
+                            neg: Boolean): (Frame, Frame => Column, String) = {
+    val patShared = (pat.vars.keySet intersect sub.vars.keySet).toSeq.sorted
+    val outShared = ((outer.vars.keySet -- pat.vars.keySet)
+      intersect sub.vars.keySet).toSeq.sorted
+    require(patShared.nonEmpty && outShared.nonEmpty,
+      "spanning EXISTS requires both outer and pattern correlation")
+    anonCounter += 1
+    val wname = s"__exwit$anonCounter"
+    val m = sub.df.select(
+      patShared.map(v => col(sub.idCol(v)).as(s"__wk_$v")) ++
+        outShared.map(v => col(sub.idCol(v)).as(s"__wo_$v")): _*)
+      .groupBy(patShared.map(v => col(s"__wk_$v")): _*)
+      .agg(collect_set(struct(outShared.map(v => col(s"__wo_$v")): _*)).as(wname))
+    val cond = patShared.map(v => col(pat.idCol(v)) === col(s"__wk_$v"))
+      .reduce(_ && _)
+    val pf2 = pat.copy(df = pat.df.join(m, cond, "left_outer")
+      .drop(patShared.map(v => s"__wk_$v"): _*))
+    val fn = (probe: Frame) => {
+      val probeKeys = struct(
+        outShared.map(v => col(probe.idCol(v)).as(s"__wo_$v")): _*)
+      val contains =
+        coalesce(array_contains(col(wname), probeKeys), lit(false))
+      if (neg) !contains else contains
+    }
+    (pf2, fn, wname)
   }
 
   // ---------------- UNWIND ----------------

@@ -266,6 +266,29 @@ class CypherEngineSpec extends SparkSpec {
       Seq(("Alice", Some("Bob")), ("Bob", Some("Carol")), ("Carol", None)))
   }
 
+  test("OPTIONAL MATCH WHERE EXISTS spanning outer and pattern scope") {
+    // EXISTS references p (bound by the OPTIONAL pattern) AND co (bound
+    // only by the outer MATCH): per-pattern-row witness sets make the
+    // left-join condition a membership test; note the OPTIONAL pattern
+    // shares NO variable with the outer frame — the witness condition
+    // alone drives the join
+    val r = rows(
+      """MATCH (co:Company)
+         OPTIONAL MATCH (p:Person)
+         WHERE EXISTS { (p)-[:WORKS_FOR]->(co) }
+         RETURN co.name AS company, count(p) AS n ORDER BY company""")
+    assert(r.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("Acme", 2L), ("Globex", 1L)))
+    val rNot = rows(
+      """MATCH (co:Company)
+         OPTIONAL MATCH (p:Person)
+         WHERE NOT EXISTS { (p)-[:WORKS_FOR]->(co) }
+         RETURN co.name AS company, count(p) AS n ORDER BY company""")
+    // Acme: Carol & Dan don't work there; Globex: Alice, Bob, Dan
+    assert(rNot.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("Acme", 2L), ("Globex", 3L)))
+  }
+
   test("pattern comprehension collects correlated matches, [] when none") {
     val r = rows(
       """MATCH (p:Person)
