@@ -1,7 +1,12 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,14 +15,22 @@ import org.apache.spark.sql.types._
   * feature-extraction runs per partition in bounded batches so a row
   * group of large blobs never materializes at once.
   *
-  * The decode kernels themselves are STUBBED with a deterministic fake
-  * (this container has no image/audio codecs) — clearly marked below.
-  * Everything around them is real and load-bearing at scale: the
-  * schema contract, the mapPartitions batch shape (the Scala analog of
-  * a pandas_udf/mapInPandas batch), partition sizing by byte budget,
-  * and the frame-sampling row expansion.
+  * IMAGE decode is REAL: the JDK ships PNG/JPEG/BMP/GIF codecs in
+  * `javax.imageio`, so width/height probing, average-pooled grayscale
+  * features, and resize all run on actual pixels with zero external
+  * dependencies. AUDIO/VIDEO kernels remain STUBBED with a
+  * deterministic fake (the JDK has no such codecs and this container
+  * cannot fetch any) — clearly marked below. Everything around the
+  * kernels is real and load-bearing at scale: the schema contract, the
+  * mapPartitions batch shape (the Scala analog of a pandas_udf/
+  * mapInPandas batch), partition sizing by byte budget, and the
+  * frame-sampling row expansion.
   */
 object Multimodal {
+
+  // BufferedImage/Graphics2D need no display; make that explicit so
+  // executor JVMs never try to open one
+  System.setProperty("java.awt.headless", "true")
 
   /** Canonical media schema: content + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -30,10 +43,46 @@ object Multimodal {
       StructField("height", IntegerType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
-  /** ===== STUB ===== deterministic fake decode: a real build links an
-    * image codec here (per-partition native lib init, then one decode
-    * per row). The fake derives "pixels" from a content hash so tests
-    * are stable and decode cost is representative of a per-row kernel.
+  // ---------------- real image kernels (JDK codecs) ----------------
+
+  private def decodeImage(content: Array[Byte]): Option[BufferedImage] =
+    if (content == null) None
+    else try Option(ImageIO.read(new ByteArrayInputStream(content)))
+    catch { case _: Exception => None }
+
+  private def scaleTo(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    out
+  }
+
+  /** Average-pooled grayscale over a √dims × √dims grid → dims floats
+    * in [0,1] — a real (if tiny) image embedding: downscale with
+    * bilinear interpolation, then per-cell luminance.
+    */
+  private def imageFeatures(img: BufferedImage, dims: Int): Array[Float] = {
+    val side = math.max(1, math.sqrt(dims.toDouble).toInt)
+    val small = scaleTo(img, side, side)
+    val feats = Array.fill(dims)(0.0f)
+    var i = 0
+    while (i < side * side && i < dims) {
+      val rgb = small.getRGB(i % side, i / side)
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      feats(i) = ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+      i += 1
+    }
+    feats
+  }
+
+  /** ===== STUB ===== deterministic fake for AUDIO/VIDEO only: the JDK
+    * has no codecs for these and none can be fetched offline. The fake
+    * derives "samples" from a content hash so tests are stable and the
+    * per-row kernel cost is representative; a real build links ffmpeg
+    * here behind the same per-partition batch shape.
     */
   private def stubDecodeFeatures(content: Array[Byte], dims: Int): Array[Float] = {
     if (content == null) return Array.fill(dims)(0.0f)
@@ -49,13 +98,16 @@ object Multimodal {
     * mapPartitions (the pandas_udf batch analog). `batchBytes` bounds
     * how much media is resident per batch — the partition-sizing knob
     * that matters at 100 TB (pair with
-    * spark.sql.files.maxPartitionBytes at read time).
+    * spark.sql.files.maxPartitionBytes at read time). Image rows
+    * decode for real; audio/video take the stub kernel; undecodable
+    * images fall back to the stub rather than failing the task.
     */
   def extractFeatures(df: DataFrame, dims: Int = 16,
                       batchBytes: Long = 64L << 20): DataFrame = {
     val outSchema = df.schema.add("features", ArrayType(FloatType))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
     val contentIdx = df.schema.fieldIndex("content")
+    val kindIdx = df.schema.fieldIndex("kind")
     df.mapPartitions { rows =>
       // bounded batches: accumulate up to batchBytes of payload, flush
       new Iterator[Row] {
@@ -66,13 +118,73 @@ object Multimodal {
             val r = rows.next()
             val content = r.get(contentIdx).asInstanceOf[Array[Byte]]
             bytes += (if (content == null) 0 else content.length)
-            // ===== STUB decode happens batch-locally =====
-            val feats = stubDecodeFeatures(content, dims)
+            val feats =
+              if (r.getString(kindIdx) == "image")
+                decodeImage(content).map(imageFeatures(_, dims))
+                  .getOrElse(stubDecodeFeatures(content, dims))
+              else stubDecodeFeatures(content, dims) // ===== STUB kinds =====
             buf.enqueue(Row.fromSeq(r.toSeq :+ feats.toSeq))
           }
         }
         def hasNext: Boolean = { if (buf.isEmpty) refill(); buf.nonEmpty }
         def next(): Row = { if (buf.isEmpty) refill(); buf.dequeue() }
+      }
+    }
+  }
+
+  /** Probe real metadata from the bytes: image rows get (mime, width,
+    * height) from an actual decode — the ingest-time sanity pass that
+    * catches mislabeled/corrupt media before a 100 TB job wastes a
+    * shuffle on it.
+    */
+  def probeMeta(df: DataFrame, batchBytes: Long = 64L << 20): DataFrame = {
+    val probed = StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val outSchema = df.schema.add("probed", probed)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        val p = (for {
+          bytes <- Option(content)
+          iis <- Option(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+          reader <- {
+            val it = ImageIO.getImageReaders(iis)
+            if (it.hasNext) Some(it.next()) else None
+          }
+        } yield try {
+          reader.setInput(iis)
+          Row("image/" + reader.getFormatName.toLowerCase,
+            reader.getWidth(0), reader.getHeight(0))
+        } finally reader.dispose()).getOrElse(Row(null, null, null))
+        Row.fromSeq(r.toSeq :+ p)
+      }
+    }
+  }
+
+  /** Real image resize: decode → bilinear scale → re-encode (PNG),
+    * emitted as a `resized` binary column; non-image or undecodable
+    * rows carry null. Batched like extractFeatures.
+    */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val outSchema = df.schema.add("resized", BinaryType)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val contentIdx = df.schema.fieldIndex("content")
+    val kindIdx = df.schema.fieldIndex("kind")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val resized =
+          if (r.getString(kindIdx) == "image")
+            decodeImage(r.get(contentIdx).asInstanceOf[Array[Byte]]).map { img =>
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(scaleTo(img, w, h), "png", bos)
+              bos.toByteArray
+            }.orNull
+          else null
+        Row.fromSeq(r.toSeq :+ resized)
       }
     }
   }
@@ -88,7 +200,7 @@ object Multimodal {
           lit(everyMs))))
 
   /** Image resize request plan: records target size in metadata; the
-    * decode/resize kernel itself is the stubbed batch step above.
+    * actual pixel work is `resizeImages`.
     */
   def withResizeTarget(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("resize_target", struct(lit(w).as("w"), lit(h).as("h")))

@@ -195,6 +195,43 @@ class OperatorsSpec extends SparkSpec {
     assert(fNull.forall(_ == 0.0f)) // null content -> zero vector
   }
 
+  test("multimodal: real image decode — features, probe, resize (JDK codecs)") {
+    import graft.operators.Multimodal
+    def png(rgb: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", png(0xFFFFFF)),  // white
+      (2L, "image", png(0x000000)),  // black
+      (3L, "audio", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "content")
+    // features are real luminance: white ≈ 1, black ≈ 0
+    val feats = Multimodal.extractFeatures(rows, dims = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(feats(1L).forall(_ > 0.99f))
+    assert(feats(2L).forall(_ < 0.01f))
+    assert(feats(3L).length == 4) // audio takes the stub kernel
+    // probe reads real dimensions + mime from the bytes
+    val probed = Multimodal.probeMeta(rows).collect()
+      .map(r => r.getLong(0) -> r.getStruct(3)).toMap
+    assert(probed(1L).getString(0) == "image/png")
+    assert(probed(1L).getInt(1) == 8 && probed(1L).getInt(2) == 8)
+    assert(probed(3L).isNullAt(0)) // audio bytes are not an image
+    // resize re-encodes at the target size; output decodes again
+    val resized = Multimodal.resizeImages(rows, 4, 4).collect()
+      .map(r => r.getLong(0) -> r.get(3)).toMap
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      resized(1L).asInstanceOf[Array[Byte]]))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert(resized(3L) == null)
+  }
+
   test("multimodal: frame sampling expands by duration") {
     import graft.operators.Multimodal
     val vids = Seq(
