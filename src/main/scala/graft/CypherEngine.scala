@@ -80,14 +80,45 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
     * Read-only queries pass through `query` untouched (lazy).
     */
   def execute(cypher: String, params: Map[String, Any] = Map.empty): DataFrame = {
-    import graft.parser.CypherAst._
     val ast = parse(cypher)
-    val mutates = ast.statements.exists(_.clauses.exists {
+    // read-only strings keep the cached `query` path
+    if (!isMutating(ast)) query(cypher, params) else executeAst(ast, params)
+  }
+
+  private def isMutating(ast: graft.parser.CypherAst.Query): Boolean = {
+    import graft.parser.CypherAst._
+    ast.statements.exists(_.clauses.exists {
       case _: Create | _: Merge | _: SetClause | _: Delete | _: Remove |
            _: Foreach => true
       case _ => false
     })
-    if (!mutates) query(cypher, params)
+  }
+
+  /** Execute a multi-query pipeline. Combinable pipelines (single-
+    * statement queries, disjoint pattern variables) merge through
+    * QueryCombiner into ONE query — one Catalyst plan, one snapshot
+    * commit — exactly the reference's `WITH *` combination
+    * (query_combiner.py), minus its string round-trip. Non-combinable
+    * inputs fall back to sequential execution in the given order.
+    * Returns the final query's result.
+    */
+  def executeAll(cyphers: Seq[String],
+                 params: Map[String, Any] = Map.empty): DataFrame = {
+    require(cyphers.nonEmpty, "executeAll: empty pipeline")
+    val asts = cyphers.map(parse)
+    if (asts.size > 1 && graft.compiler.QueryCombiner.combinable(asts))
+      executeAst(graft.compiler.QueryCombiner.combine(asts), params)
+    else cyphers.map(execute(_, params)).last
+  }
+
+  private def executeAst(ast: graft.parser.CypherAst.Query,
+                         params: Map[String, Any]): DataFrame = {
+    import graft.parser.CypherAst._
+    val mutates = isMutating(ast)
+    if (!mutates) withCypherConf {
+      graft.ops.QueryComplexity.gate(ast, rejectComplexityAbove, warnComplexityAbove)
+      new QueryCompiler(catalog, spark, params).compile(ast)
+    }
     else withCypherConf {
       val snap = catalog.snapshot()
       val df = new QueryCompiler(snap, spark, params).compile(ast)

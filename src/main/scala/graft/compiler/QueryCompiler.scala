@@ -940,6 +940,12 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
         .map(v => ReturnItem(Variable(v), Some(v)))
       else Seq.empty
     val items0 = starItems ++ proj.items
+    if (items0.isEmpty && proj.star) {
+      // WITH * over a frame with no user-visible variables (e.g. after
+      // an anonymous CREATE in a combined pipeline): identity pass,
+      // WHERE still applies
+      return where.foldLeft(f)((acc, w) => applyWhere(acc, w))
+    }
     require(items0.nonEmpty, "empty projection")
 
     // pattern comprehensions become precomputed columns before projection

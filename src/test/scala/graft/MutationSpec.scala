@@ -229,6 +229,32 @@ class MutationSpec extends SparkSpec {
       Seq(("Alice", "Person"), ("Carol", "Person")))
   }
 
+  test("query combiner: pipeline merges into one plan with WITH * bridges") {
+    val eng = freshEngine
+    // given in the WRONG order: the consumer is listed first, the
+    // combiner's produce/consume analysis reorders, strips the
+    // intermediate RETURN, and bridges with WITH *
+    val out = eng.executeAll(Seq(
+      "MATCH (c:City) RETURN c.name AS name ORDER BY name",
+      "CREATE (x:City {name: 'Oslo'}) CREATE (y:City {name: 'Bergen'})"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("Bergen", "Oslo"))
+    assert(eng.query("MATCH (c:City) RETURN count(*) AS n").collect()
+      .head.getLong(0) == 2L)
+    // anonymous CREATE stage: WITH * over a frame with no visible vars
+    // passes through (identity), pipeline still combines
+    val eng2 = freshEngine
+    val out2 = eng2.executeAll(Seq(
+      "CREATE (:Tag {name: 'x'})",
+      "MATCH (t:Tag) RETURN count(*) AS n"))
+    assert(out2.collect().head.getLong(0) == 1L)
+    // non-combinable (colliding variable names) falls back to sequential
+    val eng3 = freshEngine
+    val out3 = eng3.executeAll(Seq(
+      "CREATE (n:Tag {name: 'a'})",
+      "MATCH (n:Tag) RETURN n.name AS name"))
+    assert(out3.collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("rel MERGE duplicate binding rows: ON MATCH fires on the new edge") {
     val eng = freshEngine
     // two binding rows for the same (Bob, Carol) pair: per Neo4j row
