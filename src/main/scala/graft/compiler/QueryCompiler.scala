@@ -828,13 +828,19 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
 
   /** EXISTS spanning outer AND pattern scope: the predicate depends on
     * the (outer row, pattern row) pair, so no single-frame flag works.
-    * Attach to each pattern row the SET of outer-key witness structs
-    * from the subframe (one grouped collect_set + one left join —
-    * multiplicity preserved, one array column per pattern row), and
-    * test membership of the outer row's keys in the join condition.
-    * Witness sets are bounded by the distinct outer keys the subpattern
-    * can produce per pattern row; NOT EXISTS is plain negation because
-    * a missing set coalesces to empty (no witness pair exists).
+    *
+    * Positive EXISTS lowers to an EQUI condition: inner-join each
+    * pattern row with its DISTINCT outer-key witness structs (pattern
+    * rows with no witness can never satisfy the predicate, so dropping
+    * them pre-join is sound; each (outer, pattern) pair matches at most
+    * its own key struct, so multiplicity is preserved) and equate the
+    * witness with the outer row's key struct in the join condition —
+    * Spark plans a hash/sort-merge join, not a nested loop.
+    *
+    * NOT EXISTS genuinely needs per-pair membership: attach the witness
+    * SET (grouped collect_set, left join so witness-less rows keep an
+    * empty set) and negate array_contains — a residual condition,
+    * nested-loop only when no equi conjunct exists besides it.
     */
   private def existsWitness(outer: Frame, pat: Frame, sub: Frame,
                             neg: Boolean): (Frame, Frame => Column, String) = {
@@ -845,23 +851,31 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       "spanning EXISTS requires both outer and pattern correlation")
     anonCounter += 1
     val wname = s"__exwit$anonCounter"
-    val m = sub.df.select(
-      patShared.map(v => col(sub.idCol(v)).as(s"__wk_$v")) ++
-        outShared.map(v => col(sub.idCol(v)).as(s"__wo_$v")): _*)
-      .groupBy(patShared.map(v => col(s"__wk_$v")): _*)
-      .agg(collect_set(struct(outShared.map(v => col(s"__wo_$v")): _*)).as(wname))
-    val cond = patShared.map(v => col(pat.idCol(v)) === col(s"__wk_$v"))
-      .reduce(_ && _)
-    val pf2 = pat.copy(df = pat.df.join(m, cond, "left_outer")
-      .drop(patShared.map(v => s"__wk_$v"): _*))
-    val fn = (probe: Frame) => {
-      val probeKeys = struct(
-        outShared.map(v => col(probe.idCol(v)).as(s"__wo_$v")): _*)
-      val contains =
-        coalesce(array_contains(col(wname), probeKeys), lit(false))
-      if (neg) !contains else contains
+    val patCond = (m: DataFrame) =>
+      patShared.map(v => col(pat.idCol(v)) === m(s"__wk_$v")).reduce(_ && _)
+    def probeKeys(probe: Frame): Column =
+      struct(outShared.map(v => col(probe.idCol(v)).as(s"__wo_$v")): _*)
+    if (!neg) {
+      val m = sub.df.select(
+        patShared.map(v => col(sub.idCol(v)).as(s"__wk_$v")) :+
+          struct(outShared.map(v => col(sub.idCol(v)).as(s"__wo_$v")): _*)
+            .as(wname): _*)
+        .distinct()
+      val pf2 = pat.copy(df = pat.df.join(m, patCond(m), "inner")
+        .drop(patShared.map(v => s"__wk_$v"): _*))
+      (pf2, (probe: Frame) => probeKeys(probe) === col(wname), wname)
+    } else {
+      val m = sub.df.select(
+        patShared.map(v => col(sub.idCol(v)).as(s"__wk_$v")) ++
+          outShared.map(v => col(sub.idCol(v)).as(s"__wo_$v")): _*)
+        .groupBy(patShared.map(v => col(s"__wk_$v")): _*)
+        .agg(collect_set(struct(outShared.map(v => col(s"__wo_$v")): _*)).as(wname))
+      val pf2 = pat.copy(df = pat.df.join(m, patCond(m), "left_outer")
+        .drop(patShared.map(v => s"__wk_$v"): _*))
+      val fn = (probe: Frame) =>
+        !coalesce(array_contains(col(wname), probeKeys(probe)), lit(false))
+      (pf2, fn, wname)
     }
-    (pf2, fn, wname)
   }
 
   // ---------------- UNWIND ----------------
