@@ -87,6 +87,31 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 surviving scans, got $scans:\n$p")
   }
 
+  test("positive spanning EXISTS avoids nested-loop joins (equi lowering)") {
+    val df = TpchGraph.engine(spark, dir).query(
+      """MATCH (r:Region)
+         OPTIONAL MATCH (n:Nation) WHERE EXISTS { (n)-[:IN_REGION]->(r) }
+         RETURN r.r_name AS region, count(n) AS k""")
+    val p = plan(df)
+    assert(!p.contains("NestedLoopJoin"),
+      s"witness membership should lower to an equi join:\n$p")
+  }
+
+  test("WCOJ triangle plan builds adjacency sets, not the open wedge") {
+    spark.conf.set("graft.wcoj.enabled", "true")
+    try {
+      val df = TpchGraph.engine(spark, dir).query(
+        """MATCH (a:Nation)-[:NEXT_N]->(b:Nation)-[:NEXT_N]->(c:Nation)-[:PREV_N]->(a)
+           RETURN count(*) AS n""")
+      val p = plan(df)
+      // the leapfrog shape: collect_set adjacency aggregates feeding an
+      // array_intersect + explode (Generate), never edge⋈edge first
+      assert(p.contains("collect_set"), s"no adjacency aggregate:\n$p")
+      assert(p.contains("array_intersect") && p.contains("Generate"),
+        s"no intersect/explode step:\n$p")
+    } finally spark.conf.unset("graft.wcoj.enabled")
+  }
+
   test("pattern comprehension compiles to one grouped collect + one join-back") {
     val df = TpchGraph.engine(spark, dir).query(
       """MATCH (r:Region)
