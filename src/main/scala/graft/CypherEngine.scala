@@ -51,6 +51,17 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
       }
     }
 
+  /** Query with a wall-clock timeout, collected — the reference's
+    * `Star.run(query, timeout_seconds=…)` (star.py:625-690). The
+    * timeout guards the ACTION; expiry cancels the query's job group so
+    * no orphaned stages keep running.
+    */
+  def run(cypher: String, timeoutSeconds: Double,
+          params: Map[String, Any] = Map.empty): Array[org.apache.spark.sql.Row] =
+    graft.ops.QueryGuard.withTimeout(spark, timeoutSeconds) {
+      query(cypher, params).collect()
+    }
+
   /** EXPLAIN: complexity report + the Catalyst formatted physical plan
     * (the reference's query_explainer.py analog; SURVEY §2 ops row).
     */

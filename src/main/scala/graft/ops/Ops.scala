@@ -8,9 +8,46 @@ import org.apache.spark.storage.StorageLevel
 import graft.parser.CypherAst._
 
 /** Operational layer (SURVEY §3.1 gate / §4.1 custom rows): result
-  * cache, complexity scoring, and query explanation — the pieces of the
-  * reference's Star lifecycle that Catalyst does NOT subsume.
+  * cache, complexity scoring, query timeout, and query explanation —
+  * the pieces of the reference's Star lifecycle that Catalyst does NOT
+  * subsume.
   */
+
+final class QueryTimeoutException(msg: String) extends RuntimeException(msg)
+
+/** Wall-clock query timeout — the Spark-native form of the reference's
+  * TimeoutHandler (star.py:625-690). The guarded action runs in a
+  * dedicated job group; on expiry the WHOLE group is cancelled, which
+  * aborts every running stage of the query cluster-wide (a thread
+  * interrupt alone would leave executor tasks running). Timeouts apply
+  * to ACTIONS (collect/count/write) — a lazy DataFrame costs nothing
+  * until acted on.
+  */
+object QueryGuard {
+  def withTimeout[T](spark: org.apache.spark.sql.SparkSession,
+                     timeoutSeconds: Double)(body: => T): T = {
+    val sc = spark.sparkContext
+    val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val fut = exec.submit(new java.util.concurrent.Callable[T] {
+      def call(): T = {
+        sc.setJobGroup(group, "graft guarded query", interruptOnCancel = true)
+        try body finally sc.clearJobGroup()
+      }
+    })
+    try fut.get((timeoutSeconds * 1000).toLong,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(group)
+        fut.cancel(true)
+        throw new QueryTimeoutException(
+          f"query exceeded ${timeoutSeconds}%.1f s and was cancelled")
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    } finally exec.shutdown()
+  }
+}
 
 /** LRU+TTL result cache keyed by (query, params), invalidated wholesale
   * on mutation (the reference's epoch bump, result_cache.py +

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.GraphCatalog
-import graft.ops.{QueryComplexity, ResultCache}
+import graft.ops.{QueryComplexity, QueryGuard, QueryTimeoutException, ResultCache}
 
 /** Operational layer: result cache, complexity gate, EXPLAIN. */
 class OpsSpec extends SparkSpec {
@@ -38,6 +38,22 @@ class OpsSpec extends SparkSpec {
     eng.execute("CREATE (p:Person {name: 'New', age: 1})")
     assert(cache.size == 0)
     assert(eng.query(q).collect().head.getLong(0) == 3L) // fresh result
+  }
+
+  test("query timeout cancels the job group instead of waiting it out") {
+    val slow = spark.range(8).as[Long]
+      .mapPartitions { it => Thread.sleep(8000); it }
+    val t0 = System.nanoTime()
+    intercept[QueryTimeoutException] {
+      QueryGuard.withTimeout(spark, 0.8)(slow.count())
+    }
+    assert((System.nanoTime() - t0) / 1e9 < 6.0, "timeout did not cancel early")
+    // a generous timeout passes results through untouched
+    assert(QueryGuard.withTimeout(spark, 60.0)(spark.range(10).count()) == 10L)
+    // body failures propagate as themselves, not wrapped
+    intercept[IllegalStateException] {
+      QueryGuard.withTimeout(spark, 60.0)(throw new IllegalStateException("x"))
+    }
   }
 
   test("complexity gate rejects expensive queries with reasons") {
