@@ -10,6 +10,9 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc session confs: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     val dir = "/root/testdata/sf0.1"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("dd02_minhash_lsh", "dd05_embedding_neardup", "cy30_shortestpath")
