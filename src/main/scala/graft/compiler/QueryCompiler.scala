@@ -136,9 +136,18 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     * tuple is one procedure invocation whose result is tagged with the
     * tuple and joined back to the binding rows (null-safe equality). The
     * tuple count is capped — at 100 TB the binding frame is unbounded
-    * but a per-tuple driver loop must not be.
+    * but a per-tuple driver loop must not be — and the per-tuple frames
+    * union as a BALANCED tree (a left-deep reduce over hundreds of
+    * frames makes Catalyst analysis itself the bottleneck).
     */
-  private val maxCallTuples = 10000
+  private val maxCallTuples = 1000
+
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else balancedUnion(dfs.grouped(2).map {
+      case Seq(a, b) => a.unionByName(b)
+      case Seq(a)    => a
+    }.toSeq)
   private def compileCorrelatedCall(cp: CallProcedure, o: Frame): Frame = {
     val ec = new ExpressionCompiler(o, params)
     val argNames = cp.args.indices.map(i => s"__callarg$i")
@@ -158,7 +167,7 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       }
     }
     require(perTuple.nonEmpty, s"correlated CALL ${cp.name}: empty binding frame")
-    val callDf = perTuple.reduce(_.unionByName(_))
+    val callDf = balancedUnion(perTuple)
     val yieldCols = callDf.columns.filterNot(_.endsWith("__r"))
     require((o.vars.keySet intersect yieldCols.toSet).isEmpty,
       "CALL YIELD name collides with a bound variable")
