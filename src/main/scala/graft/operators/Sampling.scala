@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & corpus resolution for training-data
+  * pipelines — the mixing/selection stage that sits between dedup and
+  * the tokenizer at 100 TB.
+  *
+  * Sampling is HASH-derived, never `rand()`: md5 of the row key decides
+  * membership, so the sample is (a) exactly reproducible across runs,
+  * engines, task retries, and partitionings — a DuckDB oracle computes
+  * the identical subset; (b) scan-local — a codegen'd filter with no
+  * shuffle, no state, no seed plumbing; (c) consistent across tables —
+  * the same key always lands the same way, so sampled fact/dim joins
+  * stay aligned. Granularity is sixteenths (first hex digit of the
+  * md5), which is where portable determinism is cheapest; compose two
+  * digits for 1/256 granularity the same way.
+  */
+object Sampling {
+
+  private def hexDigit(keyCol: Column): Column =
+    // value 0..15 of the md5's first hex digit
+    conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("int")
+
+  /** Keep rows whose key hashes into the first `sixteenths`/16 of the
+    * space. 0 keeps nothing, 16 everything.
+    */
+  def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16,
+      s"sixteenths must be in [0,16], got $sixteenths")
+    if (sixteenths >= 16) df
+    else df.filter(hexDigit(col(keyCol)) < lit(sixteenths))
+  }
+
+  /** Per-group sampling quotas (source/language mixing): groups absent
+    * from `quotas` keep `default`/16. One scan, one codegen'd CASE —
+    * the data-mixing primitive for "x% of web, y% of code, all of
+    * books" recipes.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+                       quotas: Map[String, Int],
+                       default: Int = 16): DataFrame = {
+    (quotas.values ++ Seq(default)).foreach(q =>
+      require(q >= 0 && q <= 16, s"quota must be in [0,16], got $q"))
+    val quota = quotas.toSeq.sortBy(_._1).foldLeft(lit(default): Column) {
+      case (acc, (g, q)) => when(col(groupCol) === lit(g), lit(q)).otherwise(acc)
+    }
+    df.filter(hexDigit(col(keyCol)) < quota)
+  }
+
+  /** End-to-end duplicate resolution: near-dup PAIRS → connected
+    * components → ONE surviving representative per cluster (highest
+    * quality, ties to the lowest id), singletons surviving untouched.
+    * Output is (doc_id, comp, quality) for the surviving corpus — the
+    * table a pipeline actually feeds downstream after dedup.
+    *
+    * Shuffle budget: the component propagation (O(log d) rounds of two
+    * equi-joins, see Components), one join to attach quality, one
+    * window over comp. No all-pairs work anywhere.
+    */
+  def resolveDuplicates(pairs: DataFrame, quality: DataFrame,
+                        idCol: String = "doc_id",
+                        qualityCol: String = "quality"): DataFrame = {
+    val comp = Components.connectedComponents(
+      pairs.select(col(pairs.columns.head).as("id1"),
+        col(pairs.columns(1)).as("id2")), "id1", "id2")
+    val withComp = quality
+      .join(comp, quality(idCol) === comp("id"), "left_outer")
+      .select(quality(idCol), quality(qualityCol),
+        coalesce(col("comp"), quality(idCol)).as("comp"))
+    val w = Window.partitionBy("comp")
+      .orderBy(col(qualityCol).desc, col(idCol))
+    withComp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col(idCol), col("comp"), col(qualityCol))
+  }
+}

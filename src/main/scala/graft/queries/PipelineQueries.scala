@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis)
   * exposed through the driver's queries()/oracleSql() correctness gate.
@@ -53,6 +53,24 @@ object PipelineQueries {
     "dd07_cosine_verify" -> { (s, dir) =>
       Dedup.cosinePairsExact(Tables(s, dir).embeddings, "vec_id", "embedding",
         threshold = 0.4, maxIdGap = 50L)
+    },
+
+    // End-to-end dedup resolution: exact-Jaccard pairs → connected
+    // components → one highest-quality survivor per cluster plus all
+    // singletons — the corpus a pipeline feeds downstream after dedup.
+    "dd08_dedup_resolve" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5).select("id1", "id2")
+      Sampling.resolveDuplicates(pairs, TextAnalysis.qualityScore(docs))
+    },
+
+    // Deterministic stratified sampling by language: md5-digit
+    // membership, so the DuckDB oracle reproduces the exact subset.
+    "tx05_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedSample(Tables(s, dir).documents, "doc_id", "lang",
+        Map("en" -> 4, "de" -> 8), default = 16)
+        .select(col("doc_id"), col("lang"))
     },
 
     // Brute-force cosine top-k ANN against the vec_id=0 query vector.
@@ -152,6 +170,69 @@ object PipelineQueries {
          JOIN sz z1 ON z1.doc_id = id1
          JOIN sz z2 ON z2.doc_id = id2
          WHERE round(cmn * 1.0 / (z1.sz + z2.sz - cmn) + 1e-11, 4) >= 0.5""",
+    // same pair definition as dd04, then recursive-CTE reachability for
+    // the components, quality replay from tx02, and a per-component
+    // argmax (quality desc, id asc) — singletons survive as their own
+    // component
+    "dd08_dedup_resolve" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents
+         ),
+         sh AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+           WHERE len(t) >= 3
+           UNION
+           SELECT DISTINCT doc_id, array_to_string(t, ' ') AS shingle
+           FROM toks WHERE len(t) < 3
+         ),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         p0 AS (
+           SELECT s1.doc_id AS id1, s2.doc_id AS id2, count(*) AS cmn
+           FROM sh s1 JOIN sh s2 USING (shingle)
+           WHERE s1.doc_id < s2.doc_id
+           GROUP BY 1, 2
+         ),
+         pairs AS (
+           SELECT id1, id2 FROM p0
+           JOIN sz z1 ON z1.doc_id = id1
+           JOIN sz z2 ON z2.doc_id = id2
+           WHERE round(cmn * 1.0 / (z1.sz + z2.sz - cmn) + 1e-11, 4) >= 0.5
+         ),
+         und AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS r FROM und
+           UNION
+           SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+         ),
+         comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+         q AS (
+           SELECT doc_id,
+                  round(0.5 * least(length(text) / 500.0, 1.0)
+                      + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                               / len(string_split(text, ' '))) + 1e-11, 4) AS quality
+           FROM documents
+         ),
+         j AS (
+           SELECT q.doc_id, q.quality,
+                  CAST(coalesce(comp.comp, q.doc_id) AS BIGINT) AS comp
+           FROM q LEFT JOIN comp ON comp.id = q.doc_id
+         )
+         SELECT doc_id, comp, quality FROM (
+           SELECT doc_id, comp, quality,
+                  row_number() OVER (PARTITION BY comp
+                                     ORDER BY quality DESC, doc_id) AS rn
+           FROM j
+         ) WHERE rn = 1""",
+    "tx05_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               < CASE WHEN lang = 'en' THEN 4
+                      WHEN lang = 'de' THEN 8
+                      ELSE 16 END""",
     "dd07_cosine_verify" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2,

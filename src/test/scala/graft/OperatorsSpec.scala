@@ -48,6 +48,40 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.exists(_._3 == 0))
   }
 
+  test("hash sampling: deterministic, monotone, quota-respecting") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 400).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    assert(Sampling.hashSample(df, "doc_id", 0).count() == 0)
+    assert(Sampling.hashSample(df, "doc_id", 16).count() == 400)
+    val s4 = Sampling.hashSample(df, "doc_id", 4).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s8 = Sampling.hashSample(df, "doc_id", 8).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s4.subsetOf(s8))                  // nested: same keys stay in
+    assert(s4 == Sampling.hashSample(df, "doc_id", 4).select("doc_id")
+      .collect().map(_.getLong(0)).toSet)    // reproducible
+    assert(s8.size > s4.size && s4.nonEmpty) // fractions roughly ordered
+    // stratified: en keeps ~4/16, de everything
+    val strat = Sampling.stratifiedSample(df, "doc_id", "lang", Map("en" -> 4))
+    assert(strat.filter(col("lang") === "de").count() == 200)
+    val en = strat.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(en == s4.filter(_ % 2 == 0))      // same membership rule per key
+  }
+
+  test("duplicate resolution keeps the best-quality doc per cluster") {
+    import graft.operators.Sampling
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val quality = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (4L, 0.1),
+      (5L, 0.7), (6L, 0.7)).toDF("doc_id", "quality")
+    val kept = Sampling.resolveDuplicates(pairs, quality).collect()
+      .map(_.getLong(0)).toSet
+    // cluster {1,2,3} → 2 (best quality); {5,6} → 5 (tie, lowest id);
+    // singleton 4 survives
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
   test("WCOJ triangles: adjacency intersection equals the binary-join plan") {
     import graft.operators.Wcoj
     // 0→1→2→0 and 0→1→3→0 close; 0→1→4 does not; plus a distractor
