@@ -51,6 +51,28 @@ object Sampling {
     df.filter(hexDigit(col(keyCol)) < quota)
   }
 
+  /** Deterministic per-group token-budget filling: within each group,
+    * rows are ordered by their md5 hash (a reproducible shuffle — no
+    * rand(), no seed) and kept while the running token sum stays within
+    * the group's budget, so "N tokens of source X, M of source Y" is
+    * exact, stable across runs, and monotone in the budget. One
+    * partitioned window per group — parallel across groups; a single
+    * group's ordering is the inherent serial part of a prefix-sum
+    * budget (partial per-bucket budgets are the escape hatch if one
+    * group dwarfs the cluster).
+    */
+  def budgetSample(df: DataFrame, keyCol: String, groupCol: String,
+                   weightCol: String,
+                   budgets: Map[String, Long]): DataFrame = {
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(Long.MaxValue): Column) {
+      case (acc, (g, b)) => when(col(groupCol) === lit(g), lit(b)).otherwise(acc)
+    }
+    val order = md5(col(keyCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(groupCol).orderBy(order, col(keyCol))
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
+
   /** End-to-end duplicate resolution: near-dup PAIRS → connected
     * components → ONE surviving representative per cluster (highest
     * quality, ties to the lowest id), singletons surviving untouched.

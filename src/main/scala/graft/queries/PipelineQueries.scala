@@ -73,6 +73,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Deterministic per-language token budgets: md5-ordered prefix sums
+    // keep exactly the first N chars per group — identical in DuckDB.
+    "tx06_token_budget" -> { (s, dir) =>
+      Sampling.budgetSample(Tables(s, dir).documents, "doc_id", "lang",
+        "n_chars", Map("en" -> 20000L, "de" -> 10000L))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
     // Brute-force cosine top-k ANN against the vec_id=0 query vector.
     "ann01_bruteforce_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
@@ -233,6 +241,15 @@ object PipelineQueries {
                < CASE WHEN lang = 'en' THEN 4
                       WHEN lang = 'de' THEN 8
                       ELSE 16 END""",
+    "tx06_token_budget" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  sum(n_chars) OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+           FROM documents)
+         WHERE cum <= CASE WHEN lang = 'en' THEN 20000
+                           WHEN lang = 'de' THEN 10000
+                           ELSE 9223372036854775807 END""",
     "dd07_cosine_verify" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2,

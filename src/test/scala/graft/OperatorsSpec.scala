@@ -70,6 +70,32 @@ class OperatorsSpec extends SparkSpec {
     assert(en == s4.filter(_ % 2 == 0))      // same membership rule per key
   }
 
+  test("token-budget sampling fills each group's budget exactly") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 100).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+      .withColumn("n", lit(10L))
+    val out = Sampling.budgetSample(df, "doc_id", "lang", "n",
+      Map("en" -> 100L, "de" -> 55L)).collect()
+      .map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(out("en") == 10) // 100 budget / 10 each
+    assert(out("de") == 5)  // 55 budget: 5 fit, 6th would exceed
+    // reproducible: same rows both times
+    val a = Sampling.budgetSample(df, "doc_id", "lang", "n", Map("en" -> 100L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.budgetSample(df, "doc_id", "lang", "n", Map("en" -> 100L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // monotone: a smaller budget selects a prefix of the bigger one
+    val small = Sampling.budgetSample(df, "doc_id", "lang", "n", Map("en" -> 50L))
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.budgetSample(df, "doc_id", "lang", "n", Map("en" -> 100L))
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
   test("duplicate resolution keeps the best-quality doc per cluster") {
     import graft.operators.Sampling
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
@@ -133,9 +159,14 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("exhaustive ngram jaccard leaves no persisted RDDs behind") {
+    // scope the assertion to THIS operator's run: other operators'
+    // returned checkpoints (e.g. connected components' labels) are
+    // legitimately alive until collected by the context cleaner
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5,
       exhaustive = true).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"operator left persisted RDDs: $leaked")
   }
 
   test("cosinePairsExact window ground truth contains the LSH near-dup pairs") {
