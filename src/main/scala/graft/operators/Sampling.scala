@@ -86,9 +86,14 @@ object Sampling {
   def resolveDuplicates(pairs: DataFrame, quality: DataFrame,
                         idCol: String = "doc_id",
                         qualityCol: String = "quality"): DataFrame = {
-    val comp = Components.connectedComponents(
-      pairs.select(col(pairs.columns.head).as("id1"),
-        col(pairs.columns(1)).as("id2")), "id1", "id2")
+    // pin the pair set ONCE: the upstream pair pipeline (LSH + exact
+    // verification) is expensive and the component propagation
+    // references it from both union branches and every loop action —
+    // without this checkpoint the whole pair plan re-executes per
+    // reference
+    val pinned = pairs.select(col(pairs.columns.head).as("id1"),
+      col(pairs.columns(1)).as("id2")).localCheckpoint()
+    val comp = Components.connectedComponents(pinned, "id1", "id2")
     val withComp = quality
       .join(comp, quality(idCol) === comp("id"), "left_outer")
       .select(quality(idCol), quality(qualityCol),
