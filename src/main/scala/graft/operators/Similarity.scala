@@ -60,6 +60,43 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN — the FAISS IVF-Flat layout expressed
+    * relationally: coarse k-means centroids (Spark ML, a handful of
+    * scan-bounded iterations) partition the corpus into `nlist`
+    * buckets; a query scores exact cosine ONLY inside its `nprobe`
+    * nearest buckets. At 100 TB the bucket id is the natural partition
+    * key — write the corpus `partitionBy(__bucket)` and a query's scan
+    * prunes to nprobe buckets of files; the centroid table is tiny and
+    * driver-resident by construction (nlist rows).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryVecId: Long, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("__fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("__bucket")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__fv")
+    // nprobe nearest centroids to the query vector: nlist² driver flops
+    val qVec = withVec.filter(col(idCol) === queryVecId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val probe = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    val q = assigned.filter(col(idCol) === queryVecId).select(col("v").as("qv"))
+    assigned.filter(col("__bucket").isin(probe.toIndexedSeq: _*))
+      .filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: prefilter to vectors whose hyperplane signature
     * is within hamming distance 1 of the query's (multi-probe), then
     * exact cosine top-k inside the candidate set. At scale the signature

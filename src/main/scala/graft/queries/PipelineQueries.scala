@@ -87,6 +87,14 @@ object PipelineQueries {
         queryVecId = 0L, k = 10)
     },
 
+    // IVF-Flat ANN: coarse k-means buckets, exact cosine inside nprobe
+    // probed buckets (rows-only: centroids have no SQL oracle; recall
+    // vs the oracled brute force is spec-asserted).
+    "ann03_ivf_topk" -> { (s, dir) =>
+      Similarity.ivfTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
+        queryVecId = 0L, k = 10, nlist = 16, nprobe = 4)
+    },
+
     // LSH-bucketed ANN (random hyperplane signature prefilter; rows-only).
     "ann02_lsh_topk" -> { (s, dir) =>
       Similarity.lshTopK(Tables(s, dir).embeddings, "vec_id", "embedding",

@@ -197,6 +197,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.toSeq == Seq(1L, 3L))
   }
 
+  test("IVF ANN recall: probed buckets recover the brute-force top-k") {
+    // two well-separated clouds + a query in one of them: the probed
+    // nprobe buckets must contain the true nearest neighbours
+    val rnd = new scala.util.Random(3)
+    def jitter(c: Array[Float]) = c.map(x => x + rnd.nextFloat() * 0.05f)
+    val cloudA = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val cloudB = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val vecs = ((0L until 20L).map(i => (i, jitter(cloudA))) ++
+      (20L until 40L).map(i => (i, jitter(cloudB)))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", 0L, k = 5,
+      nlist = 4, nprobe = 2).collect().map(_.getLong(0)).toSet
+    assert((exact intersect ivf).size >= 4, s"recall too low: $exact vs $ivf")
+    // the pruning is real: cloud B never surfaces for a cloud-A query
+    assert(ivf.forall(_ < 20L))
+  }
+
   test("embedding near-dup finds planted duplicate pair") {
     val base = (0 until 32).map(_.toFloat / 32).toArray
     val nearDup = base.clone(); nearDup(0) += 0.001f

@@ -108,6 +108,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hash sampling is invariant under repartitioning and row order") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    forAll2(Gen.chooseNum(20, 200), Gen.chooseNum(1, 15)) { (n, sixteenths) =>
+      val base = spark.range(0, n.toLong).toDF("doc_id")
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        graft.operators.Sampling.hashSample(df, "doc_id", sixteenths)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      // same membership no matter how the data is laid out — the
+      // distributed-correctness property rand() sampling cannot give
+      assert(ids(base) == ids(base.repartition(7, col("doc_id"))))
+      assert(ids(base) == ids(base.orderBy(col("doc_id").desc)))
+    }
+  }
+
   test("UNION is set-commutative") {
     forAll(tableGen) { rows =>
       val e = engineFor(rows)
