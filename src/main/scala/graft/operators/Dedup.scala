@@ -313,4 +313,28 @@ object Dedup {
         col("id2") > col("id1") && col("id2") <= col("id1") + lit(maxIdGap))
     cosineVerify(cand, vn, threshold)
   }
+
+  /** Benchmark decontamination: (id, hits) for every training document
+    * sharing at least one exact word n-gram with any benchmark document,
+    * `hits` = how many distinct n-grams collide — the exact-collision
+    * decontamination pass used for LLM training corpora (GPT-3 appendix
+    * C / PaLM style, on word n-grams).
+    *
+    * Scale: eval benchmarks are MBs while the training corpus is the
+    * 100 TB side, so the benchmark gram set is deduplicated and
+    * BROADCAST — the training side streams through one explode + a
+    * broadcast hash semi-join + one map-side-combinable count keyed on
+    * doc id. The big side is never shuffled on gram; per-doc shingle
+    * sets are already distinct so `hits` is a plain count.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    val bGrams = broadcast(
+      shingleSets(benchmark, idCol, textCol, n)
+        .select(explode(col("sh")).as("shingle")).distinct())
+    shingleSets(train, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .join(bGrams, Seq("shingle"))
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+  }
 }

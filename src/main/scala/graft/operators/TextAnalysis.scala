@@ -86,4 +86,63 @@ object TextAnalysis {
         .when(best.getField("score") > 0, best.getField("lang"))
         .otherwise(lit("und")).as("pred_lang"))
   }
+
+  /** Repetition / quality-filter statistics in the Gopher (Rae et al.
+    * 2021) and C4 (Raffel et al. 2020) style, re-based on token-level
+    * signals (this corpus is single-line, so line/paragraph duplicate
+    * fractions are degenerate — the token 2-gram and duplicate-token
+    * fractions carry the same repetition signal):
+    *
+    *  - `top2gram_frac`  — fraction of tokens covered by the most
+    *    frequent token 2-gram (Gopher's top-n-gram filter);
+    *  - `dup_token_frac` — 1 − unique/total tokens;
+    *  - `mean_word_len`  — mean token length (Gopher bounds 3..10);
+    *  - `symbol_ratio`   — non-letter/digit/space characters over all
+    *    characters (C4's symbol filter);
+    *  - `gopher_pass`    — 1 iff all thresholds hold.
+    *
+    * Scale: the only non-scan work is the 2-gram mode, computed as
+    * explode → two map-side-combinable hash aggregates keyed on
+    * (doc, gram) then (doc) — shuffles carry one row per distinct
+    * per-doc gram, never per token occurrence, and the join back to the
+    * scan-speed surface stats is on the doc id. No UDFs, no windows,
+    * no driver participation.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      minTokens: Int = 20, maxTop2GramFrac: Double = 0.18,
+                      maxDupTokenFrac: Double = 0.6,
+                      minMeanWordLen: Double = 2.0,
+                      maxMeanWordLen: Double = 12.0): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      Dedup.tokens(col(textCol)).as("t"),
+      lower(trim(col(textCol))).as("txt"))
+    // 2-grams over a materialized token *attribute* (never an inline
+    // split inside the lambda — interpreted HOFs re-evaluate arguments
+    // per element; see minHashSignatures' note)
+    val top2 = base.filter(size(col("t")) >= 2)
+      .select(col("__id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => concat_ws(" ", slice(col("t"), i + lit(1), lit(2))))).as("gram"))
+      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("__id")).agg(max(col("cnt")).as("max2"))
+    val eps = lit(1e-11)
+    base.join(top2, Seq("__id"), "left")
+      .select(col("__id"), col("t"), col("txt"),
+        size(col("t")).as("n_tokens"),
+        (coalesce(col("max2"), lit(0L)) * lit(2.0) / size(col("t"))).as("tg"),
+        (lit(1.0) - size(array_distinct(col("t"))) * lit(1.0) / size(col("t"))).as("dup"),
+        (length(translate(col("txt"), " ", "")) * lit(1.0) / size(col("t"))).as("mwl"),
+        (length(regexp_replace(col("txt"), "[\\p{L}\\p{N}\\s]", "")) * lit(1.0) /
+          length(col("txt"))).as("sym"))
+      .select(col("__id").as(idCol),
+        col("n_tokens"),
+        round(col("tg") + eps, 4).as("top2gram_frac"),
+        round(col("dup") + eps, 4).as("dup_token_frac"),
+        round(col("mwl") + eps, 4).as("mean_word_len"),
+        round(col("sym") + eps, 4).as("symbol_ratio"),
+        (col("n_tokens") >= minTokens && col("tg") <= maxTop2GramFrac &&
+          col("dup") <= maxDupTokenFrac &&
+          col("mwl").between(minMeanWordLen, maxMeanWordLen))
+          .cast("int").as("gopher_pass"))
+  }
 }

@@ -121,6 +121,25 @@ object PipelineQueries {
     // spec-tested for accuracy against the labeled `lang` column).
     "tx04_langid" -> { (s, dir) =>
       TextAnalysis.languageId(Tables(s, dir).documents)
+    },
+
+    // Gopher/C4-style repetition + quality-filter statistics, with the
+    // pass/fail verdict under the default thresholds.
+    "tx07_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(Tables(s, dir).documents)
+    },
+
+    // Benchmark decontamination: training docs (doc_id % 29 != 0)
+    // sharing any exact word 4-gram with the held-out benchmark slice
+    // (doc_id % 29 == 0); benchmark gram set is broadcast.
+    "dd09_decontaminate" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables(s, dir).documents
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", n = 4)
+        .select(col("id").as("doc_id"), col("hits"))
     }
   )
 
@@ -294,6 +313,60 @@ object PipelineQueries {
                     WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
                     ELSE 'de' END
              ELSE 'und' END AS pred_lang
-         FROM s"""
+         FROM s""",
+    // replay of TextAnalysis.repetitionStats: 2-gram mode via
+    // unnest + group-by, surface ratios as identical IEEE double
+    // expressions so threshold comparisons agree bit-for-bit
+    "tx07_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t,
+                  lower(trim(text)) AS txt
+           FROM documents
+         ),
+         g AS (
+           SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+           FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2
+         ),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         m AS (SELECT doc_id, max(cnt) AS max2 FROM c GROUP BY 1),
+         s AS (
+           SELECT toks.doc_id, len(t) AS n,
+                  coalesce(m.max2, 0) * 2.0 / len(t) AS tg,
+                  1.0 - len(list_distinct(t)) * 1.0 / len(t) AS dup,
+                  length(replace(txt, ' ', '')) * 1.0 / len(t) AS mwl,
+                  length(regexp_replace(txt, '[\p{L}\p{N}\s]', '', 'g')) * 1.0
+                    / length(txt) AS sym
+           FROM toks LEFT JOIN m USING (doc_id)
+         )
+         SELECT doc_id, n AS n_tokens,
+                round(tg + 1e-11, 4) AS top2gram_frac,
+                round(dup + 1e-11, 4) AS dup_token_frac,
+                round(mwl + 1e-11, 4) AS mean_word_len,
+                round(sym + 1e-11, 4) AS symbol_ratio,
+                CAST(n >= 20 AND tg <= 0.18 AND dup <= 0.6
+                     AND mwl BETWEEN 2 AND 12 AS INTEGER) AS gopher_pass
+         FROM s""",
+    // replay of Dedup.decontaminate at n=4 over the same train/benchmark
+    // split; per-doc shingle sets are DISTINCT, so hits is a plain count
+    "dd09_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents
+         ),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 4
+           UNION
+           SELECT DISTINCT doc_id, array_to_string(t, ' ') AS shingle
+           FROM toks WHERE len(t) < 4
+         ),
+         b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0)
+         SELECT sh.doc_id, count(*) AS hits
+         FROM sh JOIN b USING (shingle)
+         WHERE sh.doc_id % 29 != 0
+         GROUP BY 1"""
   )
 }

@@ -241,6 +241,48 @@ class OperatorsSpec extends SparkSpec {
     assert(preds(4L) == "es" && preds(5L) == "zh")
   }
 
+  test("repetition stats: top-2-gram fraction, dup tokens, gopher verdict") {
+    val df = Seq(
+      // 10 tokens, "spam spam" appears 9 times overlapping → max2=9,
+      // tg=1.8, dup=0.9 → fails
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      // 24 clean distinct-ish tokens → passes
+      (2L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega")),
+      // long enough but one dominating 2-gram
+      (3L, Seq.fill(15)("go north").mkString(" ") + " then stop here now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("top2gram_frac") == 1.8)
+    assert(r(1L).getAs[Double]("dup_token_frac") == 0.9)
+    assert(r(1L).getAs[Int]("gopher_pass") == 0)
+    assert(r(2L).getAs[Int]("gopher_pass") == 1)
+    assert(r(2L).getAs[Double]("dup_token_frac") == 0.0)
+    // doc 3: "go north" × 15 + 4 trailing tokens = 34 tokens, max2=15
+    assert(r(3L).getAs[Double]("top2gram_frac") == math.rint((30.0 / 34 + 1e-11) * 1e4) / 1e4)
+    assert(r(3L).getAs[Int]("gopher_pass") == 0)
+    // mean word length: doc 1 is 10×4 chars / 10 tokens = 4.0
+    assert(r(1L).getAs[Double]("mean_word_len") == 4.0)
+  }
+
+  test("decontaminate flags only train docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about spark and nothing else"),
+      (3L, "we hold these truths to be self evident clearly")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "we hold these truths to be self evident"),
+      (101L, "the quick brown fox leaps high")).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("hits")).toMap
+    // doc 1 shares exactly "the quick brown fox"; doc 3 shares five
+    // 4-grams of the benchmark sentence; doc 2 is clean
+    assert(hits(1L) == 1L)
+    assert(hits(3L) == 5L)
+    assert(!hits.contains(2L))
+  }
+
   test("fingerprint is stable under whitespace reflow") {
     val variants = Seq(
       (1L, "Hello   world  foo"),
