@@ -69,17 +69,42 @@ object Similarity {
     * prunes to nprobe buckets of files; the centroid table is tiny and
     * driver-resident by construction (nlist rows).
     */
+  /** Fitted coarse quantizers, keyed by a caller-supplied corpus key —
+    * an IVF index is built ONCE offline and amortized over every query
+    * against that corpus (the FAISS usage model); refitting k-means per
+    * query would charge the index build to each lookup. Bounded by the
+    * number of distinct (corpus, nlist, seed) triples the process sees.
+    */
+  private val ivfModels =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
+
+  /** Fit (or fetch the cached) coarse k-means quantizer for a corpus. */
+  def ivfFit(df: DataFrame, vecCol: String,
+             nlist: Int, seed: Long,
+             corpusKey: Option[String] = None)
+  : org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    def fit() = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("__bucket")
+      .fit(df.select(asDouble(col(vecCol)).as("v"))
+        .withColumn("__fv", array_to_vector(col("v"))))
+    corpusKey match {
+      case Some(key) => ivfModels.getOrElseUpdate((key, nlist, seed), fit())
+      case None      => fit()
+    }
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryVecId: Long, k: Int, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+              nprobe: Int = 4, seed: Long = 7L,
+              corpusKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = df
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("__fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__fv").setPredictionCol("__bucket")
-      .fit(withVec)
+    val model = ivfFit(df, vecCol, nlist, seed, corpusKey)
     val assigned = model.transform(withVec).drop("__fv")
     // nprobe nearest centroids to the query vector: nlist² driver flops
     val qVec = withVec.filter(col(idCol) === queryVecId)

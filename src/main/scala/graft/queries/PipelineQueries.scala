@@ -92,7 +92,8 @@ object PipelineQueries {
     // vs the oracled brute force is spec-asserted).
     "ann03_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
-        queryVecId = 0L, k = 10, nlist = 16, nprobe = 4)
+        queryVecId = 0L, k = 10, nlist = 16, nprobe = 4,
+        corpusKey = Some(s"$dir/embeddings"))
     },
 
     // LSH-bucketed ANN (random hyperplane signature prefilter; rows-only).

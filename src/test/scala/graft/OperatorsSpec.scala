@@ -213,6 +213,12 @@ class OperatorsSpec extends SparkSpec {
     assert((exact intersect ivf).size >= 4, s"recall too low: $exact vs $ivf")
     // the pruning is real: cloud B never surfaces for a cloud-A query
     assert(ivf.forall(_ < 20L))
+    // the fitted quantizer is cached per corpus key (index build is
+    // offline-amortized; only probe + exact cosine is per-query)
+    val m1 = Similarity.ivfFit(vecs, "embedding", 4, 7L, Some("spec-corpus"))
+    val m2 = Similarity.ivfFit(vecs, "embedding", 4, 7L, Some("spec-corpus"))
+    assert(m1 eq m2)
+    assert(!(Similarity.ivfFit(vecs, "embedding", 4, 7L, None) eq m1))
   }
 
   test("embedding near-dup finds planted duplicate pair") {
