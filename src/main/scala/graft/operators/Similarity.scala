@@ -43,6 +43,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization: symmetric per-vector max-abs scaling,
+    * `code_i = round(x_i * 127 / max|x|)` stored as tinyint — 4× less
+    * memory/IO than float32, which at 100 TB is the difference between
+    * an in-memory and a spilling ANN working set. Positive per-vector
+    * scales cancel in cosine, so quantized cosine is EXACTLY the cosine
+    * of the code vectors (and integer-valued dot products are exact in
+    * double, making the whole pipeline bit-reproducible — unlike the
+    * float original, this variant has a full external oracle).
+    * Zero vectors quantize to null and drop out of similarity search.
+    */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("__m", nullif(array_max(transform(col("v"), x => abs(x))), lit(0.0)))
+      .select(col(idCol),
+        transform(col("v"), x => round(x * lit(127.0) / col("__m")).cast("tinyint"))
+          .as("codes"))
+
+  /** Exact cosine top-k over int8-quantized vectors: same plan shape as
+    * `bruteForceTopK` (broadcast 1-row query + TakeOrderedAndProject),
+    * but the scan carries tinyint codes instead of floats.
+    */
+  def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
+                    queryVecId: Long, k: Int): DataFrame = {
+    val codes = quantize(df, idCol, vecCol)
+      .select(col(idCol), asDouble(col("codes")).as("cd"))
+    val q = codes.filter(col(idCol) === queryVecId).select(col("cd").as("qcd"))
+    codes.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col("cd"), col("qcd")), 6).as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** `planes`-bit random-hyperplane signature of an array<double> vector.
     * Hyperplane p's component for dimension d is a deterministic ±1
     * derived from xxhash64(seed, p, d) — no stored model, so executors

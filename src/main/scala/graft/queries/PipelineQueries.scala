@@ -97,6 +97,13 @@ object PipelineQueries {
     },
 
     // LSH-bucketed ANN (random hyperplane signature prefilter; rows-only).
+    // Int8 scalar-quantized exact cosine top-k — integer dot products
+    // are exact in double, so this ANN variant has a full oracle.
+    "ann04_quantized_topk" -> { (s, dir) =>
+      Similarity.quantizedTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
+        queryVecId = 0L, k = 10)
+    },
+
     "ann02_lsh_topk" -> { (s, dir) =>
       Similarity.lshTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
         queryVecId = 0L, k = 10, planes = 8)
@@ -157,6 +164,23 @@ object PipelineQueries {
                   CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) AS DOUBLE), 6)
                   AS cos_sim
          FROM embeddings WHERE vec_id <> 0
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // replay of Similarity.quantize + quantizedTopK: same max-abs int8
+    // codes (round matches: both engines round half away from zero),
+    // then exact cosine over the integer-valued code lists
+    "ann04_quantized_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         s AS (SELECT vec_id, e,
+                      nullif(list_max(list_transform(e, x -> abs(x))), 0.0) AS m
+               FROM v),
+         c AS (SELECT vec_id,
+                      list_transform(e, x -> CAST(round(x * 127.0 / m) AS DOUBLE)) AS cd
+               FROM s WHERE m IS NOT NULL),
+         q AS (SELECT cd AS qcd FROM c WHERE vec_id = 0)
+         SELECT c.vec_id,
+                round(CAST(list_cosine_similarity(c.cd, (SELECT qcd FROM q)) AS DOUBLE), 6)
+                  AS cos_sim
+         FROM c WHERE c.vec_id <> 0
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "tx01_text_stats" ->
       """SELECT doc_id, n_chars,

@@ -221,6 +221,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!(Similarity.ivfFit(vecs, "embedding", 4, 7L, None) eq m1))
   }
 
+  test("int8 quantized cosine tracks the float ranking") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    // int8 max-abs quantization perturbs cosine by <1%, so the top-10
+    // sets agree on at least 8 of 10 over random vectors
+    assert((exact intersect quant).size >= 8, s"$exact vs $quant")
+    // codes are genuinely int8 range
+    val codes = Similarity.quantize(vecs, "vec_id", "embedding")
+      .selectExpr("explode(codes) c").agg(min("c"), max("c")).collect().head
+    assert(codes.getByte(0) >= -127 && codes.getByte(1) <= 127)
+  }
+
   test("embedding near-dup finds planted duplicate pair") {
     val base = (0 until 32).map(_.toFloat / 32).toArray
     val nearDup = base.clone(); nearDup(0) += 0.001f
