@@ -169,6 +169,65 @@ object Streams {
     }
   }
 
+  /** Cross-batch streaming near-duplicate candidates: the batch
+    * MinHash-LSH sketch (Dedup.minHashLshPairs) recast as a stateful
+    * stream — band buckets live in keyed executor state
+    * (`flatMapGroupsWithState`), so a document is checked against every
+    * previously-seen occupant of its LSH buckets no matter how many
+    * micro-batches ago they arrived. Emits one `(id1, id2, band)` row
+    * per bucket collision with id1 < id2; a pair colliding in several
+    * bands repeats with distinct `band` values (at-least-once by
+    * design — downstream dedup is one `dropDuplicates(id1, id2)`).
+    *
+    * Scale: state is partitioned by (band, bucket-key) — the same short
+    * 64-bit key the batch join shuffles on — and each bucket's occupant
+    * list is capped at `maxBucket` ids (an overflowing bucket means a
+    * degenerate pile of near-identical documents; the cap bounds state
+    * while keeping every pair against the first `maxBucket`
+    * representatives). Signatures here use the per-row interpreted
+    * expression, fine at streaming rates; a bulk backfill should run
+    * the batch operator instead.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3, numHashes: Int = 16,
+                    bands: Int = 8, maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sig = docs
+      .select(col(idCol).cast("long").as("id"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("id"), Dedup.shinglesFromTokens(col("toks"), shingleSize).as("sh"))
+      .select(col("id"), Dedup.minHashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .as[(Long, Int, Long)]
+    banded.groupByKey { case (_, band, bkey) => (band, bkey) }
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val fresh = rows.map(_._1).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          // each unordered pair once: a new id pairs with every EARLIER
+          // occupant (all of `seen`, plus smaller ids of this batch)
+          val pairs = fresh.flatMap { n =>
+            (seen ++ fresh.filter(_ < n)).filter(_ != n)
+              .map(p => (math.min(p, n), math.max(p, n), band))
+          }
+          val kept = (seen ++ fresh).take(maxBucket)
+          if (kept != seen) state.update(kept)
+          pairs.iterator
+      }
+      .toDF("id1", "id2", "band")
+  }
+
   /** Convenience: run a streaming DataFrame to completion against the
     * currently-available input (memory sink) and return the result —
     * the test harness pattern for batch-driving streaming plans.

@@ -127,6 +127,30 @@ class StreamingSpec extends SparkSpec {
     assert(old == Map(kA -> 1L, kB -> 10L))
   }
 
+  test("streaming LSH candidates catch near-dups across micro-batches") {
+    val dir = Files.createTempDirectory("graft_slsh").toFile.getAbsolutePath
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "completely different content about distributed query engines at scale"))
+      .toDF("doc_id", "text")
+    b1.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(b1.schema).parquet(dir)
+    val cand = Streams.lshCandidates(stream, "doc_id", "text", shingleSize = 2)
+    val q = cand.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_slsh").start()
+    q.processAllAvailable()
+    assert(spark.table("t_slsh").isEmpty) // nothing similar within batch 1
+    // batch 2: a near-duplicate of doc 1 arrives later — the stateful
+    // band buckets must still pair it with the batch-1 original
+    Seq((3L, "the quick brown fox jumps over the lazy dog and runs away quick"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("t_slsh").select("id1", "id2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"got $pairs")
+  }
+
   test("late data beyond watermark is dropped from append output") {
     // two files: first advances the watermark far ahead, second is late
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
