@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: statistics, quality
@@ -85,6 +86,40 @@ object TextAnalysis {
         .when(col(textCol).rlike("[\\p{IsGreek}]"), lit("el"))
         .when(best.getField("score") > 0, best.getField("lang"))
         .otherwise(lit("und")).as("pred_lang"))
+  }
+
+  /** Per-document top-k TF-IDF terms — the keyword/topic signal stage of
+    * a curation pipeline (domain tagging, boilerplate spotting).
+    * `tfidf = tf × ln((N+1)/(df+1))`, ranked within each document by
+    * (score desc, term asc); the score is rounded (4 dp, epsilon-shifted)
+    * BEFORE ranking so ordering is identical across engines regardless
+    * of log/ulp differences — which also makes this fully oracle-able.
+    *
+    * Scale: term frequencies and document frequencies are two
+    * map-side-combinable hash aggregates (the df table is one row per
+    * vocab term — counts only, no postings); the corpus size N rides in
+    * as a broadcast 1-row join, and the final ranking window partitions
+    * by document, so no stage materializes anything wider than
+    * (doc, term) rows.
+    */
+  def tfidfTopTerms(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("t"))
+      .select(col("id"), explode(col("t")).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df_t") + lit(1.0)))
+          + lit(1e-11), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("rank"), col("tfidf"))
   }
 
   /** Repetition / quality-filter statistics in the Gopher (Rae et al.

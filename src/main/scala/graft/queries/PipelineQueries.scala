@@ -137,6 +137,12 @@ object PipelineQueries {
       TextAnalysis.repetitionStats(Tables(s, dir).documents)
     },
 
+    // Per-doc top-3 TF-IDF terms (corpus df + broadcast N, ranked on
+    // the pre-rounded score so ordering is engine-stable).
+    "tx08_tfidf_topterms" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables(s, dir).documents, k = 3)
+    },
+
     // Benchmark decontamination: training docs (doc_id % 29 != 0)
     // sharing any exact word 4-gram with the held-out benchmark slice
     // (doc_id % 29 == 0); benchmark gram set is broadcast.
@@ -372,6 +378,29 @@ object PipelineQueries {
                 CAST(n >= 20 AND tg <= 0.18 AND dup <= 0.6
                      AND mwl BETWEEN 2 AND 12 AS INTEGER) AS gopher_pass
          FROM s""",
+    // replay of TextAnalysis.tfidfTopTerms: same tf/df aggregates, same
+    // pre-rounded score as the ranking key
+    "tx08_tfidf_topterms" ->
+      """WITH terms AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents
+         ),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (
+           SELECT doc_id, term,
+                  round(tf * ln((n_docs + 1.0) / (df_t + 1.0)) + 1e-11, 4) AS tfidf
+           FROM tf JOIN dfreq USING (term), n
+         ),
+         r AS (
+           SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rank
+           FROM s
+         )
+         SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= 3""",
     // replay of Dedup.decontaminate at n=4 over the same train/benchmark
     // split; per-doc shingle sets are DISTINCT, so hits is a plain count
     "dd09_decontaminate" ->

@@ -289,6 +289,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L).getAs[Double]("mean_word_len") == 4.0)
   }
 
+  test("tfidf top terms surface rare repeated words over common ones") {
+    val corpus = Seq(
+      (1L, "spark spark spark common word"),
+      (2L, "common word here also"),
+      (3L, "common word again and again")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(corpus, k = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // "spark" is exclusive to doc 1 AND repeated → dominates; "common"
+    // appears in all docs → idf ln(4/4)=0 everywhere
+    assert(top(1L) == "spark")
+    assert(top(3L) == "again") // doc-3-only term, tf 2
+    val all = TextAnalysis.tfidfTopTerms(corpus, k = 10)
+      .filter(col("term") === "common").select("tfidf")
+      .collect().map(_.getDouble(0)).toSet
+    assert(all == Set(0.0))
+  }
+
   test("decontaminate flags only train docs sharing an n-gram with the benchmark") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
