@@ -122,6 +122,36 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("term"), col("rank"), col("tfidf"))
   }
 
+  /** Per-document mean unigram negative log-likelihood under the
+    * corpus's own empirical unigram distribution — the cheap stand-in
+    * for the CCNet/KenLM perplexity filter: documents whose tokens are
+    * systematically improbable in the corpus score high and are
+    * outlier/noise candidates; boilerplate scores low. `nll =
+    * avg(-ln(count(term)/total))` over token OCCURRENCES (so repeated
+    * common words pull the average down, as in a real LM).
+    *
+    * Scale: one (doc, term) count aggregate, one vocab-sized count
+    * aggregate, a broadcast scalar total, and one final per-doc
+    * average — all map-side-combinable, shuffling (doc, term) and
+    * (term) count rows only.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("t"))
+      .select(col("id"), explode(col("t")).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("total_tokens"))
+    tf.join(cf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(round(
+        (sum(col("tf") * -log(col("cf") / col("total_tokens"))) / sum(col("tf")))
+          + lit(1e-11), 4).as("nll"))
+      .select(col("id").as(idCol), col("nll"))
+  }
+
   /** Repetition / quality-filter statistics in the Gopher (Rae et al.
     * 2021) and C4 (Raffel et al. 2020) style, re-based on token-level
     * signals (this corpus is single-line, so line/paragraph duplicate

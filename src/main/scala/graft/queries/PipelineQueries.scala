@@ -143,6 +143,12 @@ object PipelineQueries {
       TextAnalysis.tfidfTopTerms(Tables(s, dir).documents, k = 3)
     },
 
+    // Mean unigram negative log-likelihood under the corpus unigram
+    // distribution (perplexity-filter proxy).
+    "tx09_unigram_nll" -> { (s, dir) =>
+      TextAnalysis.unigramLogProb(Tables(s, dir).documents)
+    },
+
     // Benchmark decontamination: training docs (doc_id % 29 != 0)
     // sharing any exact word 4-gram with the held-out benchmark slice
     // (doc_id % 29 == 0); benchmark gram set is broadcast.
@@ -401,6 +407,21 @@ object PipelineQueries {
            FROM s
          )
          SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= 3""",
+    // replay of TextAnalysis.unigramLogProb: tf/cf/total aggregates and
+    // the same occurrence-weighted average
+    "tx09_unigram_nll" ->
+      """WITH terms AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents
+         ),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+         tot AS (SELECT sum(cf) AS total_tokens FROM cf)
+         SELECT doc_id,
+                round(sum(tf * -ln(cf / total_tokens)) / sum(tf) + 1e-11, 4) AS nll
+         FROM tf JOIN cf USING (term), tot
+         GROUP BY doc_id""",
     // replay of Dedup.decontaminate at n=4 over the same train/benchmark
     // split; per-doc shingle sets are DISTINCT, so hits is a plain count
     "dd09_decontaminate" ->

@@ -306,6 +306,20 @@ class OperatorsSpec extends SparkSpec {
     assert(all == Set(0.0))
   }
 
+  test("unigram NLL ranks rare-token docs as less likely") {
+    val corpus = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")).toDF("doc_id", "text")
+    val nll = TextAnalysis.unigramLogProb(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    // corpus: common×6, rare1×1, rare2×1, total 8
+    val expected1 = -math.log(6.0 / 8)
+    val expected2 = (2 * -math.log(6.0 / 8) + 2 * -math.log(1.0 / 8)) / 4
+    assert(math.abs(nll(1L) - expected1) < 1e-3)
+    assert(math.abs(nll(2L) - expected2) < 1e-3)
+    assert(nll(2L) > nll(1L))
+  }
+
   test("decontaminate flags only train docs sharing an n-gram with the benchmark") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
