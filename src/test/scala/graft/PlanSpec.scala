@@ -112,6 +112,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.wcoj.enabled")
   }
 
+  test("decontamination broadcasts the benchmark gram set, never the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", n = 4)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"gram join not broadcast:\n$p")
+    // the training side must not be exchanged before the join — the only
+    // exchange below the aggregate belongs to the benchmark distinct
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("shingle generation stays inside whole-stage codegen (no CodegenFallback HOF)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val p = plan(rows)
+    // transform()/aggregate() would appear as interpreted lambda exprs;
+    // the codegen path is explode (Generate) + element_at/concat_ws
+    assert(!p.contains("transform("), s"interpreted HOF in shingle path:\n$p")
+    assert(p.contains("Generate") && p.contains("element_at"), s"unexpected shape:\n$p")
+  }
+
   test("pattern comprehension compiles to one grouped collect + one join-back") {
     val df = TpchGraph.engine(spark, dir).query(
       """MATCH (r:Region)
