@@ -250,6 +250,17 @@ object RelationalQueries {
       Tables(s, dir).nation
         .groupBy(col("n_regionkey"))
         .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+    },
+
+    // §2.4 hierarchical totals via native grouping sets: ROLLUP produces
+    // (flag, status), (flag), and grand-total rows in ONE pass — Catalyst
+    // expands the sets map-side, so the shuffle still carries one row per
+    // (group, set) with partial aggregation (no N-pass union of scans).
+    "q24_rollup" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
     }
   )
 
@@ -391,6 +402,11 @@ object RelationalQueries {
     "q23_collect" ->
       """SELECT n_regionkey,
          array_to_string(list_sort(list(n_name)), ',') AS nations
-         FROM nation GROUP BY 1"""
+         FROM nation GROUP BY 1""",
+    "q24_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
   )
 }
