@@ -131,6 +131,51 @@ object PathExpand {
     // (minHops <= 1); a minHops > 1 shortestPath must keep walks so a
     // node first seen below the floor can still be reported at the floor.
     val bfs = shortest.isDefined && minHops <= 1
+
+    // Min-plus path-doubling regime for shortest-path expansion over
+    // SMALL edge sets (dimension-table graphs): the transitive min-hop
+    // closure of E doubles its horizon per round, so ⌈log2 maxHops⌉
+    // self-joins replace maxHops sequential frontier rounds — at local
+    // scale each BFS round costs a fixed scheduler floor, so a 12-hop
+    // expansion drops from 12 to 4 round-trips. Gated on edge count:
+    // the closure materializes O(reachable pairs), which is the OUTPUT
+    // size for the all-pairs query shape this targets, but would dwarf
+    // O(hops × frontier) for selective origins on a 100 TB edge table —
+    // those keep the frontier loop below.
+    val doublingThreshold = edges0.sparkSession.conf
+      .get("graft.pathExpand.doublingMaxEdges", "100000").toLong
+    val doubling = bfs && loops &&
+      materialized.count() <= math.min(doublingThreshold, threshold)
+
+    if (doubling) {
+      var closure = edges
+        .select(col("__src").as("__a"), col("__dst").as("__b"), lit(1L).as("__hops"))
+        .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops"))
+        .localCheckpoint()
+      var span = 1L
+      while (span < maxHops) {
+        val composed = closure.as("l")
+          .join(closure.as("r"), col("l.__b") === col("r.__a"))
+          .select(col("l.__a").as("__a"), col("r.__b").as("__b"),
+            (col("l.__hops") + col("r.__hops")).as("__hops"))
+          .filter(col("__hops") <= maxHops)
+        closure = closure.unionByName(composed)
+          .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops"))
+          .localCheckpoint()
+        span *= 2
+      }
+      val dist = startIds.join(closure, col("__origin") === col("__a"))
+        .select(col("__origin"), col("__b").as("__node"), col("__hops"))
+        .filter(col("__hops") >= minHops)
+      // zero-hop rows (if seeded above) must win over any cycle back to
+      // the origin, so collapse to the per-pair minimum before join-back
+      val collapsed = (results :+ dist).reduce(_ unionByName _)
+        .groupBy(col("__origin"), col("__node"))
+        .agg(min(col("__hops")).as("__hops"))
+      return finishSegment(qc, cur, fromVar, collapsed, endVar,
+        cyclic, endLabel, endNode)
+    }
+
     var visited: DataFrame =
       if (minHops == 0) frontier.select(col("__origin"), col("__node"))
       else frontier.select(col("__origin"), col("__node")).limit(0)
@@ -178,7 +223,17 @@ object PathExpand {
           .agg(min(col("__hops")).as("__hops"))
       case _ => reached
     }
+    finishSegment(qc, cur, fromVar, collapsed, endVar, cyclic, endLabel, endNode)
+  }
 
+  /** Join the collapsed (origin, node, hops) expansion result back to the
+    * outer frame and bind the end node — shared by the frontier-loop and
+    * path-doubling regimes.
+    */
+  private def finishSegment(qc: QueryCompiler, cur: Frame, fromVar: String,
+                            collapsed: DataFrame, endVar: String,
+                            cyclic: Boolean, endLabel: String,
+                            endNode: NodePattern): (Frame, String, String) = {
     val joined0 = cur.df.join(collapsed,
       col(cur.idCol(fromVar)) === col("__origin")).drop("__origin")
     val (outDf, outVars) =

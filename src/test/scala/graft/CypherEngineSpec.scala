@@ -181,6 +181,24 @@ class CypherEngineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.pathExpand.broadcastThreshold")
   }
 
+  test("path-doubling shortestPath regime matches the frontier-loop BFS") {
+    // default gate routes small edge sets through min-plus doubling;
+    // doublingMaxEdges=0 forces the per-origin frontier loop — both must
+    // produce identical (pair, min-hop) sets, including the 0-hop seed
+    def sp() = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*0..5]->(b:Person))
+         RETURN a.name AS an, b.name AS bn, length(p) AS hops
+         ORDER BY an, bn""").map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val doubled = sp()
+    spark.conf.set("graft.pathExpand.doublingMaxEdges", "0")
+    try {
+      val looped = sp()
+      assert(doubled == looped)
+      assert(doubled.exists(_._3 == 0L)) // zero-hop pairs present
+      assert(doubled.exists(_._3 >= 2L)) // multi-hop distances present
+    } finally spark.conf.unset("graft.pathExpand.doublingMaxEdges")
+  }
+
   test("WCOJ flag: triangle pattern matches the binary-join result") {
     // KNOWS: Alice→Bob→Carol→Dan — no triangle yet; add Carol→Alice
     // to close one via a fresh engine-free catalog
