@@ -80,11 +80,6 @@ object Dedup {
   /** (id, sh) distinct shingle sets for a corpus — the shared front end
     * of every token-level dedup operator here.
     */
-  private[graft] def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                                 n: Int): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
-
   /** (id, shingle) rows for a whole corpus, fully whole-stage-codegen'd:
     * explode the shingle START POSITIONS and assemble each n-gram with
     * `element_at` (n is a plan-time constant, so the concat unrolls into
@@ -223,6 +218,13 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16,
                         exhaustive: Boolean = false): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, n)
+    // the candidate subtree is referenced twice below (candIds + pair
+    // base); the heavy stages (signature aggregate, band/index join)
+    // sit BELOW the candidate-pair exchange, which Spark's ReuseExchange
+    // shares across both consumers — only the cheap post-shuffle
+    // aggregate re-runs, so no pin is needed (and a localCheckpoint
+    // here would leak persisted blocks to library callers, breaking the
+    // no-persisted-RDDs contract the spec asserts)
     val cand =
       if (exhaustive) invertedIndexPairs(rows.dropDuplicates("id", "shingle"),
         maxShingleDf)

@@ -113,7 +113,18 @@ object Similarity {
     scala.collection.concurrent.TrieMap
       .empty[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
 
-  /** Fit (or fetch the cached) coarse k-means quantizer for a corpus. */
+  /** Drop a cached quantizer (call after the corpus under `corpusKey`
+    * is rewritten — the cache has no content-based invalidation, so a
+    * stale model would silently degrade recall).
+    */
+  def ivfInvalidate(corpusKey: String): Unit =
+    ivfModels.keys.filter(_._1 == corpusKey).foreach(ivfModels.remove)
+
+  /** Fit (or fetch the cached) coarse k-means quantizer for a corpus.
+    * The cache keys on (corpusKey, nlist, seed) only — the caller owns
+    * the contract that a key names an immutable corpus snapshot; use
+    * `ivfInvalidate` when the data under a key changes.
+    */
   def ivfFit(df: DataFrame, vecCol: String,
              nlist: Int, seed: Long,
              corpusKey: Option[String] = None)

@@ -198,7 +198,7 @@ object TextAnalysis {
         (lit(1.0) - size(array_distinct(col("t"))) * lit(1.0) / size(col("t"))).as("dup"),
         (length(translate(col("txt"), " ", "")) * lit(1.0) / size(col("t"))).as("mwl"),
         (length(regexp_replace(col("txt"), "[\\p{L}\\p{N}\\s]", "")) * lit(1.0) /
-          length(col("txt"))).as("sym"))
+          nullif(length(col("txt")), lit(0))).as("sym"))
       .select(col("__id").as(idCol),
         col("n_tokens"),
         round(col("tg") + eps, 4).as("top2gram_frac"),

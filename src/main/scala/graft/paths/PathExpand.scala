@@ -101,7 +101,8 @@ object PathExpand {
     val materialized = if (loops) edges0.localCheckpoint() else edges0
     val threshold = edges0.sparkSession.conf
       .get("graft.pathExpand.broadcastThreshold", MaxBroadcastEdges.toString).toLong
-    val coPartitioned = loops && materialized.count() > threshold
+    val edgeCount = if (loops) materialized.count() else 0L
+    val coPartitioned = loops && edgeCount > threshold
     val edges =
       if (coPartitioned)
         materialized.repartition(nPart, col("__src")).localCheckpoint()
@@ -137,15 +138,20 @@ object PathExpand {
     // closure of E doubles its horizon per round, so ⌈log2 maxHops⌉
     // self-joins replace maxHops sequential frontier rounds — at local
     // scale each BFS round costs a fixed scheduler floor, so a 12-hop
-    // expansion drops from 12 to 4 round-trips. Gated on edge count:
-    // the closure materializes O(reachable pairs), which is the OUTPUT
-    // size for the all-pairs query shape this targets, but would dwarf
-    // O(hops × frontier) for selective origins on a 100 TB edge table —
-    // those keep the frontier loop below.
+    // expansion drops from 12 to 4 round-trips. Two guards keep the
+    // closure from dwarfing the per-origin frontier cost: the edge-count
+    // gate below, and a RUNTIME row cap — a dense ≤threshold-edge graph
+    // can still have an O(V²) closure, so if any round's closure exceeds
+    // graft.pathExpand.doublingMaxClosureRows the regime abandons
+    // (work wasted is bounded by the cap) and the frontier loop runs
+    // instead. Rounds also stop early once a round adds/improves
+    // nothing (the closure is a fixpoint — further squaring is a no-op).
     val doublingThreshold = edges0.sparkSession.conf
       .get("graft.pathExpand.doublingMaxEdges", "100000").toLong
+    val closureRowCap = edges0.sparkSession.conf
+      .get("graft.pathExpand.doublingMaxClosureRows", "4000000").toLong
     val doubling = bfs && loops &&
-      materialized.count() <= math.min(doublingThreshold, threshold)
+      edgeCount <= math.min(doublingThreshold, threshold)
 
     if (doubling) {
       var closure = edges
@@ -153,27 +159,46 @@ object PathExpand {
         .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops"))
         .localCheckpoint()
       var span = 1L
-      while (span < maxHops) {
+      var abandoned = false
+      var converged = false
+      while (span < maxHops && !abandoned && !converged) {
         val composed = closure.as("l")
           .join(closure.as("r"), col("l.__b") === col("r.__a"))
           .select(col("l.__a").as("__a"), col("r.__b").as("__b"),
             (col("l.__hops") + col("r.__hops")).as("__hops"))
           .filter(col("__hops") <= maxHops)
-        closure = closure.unionByName(composed)
+        val next = closure.unionByName(composed)
           .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops"))
           .localCheckpoint()
-        span *= 2
+        if (next.count() > closureRowCap) abandoned = true
+        else {
+          // fixpoint: no new pair and no improved hop count. (Count
+          // equality is NOT sufficient — a pair whose true distance
+          // exceeds the current horizon can hold a non-minimal path
+          // length that later rounds improve in place.)
+          converged = next
+            .join(closure, Seq("__a", "__b", "__hops"), "left_anti").isEmpty
+          closure = next
+          span *= 2
+        }
       }
-      val dist = startIds.join(closure, col("__origin") === col("__a"))
-        .select(col("__origin"), col("__b").as("__node"), col("__hops"))
-        .filter(col("__hops") >= minHops)
-      // zero-hop rows (if seeded above) must win over any cycle back to
-      // the origin, so collapse to the per-pair minimum before join-back
-      val collapsed = (results :+ dist).reduce(_ unionByName _)
-        .groupBy(col("__origin"), col("__node"))
-        .agg(min(col("__hops")).as("__hops"))
-      return finishSegment(qc, cur, fromVar, collapsed, endVar,
-        cyclic, endLabel, endNode)
+      if (!abandoned) {
+        var dist = startIds.join(closure, col("__origin") === col("__a"))
+          .select(col("__origin"), col("__b").as("__node"), col("__hops"))
+          .filter(col("__hops") >= minHops)
+        // With minHops=0 the frontier regime seeds its visited set with
+        // the origins, so a cycle back to the origin is never reported —
+        // only the 0-hop row (added above iff the labels match) is. Drop
+        // closure self-pairs to match; otherwise a cross-label id
+        // coincidence would fabricate the exact match the 0-hop guard
+        // exists to prevent.
+        if (minHops == 0) dist = dist.filter(col("__origin") =!= col("__node"))
+        val collapsed = (results :+ dist).reduce(_ unionByName _)
+          .groupBy(col("__origin"), col("__node"))
+          .agg(min(col("__hops")).as("__hops"))
+        return finishSegment(qc, cur, fromVar, collapsed, endVar,
+          cyclic, endLabel, endNode)
+      }
     }
 
     var visited: DataFrame =

@@ -192,7 +192,7 @@ object PipelineQueries {
          SELECT c.vec_id,
                 round(CAST(list_cosine_similarity(c.cd, (SELECT qcd FROM q)) AS DOUBLE), 6)
                   AS cos_sim
-         FROM c WHERE c.vec_id <> 0
+         FROM c WHERE c.vec_id <> 0 AND (SELECT qcd FROM q) IS NOT NULL
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "tx01_text_stats" ->
       """SELECT doc_id, n_chars,
@@ -373,7 +373,7 @@ object PipelineQueries {
                   1.0 - len(list_distinct(t)) * 1.0 / len(t) AS dup,
                   length(replace(txt, ' ', '')) * 1.0 / len(t) AS mwl,
                   length(regexp_replace(txt, '[\p{L}\p{N}\s]', '', 'g')) * 1.0
-                    / length(txt) AS sym
+                    / nullif(length(txt), 0) AS sym
            FROM toks LEFT JOIN m USING (doc_id)
          )
          SELECT doc_id, n AS n_tokens,

@@ -213,16 +213,20 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((band, _), rows, state: GroupState[Seq[Long]]) =>
           val seen = state.getOption.getOrElse(Seq.empty)
+          // admit only up to the cap — ids beyond it are neither stored
+          // NOR paired, so one degenerate batch of near-identical docs
+          // emits at most maxBucket² pairs instead of O(batch²) (the cap
+          // bounds the emission, not just the retained state)
           val fresh = rows.map(_._1).toSeq.distinct.sorted
             .filterNot(seen.contains)
+            .take(math.max(0, maxBucket - seen.size))
           // each unordered pair once: a new id pairs with every EARLIER
           // occupant (all of `seen`, plus smaller ids of this batch)
           val pairs = fresh.flatMap { n =>
             (seen ++ fresh.filter(_ < n)).filter(_ != n)
               .map(p => (math.min(p, n), math.max(p, n), band))
           }
-          val kept = (seen ++ fresh).take(maxBucket)
-          if (kept != seen) state.update(kept)
+          if (fresh.nonEmpty) state.update(seen ++ fresh)
           pairs.iterator
       }
       .toDF("id1", "id2", "band")

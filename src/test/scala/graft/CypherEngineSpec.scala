@@ -197,6 +197,11 @@ class CypherEngineSpec extends SparkSpec {
       assert(doubled.exists(_._3 == 0L)) // zero-hop pairs present
       assert(doubled.exists(_._3 >= 2L)) // multi-hop distances present
     } finally spark.conf.unset("graft.pathExpand.doublingMaxEdges")
+    // runtime closure-row cap: abandonment mid-regime must fall back to
+    // the frontier loop with identical results
+    spark.conf.set("graft.pathExpand.doublingMaxClosureRows", "0")
+    try assert(sp() == doubled)
+    finally spark.conf.unset("graft.pathExpand.doublingMaxClosureRows")
   }
 
   test("WCOJ flag: triangle pattern matches the binary-join result") {
