@@ -133,4 +133,74 @@ class PropertySpec extends AnyFunSuite {
       assert(a == b)
     }
   }
+
+  private val docGen: Gen[Seq[(Long, String)]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "echo", "fox",
+      "golf", "hotel", "india", "jazz")
+    Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(3, 30).flatMap(m => Gen.listOfN(m, word).map(_.mkString(" ")))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("decontamination hits are a subset of train with positive counts") {
+    import spark.implicits._
+    forAll(docGen, trials = 4) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val train = df.filter($"doc_id" % 3 =!= 0)
+      val bench = df.filter($"doc_id" % 3 === 0)
+      val hits = graft.operators.Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hits.keySet.subsetOf(trainIds))
+      assert(hits.values.forall(_ > 0))
+      // a train doc that IS a benchmark doc's text must always be hit
+      val benchTexts = bench.select("text").collect().map(_.getString(0)).toSet
+      val exactCopies = docs.filter { case (i, t) =>
+        trainIds.contains(i) && benchTexts.contains(t) }.map(_._1)
+      exactCopies.foreach(id => assert(hits.contains(id), s"copy $id missed"))
+    }
+  }
+
+  test("repetition stats ratios stay in range; verdict matches components") {
+    import spark.implicits._
+    forAll(docGen, trials = 4) { docs =>
+      val out = graft.operators.TextAnalysis.repetitionStats(docs.toDF("doc_id", "text"))
+        .collect()
+      out.foreach { r =>
+        val (tg, dup) = (r.getAs[Double]("top2gram_frac"), r.getAs[Double]("dup_token_frac"))
+        assert(dup >= 0.0 && dup <= 1.0)
+        assert(tg >= 0.0 && tg <= 2.0) // overlapping 2-grams: ≤ 2n/n
+        val pass = r.getAs[Int]("gopher_pass")
+        val manual = r.getAs[Int]("n_tokens") >= 20 && tg <= 0.18 + 1e-9 &&
+          dup <= 0.6 + 1e-9 &&
+          r.getAs[Double]("mean_word_len") >= 2.0 - 1e-9 &&
+          r.getAs[Double]("mean_word_len") <= 12.0 + 1e-9
+        assert((pass == 1) == manual || math.abs(tg - 0.18) < 1e-4 ||
+          math.abs(dup - 0.6) < 1e-4, s"verdict mismatch: $r")
+      }
+    }
+  }
+
+  test("int8 quantization preserves cosine within the quantization error bound") {
+    import spark.implicits._
+    val corpusGen = Gen.chooseNum(8, 24).flatMap { d => // ONE dim per corpus
+      Gen.listOfN(6, Gen.listOfN(d,
+        Gen.chooseNum(-1.0, 1.0).suchThat(v => math.abs(v) > 1e-6)))
+    }
+    forAll(corpusGen.map(_.zipWithIndex), trials = 4) { vecs0 =>
+      val vecs = vecs0.map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+      val df = vecs.toDF("vec_id", "embedding")
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(df, "vec_id", "embedding", 0L, vecs.size - 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val quant = graft.operators.Similarity
+        .quantizedTopK(df, "vec_id", "embedding", 0L, vecs.size - 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      quant.foreach { case (id, q) =>
+        // max-abs int8 quantization moves each normalized component by
+        // ≤ 1/254; cosine of d-dim vectors shifts well under 0.15 here
+        assert(math.abs(q - exact(id)) < 0.15, s"id $id: $q vs ${exact(id)}")
+      }
+    }
+  }
 }
