@@ -21,6 +21,16 @@ object Components {
 
   /** (id, component) for every node appearing in `pairs`; component is
     * the minimum node id reachable through the pair graph.
+    *
+    * Two regimes, gated on the deduped edge count
+    * (`graft.components.driverMaxEdges`, default 200k): near-duplicate
+    * pair sets are usually a vanishing fraction of the corpus, and for
+    * those a driver-side union-find over the collected pairs costs ONE
+    * job instead of O(log d) rounds of two joins — each distributed
+    * round pays a fixed scheduler floor that dwarfs the actual work at
+    * that size. Pair sets above the gate (or when the cap is lowered)
+    * take the distributed label-propagation loop, which never
+    * materializes edges on the driver.
     */
   def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
                           maxIter: Int = 25): DataFrame = {
@@ -28,6 +38,10 @@ object Components {
     val und = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
       .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
       .distinct().localCheckpoint()
+
+    val driverCap = und.sparkSession.conf
+      .get("graft.components.driverMaxEdges", "200000").toLong
+    if (und.count() <= driverCap) return driverUnionFind(und)
 
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
@@ -53,6 +67,30 @@ object Components {
       it += 1
     }
     labels
+  }
+
+  /** Driver-side union-find for small pair sets: edges collected as
+    * primitive long pairs (16 B each — the 200k default gate is ~3 MB
+    * on the driver), path-halving find, union attaching the larger root
+    * under the smaller so the final root IS the set's minimum id
+    * (matching the distributed min-label semantics exactly).
+    */
+  private def driverUnionFind(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val edges = und.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "comp")
   }
 
   /** One canonical (minimum-id) representative per component, plus the

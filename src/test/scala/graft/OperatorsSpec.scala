@@ -137,6 +137,14 @@ class OperatorsSpec extends SparkSpec {
     val canon = Components.canonicalPerComponent(pairs, "id1", "id2")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(canon == Set((1L, 1L, 4L), (5L, 5L, 2L)))
+    // regime equivalence: forcing the distributed label-propagation loop
+    // (driver gate 0) must yield the identical labeling
+    spark.conf.set("graft.components.driverMaxEdges", "0")
+    try {
+      val dist = Components.connectedComponents(pairs, "id1", "id2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == comps)
+    } finally spark.conf.unset("graft.components.driverMaxEdges")
   }
 
   test("ngram jaccard matches hand-computed value") {
