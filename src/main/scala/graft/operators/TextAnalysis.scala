@@ -122,6 +122,35 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("term"), col("rank"), col("tfidf"))
   }
 
+  /** Split documents into overlapping token-window chunks — the
+    * context-window preparation step between curation and tokenization
+    * (stride < chunkSize keeps `chunkSize - stride` tokens of overlap
+    * so no span falls across a hard boundary). Chunk construction is
+    * whole-stage codegen'd: explode the chunk INDICES, then one
+    * `slice` + `concat_ws` per row — the shingleRows shape, scan-speed
+    * at corpus scale with no interpreted lambdas and no shuffle at all
+    * (a pure per-row Generate).
+    */
+  def chunk(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text",
+            chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val base = df.select(col(idCol).as("__id"), Dedup.tokens(col(textCol)).as("t"))
+      .withColumn("__n", size(col("t")))
+      .withColumn("__nch",
+        when(col("__n") <= chunkSize, lit(1L)).otherwise(
+          floor((col("__n") - chunkSize + (stride - 1)) / lit(stride.toDouble)) + 1))
+    base
+      .select(col("__id"), col("t"),
+        explode(sequence(lit(0L), col("__nch") - 1)).as("chunk_id"))
+      .withColumn("__ct", slice(col("t"), (col("chunk_id") * stride + 1).cast("int"),
+        lit(chunkSize)))
+      .select(col("__id").as(idCol), col("chunk_id"),
+        concat_ws(" ", col("__ct")).as("chunk_text"),
+        size(col("__ct")).as("chunk_tokens"))
+  }
+
   /** Per-document mean unigram negative log-likelihood under the
     * corpus's own empirical unigram distribution — the cheap stand-in
     * for the CCNet/KenLM perplexity filter: documents whose tokens are

@@ -143,6 +143,12 @@ object PipelineQueries {
       TextAnalysis.tfidfTopTerms(Tables(s, dir).documents, k = 3)
     },
 
+    // Overlapping token-window chunking (context-window prep): 32-token
+    // chunks, stride 24 (8 tokens of overlap).
+    "tx10_chunk" -> { (s, dir) =>
+      TextAnalysis.chunk(Tables(s, dir).documents, chunkSize = 32, stride = 24)
+    },
+
     // Mean unigram negative log-likelihood under the corpus unigram
     // distribution (perplexity-filter proxy).
     "tx09_unigram_nll" -> { (s, dir) =>
@@ -407,6 +413,25 @@ object PipelineQueries {
            FROM s
          )
          SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= 3""",
+    // replay of TextAnalysis.chunk at (32, 24): chunk count from the
+    // same floor arithmetic (CAST because DuckDB floor returns DOUBLE
+    // where Spark returns LONG), 1-based inclusive list slices
+    "tx10_chunk" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents
+         ),
+         c AS (
+           SELECT doc_id, t,
+                  CASE WHEN len(t) <= 32 THEN 1
+                       ELSE CAST(floor((len(t) - 32 + 23) / 24.0) AS BIGINT) + 1
+                  END AS nch
+           FROM toks
+         )
+         SELECT doc_id, i AS chunk_id,
+                array_to_string(t[(i*24+1):(i*24+32)], ' ') AS chunk_text,
+                len(t[(i*24+1):(i*24+32)]) AS chunk_tokens
+         FROM c, UNNEST(generate_series(0, nch - 1)) AS u(i)""",
     // replay of TextAnalysis.unigramLogProb: tf/cf/total aggregates and
     // the same occurrence-weighted average
     "tx09_unigram_nll" ->

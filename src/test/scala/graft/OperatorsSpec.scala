@@ -314,6 +314,27 @@ class OperatorsSpec extends SparkSpec {
     assert(all == Set(0.0))
   }
 
+  test("chunking covers every token with the configured overlap") {
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = graft.operators.TextAnalysis.chunk(
+      Seq((1L, doc), (2L, "tiny doc")).toDF("doc_id", "text"),
+      chunkSize = 32, stride = 24).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk_text").split(" "), r.getAs[Int]("chunk_tokens")))
+    // 100 tokens, C=32, S=24 → ceil(68/24)+1 = 4 chunks
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.length == 4)
+    assert(d1.forall(c => c._3.length == c._4))
+    assert(d1(0)._3.head == "w1" && d1(0)._3.length == 32)
+    assert(d1(1)._3.head == "w25") // stride 24 → 8-token overlap
+    assert(d1(0)._3.takeRight(8).toSeq == d1(1)._3.take(8).toSeq)
+    assert(d1(3)._3.last == "w100") // full coverage
+    assert(d1(3)._3.length == 100 - 3 * 24)
+    // short doc: one chunk, whole text
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3.toSeq == Seq("tiny", "doc"))
+  }
+
   test("unigram NLL ranks rare-token docs as less likely") {
     val corpus = Seq(
       (1L, "common common common common"),
