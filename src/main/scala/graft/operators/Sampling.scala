@@ -51,6 +51,37 @@ object Sampling {
     df.filter(hexDigit(col(keyCol)) < quota)
   }
 
+  /** Temperature-flattened corpus mixing (the multilingual rebalancing
+    * step, XLM-R style): group l's share of the OUTPUT follows
+    * q_l ∝ n_l^alpha, so alpha < 1 upweights low-resource groups.
+    * The total is the largest T feasible without upsampling
+    * (T = min_l n_l / q_l, so the most-upweighted group keeps all its
+    * rows), each group's keep-fraction f_l = T·q_l / n_l is quantized
+    * to md5 sixteenths, and membership is the same deterministic hash
+    * rule as `hashSample` — reproducible across engines, partitionings,
+    * and retries, with the group-rate table a broadcast join of
+    * |groups| rows. The 1e-9 shift before floor keeps the exact-1.0
+    * fraction of the argmin group (computed as (n/q)·q/n in doubles)
+    * from quantizing to 15/16 on ulp drift.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__q", pow(col("__n"), alpha))
+    val norm = sizes.crossJoin(broadcast(sizes.agg(sum(col("__q")).as("__sq"))))
+      .withColumn("__qn", col("__q") / col("__sq"))
+    val rates = norm
+      .crossJoin(broadcast(norm.agg(min(col("__n") / col("__qn")).as("__T"))))
+      .withColumn("__f", least(lit(1.0), col("__T") * col("__qn") / col("__n")))
+      .select(col(groupCol), floor(col("__f") * 16 + lit(1e-9))
+        .cast("int").as("__s"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hexDigit(col(keyCol)) < col("__s"))
+      .drop("__s")
+  }
+
   /** Deterministic per-group token-budget filling: within each group,
     * rows are ordered by their md5 hash (a reproducible shuffle — no
     * rand(), no seed) and kept while the running token sum stays within

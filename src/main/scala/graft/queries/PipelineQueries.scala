@@ -143,6 +143,14 @@ object PipelineQueries {
       TextAnalysis.tfidfTopTerms(Tables(s, dir).documents, k = 3)
     },
 
+    // Temperature-flattened language mixing at alpha=0.5 (upweights
+    // low-resource langs; most-upweighted group keeps everything).
+    "tx11_temperature_mix" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      Sampling.temperatureSample(Tables(s, dir).documents, "doc_id", "lang",
+        alpha = 0.5).select(col("doc_id"), col("lang"))
+    },
+
     // Overlapping token-window chunking (context-window prep): 32-token
     // chunks, stride 24 (8 tokens of overlap).
     "tx10_chunk" -> { (s, dir) =>
@@ -413,6 +421,26 @@ object PipelineQueries {
            FROM s
          )
          SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= 3""",
+    // replay of Sampling.temperatureSample at alpha=0.5: same
+    // size^alpha shares, feasibility bound, 1e-9-shifted sixteenth
+    // quantization, and md5-digit membership rule as tx05
+    "tx11_temperature_mix" ->
+      """WITH sizes AS (
+           SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+         ),
+         q AS (SELECT lang, n, pow(n, 0.5) AS q FROM sizes),
+         norm AS (SELECT lang, n, q / (SELECT sum(q) FROM q) AS qn FROM q),
+         rates AS (
+           SELECT lang,
+                  CAST(floor(least(1.0,
+                    (SELECT min(n / qn) FROM norm) * qn / n) * 16 + 1e-9)
+                    AS INTEGER) AS s
+           FROM norm
+         )
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN rates USING (lang)
+         WHERE strpos('0123456789abcdef',
+                      substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 < s""",
     // replay of TextAnalysis.chunk at (32, 24): chunk count from the
     // same floor arithmetic (CAST because DuckDB floor returns DOUBLE
     // where Spark returns LONG), 1-based inclusive list slices

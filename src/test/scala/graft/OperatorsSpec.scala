@@ -70,6 +70,20 @@ class OperatorsSpec extends SparkSpec {
     assert(en == s4.filter(_ % 2 == 0))      // same membership rule per key
   }
 
+  test("temperature mixing keeps all of the most-upweighted group") {
+    import graft.operators.Sampling
+    // A: 8 rows, B: 2 rows; alpha=0.5 → shares 2:1 → T=6, f_A=0.5 (s=8),
+    // f_B=1.0 (s=16 — exact-one survives the quantization epsilon)
+    val df = ((1L to 8L).map(i => (i, "A")) ++ Seq((100L, "B"), (101L, "B")))
+      .toDF("doc_id", "grp")
+    val kept = Sampling.temperatureSample(df, "doc_id", "grp", alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(100L) && kept.contains(101L)) // B fully kept
+    val expectedA = Sampling.hashSample(df.filter(col("grp") === "A"), "doc_id", 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept -- Set(100L, 101L) == expectedA) // A at exactly 8/16
+  }
+
   test("token-budget sampling fills each group's budget exactly") {
     import graft.operators.Sampling
     val df = spark.range(0, 100).toDF("doc_id")
