@@ -453,13 +453,21 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     val propCols = rel.props.map { case (k, e0) => compiler.compile(e0).as(k) }
     val carried = rel.props.map(_._1) ++
       ocCols.map("__oc_" + _._1) ++ omCols.map("__om_" + _._1)
-    val wanted = f.df.select(Seq(
+    // Duplicate rows for one (src, dst) fold to ONE surviving row
+    // atomically: max over a struct of all carried values picks a single
+    // deterministic row (lexicographic struct ordering), so the edge
+    // never gets a cross-row mix of values no input row contained.
+    val grouped = f.df.select(Seq(
       col(f.idCol(srcVar)).as(srcCol0),
       col(f.idCol(dstVar)).as(dstCol0)) ++ propCols ++
       ocCols.map(_._2) ++ omCols.map(_._2): _*)
       .groupBy(col(srcCol0), col(dstCol0))
-      .agg(count(lit(1)).as("__dup"),
-        carried.map(c => max(col(c)).as(c)): _*)
+    val wanted =
+      if (carried.isEmpty) grouped.agg(count(lit(1)).as("__dup"))
+      else grouped.agg(count(lit(1)).as("__dup"),
+          max(struct(carried.map(col): _*)).as("__row"))
+        .select(Seq(col(srcCol0), col(dstCol0), col("__dup")) ++
+          carried.map(c => col("__row").getField(c).as(c)): _*)
 
     val missing = existing match {
       case Some(d) => wanted.join(d.select(col(srcCol0), col(dstCol0))

@@ -31,24 +31,49 @@ object QueryCombiner {
     (produces, consumes -- produces)
   }
 
+  /** Every name a path pattern can bind: the path variable itself plus
+    * node and relationship variables on every hop.
+    */
+  private def pathVars(p: PathPattern): Seq[String] =
+    p.pathVariable.toSeq ++ p.start.variable.toSeq ++
+      p.hops.flatMap { case (r, n) => r.variable.toSeq ++ n.variable.toSeq }
+
+  /** Names a projection introduces into scope: explicit aliases plus
+    * bare-variable passthroughs (`WITH n` rebinds `n` downstream).
+    */
+  private def projectionVars(pr: Projection): Seq[String] =
+    pr.items.flatMap {
+      case ReturnItem(_, Some(alias))    => Seq(alias)
+      case ReturnItem(Variable(name), _) => Seq(name)
+      case _                             => Seq.empty
+    }
+
   /** True when every input can be merged into one clause sequence:
-    * single-statement queries (no UNION) whose variables don't collide
-    * across stages (a later `WITH *` would otherwise rebind them).
+    * single-statement queries (no UNION) whose bound names don't collide
+    * across stages (a later `WITH *` would otherwise rebind them —
+    * silently different semantics than sequential execution). Counts
+    * EVERY binder: MATCH/CREATE/MERGE patterns (incl. path variables),
+    * UNWIND/FOREACH aliases, CALL ... YIELD items, and WITH/RETURN
+    * projection aliases.
     */
   def combinable(queries: Seq[Query]): Boolean = {
     if (queries.exists(_.statements.size != 1)) return false
-    val varSets = queries.map { q =>
-      q.statements.head.clauses.flatMap {
-        case m: Match => m.paths.flatMap(p =>
-          p.start.variable.toSeq ++
-            p.hops.flatMap { case (r, n) => r.variable.toSeq ++ n.variable.toSeq })
-        case c: Create => c.paths.flatMap(p =>
-          p.start.variable.toSeq ++ p.hops.flatMap(_._2.variable.toSeq))
-        case u: Unwind => Seq(u.alias)
-        case _ => Seq.empty
-      }.toSet
+    def clauseVars(cl: Clause): Seq[String] = cl match {
+      case m: Match         => m.paths.flatMap(pathVars)
+      case c: Create        => c.paths.flatMap(pathVars)
+      case mg: Merge        => pathVars(mg.path)
+      case u: Unwind        => Seq(u.alias)
+      case w: With          => projectionVars(w.projection)
+      case r: Return        => projectionVars(r.projection)
+      case cp: CallProcedure =>
+        cp.yields.flatMap(y => y.alias.toSeq ++ (y.expr match {
+          case Variable(n) => Seq(n); case _ => Seq.empty
+        }))
+      case fe: Foreach      => fe.variable +: fe.body.flatMap(clauseVars)
+      case _                => Seq.empty
     }
-    // pairwise disjoint pattern variables across stages
+    val varSets = queries.map(_.statements.head.clauses.flatMap(clauseVars).toSet)
+    // pairwise disjoint bound names across stages
     varSets.combinations(2).forall { case Seq(a, b) => (a intersect b).isEmpty }
   }
 

@@ -194,41 +194,45 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard pairs >= threshold, verified on MinHash-LSH
-    * candidates (the production shape): candidate id-pairs come from
-    * `lshBandPairs` (ids only through the band join), then ONE exact
-    * verification pass attaches both distinct-shingle sets and computes
-    * Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) with a single
-    * array_intersect — work proportional to the near-dup count, never to
-    * the corpus pair count.
+  /** Exact n-gram Jaccard pairs >= threshold. The DEFAULT is the
+    * guaranteed-recall inverted-index mode (`exhaustive = true`): any
+    * pair with j > 0 shares a shingle, so recall at the threshold is 1
+    * by construction — the semantics the name promises and the mode the
+    * DuckDB all-pairs oracle certifies (same candidate path, not a
+    * lookalike). `exhaustive = false` opts into MinHash-LSH candidate
+    * generation for corpus scales where the inverted index's
+    * per-shingle f² join blowup bites: candidate id-pairs come from
+    * `lshBandPairs` (ids only through the band join), then the SAME
+    * exact verification pass. LSH recall at the threshold is
+    * probabilistic — with 64 hashes / 16 bands a pair exactly at j=0.5
+    * is missed with P ≈ 0.35, shrinking fast above it (P(miss | j=0.9)
+    * ≈ 4e-8) — so the opt-in trades guaranteed threshold recall for
+    * scale; quantify with a recall query against the exhaustive mode
+    * before relying on it (see dd10_lsh_recall).
     *
-    * Recall: a pair at the j=0.5 threshold survives 16 bands of 4 rows
-    * with P(miss) = (1 - 0.5^4)^16 ≈ 0.35... — but candidates only need
-    * to cover pairs that PASS verification, and at threshold 0.5 real
-    * near-dups sit well above it (P(miss | j=0.9) ≈ 4e-8). Callers
-    * needing guaranteed recall at the exact threshold use
-    * `exhaustive = true`: an inverted-index self-join (any pair with
-    * j > 0 shares a shingle, so recall is 1 by construction) with a
-    * document-frequency skew guard — quadratic in per-shingle frequency,
-    * the ground-truth mode for oracles and small corpora.
+    * Either way verification attaches both distinct-shingle sets and
+    * computes Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) with a single
+    * array_intersect — work proportional to the candidate count, never
+    * to the corpus pair count.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleDf: Int = 1000,
                         numHashes: Int = 64, bands: Int = 16,
-                        exhaustive: Boolean = false): DataFrame = {
+                        exhaustive: Boolean = true): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, n)
+    if (exhaustive)
+      return countJaccardPairs(rows.dropDuplicates("id", "shingle"),
+        threshold, maxShingleDf)
     // the candidate subtree is referenced twice below (candIds + pair
-    // base); the heavy stages (signature aggregate, band/index join)
-    // sit BELOW the candidate-pair exchange, which Spark's ReuseExchange
+    // base); the heavy stages (signature aggregate, band join) sit
+    // BELOW the candidate-pair exchange, which Spark's ReuseExchange
     // shares across both consumers — only the cheap post-shuffle
     // aggregate re-runs, so no pin is needed (and a localCheckpoint
     // here would leak persisted blocks to library callers, breaking the
     // no-persisted-RDDs contract the spec asserts)
     val cand =
-      if (exhaustive) invertedIndexPairs(rows.dropDuplicates("id", "shingle"),
-        maxShingleDf)
-      else lshBandPairs(minHashSignatures(rows, numHashes), numHashes, bands)
+      lshBandPairs(minHashSignatures(rows, numHashes), numHashes, bands)
         .select(col("id1"), col("id2"))
     // shingle SETS are only needed for docs that appear in a candidate
     // pair — semi-join first, then collect_set (distinct by definition),
@@ -251,25 +255,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Guaranteed-recall candidate pairs: inverted-index self-join on the
-    * shingle key. The document-frequency cap is computed as a window
-    * count over the same shingle partitioning the join needs, so the cap
-    * shares the join's shuffle instead of adding an aggregate +
-    * join-back (and nothing is persisted — no cached state leaks to the
-    * caller). A shingle shared by f documents contributes f^2 join rows,
-    * hence the cap; candidates above it must be reached through another
-    * (rarer) shared shingle.
+  /** Exact Jaccard pairs by CO-OCCURRENCE COUNTING: self-join the
+    * inverted index on the shingle key, count shared shingles per
+    * (id1, id2), and compute J = o / (|A| + |B| - o) from the counts —
+    * no shingle-set arrays are ever built or shuffled (a collect_set +
+    * array_intersect verify stage ships ~1 KB of strings per pair side;
+    * this ships 24-byte rows into a map-side-combined count). Any pair
+    * with J > 0 shares a shingle, so recall at the threshold is 1 by
+    * construction. The AllPairs length filter (J >= t forces
+    * min(|x|,|y|) >= t·max(|x|,|y|) — Bayardo et al., WWW'07) discards
+    * provably-below-threshold pairs inside the join, before the
+    * aggregate sees a row.
+    *
+    * Skew: a shingle shared by f documents contributes f²/2 join rows;
+    * `maxShingleDf` caps the index (boilerplate grams at corpus scale).
+    * When the cap engages, overlap counts exclude the capped shingles
+    * while set sizes stay full, so affected pairs report a LOWER-BOUND
+    * Jaccard — pairs connected only through ultra-common grams can drop
+    * (same caveat class as a capped candidate index; LSH mode is the
+    * intended path at scales where the cap matters).
     */
-  private def invertedIndexPairs(distinctRows: DataFrame, maxShingleDf: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val pruned = distinctRows
-      .withColumn("__dfc", count(lit(1)).over(w))
+  private def countJaccardPairs(distinctRows: DataFrame, threshold: Double,
+                                maxShingleDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSh = Window.partitionBy(col("shingle"))
+    val wSz = Window.partitionBy(col("id"))
+    val idx = distinctRows
+      .withColumn("__sz", count(lit(1)).over(wSz))
+      .withColumn("__dfc", count(lit(1)).over(wSh))
       .filter(col("__dfc") <= maxShingleDf)
-      .select(col("shingle"), col("id"))
-    pruned.select(col("shingle"), col("id").as("id1"))
-      .join(pruned.select(col("shingle"), col("id").as("id2")), Seq("shingle"))
+      .select(col("shingle"), col("id"), col("__sz"))
+    idx.select(col("shingle"), col("id").as("id1"), col("__sz").as("__sz1"))
+      .join(idx.select(col("shingle"), col("id").as("id2"),
+        col("__sz").as("__sz2")), Seq("shingle"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+      .filter(least(col("__sz1"), col("__sz2")) >=
+        lit(threshold) * greatest(col("__sz1"), col("__sz2")))
+      .groupBy(col("id1"), col("id2"), col("__sz1"), col("__sz2"))
+      .agg(count(lit(1)).as("__o"))
+      .select(col("id1"), col("id2"),
+        round(col("__o") / (col("__sz1") + col("__sz2") - col("__o"))
+          + lit(1e-11), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Embedding near-dup pairs (cosine >= threshold) via random-hyperplane

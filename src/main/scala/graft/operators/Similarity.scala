@@ -106,19 +106,28 @@ object Similarity {
   /** Fitted coarse quantizers, keyed by a caller-supplied corpus key —
     * an IVF index is built ONCE offline and amortized over every query
     * against that corpus (the FAISS usage model); refitting k-means per
-    * query would charge the index build to each lookup. Bounded by the
-    * number of distinct (corpus, nlist, seed) triples the process sees.
+    * query would charge the index build to each lookup. LRU-bounded so
+    * rewritten/forgotten corpora can't pin stale KMeansModels (and the
+    * session references inside them) for the life of the process.
     */
-  private val ivfModels =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
+  private val ivfModelCap = 32
+  private val ivfModels = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int, Long),
+      org.apache.spark.ml.clustering.KMeansModel](16, 0.75f, true) {
+      override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Int, Long),
+          org.apache.spark.ml.clustering.KMeansModel]): Boolean =
+        size() > ivfModelCap
+    })
 
   /** Drop a cached quantizer (call after the corpus under `corpusKey`
     * is rewritten — the cache has no content-based invalidation, so a
     * stale model would silently degrade recall).
     */
-  def ivfInvalidate(corpusKey: String): Unit =
-    ivfModels.keys.filter(_._1 == corpusKey).foreach(ivfModels.remove)
+  def ivfInvalidate(corpusKey: String): Unit = ivfModels.synchronized {
+    val it = ivfModels.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == corpusKey) it.remove()
+  }
 
   /** Fit (or fetch the cached) coarse k-means quantizer for a corpus.
     * The cache keys on (corpusKey, nlist, seed) only — the caller owns
@@ -136,8 +145,11 @@ object Similarity {
       .fit(df.select(asDouble(col(vecCol)).as("v"))
         .withColumn("__fv", array_to_vector(col("v"))))
     corpusKey match {
-      case Some(key) => ivfModels.getOrElseUpdate((key, nlist, seed), fit())
-      case None      => fit()
+      case Some(key) => ivfModels.synchronized {
+        val k = (key, nlist, seed)
+        Option(ivfModels.get(k)).getOrElse { val m = fit(); ivfModels.put(k, m); m }
+      }
+      case None => fit()
     }
   }
 
@@ -151,9 +163,13 @@ object Similarity {
       .withColumn("__fv", array_to_vector(col("v")))
     val model = ivfFit(df, vecCol, nlist, seed, corpusKey)
     val assigned = model.transform(withVec).drop("__fv")
-    // nprobe nearest centroids to the query vector: nlist² driver flops
-    val qVec = withVec.filter(col(idCol) === queryVecId)
-      .select(col("v")).head().getSeq[Double](0).toArray
+    // nprobe nearest centroids to the query vector: nlist² driver flops.
+    // An absent query id returns an empty frame (matching the sibling
+    // top-k operators' empty-broadcast behavior), never a throw.
+    val qRow = withVec.filter(col(idCol) === queryVecId).select(col("v")).head(1)
+    if (qRow.isEmpty)
+      return df.select(col(idCol), lit(null).cast("double").as("cos_sim")).limit(0)
+    val qVec = qRow.head.getSeq[Double](0).toArray
     val probe = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
       (d, i)

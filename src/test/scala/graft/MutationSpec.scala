@@ -255,6 +255,44 @@ class MutationSpec extends SparkSpec {
     assert(out3.collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("query combiner counts MERGE vars and projection aliases as binders") {
+    import graft.parser.CypherParser
+    import graft.compiler.QueryCombiner
+    def p(s: String) = CypherParser.parse(s)
+    // both stages bind `m` via MERGE → a WITH * bridge would rebind it
+    assert(!QueryCombiner.combinable(Seq(
+      p("MERGE (m:Tag {name: 'a'})"), p("MERGE (m:City {name: 'b'})"))))
+    // stage 1's WITH alias collides with stage 2's pattern variable
+    assert(!QueryCombiner.combinable(Seq(
+      p("MATCH (a:Tag) WITH a.name AS v RETURN v"),
+      p("MATCH (v:City) RETURN v.name AS name"))))
+    // bare-variable RETURN passthrough is a binder too
+    assert(!QueryCombiner.combinable(Seq(
+      p("MATCH (n:Tag) RETURN n"), p("MATCH (n:City) RETURN n"))))
+    // disjoint names (incl. a MERGE) stay combinable
+    assert(QueryCombiner.combinable(Seq(
+      p("MERGE (m:Tag {name: 'a'})"),
+      p("MATCH (t:Tag) RETURN t.name AS name"))))
+  }
+
+  test("rel MERGE duplicate rows fold to ONE row's values, never a cross-row mix") {
+    val eng = freshEngine
+    // two binding rows carry (p=1, q=9) and (p=2, q=3); a per-column
+    // max would synthesize {p: 2, q: 9} — a combination no row contained
+    eng.execute(
+      """MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'})
+         UNWIND [1, 2] AS i
+         MERGE (b)-[k:LINKS]->(c)
+         ON CREATE SET k.p = i, k.q = CASE i WHEN 1 THEN 9 ELSE 3 END""")
+    val r = eng.query(
+      """MATCH (:Person {name: 'Bob'})-[k:LINKS]->(:Person {name: 'Carol'})
+         RETURN k.p AS p, k.q AS q""").collect()
+    assert(r.length == 1)
+    val (pv, qv) = (r.head.getLong(0), r.head.getLong(1))
+    assert((pv, qv) == (2L, 3L) || (pv, qv) == (1L, 9L),
+      s"cross-row mix: ($pv, $qv)")
+  }
+
   test("rel MERGE duplicate binding rows: ON MATCH fires on the new edge") {
     val eng = freshEngine
     // two binding rows for the same (Bob, Carol) pair: per Neo4j row

@@ -141,6 +141,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got == binary)
   }
 
+  test("WCOJ triangles: parallel edges multiply like the binary join; " +
+    "celebrity vertices detour through it with identical results") {
+    import graft.operators.Wcoj
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // parallel edges: 1→2 twice in bc and 2→0 twice in ca → the single
+    // triangle (0,1,2) must surface 2 × 2 = 4 times (openCypher counts
+    // each relationship combination as its own match row)
+    val ab = Seq((0L, 1L)).toDF("src", "dst")
+    val bc = Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val ca = Seq((2L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val binary = rows(ab.select(col("src").as("a"), col("dst").as("b"))
+      .join(bc.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(ca.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))
+      .select("a", "b", "c"))
+    assert(binary.count(_ == (0L, 1L, 2L)) == 4)
+    assert(rows(Wcoj.triangles(ab, bc, ca)) == binary)
+    // skew guard: with maxAdjDegree = 1, vertex 1 (b-degree 2) and
+    // vertex 0 (a-degree 2) are celebrities — no adjacency map forms
+    // for them, the spine edge detours through the binary join, and the
+    // result is unchanged
+    assert(rows(Wcoj.triangles(ab, bc, ca, maxAdjDegree = 1)) == binary)
+  }
+
   test("connected components: pairs collapse to min-id clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 3L))
@@ -241,6 +265,11 @@ class OperatorsSpec extends SparkSpec {
     val m2 = Similarity.ivfFit(vecs, "embedding", 4, 7L, Some("spec-corpus"))
     assert(m1 eq m2)
     assert(!(Similarity.ivfFit(vecs, "embedding", 4, 7L, None) eq m1))
+    // an absent query id returns an empty frame (like the sibling
+    // top-k operators), never a driver-side throw
+    val none = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queryVecId = 999L, k = 5, nlist = 4, nprobe = 2)
+    assert(none.columns.toSeq == Seq("vec_id", "cos_sim") && none.isEmpty)
   }
 
   test("int8 quantized cosine tracks the float ranking") {

@@ -104,9 +104,10 @@ class PlanSpec extends SparkSpec {
         """MATCH (a:Nation)-[:NEXT_N]->(b:Nation)-[:NEXT_N]->(c:Nation)-[:PREV_N]->(a)
            RETURN count(*) AS n""")
       val p = plan(df)
-      // the leapfrog shape: collect_set adjacency aggregates feeding an
-      // array_intersect + explode (Generate), never edge⋈edge first
-      assert(p.contains("collect_set"), s"no adjacency aggregate:\n$p")
+      // the leapfrog shape: neighbor→multiplicity adjacency-map
+      // aggregates feeding a key-intersect + explode (Generate), never
+      // edge⋈edge first
+      assert(p.contains("map_from_entries"), s"no adjacency-map aggregate:\n$p")
       assert(p.contains("array_intersect") && p.contains("Generate"),
         s"no intersect/explode step:\n$p")
     } finally spark.conf.unset("graft.wcoj.enabled")
