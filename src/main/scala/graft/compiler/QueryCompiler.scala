@@ -379,17 +379,19 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
   }
 
   /** Triangle patterns (a)-[:X]->(b)-[:Y]->(c)-[:Z]->(a) compile via
-    * the worst-case-optimal adjacency-intersection join when
-    * `graft.wcoj.enabled` is set (SURVEY §2.3 row 21; reference
-    * leapfrog_triejoin.py) — the binary-join plan materializes the open
-    * wedge before the closing edge can filter it. Guarded narrowly:
+    * the worst-case-optimal adjacency-intersection join (SURVEY §2.3
+    * row 21; reference leapfrog_triejoin.py) — the binary-join plan
+    * materializes the open wedge before the closing edge can filter it.
+    * ON by default (`graft.wcoj.enabled=false` opts out) now that the
+    * route preserves parallel-edge multiplicity and degree skew detours
+    * through the binary join (Wcoj.triangles). Guarded narrowly:
     * exactly three fixed OUT hops with one type each, no rel
     * variables/props, closing on the start variable, three distinct
     * node variables. Anything else falls back to the binary-join chain
     * (which handles the general cyclic case, cy31).
     */
   private def compileTriangleWcoj(p: PathPattern): Option[Frame] = {
-    if (!spark.conf.get("graft.wcoj.enabled", "false").toBoolean) return None
+    if (!spark.conf.get("graft.wcoj.enabled", "true").toBoolean) return None
     if (p.hops.size != 3 || p.pathVariable.isDefined) return None
     val ok = p.hops.forall { case (r, _) =>
       r.varLength.isEmpty && r.direction == "OUT" && r.types.size == 1 &&

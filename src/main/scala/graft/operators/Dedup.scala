@@ -147,32 +147,41 @@ object Dedup {
       .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
   }
 
-  /** (id, sim) 64-bit SimHash per document: explode the token multiset,
-    * hash each token ONCE, then one hash aggregate with 64 ±1-vote sum()
+  /** (id, sim) 48-bit SimHash per document: explode the token multiset,
+    * hash each token ONCE, then one hash aggregate with 48 ±1-vote sum()
     * columns folded into the fingerprint. Codegen'd end to end with
     * map-side combine — the interpreted per-row aggregate() version was
-    * ~60x slower because each of the 64 bit lanes re-hashed every token.
+    * ~60x slower because each bit lane re-hashed every token. The token
+    * hash is the integer value of the first 12 hex digits of
+    * md5(token) — the engine-portable hash, so the DuckDB oracle
+    * replays the ENTIRE simhash pipeline (votes → fingerprint → block
+    * join → hamming filter) and hash-matches the full pair output at
+    * any corpus scale.
     */
+  private[graft] val SimHashBits = 48
+
   private[graft] def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toksHashed = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(b =>
+      .select(col("id"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val votes = (0 until SimHashBits).map(b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"__b$b"))
     toksHashed.groupBy(col("id")).agg(votes.head, votes.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
+        (0 until SimHashBits).map(b =>
           when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<=7).
     *
-    * Pigeonhole blocking: split the 64-bit fingerprint into 8 bytes; any
-    * pair within hamming distance 7 must agree on at least one byte, so
-    * the candidate join is an equi-join on (block_idx, block_val) —
-    * never an all-pairs scan.
+    * Pigeonhole blocking: split the 48-bit fingerprint into 8 six-bit
+    * blocks; any pair within hamming distance 7 must agree on at least
+    * one block, so the candidate join is an equi-join on
+    * (block_idx, block_val) — never an all-pairs scan.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
@@ -181,7 +190,7 @@ object Dedup {
     val blocked = sigDf.select(col("id"), col("sim"),
       explode(array((0 until 8).map { b =>
         struct(lit(b).as("blk"),
-          shiftrightunsigned(col("sim"), b * 8).bitwiseAND(255L).as("bval"))
+          shiftrightunsigned(col("sim"), b * 6).bitwiseAND(63L).as("bval"))
       }: _*)).as("kb"))
       .select(col("id"), col("sim"), col("kb.blk").as("blk"), col("kb.bval").as("bval"))
     val l = blocked.select(col("blk"), col("bval"), col("id").as("id1"), col("sim").as("sim1"))
@@ -310,16 +319,16 @@ object Dedup {
       transform(col(vecCol), x => x.cast("double")).as("v"))
     // signatures via explode + hash aggregate: one sum() per (table,
     // plane) plus the norm, all codegen'd with map-side combine. The
-    // hyperplane sign for (table, plane, dim) is bit (table*planes+p)
-    // of ONE xxhash64 of the dimension index — one hash per row feeds
-    // all tables*planes sign lookups instead of one hash per lane.
-    require(tables * planes <= 64, "sign bits drawn from a single 64-bit hash")
+    // hyperplane sign for (table, plane, dim) comes from the md5 sign
+    // table (Similarity.mdSign, plane index t*planes+p) embedded as
+    // literal arrays — constant-folded per lane, and REPLAYABLE by the
+    // DuckDB oracle, which recomputes the same signs from md5 in SQL
+    // and therefore reproduces the exact candidate set, misses and all.
     val dims = v.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
-      .withColumn("hd", xxhash64(col("d")))
     val dotAggs = (for (t <- 0 until tables; p <- 0 until planes) yield {
-      sum(col("x") * when(
-        shiftrightunsigned(col("hd"), t * planes + p).bitwiseAND(1L) === 1L, 1.0)
-        .otherwise(-1.0)).as(s"__dot_${t}_$p")
+      val signs = lit((0 until Similarity.MaxSignDims)
+        .map(d => Similarity.mdSign(42, t * planes + p, d)).toArray)
+      sum(col("x") * element_at(signs, col("d") + 1)).as(s"__dot_${t}_$p")
     }) :+ sum(col("x") * col("x")).as("__norm2")
     val sigs = dims.groupBy(col("id")).agg(dotAggs.head, dotAggs.tail: _*)
       .select(col("id"), sqrt(col("__norm2")).as("norm"),

@@ -77,17 +77,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** ±1 hyperplane component for (seed, plane, dim): +1 iff the first
+    * hex digit of md5("seed_plane_dim") is >= '8'. MD5 is the one hash
+    * both Spark and DuckDB evaluate identically, so an external oracle
+    * can replay the ENTIRE signature pipeline (sign table → dots →
+    * sign bits → buckets) in SQL — the sketches stop being
+    * unverifiable. The table is precomputed on the driver and embedded
+    * as array literals (constant-folded; zero per-row hash work).
+    */
+  private[graft] def mdSign(seed: Int, plane: Int, dim: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${seed}_${plane}_${dim}".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0x8) != 0) 1.0 else -1.0
+  }
+
+  /** Max vector dimensionality the embedded sign tables cover. */
+  private[graft] val MaxSignDims = 256
+
   /** `planes`-bit random-hyperplane signature of an array<double> vector.
-    * Hyperplane p's component for dimension d is a deterministic ±1
-    * derived from xxhash64(seed, p, d) — no stored model, so executors
-    * recompute it locally and nothing is shuffled or broadcast.
+    * Hyperplane p's component for dimension d comes from the md5 sign
+    * table (`mdSign`) — no stored model, executors see only literal
+    * arrays, and the whole computation is replayable in the DuckDB
+    * oracle. Dot products fold sequentially left-to-right.
     */
   private[graft] def hyperplaneSignature(v: Column, planes: Int, seed: Int): Column = {
     val bits = (0 until planes).map { p =>
+      val signs = lit((0 until MaxSignDims).map(d => mdSign(seed, p, d)).toArray)
       val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * when(xxhash64(lit(seed), lit(p), d).bitwiseAND(1L) === 1L, 1.0)
-            .otherwise(-1.0)),
+        zip_with(v, slice(signs, lit(1), size(v)), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
@@ -185,9 +202,11 @@ object Similarity {
 
   /** LSH-bucketed ANN: prefilter to vectors whose hyperplane signature
     * is within hamming distance 1 of the query's (multi-probe), then
-    * exact cosine top-k inside the candidate set. At scale the signature
-    * is a bucketing/partition key, so a query touches only its probe
-    * buckets instead of the full corpus.
+    * exact cosine top-k inside the candidate set. Ad-hoc/one-shot form —
+    * it signs the corpus inline, so EVERY query pays a full corpus scan
+    * + signature compute. For repeated lookups use `lshIndexWrite` +
+    * `lshIndexTopK`: the signed corpus lives at rest partitioned by
+    * bucket and a query's scan prunes to its probe buckets.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryVecId: Long, k: Int, planes: Int, seed: Int = 42): DataFrame = {
@@ -201,6 +220,245 @@ object Similarity {
       .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 1)
       .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---------------- persisted index-at-rest ----------------
+  //
+  // The 100 TB usage model (mirroring the reference's persisted graph
+  // indexes with epoch invalidation, /root/reference/packages/pycypher/
+  // src/pycypher/graph_index.py:562-887): the corpus is signed/assigned
+  // ONCE offline and written `partitionBy(__bucket)`, so a lookup is a
+  // PARTITION-PRUNED scan of its probe buckets — never a corpus scan,
+  // never a per-query signature pass. Probe parameters (planes / nlist,
+  // seed) live in the index's `_meta` sidecar (underscore-prefixed, so
+  // partition discovery ignores it), which makes parameter drift between
+  // writer and reader impossible; `epoch` records the write time and
+  // changes on every rewrite, invalidating any process-level caches
+  // keyed on it.
+
+  /** One-row sidecar describing an index; read back by the probe side. */
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                        kind: String, param: Int, seed: Long): Long = {
+    val epoch = System.currentTimeMillis()
+    import spark.implicits._
+    Seq((kind, param, seed, epoch)).toDF("kind", "param", "seed", "epoch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    epoch
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                       kind: String): (Int, Long, Long) = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    require(m.getString(0) == kind,
+      s"index at $path is '${m.getString(0)}', expected '$kind'")
+    (m.getInt(1), m.getLong(2), m.getLong(3))
+  }
+
+  /** Signature of one query vector, evaluated through the SAME Catalyst
+    * expression the index writer used (a 1-row local relation — no
+    * driver-side hash reimplementation to drift out of sync).
+    */
+  private def signatureOf(spark: org.apache.spark.sql.SparkSession,
+                          queryVec: Seq[Double], planes: Int, seed: Int): Long = {
+    import spark.implicits._
+    Seq(Tuple1(queryVec)).toDF("v")
+      .select(hyperplaneSignature(col("v"), planes, seed).as("s"))
+      .head().getLong(0)
+  }
+
+  /** Build the LSH index: sign every vector and write the corpus
+    * partitioned by its signature bucket. Rewriting bumps the epoch.
+    */
+  def lshIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+                    path: String, planes: Int, seed: Int = 42): Long = {
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__bucket", hyperplaneSignature(col("v"), planes, seed))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    writeMeta(df.sparkSession, path, "lsh", planes, seed.toLong)
+  }
+
+  /** Probe-only ANN against a stored LSH index: compute the query's
+    * signature (1-row job), enumerate its hamming<=1 multi-probe
+    * buckets, and scan ONLY those partitions (the `__bucket IN (...)`
+    * predicate is a partition filter — plan-asserted in PlanSpec).
+    * Identical results to `lshTopK` at the same (planes, seed).
+    */
+  def lshIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queryVec: Seq[Double], k: Int,
+                   excludeId: Option[Long] = None,
+                   idColName: String = "id"): DataFrame = {
+    val (planes, seed, _) = readMeta(spark, path, "lsh")
+    val qsig = signatureOf(spark, queryVec, planes, seed.toInt)
+    val probes = qsig +: (0 until planes).map(p => qsig ^ (1L << p))
+    import spark.implicits._
+    val q = Seq(Tuple1(queryVec)).toDF("qv")
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(probes: _*))
+      .filter(excludeId.map(col("id") =!= _).getOrElse(lit(true)))
+      .crossJoin(broadcast(q))
+      .select(col("id").as(idColName),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idColName))
+      .limit(k)
+  }
+
+  /** Build the IVF index: fit the coarse quantizer, assign every vector
+    * to its centroid bucket, write the corpus partitioned by bucket and
+    * the fitted model under `_model`.
+    */
+  def ivfIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int, seed: Long = 7L): Long = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__fv", array_to_vector(col("v")))
+    val model = ivfFit(df, vecCol, nlist, seed, corpusKey = None)
+    model.transform(withVec).drop("__fv")
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    model.write.overwrite().save(s"$path/_model")
+    writeMeta(df.sparkSession, path, "ivf", nlist, seed)
+  }
+
+  /** Loaded IVF quantizers keyed by (path, epoch) — a rewrite changes
+    * the epoch, so stale models age out of the LRU instead of serving a
+    * replaced corpus.
+    */
+  private val loadedIvfModels = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long),
+      org.apache.spark.ml.clustering.KMeansModel](16, 0.75f, true) {
+      override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long),
+          org.apache.spark.ml.clustering.KMeansModel]): Boolean =
+        size() > ivfModelCap
+    })
+
+  /** Probe-only ANN against a stored IVF index: nprobe nearest
+    * centroids from the tiny persisted model (nlist² driver flops),
+    * then a partition-pruned scan of those buckets + exact cosine.
+    * Identical results to `ivfTopK` over the same fitted quantizer.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queryVec: Seq[Double], k: Int, nprobe: Int = 4,
+                   excludeId: Option[Long] = None,
+                   idColName: String = "id"): DataFrame = {
+    val (_, _, epoch) = readMeta(spark, path, "ivf")
+    val model = loadedIvfModels.synchronized {
+      Option(loadedIvfModels.get((path, epoch))).getOrElse {
+        val m = org.apache.spark.ml.clustering.KMeansModel.load(s"$path/_model")
+        loadedIvfModels.put((path, epoch), m); m
+      }
+    }
+    val probes = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (c.toArray.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    import spark.implicits._
+    val q = Seq(Tuple1(queryVec)).toDF("qv")
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(probes.toIndexedSeq: _*))
+      .filter(excludeId.map(col("id") =!= _).getOrElse(lit(true)))
+      .crossJoin(broadcast(q))
+      .select(col("id").as(idColName),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idColName))
+      .limit(k)
+  }
+
+  // ------------- deterministic (oracle-able) IVF variant -------------
+
+  /** Squared euclidean distance between two array<double> columns,
+    * sequential left-to-right fold.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Coarse centroids by DETERMINISTIC SAMPLING: the `nlist` corpus
+    * vectors ranked first by (md5(id), id) — FAISS-style sampled-init
+    * centroids without the k-means iterations, and crucially a choice
+    * an external SQL engine can replay verbatim (k-means centroids
+    * cannot be recomputed outside Spark ML). The centroid id IS the
+    * sampled vector's corpus id.
+    */
+  private def sampledCentroids(v: DataFrame, nlist: Int): DataFrame =
+    v.orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(nlist)
+      .select(col("id").as("cid"), col("v").as("c"))
+
+  /** Deterministic IVF-Flat top-k: sampled centroids, assignment =
+    * argmin squared distance (broadcast join + per-id argmin window,
+    * ties to the lower centroid id), probe = the same argmin rule on
+    * the query vector, exact cosine inside the probed buckets. Fully
+    * relational — no ML fit, no driver centroid math — and replayable
+    * end-to-end by the DuckDB oracle. The k-means `ivfTopK` remains
+    * the higher-recall learned variant; this is the auditable one.
+    */
+  def ivfSampledTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryVecId: Long, k: Int, nlist: Int = 16,
+                     nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent = sampledCentroids(v, nlist)
+    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist(col("v"), col("c")))
+      .withColumn("__rn", row_number().over(wid))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("__bucket"))
+    val q = v.filter(col("id") === queryVecId).select(col("v").as("qv"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("cid"), sqDist(col("c"), col("qv")).as("__dist"))
+      .orderBy(col("__dist"), col("cid")).limit(nprobe)
+      .select(col("cid").as("__bucket"))
+    assigned.join(broadcast(probes), Seq("__bucket"), "left_semi")
+      .filter(col("id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("id").as(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the deterministic IVF index: sampled centroids under
+    * `_centroids`, the assigned corpus partitioned by bucket.
+    */
+  def ivfSampledIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+                           path: String, nlist: Int): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent = sampledCentroids(v, nlist)
+    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
+    v.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist(col("v"), col("c")))
+      .withColumn("__rn", row_number().over(wid))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    writeMeta(df.sparkSession, path, "ivf_sampled", nlist, 0L)
+  }
+
+  /** Probe-only top-k against a stored deterministic IVF index: rank
+    * the tiny persisted centroid table against the query (driver-side,
+    * nlist rows), then a partition-pruned scan of the nprobe buckets.
+    */
+  def ivfSampledIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                          queryVec: Seq[Double], k: Int, nprobe: Int = 4,
+                          excludeId: Option[Long] = None,
+                          idColName: String = "id"): DataFrame = {
+    readMeta(spark, path, "ivf_sampled")
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probes = cents.map { case (cid, c) =>
+      (c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+    }.sortBy(identity).take(nprobe).map(_._2)
+    import spark.implicits._
+    val q = Seq(Tuple1(queryVec)).toDF("qv")
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(probes.toIndexedSeq: _*))
+      .filter(excludeId.map(col("id") =!= _).getOrElse(lit(true)))
+      .crossJoin(broadcast(q))
+      .select(col("id").as(idColName),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idColName))
       .limit(k)
   }
 }

@@ -113,6 +113,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.wcoj.enabled")
   }
 
+  test("persisted ANN indexes: probe scans PRUNE to probe-bucket partitions " +
+    "and match the inline operators") {
+    import org.apache.spark.sql.functions.{col, transform}
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .head().getSeq[Double](0)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val lshPath = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    Similarity.lshIndexWrite(emb, "vec_id", "embedding", lshPath, planes = 8)
+    val probe = Similarity.lshIndexTopK(spark, lshPath, qv, 5,
+      excludeId = Some(0L), idColName = "vec_id")
+    val p = plan(probe)
+    // the __bucket IN (...) predicate must be a PARTITION filter (prunes
+    // whole directories), not a data filter over a full scan
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString.contains("__bucket"),
+      s"no partition pruning on __bucket:\n$p")
+    // identical results to the inline (scan-everything) operator
+    assert(rows(probe) == rows(Similarity.lshTopK(emb, "vec_id", "embedding",
+      0L, 5, planes = 8)))
+
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Similarity.ivfSampledIndexWrite(emb, "vec_id", "embedding", ivfPath, nlist = 8)
+    val iprobe = Similarity.ivfSampledIndexTopK(spark, ivfPath, qv, 5,
+      nprobe = 2, excludeId = Some(0L), idColName = "vec_id")
+    val ip = plan(iprobe)
+    assert(ip.contains("PartitionFilters") &&
+      ip.linesIterator.filter(_.contains("PartitionFilters")).mkString.contains("__bucket"),
+      s"no partition pruning on __bucket:\n$ip")
+    assert(rows(iprobe) == rows(Similarity.ivfSampledTopK(emb, "vec_id",
+      "embedding", 0L, 5, nlist = 8, nprobe = 2)))
+  }
+
   test("decontamination broadcasts the benchmark gram set, never the corpus") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
