@@ -45,10 +45,13 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
     withCypherConf {
       val ast = parse(cypher)
       graft.ops.QueryComplexity.gate(ast, rejectComplexityAbove, warnComplexityAbove)
-      resultCache.flatMap(_.get(cypher, params)).getOrElse {
-        val df = new QueryCompiler(catalog, spark, params).compile(ast)
-        resultCache.map(_.put(cypher, params, df)).getOrElse(df)
+      val df = resultCache.flatMap(_.get(cypher, params)).getOrElse {
+        val compiled = new QueryCompiler(catalog, spark, params).compile(ast)
+        resultCache.map(_.put(cypher, params, compiled)).getOrElse(compiled)
       }
+      // audit correlation: a registered QueryAudit listener reports
+      // this frame's actions under the originating Cypher text
+      graft.ops.QueryAudit.label(df, cypher)
     }
 
   /** Query with a wall-clock timeout, collected — the reference's

@@ -323,7 +323,28 @@ object CypherQueries {
     "cy30_shortestpath" -> run(
       """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
          RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
-                length(p) AS hops""")
+                length(p) AS hops"""),
+
+    // openCypher TRAIL semantics (relationship uniqueness) vs the
+    // default walk counting, on a cyclic alternation graph ([:NEXT_N|
+    // PREV_N] makes a↔a+1 two-cycles): same 3-hop pattern counted both
+    // ways; a walk like e1,e2,e1 reuses an edge and is excluded from
+    // n_trails. Oracle: recursive CTE carrying the used-edge list.
+    "cy42_trail_semantics" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val eng = TpchGraph.engine(spark, dir)
+      val q =
+        """MATCH (a:Nation)-[:NEXT_N|PREV_N*3..3]->(b:Nation)
+           RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key, count(*) AS n"""
+      val walks = eng.query(q).withColumnRenamed("n", "n_walks")
+      spark.conf.set("graft.pathExpand.trailSemantics", "true")
+      val trails =
+        try eng.query(q).withColumnRenamed("n", "n_trails")
+        finally spark.conf.unset("graft.pathExpand.trailSemantics")
+      walks.join(trails, Seq("a_key", "b_key"), "left_outer")
+        .select(col("a_key"), col("b_key"), col("n_walks"),
+          coalesce(col("n_trails"), lit(0L)).as("n_trails"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -569,6 +590,41 @@ object CypherQueries {
          )
          SELECT src AS a_key, dst AS b_key,
                 CAST(min(depth) AS BIGINT) AS hops
-         FROM walk GROUP BY 1, 2"""
+         FROM walk GROUP BY 1, 2""",
+    // walks vs trails over the NEXT_N|PREV_N alternation: enumerate all
+    // 3-hop walks carrying their edge-id list; trails are the walks
+    // whose three edges are pairwise distinct
+    "cy42_trail_semantics" ->
+      """WITH RECURSIVE nk AS (SELECT n_nationkey AS k FROM nation),
+         st AS (
+           SELECT k AS src, k + 1 AS dst FROM nk
+           UNION ALL SELECT k AS src, k + 2 AS dst FROM nk
+         ),
+         e0 AS (
+           SELECT 'N' AS ty, st.src, st.dst FROM st JOIN nk ON nk.k = st.dst
+           UNION ALL
+           SELECT 'P' AS ty, st.dst AS src, st.src AS dst
+           FROM st JOIN nk ON nk.k = st.dst
+         ),
+         e AS (
+           SELECT row_number() OVER (ORDER BY ty, src, dst) AS id, src, dst
+           FROM e0
+         ),
+         walk AS (
+           SELECT k AS origin, k AS node, 0 AS hops,
+                  CAST([] AS BIGINT[]) AS eids FROM nk
+           UNION ALL
+           SELECT w.origin, e.dst, w.hops + 1, list_append(w.eids, e.id)
+           FROM walk w JOIN e ON e.src = w.node
+           WHERE w.hops < 3
+         ),
+         wk AS (
+           SELECT origin, node, count(*) AS n_walks,
+                  count(*) FILTER (len(list_distinct(eids)) = 3) AS n_trails
+           FROM walk WHERE hops = 3 GROUP BY 1, 2
+         )
+         SELECT origin AS a_key, node AS b_key,
+                n_walks, CAST(n_trails AS BIGINT) AS n_trails
+         FROM wk"""
   )
 }

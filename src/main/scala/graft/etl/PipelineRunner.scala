@@ -218,12 +218,54 @@ object PipelineRunner {
     RunResult(results.toMap, written)
   }
 
-  /** Dry-run validation (`nmetl validate` parity): parse every query,
-    * check source files exist, check output references. Returns the
-    * list of problems (empty = valid).
+  /** Every (sourceId, frame) the config declares, loaded lazily —
+    * schema inspection only, nothing is executed.
     */
-  def validate(spark: SparkSession, config: PipelineConfig): Seq[String] = {
+  private def sourceFrames(spark: SparkSession, config: PipelineConfig)
+  : Seq[(String, DataFrame)] =
+    config.entities.map(e =>
+      e.id -> readSource(spark, e.uri, e.query, e.schemaHints)) ++
+      config.relationships.map(r => r.id -> readSource(spark, r.uri))
+
+  /** Snapshot every source's current schema into the baseline dir
+    * (run once after a known-good pipeline run; each call appends a new
+    * lineage version). Returns (sourceId, version).
+    */
+  def snapshotSchemas(spark: SparkSession, config: PipelineConfig,
+                      baselineDir: String): Seq[(String, Int)] =
+    sourceFrames(spark, config).map { case (id, df) =>
+      id -> SchemaEvolution.snapshot(baselineDir, id, df.schema)
+    }
+
+  /** Structured drift report per source vs the stored baseline —
+    * `nmetl validate` extended with the reference's schema-evolution
+    * subsystem (drift detection + compatibility verdict; see
+    * SchemaEvolution).
+    */
+  def driftReports(spark: SparkSession, config: PipelineConfig,
+                   baselineDir: String): Seq[SchemaEvolution.DriftReport] =
+    sourceFrames(spark, config).map { case (id, df) =>
+      SchemaEvolution.check(baselineDir, id, df.schema)
+    }
+
+  /** Dry-run validation (`nmetl validate` parity): parse every query,
+    * check source files exist, check output references; with a schema
+    * baseline, additionally surface BREAKING schema drift per source
+    * (compatible/widening evolution passes — the engine can still read).
+    * Returns the list of problems (empty = valid).
+    */
+  def validate(spark: SparkSession, config: PipelineConfig,
+               schemaBaseline: Option[String] = None): Seq[String] = {
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    schemaBaseline.foreach { base =>
+      driftReports(spark, config, base).filter(_.verdict == "breaking").foreach { r =>
+        val det = r.breaking.map(d =>
+          s"${d.column} ${d.kind}" +
+            d.before.map(b => s" (was $b${d.after.fold("")(a => s", now $a")})")
+              .getOrElse("")).mkString("; ")
+        problems += s"source ${r.sourceId}: breaking schema drift vs v${r.baselineVersion}: $det"
+      }
+    }
     (config.entities.map(e => (e.id, e.uri)) ++
       config.relationships.map(r => (r.id, r.uri))).foreach { case (id, uri) =>
       val p = uri.stripPrefix("file://")

@@ -163,3 +163,112 @@ object QueryComplexity {
     r
   }
 }
+
+/** Persistent query audit — the Spark-native analog of the reference's
+  * per-query audit log + metrics recording in the Star lifecycle
+  * (/root/reference/packages/pycypher/src/pycypher/star.py:833-896 and
+  * shared/metrics.py). A `QueryExecutionListener` observes every ACTION
+  * (collect/count/save) on the session and records wall time, rows out,
+  * total shuffle bytes written, and a canonical plan hash — queryable
+  * as a DataFrame (`toDF`) or appended to a parquet sink. Listener
+  * callbacks run off the action's critical path (Spark invokes them
+  * asynchronously on its listener bus), so auditing costs the query
+  * nothing; the buffer is ring-bounded so an unattended long-lived
+  * session cannot leak.
+  */
+final class QueryAudit(spark: org.apache.spark.sql.SparkSession,
+                       capacity: Int = 10000)
+  extends org.apache.spark.sql.util.QueryExecutionListener {
+
+  import org.apache.spark.sql.execution.QueryExecution
+  import QueryAudit.AuditRecord
+
+  private val buf = new java.util.ArrayDeque[AuditRecord]()
+
+  private def record(r: AuditRecord): Unit = buf.synchronized {
+    if (buf.size >= capacity) buf.removeFirst()
+    buf.addLast(r)
+  }
+
+  /** Stable digest of the canonicalized physical plan — two runs of the
+    * same logical query share a hash even though expression ids differ.
+    */
+  private def planHash(qe: QueryExecution): String = {
+    val canon = qe.executedPlan.canonicalized.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def metricSum(qe: QueryExecution, name: String): Long = {
+    var total = 0L
+    qe.executedPlan.foreach { node =>
+      node.metrics.get(name).foreach(m => total += m.value)
+    }
+    total
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+                         durationNs: Long): Unit =
+    record(AuditRecord(System.currentTimeMillis(), QueryAudit.labelOf(qe),
+      funcName, durationNs / 1e6,
+      qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
+      metricSum(qe, "shuffleBytesWritten"), planHash(qe), "success", ""))
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+                         exception: Exception): Unit =
+    record(AuditRecord(System.currentTimeMillis(), QueryAudit.labelOf(qe),
+      funcName, -1.0, -1L, metricSum(qe, "shuffleBytesWritten"), planHash(qe),
+      "failure", String.valueOf(exception.getMessage).take(500)))
+
+  def attach(): this.type = { spark.listenerManager.register(this); this }
+  def detach(): Unit = spark.listenerManager.unregister(this)
+
+  def records: Seq[AuditRecord] = buf.synchronized {
+    scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
+  }
+
+  /** The audit as a queryable DataFrame. */
+  def toDF: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    records.toDF()
+  }
+
+  /** Append the current buffer to a parquet audit sink and clear it. */
+  def flushTo(path: String): Unit = {
+    val snapshot = buf.synchronized {
+      val s = records; buf.clear(); s
+    }
+    if (snapshot.nonEmpty) {
+      import spark.implicits._
+      snapshot.toDF().write.mode("append").parquet(path)
+    }
+  }
+}
+
+object QueryAudit {
+  final case class AuditRecord(tsMillis: Long, label: String, action: String,
+                               durationMs: Double, rowsOut: Long,
+                               shuffleBytesWritten: Long, planHash: String,
+                               status: String, error: String)
+
+  /** Labels keyed by QueryExecution IDENTITY, captured when a frame is
+    * created on the caller's thread (listener callbacks arrive on the
+    * async bus thread, where a thread-local would be empty). Weak keys:
+    * a label lives exactly as long as its frame.
+    */
+  private val labels = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.execution.QueryExecution, String]())
+
+  /** Attach an audit label to a frame (CypherEngine.query does this
+    * automatically with the Cypher text). Applies to direct actions on
+    * this frame (collect/show/write — anything executing its plan).
+    */
+  def label(df: org.apache.spark.sql.DataFrame, name: String)
+  : org.apache.spark.sql.DataFrame = {
+    labels.put(df.queryExecution, name)
+    df
+  }
+
+  private[ops] def labelOf(qe: org.apache.spark.sql.execution.QueryExecution): String =
+    Option(labels.get(qe)).getOrElse("")
+}

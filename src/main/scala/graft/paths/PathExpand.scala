@@ -19,8 +19,15 @@ import graft.parser.CypherAst._
   *
   * Semantics:
   *  - plain var-length counts WALKS (edge repetition allowed), which
-  *    equals Cypher path counting on acyclic graphs; the hop cap bounds
-  *    cyclic inputs exactly like the reference's MAX_HOPS=20;
+  *    equals Cypher path counting on acyclic graphs and matches the
+  *    reference's expander; the hop cap bounds cyclic inputs exactly
+  *    like the reference's MAX_HOPS=20. Setting
+  *    `graft.pathExpand.trailSemantics=true` switches to openCypher's
+  *    TRAIL counting (relationship uniqueness): each frontier row
+  *    carries its used-edge id array and a hop never reuses an edge —
+  *    inherently heavier (O(maxHops) ids ride along per path, and
+  *    walk-sharing across duplicate start rows still applies), so it
+  *    is opt-in where cyclic-graph parity with Neo4j matters;
   *  - shortestPath runs true BFS: per-hop `(origin, node)` frontier
   *    dedup plus a visited-set anti-join (path_expander.py:56-76), so
   *    on a dense graph the frontier is bounded by |V| per origin instead
@@ -79,6 +86,12 @@ object PathExpand {
     require(minHops <= maxHops, s"bad var-length range $minHops..$maxHops")
     require(rel.types.nonEmpty, "var-length requires a relationship type")
 
+    // openCypher trail semantics (edge uniqueness) is conf-gated; BFS
+    // shortest-path is unaffected (a shortest walk never repeats an
+    // edge, so walk- and trail-shortest coincide)
+    val trailMode = shortest.isEmpty && cur.df.sparkSession.conf
+      .get("graft.pathExpand.trailSemantics", "false").toBoolean
+
     // direction-adjusted, property-filtered edge set; [:A|B] alternation
     // unions the per-type edge lists before the loop. Materialized ONCE
     // when the loop iterates — otherwise every hop re-executes the edge
@@ -94,7 +107,7 @@ object PathExpand {
     //    re-shuffles the edge table: O(hops × |frontier|) shuffle
     //    volume instead of O(hops × |E|). At 100 TB the edge table is
     //    the side that must not move.
-    val edges0 = rel.types.map(t => edgeSet(qc, catalog, rel, t, params))
+    val edges0 = rel.types.map(t => edgeSet(qc, catalog, rel, t, params, trailMode))
       .reduce(_ unionByName _)
     val nPart = edges0.sparkSession.sessionState.conf.numShufflePartitions
     val loops = maxHopsOpt.getOrElse(DefaultMaxHops) > 1
@@ -122,11 +135,14 @@ object PathExpand {
     val startIds = cur.df.select(col(cur.idCol(fromVar)).as("__origin")).distinct()
     var frontier: DataFrame = startIds
       .select(col("__origin"), col("__origin").as("__node"), lit(0L).as("__hops"))
+    if (trailMode)
+      frontier = frontier.withColumn("__edges", array().cast("array<bigint>"))
+    def walkRows(f: DataFrame) = f.select(col("__origin"), col("__node"), col("__hops"))
     var results = Vector.empty[DataFrame]
     // A zero-length path means start and end are the SAME node, so it can
     // only contribute when the end label is the start label — otherwise an
     // id coincidence across label key spaces would fabricate matches.
-    if (minHops == 0 && startLabel.contains(endLabel)) results :+= frontier
+    if (minHops == 0 && startLabel.contains(endLabel)) results :+= walkRows(frontier)
 
     // BFS dedup is only valid when any reached hop >= minHops counts
     // (minHops <= 1); a minHops > 1 shortestPath must keep walks so a
@@ -208,9 +224,18 @@ object PathExpand {
     var hop = 1
     var exhausted = false
     while (hop <= maxHops && !exhausted) {
-      var next = frontier.join(edges, col("__node") === col("__src"))
-        .select(col("__origin"), col("__dst").as("__node"),
-          (col("__hops") + 1).as("__hops"))
+      var next =
+        if (trailMode)
+          // relationship uniqueness: a hop may not reuse an edge already
+          // on this path; the extended path records the edge it took
+          frontier.join(edges, col("__node") === col("__src"))
+            .filter(!array_contains(col("__edges"), col("__eid")))
+            .select(col("__origin"), col("__dst").as("__node"),
+              (col("__hops") + 1).as("__hops"),
+              concat(col("__edges"), array(col("__eid"))).as("__edges"))
+        else frontier.join(edges, col("__node") === col("__src"))
+          .select(col("__origin"), col("__dst").as("__node"),
+            (col("__hops") + 1).as("__hops"))
       if (bfs) next = next.dropDuplicates("__origin", "__node")
         .join(visited, Seq("__origin", "__node"), "left_anti")
       // flat lineage; materializes the early-stop probe. In the
@@ -228,7 +253,7 @@ object PathExpand {
          else next).localCheckpoint()
       if (frontier.isEmpty) exhausted = true
       else {
-        if (hop >= minHops) results :+= frontier
+        if (hop >= minHops) results :+= walkRows(frontier)
         if (bfs) visited = visited.unionByName(
           frontier.select(col("__origin"), col("__node")))
       }
@@ -236,7 +261,7 @@ object PathExpand {
     }
 
     val reached =
-      if (results.isEmpty) frontier.limit(0)
+      if (results.isEmpty) walkRows(frontier).limit(0)
       else results.reduce(_ unionByName _)
 
     val collapsed = shortest match {
@@ -276,13 +301,21 @@ object PathExpand {
     (Frame(out, outVars), endVar, hopsCol)
   }
 
-  /** (src, dst) edge list for one relationship type, direction-adjusted
-    * (BOTH = union of both orientations) with inline rel property
-    * predicates filtering the edge set before the loop.
+  /** (src, dst[, eid]) edge list for one relationship type,
+    * direction-adjusted (BOTH = union of both orientations) with inline
+    * rel property predicates filtering the edge set before the loop.
+    * With `withId`, each edge row carries a relationship identity for
+    * trail-mode uniqueness: the declared edge id column when the
+    * relationship has one, else a hash of (type, src, dst) — identical
+    * for both orientations of one edge, so a BOTH-direction trail
+    * cannot re-traverse an edge backwards (openCypher agrees: one
+    * relationship, one use).
     */
   private def edgeSet(qc: QueryCompiler, catalog: GraphCatalog, rel: RelPattern,
-                      relType: String, params: Map[String, Any]): DataFrame = {
+                      relType: String, params: Map[String, Any],
+                      withId: Boolean = false): DataFrame = {
     val rd = catalog.relationship(relType)
+    val idCols: Seq[String] = rd.idCol.toSeq
     val base: DataFrame =
       if (rel.props.isEmpty) rd.df
       else {
@@ -294,12 +327,22 @@ object PathExpand {
         val cond = rel.props.map { case (k, e) =>
           col(s"${relVar}__$k") === new ExpressionCompiler(rf, params).compile(e)
         }.reduce(_ && _)
-        pref.filter(cond).select(
+        pref.filter(cond).select((Seq(
           col(s"${relVar}__${rd.srcCol}").as(rd.srcCol),
-          col(s"${relVar}__${rd.dstCol}").as(rd.dstCol))
+          col(s"${relVar}__${rd.dstCol}").as(rd.dstCol)) ++
+          idCols.map(ic => col(s"${relVar}__$ic").as(ic))): _*)
       }
-    val fwd = base.select(col(rd.srcCol).as("__src"), col(rd.dstCol).as("__dst"))
-    val bwd = base.select(col(rd.dstCol).as("__src"), col(rd.srcCol).as("__dst"))
+    val eid: org.apache.spark.sql.Column = idCols.headOption match {
+      case Some(ic) => xxhash64(lit(relType), col(ic))
+      case None     => xxhash64(lit(relType), col(rd.srcCol), col(rd.dstCol))
+    }
+    def oriented(s: String, d: String) = {
+      val cols = Seq(col(s).as("__src"), col(d).as("__dst")) ++
+        (if (withId) Seq(eid.as("__eid")) else Seq.empty)
+      base.select(cols: _*)
+    }
+    val fwd = oriented(rd.srcCol, rd.dstCol)
+    val bwd = oriented(rd.dstCol, rd.srcCol)
     rel.direction match {
       case "OUT"  => fwd
       case "IN"   => bwd

@@ -56,6 +56,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("query audit records a row per engine action with plan hash and metrics") {
+    import graft.ops.QueryAudit
+    val audit = new QueryAudit(spark).attach()
+    def await(n: Int): Unit = {
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (audit.records.count(_.label.nonEmpty) < n &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+    }
+    try {
+      val eng = engineWith(None)
+      val q1 = "MATCH (p:Person) RETURN p.name AS name ORDER BY name"
+      val q2 = "MATCH (p:Person) WHERE p.age > 26 RETURN count(*) AS n"
+      eng.query(q1).collect()
+      eng.query(q2).collect()
+      // the listener bus is async — wait for delivery
+      await(2)
+      val recs = audit.records.filter(_.label.nonEmpty)
+      // one audit row per engine query, labeled with the Cypher text
+      assert(recs.map(_.label) == Seq(q1, q2), recs.toString)
+      val r = recs.head
+      assert(r.status == "success" && r.action.nonEmpty)
+      assert(r.durationMs > 0 && r.planHash.length == 32)
+      // repeated runs of the same logical query share a plan hash
+      eng.query(q1).collect()
+      await(3)
+      val again = audit.records.filter(_.label == q1).last
+      assert(again.planHash == r.planHash)
+      // queryable as a DataFrame
+      val df = audit.toDF
+      assert(df.filter(df("label") === q2).count() == 1)
+    } finally audit.detach()
+  }
+
   test("complexity gate rejects expensive queries with reasons") {
     val eng = engineWith(None, reject = 10)
     eng.query("MATCH (p:Person) RETURN p.name AS n") // trivial passes

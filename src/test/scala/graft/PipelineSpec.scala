@@ -122,6 +122,54 @@ class PipelineSpec extends SparkSpec {
     assert(problems.exists(_.contains("unknown query_id")))
   }
 
+  test("schema evolution: drift detection, compatibility verdicts, lineage versions") {
+    import graft.etl.SchemaEvolution
+    val dir = tmpDir
+    val out = tmpDir
+    val base = tmpDir
+    writeFixtures(dir)
+    val config = PipelineConfig.parse(yaml(dir, out))
+    // baseline: first snapshot of every source, version 1
+    val snaps = PipelineRunner.snapshotSchemas(spark, config, base)
+    assert(snaps.map(_._2).forall(_ == 1) && snaps.map(_._1).toSet ==
+      Set("people", "companies", "works"))
+    // unchanged source → verdict unchanged, no drift entries
+    val r0 = PipelineRunner.driftReports(spark, config, base)
+    assert(r0.forall(r => r.verdict == "unchanged" && r.drifts.isEmpty))
+    assert(PipelineRunner.validate(spark, config, Some(base)).isEmpty)
+
+    // drift the people source: drop `age` (breaking), add `email`
+    // (compatible) — schema_hints still cast age, so remove the hint too
+    Files.writeString(java.nio.file.Paths.get(s"$dir/people.csv"),
+      "id,name,company_id,email\n1,Alice,10,a@x\n2,Bob,10,b@x\n3,Carol,11,c@x\n")
+    val drifted = PipelineConfig.parse(yaml(dir, out)
+      .replace("      schema_hints: {age: BIGINT}\n", ""))
+    val rep = PipelineRunner.driftReports(spark, drifted, base)
+      .find(_.sourceId == "people").get
+    assert(rep.verdict == "breaking" && rep.baselineVersion == 1)
+    assert(rep.drifts.exists(d => d.column == "age" && d.kind == "removed" &&
+      d.compatibility == "breaking"))
+    assert(rep.drifts.exists(d => d.column == "email" && d.kind == "added" &&
+      d.compatibility == "compatible"))
+    val problems = PipelineRunner.validate(spark, drifted, Some(base))
+    assert(problems.exists(p => p.contains("people") &&
+      p.contains("breaking schema drift")), problems.mkString("; "))
+
+    // widening retype grades as compatible evolution, not breaking
+    val v1 = new org.apache.spark.sql.types.StructType()
+      .add("id", "int", nullable = false).add("score", "int")
+    val v2 = new org.apache.spark.sql.types.StructType()
+      .add("id", "int", nullable = true).add("score", "bigint")
+    val ds = SchemaEvolution.diff(v1, v2)
+    assert(ds.map(d => (d.column, d.kind, d.compatibility)).toSet == Set(
+      ("id", "nullability", "widening"), ("score", "retyped", "widening")))
+    // lineage: snapshotting again appends version 2 and check compares
+    // against the LATEST version
+    SchemaEvolution.snapshot(base, "people", v1)
+    assert(SchemaEvolution.latest(base, "people").get._1 == 2)
+    assert(SchemaEvolution.check(base, "people", v2).verdict == "compatible")
+  }
+
   test("neo4j bulk-import CSV export: ID spaces, labels, rel types") {
     import spark.implicits._
     val person = Seq((1L, "Alice"), (2L, "Bob")).toDF("pid", "name")

@@ -151,6 +151,54 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), s"got $pairs")
   }
 
+  test("re-batching differential: IncrementalView store and LSH candidate set " +
+    "are invariant to micro-batch boundaries") {
+    // the exactly-once story: replaying the SAME ordered rows under
+    // DIFFERENT batch splits must converge to the identical view store
+    // and the identical candidate-pair set
+    val updates = Seq(
+      Seq(("a", 1L)), Seq(("b", 5L)), Seq(("a", 2L), ("c", 9L)))
+    val splits = Seq(
+      updates,                                        // original boundaries
+      Seq(updates(0) ++ updates(1), updates(2)),      // first two merged
+      Seq(updates.flatten))                           // one big batch
+    val snaps = splits.map { batches =>
+      val view = new Streams.IncrementalView(Seq("k"), numBuckets = 8)
+      batches.foreach(b => view.absorb(b.toDF("k", "n")))
+      view.snapshot(spark).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(snaps.forall(_ == Map("a" -> 2L, "b" -> 5L, "c" -> 9L)), snaps.toString)
+
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "completely different content about distributed query engines at scale"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs away quick"))
+    def candidatePairs(batches: Seq[Seq[(Long, String)]]): Set[(Long, Long)] = {
+      val dir = Files.createTempDirectory("graft_rebatch").toFile.getAbsolutePath
+      val name = s"t_rb_${System.nanoTime()}"
+      batches.head.toDF("doc_id", "text").write.mode("append").parquet(dir)
+      val stream = spark.readStream
+        .schema(batches.head.toDF("doc_id", "text").schema).parquet(dir)
+      val q = Streams.lshCandidates(stream, "doc_id", "text", shingleSize = 2)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      batches.tail.foreach { b =>
+        b.toDF("doc_id", "text").write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).select("id1", "id2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val sets = Seq(
+      Seq(docs),                                  // all at once
+      Seq(docs.take(2), docs.drop(2)),            // near-dup arrives later
+      Seq(docs.take(1), docs.slice(1, 2), docs.drop(2))) // one per batch
+      .map(candidatePairs)
+    assert(sets.forall(_ == Set((1L, 3L))), sets.toString)
+  }
+
   test("late data beyond watermark is dropped from append output") {
     // two files: first advances the watermark far ahead, second is late
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
