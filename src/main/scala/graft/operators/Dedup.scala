@@ -411,4 +411,103 @@ object Dedup {
       .join(bGrams, Seq("shingle"))
       .groupBy(col("id")).agg(countDistinct(col("shingle")).as("hits"))
   }
+
+  /** Positional word n-grams: (id, pos, gh) with 1-based token start
+    * positions and gh = md5 of the space-joined gram — the same
+    * codegen'd `element_at` kernel as `shingleRows`, keeping the start
+    * index. Documents shorter than n tokens emit nothing (they cannot
+    * host a length-n span).
+    */
+  private[graft] def positionalGramRows(df: DataFrame, idCol: String,
+                                        textCol: String, n: Int): DataFrame = {
+    val t = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+    val gram = concat_ws(" ", (0 until n).map(j => element_at(col("t"), col("pos") + j)): _*)
+    t.select(col("id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("pos"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(gram.cast("binary")).as("gh"))
+  }
+
+  /** Span-level exact-substring dedup (the suffix-array dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): for each document, every
+    * maximal token span all of whose length-`minSpan` windows also occur
+    * verbatim in at least one OTHER document — the spans a span-level
+    * deduper would cut. Returns (id, span_start, span_end, span_tokens),
+    * positions 1-based inclusive.
+    *
+    * Relational lowering instead of a global suffix array: positional
+    * n-grams → ONE hash aggregate on the 128-bit gram hash keeping
+    * (min id, max id) — min≠max marks grams shared by ≥2 documents
+    * without a count-distinct sketch, and partial-aggregates map-side —
+    * → semi-join of positions onto the duplicated-gram set (short-key
+    * equi-join) → per-document gaps-and-islands merge of overlapping
+    * windows into maximal spans (one window partitioned by doc id; both
+    * window steps share one shuffle+sort). Work scales with corpus gram
+    * volume plus duplicated-gram volume — never all-pairs in the
+    * document count, and no global suffix sort.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      minSpan: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pg = positionalGramRows(df, idCol, textCol, minSpan)
+    val dup = pg.groupBy(col("gh"))
+      .agg(min(col("id")).as("__i1"), max(col("id")).as("__i2"))
+      .filter(col("__i1") =!= col("__i2"))
+      .select(col("gh"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val flagged = pg.join(dup, Seq("gh"), "left_semi")
+      .select(col("id"), col("pos"),
+        when(col("pos") - lag(col("pos"), 1, Long.MinValue / 2).over(w) > minSpan,
+          1L).otherwise(0L).as("__nf"))
+    flagged
+      .select(col("id"), col("pos"),
+        sum(col("__nf"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("__isl"))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("__last"))
+      .select(col("id"), col("span_start"),
+        (col("__last") + minSpan - 1).as("span_end"),
+        (col("__last") + minSpan - col("span_start")).as("span_tokens"))
+  }
+
+  /** Paragraph-level exact dedup (the Dolma/CCNet paragraph pass):
+    * split each document on `delim`, keep only the corpus-wide FIRST
+    * occurrence of each distinct non-empty paragraph (ordered by
+    * document id, then position), and rebuild documents without their
+    * duplicated paragraphs. Returns (id, n_paras, n_dropped,
+    * clean_text).
+    *
+    * Scale: first-occurrence is ONE shuffle keyed on the 128-bit
+    * paragraph hash (row_number per hash — identical boilerplate
+    * paragraphs land on one key whose group is scanned once, never
+    * joined all-pairs), then one per-document aggregate rebuilds the
+    * text with ordered native array functions. No UDFs, no driver
+    * loops; the reconstruction is a map-side-combinable collect whose
+    * payload is exactly the surviving text.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     delim: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("idx", "para")))
+      .filter(col("para") =!= "")
+    val w = Window.partitionBy(md5(col("para").cast("binary")))
+      .orderBy(col("id"), col("idx"))
+    paras.withColumn("__rk", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rk") === 1, struct(col("idx"), col("para"))))),
+            x => x("para")),
+          delim).as("clean_text"))
+  }
 }

@@ -239,4 +239,35 @@ object TextAnalysis {
           col("mwl").between(minMeanWordLen, maxMeanWordLen))
           .cast("int").as("gopher_pass"))
   }
+
+  /** Shared Java-regex / RE2 subset (no lookaround, ASCII classes), so
+    * the identical patterns run in Spark and in external SQL engines.
+    */
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrubbing (the C4/Dolma pre-training scrub): redact emails,
+    * IPv4 addresses, and NANP phone numbers with typed placeholder
+    * tokens and count each class. A chain of codegen'd regexp_replace /
+    * regexp_extract_all — scan-speed, shuffle-free, no UDFs. Counts are
+    * taken over the original text (a match consumed by an earlier
+    * redaction class still counts for its own class); replacement order
+    * is email → IP → phone.
+    */
+  def redactPii(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+        phoneRe, "<PHONE>").as("redacted"))
+  }
 }

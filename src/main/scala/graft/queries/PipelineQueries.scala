@@ -241,6 +241,46 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 29 === 0),
         "doc_id", "text", n = 4)
         .select(col("id").as("doc_id"), col("hits"))
+    },
+
+    // Span-level exact-substring dedup (Lee et al. suffix-array spans,
+    // relational lowering): maximal token spans whose every 4-token
+    // window occurs verbatim in at least one other document.
+    "dd10_duplicated_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpans(Tables(s, dir).documents, "doc_id", "text",
+        minSpan = 4)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"))
+    },
+
+    // Paragraph-level exact dedup (Dolma-style): paragraphs derived by
+    // a deterministic delimiter rewrite, corpus-wide first occurrence
+    // kept, documents rebuilt without their duplicated paragraphs.
+    "dd11_paragraph_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+        .withColumn("ptext", regexp_replace(col("text"), " value ", "\n"))
+      Dedup.paragraphDedup(docs, "doc_id", "ptext")
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_dropped"),
+          col("clean_text"))
+    },
+
+    // PII redaction over deterministically planted emails / IPv4s /
+    // phone numbers (the raw corpus is synthetic word salad, so the
+    // PII is constructed in-query identically on both engines).
+    "tx12_pii_redact" -> { (s, dir) =>
+      val pii = Tables(s, dir).documents.withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" from 10.2."), (col("doc_id") % 256).cast("string"),
+              lit(".33"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" dial 415-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      TextAnalysis.redactPii(pii)
     }
   )
 
@@ -734,6 +774,99 @@ object PipelineQueries {
          SELECT sh.doc_id, count(*) AS hits
          FROM sh JOIN b USING (shingle)
          WHERE sh.doc_id % 29 != 0
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // replay of Dedup.duplicatedSpans at minSpan=4: positional 4-gram
+    // md5s, grams shared by >=2 docs (min<>max), gaps-and-islands merge
+    // of overlapping windows into maximal spans
+    "dd10_duplicated_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents
+         ),
+         pg AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS gh
+           FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 4
+         ),
+         dup AS (SELECT gh FROM pg GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+         flags AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos, 1, -1000000)
+                         OVER (PARTITION BY doc_id ORDER BY pos) > 4
+                       THEN 1 ELSE 0 END AS nf
+           FROM pg JOIN dup USING (gh)
+         ),
+         isl AS (
+           SELECT doc_id, pos,
+                  sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS g
+           FROM flags
+         )
+         SELECT doc_id, min(pos) AS span_start,
+                max(pos) + 3 AS span_end,
+                max(pos) + 4 - min(pos) AS span_tokens
+         FROM isl GROUP BY doc_id, g""",
+    // replay of Dedup.paragraphDedup over the ' value '->newline rewrite:
+    // corpus-wide first occurrence by (doc_id, position), ordered
+    // rebuild of the survivors
+    "dd11_paragraph_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(replace(text, ' value ', chr(10)),
+                                       chr(10)) AS ps
+           FROM documents
+         ),
+         p AS (
+           SELECT doc_id, i AS idx, ps[i] AS para
+           FROM d, UNNEST(generate_series(1, len(ps))) AS u(i)
+           WHERE ps[i] <> ''
+         ),
+         r AS (
+           SELECT doc_id, idx, para,
+                  row_number() OVER (PARTITION BY md5(para)
+                                     ORDER BY doc_id, idx) AS rk
+           FROM p
+         )
+         SELECT doc_id,
+                count(*) AS n_paras,
+                CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                coalesce(string_agg(CASE WHEN rk = 1 THEN para END, chr(10)
+                                    ORDER BY idx), '') AS clean_text
+         FROM r GROUP BY doc_id""",
+    // replay of TextAnalysis.redactPii over the same planted PII; RE2
+    // and Java agree on this regex subset; 'g' = Spark's replace-all
+    "tx12_pii_redact" ->
+      """WITH pii AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 3 <> 0
+                          THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com' ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.33' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' dial 415-555-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS text
+           FROM documents
+         )
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(text,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                  AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(text,
+                  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+                  'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
+                  'g'),
+                  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM pii"""
   )
 }

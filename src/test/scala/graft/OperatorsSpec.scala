@@ -409,6 +409,51 @@ class OperatorsSpec extends SparkSpec {
     assert(!hits.contains(2L))
   }
 
+  test("duplicated spans: cross-doc windows merge into maximal spans; gaps split islands") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),        // shares a..f 3-grams with doc 2
+      (2L, "x x a b c d e f y y"),
+      (3L, "zz ww qq rr ss tt"),          // nothing shared
+      (4L, "a b c q q q a b c"))          // two disjoint shared spans
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", minSpan = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 1L, 6L, 6L),   // every 3-window of tokens 1..6 occurs in doc 2
+      (2L, 3L, 8L, 6L),
+      (4L, 1L, 3L, 3L),   // "a b c" twice, separated by an unshared gap
+      (4L, 7L, 9L, 3L)))
+  }
+
+  test("paragraph dedup keeps corpus-wide first occurrences and rebuilds docs") {
+    val d = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),     // beta already seen in doc 1
+      (3L, "unique\n\nalpha")) // empty paragraph ignored; alpha is a dup
+      .toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[Long]("n_paras"), x.getAs[Long]("n_dropped"),
+          x.getAs[String]("clean_text")))).toMap
+    assert(r(1L) == ((3L, 0L, "alpha\nbeta\ngamma")))
+    assert(r(2L) == ((2L, 1L, "delta")))
+    assert(r(3L) == ((2L, 1L, "unique")))
+  }
+
+  test("PII redaction replaces and counts emails, IPv4s, phones") {
+    val d = Seq(
+      (1L, "mail john.doe+x@mail.co or 10.0.0.1 maybe 555-123-4567 ok"),
+      (2L, "no pii here, just 1234 and a.b"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getAs[Long]("n_emails"), x.getAs[Long]("n_ips"),
+          x.getAs[Long]("n_phones"), x.getAs[String]("redacted")))).toMap
+    assert(r(1L) == ((1L, 1L, 1L, "mail <EMAIL> or <IP> maybe <PHONE> ok")))
+    assert(r(2L) == ((0L, 0L, 0L, "no pii here, just 1234 and a.b")))
+  }
+
   test("fingerprint is stable under whitespace reflow") {
     val variants = Seq(
       (1L, "Hello   world  foo"),

@@ -173,6 +173,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate") && p.contains("element_at"), s"unexpected shape:\n$p")
   }
 
+  test("PII redaction is a shuffle-free scan (no Exchange in the plan)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.TextAnalysis.redactPii(docs))
+    assert(!p.contains("Exchange"), s"redaction should run at scan speed:\n$p")
+    assert(p.contains("[codegen id"), s"regex chain fell out of codegen:\n$p")
+  }
+
+  test("span dedup: duplicated-gram detection partial-aggregates map-side " +
+    "and joins positions on the gram hash, never all-pairs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", 4))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"gram (min,max) aggregate not map-side combined:\n$p")
+    assert(p.contains("LeftSemi"), s"position marking should be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"all-pairs shape in span dedup:\n$p")
+  }
+
   test("pattern comprehension compiles to one grouped collect + one join-back") {
     val df = TpchGraph.engine(spark, dir).query(
       """MATCH (r:Region)
