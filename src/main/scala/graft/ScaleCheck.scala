@@ -63,18 +63,29 @@ object ScaleCheck {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val regimes = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // two passes, report the min: a single pass conflates the plan's
+    // cost with JIT/codegen warmup and the GC debt of whatever ran
+    // before it (measured 250 s vs 74 s cold-JVM vs 14 s warm for the
+    // identical dd04 plan) — the min is the steady-state number a
+    // long-lived cluster session would see
     def timed(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
       try {
-        val n = body
-        times(name) = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] $name: ${times(name)}%.1fs rows=$n")
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = body
+          val s = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          System.gc()
+          (s, n)
+        }
+        times(name) = runs.map(_._1).min
+        println(f"[scale] $name: ${times(name)}%.1fs rows=${runs.head._2}")
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
         println(s"[scale] $name FAILED: ${errors(name)}")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
       }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
     }
 
     timed("dd01_exact_dedup")(
@@ -88,9 +99,32 @@ object ScaleCheck {
     timed("dd04_ngram_jaccard_lsh")(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
         exhaustive = false).count())
+    // candidate volume for hyperplane LSH is ~n²·tables/2^planes: at a
+    // 10× corpus the sf0.1 parameters (6 planes = 64 buckets/table,
+    // ~312 occupants each) produce ~25M raw candidate pairs. The scale
+    // knob is planes ≈ log2(n/target_occupancy); exact duplicates
+    // (identical signatures) keep recall 1.0 at any planes count,
+    // near-threshold pairs trade recall for tables. Both settings run
+    // here to measure the law, both verify with the same exact-cosine
+    // pass.
     timed("dd05_embedding_neardup")(
       Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4, planes = 6, tables = 8).count())
+    timed("dd05_embedding_neardup_p10")(
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, planes = 10, tables = 8).count())
+
+    // span/paragraph dedup under the worst case the clone structure
+    // creates: ~90% of all grams/paragraphs are cross-doc duplicates,
+    // so the duplicated-gram volume approaches the full gram volume
+    timed("dd10_duplicated_spans")(
+      Dedup.duplicatedSpans(docs, "doc_id", "text", minSpan = 4).count())
+    timed("dd11_paragraph_dedup")(
+      Dedup.paragraphDedup(
+        docs.withColumn("ptext", regexp_replace(col("text"), " value ", "\n")),
+        "doc_id", "ptext").count())
+    timed("dd12_cut_spans")(
+      Dedup.cutDuplicatedSpans(docs, "doc_id", "text", minSpan = 4).count())
 
     // components over the clone-pair graph: WAY past the 200k-edge
     // driver union-find gate → distributed pointer-jumping regime

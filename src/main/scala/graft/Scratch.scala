@@ -13,7 +13,7 @@ object Scratch {
     // ad-hoc session confs: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("dd02_minhash_lsh", "dd05_embedding_neardup", "cy30_shortestpath")
     names.foreach { name =>

@@ -348,8 +348,36 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
     val vn = v.join(sigs.select(col("id"), col("norm")), Seq("id"))
-    cosineVerify(candidates, vn, threshold)
+    cosineVerify(candidates, vn, threshold, probeDims(df, vecCol))
   }
+
+  /** Codegen'd dot product for fixed-dim vectors: the same left-fold
+    * order as the interpreted `aggregate(zip_with(...))` HOF
+    * (bit-identical doubles — `(((0+x1)+x2)+…)`), but unrolled into
+    * straight-line generated code. Higher-order functions are
+    * CodegenFallback, and interpreted dispatch per (pair × dim)
+    * dominated dd05's verify stage on a clone-dense corpus (sf1:
+    * 78 s → the verify pass itself; see PERFORMANCE.md). The `when`
+    * guard keeps `element_at` inside the taken branch (ANSI-safe);
+    * vectors of unexpected length fall back to the HOF fold, so the
+    * result is identical for every input. dims <= 0 = no unrolling.
+    */
+  private[graft] def dotUnrolled(v1: Column, v2: Column, dims: Int): Column = {
+    val hof = aggregate(zip_with(v1, v2, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    if (dims <= 0) hof
+    else when(size(v1) === dims && size(v2) === dims,
+      (1 to dims).map(d => element_at(v1, d) * element_at(v2, d))
+        .foldLeft(lit(0.0))(_ + _)).otherwise(hof)
+  }
+
+  /** One-row probe of the vector dimensionality (reads a single
+    * row-group, negligible at any scale) — plan-time constant for the
+    * unrolled dot-product kernel.
+    */
+  private def probeDims(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("s")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Shared verification stage: attach both vectors to candidate
     * (id1, id2) pairs and keep those with exact double-precision cosine
@@ -357,13 +385,13 @@ object Dedup {
     * order matches the DuckDB oracle bit for bit (Similarity.cosine).
     */
   private[graft] def cosineVerify(cand: DataFrame, vn: DataFrame,
-                                  threshold: Double): DataFrame =
+                                  threshold: Double, dims: Int = 0): DataFrame =
     cand
       .join(vn.select(col("id").as("id1"), col("v").as("v1"), col("norm").as("n1")), Seq("id1"))
       .join(vn.select(col("id").as("id2"), col("v").as("v2"), col("norm").as("n2")), Seq("id2"))
       .select(col("id1"), col("id2"),
-        round(aggregate(zip_with(col("v1"), col("v2"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")), 6).as("cos_sim"))
+        round(dotUnrolled(col("v1"), col("v2"), dims) /
+          (col("n1") * col("n2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
 
   /** Exact-cosine pair verification over an explicit candidate relation:
@@ -385,7 +413,7 @@ object Dedup {
     val cand = ids.select(col("id").as("id1"))
       .join(ids.select(col("id").as("id2")),
         col("id2") > col("id1") && col("id2") <= col("id1") + lit(maxIdGap))
-    cosineVerify(cand, vn, threshold)
+    cosineVerify(cand, vn, threshold, probeDims(df, vecCol))
   }
 
   /** Benchmark decontamination: (id, hits) for every training document
@@ -471,6 +499,57 @@ object Dedup {
       .select(col("id"), col("span_start"),
         (col("__last") + minSpan - 1).as("span_end"),
         (col("__last") + minSpan - col("span_start")).as("span_tokens"))
+  }
+
+  /** Span-level dedup RESOLUTION (the cut step of Lee et al. 2022):
+    * every occurrence of a cross-document duplicated `minSpan`-token
+    * window is removed EXCEPT the corpus-wide canonical one (the
+    * lexicographically first (id, pos) — keep-first, cut-the-rest, the
+    * reference semantics of suffix-array dedup tools), and documents
+    * are rebuilt from their surviving tokens. Returns (id, n_tokens,
+    * n_cut, clean_text) over lowercased whitespace tokens.
+    *
+    * Scale shape: canonical occurrences come from ONE map-side-
+    * combinable aggregate per gram hash (min(struct(id,pos)) +
+    * min/max id for the duplicated test) — deliberately NOT a
+    * row_number window per gram, which would serialize the hottest
+    * boilerplate gram into one task. Cut windows then expand to
+    * covered token positions (bounded ×minSpan explode + distinct) and
+    * anti-mark tokens through a left join on (id, tokpos); the rebuild
+    * is one per-document ordered aggregate. Every shuffle key is a
+    * hash or an id — no all-pairs, no global sort.
+    */
+  def cutDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         minSpan: Int = 4): DataFrame = {
+    val pg = positionalGramRows(df, idCol, textCol, minSpan)
+    val canon = pg.groupBy(col("gh"))
+      .agg(min(struct(col("id"), col("pos"))).as("__c"),
+        min(col("id")).as("__i1"), max(col("id")).as("__i2"))
+      .filter(col("__i1") =!= col("__i2"))
+      .select(col("gh"), col("__c.id").as("cid"), col("__c.pos").as("cpos"))
+    val cutWins = pg.join(canon, Seq("gh"))
+      .filter(!(col("id") === col("cid") && col("pos") === col("cpos")))
+      .select(col("id"), col("pos"))
+    val cutToks = cutWins
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (minSpan - 1))).as("tp"))
+      .distinct()
+      .withColumn("__cut", lit(1))
+    val tokRows = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("idx", "tok")))
+      .select(col("id"), (col("idx") + 1).cast("long").as("tp"), col("tok"))
+    tokRows.join(cutToks, Seq("id", "tp"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_cut"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__cut").isNull, struct(col("tp"), col("tok"))))),
+            x => x("tok")),
+          " ").as("clean_text"))
   }
 
   /** Paragraph-level exact dedup (the Dolma/CCNet paragraph pass):

@@ -264,6 +264,16 @@ object PipelineQueries {
           col("clean_text"))
     },
 
+    // Span-level dedup resolution: cut every non-canonical occurrence
+    // of a cross-doc duplicated 4-token window, rebuild documents from
+    // the surviving tokens (keep-first, cut-the-rest).
+    "dd12_cut_spans" -> { (s, dir) =>
+      Dedup.cutDuplicatedSpans(Tables(s, dir).documents, "doc_id", "text",
+        minSpan = 4)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_cut"),
+          col("clean_text"))
+    },
+
     // PII redaction over deterministically planted emails / IPv4s /
     // phone numbers (the raw corpus is synthetic word salad, so the
     // PII is constructed in-query identically on both engines).
@@ -807,6 +817,52 @@ object PipelineQueries {
                 max(pos) + 3 AS span_end,
                 max(pos) + 4 - min(pos) AS span_tokens
          FROM isl GROUP BY doc_id, g""",
+    // replay of Dedup.cutDuplicatedSpans at minSpan=4: canonical
+    // occurrence = (min doc, then min pos within it), exactly Spark's
+    // min(struct(id,pos)); non-canonical windows expand to covered
+    // token positions; surviving tokens rebuild the doc in order
+    "dd12_cut_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents
+         ),
+         pg AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS gh
+           FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 4
+         ),
+         g AS (
+           SELECT gh, min(doc_id) AS cid FROM pg
+           GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+         ),
+         canon AS (
+           SELECT pg.gh, pg.doc_id AS cid, min(pg.pos) AS cpos
+           FROM pg JOIN g ON pg.gh = g.gh AND pg.doc_id = g.cid
+           GROUP BY 1, 2
+         ),
+         cutwins AS (
+           SELECT pg.doc_id, pg.pos
+           FROM pg JOIN canon ON pg.gh = canon.gh
+           WHERE NOT (pg.doc_id = canon.cid AND pg.pos = canon.cpos)
+         ),
+         cuttok AS (
+           SELECT DISTINCT doc_id, pos + j AS tp
+           FROM cutwins, UNNEST(generate_series(0, 3)) AS v(j)
+         ),
+         tokpos AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS tp, t[i] AS tok
+           FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+         )
+         SELECT tokpos.doc_id,
+                count(*) AS n_tokens,
+                CAST(sum(CASE WHEN ct.tp IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cut,
+                coalesce(string_agg(CASE WHEN ct.tp IS NULL THEN tok END, ' '
+                                    ORDER BY tokpos.tp), '') AS clean_text
+         FROM tokpos LEFT JOIN cuttok ct
+           ON tokpos.doc_id = ct.doc_id AND tokpos.tp = ct.tp
+         GROUP BY tokpos.doc_id""",
     // replay of Dedup.paragraphDedup over the ' value '->newline rewrite:
     // corpus-wide first occurrence by (doc_id, position), ordered
     // rebuild of the survivors

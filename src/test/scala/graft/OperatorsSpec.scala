@@ -426,6 +426,23 @@ class OperatorsSpec extends SparkSpec {
       (4L, 7L, 9L, 3L)))
   }
 
+  test("cut spans: keep-first cut-the-rest rebuilds docs without duplicated text") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),   // canonical host of the shared 3-grams
+      (2L, "x x a b c d e f y y"),
+      (3L, "zz ww qq rr ss tt"),
+      (4L, "a b c q q q a b c"))
+      .toDF("doc_id", "text")
+    val r = Dedup.cutDuplicatedSpans(d, "doc_id", "text", minSpan = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_cut"),
+          x.getAs[String]("clean_text")))).toMap
+    assert(r(1L) == ((10L, 0L, "a b c d e f g h i j"))) // first occurrence survives
+    assert(r(2L) == ((10L, 6L, "x x y y")))             // tokens 3..8 cut
+    assert(r(3L) == ((6L, 0L, "zz ww qq rr ss tt")))
+    assert(r(4L) == ((9L, 6L, "q q q")))                // both copies of "a b c" cut
+  }
+
   test("paragraph dedup keeps corpus-wide first occurrences and rebuilds docs") {
     val d = Seq(
       (1L, "alpha\nbeta\ngamma"),
