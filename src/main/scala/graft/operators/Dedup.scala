@@ -138,11 +138,18 @@ object Dedup {
       col("id").as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bkey"),
       col("id").as("id2"), col("sig").as("sig2"))
+    // matching-lane count unrolled over the plan-time-constant lane
+    // count (signatures are length-numHashes by construction): a
+    // codegen'd integer sum instead of an interpreted zip_with/filter
+    // pass per candidate pair (HOFs are CodegenFallback)
+    val matches = (1 to numHashes)
+      .map(i => when(element_at(col("sig1"), i) === element_at(col("sig2"), i),
+        1).otherwise(0))
+      .reduce(_ + _)
     l.join(r, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-          x => x)) / lit(numHashes.toDouble)).as("est_jaccard"))
+        (matches / lit(numHashes.toDouble)).as("est_jaccard"))
       .groupBy(col("id1"), col("id2"))
       .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
   }

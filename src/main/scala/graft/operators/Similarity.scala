@@ -17,15 +17,45 @@ object Similarity {
   /** Double-precision cosine similarity between two array<double> cols:
     * dot(a,b) / (norm(a) * norm(b)), sequential left-to-right fold so it
     * is bit-identical with the DuckDB oracle's evaluation order.
+    *
+    * With `dims > 0` the folds unroll into straight-line codegen'd
+    * arithmetic in the SAME left-to-right order (bit-identical doubles).
+    * Higher-order functions are CodegenFallback — interpreted dispatch
+    * per (row × dim) is the dominant cost of a corpus-wide cosine scan
+    * (measured 2.5× end-to-end on dd05's verify; see PERFORMANCE.md) —
+    * so every top-k operator probes the corpus dimensionality once and
+    * passes it here. Vectors of a different length fall back to the HOF
+    * fold inside the `when` guard (ANSI-safe, identical results).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
+  def cosine(a: Column, b: Column, dims: Int = 0): Column = {
+    def hofDot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofN2(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    if (dims <= 0) hofDot / (sqrt(hofN2(a)) * sqrt(hofN2(b)))
+    else {
+      val ok = size(a) === dims && size(b) === dims
+      def unroll(ps: Seq[Column]) = ps.foldLeft(lit(0.0))(_ + _)
+      val dot = when(ok,
+        unroll((1 to dims).map(d => element_at(a, d) * element_at(b, d))))
+        .otherwise(hofDot)
+      val na = sqrt(when(ok,
+        unroll((1 to dims).map(d => element_at(a, d) * element_at(a, d))))
+        .otherwise(hofN2(a)))
+      val nb = sqrt(when(ok,
+        unroll((1 to dims).map(d => element_at(b, d) * element_at(b, d))))
+        .otherwise(hofN2(b)))
+      dot / (na * nb)
+    }
   }
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** One-row probe of the vector dimensionality — the plan-time
+    * constant the unrolled kernels need. Reads a single row-group;
+    * negligible at any corpus size.
+    */
+  private def dimsOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("s")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Exact brute-force cosine top-k against the vector with id
     * `queryVecId`. One broadcast-nested-loop against a 1-row dimension,
@@ -33,12 +63,13 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      queryVecId: Long, k: Int): DataFrame = {
+    val nd = dimsOf(df, vecCol)
     val q = df.filter(col(idCol) === queryVecId)
       .select(asDouble(col(vecCol)).as("qv"))
     df.filter(col(idCol) =!= queryVecId)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .select(col(idCol), round(cosine(col("v"), col("qv"), nd), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -66,12 +97,13 @@ object Similarity {
     */
   def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
                     queryVecId: Long, k: Int): DataFrame = {
+    val nd = dimsOf(df, vecCol)
     val codes = quantize(df, idCol, vecCol)
       .select(col(idCol), asDouble(col("codes")).as("cd"))
     val q = codes.filter(col(idCol) === queryVecId).select(col("cd").as("qcd"))
     codes.filter(col(idCol) =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(col("cd"), col("qcd")), 6).as("cos_sim"))
+      .select(col(idCol), round(cosine(col("cd"), col("qcd"), nd), 6).as("cos_sim"))
       .filter(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
@@ -100,12 +132,24 @@ object Similarity {
     * arrays, and the whole computation is replayable in the DuckDB
     * oracle. Dot products fold sequentially left-to-right.
     */
-  private[graft] def hyperplaneSignature(v: Column, planes: Int, seed: Int): Column = {
+  private[graft] def hyperplaneSignature(v: Column, planes: Int, seed: Int,
+                                         dims: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val signs = lit((0 until MaxSignDims).map(d => mdSign(seed, p, d)).toArray)
-      val dot = aggregate(
-        zip_with(v, slice(signs, lit(1), size(v)), (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
+      def hof = {
+        val signs = lit((0 until MaxSignDims).map(d => mdSign(seed, p, d)).toArray)
+        aggregate(
+          zip_with(v, slice(signs, lit(1), size(v)), (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x)
+      }
+      // dims known → the sign for (p, d) is a plan-time CONSTANT, so
+      // the dot unrolls to literal multiply-adds in the same fold
+      // order (bit-identical); corpus-scale index writes stay inside
+      // whole-stage codegen instead of interpreted HOF dispatch
+      val dot =
+        if (dims <= 0 || dims > MaxSignDims) hof
+        else when(size(v) === dims,
+          (1 to dims).map(d => element_at(v, d) * lit(mdSign(seed, p, d - 1)))
+            .foldLeft(lit(0.0))(_ + _)).otherwise(hof)
       when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -195,7 +239,7 @@ object Similarity {
     assigned.filter(col("__bucket").isin(probe.toIndexedSeq: _*))
       .filter(col(idCol) =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .select(col(idCol), round(cosine(col("v"), col("qv"), qVec.length), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -210,15 +254,16 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryVecId: Long, k: Int, planes: Int, seed: Int = 42): DataFrame = {
+    val nd = dimsOf(df, vecCol)
     val withSig = df
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("sig", hyperplaneSignature(col("v"), planes, seed))
+      .withColumn("sig", hyperplaneSignature(col("v"), planes, seed, nd))
     val q = withSig.filter(col(idCol) === queryVecId)
       .select(col("v").as("qv"), col("sig").as("qsig"))
     withSig.filter(col(idCol) =!= queryVecId)
       .crossJoin(broadcast(q))
       .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 1)
-      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .select(col(idCol), round(cosine(col("v"), col("qv"), nd), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -273,7 +318,8 @@ object Similarity {
   def lshIndexWrite(df: DataFrame, idCol: String, vecCol: String,
                     path: String, planes: Int, seed: Int = 42): Long = {
     df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("__bucket", hyperplaneSignature(col("v"), planes, seed))
+      .withColumn("__bucket",
+        hyperplaneSignature(col("v"), planes, seed, dimsOf(df, vecCol)))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     writeMeta(df.sparkSession, path, "lsh", planes, seed.toLong)
   }
@@ -298,7 +344,7 @@ object Similarity {
       .filter(excludeId.map(col("id") =!= _).getOrElse(lit(true)))
       .crossJoin(broadcast(q))
       .select(col("id").as(idColName),
-        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+        round(cosine(col("v"), col("qv"), queryVec.size), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idColName))
       .limit(k)
   }
@@ -358,7 +404,7 @@ object Similarity {
       .filter(excludeId.map(col("id") =!= _).getOrElse(lit(true)))
       .crossJoin(broadcast(q))
       .select(col("id").as(idColName),
-        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+        round(cosine(col("v"), col("qv"), queryVec.size), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idColName))
       .limit(k)
   }
@@ -366,11 +412,19 @@ object Similarity {
   // ------------- deterministic (oracle-able) IVF variant -------------
 
   /** Squared euclidean distance between two array<double> columns,
-    * sequential left-to-right fold.
+    * sequential left-to-right fold; `dims > 0` unrolls into codegen'd
+    * arithmetic with the identical order (same rationale as `cosine`).
     */
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+  private def sqDist(a: Column, b: Column, dims: Int = 0): Column = {
+    def hof = aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+    if (dims <= 0) hof
+    else when(size(a) === dims && size(b) === dims,
+      (1 to dims).map { d =>
+        val diff = element_at(a, d) - element_at(b, d)
+        diff * diff
+      }.foldLeft(lit(0.0))(_ + _)).otherwise(hof)
+  }
 
   /** Coarse centroids by DETERMINISTIC SAMPLING: the `nlist` corpus
     * vectors ranked first by (md5(id), id) — FAISS-style sampled-init
@@ -396,23 +450,24 @@ object Similarity {
                      queryVecId: Long, k: Int, nlist: Int = 16,
                      nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val cent = sampledCentroids(v, nlist)
     val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
     val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c")))
+      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
       .withColumn("__rn", row_number().over(wid))
       .filter(col("__rn") === 1)
       .select(col("id"), col("v"), col("cid").as("__bucket"))
     val q = v.filter(col("id") === queryVecId).select(col("v").as("qv"))
     val probes = cent.crossJoin(broadcast(q))
-      .select(col("cid"), sqDist(col("c"), col("qv")).as("__dist"))
+      .select(col("cid"), sqDist(col("c"), col("qv"), nd).as("__dist"))
       .orderBy(col("__dist"), col("cid")).limit(nprobe)
       .select(col("cid").as("__bucket"))
     assigned.join(broadcast(probes), Seq("__bucket"), "left_semi")
       .filter(col("id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col("id").as(idCol), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .select(col("id").as(idCol), round(cosine(col("v"), col("qv"), nd), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -423,11 +478,12 @@ object Similarity {
   def ivfSampledIndexWrite(df: DataFrame, idCol: String, vecCol: String,
                            path: String, nlist: Int): Long = {
     import org.apache.spark.sql.expressions.Window
+    val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val cent = sampledCentroids(v, nlist)
     val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
     v.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c")))
+      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
       .withColumn("__rn", row_number().over(wid))
       .filter(col("__rn") === 1)
       .select(col("id"), col("v"), col("cid").as("__bucket"))
@@ -457,7 +513,7 @@ object Similarity {
       .filter(excludeId.map(col("id") =!= _).getOrElse(lit(true)))
       .crossJoin(broadcast(q))
       .select(col("id").as(idColName),
-        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+        round(cosine(col("v"), col("qv"), queryVec.size), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idColName))
       .limit(k)
   }
