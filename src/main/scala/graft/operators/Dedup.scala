@@ -323,7 +323,7 @@ object Dedup {
                             threshold: Double, planes: Int = 8,
                             tables: Int = 4): DataFrame = {
     val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     // signatures via explode + hash aggregate: one sum() per (table,
     // plane) plus the norm, all codegen'd with map-side combine. The
     // hyperplane sign for (table, plane, dim) comes from the md5 sign
@@ -413,7 +413,7 @@ object Dedup {
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, maxIdGap: Long): DataFrame = {
     val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val vn = v.withColumn("norm",
       sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
     val ids = vn.select(col("id"))

@@ -47,7 +47,10 @@ object Similarity {
     }
   }
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  // native array cast (codegen'd Cast), NOT transform(_.cast) — a
+  // per-element lambda is interpreted CodegenFallback dispatch on
+  // every corpus vector load
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** One-row probe of the vector dimensionality — the plan-time
     * constant the unrolled kernels need. Reads a single row-group;
@@ -84,12 +87,32 @@ object Similarity {
     * float original, this variant has a full external oracle).
     * Zero vectors quantize to null and drop out of similarity search.
     */
-  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val nd = dimsOf(df, vecCol)
+    val v = col("v")
+    // max-|x| and the code array unroll into codegen'd arithmetic when
+    // the dimensionality is known (same values as the HOF forms, which
+    // remain the guard fallback): greatest() over literal element_at
+    // positions and a native array() constructor
+    def hofM = array_max(transform(v, x => abs(x)))
+    val m =
+      if (nd <= 0) hofM
+      else {
+        val els = (1 to nd).map(d => abs(element_at(v, d)))
+        when(size(v) === nd,
+          if (nd == 1) els.head else greatest(els: _*)).otherwise(hofM)
+      }
+    def hofCodes = transform(v, x => round(x * lit(127.0) / col("__m")).cast("tinyint"))
+    val codes =
+      if (nd <= 0) hofCodes
+      else when(size(v) === nd,
+        array((1 to nd).map(d =>
+          round(element_at(v, d) * lit(127.0) / col("__m")).cast("tinyint")): _*))
+        .otherwise(hofCodes)
     df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("__m", nullif(array_max(transform(col("v"), x => abs(x))), lit(0.0)))
-      .select(col(idCol),
-        transform(col("v"), x => round(x * lit(127.0) / col("__m")).cast("tinyint"))
-          .as("codes"))
+      .withColumn("__m", nullif(m, lit(0.0)))
+      .select(col(idCol), codes.as("codes"))
+  }
 
   /** Exact cosine top-k over int8-quantized vectors: same plan shape as
     * `bruteForceTopK` (broadcast 1-row query + TakeOrderedAndProject),

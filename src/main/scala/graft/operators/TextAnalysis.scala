@@ -211,14 +211,17 @@ object TextAnalysis {
     val base = df.select(col(idCol).as("__id"),
       Dedup.tokens(col(textCol)).as("t"),
       lower(trim(col(textCol))).as("txt"))
-    // 2-grams over a materialized token *attribute* (never an inline
-    // split inside the lambda — interpreted HOFs re-evaluate arguments
-    // per element; see minHashSignatures' note)
-    val top2 = base.filter(size(col("t")) >= 2)
-      .select(col("__id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
-        i => concat_ws(" ", slice(col("t"), i + lit(1), lit(2))))).as("gram"))
-      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("__id")).agg(max(col("cnt")).as("max2"))
+    // 2-grams through the shared codegen'd shingle kernel (explode
+    // start positions + element_at — an interpreted transform/slice
+    // lambda pays CodegenFallback dispatch per token, the dominant
+    // cost of a corpus-wide Gopher filter pass). Docs shorter than 2
+    // tokens are excluded up front, exactly as before (shingleRows
+    // would otherwise emit their whole text as one gram).
+    val top2 = Dedup.shingleRows(
+        df.filter(size(Dedup.tokens(col(textCol))) >= 2), idCol, textCol, 2)
+      .groupBy(col("id"), col("shingle")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id")).agg(max(col("cnt")).as("max2"))
+      .withColumnRenamed("id", "__id")
     val eps = lit(1e-11)
     base.join(top2, Seq("__id"), "left")
       .select(col("__id"), col("t"), col("txt"),
