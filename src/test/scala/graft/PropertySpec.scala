@@ -203,4 +203,79 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val corpusGen: Gen[Seq[(Long, String)]] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val paraGen = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val docGen = Gen.chooseNum(1, 4)
+      .flatMap(n => Gen.listOfN(n, paraGen)).map(_.mkString("\n"))
+    Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("paragraph dedup: conservation (kept = distinct contents) and idempotence") {
+    import spark.implicits._
+    forAll(corpusGen, trials = 6) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val once = graft.operators.Dedup.paragraphDedup(df, "doc_id", "text")
+        .collect()
+      // every distinct paragraph content survives exactly once
+      val kept = once.map(r => r.getAs[Long]("n_paras") - r.getAs[Long]("n_dropped")).sum
+      val distinctParas = docs.flatMap(_._2.split("\n")).filter(_.nonEmpty).distinct.size
+      assert(kept == distinctParas, s"kept $kept != distinct $distinctParas")
+      // a second pass over the cleaned corpus drops nothing
+      val clean = once.map(r => (r.getLong(0), r.getAs[String]("clean_text"))).toSeq
+      val twice = graft.operators.Dedup
+        .paragraphDedup(clean.toDF("doc_id", "text"), "doc_id", "text").collect()
+      assert(twice.forall(_.getAs[Long]("n_dropped") == 0L),
+        "paragraph dedup is not idempotent")
+    }
+  }
+
+  test("span cut: token conservation and every duplicated window loses all but one copy") {
+    import spark.implicits._
+    forAll(corpusGen, trials = 6) { docs =>
+      // flatten paragraphs into plain token streams for the span ops
+      val flat = docs.map { case (id, t) => (id, t.replace("\n", " ")) }
+      val df = flat.toDF("doc_id", "text")
+      val m = 3
+      val cut = graft.operators.Dedup.cutDuplicatedSpans(df, "doc_id", "text", m)
+        .collect().map(r => (r.getLong(0),
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"),
+            r.getAs[String]("clean_text")))).toMap
+      flat.foreach { case (id, t) =>
+        val (nTok, nCut, clean) = cut(id)
+        val orig = t.split("\\s+").count(_.nonEmpty)
+        assert(nTok == orig, s"doc $id token count drifted")
+        val remaining = if (clean.isEmpty) 0 else clean.split(" ").length
+        assert(remaining == orig - nCut, s"doc $id: $remaining != $orig - $nCut")
+      }
+      // differential check against a direct in-memory reference
+      // implementation of keep-first cut-the-rest
+      val toked = flat.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      }
+      val occ = toked.flatMap { case (id, toks) =>
+        toks.sliding(m).zipWithIndex.collect {
+          case (g, i) if g.length == m => (g.mkString(" "), id, i)
+        }
+      }
+      val cutWins = occ.groupBy(_._1).valuesIterator
+        .filter(_.map(_._2).distinct.size >= 2)
+        .flatMap(os => os.sortBy(o => (o._2, o._3)).tail) // all but canonical
+        .toSeq
+      val cutPos = cutWins.flatMap { case (_, id, p) =>
+        (p until p + m).map(tp => (id, tp))
+      }.toSet
+      toked.foreach { case (id, toks) =>
+        val expectClean = toks.zipWithIndex
+          .collect { case (tok, tp) if !cutPos((id, tp)) => tok }.mkString(" ")
+        val expectCut = toks.indices.count(tp => cutPos((id, tp)))
+        val (_, nCut, clean) = cut(id)
+        assert(clean == expectClean, s"doc $id clean text diverged")
+        assert(nCut == expectCut.toLong, s"doc $id n_cut diverged")
+      }
+    }
+  }
 }
