@@ -274,6 +274,35 @@ object PipelineQueries {
           col("clean_text"))
     },
 
+    // END-TO-END curation pipeline as ONE Catalyst plan — the composed
+    // use case the engine exists for: Gopher quality gate → language
+    // gate (predicted en) → exact-dedup winners → benchmark
+    // decontamination → per-language token budget → overlapping chunks.
+    // Every stage is an already-oracled operator; the oracle replays
+    // the whole composition, so a green row certifies the stages
+    // compose correctly, not just that each works alone.
+    "tx13_curation_pipeline" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val train = docs.filter(col("doc_id") % 29 =!= 0)
+      val bench = docs.filter(col("doc_id") % 29 === 0)
+      val pass = TextAnalysis.repetitionStats(docs)
+        .filter(col("gopher_pass") === 1).select("doc_id")
+      val en = TextAnalysis.languageId(docs)
+        .filter(col("pred_lang") === "en").select("doc_id")
+      val keep = Dedup.exactByHash(docs, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      val contaminated = Dedup.decontaminate(train, bench, "doc_id", "text", n = 4)
+        .select(col("id").as("doc_id"))
+      val surviving = train
+        .join(pass, Seq("doc_id"), "left_semi")
+        .join(en, Seq("doc_id"), "left_semi")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val budgeted = Sampling.budgetSample(surviving, "doc_id", "lang",
+        "n_chars", Map("en" -> 60000L))
+      TextAnalysis.chunk(budgeted, chunkSize = 32, stride = 24)
+    },
+
     // PII redaction over deterministically planted emails / IPv4s /
     // phone numbers (the raw corpus is synthetic word salad, so the
     // PII is constructed in-query identically on both engines).
@@ -890,6 +919,102 @@ object PipelineQueries {
                 coalesce(string_agg(CASE WHEN rk = 1 THEN para END, chr(10)
                                     ORDER BY idx), '') AS clean_text
          FROM r GROUP BY doc_id""",
+    // replay of the WHOLE curation pipeline: each CTE is the oracled
+    // definition of its stage (tx07 gate, tx04 argmax, dd01 winners,
+    // dd09 shingle collision, tx06 budget window, tx10 chunking),
+    // chained exactly as the Spark plan chains the operators
+    "tx13_curation_pipeline" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t,
+                  lower(trim(text)) AS txt
+           FROM documents
+         ),
+         g2 AS (
+           SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+           FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2
+         ),
+         c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+         m2 AS (SELECT doc_id, max(cnt) AS max2 FROM c2 GROUP BY 1),
+         pass AS (
+           SELECT toks.doc_id
+           FROM toks LEFT JOIN m2 USING (doc_id)
+           WHERE len(t) >= 20
+             AND coalesce(m2.max2, 0) * 2.0 / len(t) <= 0.18
+             AND 1.0 - len(list_distinct(t)) * 1.0 / len(t) <= 0.6
+             AND length(replace(txt, ' ', '')) * 1.0 / len(t) BETWEEN 2 AND 12
+         ),
+         lt AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents
+         ),
+         ls AS (
+           SELECT doc_id, text,
+             len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','mit','ich'], x))) * 1.0 / greatest(len(tk), 1) AS s_de,
+             len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','a'], x))) * 1.0 / greatest(len(tk), 1) AS s_en,
+             len(list_filter(tk, x -> list_contains(['el','los','las','es','una','que','por','para','con','yo','no'], x))) * 1.0 / greatest(len(tk), 1) AS s_es,
+             len(list_filter(tk, x -> list_contains(['le','la','les','et','est','une','que','pour','dans','je','pas'], x))) * 1.0 / greatest(len(tk), 1) AS s_fr,
+             len(list_filter(tk, x -> list_contains(['il','gli','che','di','per','con','sono','una','non','io','si'], x))) * 1.0 / greatest(len(tk), 1) AS s_it
+           FROM lt
+         ),
+         en AS (
+           SELECT doc_id FROM ls
+           WHERE NOT regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]')
+             AND NOT regexp_matches(text, '[\p{Cyrillic}]')
+             AND NOT regexp_matches(text, '[\p{Greek}]')
+             AND greatest(s_de, s_en, s_es, s_fr, s_it) > 0
+             AND s_it <> greatest(s_de, s_en, s_es, s_fr, s_it)
+             AND s_fr <> greatest(s_de, s_en, s_es, s_fr, s_it)
+             AND s_es <> greatest(s_de, s_en, s_es, s_fr, s_it)
+             AND s_en = greatest(s_de, s_en, s_es, s_fr, s_it)
+         ),
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         sh4 AS (
+           SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 4
+           UNION
+           SELECT DISTINCT doc_id, array_to_string(t, ' ') AS shingle
+           FROM toks WHERE len(t) < 4
+         ),
+         bg AS (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 29 = 0),
+         contaminated AS (
+           SELECT DISTINCT sh4.doc_id FROM sh4 JOIN bg USING (shingle)
+           WHERE sh4.doc_id % 29 != 0
+         ),
+         surviving AS (
+           SELECT d.doc_id, d.lang, d.n_chars, d.text
+           FROM documents d
+           JOIN pass USING (doc_id)
+           JOIN en USING (doc_id)
+           JOIN keep USING (doc_id)
+           WHERE d.doc_id % 29 != 0
+             AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ),
+         budgeted AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text, lang,
+                    sum(n_chars) OVER (PARTITION BY lang
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+             FROM surviving)
+           WHERE cum <= CASE WHEN lang = 'en' THEN 60000
+                             ELSE 9223372036854775807 END
+         ),
+         bt AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM budgeted
+         ),
+         bc AS (
+           SELECT doc_id, t,
+                  CASE WHEN len(t) <= 32 THEN 1
+                       ELSE CAST(floor((len(t) - 32 + 23) / 24.0) AS BIGINT) + 1
+                  END AS nch
+           FROM bt
+         )
+         SELECT doc_id, i AS chunk_id,
+                array_to_string(t[(i*24+1):(i*24+32)], ' ') AS chunk_text,
+                len(t[(i*24+1):(i*24+32)]) AS chunk_tokens
+         FROM bc, UNNEST(generate_series(0, nch - 1)) AS u(i)""",
     // replay of TextAnalysis.redactPii over the same planted PII; RE2
     // and Java agree on this regex subset; 'g' = Spark's replace-all
     "tx12_pii_redact" ->
