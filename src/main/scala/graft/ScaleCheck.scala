@@ -92,8 +92,14 @@ object ScaleCheck {
       Dedup.exactByHash(docs, col("text"), col("doc_id")).count())
     timed("dd02_minhash_lsh")(
       Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16).count())
+    // hamming<=6 needs 7 pigeonhole blocks of ~7 bits (n²/128 per
+    // block); the Manku et al. operating point (hamming<=3) gets 4
+    // blocks of 12 bits (n²/4096) — the block-width knob is the scale
+    // lever, measured here at both settings
     timed("dd03_simhash")(
       Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6).count())
+    timed("dd03_simhash_h3")(
+      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3).count())
     timed("dd04_ngram_jaccard_exhaustive")(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
     timed("dd04_ngram_jaccard_lsh")(

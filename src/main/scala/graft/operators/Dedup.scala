@@ -183,31 +183,58 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming (<=7).
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
     *
-    * Pigeonhole blocking: split the 48-bit fingerprint into 8 six-bit
-    * blocks; any pair within hamming distance 7 must agree on at least
-    * one block, so the candidate join is an equi-join on
-    * (block_idx, block_val) — never an all-pairs scan.
+    * Pigeonhole blocking: any pair within hamming distance h must agree
+    * on at least one of h+1 fingerprint blocks, so the candidate join
+    * is an equi-join on (block_idx, block_val) — never an all-pairs
+    * scan. The block COUNT tracks maxHamming (exactly h+1 blocks):
+    * fewest blocks = widest blocks = fewest candidates, since candidate
+    * volume per block is ~n²·P(block collision) = n²/2^width. At the
+    * classic Manku et al. operating point (hamming <= 3) this gives 4
+    * blocks of 12 bits — n²/4096 per block — where a fixed 6-bit
+    * blocking would pay n²/64, a 64× difference that decides whether
+    * the join survives a boilerplate-heavy corpus. The exact hamming
+    * filter runs on every candidate, so the RESULT is identical under
+    * any covering block layout (which is also why the external oracle
+    * may replay a different covering layout and still hash-match).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    require(maxHamming <= 7, "8-block pigeonhole covers hamming<=7")
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"maxHamming must be in [0, $SimHashBits)")
+    val nBlocks = maxHamming + 1
+    val base = SimHashBits / nBlocks
+    val rem = SimHashBits % nBlocks
+    val widths = Seq.tabulate(nBlocks)(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sigDf = simHashes(df, idCol, textCol)
     val blocked = sigDf.select(col("id"), col("sim"),
-      explode(array((0 until 8).map { b =>
+      explode(array((0 until nBlocks).map { b =>
         struct(lit(b).as("blk"),
-          shiftrightunsigned(col("sim"), b * 6).bitwiseAND(63L).as("bval"))
+          shiftrightunsigned(col("sim"), offsets(b))
+            .bitwiseAND((1L << widths(b)) - 1).as("bval"))
       }: _*)).as("kb"))
       .select(col("id"), col("sim"), col("kb.blk").as("blk"), col("kb.bval").as("bval"))
     val l = blocked.select(col("blk"), col("bval"), col("id").as("id1"), col("sim").as("sim1"))
     val r = blocked.select(col("blk"), col("bval"), col("id").as("id2"), col("sim").as("sim2"))
+    // emit each pair ONLY from its first agreeing block (all earlier
+    // blocks must differ): pairs agreeing on k blocks would otherwise
+    // reach the output k times and need a shuffle-heavy distinct over
+    // the full near-dup mass — this dedups at the join, in codegen,
+    // for free (Manku et al.'s probe-order trick)
+    def blockVal(sim: Column, i: Int): Column =
+      shiftrightunsigned(sim, offsets(i)).bitwiseAND((1L << widths(i)) - 1)
+    val firstAgree = (0 until nBlocks).map { b =>
+      (0 until b).map(a => blockVal(col("sim1"), a) =!= blockVal(col("sim2"), a))
+        .foldLeft(col("blk") === b)(_ && _)
+    }.reduce(_ || _)
     l.join(r, Seq("blk", "bval"))
       .filter(col("id1") < col("id2"))
+      .filter(firstAgree)
       .select(col("id1"), col("id2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs >= threshold. The DEFAULT is the
