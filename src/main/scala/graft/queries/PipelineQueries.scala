@@ -384,7 +384,10 @@ object PipelineQueries {
          SELECT c AS n_truth, c AS n_hit,
                 round(c * 1.0 / c + 1e-11, 4) AS recall FROM cnt""",
     // full replay of dd03: per-token 48-bit md5 hash → ±1 bit votes →
-    // fingerprint → 8×6-bit pigeonhole block join → hamming<=6
+    // fingerprint → pigeonhole block join → hamming<=6. The oracle
+    // keeps an 8×6-bit layout while Spark uses the minimal h+1
+    // blocks — both COVER hamming<=6, and the exact hamming filter
+    // makes the final pair set layout-independent, so they hash-match
     "dd03_simhash" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
