@@ -251,7 +251,7 @@ object Dedup {
     * is missed with P ≈ 0.35, shrinking fast above it (P(miss | j=0.9)
     * ≈ 4e-8) — so the opt-in trades guaranteed threshold recall for
     * scale; quantify with a recall query against the exhaustive mode
-    * before relying on it (see dd10_lsh_recall).
+    * before relying on it (see dd02_minhash_lsh's oracled recall row).
     *
     * Either way verification attaches both distinct-shingle sets and
     * computes Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) with a single
