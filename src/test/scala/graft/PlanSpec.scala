@@ -191,6 +191,17 @@ class PlanSpec extends SparkSpec {
       s"all-pairs shape in span dedup:\n$p")
   }
 
+  test("composed curation pipeline plans clean: no cartesian, benchmark " +
+    "grams broadcast, semi/anti joins for the gates") {
+    val df = graft.queries.PipelineQueries
+      .queries("tx13_curation_pipeline")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in composed plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark gram set not broadcast:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"gates should be semi/anti joins:\n$p")
+  }
+
   test("pattern comprehension compiles to one grouped collect + one join-back") {
     val df = TpchGraph.engine(spark, dir).query(
       """MATCH (r:Region)
