@@ -123,15 +123,23 @@ object Dedup {
     lshBandPairs(minHashSignatures(shingleRows(df, idCol, textCol, shingleSize),
       numHashes), numHashes, bands)
 
-  /** (id1, id2, est_jaccard) candidate pairs from banded signatures. */
-  private def lshBandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** One (band, bkey) struct per band for a signature column — the
+    * single definition both the in-memory band join and the persisted
+    * band index use, so writer and prober can never drift.
+    */
+  private def bandKeyArray(sig: Column, numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+    }: _*)
+  }
+
+  /** (id1, id2, est_jaccard) candidate pairs from banded signatures. */
+  private def lshBandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val banded = sig.select(col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-      }: _*)).as("bk"))
+      explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
     val l = banded.select(col("band"), col("bkey"),
@@ -472,6 +480,71 @@ object Dedup {
     shingleRows(train, idCol, textCol, n)
       .join(bGrams, Seq("shingle"))
       .groupBy(col("id")).agg(countDistinct(col("shingle")).as("hits"))
+  }
+
+  /** Persist the MinHash-LSH index of a corpus — the incremental-crawl
+    * dedup model: the historical corpus is signed ONCE at rest, and
+    * each NEW batch is signed at batch cost and probed against the
+    * stored bands, so deduping a day's crawl never re-reads (or
+    * re-hashes) the 100 TB already indexed. Layout: `bands/` holds one
+    * (band, bkey, id) row per document per band, partitioned by band;
+    * `_sigs/` holds one (id, sig) row per document (the estimate side —
+    * ~8 bytes × numHashes per doc, not repeated per band); `_meta` is a
+    * one-row parquet sidecar (shingleSize / numHashes / bands + write
+    * epoch) so probe parameters can never drift from the writer's, the
+    * same contract as the ANN indexes. Rewrites bump the epoch.
+    */
+  def minHashIndexWrite(df: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleSize: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16): Long = {
+    val sigs = minHashSignatures(
+      shingleRows(df, idCol, textCol, shingleSize), numHashes)
+    sigs.select(col("id"), explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("id"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/_sigs")
+    val epoch = System.currentTimeMillis()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shingleSize, numHashes, bands, epoch))
+      .toDF("shingle_size", "num_hashes", "bands", "epoch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    epoch
+  }
+
+  /** Probe a stored MinHash index with a new document batch: sign the
+    * batch (batch-sized work), BROADCAST its band keys against the
+    * at-rest band files (one index scan per batch — the big side is
+    * never shuffled), and estimate Jaccard from the stored signatures
+    * for colliding candidates only. Returns (new_id, corpus_id,
+    * est_jaccard); parameters come from the index's `_meta`, never the
+    * caller.
+    */
+  def minHashIndexLookup(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newDf: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val sigNew = minHashSignatures(
+      shingleRows(newDf, idCol, textCol, shingleSize), numHashes)
+    val bandedNew = sigNew
+      .select(col("id").as("new_id"),
+        explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("new_id"))
+    val cand = spark.read.parquet(s"$path/bands")
+      .join(broadcast(bandedNew), Seq("band", "bkey"))
+      .select(col("new_id"), col("id").as("corpus_id")).distinct()
+    val matches = (1 to numHashes)
+      .map(i => when(element_at(col("sig1"), i) === element_at(col("sig2"), i),
+        1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(spark.read.parquet(s"$path/_sigs")
+        .select(col("id").as("corpus_id"), col("sig").as("sig1")), Seq("corpus_id"))
+      .join(broadcast(sigNew.select(col("id").as("new_id"), col("sig").as("sig2"))),
+        Seq("new_id"))
+      .select(col("new_id"), col("corpus_id"),
+        round(matches / lit(numHashes.toDouble), 4).as("est_jaccard"))
   }
 
   /** Positional word n-grams: (id, pos, gh) with 1-based token start

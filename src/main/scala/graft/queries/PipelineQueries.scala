@@ -33,6 +33,15 @@ object PipelineQueries {
       p
     })
 
+  private def mhIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(s"$dir#mh3_64_16", {
+      val p = s"${indexRoot(dir)}/mh3_64_16"
+      Dedup.minHashIndexWrite(
+        Tables(s, dir).documents.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", p, shingleSize = 3, numHashes = 64, bands = 16)
+      p
+    })
+
   private def ivfSampledIndexPath(s: SparkSession, dir: String): String =
     builtIndexes.getOrElseUpdate(s"$dir#ivfs16", {
       val p = s"${indexRoot(dir)}/ivfs16"
@@ -262,6 +271,25 @@ object PipelineQueries {
       Dedup.paragraphDedup(docs, "doc_id", "ptext")
         .select(col("id").as("doc_id"), col("n_paras"), col("n_dropped"),
           col("clean_text"))
+    },
+
+    // Incremental-crawl dedup, measured: the corpus (doc_id % 7 != 0)
+    // is MinHash-indexed at rest ONCE; the "new batch" (doc_id % 7 == 0)
+    // is signed and probed against the stored bands. The oracle
+    // recomputes the exhaustive cross-boundary near-dup truth and
+    // asserts the probe recalls all of it — certifying the persisted
+    // index finds exactly what a full recompute would.
+    "dd13_incremental_index_recall" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val found = Dedup.minHashIndexLookup(s, mhIndexPath(s, dir),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+        .select(least(col("new_id"), col("corpus_id")).as("id1"),
+          greatest(col("new_id"), col("corpus_id")).as("id2"))
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .filter((col("id1") % 7 === 0) =!= (col("id2") % 7 === 0))
+        .select(col("id1"), col("id2"))
+      recallRow(truth, found)
     },
 
     // Span-level dedup resolution: cut every non-canonical occurrence
@@ -817,6 +845,15 @@ object PipelineQueries {
          FROM sh JOIN b USING (shingle)
          WHERE sh.doc_id % 29 != 0
          GROUP BY 1""",
+    // recall of the persisted-index probe over exhaustive cross-boundary
+    // truth: same certainty argument as dd02 (real near-dups sit at
+    // j >= 0.9 where P(band miss) ≈ 4e-8), so the oracle asserts
+    // n_hit = n_truth
+    "dd13_incremental_index_recall" ->
+      s"""WITH ${jaccardTruthCte("0.5")}
+         SELECT count(*) AS n_truth, count(*) AS n_hit,
+                round(count(*) * 1.0 / count(*) + 1e-11, 4) AS recall
+         FROM truth WHERE (id1 % 7 = 0) <> (id2 % 7 = 0)""",
     // replay of Dedup.duplicatedSpans at minSpan=4: positional 4-gram
     // md5s, grams shared by >=2 docs (min<>max), gaps-and-islands merge
     // of overlapping windows into maximal spans

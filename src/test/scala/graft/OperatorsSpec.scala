@@ -409,6 +409,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!hits.contains(2L))
   }
 
+  test("minhash index at rest: a new batch probes the stored corpus bands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx")
+      .toFile.getAbsolutePath
+    Dedup.minHashIndexWrite(docs, "doc_id", "text", dir,
+      shingleSize = 2, numHashes = 64, bands = 32)
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1/4
+      (101L, "entirely novel text about nothing seen before yet"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minHashIndexLookup(spark, dir, newBatch, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the exact duplicate collides with both stored copies at est 1.0
+    assert(hits((100L, 1L)) == 1.0 && hits((100L, 4L)) == 1.0)
+    // near-dup corpus doc 2 may or may not band-collide; the novel doc
+    // must not match anything
+    assert(!hits.keySet.exists(_._1 == 101L), s"novel doc matched: $hits")
+  }
+
   test("duplicated spans: cross-doc windows merge into maximal spans; gaps split islands") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),        // shares a..f 3-grams with doc 2
