@@ -120,6 +120,17 @@ object ScaleCheck {
       Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4, planes = 10, tables = 8).count())
 
+    // incremental-crawl model at 10×: 45k docs indexed at rest ONCE,
+    // the 5k "new batch" signed + broadcast-probed per lookup
+    timed("dd13_incremental_lookup") {
+      val p = s"$out/idx_mh"
+      if (!new java.io.File(s"$p/_meta").exists())
+        Dedup.minHashIndexWrite(docs.filter(col("doc_id") % 10 =!= 3),
+          "doc_id", "text", p, shingleSize = 3, numHashes = 64, bands = 16)
+      Dedup.minHashIndexLookup(spark, p,
+        docs.filter(col("doc_id") % 10 === 3), "doc_id", "text").count()
+    }
+
     // span/paragraph dedup under the worst case the clone structure
     // creates: ~90% of all grams/paragraphs are cross-doc duplicates,
     // so the duplicated-gram volume approaches the full gram volume

@@ -522,7 +522,8 @@ object Dedup {
     */
   def minHashIndexLookup(spark: org.apache.spark.sql.SparkSession,
                          path: String, newDf: DataFrame,
-                         idCol: String, textCol: String): DataFrame = {
+                         idCol: String, textCol: String,
+                         maxBroadcastDocs: Long = 1000000L): DataFrame = {
     val m = spark.read.parquet(s"$path/_meta").head()
     val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
     val sigNew = minHashSignatures(
@@ -531,18 +532,27 @@ object Dedup {
       .select(col("id").as("new_id"),
         explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("new_id"))
-    val cand = spark.read.parquet(s"$path/bands")
-      .join(broadcast(bandedNew), Seq("band", "bkey"))
-      .select(col("new_id"), col("id").as("corpus_id")).distinct()
+    // size-gated join strategy: the usual incremental batch is tiny
+    // next to the index, so its band keys broadcast and the at-rest
+    // side streams through ONE scan with no shuffle. A batch too big
+    // to broadcast (16 B × bands per doc; the gate is doc count) falls
+    // back to a hash join — Catalyst must NOT be left to pick, because
+    // auto-broadcast would try to ship the INDEX side
+    val idx = spark.read.parquet(s"$path/bands")
+    val smallBatch = newDf.count() <= maxBroadcastDocs
+    val joined =
+      if (smallBatch) idx.join(broadcast(bandedNew), Seq("band", "bkey"))
+      else idx.join(bandedNew, Seq("band", "bkey"))
+    val cand = joined.select(col("new_id"), col("id").as("corpus_id")).distinct()
     val matches = (1 to numHashes)
       .map(i => when(element_at(col("sig1"), i) === element_at(col("sig2"), i),
         1).otherwise(0))
       .reduce(_ + _)
+    val sigNewSide = sigNew.select(col("id").as("new_id"), col("sig").as("sig2"))
     cand
       .join(spark.read.parquet(s"$path/_sigs")
         .select(col("id").as("corpus_id"), col("sig").as("sig1")), Seq("corpus_id"))
-      .join(broadcast(sigNew.select(col("id").as("new_id"), col("sig").as("sig2"))),
-        Seq("new_id"))
+      .join(if (smallBatch) broadcast(sigNewSide) else sigNewSide, Seq("new_id"))
       .select(col("new_id"), col("corpus_id"),
         round(matches / lit(numHashes.toDouble), 4).as("est_jaccard"))
   }
