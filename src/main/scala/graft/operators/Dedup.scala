@@ -512,6 +512,34 @@ object Dedup {
     epoch
   }
 
+  /** Append a (deduplicated) batch to a stored MinHash index — the
+    * maintenance half of the incremental-crawl loop (lookup → filter →
+    * append): band rows and signatures are written in APPEND mode at
+    * batch cost, so the index never rebuilds over the full corpus.
+    * Parameters come from `_meta` (writer/prober can't drift); the
+    * epoch bumps so process-level caches keyed on it invalidate. The
+    * caller owns id uniqueness across appends (ids are the dedup
+    * output's survivors).
+    */
+  def minHashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newDf: DataFrame,
+                         idCol: String, textCol: String): Long = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val sigs = minHashSignatures(
+      shingleRows(newDf, idCol, textCol, shingleSize), numHashes)
+    sigs.select(col("id"), explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("id"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    sigs.write.mode("append").parquet(s"$path/_sigs")
+    val epoch = System.currentTimeMillis()
+    import spark.implicits._
+    Seq((shingleSize, numHashes, bands, epoch))
+      .toDF("shingle_size", "num_hashes", "bands", "epoch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    epoch
+  }
+
   /** Probe a stored MinHash index with a new document batch: sign the
     * batch (batch-sized work), BROADCAST its band keys against the
     * at-rest band files (one index scan per batch — the big side is

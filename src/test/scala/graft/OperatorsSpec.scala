@@ -428,6 +428,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!hits.keySet.exists(_._1 == 101L), s"novel doc matched: $hits")
   }
 
+  test("minhash index append: the crawl loop (lookup, filter, append) composes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhapp")
+      .toFile.getAbsolutePath
+    Dedup.minHashIndexWrite(docs, "doc_id", "text", dir,
+      shingleSize = 2, numHashes = 64, bands = 32)
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1/4
+      (201L, "entirely novel text about nothing seen before yet"))
+      .toDF("doc_id", "text")
+    val dupNewIds = Dedup.minHashIndexLookup(spark, dir, batch, "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+    val survivors = batch.join(dupNewIds, Seq("doc_id"), "left_anti")
+    Dedup.minHashIndexAppend(spark, dir, survivors, "doc_id", "text")
+    // the appended doc is now findable; the dropped duplicate is not in
+    // the index (a copy of it still matches the ORIGINAL corpus doc)
+    val probe = Seq((300L, "entirely novel text about nothing seen before yet"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minHashIndexLookup(spark, dir, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((300L, 201L)), s"got $hits")
+  }
+
   test("duplicated spans: cross-doc windows merge into maximal spans; gaps split islands") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),        // shares a..f 3-grams with doc 2
