@@ -497,14 +497,30 @@ object Dedup {
   def minHashIndexWrite(df: DataFrame, idCol: String, textCol: String,
                         path: String, shingleSize: Int = 3,
                         numHashes: Int = 64, bands: Int = 16): Long = {
-    val sigs = minHashSignatures(
-      shingleRows(df, idCol, textCol, shingleSize), numHashes)
-    sigs.select(col("id"), explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
+    // signatures are computed ONCE: _sigs is written first and the band
+    // rows derive from reading it back (8 B × numHashes per doc) — two
+    // write actions over the raw `sigs` plan would run the corpus-wide
+    // shingle+signature aggregate twice, doubling the dominant pass of
+    // a 100 TB index build
+    minHashSignatures(shingleRows(df, idCol, textCol, shingleSize), numHashes)
+      .write.mode("overwrite").parquet(s"$path/_sigs")
+    writeBandsAndMeta(df.sparkSession, path, "overwrite",
+      shingleSize, numHashes, bands)
+  }
+
+  /** Full-write path only: derives ALL band rows from the complete
+    * `_sigs` directory (append derives its bands from the batch plan
+    * instead — batch-sized recompute is not the scale concern the
+    * corpus-wide one is).
+    */
+  private def writeBandsAndMeta(spark: org.apache.spark.sql.SparkSession,
+                                path: String, mode: String, shingleSize: Int,
+                                numHashes: Int, bands: Int): Long = {
+    spark.read.parquet(s"$path/_sigs")
+      .select(col("id"), explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("id"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    sigs.write.mode("overwrite").parquet(s"$path/_sigs")
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
     val epoch = System.currentTimeMillis()
-    val spark = df.sparkSession
     import spark.implicits._
     Seq((shingleSize, numHashes, bands, epoch))
       .toDF("shingle_size", "num_hashes", "bands", "epoch")
