@@ -503,7 +503,21 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val cent = sampledCentroids(v, nlist)
+    // pin the nlist-row centroid table on the driver: the sampled-
+    // centroid TakeOrdered is a corpus-wide scan, and leaving it lazy
+    // would execute it once for the assignment write and AGAIN for the
+    // _centroids write — two extra corpus passes at index-build scale
+    // for a table of nlist rows
+    val spark = df.sparkSession
+    val centRows = sampledCentroids(v, nlist).collect().toIndexedSeq
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
     val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
     v.crossJoin(broadcast(cent))
       .withColumn("__dist", sqDist(col("v"), col("c"), nd))
@@ -512,7 +526,7 @@ object Similarity {
       .select(col("id"), col("v"), col("cid").as("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
-    writeMeta(df.sparkSession, path, "ivf_sampled", nlist, 0L)
+    writeMeta(spark, path, "ivf_sampled", nlist, 0L)
   }
 
   /** Probe-only top-k against a stored deterministic IVF index: rank
