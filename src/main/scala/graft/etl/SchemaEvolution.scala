@@ -18,9 +18,19 @@ import org.apache.spark.sql.types._
   * Storage is a directory of versioned snapshots
   * `<dir>/<sourceId>/v<N>.json` — control-plane metadata (bytes per
   * source), deliberately driver-side; the 100 TB data plane is never
-  * touched. The version chain IS the lineage record.
+  * touched. The version chain IS the lineage record. Snapshots go
+  * through Hadoop `FileSystem`, so `dir` can live wherever the
+  * pipeline's working directory does (HDFS/S3/local), not only on the
+  * driver's local disk.
   */
 object SchemaEvolution {
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(p: org.apache.hadoop.fs.Path) = p.getFileSystem(hadoopConf)
 
   /** One column-level change between two schema versions.
     * kind: added | removed | retyped | nullability.
@@ -40,12 +50,13 @@ object SchemaEvolution {
   }
 
   private def sourceDir(dir: String, id: String) =
-    java.nio.file.Paths.get(dir, id)
+    new org.apache.hadoop.fs.Path(dir, id)
 
   private def versions(dir: String, id: String): Seq[Int] = {
-    val d = sourceDir(dir, id).toFile
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq.map(_.getName)
+    val d = sourceDir(dir, id)
+    val fs = fsFor(d)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }.sorted
   }
@@ -56,16 +67,22 @@ object SchemaEvolution {
   def snapshot(dir: String, sourceId: String, schema: StructType): Int = {
     val next = versions(dir, sourceId).lastOption.getOrElse(0) + 1
     val d = sourceDir(dir, sourceId)
-    java.nio.file.Files.createDirectories(d)
-    java.nio.file.Files.writeString(d.resolve(s"v$next.json"), schema.json)
+    val fs = fsFor(d)
+    fs.mkdirs(d)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, s"v$next.json"), false)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     next
   }
 
   /** The latest stored snapshot, if any. */
   def latest(dir: String, sourceId: String): Option[(Int, StructType)] =
     versions(dir, sourceId).lastOption.map { v =>
-      val json = java.nio.file.Files.readString(
-        sourceDir(dir, sourceId).resolve(s"v$v.json"))
+      val p = new org.apache.hadoop.fs.Path(sourceDir(dir, sourceId), s"v$v.json")
+      val in = fsFor(p).open(p)
+      val json =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
       (v, DataType.fromJson(json).asInstanceOf[StructType])
     }
 

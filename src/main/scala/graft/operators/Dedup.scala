@@ -415,10 +415,13 @@ object Dedup {
 
   /** One-row probe of the vector dimensionality (reads a single
     * row-group, negligible at any scale) — plan-time constant for the
-    * unrolled dot-product kernel.
+    * unrolled dot-product kernel. Null vectors are filtered before the
+    * probe: under ANSI mode size(null) is null and getInt would NPE,
+    * turning a degradable case (dims=0 → HOF fallback) into a crash.
     */
   private def probeDims(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("s")).head(1)
+    df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("s")).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Shared verification stage: attach both vectors to candidate
@@ -557,33 +560,49 @@ object Dedup {
   }
 
   /** Probe a stored MinHash index with a new document batch: sign the
-    * batch (batch-sized work), BROADCAST its band keys against the
-    * at-rest band files (one index scan per batch — the big side is
-    * never shuffled), and estimate Jaccard from the stored signatures
-    * for colliding candidates only. Returns (new_id, corpus_id,
-    * est_jaccard); parameters come from the index's `_meta`, never the
-    * caller.
+    * batch (batch-sized work, pinned so it runs ONCE), BROADCAST its
+    * band keys against the at-rest band files (one index scan per
+    * batch — the big side is never shuffled), and estimate Jaccard
+    * from the stored signatures for colliding candidates only. Returns
+    * (new_id, corpus_id, est_jaccard); parameters come from the
+    * index's `_meta`, never the caller.
+    *
+    * The batch signature table is materialized eagerly with
+    * `localCheckpoint` — the shingle+signature aggregate is the costly
+    * part of a probe, and THREE consumers need it (the size gate, the
+    * band keys, the Jaccard estimate side); without pinning, the plan
+    * would re-run it per consumer. localCheckpoint (not persist) so
+    * the blocks free themselves via the context cleaner when the
+    * returned plan is dropped — a long-lived crawl loop calling this
+    * per micro-batch must not accumulate cache-manager entries.
     */
   def minHashIndexLookup(spark: org.apache.spark.sql.SparkSession,
                          path: String, newDf: DataFrame,
                          idCol: String, textCol: String,
-                         maxBroadcastDocs: Long = 1000000L): DataFrame = {
+                         maxBroadcastDocs: Long = 100000L): DataFrame = {
     val m = spark.read.parquet(s"$path/_meta").head()
     val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
     val sigNew = minHashSignatures(
       shingleRows(newDf, idCol, textCol, shingleSize), numHashes)
+      .localCheckpoint(true)
     val bandedNew = sigNew
       .select(col("id").as("new_id"),
         explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("new_id"))
     // size-gated join strategy: the usual incremental batch is tiny
     // next to the index, so its band keys broadcast and the at-rest
-    // side streams through ONE scan with no shuffle. A batch too big
-    // to broadcast (16 B × bands per doc; the gate is doc count) falls
-    // back to a hash join — Catalyst must NOT be left to pick, because
-    // auto-broadcast would try to ship the INDEX side
+    // side streams through ONE scan with no shuffle. The gate estimates
+    // the FULL broadcast payload — band keys (~16 B × bands per doc)
+    // PLUS the signature table (8 B × numHashes per doc, the dominant
+    // term at the default 64 hashes) — capped at 64 MB and
+    // `maxBroadcastDocs`. Too big → hash join fallback; Catalyst must
+    // NOT be left to pick, because auto-broadcast would try to ship
+    // the INDEX side. The count is a cheap scan of the pinned blocks.
     val idx = spark.read.parquet(s"$path/bands")
-    val smallBatch = newDf.count() <= maxBroadcastDocs
+    val batchDocs = sigNew.count()
+    val estBroadcastBytes = batchDocs * (16L * bands + 8L * numHashes)
+    val smallBatch =
+      batchDocs <= maxBroadcastDocs && estBroadcastBytes <= 64L * 1024 * 1024
     val joined =
       if (smallBatch) idx.join(broadcast(bandedNew), Seq("band", "bkey"))
       else idx.join(bandedNew, Seq("band", "bkey"))
@@ -620,10 +639,14 @@ object Dedup {
 
   /** Span-level exact-substring dedup (the suffix-array dedup of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
-    * Better", re-expressed relationally): for each document, every
-    * maximal token span all of whose length-`minSpan` windows also occur
-    * verbatim in at least one OTHER document — the spans a span-level
-    * deduper would cut. Returns (id, span_start, span_end, span_tokens),
+    * Better", re-expressed relationally): for each document, the
+    * maximal token spans COVERED by length-`minSpan` windows that occur
+    * verbatim in at least one OTHER document — union-of-covered-tokens
+    * semantics: the gaps-and-islands merge also fuses adjacent
+    * duplicated windows whose gap is <= `minSpan`, so interior windows
+    * of a merged span need not themselves be duplicated (the oracle
+    * replays the same merge). These are the spans a span-level deduper
+    * would cut. Returns (id, span_start, span_end, span_tokens),
     * positions 1-based inclusive.
     *
     * Relational lowering instead of a global suffix array: positional
@@ -720,33 +743,41 @@ object Dedup {
     * duplicated paragraphs. Returns (id, n_paras, n_dropped,
     * clean_text).
     *
-    * Scale: first-occurrence is ONE shuffle keyed on the 128-bit
-    * paragraph hash (row_number per hash — identical boilerplate
-    * paragraphs land on one key whose group is scanned once, never
-    * joined all-pairs), then one per-document aggregate rebuilds the
-    * text with ordered native array functions. No UDFs, no driver
-    * loops; the reconstruction is a map-side-combinable collect whose
-    * payload is exactly the surviving text.
+    * Scale: first-occurrence is computed with a map-side-combinable
+    * `min(struct(id, idx))` aggregate per 128-bit paragraph hash —
+    * deliberately NOT a `row_number` window per hash, which would
+    * serialize EVERY occurrence of a corpus-scale boilerplate
+    * paragraph ("subscribe to our newsletter…", 10⁸+ occurrences at
+    * 100 TB) into one task's sort. The aggregate collapses the hot key
+    * to one row per map task before the shuffle, and the join-back
+    * that flags keepers is a short-key equi-join AQE can skew-split —
+    * a window never can be. Same pattern as `cutDuplicatedSpans`'s
+    * canonical-occurrence pick. The reconstruction is one per-document
+    * ordered aggregate over native array functions; no UDFs, no driver
+    * loops.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      delim: String = "\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val paras = df
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
           .as(Seq("idx", "para")))
       .filter(col("para") =!= "")
-    val w = Window.partitionBy(md5(col("para").cast("binary")))
-      .orderBy(col("id"), col("idx"))
-    paras.withColumn("__rk", row_number().over(w))
+      .withColumn("__ph", md5(col("para").cast("binary")))
+    val canon = paras.groupBy(col("__ph"))
+      .agg(min(struct(col("id"), col("idx"))).as("__c"))
+      .select(col("__ph"), col("__c.id").as("__cid"), col("__c.idx").as("__cidx"))
+    paras.join(canon, Seq("__ph"))
+      .withColumn("__keep",
+        col("id") === col("__cid") && col("idx") === col("__cidx"))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_paras"),
-        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("__rk") === 1, struct(col("idx"), col("para"))))),
+              when(col("__keep"), struct(col("idx"), col("para"))))),
             x => x("para")),
           delim).as("clean_text"))
   }

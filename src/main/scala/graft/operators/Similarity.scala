@@ -54,10 +54,14 @@ object Similarity {
 
   /** One-row probe of the vector dimensionality — the plan-time
     * constant the unrolled kernels need. Reads a single row-group;
-    * negligible at any corpus size.
+    * negligible at any corpus size. Null vectors are filtered before
+    * the probe: under ANSI mode size(null) is null and getInt would
+    * NPE, turning a degradable case (dims=0 → HOF fallback) into a
+    * crash of the whole index build / lookup.
     */
   private def dimsOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("s")).head(1)
+    df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("s")).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Exact brute-force cosine top-k against the vector with id
@@ -347,6 +351,28 @@ object Similarity {
     writeMeta(df.sparkSession, path, "lsh", planes, seed.toLong)
   }
 
+  /** Append a batch to a stored LSH index — the maintenance half of an
+    * incremental ANN corpus (mirrors `Dedup.minHashIndexAppend`): the
+    * batch is signed with the INDEX's own (planes, seed) from `_meta`
+    * (writer/prober parameters can never drift), its rows land in their
+    * signature buckets in APPEND mode at batch cost — the at-rest
+    * corpus is never re-signed or rewritten — and the epoch bumps so
+    * process-level caches keyed on it invalidate. Probing after an
+    * append is exactly probing a full rebuild over the union: bucket
+    * assignment is a pure per-row function of the vector, so appended
+    * rows land in the same partitions a rebuild would put them in
+    * (spec-asserted). The caller owns id uniqueness across appends.
+    */
+  def lshIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                     df: DataFrame, idCol: String, vecCol: String): Long = {
+    val (planes, seed, _) = readMeta(spark, path, "lsh")
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__bucket",
+        hyperplaneSignature(col("v"), planes, seed.toInt, dimsOf(df, vecCol)))
+      .write.mode("append").partitionBy("__bucket").parquet(path)
+    writeMeta(spark, path, "lsh", planes, seed)
+  }
+
   /** Probe-only ANN against a stored LSH index: compute the query's
     * signature (1-row job), enumerate its hamming<=1 multi-probe
     * buckets, and scan ONLY those partitions (the `__bucket IN (...)`
@@ -509,15 +535,13 @@ object Similarity {
     // _centroids write — two extra corpus passes at index-build scale
     // for a table of nlist rows
     val spark = df.sparkSession
-    val centRows = sampledCentroids(v, nlist).collect().toIndexedSeq
+    val centPlan = sampledCentroids(v, nlist)
+    val centRows = centPlan.collect().toIndexedSeq
+    // re-created with the collected plan's OWN schema — a hand-written
+    // StructType would hard-code the id type and crash callers whose id
+    // column isn't LongType (sampledCentroids itself is id-type-agnostic)
     val cent = spark.createDataFrame(
-      spark.sparkContext.parallelize(centRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("c",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
+      spark.sparkContext.parallelize(centRows, 1), centPlan.schema)
     val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
     v.crossJoin(broadcast(cent))
       .withColumn("__dist", sqDist(col("v"), col("c"), nd))
@@ -526,6 +550,37 @@ object Similarity {
       .select(col("id"), col("v"), col("cid").as("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    writeMeta(spark, path, "ivf_sampled", nlist, 0L)
+  }
+
+  /** Append a batch to a stored deterministic IVF index: assign the
+    * batch vectors to the EXISTING persisted centroids (broadcast
+    * nlist-row table, same argmin rule as the build) and append them to
+    * their buckets at batch cost; the epoch bumps. Append-assign is the
+    * standard IVF maintenance trade-off (FAISS `add` semantics): the
+    * coarse quantizer is NOT refit, so if the appended data's
+    * distribution drifts from the build-time corpus, buckets grow
+    * unbalanced and recall at fixed nprobe degrades — the cure is a
+    * periodic full `ivfSampledIndexWrite` rebuild, which refits the
+    * centroids (and re-partitions every row). Against a fixed centroid
+    * set, probe-after-append is exactly probe-after-rebuild-with-the-
+    * same-centroids (spec-asserted).
+    */
+  def ivfSampledIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                            path: String, df: DataFrame,
+                            idCol: String, vecCol: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val (nlist, _, _) = readMeta(spark, path, "ivf_sampled")
+    val nd = dimsOf(df, vecCol)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent = spark.read.parquet(s"$path/_centroids")
+    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
+    v.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
+      .withColumn("__rn", row_number().over(wid))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("__bucket"))
+      .write.mode("append").partitionBy("__bucket").parquet(path)
     writeMeta(spark, path, "ivf_sampled", nlist, 0L)
   }
 

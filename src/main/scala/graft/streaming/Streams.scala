@@ -232,6 +232,69 @@ object Streams {
       .toDF("id1", "id2", "band")
   }
 
+  /** The PRODUCTION incremental-crawl dedup loop as a streaming
+    * pipeline — the shape `dd13` simulates in batch, wired end-to-end
+    * under `foreachBatch` (reference analog: the incremental-view
+    * subscribe loop, views.py:21-185). Per micro-batch of crawled
+    * documents:
+    *
+    *  1. PROBE the persisted MinHash index (`Dedup.minHashIndexLookup`)
+    *     — batch-sized work, the at-rest corpus is partition-scanned
+    *     once and never re-signed — and drop docs whose estimated
+    *     Jaccard against ANY indexed doc reaches `threshold`;
+    *  2. resolve INTRA-batch near-dups with the same banding the index
+    *     uses (parameters come from the index's `_meta`, so sketch and
+    *     index can never drift): candidate pairs → connected
+    *     components → keep the min-id canonical per component;
+    *  3. APPEND the surviving docs to the index
+    *     (`Dedup.minHashIndexAppend`, batch cost, epoch bump) and
+    *     write them to `survivorDir` (parquet, append mode).
+    *
+    * Batch-boundary invariance (spec-asserted by the re-batching
+    * differential): when duplicate groups are cliques at `threshold`
+    * (near-identical crawl dups are) and ids are arrival-ordered, the
+    * final index content and survivor set do not depend on where the
+    * micro-batch boundaries fall — a non-canonical doc is dropped
+    * either by step 2 (same batch as its canonical) or by step 1 (its
+    * canonical was appended by an earlier batch). Chain-shaped overlap
+    * at exactly the threshold can differ by batching, the same way any
+    * greedy dedup order does.
+    */
+  def crawlDedup(stream: DataFrame, idCol: String, textCol: String,
+                 indexPath: String, survivorDir: String,
+                 threshold: Double = 0.5): DataStreamWriter[Row] = {
+    import graft.operators.{Components, Dedup}
+    stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        // pinned once: the batch feeds the probe, the intra-batch
+        // sketch, two anti-joins, the append, and the survivor write
+        val batch = batch0.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val m = spark.read.parquet(s"$indexPath/_meta").head()
+          val (shingleSize, numHashes, bands) =
+            (m.getInt(0), m.getInt(1), m.getInt(2))
+          val idxDup = Dedup
+            .minHashIndexLookup(spark, indexPath, batch, idCol, textCol)
+            .filter(col("est_jaccard") >= threshold)
+            .select(col("new_id").as(idCol)).distinct()
+          val pairs = Dedup.minHashLshPairs(batch, idCol, textCol,
+              shingleSize, numHashes, bands)
+            .filter(col("est_jaccard") >= threshold)
+            .select(col("id1"), col("id2"))
+          val nonCanon = Components.connectedComponents(pairs, "id1", "id2")
+            .filter(col("id") =!= col("comp"))
+            .select(col("id").as(idCol))
+          val survivors = batch
+            .join(idxDup, Seq(idCol), "left_anti")
+            .join(nonCanon, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          Dedup.minHashIndexAppend(spark, indexPath, survivors, idCol, textCol)
+          survivors.write.mode("append").parquet(survivorDir)
+        }
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against the
     * currently-available input (memory sink) and return the result —
     * the test harness pattern for batch-driving streaming plans.

@@ -450,6 +450,58 @@ class OperatorsSpec extends SparkSpec {
     assert(hits == Set((300L, 201L)), s"got $hits")
   }
 
+  test("LSH index append: probe after append equals probe of a full rebuild; epoch bumps") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0 || col("vec_id") === 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .head().getSeq[Double](0)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_lshapp").toString
+    val e1 = Similarity.lshIndexWrite(base, "vec_id", "embedding", dirA, planes = 8)
+    Thread.sleep(2)
+    val e2 = Similarity.lshIndexAppend(spark, dirA, batch, "vec_id", "embedding")
+    assert(e2 > e1, "append must bump the index epoch")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_lshfull").toString
+    Similarity.lshIndexWrite(emb, "vec_id", "embedding", dirB, planes = 8)
+    def rows(d: String) = Similarity.lshIndexTopK(spark, d, qv, 5,
+      excludeId = Some(0L), idColName = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(dirA) == rows(dirB),
+      "incremental index must probe identically to a full rebuild")
+  }
+
+  test("IVF index append assigns to the frozen centroids: identical to a " +
+    "rebuild that samples the same centroids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // centroid sampling is the top-nlist ids in (md5(id), id) order over
+    // whatever corpus is present at build time; keep those ids in the
+    // BASE so the base build and the full rebuild sample the SAME
+    // centroid set — then append-assign must be exactly rebuild
+    val centroidIds = emb
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(8).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val batchIds = emb.select(col("vec_id")).collect().map(_.getLong(0))
+      .filterNot(centroidIds).filterNot(_ == 0L).sorted.take(20).toSet
+    val base = emb.filter(!col("vec_id").isin(batchIds.toSeq: _*))
+    val batch = emb.filter(col("vec_id").isin(batchIds.toSeq: _*))
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .head().getSeq[Double](0)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    val e1 = Similarity.ivfSampledIndexWrite(base, "vec_id", "embedding", dirA, nlist = 8)
+    Thread.sleep(2)
+    val e2 = Similarity.ivfSampledIndexAppend(spark, dirA, batch, "vec_id", "embedding")
+    assert(e2 > e1, "append must bump the index epoch")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivffull").toString
+    Similarity.ivfSampledIndexWrite(emb, "vec_id", "embedding", dirB, nlist = 8)
+    def rows(d: String) = Similarity.ivfSampledIndexTopK(spark, d, qv, 5,
+      nprobe = 3, excludeId = Some(0L), idColName = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(dirA) == rows(dirB),
+      "append-assign must equal a same-centroid rebuild")
+  }
+
   test("duplicated spans: cross-doc windows merge into maximal spans; gaps split islands") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),        // shares a..f 3-grams with doc 2
@@ -497,6 +549,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L) == ((3L, 0L, "alpha\nbeta\ngamma")))
     assert(r(2L) == ((2L, 1L, "delta")))
     assert(r(3L) == ((2L, 1L, "unique")))
+  }
+
+  test("paragraph dedup survives a pathologically hot paragraph (skew)") {
+    // 20k documents all sharing one boilerplate paragraph — the shape
+    // that kills a row_number-per-hash window at corpus scale. The
+    // min(struct) aggregate + join-back must keep exactly one copy.
+    val d = (1L to 20000L)
+      .map(i => (i, s"boilerplate subscribe footer\nunique-$i"))
+      .toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(d, "doc_id", "text")
+    assert(r.count() == 20000L)
+    val first = r.filter($"id" === 1L).collect().head
+    assert(first.getAs[Long]("n_dropped") == 0L)
+    assert(first.getAs[String]("clean_text") == "boilerplate subscribe footer\nunique-1")
+    val later = r.filter($"id" === 12345L).collect().head
+    assert(later.getAs[Long]("n_dropped") == 1L)
+    assert(later.getAs[String]("clean_text") == "unique-12345")
+    import org.apache.spark.sql.functions.sum
+    assert(r.agg(sum($"n_dropped")).collect().head.getLong(0) == 19999L)
   }
 
   test("PII redaction replaces and counts emails, IPv4s, phones") {

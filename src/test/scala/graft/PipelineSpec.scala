@@ -170,6 +170,107 @@ class PipelineSpec extends SparkSpec {
     assert(SchemaEvolution.check(base, "people", v2).verdict == "compatible")
   }
 
+  test("schema merger: 3 drifted sources widen to one readable superset; " +
+    "conflicts are reported per strategy") {
+    import graft.etl.SchemaMerger
+    import org.apache.spark.sql.types._
+    // three drifting feeds of the same logical table: age int → bigint →
+    // string-typed export; email appears in only two; score int vs double
+    val s1 = new StructType()
+      .add("id", "int", nullable = false).add("age", "int")
+      .add("score", "int")
+    val s2 = new StructType()
+      .add("id", "int", nullable = false).add("age", "bigint")
+      .add("email", "string").add("score", "double")
+      .add("tags", ArrayType(StringType))
+    val s3 = new StructType()
+      .add("id", "bigint", nullable = false).add("age", "string")
+      .add("email", "string").add("score", "int")
+      .add("tags", "string")
+    val m = SchemaMerger.merge(Seq(s1, s2, s3))
+    // id widens int→bigint and stays required (present, non-null everywhere)
+    assert(m.schema("id").dataType == LongType && !m.schema("id").nullable)
+    // {int, bigint, string}: string IS the legal widening target (every
+    // atomic type up-casts to string under Catalyst's rules)
+    assert(m.schema("age").dataType == StringType)
+    // email missing from s1 → nullable in the merge
+    assert(m.schema("email").nullable)
+    // int up-casts to double → widened (double beats string: narrowest wins)
+    assert(m.schema("score").dataType == DoubleType)
+    // array<string> vs string has NO up-cast path either way → fallback
+    assert(m.schema("tags").dataType == StringType)
+    assert(m.conflicts.map(c => c.column -> c.resolution).toSet == Set(
+      "id" -> "widened", "age" -> "widened", "score" -> "widened",
+      "tags" -> "string_fallback"))
+    assert(m.lossy.map(_.column) == Seq("tags"))
+    // every source reads losslessly under the merged schema (data check):
+    // union-by-name after casting to the merge must round-trip each feed
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val d1 = Seq((1, 30, 10)).toDF("id", "age", "score")
+    val casted = d1.select(m.schema.fields.map(f =>
+      (if (d1.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    assert(casted.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      m.schema.fields.map(f => f.name -> f.dataType).toSeq)
+    assert(casted.collect().head.toSeq == Seq(1L, "30", 10.0, null, null))
+    // strategy variants
+    assert(SchemaMerger.merge(Seq(s1, s3), SchemaMerger.PreferFirst)
+      .schema("age").dataType == IntegerType)
+    assert(SchemaMerger.merge(Seq(s1, s3), SchemaMerger.PreferLast)
+      .schema("age").dataType == StringType)
+    intercept[IllegalArgumentException] {
+      SchemaMerger.merge(Seq(s1, s3), SchemaMerger.Fail)
+    }
+  }
+
+  test("lineage graph: impact, provenance, topological order, and " +
+    "column-level breakage analysis") {
+    import graft.etl.LineageGraph
+    import org.apache.spark.sql.types._
+    val peopleSchema = new StructType()
+      .add("id", "bigint").add("age", "bigint").add("email", "string")
+    val g = new LineageGraph()
+    g.addNode("people", "source", Some(peopleSchema))
+      .addNode("orders", "source")
+      .addNode("q_age_stats", "query")
+      .addNode("q_join", "query")
+      .addNode("sink_report", "sink")
+      .addNode("sink_export", "sink")
+    g.addEdge("people", "q_age_stats", columns = Set("id", "age"))
+      .addEdge("people", "q_join", columns = Set("id", "email"))
+      .addEdge("orders", "q_join")
+      .addEdge("q_age_stats", "sink_report")
+      .addEdge("q_join", "sink_export")
+    assert(g.sources.map(_.id).toSet == Set("people", "orders"))
+    assert(g.sinks.map(_.id).toSet == Set("sink_report", "sink_export"))
+    assert(g.impact("people").map(_.id).toSet ==
+      Set("q_age_stats", "q_join", "sink_report", "sink_export"))
+    assert(g.provenance("sink_export").map(_.id).toSet ==
+      Set("q_join", "people", "orders"))
+    val topo = g.topological.map(_.id)
+    assert(topo.indexOf("people") < topo.indexOf("q_age_stats") &&
+      topo.indexOf("q_age_stats") < topo.indexOf("sink_report"))
+    // column slice: age feeds only the stats query and its sink
+    assert(g.columnImpact("people", "age").map(_.id).toSet ==
+      Set("q_age_stats", "sink_report"))
+    assert(g.columnImpact("people", "email").map(_.id).toSet ==
+      Set("q_join", "sink_export"))
+    // "the feed NARROWED age to int overnight — what breaks?" (a retype
+    // to string would grade as widening: atomics up-cast to string)
+    val drifted = new StructType()
+      .add("id", "bigint").add("age", "int").add("email", "string")
+    val broken = g.breakage("people", drifted)
+    assert(broken.size == 1)
+    val (drift, affected) = broken.head
+    assert(drift.column == "age" && drift.compatibility == "breaking")
+    assert(affected.map(_.id).toSet == Set("q_age_stats", "sink_report"))
+    // a widening drift breaks nothing
+    val widened = new StructType()
+      .add("id", "bigint").add("age", "decimal(20,0)").add("email", "string")
+    assert(g.breakage("people", widened).isEmpty)
+  }
+
   test("neo4j bulk-import CSV export: ID spaces, labels, rel types") {
     import spark.implicits._
     val person = Seq((1L, "Alice"), (2L, "Bob")).toDF("pid", "name")

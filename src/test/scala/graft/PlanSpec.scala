@@ -191,6 +191,18 @@ class PlanSpec extends SparkSpec {
       s"all-pairs shape in span dedup:\n$p")
   }
 
+  test("paragraph dedup first-occurrence is a skew-safe aggregate, never a window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text"))
+    // a row_number window partitioned by paragraph hash would serialize a
+    // boilerplate paragraph's entire occurrence set into one task; the
+    // canonical pick must be a map-side-combinable min(struct) aggregate
+    // feeding an AQE-skew-splittable join-back
+    assert(!p.contains("Window"), s"hot-key window in paragraph dedup:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"canonical-occurrence aggregate not map-side combined:\n$p")
+  }
+
   test("composed curation pipeline plans clean: no cartesian, benchmark " +
     "grams broadcast, semi/anti joins for the gates") {
     val df = graft.queries.PipelineQueries

@@ -238,6 +238,48 @@ class StreamingSpec extends SparkSpec {
     assert(sets.forall(_ == Set((1L, 3L))), sets.toString)
   }
 
+  test("streaming crawl loop (probe index → filter → append): final index and " +
+    "survivor set are invariant to micro-batch boundaries") {
+    import graft.operators.Dedup
+    val seed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "an indexed corpus document about distributed engines and storage"))
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every single day"), // dup of seed 1
+      (11L, "genuinely novel crawled content about streaming dedup loops"),
+      (12L, "genuinely novel crawled content about streaming dedup loops"),  // dup of 11
+      (13L, "another unrelated page with its own distinct words entirely"))
+    def run(batches: Seq[Seq[(Long, String)]]): (Set[Long], Set[Long]) = {
+      val idx = Files.createTempDirectory("graft_crawlidx").toFile.getAbsolutePath
+      val out = Files.createTempDirectory("graft_crawlout").toFile.getAbsolutePath
+      val in = Files.createTempDirectory("graft_crawlin").toFile.getAbsolutePath
+      Dedup.minHashIndexWrite(seed.toDF("doc_id", "text"), "doc_id", "text",
+        idx, shingleSize = 2, numHashes = 64, bands = 32)
+      batches.head.toDF("doc_id", "text").write.mode("append").parquet(in)
+      val stream = spark.readStream
+        .schema(batches.head.toDF("doc_id", "text").schema).parquet(in)
+      val q = Streams.crawlDedup(stream, "doc_id", "text", idx, out).start()
+      q.processAllAvailable()
+      batches.tail.foreach { b =>
+        b.toDF("doc_id", "text").write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val survivors = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val indexed = spark.read.parquet(s"$idx/_sigs").select("id")
+        .collect().map(_.getLong(0)).toSet
+      (survivors, indexed)
+    }
+    val results = Seq(
+      Seq(arrivals),                                   // one big batch
+      Seq(arrivals.take(2), arrivals.drop(2)),         // dup pair split across batches
+      arrivals.map(Seq(_)))                            // one doc per batch
+      .map(run)
+    assert(results.forall(_ == ((Set(11L, 13L), Set(1L, 2L, 11L, 13L)))),
+      results.toString)
+  }
+
   test("late data beyond watermark is dropped from append output") {
     // two files: first advances the watermark far ahead, second is late
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
