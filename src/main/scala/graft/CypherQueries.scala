@@ -344,6 +344,29 @@ object CypherQueries {
       walks.join(trails, Seq("a_key", "b_key"), "left_outer")
         .select(col("a_key"), col("b_key"), col("n_walks"),
           coalesce(col("n_trails"), lit(0L)).as("n_trails"))
+    }),
+
+    // nodes(p)/relationships(p) path materialization (beyond-parity:
+    // the reference's path expander reports hop counts only, and this
+    // openCypher surface is absent there — SURVEY §6 divergence: the
+    // functions return IDENTITY sequences, not entity maps). The
+    // frontier carries each walk's node-id array under the opt-in
+    // conf; the oracle's recursive CTE rebuilds the same arrays, and
+    // n_rels (= size(relationships(p))) pins the edge-identity array's
+    // length to the hop count on every row.
+    "cy43_path_functions" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      spark.conf.set("graft.pathExpand.materializePaths", "true")
+      try TpchGraph.engine(spark, dir).query(
+        """MATCH p = (a:Nation)-[:NEXT_N*2..3]->(b:Nation)
+           RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+                  length(p) AS hops, nodes(p) AS node_ids,
+                  size(relationships(p)) AS n_rels""")
+        // joined to a string for the gate (array columns break engines'
+        // row-sort comparators); the raw array surface is spec-tested
+        .withColumn("node_ids",
+          array_join(col("node_ids").cast("array<string>"), ","))
+      finally spark.conf.unset("graft.pathExpand.materializePaths")
     })
   )
 
@@ -625,6 +648,28 @@ object CypherQueries {
          )
          SELECT origin AS a_key, node AS b_key,
                 n_walks, CAST(n_trails AS BIGINT) AS n_trails
-         FROM wk"""
+         FROM wk""",
+    // every 2..3-hop walk in the successor graph carrying its node-id
+    // list; n_rels must equal the hop count (one relationship per hop)
+    "cy43_path_functions" ->
+      """WITH RECURSIVE nk AS (SELECT n_nationkey AS k FROM nation),
+         st AS (
+           SELECT k AS src, k + 1 AS dst FROM nk
+           UNION ALL SELECT k AS src, k + 2 AS dst FROM nk
+         ),
+         e AS (SELECT st.src, st.dst FROM st JOIN nk ON nk.k = st.dst),
+         walk AS (
+           SELECT k AS origin, k AS node, 0 AS hops,
+                  [CAST(k AS BIGINT)] AS nodes FROM nk
+           UNION ALL
+           SELECT w.origin, e.dst, w.hops + 1,
+                  list_append(w.nodes, CAST(e.dst AS BIGINT))
+           FROM walk w JOIN e ON e.src = w.node
+           WHERE w.hops < 3
+         )
+         SELECT origin AS a_key, node AS b_key, CAST(hops AS BIGINT) AS hops,
+                array_to_string(nodes, ',') AS node_ids,
+                CAST(hops AS INTEGER) AS n_rels
+         FROM walk WHERE hops >= 2"""
   )
 }

@@ -47,7 +47,7 @@ final class ExpressionCompiler(val frame: Frame, params: Map[String, Any]) {
     case Variable(v) =>
       frame.vars.get(v) match {
         case Some(ValueVar) => col(v)
-        case Some(PathVar(h)) => col(h)
+        case Some(PathVar(h, _, _)) => col(h)
         case Some(NodeVar(_, _, attrs)) =>
           struct(attrs.map(a => col(frame.col(v, a)).as(a)): _*)
         case Some(RelVar(_, _, _, attrs)) =>
@@ -89,8 +89,29 @@ final class ExpressionCompiler(val frame: Frame, params: Map[String, Any]) {
     // length(p) of a path variable = traversal depth (hop count)
     case FnCall(n, Seq(Variable(v)), _)
       if n.equalsIgnoreCase("length") && frame.vars.get(v).exists(_.isInstanceOf[PathVar]) =>
-      val PathVar(h) = frame.vars(v): @unchecked
+      val PathVar(h, _, _) = frame.vars(v): @unchecked
       col(h)
+    // nodes(p) / relationships(p): the materialized node-id /
+    // relationship-identity sequences. Divergence from Neo4j (documented
+    // in SURVEY §6): this engine returns the IDENTITIES (node ids,
+    // relationship identity hashes), not entity maps — the relational
+    // surface where attributes join back by id. Requires a materialized
+    // path: free for fixed-hop patterns; var-length patterns opt in via
+    // graft.pathExpand.materializePaths (each path row then carries
+    // O(maxHops) ids). shortestPath never materializes — its BFS keeps
+    // one arbitrary witness per endpoint pair, so a node list would be
+    // nondeterministic.
+    case FnCall(n, Seq(Variable(v)), _)
+      if (n.equalsIgnoreCase("nodes") || n.equalsIgnoreCase("relationships")) &&
+        frame.vars.get(v).exists(_.isInstanceOf[PathVar]) =>
+      val PathVar(_, nodesCol, relsCol) = frame.vars(v): @unchecked
+      val c = if (n.equalsIgnoreCase("nodes")) nodesCol else relsCol
+      c.map(col).getOrElse(throw new IllegalArgumentException(
+        s"${n.toLowerCase}($v) needs a materialized path: set " +
+          "graft.pathExpand.materializePaths=true for var-length patterns " +
+          "(unavailable for shortestPath, whose witness path is " +
+          "nondeterministic; relationships() also needs every hop " +
+          "var-length — fixed hops carry no relationship identity)"))
     // id(n) / elementId(n): the entity's identity column (this engine's
     // ids are the natural keys, so id() is stable — unlike Neo4j's
     // store-internal ids); elementId stringifies per openCypher

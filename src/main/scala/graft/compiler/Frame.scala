@@ -22,8 +22,19 @@ final case class RelVar(relType: String, srcAttr: String, dstAttr: String,
 /** Plain value variable (from WITH/UNWIND); column name == var name. */
 case object ValueVar extends VarMeta
 
-/** Var-length path variable; `hopsCol` holds the traversal depth. */
-final case class PathVar(hopsCol: String) extends VarMeta
+/** Path variable. `hopsCol` always holds the traversal depth
+  * (length(p)); `nodesCol`/`relsCol` hold the materialized node-id /
+  * relationship-identity sequences when the path was materialized —
+  * always for fixed-hop patterns (the ids are already in the row), and
+  * under `graft.pathExpand.materializePaths` for var-length segments
+  * (the frontier then carries O(maxHops) ids per path). None = the
+  * query never asked, or the regime can't (shortestPath's BFS keeps
+  * one arbitrary witness per (origin, node), so exposing ITS node list
+  * would be nondeterministic).
+  */
+final case class PathVar(hopsCol: String,
+                         nodesCol: Option[String] = None,
+                         relsCol: Option[String] = None) extends VarMeta
 
 final case class Frame(df: DataFrame, vars: Map[String, VarMeta]) {
   def col(v: String, attr: String): String = s"${v}__$attr"
@@ -36,7 +47,7 @@ final case class Frame(df: DataFrame, vars: Map[String, VarMeta]) {
   def varCols(v: String): Seq[String] = vars(v) match {
     case NodeVar(_, _, attrs)    => attrs.map(col(v, _))
     case RelVar(_, _, _, attrs)  => attrs.map(col(v, _))
-    case PathVar(h)              => Seq(h)
+    case PathVar(h, n, r)        => Seq(h) ++ n ++ r
     case ValueVar                => Seq(v)
   }
 }

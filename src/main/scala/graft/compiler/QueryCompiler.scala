@@ -350,21 +350,42 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     var prevVar = startVar
     var fixedHops = 0
     val varHopCols = mutable.ArrayBuffer.empty[String]
+    // node-id sequence pieces for nodes(p): the start id, then one piece
+    // per hop — a fixed hop contributes its bound end-node id (already a
+    // row column, so materializing it is free), a var-length segment
+    // contributes its frontier-carried array minus the leading origin
+    // (already covered by the previous piece). relationships(p) splices
+    // the segments' edge-identity arrays; fixed hops carry no edge
+    // identity, so a path mixing fixed hops keeps nodesCol but not
+    // relsCol.
+    val nodePieces = mutable.ArrayBuffer[Column](array(col(cur.idCol(startVar))))
+    val relPieces = mutable.ArrayBuffer.empty[Column]
+    var nodesOk = true
+    var relsOk = true
     p.hops.foreach { case (rel, node) =>
       if (rel.varLength.isDefined) {
         // var-length segment mid-pattern: expand from the current frame
         // and keep walking fixed hops from its end node
-        val (next, boundVar, hopsCol) =
+        val (next, boundVar, hopsCol, mat) =
           PathExpand.expandSegment(this, catalog, cur, prevVar, rel, node,
             params, shortest = None)
         cur = next
         prevVar = boundVar
         varHopCols += hopsCol
+        mat match {
+          case Some((nc, rc)) =>
+            nodePieces += slice(col(nc), lit(2), size(col(nc)) - 1)
+            relPieces += col(rc)
+          case None =>
+            nodesOk = false; relsOk = false
+        }
       } else {
         val (next, boundVar) = compileHop(cur, prevVar, rel, node)
         cur = next
         prevVar = boundVar
         fixedHops += 1
+        nodePieces += array(col(cur.idCol(boundVar)))
+        relsOk = false
       }
     }
     p.pathVariable match {
@@ -372,8 +393,22 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
         // length(p) = fixed hop count + each var-length segment's hops
         val hopsCol = s"__hops_$pv"
         val total = varHopCols.foldLeft(lit(fixedHops.toLong): Column)(_ + col(_))
-        Frame(cur.df.withColumn(hopsCol, total),
-          cur.vars + (pv -> PathVar(hopsCol)))
+        var df = cur.df.withColumn(hopsCol, total)
+        var nodesCol: Option[String] = None
+        var relsCol: Option[String] = None
+        if (nodesOk) {
+          val nc = s"__nodes_$pv"
+          df = df.withColumn(nc, concat(nodePieces.toSeq: _*))
+          nodesCol = Some(nc)
+          if (relsOk) {
+            val rc = s"__rels_$pv"
+            df = df.withColumn(rc,
+              if (relPieces.isEmpty) array().cast("array<bigint>")
+              else concat(relPieces.toSeq: _*))
+            relsCol = Some(rc)
+          }
+        }
+        Frame(df, cur.vars + (pv -> PathVar(hopsCol, nodesCol, relsCol)))
       case None => cur
     }
   }
@@ -1097,9 +1132,12 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
             case m: RelVar =>
               m.attrs.foreach(a => cols += col(f.col(v, a)).as(s"${alias}__$a"))
               vars(alias) = m
-            case PathVar(h) =>
+            case PathVar(h, n, r) =>
               cols += col(h).as(s"${alias}__hops")
-              vars(alias) = PathVar(s"${alias}__hops")
+              n.foreach(nc => cols += col(nc).as(s"${alias}__nodes"))
+              r.foreach(rc => cols += col(rc).as(s"${alias}__rels"))
+              vars(alias) = PathVar(s"${alias}__hops",
+                n.map(_ => s"${alias}__nodes"), r.map(_ => s"${alias}__rels"))
             case _ =>
           }
         case e =>

@@ -25,7 +25,8 @@ final case class PipelineConfig(name: String, description: Option[String],
                                 entities: Seq[EntitySource],
                                 relationships: Seq[RelationshipSource],
                                 queries: Seq[QueryDef],
-                                outputs: Seq[OutputDef])
+                                outputs: Seq[OutputDef],
+                                auditUri: Option[String] = None)
 
 object PipelineConfig {
 
@@ -87,6 +88,9 @@ object PipelineConfig {
     PipelineConfig(
       name = project.map(p => req(p, "name", "project")).getOrElse("pipeline"),
       description = project.flatMap(p => str(p, "description")),
-      entities, relationships, queries, outputs)
+      entities, relationships, queries, outputs,
+      // project.audit_uri: parquet sink for the run's query-audit
+      // records (star.py:833-896 parity in the nmetl path)
+      auditUri = project.flatMap(p => str(p, "audit_uri")))
   }
 }

@@ -183,6 +183,22 @@ object PipelineRunner {
   // ---------------- run / validate ----------------
 
   def run(spark: SparkSession, config: PipelineConfig): RunResult = {
+    // Query audit by default when the config names a sink
+    // (project.audit_uri): every ETL run leaves a queryable parquet
+    // artifact of what executed — per-action wall time, rows, shuffle
+    // bytes and plan hashes from the listener, plus one caller-timed
+    // row per sink write labeled with its pipeline query id (the write
+    // command's QueryExecution is a fresh object, so identity-keyed
+    // labels cannot correlate it; the runner times it instead).
+    // Reference analog: the Star lifecycle's audit log + metrics
+    // recording (star.py:833-896) along the nmetl pipeline path.
+    val audit = config.auditUri.map(_ => new graft.ops.QueryAudit(spark).attach())
+    try runAudited(spark, config, audit)
+    finally audit.foreach(_.detach())
+  }
+
+  private def runAudited(spark: SparkSession, config: PipelineConfig,
+                         audit: Option[graft.ops.QueryAudit]): RunResult = {
     val catalog = new GraphCatalog
     config.entities.foreach { e =>
       try {
@@ -207,13 +223,32 @@ object PipelineRunner {
     val engine = new CypherEngine(spark, catalog)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     dependencyOrder(engine, config.queries).foreach { q =>
-      results(q.id) = engine.execute(q.cypher)
+      results(q.id) = graft.ops.QueryAudit.label(engine.execute(q.cypher), q.id)
     }
     val written = config.outputs.map { o =>
       val df = results.getOrElse(o.queryId,
         throw new IllegalArgumentException(s"output references unknown query ${o.queryId}"))
-      writeSink(df, o.uri, o.format)
+      val t0 = System.nanoTime()
+      try {
+        writeSink(df, o.uri, o.format)
+        audit.foreach(_.record(o.queryId, s"sink:${o.uri}", (System.nanoTime() - t0) / 1e6))
+      } catch {
+        case e: Throwable =>
+          audit.foreach(_.record(o.queryId, s"sink:${o.uri}",
+            (System.nanoTime() - t0) / 1e6, status = "failure",
+            error = String.valueOf(e.getMessage).take(500)))
+          throw e
+      }
       o.uri
+    }
+    // drain the async listener bus before flushing so the run's last
+    // action's record is in the buffer; on timeout flush what arrived
+    // (telemetry must never fail the pipeline)
+    (audit, config.auditUri) match {
+      case (Some(a), Some(uri)) =>
+        org.apache.spark.sql.graftshim.ListenerBridge.waitUntilEmpty(spark, 10000L)
+        a.flushTo(uri)
+      case _ =>
     }
     RunResult(results.toMap, written)
   }

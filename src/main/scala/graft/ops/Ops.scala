@@ -223,6 +223,18 @@ final class QueryAudit(spark: org.apache.spark.sql.SparkSession,
   def attach(): this.type = { spark.listenerManager.register(this); this }
   def detach(): Unit = spark.listenerManager.unregister(this)
 
+  /** Caller-authored audit row — for lifecycle events the listener
+    * cannot correlate (a sink write executes a NEW command
+    * QueryExecution, so identity-keyed labels can't reach it; the
+    * pipeline runner instead times the write on the caller thread and
+    * records it under the pipeline query id).
+    */
+  def record(label: String, action: String, durationMs: Double,
+             rowsOut: Long = -1L, status: String = "success",
+             error: String = ""): Unit =
+    record(AuditRecord(System.currentTimeMillis(), label, action, durationMs,
+      rowsOut, -1L, "", status, error))
+
   def records: Seq[AuditRecord] = buf.synchronized {
     scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
   }

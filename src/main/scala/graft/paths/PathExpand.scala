@@ -62,8 +62,14 @@ object PathExpand {
     val startVar = p.start.variable.getOrElse(qc.mkFreshVar())
     val startLabel = qc.mkResolveLabel(p.start, Some(rel), isStart = rel.direction != "IN")
     val start = qc.mkNodeFrame(startVar, startLabel, p.start.props)
-    val (f, _, hopsCol) = expandSegment(qc, catalog, start, startVar, rel, endNode,
+    val (f, _, hopsCol, _) = expandSegment(qc, catalog, start, startVar, rel, endNode,
       params, p.shortest)
+    // shortestPath keeps ONE arbitrary witness per (origin, node) — a
+    // BFS dedup drops the others before hop counts are affected — so a
+    // materialized node list would be nondeterministic; the path var
+    // exposes length(p) only (openCypher leaves the witness choice
+    // implementation-defined, but a correctness-gated engine must not
+    // emit nondeterministic columns).
     p.pathVariable match {
       case Some(pv) =>
         val pc = s"__hops_$pv"
@@ -73,14 +79,19 @@ object PathExpand {
   }
 
   /** Expand one var-length segment from `fromVar` in `cur`; returns the
-    * joined frame (end node bound), the end variable name, and the name
-    * of the per-row hop-count column (for length(path)). Callable
-    * mid-pattern, so fixed hops can precede/follow the segment.
+    * joined frame (end node bound), the end variable name, the name of
+    * the per-row hop-count column (for length(path)), and — when
+    * `graft.pathExpand.materializePaths` is on and the regime permits —
+    * the (nodesCol, relsCol) pair holding this segment's traversed
+    * node-id sequence (origin included) and relationship-identity
+    * sequence, for nodes(p)/relationships(p). Callable mid-pattern, so
+    * fixed hops can precede/follow the segment.
     */
   def expandSegment(qc: QueryCompiler, catalog: GraphCatalog, cur: Frame,
                     fromVar: String, rel: RelPattern, endNode: NodePattern,
                     params: Map[String, Any],
-                    shortest: Option[String]): (Frame, String, String) = {
+                    shortest: Option[String])
+  : (Frame, String, String, Option[(String, String)]) = {
     val (minHops, maxHopsOpt) = rel.varLength.getOrElse((1, Some(1)))
     val maxHops = maxHopsOpt.getOrElse(DefaultMaxHops)
     require(minHops <= maxHops, s"bad var-length range $minHops..$maxHops")
@@ -91,6 +102,14 @@ object PathExpand {
     // edge, so walk- and trail-shortest coincide)
     val trailMode = shortest.isEmpty && cur.df.sparkSession.conf
       .get("graft.pathExpand.trailSemantics", "false").toBoolean
+    // path materialization (nodes(p)/relationships(p)) rides the same
+    // frontier: each path row carries its node-id and edge-identity
+    // arrays — O(maxHops) ids per path, so it is opt-in like trail
+    // mode. Walk/trail regimes only: BFS shortest keeps one arbitrary
+    // witness per (origin, node), which must not leak into output.
+    val matPaths = shortest.isEmpty && cur.df.sparkSession.conf
+      .get("graft.pathExpand.materializePaths", "false").toBoolean
+    val carryEdges = trailMode || matPaths
 
     // direction-adjusted, property-filtered edge set; [:A|B] alternation
     // unions the per-type edge lists before the loop. Materialized ONCE
@@ -107,7 +126,7 @@ object PathExpand {
     //    re-shuffles the edge table: O(hops × |frontier|) shuffle
     //    volume instead of O(hops × |E|). At 100 TB the edge table is
     //    the side that must not move.
-    val edges0 = rel.types.map(t => edgeSet(qc, catalog, rel, t, params, trailMode))
+    val edges0 = rel.types.map(t => edgeSet(qc, catalog, rel, t, params, carryEdges))
       .reduce(_ unionByName _)
     val nPart = edges0.sparkSession.sessionState.conf.numShufflePartitions
     val loops = maxHopsOpt.getOrElse(DefaultMaxHops) > 1
@@ -135,9 +154,13 @@ object PathExpand {
     val startIds = cur.df.select(col(cur.idCol(fromVar)).as("__origin")).distinct()
     var frontier: DataFrame = startIds
       .select(col("__origin"), col("__origin").as("__node"), lit(0L).as("__hops"))
-    if (trailMode)
+    if (carryEdges)
       frontier = frontier.withColumn("__edges", array().cast("array<bigint>"))
-    def walkRows(f: DataFrame) = f.select(col("__origin"), col("__node"), col("__hops"))
+    if (matPaths)
+      frontier = frontier.withColumn("__nodes", array(col("__origin")))
+    val walkCols = Seq(col("__origin"), col("__node"), col("__hops")) ++
+      (if (matPaths) Seq(col("__nodes"), col("__edges")) else Seq.empty)
+    def walkRows(f: DataFrame) = f.select(walkCols: _*)
     var results = Vector.empty[DataFrame]
     // A zero-length path means start and end are the SAME node, so it can
     // only contribute when the end label is the start label — otherwise an
@@ -224,18 +247,22 @@ object PathExpand {
     var hop = 1
     var exhausted = false
     while (hop <= maxHops && !exhausted) {
-      var next =
-        if (trailMode)
-          // relationship uniqueness: a hop may not reuse an edge already
-          // on this path; the extended path records the edge it took
-          frontier.join(edges, col("__node") === col("__src"))
-            .filter(!array_contains(col("__edges"), col("__eid")))
-            .select(col("__origin"), col("__dst").as("__node"),
-              (col("__hops") + 1).as("__hops"),
-              concat(col("__edges"), array(col("__eid"))).as("__edges"))
-        else frontier.join(edges, col("__node") === col("__src"))
-          .select(col("__origin"), col("__dst").as("__node"),
-            (col("__hops") + 1).as("__hops"))
+      // trail mode: relationship uniqueness — a hop may not reuse an
+      // edge already on this path; the extended path records the edge
+      // it took. Materialization appends the reached node the same way.
+      var step = frontier.join(edges, col("__node") === col("__src"))
+      if (trailMode)
+        step = step.filter(!array_contains(col("__edges"), col("__eid")))
+      val stepCols =
+        Seq(col("__origin"), col("__dst").as("__node"),
+          (col("__hops") + 1).as("__hops")) ++
+        (if (carryEdges)
+           Seq(concat(col("__edges"), array(col("__eid"))).as("__edges"))
+         else Seq.empty) ++
+        (if (matPaths)
+           Seq(concat(col("__nodes"), array(col("__dst"))).as("__nodes"))
+         else Seq.empty)
+      var next = step.select(stepCols: _*)
       if (bfs) next = next.dropDuplicates("__origin", "__node")
         .join(visited, Seq("__origin", "__node"), "left_anti")
       // flat lineage; materializes the early-stop probe. In the
@@ -278,12 +305,16 @@ object PathExpand {
 
   /** Join the collapsed (origin, node, hops) expansion result back to the
     * outer frame and bind the end node — shared by the frontier-loop and
-    * path-doubling regimes.
+    * path-doubling regimes. Materialized `__nodes`/`__edges` arrays (if
+    * the expansion carried them) are renamed to per-segment columns and
+    * reported so the pattern compiler can splice them into the path
+    * variable's node/relationship sequences.
     */
   private def finishSegment(qc: QueryCompiler, cur: Frame, fromVar: String,
                             collapsed: DataFrame, endVar: String,
                             cyclic: Boolean, endLabel: String,
-                            endNode: NodePattern): (Frame, String, String) = {
+                            endNode: NodePattern)
+  : (Frame, String, String, Option[(String, String)]) = {
     val joined0 = cur.df.join(collapsed,
       col(cur.idCol(fromVar)) === col("__origin")).drop("__origin")
     val (outDf, outVars) =
@@ -297,8 +328,15 @@ object PathExpand {
           cur.vars ++ endFrame.vars)
       }
     val hopsCol = s"__vhops_$endVar"
-    val out = outDf.withColumn(hopsCol, col("__hops")).drop("__node", "__hops")
-    (Frame(out, outVars), endVar, hopsCol)
+    var out = outDf.withColumn(hopsCol, col("__hops")).drop("__node", "__hops")
+    val mat =
+      if (collapsed.columns.contains("__nodes")) {
+        val nc = s"__vnodes_$endVar"
+        val rc = s"__vrels_$endVar"
+        out = out.withColumnRenamed("__nodes", nc).withColumnRenamed("__edges", rc)
+        Some((nc, rc))
+      } else None
+    (Frame(out, outVars), endVar, hopsCol, mat)
   }
 
   /** (src, dst[, eid]) edge list for one relationship type,

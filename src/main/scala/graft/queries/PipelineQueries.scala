@@ -78,14 +78,17 @@ object PipelineQueries {
     },
 
     // MinHash+LSH banding, measured: recall of the banding candidates
-    // over the exhaustive-truth pairs (j >= 0.5). P(miss | j=0.9, 16
-    // bands of 4) ≈ 4e-8 and real near-dups sit there, so the oracle
-    // asserts n_hit = n_truth — a green row certifies the sketch's
-    // recall on this corpus, replacing the old rows-only check.
+    // over the exhaustive-truth pairs in the j >= 0.9 regime — the
+    // regime the certainty argument actually covers (P(band miss |
+    // j >= 0.9, 16 bands of 4) <= 4e-8 PER PAIR, so the oracle's
+    // n_hit = n_truth assertion holds for any corpus, not just one
+    // whose true pairs happen to sit high). Pairs between 0.5 and 0.9
+    // are found too (the bench exercises them), but their recall is
+    // probabilistic by design and is NOT asserted here.
     "dd02_minhash_lsh" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       recallRow(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
           .select(col("id1"), col("id2")),
         Dedup.minHashLshPairs(docs, "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16)
@@ -276,9 +279,10 @@ object PipelineQueries {
     // Incremental-crawl dedup, measured: the corpus (doc_id % 7 != 0)
     // is MinHash-indexed at rest ONCE; the "new batch" (doc_id % 7 == 0)
     // is signed and probed against the stored bands. The oracle
-    // recomputes the exhaustive cross-boundary near-dup truth and
-    // asserts the probe recalls all of it — certifying the persisted
-    // index finds exactly what a full recompute would.
+    // recomputes the exhaustive cross-boundary truth in the j >= 0.9
+    // regime (where banding recall is certain — same argument as dd02)
+    // and asserts the probe recalls all of it — certifying the
+    // persisted index finds exactly what a full recompute would.
     "dd13_incremental_index_recall" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       val found = Dedup.minHashIndexLookup(s, mhIndexPath(s, dir),
@@ -286,7 +290,7 @@ object PipelineQueries {
         .select(least(col("new_id"), col("corpus_id")).as("id1"),
           greatest(col("new_id"), col("corpus_id")).as("id2"))
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.9)
         .filter((col("id1") % 7 === 0) =!= (col("id2") % 7 === 0))
         .select(col("id1"), col("id2"))
       recallRow(truth, found)
@@ -406,9 +410,13 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     // recall of the MinHash-LSH banding candidates over exhaustive
-    // truth: the oracle recomputes n_truth and asserts full recall
+    // truth RESTRICTED to j >= 0.9, the regime where the banding math
+    // makes a miss practically impossible (P <= 4e-8 per pair) — the
+    // oracle recomputes n_truth independently and asserts full recall
+    // there; recall between the 0.5 threshold and 0.9 is probabilistic
+    // by design and deliberately not asserted
     "dd02_minhash_lsh" ->
-      s"""WITH ${jaccardTruthCte("0.5")}
+      s"""WITH ${jaccardTruthCte("0.9")}
          SELECT c AS n_truth, c AS n_hit,
                 round(c * 1.0 / c + 1e-11, 4) AS recall FROM cnt""",
     // full replay of dd03: per-token 48-bit md5 hash → ±1 bit votes →
@@ -846,11 +854,11 @@ object PipelineQueries {
          WHERE sh.doc_id % 29 != 0
          GROUP BY 1""",
     // recall of the persisted-index probe over exhaustive cross-boundary
-    // truth: same certainty argument as dd02 (real near-dups sit at
-    // j >= 0.9 where P(band miss) ≈ 4e-8), so the oracle asserts
-    // n_hit = n_truth
+    // truth restricted to j >= 0.9 — the regime the banding-certainty
+    // argument covers (P(band miss) <= 4e-8 per pair), so n_hit =
+    // n_truth holds for any corpus generator, not just this one
     "dd13_incremental_index_recall" ->
-      s"""WITH ${jaccardTruthCte("0.5")}
+      s"""WITH ${jaccardTruthCte("0.9")}
          SELECT count(*) AS n_truth, count(*) AS n_hit,
                 round(count(*) * 1.0 / count(*) + 1e-11, 4) AS recall
          FROM truth WHERE (id1 % 7 = 0) <> (id2 % 7 = 0)""",

@@ -136,6 +136,75 @@ class CypherEngineSpec extends SparkSpec {
     assert(r.map(_.getLong(0)) == Seq(3L))
   }
 
+  test("nodes(p)/relationships(p) materialize var-length walks under the conf") {
+    spark.conf.set("graft.pathExpand.materializePaths", "true")
+    try {
+      val r = rows(
+        """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*1..3]->(b:Person)
+           RETURN b.name AS name, length(p) AS hops, nodes(p) AS ns,
+                  size(relationships(p)) AS n_rels ORDER BY hops""")
+      // KNOWS chain 0→1→2→3: node sequence is origin-inclusive, one
+      // relationship identity per hop
+      assert(r.map(x => (x.getString(0), x.getSeq[Long](2), x.getInt(3))) == Seq(
+        ("Bob", Seq(0L, 1L), 1),
+        ("Carol", Seq(0L, 1L, 2L), 2),
+        ("Dan", Seq(0L, 1L, 2L, 3L), 3)))
+    } finally spark.conf.unset("graft.pathExpand.materializePaths")
+  }
+
+  test("nodes(p) splices fixed hops and var-length segments in order") {
+    spark.conf.set("graft.pathExpand.materializePaths", "true")
+    try {
+      val r = rows(
+        """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(m:Person)-[:KNOWS*1..2]->(b:Person)
+           RETURN b.name AS name, nodes(p) AS ns ORDER BY name""")
+      assert(r.map(x => (x.getString(0), x.getSeq[Long](1))) == Seq(
+        ("Carol", Seq(0L, 1L, 2L)),
+        ("Dan", Seq(0L, 1L, 2L, 3L))))
+    } finally spark.conf.unset("graft.pathExpand.materializePaths")
+  }
+
+  test("nodes(p) on a fixed-hop path needs no conf (ids are already bound)") {
+    val r = rows(
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b:Person)
+         RETURN nodes(p) AS ns""")
+    assert(r.map(_.getSeq[Long](0)) == Seq(Seq(0L, 1L)))
+  }
+
+  test("nodes/relationships report WHY they are unavailable") {
+    val e1 = intercept[IllegalArgumentException](rows(
+      """MATCH p = (a:Person)-[:KNOWS*1..2]->(b:Person) RETURN nodes(p) AS ns"""))
+    assert(e1.getMessage.contains("materializePaths"))
+    val e2 = intercept[IllegalArgumentException](rows(
+      """MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*1..5]->(b:Person {name: 'Dan'}))
+         RETURN nodes(p) AS ns"""))
+    assert(e2.getMessage.contains("materializePaths"))
+    spark.conf.set("graft.pathExpand.materializePaths", "true")
+    try {
+      val e3 = intercept[IllegalArgumentException](rows(
+        """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b:Person)
+           RETURN relationships(p) AS rs"""))
+      assert(e3.getMessage.contains("relationship identity"))
+    } finally spark.conf.unset("graft.pathExpand.materializePaths")
+  }
+
+  test("trail mode composes with path materialization (edge arrays shared)") {
+    spark.conf.set("graft.pathExpand.materializePaths", "true")
+    spark.conf.set("graft.pathExpand.trailSemantics", "true")
+    try {
+      val r = rows(
+        """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*2..2]-(b:Person)
+           RETURN nodes(p) AS ns, size(relationships(p)) AS n_rels""")
+      // undirected 2-hop trails from Alice: 0-1-2 only (0-1-0 reuses
+      // the edge and is excluded by trail semantics)
+      assert(r.map(x => (x.getSeq[Long](0), x.getInt(1))) ==
+        Seq((Seq(0L, 1L, 2L), 2)))
+    } finally {
+      spark.conf.unset("graft.pathExpand.trailSemantics")
+      spark.conf.unset("graft.pathExpand.materializePaths")
+    }
+  }
+
   test("ORDER BY mixing a projected alias with pre-projection scope") {
     // the hidden sort key substitutes nm with its source expression, so
     // it compiles against the pre-projection frame (Neo4j accepts this)

@@ -77,6 +77,39 @@ class PipelineSpec extends SparkSpec {
     assert(written.count() == 2)
   }
 
+  test("audit_uri: a run leaves a queryable parquet audit artifact") {
+    val dir = tmpDir; val out = tmpDir
+    writeFixtures(dir)
+    val config = PipelineConfig.parse(
+      s"""project: {name: audited, audit_uri: $out/_audit}
+         |sources:
+         |  entities:
+         |    - {id: people, uri: $dir/people.csv, entity_type: Person, id_col: id}
+         |queries:
+         |  - {id: adults, inline: "MATCH (p:Person) WHERE p.age >= 30 RETURN p.name AS name"}
+         |  - {id: everyone, inline: "MATCH (p:Person) RETURN p.name AS name, p.age AS age"}
+         |output:
+         |  - {query_id: adults, uri: $out/adults.parquet}
+         |  - {query_id: everyone, uri: $out/everyone.parquet}
+         |""".stripMargin)
+    assert(config.auditUri.contains(s"$out/_audit"))
+    PipelineRunner.run(spark, config)
+    val audit = spark.read.parquet(s"$out/_audit")
+    // one caller-timed row per sink write, labeled with its pipeline
+    // query id and successful
+    val sinks = audit.filter("action like 'sink:%' and status = 'success'")
+      .select("label").collect().map(_.getString(0)).toSet
+    assert(sinks == Set("adults", "everyone"))
+    // the listener recorded the underlying write actions too (plan
+    // hash + shuffle metrics rows, label-independent)
+    assert(audit.count() >= 2)
+    // the listener is detached after the run: further actions on the
+    // session must not grow a flushed-and-finished audit
+    spark.range(3).count()
+    org.apache.spark.sql.graftshim.ListenerBridge.waitUntilEmpty(spark, 5000L)
+    assert(spark.read.parquet(s"$out/_audit").count() == audit.count())
+  }
+
   test("env substitution and missing-var error") {
     assert(PipelineConfig.substituteEnv("path: ${HOME_X}/f", Map("HOME_X" -> "/tmp")) ==
       "path: /tmp/f")
