@@ -367,6 +367,25 @@ object CypherQueries {
         .withColumn("node_ids",
           array_join(col("node_ids").cast("array<string>"), ","))
       finally spark.conf.unset("graft.pathExpand.materializePaths")
+    }),
+
+    // deterministic shortestPath WITNESS: under materializePaths the
+    // BFS per-hop dedup keeps the lexicographically least (nodes,
+    // edges) prefix per (origin, node), which makes the surviving
+    // path the global lex-min shortest node sequence — a well-defined
+    // value an external oracle can recompute (openCypher leaves the
+    // witness implementation-defined; an arbitrary one could never be
+    // hash-gated). Oracle: enumerate all walks, rank by (hops, nodes).
+    "cy44_shortestpath_witness" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      spark.conf.set("graft.pathExpand.materializePaths", "true")
+      try TpchGraph.engine(spark, dir).query(
+        """MATCH p = shortestPath((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
+           RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+                  length(p) AS hops, nodes(p) AS node_ids""")
+        .withColumn("node_ids",
+          array_join(col("node_ids").cast("array<string>"), ","))
+      finally spark.conf.unset("graft.pathExpand.materializePaths")
     })
   )
 
@@ -670,6 +689,34 @@ object CypherQueries {
          SELECT origin AS a_key, node AS b_key, CAST(hops AS BIGINT) AS hops,
                 array_to_string(nodes, ',') AS node_ids,
                 CAST(hops AS INTEGER) AS n_rels
-         FROM walk WHERE hops >= 2"""
+         FROM walk WHERE hops >= 2""",
+    // lex-min shortest witness: all walks to depth 12 carrying node
+    // lists, ranked per (origin, node) by (hops, nodes) — rn=1 is
+    // exactly the witness the deterministic BFS reduction must keep
+    "cy44_shortestpath_witness" ->
+      """WITH RECURSIVE nk AS (SELECT n_nationkey AS k FROM nation),
+         st AS (
+           SELECT k AS src, k + 1 AS dst FROM nk
+           UNION ALL SELECT k AS src, k + 2 AS dst FROM nk
+         ),
+         e AS (SELECT st.src, st.dst FROM st JOIN nk ON nk.k = st.dst),
+         walk AS (
+           SELECT k AS origin, k AS node, 0 AS hops,
+                  [CAST(k AS BIGINT)] AS nodes FROM nk
+           UNION ALL
+           SELECT w.origin, e.dst, w.hops + 1,
+                  list_append(w.nodes, CAST(e.dst AS BIGINT))
+           FROM walk w JOIN e ON e.src = w.node
+           WHERE w.hops < 12
+         ),
+         sel AS (
+           SELECT origin, node, hops, nodes,
+                  row_number() OVER (PARTITION BY origin, node
+                                     ORDER BY hops, nodes) AS rn
+           FROM walk WHERE hops >= 1
+         )
+         SELECT origin AS a_key, node AS b_key, CAST(hops AS BIGINT) AS hops,
+                array_to_string(nodes, ',') AS node_ids
+         FROM sel WHERE rn = 1"""
   )
 }

@@ -96,11 +96,10 @@ final class ExpressionCompiler(val frame: Frame, params: Map[String, Any]) {
     // in SURVEY §6): this engine returns the IDENTITIES (node ids,
     // relationship identity hashes), not entity maps — the relational
     // surface where attributes join back by id. Requires a materialized
-    // path: free for fixed-hop patterns; var-length patterns opt in via
-    // graft.pathExpand.materializePaths (each path row then carries
-    // O(maxHops) ids). shortestPath never materializes — its BFS keeps
-    // one arbitrary witness per endpoint pair, so a node list would be
-    // nondeterministic.
+    // path: free for fixed-hop patterns; var-length and shortestPath
+    // patterns opt in via graft.pathExpand.materializePaths (each path
+    // row then carries O(maxHops) ids; shortestPath additionally
+    // switches its BFS dedup to the deterministic lex-min witness).
     case FnCall(n, Seq(Variable(v)), _)
       if (n.equalsIgnoreCase("nodes") || n.equalsIgnoreCase("relationships")) &&
         frame.vars.get(v).exists(_.isInstanceOf[PathVar]) =>
@@ -108,9 +107,8 @@ final class ExpressionCompiler(val frame: Frame, params: Map[String, Any]) {
       val c = if (n.equalsIgnoreCase("nodes")) nodesCol else relsCol
       c.map(col).getOrElse(throw new IllegalArgumentException(
         s"${n.toLowerCase}($v) needs a materialized path: set " +
-          "graft.pathExpand.materializePaths=true for var-length patterns " +
-          "(unavailable for shortestPath, whose witness path is " +
-          "nondeterministic; relationships() also needs every hop " +
+          "graft.pathExpand.materializePaths=true for var-length and " +
+          "shortestPath patterns (relationships() also needs every hop " +
           "var-length — fixed hops carry no relationship identity)"))
     // id(n) / elementId(n): the entity's identity column (this engine's
     // ids are the natural keys, so id() is stable — unlike Neo4j's

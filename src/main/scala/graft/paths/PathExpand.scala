@@ -62,18 +62,21 @@ object PathExpand {
     val startVar = p.start.variable.getOrElse(qc.mkFreshVar())
     val startLabel = qc.mkResolveLabel(p.start, Some(rel), isStart = rel.direction != "IN")
     val start = qc.mkNodeFrame(startVar, startLabel, p.start.props)
-    val (f, _, hopsCol, _) = expandSegment(qc, catalog, start, startVar, rel, endNode,
+    val (f, _, hopsCol, mat) = expandSegment(qc, catalog, start, startVar, rel, endNode,
       params, p.shortest)
-    // shortestPath keeps ONE arbitrary witness per (origin, node) — a
-    // BFS dedup drops the others before hop counts are affected — so a
-    // materialized node list would be nondeterministic; the path var
-    // exposes length(p) only (openCypher leaves the witness choice
-    // implementation-defined, but a correctness-gated engine must not
-    // emit nondeterministic columns).
+    // Without materialization shortestPath exposes length(p) only: its
+    // BFS dedup keeps an ARBITRARY witness per (origin, node), which
+    // must not leak into output. Under materializePaths the dedup
+    // switches to the deterministic lex-min reduction (expandSegment),
+    // so nodes(p)/relationships(p) are well-defined: the
+    // lexicographically least shortest node sequence (openCypher
+    // leaves the witness choice implementation-defined; a
+    // correctness-gated engine must pick a deterministic one).
     p.pathVariable match {
       case Some(pv) =>
         val pc = s"__hops_$pv"
-        Frame(f.df.withColumn(pc, col(hopsCol)), f.vars + (pv -> PathVar(pc)))
+        Frame(f.df.withColumn(pc, col(hopsCol)),
+          f.vars + (pv -> PathVar(pc, mat.map(_._1), mat.map(_._2))))
       case None => f
     }
   }
@@ -105,9 +108,15 @@ object PathExpand {
     // path materialization (nodes(p)/relationships(p)) rides the same
     // frontier: each path row carries its node-id and edge-identity
     // arrays — O(maxHops) ids per path, so it is opt-in like trail
-    // mode. Walk/trail regimes only: BFS shortest keeps one arbitrary
-    // witness per (origin, node), which must not leak into output.
-    val matPaths = shortest.isEmpty && cur.df.sparkSession.conf
+    // mode. Under shortestPath the BFS per-hop dedup additionally
+    // switches from an arbitrary-row dropDuplicates to a deterministic
+    // min(struct(hops, nodes, edges)) reduction: the kept prefix per
+    // (origin, node) is the lexicographically least, and since every
+    // shortest path to a level-k node extends a kept level-(k-1)
+    // prefix (its predecessor is necessarily first-reached one level
+    // earlier), the surviving witness is the GLOBAL lex-min shortest
+    // node sequence — deterministic, so it may appear in output.
+    val matPaths = cur.df.sparkSession.conf
       .get("graft.pathExpand.materializePaths", "false").toBoolean
     val carryEdges = trailMode || matPaths
 
@@ -189,7 +198,9 @@ object PathExpand {
       .get("graft.pathExpand.doublingMaxEdges", "100000").toLong
     val closureRowCap = edges0.sparkSession.conf
       .get("graft.pathExpand.doublingMaxClosureRows", "4000000").toLong
-    val doubling = bfs && loops &&
+    // (the closure carries pair-distances only — it cannot materialize
+    // witness paths, so materialization routes through the frontier)
+    val doubling = bfs && loops && !matPaths &&
       edgeCount <= math.min(doublingThreshold, threshold)
 
     if (doubling) {
@@ -263,8 +274,28 @@ object PathExpand {
            Seq(concat(col("__nodes"), array(col("__dst"))).as("__nodes"))
          else Seq.empty)
       var next = step.select(stepCols: _*)
-      if (bfs) next = next.dropDuplicates("__origin", "__node")
-        .join(visited, Seq("__origin", "__node"), "left_anti")
+      if (bfs) {
+        // per-hop dedup: one surviving path prefix per (origin, node).
+        // With materialization the survivor must be DETERMINISTIC — the
+        // min(struct) keeps the lexicographically least (nodes, edges)
+        // prefix, which by induction makes the final witness the global
+        // lex-min shortest node sequence (see matPaths note above);
+        // without it, any row serves (only the hop count is exposed)
+        // and dropDuplicates is the cheaper reduction. Both group on
+        // the same keys, so the co-partitioned regime's partitioning
+        // reuse is identical.
+        next =
+          if (matPaths)
+            next.groupBy(col("__origin"), col("__node"))
+              .agg(min(struct(col("__hops"), col("__nodes"), col("__edges")))
+                .as("__w"))
+              .select(col("__origin"), col("__node"),
+                col("__w.__hops").as("__hops"),
+                col("__w.__nodes").as("__nodes"),
+                col("__w.__edges").as("__edges"))
+          else next.dropDuplicates("__origin", "__node")
+        next = next.join(visited, Seq("__origin", "__node"), "left_anti")
+      }
       // flat lineage; materializes the early-stop probe. In the
       // co-partitioned (large-edge) regime the frontier is partitioned
       // on __node so the next hop's join probes the pre-partitioned
@@ -293,8 +324,18 @@ object PathExpand {
 
     val collapsed = shortest match {
       // BFS already yields each (origin, node) exactly once at its min hop;
-      // the grouped min is only needed on the walk-mode fallback. Without
-      // materialized edge lists, shortestPath and allShortestPaths coincide.
+      // the grouped min is only needed on the walk-mode fallback (minHops
+      // > 1 keeps walks) — deterministic there too: min over the full
+      // (hops, nodes, edges) struct. Without materialized edge lists,
+      // shortestPath and allShortestPaths coincide.
+      case Some(_) if !bfs && matPaths =>
+        reached.groupBy(col("__origin"), col("__node"))
+          .agg(min(struct(col("__hops"), col("__nodes"), col("__edges")))
+            .as("__w"))
+          .select(col("__origin"), col("__node"),
+            col("__w.__hops").as("__hops"),
+            col("__w.__nodes").as("__nodes"),
+            col("__w.__edges").as("__edges"))
       case Some(_) if !bfs =>
         reached.groupBy(col("__origin"), col("__node"))
           .agg(min(col("__hops")).as("__hops"))

@@ -188,6 +188,24 @@ class CypherEngineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.pathExpand.materializePaths")
   }
 
+  test("shortestPath materializes the deterministic lex-min witness under the conf") {
+    spark.conf.set("graft.pathExpand.materializePaths", "true")
+    try {
+      // BFS regime (minHops <= 1)
+      val r = rows(
+        """MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*1..5]->(b:Person {name: 'Dan'}))
+           RETURN length(p) AS hops, nodes(p) AS ns, size(relationships(p)) AS nr""")
+      assert(r.map(x => (x.getLong(0), x.getSeq[Long](1), x.getInt(2))) ==
+        Seq((3L, Seq(0L, 1L, 2L, 3L), 3)))
+      // walk-collapse regime (minHops > 1 disables the BFS dedup)
+      val r2 = rows(
+        """MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*2..5]->(b:Person {name: 'Dan'}))
+           RETURN length(p) AS hops, nodes(p) AS ns""")
+      assert(r2.map(x => (x.getLong(0), x.getSeq[Long](1))) ==
+        Seq((3L, Seq(0L, 1L, 2L, 3L))))
+    } finally spark.conf.unset("graft.pathExpand.materializePaths")
+  }
+
   test("trail mode composes with path materialization (edge arrays shared)") {
     spark.conf.set("graft.pathExpand.materializePaths", "true")
     spark.conf.set("graft.pathExpand.trailSemantics", "true")
