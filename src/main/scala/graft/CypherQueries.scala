@@ -386,6 +386,24 @@ object CypherQueries {
         .withColumn("node_ids",
           array_join(col("node_ids").cast("array<string>"), ","))
       finally spark.conf.unset("graft.pathExpand.materializePaths")
+    }),
+
+    // allShortestPaths enumeration: EVERY min-hop witness per endpoint
+    // pair (only distinguishable from shortestPath with materialized
+    // paths — hop counts alone coincide). In the successor graph an odd
+    // distance d = 2k-1 has exactly k shortest decompositions (one
+    // 1-step among k-1 2-steps), so the pair multiplicities are a real
+    // differential, oracled by the same walk CTE without the rn=1 cut.
+    "cy45_all_shortest_witnesses" -> ((spark, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      spark.conf.set("graft.pathExpand.materializePaths", "true")
+      try TpchGraph.engine(spark, dir).query(
+        """MATCH p = allShortestPaths((a:Nation)-[:NEXT_N*1..12]->(b:Nation))
+           RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+                  length(p) AS hops, nodes(p) AS node_ids""")
+        .withColumn("node_ids",
+          array_join(col("node_ids").cast("array<string>"), ","))
+      finally spark.conf.unset("graft.pathExpand.materializePaths")
     })
   )
 
@@ -717,6 +735,31 @@ object CypherQueries {
          )
          SELECT origin AS a_key, node AS b_key, CAST(hops AS BIGINT) AS hops,
                 array_to_string(nodes, ',') AS node_ids
-         FROM sel WHERE rn = 1"""
+         FROM sel WHERE rn = 1""",
+    // every min-hop witness: the same walk enumeration, min-hop filter
+    // per pair, all distinct node sequences kept
+    "cy45_all_shortest_witnesses" ->
+      """WITH RECURSIVE nk AS (SELECT n_nationkey AS k FROM nation),
+         st AS (
+           SELECT k AS src, k + 1 AS dst FROM nk
+           UNION ALL SELECT k AS src, k + 2 AS dst FROM nk
+         ),
+         e AS (SELECT st.src, st.dst FROM st JOIN nk ON nk.k = st.dst),
+         walk AS (
+           SELECT k AS origin, k AS node, 0 AS hops,
+                  [CAST(k AS BIGINT)] AS nodes FROM nk
+           UNION ALL
+           SELECT w.origin, e.dst, w.hops + 1,
+                  list_append(w.nodes, CAST(e.dst AS BIGINT))
+           FROM walk w JOIN e ON e.src = w.node
+           WHERE w.hops < 12
+         ),
+         sel AS (SELECT origin, node, hops, nodes FROM walk WHERE hops >= 1),
+         mn AS (SELECT origin, node, min(hops) AS mh FROM sel GROUP BY 1, 2)
+         SELECT DISTINCT sel.origin AS a_key, sel.node AS b_key,
+                CAST(sel.hops AS BIGINT) AS hops,
+                array_to_string(sel.nodes, ',') AS node_ids
+         FROM sel JOIN mn ON sel.origin = mn.origin AND sel.node = mn.node
+                         AND sel.hops = mn.mh"""
   )
 }

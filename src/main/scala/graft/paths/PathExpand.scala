@@ -119,6 +119,14 @@ object PathExpand {
     val matPaths = cur.df.sparkSession.conf
       .get("graft.pathExpand.materializePaths", "false").toBoolean
     val carryEdges = trailMode || matPaths
+    // allShortestPaths enumerates EVERY min-hop witness — only
+    // distinguishable from shortestPath when paths are materialized
+    // (without witnesses the two coincide, hop counts being equal);
+    // the per-hop reduction then keeps all DISTINCT prefixes per
+    // (origin, node) instead of the lex-min one, so the frontier grows
+    // with the shortest-path multiplicity (opt-in, like everything
+    // else the conf buys).
+    val allPaths = matPaths && shortest.contains("allShortest")
 
     // direction-adjusted, property-filtered edge set; [:A|B] alternation
     // unions the per-type edge lists before the loop. Materialized ONCE
@@ -285,7 +293,11 @@ object PathExpand {
         // the same keys, so the co-partitioned regime's partitioning
         // reuse is identical.
         next =
-          if (matPaths)
+          if (allPaths)
+            // keep every distinct shortest prefix: all level-k shortest
+            // paths extend level-(k-1) shortest prefixes, all retained
+            next.dropDuplicates("__origin", "__node", "__nodes", "__edges")
+          else if (matPaths)
             next.groupBy(col("__origin"), col("__node"))
               .agg(min(struct(col("__hops"), col("__nodes"), col("__edges")))
                 .as("__w"))
@@ -312,8 +324,13 @@ object PathExpand {
       if (frontier.isEmpty) exhausted = true
       else {
         if (hop >= minHops) results :+= walkRows(frontier)
+        // allShortest frontiers carry one row per WITNESS; the visited
+        // set needs one per (origin, node) or it grows with multiplicity
         if (bfs) visited = visited.unionByName(
-          frontier.select(col("__origin"), col("__node")))
+          if (allPaths)
+            frontier.select(col("__origin"), col("__node"))
+              .dropDuplicates("__origin", "__node")
+          else frontier.select(col("__origin"), col("__node")))
       }
       hop += 1
     }
@@ -323,11 +340,19 @@ object PathExpand {
       else results.reduce(_ unionByName _)
 
     val collapsed = shortest match {
-      // BFS already yields each (origin, node) exactly once at its min hop;
-      // the grouped min is only needed on the walk-mode fallback (minHops
-      // > 1 keeps walks) — deterministic there too: min over the full
-      // (hops, nodes, edges) struct. Without materialized edge lists,
-      // shortestPath and allShortestPaths coincide.
+      // BFS already yields each (origin, node) exactly once (lex-min
+      // witness) or once per distinct witness (allShortest); the grouped
+      // reduction is only needed on the walk-mode fallback (minHops > 1
+      // keeps walks) — deterministic there too: min over the full
+      // (hops, nodes, edges) struct, or a min-hop filter keeping every
+      // distinct witness for allShortest. Without materialized edge
+      // lists, shortestPath and allShortestPaths coincide.
+      case Some(_) if !bfs && allPaths =>
+        val mh = reached.groupBy(col("__origin"), col("__node"))
+          .agg(min(col("__hops")).as("__mh"))
+        reached.join(mh, Seq("__origin", "__node"))
+          .filter(col("__hops") === col("__mh")).drop("__mh")
+          .dropDuplicates("__origin", "__node", "__nodes", "__edges")
       case Some(_) if !bfs && matPaths =>
         reached.groupBy(col("__origin"), col("__node"))
           .agg(min(struct(col("__hops"), col("__nodes"), col("__edges")))

@@ -206,6 +206,30 @@ class CypherEngineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.pathExpand.materializePaths")
   }
 
+  test("allShortestPaths enumerates every min-hop witness under the conf") {
+    import graft.model.GraphCatalog
+    import spark.implicits._
+    // diamond: 0→{1,2}→3 — two distinct 2-hop shortest paths
+    val v = Seq((0L, "a"), (1L, "b1"), (2L, "b2"), (3L, "c")).toDF("__ID__", "name")
+    val e = Seq((0L, 0L, 1L), (1L, 0L, 2L), (2L, 1L, 3L), (3L, 2L, 3L))
+      .toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val eng = new CypherEngine(spark, new GraphCatalog()
+      .addEntity("N", v)
+      .addRelationship("E", e, srcLabel = Some("N"), dstLabel = Some("N")))
+    spark.conf.set("graft.pathExpand.materializePaths", "true")
+    try {
+      val q =
+        """MATCH p = %s((a:N {name: 'a'})-[:E*1..4]->(b:N {name: 'c'}))
+           RETURN length(p) AS hops, nodes(p) AS ns"""
+      val all = eng.query(q.format("allShortestPaths")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      assert(all == Set((2L, Seq(0L, 1L, 3L)), (2L, Seq(0L, 2L, 3L))))
+      val one = eng.query(q.format("shortestPath")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      assert(one == Seq((2L, Seq(0L, 1L, 3L)))) // lex-min witness only
+    } finally spark.conf.unset("graft.pathExpand.materializePaths")
+  }
+
   test("trail mode composes with path materialization (edge arrays shared)") {
     spark.conf.set("graft.pathExpand.materializePaths", "true")
     spark.conf.set("graft.pathExpand.trailSemantics", "true")
