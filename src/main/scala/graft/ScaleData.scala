@@ -25,7 +25,8 @@ object ScaleData {
 
   private val Offset = 100000000L
 
-  def ensure(spark: SparkSession, src: String, out: String): Unit = {
+  def ensure(spark: SparkSession, src: String, out: String,
+             replicas: Int = 10): Unit = {
     val done = new java.io.File(s"$out/_DONE")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
@@ -33,7 +34,7 @@ object ScaleData {
     def replicate(name: String, keyCols: Seq[String],
                   mark: Option[String] = None): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until 10).map { k =>
+      (0 until replicas).map { k =>
         val keyed = keyCols.foldLeft(base)((df, c) =>
           df.withColumn(c, col(c) + lit(k * Offset)))
         mark match {

@@ -194,7 +194,19 @@ object PipelineRunner {
     // recording (star.py:833-896) along the nmetl pipeline path.
     val audit = config.auditUri.map(_ => new graft.ops.QueryAudit(spark).attach())
     try runAudited(spark, config, audit)
-    finally audit.foreach(_.detach())
+    finally audit.foreach { a =>
+      // flush in finally, not on the success path: the audit artifact
+      // matters MOST when the run dies mid-pipeline (the failure row
+      // and everything that executed before it must survive). Drain
+      // the async listener bus first so the last action's record is in
+      // the buffer; telemetry failures never mask the run's outcome.
+      try {
+        config.auditUri.foreach { uri =>
+          org.apache.spark.sql.graftshim.ListenerBridge.waitUntilEmpty(spark, 10000L)
+          a.flushTo(uri)
+        }
+      } finally a.detach()
+    }
   }
 
   private def runAudited(spark: SparkSession, config: PipelineConfig,
@@ -240,15 +252,6 @@ object PipelineRunner {
           throw e
       }
       o.uri
-    }
-    // drain the async listener bus before flushing so the run's last
-    // action's record is in the buffer; on timeout flush what arrived
-    // (telemetry must never fail the pipeline)
-    (audit, config.auditUri) match {
-      case (Some(a), Some(uri)) =>
-        org.apache.spark.sql.graftshim.ListenerBridge.waitUntilEmpty(spark, 10000L)
-        a.flushTo(uri)
-      case _ =>
     }
     RunResult(results.toMap, written)
   }

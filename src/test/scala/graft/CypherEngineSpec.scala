@@ -230,6 +230,18 @@ class CypherEngineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.pathExpand.materializePaths")
   }
 
+  test("path variable survives WITH rebinding with its materialized arrays") {
+    spark.conf.set("graft.pathExpand.materializePaths", "true")
+    try {
+      val r = rows(
+        """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*1..3]->(b:Person)
+           WITH p, b WHERE b.name = 'Dan'
+           RETURN length(p) AS hops, nodes(p) AS ns""")
+      assert(r.map(x => (x.getLong(0), x.getSeq[Long](1))) ==
+        Seq((3L, Seq(0L, 1L, 2L, 3L))))
+    } finally spark.conf.unset("graft.pathExpand.materializePaths")
+  }
+
   test("trail mode composes with path materialization (edge arrays shared)") {
     spark.conf.set("graft.pathExpand.materializePaths", "true")
     spark.conf.set("graft.pathExpand.trailSemantics", "true")

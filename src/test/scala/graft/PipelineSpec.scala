@@ -110,6 +110,48 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/_audit").count() == audit.count())
   }
 
+  test("audit survives a failing sink: the failure row is flushed") {
+    val dir = tmpDir; val out = tmpDir
+    writeFixtures(dir)
+    val config = PipelineConfig.parse(
+      s"""project: {name: audited_fail, audit_uri: $out/_audit}
+         |sources:
+         |  entities:
+         |    - {id: people, uri: $dir/people.csv, entity_type: Person, id_col: id}
+         |queries:
+         |  - {id: q, inline: "MATCH (p:Person) RETURN p.name AS name"}
+         |output:
+         |  - {query_id: q, uri: $out/bad.xyz, format: nope}
+         |""".stripMargin)
+    intercept[IllegalArgumentException](PipelineRunner.run(spark, config))
+    val audit = spark.read.parquet(s"$out/_audit")
+    val fail = audit.filter("status = 'failure' and label = 'q'").collect()
+    assert(fail.length == 1 && fail.head.getAs[String]("error").contains("nope"))
+  }
+
+  test("ScaleData replication preserves FK structure and fixes dims") {
+    val out = tmpDir
+    ScaleData.ensure(spark, "/root/testdata/sf0.001", out, replicas = 2)
+    def t(n: String) = spark.read.parquet(s"$out/$n.parquet")
+    def src(n: String) = spark.read.parquet(s"/root/testdata/sf0.001/$n.parquet")
+    val (cust, ord, li, part, nat) =
+      (t("customer"), t("orders"), t("lineitem"), t("part"), t("nation"))
+    // replicas are disjoint FK-closed subgraphs: no dangling keys
+    assert(ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti").isEmpty)
+    assert(li.join(part, li("l_partkey") === part("p_partkey"), "left_anti").isEmpty)
+    assert(li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti").isEmpty)
+    // nation-keyed FKs stay valid against the FIXED dimension
+    assert(cust.join(nat, cust("c_nationkey") === nat("n_nationkey"), "left_anti").isEmpty)
+    // counts: facts scale, dims do not
+    assert(li.count() == 2 * src("lineitem").count())
+    assert(nat.count() == src("nation").count())
+    // replica documents are near-dups (marker token), not exact dups
+    val d = t("documents")
+    assert(d.count() == 2 * src("documents").count())
+    assert(d.filter(org.apache.spark.sql.functions.col("text")
+      .endsWith(" replica1")).count() == src("documents").count())
+  }
+
   test("env substitution and missing-var error") {
     assert(PipelineConfig.substituteEnv("path: ${HOME_X}/f", Map("HOME_X" -> "/tmp")) ==
       "path: /tmp/f")
