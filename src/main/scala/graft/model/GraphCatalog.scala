@@ -42,7 +42,13 @@ final class GraphCatalog {
                       dstLabel: Option[String] = None): GraphCatalog = {
     require(df.columns.contains(srcCol) && df.columns.contains(dstCol),
       s"src/dst columns '$srcCol'/'$dstCol' not in ${df.columns.mkString(",")}")
-    relationships.put(relType, RelationshipDef(relType, df, srcCol, dstCol, idCol,
+    // the reference's reserved `__ID__` column IS the relationship
+    // identity when present (FIXTURES §A.1) — without it, parallel
+    // edges between one (src, dst) pair would silently share an
+    // identity, conflating them under trail semantics and
+    // allShortestPaths witness dedup
+    val rid = idCol.orElse(Option.when(df.columns.contains("__ID__"))("__ID__"))
+    relationships.put(relType, RelationshipDef(relType, df, srcCol, dstCol, rid,
       srcLabel, dstLabel))
     this
   }

@@ -278,4 +278,90 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- path materialization vs brute-force walk enumeration ----
+
+  /** Random multigraph on 6 vertices: self-loops and parallel edges
+    * allowed — exactly the shapes that stress walk multiplicity, witness
+    * tie-breaking, and edge-identity dedup.
+    */
+  private val multigraphGen: Gen[Seq[(Long, Long, Long)]] = for {
+    nE <- Gen.chooseNum(2, 12)
+    es <- Gen.listOfN(nE, for {
+      s <- Gen.chooseNum(0L, 5L); d <- Gen.chooseNum(0L, 5L)
+    } yield (s, d))
+  } yield es.zipWithIndex.map { case ((s, d), i) => (i.toLong, s, d) }
+
+  private def pathEngine(edges: Seq[(Long, Long, Long)]): CypherEngine = {
+    import spark.implicits._
+    val v = (0L to 5L).map(i => (i, s"v$i")).toDF("__ID__", "name")
+    val e = edges.toDF("__ID__", "__SOURCE__", "__TARGET__")
+    new CypherEngine(spark, new GraphCatalog()
+      .addEntity("N", v)
+      .addRelationship("E", e, srcLabel = Some("N"), dstLabel = Some("N")))
+  }
+
+  /** Every walk of 1..maxH hops as its node sequence, one entry per
+    * distinct EDGE sequence (parallel edges multiply entries).
+    */
+  private def bruteWalks(edges: Seq[(Long, Long, Long)], maxH: Int): Seq[Vector[Long]] = {
+    var frontier = (0L to 5L).map(Vector(_))
+    val out = scala.collection.mutable.Buffer.empty[Vector[Long]]
+    for (_ <- 1 to maxH) {
+      frontier = frontier.flatMap(p =>
+        edges.collect { case (_, s, d) if s == p.last => p :+ d })
+      out ++= frontier
+    }
+    out.toSeq
+  }
+
+  test("materialized walk node sequences match brute-force enumeration (multiset)") {
+    forAll(multigraphGen, trials = 6) { edges =>
+      val eng = pathEngine(edges)
+      spark.conf.set("graft.pathExpand.materializePaths", "true")
+      try {
+        val got = eng.query(
+          """MATCH p = (a:N)-[:E*1..3]->(b:N) RETURN nodes(p) AS ns""")
+          .collect().map(_.getSeq[Long](0).toVector).toSeq
+        val want = bruteWalks(edges, 3)
+        assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+          want.groupBy(identity).view.mapValues(_.size).toMap,
+          s"edges=$edges")
+      } finally spark.conf.unset("graft.pathExpand.materializePaths")
+    }
+  }
+
+  test("shortestPath witness is the brute-force lex-min; allShortestPaths is the full min-hop set") {
+    import scala.math.Ordering.Implicits.seqOrdering
+    forAll(multigraphGen, trials = 6) { edges =>
+      val eng = pathEngine(edges)
+      val byPair = bruteWalks(edges, 4)
+        .filter(p => p.head != p.last || p.size > 1)
+        .groupBy(p => (p.head, p.last))
+      val minWalks = byPair.map { case (k, ps) =>
+        val mh = ps.map(_.size).min
+        k -> ps.filter(_.size == mh)
+      }
+      spark.conf.set("graft.pathExpand.materializePaths", "true")
+      try {
+        val oneRows = eng.query(
+          """MATCH p = shortestPath((a:N)-[:E*1..4]->(b:N)) RETURN nodes(p) AS ns""")
+          .collect().map(_.getSeq[Long](0).toVector).toSeq
+        assert(oneRows.map(p => (p.head, p.last)).distinct.size == oneRows.size,
+          s"shortestPath emitted duplicate pairs; edges=$edges")
+        val one = oneRows.map(p => (p.head, p.last) -> p).toMap
+        assert(one == minWalks.map { case (k, ps) => k -> ps.min },
+          s"lex-min witness diverged; edges=$edges")
+        val all = eng.query(
+          """MATCH p = allShortestPaths((a:N)-[:E*1..4]->(b:N)) RETURN nodes(p) AS ns""")
+          .collect().map(_.getSeq[Long](0).toVector).toSeq
+        // engine emits one row per distinct (nodes, edge ids): parallel
+        // edges multiply rows exactly like the brute-force enumeration
+        assert(all.groupBy(identity).view.mapValues(_.size).toMap ==
+          minWalks.values.flatten.toSeq
+            .groupBy(identity).view.mapValues(_.size).toMap,
+          s"allShortest multiset diverged; edges=$edges")
+      } finally spark.conf.unset("graft.pathExpand.materializePaths")
+    }
+  }
 }
