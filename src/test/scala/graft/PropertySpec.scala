@@ -331,6 +331,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("trail semantics match brute-force edge-unique enumeration (multiset)") {
+    forAll(multigraphGen, trials = 6) { edges =>
+      val eng = pathEngine(edges)
+      // brute force with edge-id uniqueness along each path
+      var frontier = (0L to 5L).map(v => (Vector(v), Set.empty[Long]))
+      val want = scala.collection.mutable.Buffer.empty[Vector[Long]]
+      for (_ <- 1 to 3) {
+        frontier = frontier.flatMap { case (p, used) =>
+          edges.collect { case (id, s, d) if s == p.last && !used(id) =>
+            (p :+ d, used + id)
+          }
+        }
+        want ++= frontier.map(_._1)
+      }
+      spark.conf.set("graft.pathExpand.trailSemantics", "true")
+      spark.conf.set("graft.pathExpand.materializePaths", "true")
+      try {
+        val got = eng.query(
+          """MATCH p = (a:N)-[:E*1..3]->(b:N) RETURN nodes(p) AS ns""")
+          .collect().map(_.getSeq[Long](0).toVector).toSeq
+        assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+          want.groupBy(identity).view.mapValues(_.size).toMap,
+          s"trail multiset diverged; edges=$edges")
+      } finally {
+        spark.conf.unset("graft.pathExpand.trailSemantics")
+        spark.conf.unset("graft.pathExpand.materializePaths")
+      }
+    }
+  }
+
+  test("zero-length paths (*0..2) bind start=end with an empty tail") {
+    forAll(multigraphGen, trials = 4) { edges =>
+      val eng = pathEngine(edges)
+      spark.conf.set("graft.pathExpand.materializePaths", "true")
+      try {
+        val got = eng.query(
+          """MATCH p = (a:N)-[:E*0..2]->(b:N) RETURN nodes(p) AS ns""")
+          .collect().map(_.getSeq[Long](0).toVector).toSeq
+        val want = (0L to 5L).map(Vector(_)) ++ bruteWalks(edges, 2)
+        assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+          want.groupBy(identity).view.mapValues(_.size).toMap,
+          s"*0..2 multiset diverged; edges=$edges")
+      } finally spark.conf.unset("graft.pathExpand.materializePaths")
+    }
+  }
+
   test("shortestPath witness is the brute-force lex-min; allShortestPaths is the full min-hop set") {
     import scala.math.Ordering.Implicits.seqOrdering
     forAll(multigraphGen, trials = 6) { edges =>
