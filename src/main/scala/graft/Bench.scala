@@ -2,6 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated query names (dev aid for warm
+    // per-query timing; the driver passes no args → full suite)
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(",").toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
@@ -28,7 +32,8 @@ object Bench {
     // median-of-N per query so one GC pause or first-run plan compile
     // can't masquerade as a slow plan; a query that throws is reported
     // as -1 with its error surfaced instead of a plausible wall-time
-    val results = scala.collection.immutable.ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
+    val results = scala.collection.immutable.ListMap(SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }: _*).map { case (name, fn) =>
       val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
         val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

@@ -328,13 +328,21 @@ object Dedup {
     */
   private def countJaccardPairs(distinctRows: DataFrame, threshold: Double,
                                 maxShingleDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wSh = Window.partitionBy(col("shingle"))
-    val wSz = Window.partitionBy(col("id"))
-    val idx = distinctRows
-      .withColumn("__sz", count(lit(1)).over(wSz))
-      .withColumn("__dfc", count(lit(1)).over(wSh))
+    // set sizes and shingle document-frequencies via map-side-combined
+    // aggregates + equi-joins — deliberately NOT count().over(Window
+    // .partitionBy(...)): a window ships EVERY occurrence of a key to
+    // one task's sort, so a corpus-scale boilerplate shingle (df 10⁸+)
+    // serializes — the dd11 skewed-key hazard in different clothes.
+    // The aggregate collapses hot keys to one row per map task before
+    // the shuffle, and the join-back is AQE-skew-splittable.
+    val sz = distinctRows.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
+    val dfc = distinctRows.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__dfc"))
       .filter(col("__dfc") <= maxShingleDf)
+      .select(col("shingle"))
+    val idx = distinctRows
+      .join(dfc, Seq("shingle"), "left_semi")
+      .join(sz, Seq("id"))
       .select(col("shingle"), col("id"), col("__sz"))
     idx.select(col("shingle"), col("id").as("id1"), col("__sz").as("__sz1"))
       .join(idx.select(col("shingle"), col("id").as("id2"),
