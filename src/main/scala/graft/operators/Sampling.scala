@@ -86,11 +86,18 @@ object Sampling {
     * rows are ordered by their md5 hash (a reproducible shuffle — no
     * rand(), no seed) and kept while the running token sum stays within
     * the group's budget, so "N tokens of source X, M of source Y" is
-    * exact, stable across runs, and monotone in the budget. One
-    * partitioned window per group — parallel across groups; a single
-    * group's ordering is the inherent serial part of a prefix-sum
-    * budget (partial per-bucket budgets are the escape hatch if one
-    * group dwarfs the cluster).
+    * exact, stable across runs, and monotone in the budget.
+    *
+    * TWO-PHASE prefix sum, not one window per group: a training corpus
+    * is usually one dominant group ("en" is most of the web), and a
+    * single `Window.partitionBy(group)` would sort that entire group in
+    * ONE task. Instead rows bucket by the first two md5 hex digits
+    * (bucket order IS md5-prefix order, so global order = (bucket,
+    * md5, key)): the heavy cumsum windows run per (group, bucket) —
+    * 256-way parallel within a group — while the bucket-total prefix
+    * runs on the aggregated ≤256-rows-per-group table and broadcasts
+    * back. Row's global running sum = earlier-buckets total + local
+    * cumsum; results are bit-identical to the single-window form.
     */
   def budgetSample(df: DataFrame, keyCol: String, groupCol: String,
                    weightCol: String,
@@ -99,9 +106,22 @@ object Sampling {
       case (acc, (g, b)) => when(col(groupCol) === lit(g), lit(b)).otherwise(acc)
     }
     val order = md5(col(keyCol).cast("string").cast("binary"))
-    val w = Window.partitionBy(groupCol).orderBy(order, col(keyCol))
-    df.withColumn("__cum", sum(col(weightCol)).over(w))
-      .filter(col("__cum") <= budget).drop("__cum")
+    val bucketed = df.withColumn("__bkt",
+      conv(substring(order, 1, 2), 16, 10).cast("int"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(order, col(keyCol))
+    val totals = bucketed.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col(weightCol)).as("__bt"))
+    val wPre = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = totals
+      .withColumn("__pre", coalesce(sum(col("__bt")).over(wPre), lit(0L)))
+      .select(col(groupCol), col("__bkt"), col("__pre"))
+    bucketed
+      .withColumn("__lcum", sum(col(weightCol)).over(wLocal))
+      .join(broadcast(prefix), Seq(groupCol, "__bkt"))
+      .filter(col("__pre") + col("__lcum") <= budget)
+      .select(df.columns.map(col): _*) // the USING join fronts its keys
   }
 
   /** End-to-end duplicate resolution: near-dup PAIRS → connected
@@ -112,7 +132,12 @@ object Sampling {
     *
     * Shuffle budget: the component propagation (O(log d) rounds of two
     * equi-joins, see Components), one join to attach quality, one
-    * window over comp. No all-pairs work anywhere.
+    * map-side-combinable winner aggregate per component + a semi-join
+    * back. Deliberately NOT a row_number window over comp: a
+    * boilerplate mega-cluster (one component holding 10⁸ near-identical
+    * docs at 100 TB) would land its whole membership in one task's
+    * sort; the aggregate collapses it to one row per map task, and the
+    * join-back is AQE-skew-splittable. No all-pairs work anywhere.
     */
   def resolveDuplicates(pairs: DataFrame, quality: DataFrame,
                         idCol: String = "doc_id",
@@ -129,10 +154,12 @@ object Sampling {
       .join(comp, quality(idCol) === comp("id"), "left_outer")
       .select(quality(idCol), quality(qualityCol),
         coalesce(col("comp"), quality(idCol)).as("comp"))
-    val w = Window.partitionBy("comp")
-      .orderBy(col(qualityCol).desc, col(idCol))
-    withComp.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // winner = min over (-quality, id): max quality, ties → lowest id
+    val winner = withComp.groupBy(col("comp"))
+      .agg(min(struct((-col(qualityCol)).as("__nq"), col(idCol).as("__i")))
+        .as("__w"))
+      .select(col("comp"), col("__w.__i").as(idCol))
+    withComp.join(winner, Seq("comp", idCol), "left_semi")
       .select(col(idCol), col("comp"), col(qualityCol))
   }
 }

@@ -203,6 +203,36 @@ class PlanSpec extends SparkSpec {
       s"canonical-occurrence aggregate not map-side combined:\n$p")
   }
 
+  test("exhaustive Jaccard and dedup-resolution avoid hot-key windows") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // shingle-df / set-size counting must be aggregates, not windows
+    // over the shingle key (a boilerplate gram would serialize)
+    val pj = plan(graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5))
+    assert(!pj.contains("Window"), s"hot-key window in Jaccard counting:\n$pj")
+    // survivor pick per component must be the min-struct aggregate (a
+    // boilerplate mega-cluster is one component)
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5).select("id1", "id2")
+    val pr = plan(graft.operators.Sampling.resolveDuplicates(
+      pairs, graft.operators.TextAnalysis.qualityScore(docs)))
+    assert(!pr.contains("Window"), s"hot-key window in dedup resolution:\n$pr")
+  }
+
+  test("budget sampling's heavy window is bucketed, never per-group only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.budgetSample(
+      docs, "doc_id", "lang", "n_chars", Map("en" -> 1000L)))
+    // the corpus-scale cumsum must partition on (group, bucket) — a
+    // bare per-group window would sort the dominant language in one
+    // task; only the ≤256-rows-per-group bucket-prefix window may
+    // partition on the group alone (it runs over the AGGREGATED table)
+    val windowSpecs = "Window".r.findAllMatchIn(p).size
+    assert(p.contains("__bkt"), s"bucketed cumsum missing from plan:\n$p")
+    assert(windowSpecs >= 2, s"expected local+prefix windows:\n$p")
+  }
+
   test("composed curation pipeline plans clean: no cartesian, benchmark " +
     "grams broadcast, semi/anti joins for the gates") {
     val df = graft.queries.PipelineQueries
