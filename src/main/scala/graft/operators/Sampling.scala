@@ -124,6 +124,38 @@ object Sampling {
       .select(df.columns.map(col): _*) // the USING join fronts its keys
   }
 
+  /** Global top-k rows per group (highest `orderCol`, ties to the
+    * lowest `tieCol`), with a 1-based `rank` column appended — the
+    * "best k documents per domain/language by quality" selection every
+    * curation pipeline runs.
+    *
+    * TWO-PHASE ranking, not one window per group: the corpus is
+    * usually one dominant group, and `row_number().over(partitionBy(
+    * group))` would sort it in a single task. Rows first salt into 256
+    * deterministic buckets (md5 of the tie key), rank per (group,
+    * salt) and keep k — any global top-k row is necessarily top-k
+    * within its bucket — then the survivors (≤ 256·k per group) rank
+    * once more per group for the exact global answer. Both phases are
+    * windows, but the per-group one only ever sees the bounded
+    * phase-1 output.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                   k: Int, tieCol: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val salt = conv(substring(
+      md5(col(tieCol).cast("string").cast("binary")), 1, 2), 16, 10).cast("int")
+    val w1 = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col(orderCol).desc, col(tieCol))
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(tieCol))
+    df.withColumn("__salt", salt)
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .drop("__salt", "__r1")
+  }
+
   /** End-to-end duplicate resolution: near-dup PAIRS → connected
     * components → ONE surviving representative per cluster (highest
     * quality, ties to the lowest id), singletons surviving untouched.

@@ -335,6 +335,19 @@ object PipelineQueries {
       TextAnalysis.chunk(budgeted, chunkSize = 32, stride = 24)
     },
 
+    // Skew-safe top-k per group: best 3 documents per language by
+    // quality score (the per-domain curation cut). The operator's
+    // two-phase salted ranking must produce EXACTLY the naive global
+    // answer — which is what the DuckDB oracle computes with a plain
+    // per-group window.
+    "tx14_topk_per_group" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.qualityScore(docs), Seq("doc_id"))
+      Sampling.topKPerGroup(scored, "lang", "quality", k = 3, tieCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality"), col("rank"))
+    },
+
     // PII redaction over deterministically planted emails / IPv4s /
     // phone numbers (the raw corpus is synthetic word salad, so the
     // PII is constructed in-query identically on both engines).
@@ -583,6 +596,23 @@ object PipelineQueries {
       """SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+    // the naive global per-group ranking the two-phase operator must
+    // reproduce exactly (quality CTE = tx02's replay)
+    "tx14_topk_per_group" ->
+      """WITH q AS (
+           SELECT doc_id, lang,
+                  round(0.5 * least(length(text) / 500.0, 1.0)
+                      + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                               / len(string_split(text, ' '))) + 1e-11, 4) AS quality
+           FROM documents
+         ),
+         r AS (
+           SELECT doc_id, lang, quality,
+                  CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY quality DESC, doc_id) AS INTEGER) AS rank
+           FROM q
+         )
+         SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 3""",
     // all-pairs ground truth for dd04: same tokenization (lower, trim,
     // \s+ split), distinct 3-gram shingles with the <3-token fallback,
     // true Jaccard over pairs sharing at least one shingle (a pair at

@@ -110,6 +110,24 @@ class OperatorsSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("two-phase top-k per group equals the naive global ranking") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // heavily skewed: one dominant group, score ties to exercise the
+    // tie-break, k larger than a small group's size
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("grp", when(col("id") % 50 === 0, "rare").otherwise("dominant"))
+      .withColumn("score", (col("id") % 7).cast("double"))
+    val got = Sampling.topKPerGroup(df, "grp", "score", k = 4, tieCol = "id")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    val naive = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 4)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSet
+    assert(got == naive)
+  }
+
   test("duplicate resolution keeps the best-quality doc per cluster") {
     import graft.operators.Sampling
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")

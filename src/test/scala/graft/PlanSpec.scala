@@ -233,6 +233,15 @@ class PlanSpec extends SparkSpec {
     assert(windowSpecs >= 2, s"expected local+prefix windows:\n$p")
   }
 
+  test("top-k per group salts its corpus-scale ranking window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.topKPerGroup(
+      docs, "lang", "n_chars", k = 3, tieCol = "doc_id"))
+    // the window over the raw corpus must partition on (group, salt);
+    // only the bounded phase-2 re-rank may partition on the group alone
+    assert(p.contains("__salt"), s"unsalted corpus-scale ranking:\n$p")
+  }
+
   test("composed curation pipeline plans clean: no cartesian, benchmark " +
     "grams broadcast, semi/anti joins for the gates") {
     val df = graft.queries.PipelineQueries
