@@ -361,6 +361,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("undirected walks and trails match brute force (one edge, one identity)") {
+    forAll(multigraphGen, trials = 5) { edges =>
+      val eng = pathEngine(edges)
+      // both orientations share the edge's identity: a trail may use an
+      // edge in EITHER direction but only once
+      val oriented = edges.flatMap { case (id, s, d) =>
+        Seq((id, s, d), (id, d, s))
+      }
+      def brute(unique: Boolean): Seq[Vector[Long]] = {
+        var frontier = (0L to 5L).map(v => (Vector(v), Set.empty[Long]))
+        val out = scala.collection.mutable.Buffer.empty[Vector[Long]]
+        for (_ <- 1 to 2) {
+          frontier = frontier.flatMap { case (p, used) =>
+            oriented.collect {
+              case (id, s, d) if s == p.last && (!unique || !used(id)) =>
+                (p :+ d, used + id)
+            }
+          }
+          out ++= frontier.map(_._1)
+        }
+        out.toSeq
+      }
+      def run(): Map[Vector[Long], Int] = eng.query(
+        """MATCH p = (a:N)-[:E*1..2]-(b:N) RETURN nodes(p) AS ns""")
+        .collect().map(_.getSeq[Long](0).toVector).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      spark.conf.set("graft.pathExpand.materializePaths", "true")
+      try {
+        val walks = run()
+        assert(walks == brute(unique = false)
+          .groupBy(identity).view.mapValues(_.size).toMap,
+          s"undirected walk multiset diverged; edges=$edges")
+        spark.conf.set("graft.pathExpand.trailSemantics", "true")
+        try {
+          val trails = run()
+          // same oriented edge list (a self-loop's two union rows are
+          // both join candidates — documented divergence: per-label key
+          // spaces make true self-loophood undecidable from src = dst
+          // values), but each edge IDENTITY is single-use along a path
+          assert(trails == brute(unique = true)
+            .groupBy(identity).view.mapValues(_.size).toMap,
+            s"undirected trail multiset diverged; edges=$edges")
+        } finally spark.conf.unset("graft.pathExpand.trailSemantics")
+      } finally spark.conf.unset("graft.pathExpand.materializePaths")
+    }
+  }
+
   test("zero-length paths (*0..2) bind start=end with an empty tail") {
     forAll(multigraphGen, trials = 4) { edges =>
       val eng = pathEngine(edges)
