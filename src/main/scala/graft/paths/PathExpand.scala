@@ -263,6 +263,19 @@ object PathExpand {
       if (minHops == 0) frontier.select(col("__origin"), col("__node"))
       else frontier.select(col("__origin"), col("__node")).limit(0)
 
+    // explosion guards (reference parity: path_expander.py:40-50 caps
+    // the frontier at 1M rows and the accumulated walk set at 5M —
+    // cyclic graphs grow walk counts as degree^hops, and an unbounded
+    // loop would OOM the cluster before the hop cap bites). Spark
+    // defaults are 10x the reference's single-node caps; both are conf
+    // knobs. The count is read off the eagerly-checkpointed frontier,
+    // so it costs a job over materialized blocks, not a recompute.
+    val frontierCap = edges0.sparkSession.conf
+      .get("graft.pathExpand.maxFrontierRows", "10000000").toLong
+    val totalCap = edges0.sparkSession.conf
+      .get("graft.pathExpand.maxTotalRows", "50000000").toLong
+    var totalRows = 0L
+
     var hop = 1
     var exhausted = false
     while (hop <= maxHops && !exhausted) {
@@ -321,8 +334,16 @@ object PathExpand {
         (if (coPartitioned && hop < maxHops)
            next.repartition(nPart, col("__node"))
          else next).localCheckpoint()
-      if (frontier.isEmpty) exhausted = true
+      val frontierRows = frontier.count()
+      if (frontierRows == 0) exhausted = true
       else {
+        totalRows += frontierRows
+        if (frontierRows > frontierCap || totalRows > totalCap)
+          throw new IllegalStateException(
+            s"path expansion exploded at hop $hop: frontier=$frontierRows " +
+              s"(cap $frontierCap), accumulated=$totalRows (cap $totalCap) — " +
+              "tighten the hop range/pattern or raise " +
+              "graft.pathExpand.maxFrontierRows / maxTotalRows")
         if (hop >= minHops) results :+= walkRows(frontier)
         // allShortest frontiers carry one row per WITNESS; the visited
         // set needs one per (origin, node) or it grows with multiplicity

@@ -171,6 +171,27 @@ class CypherEngineSpec extends SparkSpec {
     assert(r.map(_.getSeq[Long](0)) == Seq(Seq(0L, 1L)))
   }
 
+  test("path expansion caps stop combinatorial walk explosion with a clear error") {
+    // K4-ish dense cyclic graph: walk count grows ~3^hops per origin
+    import graft.model.GraphCatalog
+    import spark.implicits._
+    val v = (0L to 3L).map(i => (i, s"v$i")).toDF("__ID__", "name")
+    val e = (for { s <- 0L to 3L; d <- 0L to 3L if s != d } yield (s * 4 + d, s, d))
+      .toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val eng = new CypherEngine(spark, new GraphCatalog()
+      .addEntity("N", v)
+      .addRelationship("E", e, srcLabel = Some("N"), dstLabel = Some("N")))
+    spark.conf.set("graft.pathExpand.maxTotalRows", "500")
+    try {
+      val ex = intercept[IllegalStateException](eng.query(
+        "MATCH (a:N)-[:E*1..10]->(b:N) RETURN count(*) AS n").collect())
+      assert(ex.getMessage.contains("maxFrontierRows"))
+    } finally spark.conf.unset("graft.pathExpand.maxTotalRows")
+    // default caps: the same query completes
+    assert(eng.query("MATCH (a:N)-[:E*1..4]->(b:N) RETURN count(*) AS n")
+      .collect().head.getLong(0) > 0)
+  }
+
   test("nodes/relationships report WHY they are unavailable") {
     val e1 = intercept[IllegalArgumentException](rows(
       """MATCH p = (a:Person)-[:KNOWS*1..2]->(b:Person) RETURN nodes(p) AS ns"""))
