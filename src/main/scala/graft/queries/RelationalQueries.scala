@@ -89,7 +89,11 @@ object RelationalQueries {
         .distinct()
     },
 
-    // §2.5-adjacent: ranking window (beyond-parity; reference has no OVER).
+    // §2.5-adjacent: ranking window (beyond-parity; reference has no
+    // OVER). Demonstrates the NATIVE window surface; a production
+    // top-k over a low-cardinality group column should use
+    // Sampling.topKPerGroup (salted two-phase, tx14), which returns
+    // the identical answer without the per-group single-task sort.
     "q08_window_topn_per_group" -> { (s, dir) =>
       val t = Tables(s, dir)
       val joined = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
