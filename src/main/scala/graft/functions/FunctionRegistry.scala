@@ -168,7 +168,6 @@ object FunctionRegistry {
       case "endswith"            => a0.endsWith(a1)
       case "contains"            => a0.contains(a1)
       case "bytesize"            => octet_length(a0)
-      case "normalize"           => a0 // NFC normalize: no-op for ASCII testdata
 
       // ----- conversions (conversion_functions.py:114-372)
       case "tostring" | "str"    => a0.cast(StringType)
