@@ -279,6 +279,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components match union-find on random pair sets, both regimes") {
+    val pairGen: Gen[Seq[(Long, Long)]] = for {
+      nE <- Gen.chooseNum(1, 30)
+      es <- Gen.listOfN(nE, for {
+        a <- Gen.chooseNum(0L, 19L); b <- Gen.chooseNum(0L, 19L)
+      } yield (a, b))
+    } yield es
+    forAll(pairGen, trials = 6) { pairs =>
+      import spark.implicits._
+      // in-memory union-find with min-label canonicalization
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = ids.map(v => v -> find(v)).toMap
+      val df = pairs.toDF("id1", "id2")
+      def run(): Map[Long, Long] = graft.operators.Components
+        .connectedComponents(df, "id1", "id2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // distributed pointer-jumping regime (gate forced low) must agree
+      // with the driver union-find regime AND the reference answer
+      assert(run() == want, s"components diverged; pairs=$pairs")
+      spark.conf.set("graft.components.driverMaxEdges", "0")
+      try assert(run() == want, s"distributed regime diverged; pairs=$pairs")
+      finally spark.conf.unset("graft.components.driverMaxEdges")
+    }
+  }
+
   // ---- path materialization vs brute-force walk enumeration ----
 
   /** Random multigraph on 6 vertices: self-loops and parallel edges
