@@ -377,16 +377,30 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       f.df.join(boundIds, Seq("__rowid")),
       f.vars + (v -> NodeVar(label, e2.idCol, Seq(e2.idCol))))
 
-    // ON MATCH / ON CREATE against the id-bound frame
+    // ON MATCH / ON CREATE evaluate against the FULL post-create
+    // attribute set, not just the bound id: `ON MATCH SET m.v = m.v + 1`
+    // must read the entity's current property — with an id-only binding,
+    // Cypher's null-for-missing property rule silently turned every
+    // self-referencing SET into null (caught by the random-mutation
+    // differential in PropertySpec)
+    val attrs2 = e2.df.columns.toSeq
+    val prefixedAll = e2.df.select(attrs2.map(a => col(a).as(s"__b_$a")): _*)
+    val fullBound = attrs2.foldLeft(
+      idOnlyFrame.df.join(prefixedAll,
+        col(s"${v}__${e2.idCol}") === col(s"__b_${e2.idCol}"))) { (df, a) =>
+      if (a == e2.idCol) df.drop(s"__b_$a")
+      else df.withColumnRenamed(s"__b_$a", s"${v}__$a")
+    }
+    val boundFrame = Frame(fullBound, f.vars + (v -> NodeVar(label, e2.idCol, attrs2)))
     if (onMatch.nonEmpty && !matchedIds.isEmpty) {
-      val sub = idOnlyFrame.copy(df = idOnlyFrame.df.join(matchedIds,
+      val sub = boundFrame.copy(df = boundFrame.df.join(matchedIds,
         col(s"${v}__${e2.idCol}") === col("__mid")).drop("__mid"))
       setItems(sub, onMatch)
     }
     if (onCreate.nonEmpty) {
-      val createdOnly = idOnlyFrame.df.join(matchedIds,
+      val createdOnly = boundFrame.df.join(matchedIds,
         col(s"${v}__${e2.idCol}") === col("__mid"), "left_anti")
-      if (!createdOnly.isEmpty) setItems(idOnlyFrame.copy(df = createdOnly), onCreate)
+      if (!createdOnly.isEmpty) setItems(boundFrame.copy(df = createdOnly), onCreate)
     }
 
     // final bind: all attributes from the post-SET table

@@ -279,6 +279,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random mutation sequences match an in-memory graph model") {
+    // op = (kind 0..3, key 0..5, value 0..99): CREATE / SET / MERGE /
+    // DELETE against one label, mirrored in a Map. CREATE is
+    // unconditional (Cypher semantics: duplicates allowed → model
+    // keeps a multiset per key; queries compare (key, v) multisets).
+    val opGen: Gen[Seq[(Int, Int, Int)]] = Gen.chooseNum(5, 18).flatMap(n =>
+      Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0, 3); key <- Gen.chooseNum(0, 5)
+        v <- Gen.chooseNum(0, 99)
+      } yield (k, key, v)))
+    forAll(opGen, trials = 4) { ops =>
+      import spark.implicits._
+      import graft.model.GraphCatalog
+      val seed = Seq((0L, 0L, 7L)).toDF("__ID__", "k", "v")
+      val eng = new CypherEngine(spark,
+        new GraphCatalog().addEntity("M", seed))
+      val model = scala.collection.mutable.Buffer[(Long, Long)]((0L, 7L))
+      ops.foreach { case (kind, key, v) =>
+        kind match {
+          case 0 =>
+            eng.execute(s"CREATE (m:M {k: $key, v: $v})")
+            model += ((key.toLong, v.toLong))
+          case 1 =>
+            eng.execute(s"MATCH (m:M {k: $key}) SET m.v = $v")
+            model.indices.foreach(i =>
+              if (model(i)._1 == key) model(i) = (key.toLong, v.toLong))
+          case 2 =>
+            eng.execute(s"MERGE (m:M {k: $key}) ON CREATE SET m.v = $v " +
+              s"ON MATCH SET m.v = m.v + 1")
+            if (model.exists(_._1 == key))
+              model.indices.foreach(i =>
+                if (model(i)._1 == key) model(i) = (key.toLong, model(i)._2 + 1))
+            else model += ((key.toLong, v.toLong))
+          case 3 =>
+            eng.execute(s"MATCH (m:M {k: $key}) DELETE m")
+            val keep = model.filterNot(_._1 == key)
+            model.clear(); model ++= keep
+        }
+      }
+      val got = eng.query("MATCH (m:M) RETURN m.k AS k, m.v AS v")
+        .collect().map(r => (r.getAs[Any](0), r.getAs[Any](1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = model.toSeq.map(t => (t._1: Any, t._2: Any))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == want, s"mutation state diverged; ops=$ops")
+    }
+  }
+
   test("connected components match union-find on random pair sets, both regimes") {
     val pairGen: Gen[Seq[(Long, Long)]] = for {
       nE <- Gen.chooseNum(1, 30)
