@@ -22,6 +22,18 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
 
   private def ec(f: Frame) = new ExpressionCompiler(f, params)
 
+  /** Does the expression tree reference the variable? Case classes are
+    * Products, so a product walk covers every AST node shape (Seq/
+    * Option children included — List cells and Some are Products too).
+    */
+  private def referencesVar(e: Any, rv: String): Boolean = e match {
+    case Variable(`rv`) => true
+    case s: Seq[_]      => s.exists(referencesVar(_, rv))
+    case o: Option[_]   => o.exists(referencesVar(_, rv))
+    case p: Product     => p.productIterator.exists(referencesVar(_, rv))
+    case _              => false
+  }
+
   /** Allocate `perRow` ids starting after the current max id. */
   private def nextIdBase(df: DataFrame, idCol: String): Long = {
     val m = df.agg(max(col(idCol))).head()
@@ -169,6 +181,33 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
             else joined.withColumn(key, col("__uval")))
               .drop("__uid", "__uval")
             catalog.replaceEntity(label, updated.localCheckpoint())
+          // SET r.key on a matched relationship: update the rel table
+          // keyed by the declared relationship id when there is one,
+          // else by exact (src, dst) orientation (a BOTH-direction
+          // match without a declared id can only address the stored
+          // orientation — declare an id column for full fidelity).
+          case RelVar(relType, _, _, attrs) =>
+            val r = catalog.relationship(relType)
+            val keyAttrs: Seq[String] = r.idCol match {
+              case Some(ic) if attrs.contains(ic) => Seq(ic)
+              case _                              => Seq(r.srcCol, r.dstCol)
+            }
+            val updates = f.df
+              .select(keyAttrs.map(a => col(f.col(v, a)).as(s"__uk_$a")) :+
+                ec(f).compile(valueExpr).as("__uval"): _*)
+              .groupBy(keyAttrs.map(a => col(s"__uk_$a")): _*)
+              .agg(first(col("__uval")).as("__uval"))
+            val old = r.df
+            val joined = old.join(updates,
+              keyAttrs.map(a => col(a) === col(s"__uk_$a")).reduce(_ && _),
+              "left_outer")
+            val marker = col(s"__uk_${keyAttrs.head}")
+            val updated = (if (old.columns.contains(key))
+              joined.withColumn(key, when(marker.isNotNull, col("__uval"))
+                .otherwise(col(key)))
+            else joined.withColumn(key, when(marker.isNotNull, col("__uval"))))
+              .drop(keyAttrs.map(a => s"__uk_$a") :+ "__uval": _*)
+            catalog.replaceRelationship(relType, updated.localCheckpoint())
           case _ => throw new UnsupportedOperationException(
             s"SET on non-node variable $v")
         }
@@ -453,7 +492,16 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     val compiler = ec(f)
     // ON CREATE / ON MATCH SET items must target the rel variable; their
     // value expressions evaluate against the binding frame, carried as
-    // __oc_/__om_ columns through the (src, dst) dedup
+    // __oc_/__om_ columns through the (src, dst) dedup. EXCEPTION: an
+    // ON MATCH value that references the relationship variable itself
+    // (the canonical counter idiom, ON MATCH SET r.n = r.n + 1) cannot
+    // be precomputed in the outer frame — it is DEFERRED and evaluated
+    // against the matched edge's current row at update time.
+    val (omDeferred, omOuter) = onMatch.partition {
+      case SetProperty(Variable(rv), _, vexpr) if rel.variable.contains(rv) =>
+        referencesVar(vexpr, rv)
+      case _ => false
+    }
     def relSetCols(items: Seq[SetItem], pref: String): Seq[(String, Column)] =
       items.map {
         case SetProperty(Variable(rv), key, vexpr) if rel.variable.contains(rv) =>
@@ -462,7 +510,7 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
           s"relationship MERGE SET must target the relationship variable: $other")
       }
     val ocCols = relSetCols(onCreate, "__oc_")
-    val omCols = relSetCols(onMatch, "__om_")
+    val omCols = relSetCols(omOuter, "__om_")
 
     val propCols = rel.props.map { case (k, e0) => compiler.compile(e0).as(k) }
     val carried = rel.props.map(_._1) ++
@@ -490,21 +538,38 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       case None => wanted
     }
 
-    // ON MATCH: update the pre-existing edges keyed by (src, dst)
-    if (omCols.nonEmpty) existing.foreach { d =>
-      val matchKeys = wanted.select(Seq(col(srcCol0).as("__ms"),
-        col(dstCol0).as("__md")) ++ omCols.map { case (k, _) => col(s"__om_$k") }: _*)
-      var updated = d.join(matchKeys,
-        col(srcCol0) === col("__ms") && col(dstCol0) === col("__md"), "left_outer")
-      omCols.foreach { case (k, _) =>
-        updated = updated.withColumn(k,
-          if (d.columns.contains(k))
-            when(col("__ms").isNotNull, col(s"__om_$k")).otherwise(col(k))
-          else when(col("__ms").isNotNull, col(s"__om_$k")))
+    // ON MATCH: update the pre-existing edges keyed by (src, dst).
+    // Edge columns are var-prefixed for the update so deferred
+    // (self-referencing) values compile like any property access
+    // against the matched edge's CURRENT row, then renamed back.
+    if ((omCols.nonEmpty || omDeferred.nonEmpty) && existing.isDefined)
+      existing.foreach { d =>
+        val rv = rel.variable.get
+        val matchKeys = wanted.select(Seq(col(srcCol0).as("__ms"),
+          col(dstCol0).as("__md")) ++ omCols.map { case (k, _) => col(s"__om_$k") }: _*)
+        val dCols = d.columns.toSeq
+        val pref = d.select(dCols.map(c => col(c).as(s"${rv}__$c")): _*)
+        var updated = pref.join(matchKeys,
+          col(s"${rv}__$srcCol0") === col("__ms") &&
+            col(s"${rv}__$dstCol0") === col("__md"), "left_outer")
+        def setCol(k: String, value: Column): Unit =
+          updated = updated.withColumn(s"${rv}__$k",
+            if (dCols.contains(k))
+              when(col("__ms").isNotNull, value).otherwise(col(s"${rv}__$k"))
+            else when(col("__ms").isNotNull, value))
+        omCols.foreach { case (k, _) => setCol(k, col(s"__om_$k")) }
+        omDeferred.foreach {
+          case SetProperty(Variable(_), k, vexpr) =>
+            val rf = Frame(updated, Map(rv -> RelVar(relType, srcCol0, dstCol0, dCols)))
+            setCol(k, ec(rf).compile(vexpr))
+          case other => throw new UnsupportedOperationException(other.toString)
+        }
+        var cleaned = updated.drop(
+          "__ms" +: "__md" +: omCols.map("__om_" + _._1): _*)
+        cleaned.columns.filter(_.startsWith(s"${rv}__")).foreach(c =>
+          cleaned = cleaned.withColumnRenamed(c, c.stripPrefix(s"${rv}__")))
+        catalog.replaceRelationship(relType, cleaned.localCheckpoint())
       }
-      val cleaned = updated.drop("__ms" +: "__md" +: omCols.map("__om_" + _._1): _*)
-      catalog.replaceRelationship(relType, cleaned.localCheckpoint())
-    }
 
     if (!missing.isEmpty) {
       // ON CREATE values become the new edges' properties; a key that ON
@@ -518,7 +583,28 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
         df.withColumn(k,
           if (omKeys(k)) when(col("__dup") > 1, col(s"__om_$k")).otherwise(created)
           else created)
-      }.drop(("__dup" +: ocCols.map("__oc_" + _._1)) ++
+      }
+      // duplicate binding rows matched the edge the first row just
+      // created — deferred ON MATCH values evaluate against that
+      // created edge's post-ON-CREATE columns
+      omDeferred.foreach {
+        case SetProperty(Variable(rv), k, vexpr) =>
+          val cols0 = newRels.columns.toSeq.filterNot(c =>
+            c == "__dup" || c.startsWith("__oc_") || c.startsWith("__om_"))
+          val prefd = newRels.select(
+            (Seq(col("__dup")) ++ newRels.columns.toSeq.filter(_ != "__dup")
+              .map(c => if (cols0.contains(c)) col(c).as(s"${rv}__$c") else col(c))): _*)
+          val rf = Frame(prefd, Map(rv -> RelVar(relType, srcCol0, dstCol0, cols0)))
+          val nv = ec(rf).compile(vexpr)
+          var applied = prefd.withColumn(s"${rv}__$k",
+            if (cols0.contains(k)) when(col("__dup") > 1, nv).otherwise(col(s"${rv}__$k"))
+            else when(col("__dup") > 1, nv))
+          applied.columns.filter(_.startsWith(s"${rv}__")).foreach(c =>
+            applied = applied.withColumnRenamed(c, c.stripPrefix(s"${rv}__")))
+          newRels = applied
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+      newRels = newRels.drop(("__dup" +: ocCols.map("__oc_" + _._1)) ++
         omCols.map("__om_" + _._1): _*)
       idColOpt.foreach { ic =>
         val base = existing.map(d => nextIdBase(d, ic)).getOrElse(0L)

@@ -200,6 +200,34 @@ class MutationSpec extends SparkSpec {
     assert(r.map(_.getString(0)).toSeq == Seq("Z")) // Y->Z, not X->Z
   }
 
+  test("relationship MERGE ON MATCH counter idiom: r.n = r.n + 1") {
+    val eng = freshEngine
+    val m =
+      """MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'})
+         MERGE (a)-[k:KNOWS]->(b) ON CREATE SET k.n = 1
+         ON MATCH SET k.n = k.n + 1"""
+    eng.execute(m) // edge exists → ON MATCH; k.n was absent → null + 1 = null
+    eng.execute(
+      """MATCH (a:Person {name: 'Alice'})-[k:KNOWS]->(b:Person {name: 'Bob'})
+         SET k.n = 5""")
+    eng.execute(m) // counter increments the CURRENT value
+    eng.execute(m)
+    val n = eng.query(
+      """MATCH (a:Person {name: 'Alice'})-[k:KNOWS]->(b:Person {name: 'Bob'})
+         RETURN k.n AS n""").collect()
+    assert(n.map(_.getLong(0)).toSeq == Seq(7L))
+    // fresh pair: ON CREATE seeds, later merges increment
+    val m2 =
+      """MATCH (a:Person {name: 'Carol'}), (b:Person {name: 'Alice'})
+         MERGE (a)-[k:KNOWS]->(b) ON CREATE SET k.n = 1
+         ON MATCH SET k.n = k.n + 1"""
+    eng.execute(m2); eng.execute(m2)
+    val n2 = eng.query(
+      """MATCH (a:Person {name: 'Carol'})-[k:KNOWS]->(b:Person {name: 'Alice'})
+         RETURN k.n AS n""").collect()
+    assert(n2.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("relationship MERGE ON CREATE SET and ON MATCH SET arms") {
     val eng = freshEngine
     // Alice->Bob exists → ON MATCH fires; Bob->Carol is new → ON CREATE
