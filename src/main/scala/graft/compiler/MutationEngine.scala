@@ -294,6 +294,26 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
                 .drop("__uid")
               catalog.replaceEntity(label, updated.localCheckpoint())
             }
+          // REMOVE r.key on a matched relationship: null out the
+          // property, same keying rule as relationship SET
+          case Some(RelVar(relType, _, _, attrs)) =>
+            val r = catalog.relationship(relType)
+            if (r.df.columns.contains(key)) {
+              val keyAttrs: Seq[String] = r.idCol match {
+                case Some(ic) if attrs.contains(ic) => Seq(ic)
+                case _                              => Seq(r.srcCol, r.dstCol)
+              }
+              val ids = f.df.select(keyAttrs.map(a =>
+                col(f.col(v, a)).as(s"__uk_$a")): _*).distinct()
+              val updated = r.df.join(ids,
+                keyAttrs.map(a => col(a) === col(s"__uk_$a")).reduce(_ && _),
+                "left_outer")
+                .withColumn(key,
+                  when(col(s"__uk_${keyAttrs.head}").isNotNull, lit(null))
+                    .otherwise(col(key)))
+                .drop(keyAttrs.map(a => s"__uk_$a"): _*)
+              catalog.replaceRelationship(relType, updated.localCheckpoint())
+            }
           case _ => throw new UnsupportedOperationException("REMOVE needs a node variable")
         }
       case RemoveLabels(v, labels) =>

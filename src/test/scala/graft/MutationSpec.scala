@@ -200,6 +200,31 @@ class MutationSpec extends SparkSpec {
     assert(r.map(_.getString(0)).toSeq == Seq("Z")) // Y->Z, not X->Z
   }
 
+  test("relationship SET and REMOVE touch matched edges only") {
+    val eng = freshEngine
+    // add a second edge, give both a property via matched SET
+    eng.execute(
+      """MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'})
+         CREATE (b)-[:KNOWS {since: 2020}]->(c)""")
+    eng.execute(
+      """MATCH (a:Person {name: 'Alice'})-[k:KNOWS]->(b:Person)
+         SET k.since = 2015""")
+    val afterSet = eng.query(
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+         RETURN a.name AS a, k.since AS s ORDER BY a""").collect()
+    assert(afterSet.map(x => (x.getString(0), Option(x.get(1)))).toSeq ==
+      Seq(("Alice", Some(2015L)), ("Bob", Some(2020L))))
+    // REMOVE nulls only Alice's edge
+    eng.execute(
+      """MATCH (a:Person {name: 'Alice'})-[k:KNOWS]->(b:Person)
+         REMOVE k.since""")
+    val r = eng.query(
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+         RETURN a.name AS a, k.since AS s ORDER BY a""").collect()
+    assert(r.map(x => (x.getString(0), Option(x.get(1)))).toSeq ==
+      Seq(("Alice", None), ("Bob", Some(2020L))))
+  }
+
   test("relationship MERGE ON MATCH counter idiom: r.n = r.n + 1") {
     val eng = freshEngine
     val m =
