@@ -53,6 +53,12 @@ final class GraphCatalog {
     this
   }
 
+  // Unknown labels/types THROW rather than matching empty (a documented
+  // divergence from openCypher's schema-free semantics): in an ETL
+  // pipeline a misordered or misspelled label must fail loudly — the
+  // dependency analyzer reorders producers before consumers precisely
+  // so that a clean pipeline never hits this, and a silent empty match
+  // would convert ordering bugs into silently-empty sinks.
   def entity(label: String): EntityDef =
     entities.getOrElse(label, throw new NoSuchElementException(s"unknown label: $label"))
   def relationship(relType: String): RelationshipDef =

@@ -327,6 +327,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random relationship-mutation sequences match an in-memory edge model") {
+    // fixed 4-node graph; ops = (kind 0..2, k1, k2, v): MERGE counter /
+    // matched SET r.n = v / REMOVE r.n — mirrored in a Map keyed by the
+    // (k1, k2) pair with Option[Long] values (REMOVE → None, and the
+    // counter on a removed property stays None: null + 1 is null)
+    val relOpGen: Gen[Seq[(Int, Int, Int, Int)]] = Gen.chooseNum(4, 14).flatMap(n =>
+      Gen.listOfN(n, for {
+        kind <- Gen.chooseNum(0, 2)
+        k1 <- Gen.chooseNum(0, 3); k2 <- Gen.chooseNum(0, 3)
+        v <- Gen.chooseNum(0, 99)
+      } yield (kind, k1, k2, v)))
+    forAll(relOpGen, trials = 4) { ops =>
+      import spark.implicits._
+      import graft.model.GraphCatalog
+      val nodes = (0L to 3L).map(i => (i, i)).toDF("__ID__", "k")
+      val eng = new CypherEngine(spark,
+        new GraphCatalog().addEntity("M", nodes))
+      val model = scala.collection.mutable.Map.empty[(Int, Int), Option[Long]]
+      // seed the R type (MATCH on an unknown type throws by design —
+      // the ETL-safety divergence documented in GraphCatalog)
+      val seeded = (0, 0, 1, 0) +: ops
+      seeded.foreach { case (kind, k1, k2, v) =>
+        kind match {
+          case 0 =>
+            eng.execute(
+              s"""MATCH (a:M {k: $k1}), (b:M {k: $k2})
+                 MERGE (a)-[r:R]->(b) ON CREATE SET r.n = 1
+                 ON MATCH SET r.n = r.n + 1""")
+            model((k1, k2)) =
+              if (model.contains((k1, k2))) model((k1, k2)).map(_ + 1L)
+              else Some(1L)
+          case 1 =>
+            eng.execute(
+              s"""MATCH (a:M {k: $k1})-[r:R]->(b:M {k: $k2})
+                 SET r.n = $v""")
+            if (model.contains((k1, k2))) model((k1, k2)) = Some(v.toLong)
+          case 2 =>
+            eng.execute(
+              s"""MATCH (a:M {k: $k1})-[r:R]->(b:M {k: $k2})
+                 REMOVE r.n""")
+            if (model.contains((k1, k2))) model((k1, k2)) = None
+        }
+      }
+      val got = eng.query(
+        """MATCH (a:M)-[r:R]->(b:M) RETURN a.k AS k1, b.k AS k2, r.n AS n""")
+        .collect()
+        .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(got == model.toMap, s"edge state diverged; ops=$ops")
+    }
+  }
+
   test("connected components match union-find on random pair sets, both regimes") {
     val pairGen: Gen[Seq[(Long, Long)]] = for {
       nE <- Gen.chooseNum(1, 30)
