@@ -16,7 +16,13 @@ import graft.parser.{CypherAst, CypherParser}
 final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
                          resultCache: Option[graft.ops.ResultCache] = None,
                          rejectComplexityAbove: Int = Int.MaxValue,
-                         warnComplexityAbove: Int = Int.MaxValue) {
+                         warnComplexityAbove: Int = Int.MaxValue,
+                         rateLimiter: Option[graft.ops.RateLimiter] = None) {
+
+  /** Engine lifecycle counters (run admissions/completions/failures),
+    * scraped by [[startHealthServer]].
+    */
+  val metrics = new graft.ops.EngineMetrics
 
   // parsed-AST cache, mirroring the reference's LRU parse cache
   // (star.py:107-131) — parsing is pure so a plain bounded map suffices.
@@ -43,6 +49,10 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
 
   def query(cypher: String, params: Map[String, Any] = Map.empty): DataFrame =
     withCypherConf {
+      // admission gate — the reference gates Star.run the same way
+      // (rate_limiter.py via star.py:650-653); over-rate queries are
+      // rejected before any parse/compile work is spent
+      rateLimiter.foreach(_.acquireOrThrow())
       val ast = parse(cypher)
       graft.ops.QueryComplexity.gate(ast, rejectComplexityAbove, warnComplexityAbove)
       val df = resultCache.flatMap(_.get(cypher, params)).getOrElse {
@@ -60,10 +70,34 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
     * no orphaned stages keep running.
     */
   def run(cypher: String, timeoutSeconds: Double,
-          params: Map[String, Any] = Map.empty): Array[org.apache.spark.sql.Row] =
-    graft.ops.QueryGuard.withTimeout(spark, timeoutSeconds) {
-      query(cypher, params).collect()
-    }
+          params: Map[String, Any] = Map.empty): Array[org.apache.spark.sql.Row] = {
+    metrics.started.incrementAndGet()
+    try {
+      val r = graft.ops.QueryGuard.withTimeout(spark, timeoutSeconds) {
+        query(cypher, params).collect()
+      }
+      metrics.completed.incrementAndGet()
+      r
+    } catch { case e: Throwable => metrics.failed.incrementAndGet(); throw e }
+  }
+
+  /** Liveness/metrics endpoint fed by the engine counters (and a
+    * QueryAudit listener's action records when one is attached) — the
+    * reference's `health_server.py` counterpart. Port 0 = ephemeral;
+    * read the bound port from the returned server.
+    */
+  def startHealthServer(port: Int = 0,
+                        audit: Option[graft.ops.QueryAudit] = None)
+  : graft.ops.HealthServer =
+    new graft.ops.HealthServer(() => {
+      val base = metrics.snapshot(rateLimiter)
+      audit.map { a =>
+        val recs = a.records
+        base +
+          ("audited_actions_success" -> recs.count(_.status == "success").toLong) +
+          ("audited_actions_failure" -> recs.count(_.status == "failure").toLong)
+      }.getOrElse(base)
+    }, port)
 
   /** EXPLAIN: complexity report + the Catalyst formatted physical plan
     * (the reference's query_explainer.py analog; SURVEY §2 ops row).
@@ -95,8 +129,10 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
     */
   def execute(cypher: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val ast = parse(cypher)
-    // read-only strings keep the cached `query` path
-    if (!isMutating(ast)) query(cypher, params) else executeAst(ast, params)
+    // read-only strings keep the cached `query` path (which gates);
+    // mutations gate here before any staging work
+    if (!isMutating(ast)) query(cypher, params)
+    else { rateLimiter.foreach(_.acquireOrThrow()); executeAst(ast, params) }
   }
 
   private def isMutating(ast: graft.parser.CypherAst.Query): Boolean = {

@@ -296,6 +296,18 @@ object CypherQueries {
         "normalize(r.r_name + ' cafe\u0301') AS nfc, " + // decomposed e+U+0301
         "size(normalize('cafe\u0301')) AS n_nfc"),
 
+    // Full Unicode case folding (UCD C+F): eszett expansion, Greek
+    // final sigma, iota-subscript decomposition, NFKC ligature fold,
+    // Cherokee folding UP \u2014 the oracle carries the expected folded
+    // literals (no SQL engine exposes casefold), anchored per region
+    // row so the compare exercises the join path too
+    "cy46_casefold" -> run(
+      "MATCH (r:Region) RETURN r.r_name AS name, " +
+        "normalize('STRA\u1e9eE', 'NFKCCaseFold') AS f_eszett, " +
+        "normalize('\u039f\u0394\u039f\u03a3 \u03bf\u03b4\u03cc\u03c2', 'NFKCCaseFold') AS f_sigma, " +
+        "normalize('\u1f88\ufb03\u0149', 'NFKCCaseFold') AS f_expand, " +
+        "normalize('\uabb3\uab83\uab79', 'NFKCCaseFold') AS f_cherokee"),
+
     // EXISTS spanning outer (r) and pattern (n) scope inside the
     // OPTIONAL WHERE, plus a pattern-local parity conjunct: witness-set
     // membership drives the left join (no shared variables at all
@@ -619,6 +631,11 @@ object CypherQueries {
     "cy39_normalize" ->
       ("SELECT r_name AS name, nfc_normalize(r_name || ' cafe\u0301') AS nfc, " +
         "length(nfc_normalize('cafe\u0301')) AS n_nfc FROM region"),
+    "cy46_casefold" ->
+      ("SELECT r_name AS name, 'strasse' AS f_eszett, " +
+        "'\u03bf\u03b4\u03bf\u03c3 \u03bf\u03b4\u03cc\u03c3' AS f_sigma, " +
+        "'\u1f00\u03b9ffi\u02bcn' AS f_expand, " +
+        "'\u13e3\u13b3\u13a9' AS f_cherokee FROM region"),
     "cy41_optional_exists_spanning" ->
       """SELECT r_name AS region, count(n_nationkey) AS n_even
          FROM region LEFT JOIN nation

@@ -58,11 +58,19 @@ object ScaleData {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     // events.parquet is TIMESTAMP(NANOS): read ts as raw nano longs
     // (plain INT64 in the replica — Tables.events applies the same
-    // div-1000 conversion to either encoding)
+    // div-1000 conversion to either encoding). Scoped save/restore: the
+    // session is shared (tests, benches), and leaving the legacy flag
+    // set would silently change TIMESTAMP(NANOS) reads session-wide.
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    replicate("events", Seq("event_id", "user_id"))
-    replicate("documents", Seq("doc_id"), mark = Some("text"))
-    replicate("embeddings", Seq("vec_id"))
+    try {
+      replicate("events", Seq("event_id", "user_id"))
+      replicate("documents", Seq("doc_id"), mark = Some("text"))
+      replicate("embeddings", Seq("vec_id"))
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
     done.createNewFile()
   }
 

@@ -259,10 +259,28 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     touched.foldLeft(f)(rebind)
   }
 
-  /** Re-join a node variable's prefixed columns from its (updated)
-    * catalog table by id.
+  /** Re-join a variable's prefixed columns from its (updated) catalog
+    * table — by id for nodes; by declared id (else (src, dst), the same
+    * keying rule relationship SET uses) for relationships — so later
+    * clauses in the same query read post-SET values, mirroring the
+    * reference's shadow-layer re-read.
     */
   private def rebind(f: Frame, v: String): Frame = f.vars.get(v) match {
+    case Some(RelVar(relType, srcAttr, dstAttr, _)) =>
+      val r = catalog.relationship(relType)
+      val attrs = r.df.columns.toSeq
+      val keyAttrs = r.idCol.filter(attrs.contains).map(Seq(_))
+        .getOrElse(Seq(srcAttr, dstAttr))
+      val keyCols = keyAttrs.map(a => f.col(v, a))
+      val keep = f.df.drop(f.varCols(v).filterNot(keyCols.contains): _*)
+      val prefixed = r.df.select(attrs.map(a => col(a).as(s"__rb_$a")): _*)
+      val joined = keep.join(prefixed,
+        keyAttrs.map(a => col(f.col(v, a)) === col(s"__rb_$a")).reduce(_ && _))
+      val renamed = attrs.foldLeft(joined) { (df, a) =>
+        if (keyAttrs.contains(a)) df.drop(s"__rb_$a")
+        else df.withColumnRenamed(s"__rb_$a", f.col(v, a))
+      }
+      Frame(renamed, f.vars + (v -> RelVar(relType, srcAttr, dstAttr, attrs)))
     case Some(NodeVar(label, idAttr, _)) =>
       val e = catalog.entity(label)
       val attrs = e.df.columns.toSeq
@@ -487,6 +505,17 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     * not have), and a pair duplicated within the statement applies its
     * ON MATCH values to the edge the first row just created — Neo4j's
     * per-row MERGE does the same: row 2 matches row 1's edge.
+    *
+    * DOCUMENTED DIVERGENCE (non-idempotent deferred ON MATCH): a
+    * self-referencing ON MATCH value (SET r.n = r.n + 1) is applied
+    * ONCE per affected edge, not once per binding row — k duplicate
+    * rows increment by 1 where Neo4j's sequential per-row MERGE
+    * increments by k (k-1 on the created-edge path). Applying an
+    * arbitrary expression k times is function iteration, which a
+    * single relational pass cannot express; the once-per-edge fold is
+    * the deterministic distributed semantics and is spec-tested in
+    * MutationSpec ("duplicate binding rows apply a deferred ON MATCH
+    * once per edge").
     */
   private def mergeRelationship(f: Frame, path: PathPattern,
                                 onCreate: Seq[SetItem], onMatch: Seq[SetItem]): Frame = {

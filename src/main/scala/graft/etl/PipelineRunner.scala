@@ -205,6 +205,12 @@ object PipelineRunner {
           org.apache.spark.sql.graftshim.ListenerBridge.waitUntilEmpty(spark, 10000L)
           a.flushTo(uri)
         }
+      } catch {
+        // an unwritable audit sink must not replace the pipeline's real
+        // outcome (an exception thrown from a finally block would) —
+        // telemetry IO failures are reported, never propagated
+        case e: Throwable =>
+          System.err.println(s"[pipeline] audit flush failed: ${e.getMessage}")
       } finally a.detach()
     }
   }

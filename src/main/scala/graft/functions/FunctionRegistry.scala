@@ -46,7 +46,22 @@ object FunctionRegistry {
       case ("stdevp", _)    => stddev_pop(args.head)
       case ("percentilecont", _) => percentile(args.head, args(1))
       case ("percentiledisc", _) =>
-        percentile_approx(args.head, args(1), lit(1000000))
+        // EXACT inverse-distribution percentile (the reference computes
+        // discrete percentiles exactly — aggregation_evaluator.py:
+        // 95-135, 498-510). The former percentile_approx(…, 1e6)
+        // compilation is exact only while a group holds ≲1M values —
+        // beyond that the sketch may return a neighboring element, a
+        // silent divergence exactly where a 100 TB corpus lives. The
+        // sketch stays available as an explicit opt-in for groups where
+        // a bounded-memory merge matters more than exactness.
+        if (org.apache.spark.sql.SparkSession.getActiveSession.exists(
+          _.conf.get("graft.percentileDisc.approx", "false").toBoolean))
+          percentile_approx(args.head, args(1), lit(1000000))
+        else org.apache.spark.sql.graftshim.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc(
+            org.apache.spark.sql.graftshim.ColumnBridge.expression(args.head),
+            org.apache.spark.sql.graftshim.ColumnBridge.expression(args(1)))
+            .toAggregateExpression())
       case (other, _) => throw new IllegalArgumentException(s"unknown aggregate $other")
     }
 

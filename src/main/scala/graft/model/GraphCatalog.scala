@@ -53,17 +53,37 @@ final class GraphCatalog {
     this
   }
 
-  // Unknown labels/types THROW rather than matching empty (a documented
-  // divergence from openCypher's schema-free semantics): in an ETL
-  // pipeline a misordered or misspelled label must fail loudly — the
-  // dependency analyzer reorders producers before consumers precisely
-  // so that a clean pipeline never hits this, and a silent empty match
-  // would convert ordering bugs into silently-empty sinks.
+  // Unknown labels/types are conf-gated via `graft.strictLabels`
+  // (default true): strict mode THROWS — in an ETL pipeline a
+  // misordered or misspelled label must fail loudly; the dependency
+  // analyzer reorders producers before consumers precisely so that a
+  // clean pipeline never hits this, and a silent empty match would
+  // convert ordering bugs into silently-empty sinks. Setting
+  // `graft.strictLabels=false` restores openCypher's schema-free
+  // parity (reference: relational_models.py:617-646 — unknown labels
+  // are creatable/queryable, never errors): the unknown label/type
+  // matches EMPTY, as an id-only zero-row frame (property access on it
+  // compiles to null-for-missing like any absent column).
+  private def strict: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(_.conf.get("graft.strictLabels", "true").toBoolean)
+
+  private def emptyDf(cols: String*): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    org.apache.spark.sql.SparkSession.active.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(cols.map(StructField(_, LongType, nullable = true))))
+  }
+
   def entity(label: String): EntityDef =
-    entities.getOrElse(label, throw new NoSuchElementException(s"unknown label: $label"))
+    entities.getOrElse(label,
+      if (strict) throw new NoSuchElementException(s"unknown label: $label")
+      else EntityDef(label, emptyDf("__ID__"), "__ID__"))
   def relationship(relType: String): RelationshipDef =
     relationships.getOrElse(relType,
-      throw new NoSuchElementException(s"unknown relationship type: $relType"))
+      if (strict) throw new NoSuchElementException(s"unknown relationship type: $relType")
+      else RelationshipDef(relType, emptyDf("__ID__", "__SOURCE__", "__TARGET__"),
+        "__SOURCE__", "__TARGET__", Some("__ID__"), None, None))
 
   def hasEntity(label: String): Boolean = entities.contains(label)
   def hasRelationship(relType: String): Boolean = relationships.contains(relType)

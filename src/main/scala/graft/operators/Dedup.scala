@@ -206,9 +206,13 @@ object Dedup {
     * filter runs on every candidate, so the RESULT is identical under
     * any covering block layout (which is also why the external oracle
     * may replay a different covering layout and still hash-match).
+    *
+    * `hotBucketWarn` (opt-in): log any (blk, bval) bucket holding more
+    * than this many rows before the self-join runs — see the guard
+    * comment below and [[simHashBucketStats]].
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, hotBucketWarn: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimHashBits,
       s"maxHamming must be in [0, $SimHashBits)")
     val nBlocks = maxHamming + 1
@@ -237,12 +241,52 @@ object Dedup {
       (0 until b).map(a => blockVal(col("sim1"), a) =!= blockVal(col("sim2"), a))
         .foldLeft(col("blk") === b)(_ && _)
     }.reduce(_ || _)
+    // Hot-bucket observability guard (opt-in, like Wcoj.maxAdjDegree):
+    // a boilerplate-heavy corpus can put m rows into one (blk, bval)
+    // bucket, making that bucket's self-join quadratic — inherent to
+    // candidate generation (the true near-dup pairs ARE quadratic in
+    // the cluster), but the failure mode should be a NAMED log line,
+    // not an anonymous straggler task. Costs one small aggregate over
+    // the blocked frame; results are never altered.
+    if (hotBucketWarn != Int.MaxValue) {
+      val hot = blocked.groupBy(col("blk"), col("bval"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > hotBucketWarn)
+        .orderBy(col("__n").desc).limit(20).collect()
+      hot.foreach { h =>
+        System.err.println(
+          s"[graft] simHashPairs hot bucket: blk=${h.get(0)} bval=${h.get(1)} " +
+            s"rows=${h.get(2)} (> $hotBucketWarn; self-join is ~rows^2/2 candidate pairs)")
+      }
+    }
     l.join(r, Seq("blk", "bval"))
       .filter(col("id1") < col("id2"))
       .filter(firstAgree)
       .select(col("id1"), col("id2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-bucket candidate histogram for `simHashPairs` — the standalone
+    * observability view: (blk, bval, rows) for every pigeonhole bucket,
+    * heaviest first. Run it when a simhash job stragglers to see which
+    * buckets carry the quadratic mass.
+    */
+  def simHashBucketStats(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val base = SimHashBits / nBlocks
+    val rem = SimHashBits % nBlocks
+    val widths = Seq.tabulate(nBlocks)(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    simHashes(df, idCol, textCol).select(col("sim"),
+      explode(array((0 until nBlocks).map { b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("sim"), offsets(b))
+            .bitwiseAND((1L << widths(b)) - 1).as("bval"))
+      }: _*)).as("kb"))
+      .groupBy(col("kb.blk").as("blk"), col("kb.bval").as("bval"))
+      .agg(count(lit(1)).as("rows"))
+      .orderBy(col("rows").desc)
   }
 
   /** Exact n-gram Jaccard pairs >= threshold. The DEFAULT is the

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: the JDK ships PNG/JPEG/BMP/GIF codecs in
   * `javax.imageio`, so width/height probing, average-pooled grayscale
   * features, and resize all run on actual pixels with zero external
-  * dependencies. AUDIO/VIDEO kernels remain STUBBED with a
+  * dependencies. AUDIO decode is REAL for uncompressed PCM: the JDK
+  * ships WAV/AIFF/AU readers in `javax.sound.sampled`, so sample
+  * decode, RMS-grid features, and duration probing run on actual
+  * samples. VIDEO and compressed-audio kernels remain STUBBED with a
   * deterministic fake (the JDK has no such codecs and this container
   * cannot fetch any) — clearly marked below. Everything around the
   * kernels is real and load-bearing at scale: the schema contract, the
@@ -78,8 +81,92 @@ object Multimodal {
     feats
   }
 
-  /** ===== STUB ===== deterministic fake for AUDIO/VIDEO only: the JDK
-    * has no codecs for these and none can be fetched offline. The fake
+  // ---------------- real audio kernels (JDK codecs) ----------------
+  // The JDK ships PCM WAV/AIFF/AU readers in `javax.sound.sampled` —
+  // uncompressed audio decodes for real, like images. Compressed
+  // codecs (mp3/aac/ogg) still take the stub below behind the
+  // documented ffmpeg seam.
+
+  /** Decode PCM audio to mono float samples in [-1, 1] plus the sample
+    * rate. Channels average down to mono; 8-bit (signed/unsigned) and
+    * 16/24/32-bit signed PCM in either endianness are handled directly
+    * from the frame bytes — no float conversion service needed, so this
+    * works on a stock executor JVM.
+    */
+  private[operators] def decodeAudio(content: Array[Byte]): Option[(Array[Float], Float)] =
+    if (content == null) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val enc = fmt.getEncoding
+        if (enc != PCM_SIGNED && enc != PCM_UNSIGNED) None
+        else {
+          val bytesPerSample = (fmt.getSampleSizeInBits + 7) / 8
+          val channels = fmt.getChannels
+          val frameBytes = bytesPerSample * channels
+          val raw = in.readAllBytes()
+          val nFrames = raw.length / frameBytes
+          val mono = new Array[Float](nFrames)
+          val big = fmt.isBigEndian
+          val signed = enc == PCM_SIGNED
+          val full = 1L << (bytesPerSample * 8 - 1)
+          var i = 0
+          while (i < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < channels) {
+              val off = i * frameBytes + c * bytesPerSample
+              var v = 0L
+              var b = 0
+              while (b < bytesPerSample) {
+                val byteVal = raw(off + (if (big) b else bytesPerSample - 1 - b)) & 0xFF
+                v = (v << 8) | byteVal
+                b += 1
+              }
+              // sign-extend signed PCM; center unsigned PCM on zero
+              val s = if (signed) (v << (64 - bytesPerSample * 8)) >> (64 - bytesPerSample * 8)
+                      else v - full
+              acc += s.toDouble / full
+              c += 1
+            }
+            mono(i) = (acc / channels).toFloat
+            i += 1
+          }
+          Some((mono, fmt.getSampleRate))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** RMS-grid features over mono samples: `dims` equal time cells, each
+    * cell's root-mean-square amplitude — the audio analog of the
+    * average-pooled grayscale grid, and a real (if tiny) waveform
+    * embedding. Empty audio → zeros.
+    */
+  private[operators] def audioFeatures(samples: Array[Float], dims: Int): Array[Float] = {
+    val feats = Array.fill(dims)(0.0f)
+    val n = samples.length
+    if (n == 0) return feats
+    var cell = 0
+    while (cell < dims) {
+      val lo = (cell.toLong * n / dims).toInt
+      val hi = ((cell + 1).toLong * n / dims).toInt
+      if (hi > lo) {
+        var acc = 0.0
+        var i = lo
+        while (i < hi) { acc += samples(i).toDouble * samples(i); i += 1 }
+        feats(cell) = math.sqrt(acc / (hi - lo)).toFloat
+      }
+      cell += 1
+    }
+    feats
+  }
+
+  /** ===== STUB ===== deterministic fake for VIDEO and compressed audio
+    * only: the JDK has no codecs for these and none can be fetched
+    * offline. (PCM WAV/AIFF/AU audio decodes for REAL above.) The fake
     * derives "samples" from a content hash so tests are stable and the
     * per-row kernel cost is representative; a real build links ffmpeg
     * here behind the same per-partition batch shape.
@@ -118,11 +205,15 @@ object Multimodal {
             val r = rows.next()
             val content = r.get(contentIdx).asInstanceOf[Array[Byte]]
             bytes += (if (content == null) 0 else content.length)
-            val feats =
-              if (r.getString(kindIdx) == "image")
+            val feats = r.getString(kindIdx) match {
+              case "image" =>
                 decodeImage(content).map(imageFeatures(_, dims))
                   .getOrElse(stubDecodeFeatures(content, dims))
-              else stubDecodeFeatures(content, dims) // ===== STUB kinds =====
+              case "audio" => // real for PCM WAV/AIFF/AU; stub for compressed
+                decodeAudio(content).map { case (s, _) => audioFeatures(s, dims) }
+                  .getOrElse(stubDecodeFeatures(content, dims))
+              case _ => stubDecodeFeatures(content, dims) // ===== STUB kinds =====
+            }
             buf.enqueue(Row.fromSeq(r.toSeq :+ feats.toSeq))
           }
         }
@@ -141,14 +232,15 @@ object Multimodal {
     val probed = StructType(Seq(
       StructField("mime", StringType, nullable = true),
       StructField("width", IntegerType, nullable = true),
-      StructField("height", IntegerType, nullable = true)))
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
     val outSchema = df.schema.add("probed", probed)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
     val contentIdx = df.schema.fieldIndex("content")
     df.mapPartitions { rows =>
       rows.map { r =>
         val content = r.get(contentIdx).asInstanceOf[Array[Byte]]
-        val p = (for {
+        val image = (for {
           bytes <- Option(content)
           iis <- Option(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
           reader <- {
@@ -158,8 +250,22 @@ object Multimodal {
         } yield try {
           reader.setInput(iis)
           Row("image/" + reader.getFormatName.toLowerCase,
-            reader.getWidth(0), reader.getHeight(0))
-        } finally reader.dispose()).getOrElse(Row(null, null, null))
+            reader.getWidth(0), reader.getHeight(0), null)
+        } finally reader.dispose())
+        // not an image: try the real audio header (file-type probe reads
+        // the container header only, no full decode)
+        val p = image.orElse(for {
+          bytes <- Option(content)
+          aff <- try Option(javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new ByteArrayInputStream(bytes))) catch { case _: Exception => None }
+        } yield {
+          val fmt = aff.getFormat
+          val durMs =
+            if (aff.getFrameLength > 0 && fmt.getFrameRate > 0)
+              (aff.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+            else null
+          Row("audio/" + aff.getType.getExtension.toLowerCase, null, null, durMs)
+        }).getOrElse(Row(null, null, null, null))
         Row.fromSeq(r.toSeq :+ p)
       }
     }

@@ -186,9 +186,14 @@ object Sampling {
       .join(comp, quality(idCol) === comp("id"), "left_outer")
       .select(quality(idCol), quality(qualityCol),
         coalesce(col("comp"), quality(idCol)).as("comp"))
-    // winner = min over (-quality, id): max quality, ties → lowest id
+    // winner = min over (-quality, id): max quality, ties → lowest id.
+    // Null quality negates to null, and null struct fields sort FIRST
+    // in ascending struct order — coalesce to +inf so null-quality docs
+    // lose their cluster (the desc-window nulls-last semantics this agg
+    // replaced).
     val winner = withComp.groupBy(col("comp"))
-      .agg(min(struct((-col(qualityCol)).as("__nq"), col(idCol).as("__i")))
+      .agg(min(struct(coalesce(-col(qualityCol), lit(Double.MaxValue)).as("__nq"),
+        col(idCol).as("__i")))
         .as("__w"))
       .select(col("comp"), col("__w.__i").as(idCol))
     withComp.join(winner, Seq("comp", idCol), "left_semi")

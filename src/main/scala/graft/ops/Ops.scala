@@ -257,6 +257,92 @@ final class QueryAudit(spark: org.apache.spark.sql.SparkSession,
   }
 }
 
+final class RateLimitExceededException(msg: String) extends RuntimeException(msg)
+
+/** Token-bucket rate limiter gating query admission — the Spark-native
+  * form of the reference's `rate_limiter.py`, wired into the query
+  * lifecycle the way `star.py:650-653` gates `Star.run`. Refill is
+  * continuous (permits accrue fractionally with elapsed time) up to
+  * `burst`; acquisition is O(1) under one lock, so the gate costs
+  * nothing next to plan compilation. Over-rate callers are REJECTED,
+  * not queued — on a shared cluster a queue just moves the overload
+  * into driver memory; the caller owns the retry policy.
+  */
+final class RateLimiter(permitsPerSecond: Double, burst: Int,
+                        clock: () => Long = System.nanoTime) {
+  require(permitsPerSecond > 0 && burst >= 1, "need positive rate and burst >= 1")
+  private var tokens: Double = burst.toDouble
+  private var last: Long = clock()
+  private val rejectedCount = new java.util.concurrent.atomic.AtomicLong()
+
+  def tryAcquire(): Boolean = {
+    val ok = synchronized {
+      val now = clock()
+      tokens = math.min(burst.toDouble,
+        tokens + (now - last) / 1e9 * permitsPerSecond)
+      last = now
+      if (tokens >= 1.0) { tokens -= 1.0; true } else false
+    }
+    if (!ok) rejectedCount.incrementAndGet()
+    ok
+  }
+
+  def acquireOrThrow(): Unit =
+    if (!tryAcquire())
+      throw new RateLimitExceededException(
+        f"query rate limit exceeded ($permitsPerSecond%.1f/s, burst $burst)")
+
+  def rejected: Long = rejectedCount.get()
+}
+
+/** Engine liveness counters — started/completed/failed/in-flight plus
+  * rate-limit rejections, scraped by [[HealthServer]].
+  */
+final class EngineMetrics {
+  import java.util.concurrent.atomic.AtomicLong
+  val started = new AtomicLong()
+  val completed = new AtomicLong()
+  val failed = new AtomicLong()
+  def inFlight: Long = math.max(0L, started.get() - completed.get() - failed.get())
+  def snapshot(rateLimiter: Option[RateLimiter]): Map[String, Long] = Map(
+    "queries_started" -> started.get(),
+    "queries_completed" -> completed.get(),
+    "queries_failed" -> failed.get(),
+    "queries_in_flight" -> inFlight,
+    "rate_limited_rejections" -> rateLimiter.map(_.rejected).getOrElse(0L))
+}
+
+/** Minimal liveness/metrics endpoint over the JDK's built-in HTTP
+  * server — the reference's `health_server.py:1-18` counterpart.
+  * `GET /healthz` answers `ok` while the JVM is live; `GET /metrics`
+  * emits the engine counters in the text exposition format every
+  * scraper parses (`name value` lines). Bound to loopback; port 0
+  * picks an ephemeral port (read it back from `port`).
+  */
+final class HealthServer(metrics: () => Map[String, Long], port: Int = 0) {
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+                      body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  server.createContext("/healthz", ex => respond(ex, 200, "ok\n"))
+  server.createContext("/metrics", ex => respond(ex, 200,
+    metrics().toSeq.sortBy(_._1)
+      .map { case (k, v) => s"graft_$k $v" }.mkString("", "\n", "\n")))
+  server.setExecutor(null) // serve on the dispatch thread; scrapes are tiny
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}
+
 object QueryAudit {
   final case class AuditRecord(tsMillis: Long, label: String, action: String,
                                durationMs: Double, rowsOut: Long,

@@ -248,6 +248,21 @@ object RelationalQueries {
           round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"))
     },
 
+    // §2.4 EXACT discrete percentile (inverse distribution) through the
+    // registry's percentileDisc path — the former percentile_approx
+    // compilation was exact only under the sketch's 1e6 accuracy bound;
+    // this row pins the exact semantics against DuckDB quantile_disc.
+    "q25_percentile_disc" -> { (s, dir) =>
+      import graft.functions.FunctionRegistry
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          FunctionRegistry.aggregate("percentileDisc",
+            Seq(col("l_quantity"), lit(0.5)), distinct = false).as("median_qty"),
+          FunctionRegistry.aggregate("percentileDisc",
+            Seq(col("l_quantity"), lit(0.9)), distinct = false).as("p90_qty"))
+    },
+
     // §2.4 collect -> deterministic string form (array hashing differs
     // across engines; a joined sorted string is bit-stable).
     "q23_collect" -> { (s, dir) =>
@@ -402,6 +417,11 @@ object RelationalQueries {
          round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
          round(stddev_samp(l_quantity), 4) AS sd_qty,
          round(stddev_pop(l_quantity), 4) AS sdp_qty
+         FROM lineitem GROUP BY 1""",
+    "q25_percentile_disc" ->
+      """SELECT l_returnflag,
+         quantile_disc(l_quantity, 0.5) AS median_qty,
+         quantile_disc(l_quantity, 0.9) AS p90_qty
          FROM lineitem GROUP BY 1""",
     "q23_collect" ->
       """SELECT n_regionkey,

@@ -36,6 +36,34 @@ class CypherEngineSpec extends SparkSpec {
   private def rows(q: String, params: Map[String, Any] = Map.empty): Seq[Row] =
     engine.query(q, params).collect().toSeq
 
+  test("strict labels (default): unknown label/type fails loudly") {
+    intercept[NoSuchElementException] {
+      rows("MATCH (n:Nope) RETURN n.name AS name")
+    }
+    intercept[NoSuchElementException] {
+      rows("MATCH (a:Person)-[:NOPE]->(b:Person) RETURN a.name AS name")
+    }
+  }
+
+  test("graft.strictLabels=false: unknown label/type matches empty (openCypher parity)") {
+    spark.conf.set("graft.strictLabels", "false")
+    try {
+      // unknown label: empty match, property access compiles to null
+      assert(rows("MATCH (n:Nope) RETURN n.name AS name").isEmpty)
+      // unknown relationship type: empty match
+      assert(rows("MATCH (a:Person)-[:NOPE]->(b:Person) RETURN a.name AS name").isEmpty)
+      // OPTIONAL MATCH over an unknown type keeps left rows with nulls
+      // (endpoints stay labeled: an unknown type declares no endpoint
+      // labels to infer from)
+      val opt = rows(
+        """MATCH (a:Person) OPTIONAL MATCH (a:Person)-[:NOPE]->(b:Person)
+           RETURN a.name AS name, b.name AS bname""")
+      assert(opt.size == 4 && opt.forall(_.isNullAt(1)))
+      // the same queries still resolve KNOWN labels correctly
+      assert(rows("MATCH (n:Person) RETURN n.name AS name").size == 4)
+    } finally spark.conf.set("graft.strictLabels", "true")
+  }
+
   test("hello world: scan + filter + project (reference README Quick Start)") {
     val r = rows("MATCH (p:Person) WHERE p.age > 28 RETURN p.name AS name, p.age AS age")
     assert(r.map(x => (x.getString(0), x.getLong(1))).toSet == Set(("Alice", 30L), ("Carol", 35L)))
@@ -306,6 +334,27 @@ class CypherEngineSpec extends SparkSpec {
     assert(r.getString(4) == "masse")
     val bad = intercept[Exception](rows("RETURN normalize('x', 'NFX') AS y"))
     assert(bad.getMessage.contains("normalForm"))
+  }
+
+  test("NFKCCaseFold applies full Unicode case folding (UCD C+F), not just lowercase") {
+    def fold(s: String): String =
+      rows("RETURN normalize($s, 'NFKCCaseFold') AS f", Map("s" -> s))
+        .head.getString(0)
+    assert(fold("straße") == "strasse")         // ß → ss (F)
+    assert(fold("STRAẞE") == "strasse")         // ẞ chains ẞ→ss
+    assert(fold("ΟΔΟΣ") == "οδοσ")              // final sigma Σ → σ
+    assert(fold("οδός") == "οδόσ")              // ς → σ (C divergence)
+    assert(fold("ΐ") == "\u03B9\u0308\u0301") // ΐ decomposes under F
+    assert(fold("ᾈ") == "ἀι")                   // iota subscript → ἀ + ι
+    assert(fold("ᾼ") == "αι")                   // uppercase chains via 1FB3
+    assert(fold("ﬃ") == "ffi")                  // ligature via NFKC
+    assert(fold("ŉ") == "ʼn")              // F expansion
+    assert(fold("և") == "եւ")                   // Armenian F expansion
+    assert(fold("ᏣᎳᎩ") == "ᏣᎳᎩ")                // Cherokee upper is a fold fixed point
+    assert(fold("ꮳꮃꭹ") == "ᏣᎳᎩ")                // Cherokee lower folds UP
+    // idempotence: fold(fold(x)) == fold(x) over every special entry
+    val specials = "straße ΟΔΟΣ ΐ ᾈ ᾼ ﬃ ŉ և ꮳꮃꭹ ᾖ ῷ ΰ ẚ ẖ ẗ ẘ ẙ"
+    assert(fold(fold(specials)) == fold(specials))
   }
 
   test("co-partitioned edge regime matches broadcast-regime results") {

@@ -371,6 +371,58 @@ class MutationSpec extends SparkSpec {
     assert(r2.map(_.getString(0)).toSeq == Seq("created"))
   }
 
+  test("relationship SET rebinds: later clauses read the post-SET value") {
+    val eng = freshEngine
+    // same-query read-after-write on a rel property (node SET already
+    // rebinds; the rel path must too — reference shadow-layer re-read)
+    val r = eng.execute(
+      """MATCH (:Person {name: 'Alice'})-[k:KNOWS]->(:Person {name: 'Bob'})
+         SET k.since = 2030 RETURN k.since AS s""").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2030L))
+    // a NEW property (absent from the pre-SET frame) is also visible
+    val r2 = eng.execute(
+      """MATCH (:Person {name: 'Alice'})-[k:KNOWS]->(:Person {name: 'Bob'})
+         SET k.weight = 7 RETURN k.weight AS w""").collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("duplicate binding rows apply a deferred ON MATCH once per edge (documented fold)") {
+    val eng = freshEngine
+    // THE documented divergence (MutationEngine.mergeRelationship
+    // scaladoc): 3 duplicate binding rows on the created-edge path
+    // apply the self-referencing counter ONCE, where Neo4j's
+    // sequential per-row MERGE would apply it twice (rows 2 and 3).
+    eng.execute(
+      """MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'})
+         UNWIND [1, 2, 3] AS i
+         MERGE (b)-[k:COUNTS]->(c)
+         ON CREATE SET k.n = 0 ON MATCH SET k.n = k.n + 1""")
+    val created = eng.query(
+      """MATCH (:Person {name: 'Bob'})-[k:COUNTS]->(:Person {name: 'Carol'})
+         RETURN k.n AS n""").collect()
+    assert(created.map(_.getLong(0)).toSeq == Seq(1L)) // once-per-edge fold (Neo4j: 2)
+    // pre-existing edge, 2 duplicate rows: ON MATCH also folds to one
+    // application per edge (Neo4j: +2)
+    eng.execute(
+      """MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'})
+         UNWIND [1, 2] AS i
+         MERGE (b)-[k:COUNTS]->(c)
+         ON MATCH SET k.n = k.n + 1""")
+    val matched = eng.query(
+      """MATCH (:Person {name: 'Bob'})-[k:COUNTS]->(:Person {name: 'Carol'})
+         RETURN k.n AS n""").collect()
+    assert(matched.map(_.getLong(0)).toSeq == Seq(2L))
+    // DISTINCT binding rows (the supported counter idiom) stay exact:
+    // one MERGE statement per logical event increments per statement
+    eng.execute(
+      """MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'})
+         MERGE (b)-[k:COUNTS]->(c) ON MATCH SET k.n = k.n + 1""")
+    val seq = eng.query(
+      """MATCH (:Person {name: 'Bob'})-[k:COUNTS]->(:Person {name: 'Carol'})
+         RETURN k.n AS n""").collect()
+    assert(seq.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("CALL with correlated args runs per distinct tuple and joins back") {
     val eng = freshEngine
     val r = eng.query(

@@ -48,6 +48,30 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.exists(_._3 == 0))
   }
 
+  test("simhash hot-bucket guard: boilerplate corpus fires the warn, results unchanged") {
+    import graft.operators.Dedup
+    // 30 near-identical boilerplate docs: every one lands in the same
+    // pigeonhole buckets, so each bucket holds ~30 rows
+    val boiler = (1L to 30L).map(i =>
+      (i, s"terms of service apply to all users of product number $i"))
+      .toDF("doc_id", "text")
+    val unguarded = Dedup.simHashPairs(boiler, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    val guarded = try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      Dedup.simHashPairs(boiler, "doc_id", "text", maxHamming = 6,
+        hotBucketWarn = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    } finally System.setErr(prevErr)
+    assert(errBuf.toString.contains("simHashPairs hot bucket")) // guard fired
+    assert(guarded == unguarded)                                // observability only
+    // the standalone histogram sees the same hot buckets
+    val stats = Dedup.simHashBucketStats(boiler, "doc_id", "text", maxHamming = 6)
+    assert(stats.collect().head.getLong(2) > 10)
+  }
+
   test("hash sampling: deterministic, monotone, quota-respecting") {
     import graft.operators.Sampling
     val df = spark.range(0, 400).toDF("doc_id")
@@ -138,6 +162,22 @@ class OperatorsSpec extends SparkSpec {
     // cluster {1,2,3} → 2 (best quality); {5,6} → 5 (tie, lowest id);
     // singleton 4 survives
     assert(kept == Set(2L, 4L, 5L))
+  }
+
+  test("duplicate resolution: null-quality docs lose their cluster") {
+    import graft.operators.Sampling
+    // a null quality must sort LAST (the desc-window nulls-last
+    // semantics), not win via null-first struct ordering
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val quality = Seq((1L, java.lang.Double.valueOf(0.2)),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (3L, null.asInstanceOf[java.lang.Double]),
+      (4L, null.asInstanceOf[java.lang.Double]))
+      .toDF("doc_id", "quality")
+    val kept = Sampling.resolveDuplicates(pairs, quality).collect()
+      .map(_.getLong(0)).toSet
+    // {1,2}: non-null 0.2 beats null; {3,4}: all-null → lowest id
+    assert(kept == Set(1L, 3L))
   }
 
   test("WCOJ triangles: adjacency intersection equals the binary-join plan") {
@@ -659,7 +699,7 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
     assert(feats(1L).forall(_ > 0.99f))
     assert(feats(2L).forall(_ < 0.01f))
-    assert(feats(3L).length == 4) // audio takes the stub kernel
+    assert(feats(3L).length == 4) // undecodable audio takes the stub kernel
     // probe reads real dimensions + mime from the bytes
     val probed = Multimodal.probeMeta(rows).collect()
       .map(r => r.getLong(0) -> r.getStruct(3)).toMap
@@ -673,6 +713,55 @@ class OperatorsSpec extends SparkSpec {
       resized(1L).asInstanceOf[Array[Byte]]))
     assert(back.getWidth == 4 && back.getHeight == 4)
     assert(resized(3L) == null)
+  }
+
+  test("multimodal: real audio decode — RMS features + duration probe (JDK codecs)") {
+    import graft.operators.Multimodal
+    import javax.sound.sampled._
+    // 16-bit signed little-endian PCM WAV from synthetic samples
+    def wav(samples: Array[Double], sampleRate: Float = 8000f,
+            channels: Int = 1): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val v = math.round(s * 32767).toInt.max(-32768).min(32767)
+        data(i * 2) = (v & 0xFF).toByte
+        data(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+        fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val sr = 8000
+    // 440 Hz sine at amplitude 0.5 for 1 s: 110 full cycles per
+    // quarter-second cell, so every RMS cell is exactly 0.5/sqrt(2)
+    // up to 16-bit quantization
+    val sine = wav(Array.tabulate(sr)(i =>
+      0.5 * math.sin(2 * math.Pi * 440 * i / sr)))
+    // constant 0.25 for 0.5 s: RMS of every cell is exactly 0.25
+    val dc = wav(Array.fill(sr / 2)(0.25))
+    // stereo with right = -left: the mono average cancels to silence
+    val stereo = wav(Array.tabulate(sr * 2)(i =>
+      (if (i % 2 == 0) 0.3 else -0.3) * math.sin(2 * math.Pi * 440 * (i / 2) / sr)),
+      channels = 2)
+    val rows = Seq(
+      (1L, "audio", sine), (2L, "audio", dc), (3L, "audio", stereo))
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.extractFeatures(rows, dims = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val sineRms = 0.5 / math.sqrt(2)
+    assert(feats(1L).forall(f => math.abs(f - sineRms) < 1e-3))
+    assert(feats(2L).forall(f => math.abs(f - 0.25) < 1e-3))
+    assert(feats(3L).forall(f => math.abs(f) < 1e-3)) // channels cancel
+    // duration probe reads the real header: 8000 frames @ 8 kHz = 1 s
+    val probed = Multimodal.probeMeta(rows).collect()
+      .map(r => r.getLong(0) -> r.getStruct(3)).toMap
+    assert(probed(1L).getString(0) == "audio/wav")
+    assert(probed(1L).isNullAt(1) && probed(1L).isNullAt(2))
+    assert(probed(1L).getLong(3) == 1000L)
+    assert(probed(2L).getLong(3) == 500L)
   }
 
   test("multimodal: frame sampling expands by duration") {

@@ -109,6 +109,82 @@ class OpsSpec extends SparkSpec {
 
   private def parserParse(q: String) = graft.parser.CypherParser.parse(q)
 
+  test("percentileDisc is exact beyond the approx sketch's accuracy bound") {
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx, when}
+    import graft.functions.FunctionRegistry
+    def disc(df: org.apache.spark.sql.DataFrame, p: Double): Any =
+      df.agg(FunctionRegistry
+        .aggregate("percentileDisc", Seq(col("v"), lit(p)), distinct = false)
+        .as("x")).head.get(0)
+    // small group: inverse-distribution semantics (smallest value with
+    // cume_dist >= p) — identical to DuckDB quantile_disc
+    val small = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    assert(disc(small, 0.25) == 1.0 && disc(small, 0.5) == 2.0 &&
+      disc(small, 0.9) == 4.0)
+    // 4M-value group, 2M duplicates then a distinct tail, percentile
+    // just past the duplicate head: the former percentile_approx(…,1e6)
+    // compilation silently returns the WRONG element once the group
+    // exceeds the sketch's accuracy bound (rank slack n/accuracy) —
+    // exactly the group shape a 100 TB corpus produces
+    val big = spark.range(0, 4000000L)
+      .select(when(col("id") < 2000000L, 0L).otherwise(col("id")).as("v"))
+    val p = 0.5000005 // target rank 2000002: first row past the head
+    assert(disc(big, p) == 2000001.0) // exact inverse distribution
+    val approx = big.agg(percentile_approx(col("v"), lit(p), lit(1000000)))
+      .head.getLong(0)
+    assert(approx == 0L) // the sketch answers inside the duplicate head
+    // the sketch stays available as an explicit opt-in
+    spark.conf.set("graft.percentileDisc.approx", "true")
+    try assert(disc(big, p) == approx)
+    finally spark.conf.unset("graft.percentileDisc.approx")
+  }
+
+  test("rate limiter: over-rate queries are rejected, refill restores admission") {
+    import graft.ops.{RateLimiter, RateLimitExceededException}
+    var nanos = 0L
+    val rl = new RateLimiter(permitsPerSecond = 2.0, burst = 2, clock = () => nanos)
+    val person = Seq((0L, "Alice", 30L)).toDF("__ID__", "name", "age")
+    val cat = new GraphCatalog().addEntity("Person", person)
+    val eng = new CypherEngine(spark, cat, rateLimiter = Some(rl))
+    val q = "MATCH (p:Person) RETURN p.name AS n"
+    eng.query(q); eng.query(q)                       // burst admits 2
+    intercept[RateLimitExceededException](eng.query(q))
+    intercept[RateLimitExceededException](            // mutations gate too
+      eng.execute("CREATE (p:Person {name: 'X', age: 1})"))
+    assert(rl.rejected == 2)
+    nanos = 500L * 1000000                            // +0.5 s -> 1 token
+    eng.query(q)                                      // admitted again
+    intercept[RateLimitExceededException](eng.query(q))
+    assert(rl.rejected == 3)
+  }
+
+  test("health server: /healthz liveness and /metrics counter scrape") {
+    import graft.ops.RateLimiter
+    val rl = new RateLimiter(permitsPerSecond = 1000.0, burst = 1000)
+    val person = Seq((0L, "Alice", 30L)).toDF("__ID__", "name", "age")
+    val cat = new GraphCatalog().addEntity("Person", person)
+    val eng = new CypherEngine(spark, cat, rateLimiter = Some(rl))
+    eng.run("MATCH (p:Person) RETURN p.name AS n", timeoutSeconds = 60)
+    intercept[Exception](eng.run("MATCH (p:Nope) RETURN p.x AS x", 60))
+    val srv = eng.startHealthServer()
+    try {
+      def get(path: String): String = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        finally conn.disconnect()
+      }
+      assert(get("/healthz").trim == "ok")
+      val m = get("/metrics").linesIterator.map(_.split(" "))
+        .map(a => a(0) -> a(1).toLong).toMap
+      assert(m("graft_queries_started") == 2)
+      assert(m("graft_queries_completed") == 1)
+      assert(m("graft_queries_failed") == 1)
+      assert(m("graft_queries_in_flight") == 0)
+      assert(m("graft_rate_limited_rejections") == 0)
+    } finally srv.stop()
+  }
+
   test("explain includes complexity and the physical plan") {
     val eng = engineWith(None)
     val text = eng.explain("MATCH (p:Person) WHERE p.age > 26 RETURN p.name AS n")

@@ -367,6 +367,74 @@ class PipelineSpec extends SparkSpec {
     assert(rels.head().getString(2) == "KNOWS")
   }
 
+  test("neo4j mapping contract: column→property renames, coercions, null semantics") {
+    import spark.implicits._
+    import graft.etl.Neo4jSink
+    import graft.etl.Neo4jSink.{ConnectorConfig, NodeMapping, RelationshipMapping}
+    // reference NodeMapping example (sinks/neo4j.py:66-73): id_column
+    // "pid" under id_property "id", property renames full_name→name
+    val people = Seq(
+      (java.lang.Long.valueOf(1L), "Alice Smith", java.lang.Long.valueOf(30L),
+        9.5, true, Seq("a", "b")),
+      (java.lang.Long.valueOf(2L), "Bob Jones", null.asInstanceOf[java.lang.Long],
+        8.0, false, Seq("c")),
+      (null.asInstanceOf[java.lang.Long], "Ghost", java.lang.Long.valueOf(99L),
+        0.0, false, Seq.empty[String]))
+      .toDF("pid", "full_name", "age", "score", "active", "tags")
+    val nm = NodeMapping("Person", idColumn = "pid",
+      propertyColumns = Map("name" -> "full_name", "age" -> "age",
+        "score" -> "score", "active" -> "active", "tags" -> "tags"))
+    val out = tmpDir
+    val dir = Neo4jSink.writeNodes(people, nm, out)
+    val nodes = spark.read.option("header", "true").csv(dir)
+    // header contract: merge key in the label's id space, properties
+    // under their NEO4J names with types from the Spark schema
+    assert(nodes.columns.toSet == Set("id:ID(Person)", "active:boolean",
+      "age:long", "name:string", "score:double", "tags:string[]", ":LABEL"))
+    // null-merge-key rows are SKIPPED (reference _build_node_rows)
+    assert(nodes.count() == 2)
+    val alice = nodes.filter(nodes("id:ID(Person)") === "1").head()
+    assert(alice.getAs[String]("name:string") == "Alice Smith")
+    assert(alice.getAs[String]("age:long") == "30")
+    assert(alice.getAs[String]("active:boolean") == "true")
+    assert(alice.getAs[String]("tags:string[]") == "a;b") // array delimiter
+    // null property values -> absent (empty CSV field), reference _drop_nulls
+    assert(nodes.filter(nodes("id:ID(Person)") === "2").head()
+      .getAs[String]("age:long") == null)
+
+    // relationship mapping: endpoint id columns + property rename
+    val knows = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L), 2015L),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], 2016L))
+      .toDF("src_pid", "tgt_pid", "since_year")
+    val rm = RelationshipMapping("KNOWS", "Person", "Person",
+      sourceIdColumn = "src_pid", targetIdColumn = "tgt_pid",
+      propertyColumns = Map("since" -> "since_year"))
+    val rdir = Neo4jSink.writeRelationships(knows, rm, out)
+    val rels = spark.read.option("header", "true").csv(rdir)
+    assert(rels.columns.toSet ==
+      Set(":START_ID(Person)", ":END_ID(Person)", "since:long", ":TYPE"))
+    assert(rels.count() == 1) // null endpoint skipped
+    assert(rels.head().getAs[String]("since:long") == "2015")
+    assert(rels.head().getAs[String](":TYPE") == "KNOWS")
+
+    // identifier validation: backtick breakout + NFKC confusables rejected
+    intercept[IllegalArgumentException](NodeMapping("Per`son", "pid"))
+    intercept[IllegalArgumentException](NodeMapping("Per｀son", "pid")) // fullwidth `
+    intercept[IllegalArgumentException](NodeMapping("P{x}", "pid"))
+    intercept[IllegalArgumentException](
+      RelationshipMapping("K[0]", "A", "B", "s", "t"))
+
+    // the connector seam is the SAME mapped frame through a different
+    // format string: an unresolvable format must fail at format lookup
+    // (proving the swap is config-only), not in graft code
+    val seam = intercept[Exception](Neo4jSink.writeNodes(people, nm,
+      s"$out/live", ConnectorConfig("org.neo4j.spark",
+        Map("url" -> "bolt://localhost:7687"))))
+    assert(seam.getMessage.toLowerCase.contains("org.neo4j.spark") ||
+      seam.getMessage.toLowerCase.contains("data source"))
+  }
+
   test("JDBC source reads from an embedded Derby database") {
     // Derby ships on Spark's classpath (Hive metastore dependency), so
     // the SqlDataSource path runs for real with zero network egress —
