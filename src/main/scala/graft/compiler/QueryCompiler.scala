@@ -183,7 +183,14 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
   // ---------------- MATCH ----------------
 
   private def compileMatch(m: Match, outer: Option[Frame]): Frame = {
-    val pattern0 = m.paths.map(compilePath).reduce((a, b) => naturalJoin(a, b, "inner"))
+    // paths see the outer frame's bindings AND earlier paths' bindings
+    // for label inference, so a re-mention of a bound node var needs no
+    // repeated label: MATCH (a:Person) OPTIONAL MATCH (a)-[:T]->(b:B)
+    val outerVars = outer.map(_.vars).getOrElse(Map.empty[String, VarMeta])
+    val pattern0 = m.paths.foldLeft(Option.empty[Frame]) { (acc, p) =>
+      val f = compilePath(p, outerVars ++ acc.map(_.vars).getOrElse(Map.empty))
+      Some(acc.map(naturalJoin(_, f, "inner")).getOrElse(f))
+    }.get
     if (m.optional && outer.isEmpty) {
       // leading OPTIONAL MATCH: like MATCH, but an empty match yields ONE
       // all-null row (openCypher). Lazily: union a null row that survives
@@ -226,7 +233,7 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
       val extraFns = mutable.ArrayBuffer.empty[Frame => Column]
       def rewriteExists(paths: Seq[PathPattern], sub: Option[Expr],
                         neg: Boolean): Seq[Expr] = {
-        val subF = compileExistsSub(paths, sub)
+        val subF = compileExistsSub(paths, sub, outerF.vars ++ pattern0.vars)
         val spansPattern =
           (subF.vars.keySet intersect (patVarNames -- outerF.vars.keySet)).nonEmpty
         if (!spansPattern) {
@@ -336,7 +343,8 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     applyProps(f, varName, props)
   }
 
-  private def compilePath(p: PathPattern): Frame = {
+  private def compilePath(p: PathPattern,
+                          boundVars: Map[String, VarMeta] = Map.empty): Frame = {
     if (p.shortest.isDefined)
       return compileVarLengthPath(p)
     compileTriangleWcoj(p) match {
@@ -345,7 +353,8 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     }
 
     val startVar = p.start.variable.getOrElse(freshVar())
-    val startLabel = resolveLabel(p.start, p.hops.headOption.map(_._1), isStart = true)
+    val startLabel =
+      resolveLabel(p.start, p.hops.headOption.map(_._1), isStart = true, boundVars)
     var cur = nodeFrame(startVar, startLabel, p.start.props)
     var prevVar = startVar
     var fixedHops = 0
@@ -457,9 +466,10 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
   }
 
   private def resolveLabel(np: NodePattern, rel: Option[RelPattern],
-                           isStart: Boolean): String =
+                           isStart: Boolean,
+                           boundVars: Map[String, VarMeta] = Map.empty): String =
     np.labels.headOption.getOrElse {
-      val inferred = for {
+      val inferred = (for {
         r <- rel
         t <- r.types.headOption
         rd = catalog.relationship(t)
@@ -468,7 +478,11 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
           case ("OUT", false) | ("IN", true)  => rd.dstLabel
           case _ => None
         }
-      } yield l
+      } yield l).orElse {
+        // a re-mention of an already-bound node variable inherits its
+        // binding's label (openCypher: labels are stated once)
+        np.variable.flatMap(boundVars.get).collect { case NodeVar(l, _, _) => l }
+      }
       inferred.getOrElse {
         // single-label catalogs make bare (n) unambiguous; a standalone
         // unlabeled node becomes a pruned multi-label union scan ("*");
@@ -826,8 +840,7 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     */
   private def existsJoin(f: Frame, paths: Seq[PathPattern],
                          subWhere: Option[Expr], anti: Boolean): Frame = {
-    var sub = paths.map(compilePath).reduce((x, y) => naturalJoin(x, y, "inner"))
-    subWhere.foreach(w => sub = applyWhere(sub, w))
+    val sub = compileExistsSub(paths, subWhere, f.vars)
     val shared = (f.vars.keySet intersect sub.vars.keySet).toSeq.sorted
     require(shared.nonEmpty, "EXISTS pattern must share at least one variable")
     val keyCols = shared.zipWithIndex.map { case (v, i) => (v, s"__jk_$i") }
@@ -841,9 +854,17 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     f.copy(df = f.df.join(subPrepared, cond, jt))
   }
 
+  /** `boundVars`: enclosing bindings visible to the subpattern — a bare
+    * re-mention of a bound node var inherits its label, same rule as
+    * `compileMatch`. Intra-subpattern accumulation applies across paths.
+    */
   private def compileExistsSub(paths: Seq[PathPattern],
-                               subWhere: Option[Expr]): Frame = {
-    var sub = paths.map(compilePath).reduce((x, y) => naturalJoin(x, y, "inner"))
+                               subWhere: Option[Expr],
+                               boundVars: Map[String, VarMeta] = Map.empty): Frame = {
+    var sub = paths.foldLeft(Option.empty[Frame]) { (acc, p) =>
+      val f = compilePath(p, boundVars ++ acc.map(_.vars).getOrElse(Map.empty))
+      Some(acc.map(naturalJoin(_, f, "inner")).getOrElse(f))
+    }.get
     subWhere.foreach(w => sub = applyWhere(sub, w))
     sub
   }

@@ -52,16 +52,38 @@ class CypherEngineSpec extends SparkSpec {
       assert(rows("MATCH (n:Nope) RETURN n.name AS name").isEmpty)
       // unknown relationship type: empty match
       assert(rows("MATCH (a:Person)-[:NOPE]->(b:Person) RETURN a.name AS name").isEmpty)
-      // OPTIONAL MATCH over an unknown type keeps left rows with nulls
-      // (endpoints stay labeled: an unknown type declares no endpoint
-      // labels to infer from)
+      // OPTIONAL MATCH over an unknown type keeps left rows with nulls;
+      // the bare (a) re-mention inherits its binding's label (the
+      // unknown type declares no endpoint labels to infer from)
       val opt = rows(
-        """MATCH (a:Person) OPTIONAL MATCH (a:Person)-[:NOPE]->(b:Person)
+        """MATCH (a:Person) OPTIONAL MATCH (a)-[:NOPE]->(b:Person)
            RETURN a.name AS name, b.name AS bname""")
       assert(opt.size == 4 && opt.forall(_.isNullAt(1)))
       // the same queries still resolve KNOWN labels correctly
       assert(rows("MATCH (n:Person) RETURN n.name AS name").size == 4)
     } finally spark.conf.set("graft.strictLabels", "true")
+  }
+
+  test("bound node variable re-mention inherits its label (no rel-declared endpoints)") {
+    import spark.implicits._
+    // LIKES declares NO endpoint labels, so (a) is only resolvable
+    // through its earlier binding — within one MATCH (later path) and
+    // across MATCH clauses
+    val person = Seq((0L, "Alice"), (1L, "Bob")).toDF("__ID__", "name")
+    val likes = Seq((0L, 0L, 1L)).toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val cat = new GraphCatalog()
+      .addEntity("Person", person)
+      .addEntity("Thing", Seq((0L, "rock")).toDF("__ID__", "name"))
+      .addRelationship("LIKES", likes)
+    val eng = new CypherEngine(spark, cat)
+    val sameMatch = eng.query(
+      """MATCH (a:Person {name: 'Alice'}), (a)-[:LIKES]->(b:Person)
+         RETURN b.name AS n""").collect()
+    assert(sameMatch.map(_.getString(0)).toSeq == Seq("Bob"))
+    val acrossMatch = eng.query(
+      """MATCH (a:Person {name: 'Alice'}) MATCH (a)-[:LIKES]->(b:Person)
+         RETURN b.name AS n""").collect()
+    assert(acrossMatch.map(_.getString(0)).toSeq == Seq("Bob"))
   }
 
   test("hello world: scan + filter + project (reference README Quick Start)") {

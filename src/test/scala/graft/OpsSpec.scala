@@ -185,6 +185,59 @@ class OpsSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("query formatter: keywords uppercase, clause-per-line, strings untouched") {
+    import graft.ops.QueryFormatter
+    val messy = "match (n:Person)   where n.name = 'match me'  return n.name as name order by name limit 3"
+    val formatted = QueryFormatter.format(messy)
+    assert(formatted ==
+      """MATCH (n:Person)
+        |  WHERE n.name = 'match me'
+        |RETURN n.name AS name
+        |ORDER BY name
+        |LIMIT 3""".stripMargin)
+    // idempotent: formatting formatted text is a fixed point
+    assert(QueryFormatter.format(formatted) == formatted)
+    // OPTIONAL MATCH splits as one clause, SET is indented
+    val f2 = QueryFormatter.format(
+      "match (a:Person) optional match (a)-[:KNOWS]->(b:Person) set a.seen = true return a.name as n")
+    assert(f2 ==
+      """MATCH (a:Person)
+        |OPTIONAL MATCH (a)-[:KNOWS]->(b:Person)
+        |  SET a.seen = TRUE
+        |RETURN a.name AS n""".stripMargin)
+  }
+
+  test("query linter: case issues, trailing whitespace, parse errors") {
+    import graft.ops.QueryFormatter
+    val issues = QueryFormatter.lint("match (n:Person) RETURN n.name AS name ")
+    assert(issues.exists(i =>
+      i.message.contains("'match' should be uppercase") && i.line == 1))
+    assert(issues.exists(_.message == "Trailing whitespace"))
+    // keywords inside string literals are never flagged
+    val clean = QueryFormatter.lint("MATCH (n:Person) WHERE n.name = 'match' RETURN n.name AS x")
+    assert(!clean.exists(_.message.contains("uppercase")))
+    val broken = QueryFormatter.lint("MATCH (n:Person RETURN")
+    assert(broken.exists(i => i.severity == "error" && i.message.startsWith("Parse error")))
+  }
+
+  test("query profiler: phase timings, operator metrics, recommendations") {
+    import graft.ops.QueryProfiler
+    val eng = engineWith(None)
+    val rep = QueryProfiler.profile(eng,
+      "MATCH (p:Person) WHERE p.age > 20 RETURN p.name AS name")
+    assert(rep.rowCount == 2)
+    assert(rep.parseMs >= 0 && rep.compileMs > 0 && rep.executeMs > 0)
+    assert(rep.totalMs >= rep.executeMs)
+    assert(rep.operators.nonEmpty) // physical operators captured
+    assert(rep.operators.exists(_.rowsOut >= 0))
+    assert(rep.render.contains("Query Profile:"))
+    // anti-pattern surface: a cross product draws a recommendation
+    val cross = QueryProfiler.profile(eng,
+      "MATCH (a:Person), (b:Person) RETURN a.name AS x, b.name AS y")
+    assert(cross.rowCount == 4)
+    assert(cross.recommendations.exists(_.toLowerCase.contains("cartesian")))
+  }
+
   test("explain includes complexity and the physical plan") {
     val eng = engineWith(None)
     val text = eng.explain("MATCH (p:Person) WHERE p.age > 26 RETURN p.name AS n")
