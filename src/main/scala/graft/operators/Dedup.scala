@@ -833,4 +833,75 @@ object Dedup {
             x => x("para")),
           delim).as("clean_text"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and removing near-identical neighbors inside
+    * each cluster — the method that catches paraphrase-level duplicates
+    * MinHash/SimHash token sketches cannot see.
+    *
+    * Deterministic variant, fully replayable by an external SQL engine:
+    * clusters come from the md5-sampled centroid rule shared with the
+    * auditable IVF index (`Similarity.sampledCentroids` — k-means
+    * centroids cannot be recomputed outside Spark ML), assignment is
+    * argmin squared L2 with ties to the lower centroid id, and a doc is
+    * DROPPED iff some same-cluster neighbor with pairwise
+    * round(cos, 6) >= tau has a strictly lower (centroid-similarity,
+    * id) key. That is the paper's keep-low-centroid-similarity policy
+    * (retain the edge-of-cluster exemplar) with a total-order
+    * tie-break; the minimum of every duplicate neighborhood survives,
+    * so each duplicate component keeps at least one doc.
+    *
+    * Scale shape: assignment is one broadcast of nlist centroid rows;
+    * candidate generation is the within-cluster self-join, cost
+    * sum over clusters of size^2 — the SemDeDup shape. nlist grows with
+    * the corpus to keep clusters bounded, and
+    * `graft.semanticDedup.hotClusterWarn` (opt-in row-count threshold)
+    * names oversized clusters in the log instead of leaving them as
+    * anonymous straggler tasks, like `simHashPairs`' bucket guard.
+    *
+    * Returns one row per doc: (idCol, cluster, csim, kept) with csim =
+    * round(cosine to centroid, 6) and kept as 0/1.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, tau: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = Similarity.dimsOf(df, vecCol)
+    val v = df.select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
+    val cent = Similarity.sampledCentroids(v, nlist)
+    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("__dist", Similarity.sqDist(col("v"), col("c"), nd))
+      .withColumn("__rn", row_number().over(wid))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("cluster"),
+        round(Similarity.cosine(col("v"), col("c"), nd), 6).as("csim"))
+    val hotClusterWarn = df.sparkSession.conf
+      .getOption("graft.semanticDedup.hotClusterWarn").map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    if (hotClusterWarn != Int.MaxValue) {
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotClusterWarn)
+        .orderBy(col("__n").desc).limit(20).collect()
+        .foreach { h =>
+          System.err.println(
+            s"[graft] semanticDedup hot cluster: cluster=${h.get(0)} " +
+              s"rows=${h.get(1)} (> $hotClusterWarn; self-join is ~rows^2/2 pairs " +
+              "- raise nlist for this corpus)")
+        }
+    }
+    val l = assigned.select(col("cluster"), col("id").as("id1"),
+      col("v").as("v1"), col("csim").as("cs1"))
+    val r = assigned.select(col("cluster"), col("id").as("id2"),
+      col("v").as("v2"), col("csim").as("cs2"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("id1") =!= col("id2"))
+      .filter(round(Similarity.cosine(col("v1"), col("v2"), nd), 6) >= tau)
+      .filter(col("cs2") < col("cs1") ||
+        (col("cs2") === col("cs1") && col("id2") < col("id1")))
+      .select(col("id1").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__drop", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("csim"),
+        when(col("__drop").isNotNull, 0).otherwise(1).as("kept"))
+  }
 }

@@ -50,7 +50,7 @@ object Similarity {
   // native array cast (codegen'd Cast), NOT transform(_.cast) — a
   // per-element lambda is interpreted CodegenFallback dispatch on
   // every corpus vector load
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private[operators] def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** One-row probe of the vector dimensionality — the plan-time
     * constant the unrolled kernels need. Reads a single row-group;
@@ -59,7 +59,7 @@ object Similarity {
     * NPE, turning a degradable case (dims=0 → HOF fallback) into a
     * crash of the whole index build / lookup.
     */
-  private def dimsOf(df: DataFrame, vecCol: String): Int =
+  private[operators] def dimsOf(df: DataFrame, vecCol: String): Int =
     df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol)).as("s")).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
@@ -464,7 +464,7 @@ object Similarity {
     * sequential left-to-right fold; `dims > 0` unrolls into codegen'd
     * arithmetic with the identical order (same rationale as `cosine`).
     */
-  private def sqDist(a: Column, b: Column, dims: Int = 0): Column = {
+  private[operators] def sqDist(a: Column, b: Column, dims: Int = 0): Column = {
     def hof = aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
     if (dims <= 0) hof
@@ -482,7 +482,7 @@ object Similarity {
     * cannot be recomputed outside Spark ML). The centroid id IS the
     * sampled vector's corpus id.
     */
-  private def sampledCentroids(v: DataFrame, nlist: Int): DataFrame =
+  private[operators] def sampledCentroids(v: DataFrame, nlist: Int): DataFrame =
     v.orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
       .limit(nlist)
       .select(col("id").as("cid"), col("v").as("c"))
@@ -608,5 +608,46 @@ object Similarity {
         round(cosine(col("v"), col("qv"), queryVec.size), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idColName))
       .limit(k)
+  }
+
+  /** Label-noise detection by k-nearest-neighbor label agreement
+    * (the confident-learning/cleanlab-style screen): for every vector,
+    * take its k nearest neighbors by exact cosine (ties broken by id),
+    * majority-vote their labels (ties to the smaller label), and
+    * report per-label how often the vote agrees with the stored label.
+    * Low agreement for a label means its region of embedding space is
+    * contaminated — mislabeled rows or a label that isn't separable —
+    * the standard pre-training-data audit before using labels to
+    * stratify or filter.
+    *
+    * This is the EXACT all-pairs baseline (the form an external SQL
+    * oracle can replay verbatim); at corpus scale the same
+    * vote-and-aggregate runs over LSH/IVF candidate neighbors instead
+    * (`lshTopK`/`ivfSampledTopK` buckets), trading oracle-exactness
+    * for the bucketed join. Returns (labelCol, n_vecs, n_agree,
+    * agree_rate).
+    */
+  def knnLabelAgreement(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = dimsOf(df, vecCol)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      col(labelCol).as("lbl"))
+    val r = v.select(col("id").as("id2"), col("v").as("v2"), col("lbl").as("lbl2"))
+    val wk = Window.partitionBy(col("id")).orderBy(col("__cos").desc, col("id2"))
+    val neighbors = v.crossJoin(r).filter(col("id") =!= col("id2"))
+      .withColumn("__cos", round(cosine(col("v"), col("v2"), nd), 6))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+    val wv = Window.partitionBy(col("id")).orderBy(col("__n").desc, col("lbl2"))
+    val majority = neighbors.groupBy(col("id"), col("lbl"), col("lbl2"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__vr", row_number().over(wv))
+      .filter(col("__vr") === 1)
+    majority.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("lbl2") === col("lbl"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("lbl").as(labelCol), col("n_vecs"), col("n_agree"),
+        round(col("n_agree") / col("n_vecs") + lit(1e-11), 6).as("agree_rate"))
   }
 }

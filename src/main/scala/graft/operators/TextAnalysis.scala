@@ -273,4 +273,32 @@ object TextAnalysis {
           ipv4Re, "<IP>"),
         phoneRe, "<PHONE>").as("redacted"))
   }
+
+  /** N-gram novelty ("contribution") scoring: the fraction of a
+    * document's distinct n-grams whose FIRST corpus occurrence (owner =
+    * minimum doc id over the gram) is this document — a dedup-aware
+    * signal for how much new text a doc contributes to the corpus,
+    * used to weight or drop documents during mixture construction
+    * (the per-doc aggregate view of the Lee et al. duplicated-gram
+    * analysis that `duplicatedSpans` cuts at span level).
+    *
+    * Docs shorter than n tokens produce no grams and are absent from
+    * the output, matching the `positionalGramRows` domain. Work scales
+    * with distinct-gram volume: one distinct over (doc, gram), one
+    * map-side-combinable min per gram, one count per doc — no windows,
+    * no skew-prone keys (a boilerplate gram's rows spread over its
+    * many docs).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 4): DataFrame = {
+    val g = Dedup.positionalGramRows(df, idCol, textCol, n)
+      .select(col("id"), col("gh")).distinct()
+    val owners = g.groupBy(col("gh")).agg(min(col("id")).as("__owner"))
+    g.join(owners, Seq("gh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__owner") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams") + lit(1e-11), 6).as("novelty"))
+  }
 }

@@ -179,6 +179,23 @@ object PipelineQueries {
         queryVecId = 0L, k = 10)
     },
 
+    // Label-noise screen: 5-NN exact-cosine majority vote vs the stored
+    // label, aggregated per label — the cleanlab-style audit of the
+    // embeddings table's label column. FULLY oracled (all-pairs exact
+    // baseline; the LSH/IVF buckets are the corpus-scale candidate
+    // source).
+    "ann05_knn_label_agreement" -> { (s, dir) =>
+      Similarity.knnLabelAgreement(Tables(s, dir).embeddings, "vec_id",
+        "embedding", "label", k = 5)
+    },
+
+    // N-gram novelty: fraction of each doc's distinct 4-grams whose
+    // first corpus occurrence is this doc — dedup-aware contribution
+    // scoring for mixture construction.
+    "tx15_ngram_novelty" -> { (s, dir) =>
+      TextAnalysis.ngramNovelty(Tables(s, dir).documents, "doc_id", "text", n = 4)
+    },
+
     // LSH ANN against the PERSISTED signature index: md5 sign table →
     // the oracle replays signature + hamming<=1 multi-probe + cosine
     // top-k; the probe scan prunes to the 1+planes probe buckets.
@@ -294,6 +311,17 @@ object PipelineQueries {
         .filter((col("id1") % 7 === 0) =!= (col("id2") % 7 === 0))
         .select(col("id1"), col("id2"))
       recallRow(truth, found)
+    },
+
+    // SemDeDup semantic dedup (Abbas et al. 2023): md5-sampled
+    // centroids → argmin-L2 cluster assignment → within-cluster
+    // cosine >= tau neighbors → drop all but the lowest
+    // (centroid-similarity, id) member of each neighborhood. FULLY
+    // oracled: centroid choice, assignment, and the drop rule are all
+    // relational, so DuckDB replays the entire pipeline.
+    "dd14_semantic_dedup" -> { (s, dir) =>
+      Dedup.semanticDedup(Tables(s, dir).embeddings, "vec_id", "embedding",
+        nlist = 16, tau = 0.4)
     },
 
     // Span-level dedup resolution: cut every non-canonical occurrence
@@ -578,6 +606,62 @@ object PipelineQueries {
                   AS cos_sim
          FROM c WHERE c.vec_id <> 0 AND (SELECT qcd FROM q) IS NOT NULL
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // full replay of ann05: all-pairs exact cosine, 5-NN per vector
+    // (ties by id), per-vector majority label (ties to the smaller
+    // label), agreement aggregated per stored label
+    "ann05_knn_label_agreement" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+                    FROM embeddings),
+         nb AS (
+           SELECT a.vec_id, a.label AS lbl, b.vec_id AS id2, b.label AS lbl2,
+                  round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6) AS c
+           FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         ),
+         topk AS (
+           SELECT vec_id, lbl, lbl2 FROM (
+             SELECT nb.*, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY c DESC, id2) AS rn
+             FROM nb
+           ) WHERE rn <= 5
+         ),
+         votes AS (
+           SELECT vec_id, lbl, lbl2, count(*) AS n
+           FROM topk GROUP BY 1, 2, 3
+         ),
+         maj AS (
+           SELECT vec_id, lbl, lbl2 FROM (
+             SELECT votes.*, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY n DESC, lbl2) AS vr
+             FROM votes
+           ) WHERE vr = 1
+         )
+         SELECT lbl AS label, count(*) AS n_vecs,
+                CAST(sum(CASE WHEN lbl2 = lbl THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_agree,
+                round(sum(CASE WHEN lbl2 = lbl THEN 1 ELSE 0 END) * 1.0
+                      / count(*) + 1e-11, 6) AS agree_rate
+         FROM maj GROUP BY 1""",
+    // full replay of tx15: distinct positional 4-grams per doc (the
+    // dd10 gram convention), gram owner = min doc_id, novelty =
+    // owned-gram fraction
+    "tx15_ngram_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents
+         ),
+         g AS (
+           SELECT DISTINCT doc_id,
+                  md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS gh
+           FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+           WHERE len(t) >= 4
+         ),
+         own AS (SELECT gh, min(doc_id) AS owner FROM g GROUP BY 1)
+         SELECT g.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                round(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                      / count(*) + 1e-11, 6) AS novelty
+         FROM g JOIN own USING (gh) GROUP BY 1""",
     "tx01_text_stats" ->
       """SELECT doc_id, n_chars,
          length(text) AS text_len,
@@ -892,6 +976,37 @@ object PipelineQueries {
          SELECT count(*) AS n_truth, count(*) AS n_hit,
                 round(count(*) * 1.0 / count(*) + 1e-11, 4) AS recall
          FROM truth WHERE (id1 % 7 = 0) <> (id2 % 7 = 0)""",
+    // full replay of dd14: md5-ranked sampled centroids (the ann03
+    // rule), argmin-L2 assignment with ties to the lower centroid id,
+    // then the SemDeDup drop rule — a doc is dropped iff a same-cluster
+    // neighbor at round(cos,6) >= 0.4 has a strictly lower
+    // (centroid-similarity, id) key
+    "dd14_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (
+           SELECT vec_id AS cid, e AS c FROM v
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         ),
+         asg AS (
+           SELECT vec_id, e, cid AS cluster,
+                  round(CAST(list_cosine_similarity(e, c) AS DOUBLE), 6) AS csim
+           FROM (
+             SELECT v.vec_id, v.e, cent.cid, cent.c,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_distance(v.e, cent.c), cent.cid) AS rn
+             FROM v, cent
+           ) WHERE rn = 1
+         ),
+         dropped AS (
+           SELECT DISTINCT a.vec_id
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+           WHERE round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6) >= 0.4
+             AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+         )
+         SELECT a.vec_id, a.cluster, a.csim,
+                CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+         FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
     // replay of Dedup.duplicatedSpans at minSpan=4: positional 4-gram
     // md5s, grams shared by >=2 docs (min<>max), gaps-and-islands merge
     // of overlapping windows into maximal spans

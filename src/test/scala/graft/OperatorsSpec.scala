@@ -360,6 +360,80 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
   }
 
+  test("semantic dedup drops the high-centroid-similarity twin, keeps components alive") {
+    // Two planted near-identical pairs in opposite half-spaces plus one
+    // isolated vector. nlist=2 puts each pair with its own centroid;
+    // within a duplicate pair the SemDeDup keep-low policy must keep
+    // the member with the LOWER cosine-to-centroid and drop the other.
+    val a1 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val a2 = a1.clone(); a2(7) += 0.05f // near-dup of a1
+    val b1 = Array.tabulate(8)(i => -(i + 1).toFloat)
+    val b2 = b1.clone(); b2(0) -= 0.05f // near-dup of b1
+    val lone = Array.tabulate(8)(i => if (i % 2 == 0) 5f else -5f)
+    val vecs = Seq((1L, a1), (2L, a2), (3L, b1), (4L, b2), (5L, lone))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(vecs, "vec_id", "embedding", nlist = 2, tau = 0.99)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("cluster"), x.getAs[Double]("csim"), x.getAs[Int]("kept"))))
+      .toMap
+    assert(r.size == 5)
+    // each pair shares a cluster; the lone vector survives wherever it lands
+    assert(r(1L)._1 == r(2L)._1 && r(3L)._1 == r(4L)._1)
+    assert(r(5L)._3 == 1)
+    // exactly one survivor per planted pair, and it is the lower-csim member
+    Seq((1L, 2L), (3L, 4L)).foreach { case (x, y) =>
+      assert(r(x)._3 + r(y)._3 == 1, s"pair ($x,$y): want exactly one kept")
+      val kept = if (r(x)._3 == 1) x else y
+      val dropped = if (kept == x) y else x
+      assert(r(kept)._2 <= r(dropped)._2,
+        s"kept $kept must have the lower centroid similarity")
+    }
+    // hot-cluster guard: opt-in conf fires without changing results
+    spark.conf.set("graft.semanticDedup.hotClusterWarn", "1")
+    try {
+      val r2 = Dedup.semanticDedup(vecs, "vec_id", "embedding", nlist = 2, tau = 0.99)
+        .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Int]("kept")).toMap
+      assert(r2 == r.map { case (k, v) => k -> v._3 })
+    } finally spark.conf.unset("graft.semanticDedup.hotClusterWarn")
+  }
+
+  test("ngram novelty: first occurrence owns the gram, duplicates score zero") {
+    val r = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_novel"),
+          x.getAs[Double]("novelty")))).toMap
+    // doc 1: 9 tokens -> 6 distinct grams, all first-seen
+    assert(r(1L) == ((6L, 6L, 1.0)))
+    // doc 4 duplicates doc 1 verbatim: owns nothing
+    assert(r(4L)._2 == 0L && r(4L)._3 == 0.0)
+    // doc 2 shares 5 of its 6 grams with doc 1; only "...lazy cat" is new
+    assert(r(2L)._1 == 6L && r(2L)._2 == 1L)
+    assert(math.abs(r(2L)._3 - 1.0 / 6) < 1e-5)
+    // unrelated docs own everything
+    assert(r(3L)._3 == 1.0 && r(5L)._3 == 1.0)
+  }
+
+  test("knn label agreement flags the mislabeled point's label") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    def jig(eps: Float) = { val v = base.clone(); v(0) += eps; v }
+    val neg = base.map(-_)
+    def njig(eps: Float) = { val v = neg.clone(); v(1) += eps; v }
+    val vecs = Seq(
+      (1L, jig(0.00f), 0), (2L, jig(0.01f), 0), (3L, jig(0.02f), 0),
+      (7L, jig(0.03f), 1), // mislabeled: sits in the label-0 cluster
+      (4L, njig(0.00f), 1), (5L, njig(0.01f), 1), (6L, njig(0.02f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelAgreement(vecs, "vec_id", "embedding", "label", k = 3)
+      .collect().map(x => x.getAs[Int]("label") ->
+        ((x.getAs[Long]("n_vecs"), x.getAs[Long]("n_agree")))).toMap
+    // label 0: every member's 3-NN majority is label 0 (2 peers + the
+    // mislabeled point can't outvote)
+    assert(r(0) == ((3L, 3L)))
+    // label 1: the three true members agree; the mislabeled point's
+    // neighbors all vote 0 -> 3 of 4 agree
+    assert(r(1) == ((4L, 3L)))
+  }
+
   test("language id identifies real multilingual snippets") {
     val multi = Seq(
       (1L, "the cat sat on the mat and it was happy for a while"),
