@@ -68,11 +68,23 @@ final class GraphCatalog {
     org.apache.spark.sql.SparkSession.getActiveSession
       .forall(_.conf.get("graft.strictLabels", "true").toBoolean)
 
+  /** Id type for synthesized empty frames: follow whatever the live
+    * catalog uses (string ids, int ids, …) so the empty match unions
+    * and joins against real frames without analysis-time type
+    * mismatches; LongType only when the catalog is empty too.
+    */
+  private def emptyIdType: org.apache.spark.sql.types.DataType =
+    entities.values.headOption.map(e => e.df.schema(e.idCol).dataType)
+      .orElse(relationships.values.headOption
+        .map(r => r.df.schema(r.srcCol).dataType))
+      .getOrElse(org.apache.spark.sql.types.LongType)
+
   private def emptyDf(cols: String*): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val t = emptyIdType
     org.apache.spark.sql.SparkSession.active.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
-      StructType(cols.map(StructField(_, LongType, nullable = true))))
+      StructType(cols.map(StructField(_, t, nullable = true))))
   }
 
   def entity(label: String): EntityDef =

@@ -621,66 +621,201 @@ object Similarity {
     * stratify or filter.
     *
     * This is the EXACT all-pairs baseline (the form an external SQL
-    * oracle can replay verbatim); at corpus scale the same
-    * vote-and-aggregate runs over LSH/IVF candidate neighbors instead
-    * (`lshTopK`/`ivfSampledTopK` buckets), trading oracle-exactness
-    * for the bucketed join. Returns (labelCol, n_vecs, n_agree,
-    * agree_rate).
+    * oracle can replay verbatim, and the truth set
+    * `knnAgreementAudit` measures recall against); at corpus scale run
+    * `knnLabelAgreementLsh` — the SAME vote-and-aggregate over
+    * hamming<=1 multi-probe LSH candidates, a bucketed equi-join with
+    * no n^2 stage. Returns (labelCol, n_vecs, n_agree, agree_rate).
     */
   def knnLabelAgreement(df: DataFrame, idCol: String, vecCol: String,
                         labelCol: String, k: Int = 5): DataFrame = {
     val nd = dimsOf(df, vecCol)
-    // Pre-normalize ONCE so the 64-dim per-pair kernel is a bare dot
-    // product (cosine() would recompute both norms on every pair: 3x
-    // the flops on the n^2 hot path). The localCheckpoint is the
-    // materialization barrier: without it CollapseProject inlines the
-    // interpreted transform() lambda into the join output and the
-    // normalization re-runs on every PAIR row instead of n times —
-    // measured 2.6x slower than not normalizing at all. The pinned
-    // table is n skinny rows (it is also the broadcast input).
+    val v = normalizedVectors(df, idCol, vecCol, labelCol, nd)
+    labelAgreement(majorityVote(topkNeighbors(exactPairs(v, nd), k)), labelCol)
+  }
+
+  /** Candidate-based kNN label agreement — the corpus-scale form the
+    * exact all-pairs baseline documents: candidate neighbors come from
+    * a hamming<=1 multi-probe LSH self-join (each vector's `planes`-bit
+    * hyperplane signature is exploded into its 1+planes probe buckets
+    * and equi-joined against the corpus signatures — the same bucketed
+    * candidate shape as `lshTopK`, but corpus x corpus instead of
+    * query x corpus, with NO cross join anywhere). Vote and aggregation
+    * are identical to the exact form; a vector with no hamming<=1
+    * neighbor drops out of the audited population (reported as
+    * coverage by `knnAgreementAudit`).
+    *
+    * Scale: the probe explode is a fixed (1+planes)x fan-out, the join
+    * is an equi-join on a `planes`-bit key, and expected bucket size is
+    * n / 2^planes — `planes` is the cost/recall knob; size it so
+    * buckets stay bounded at the corpus's row count (8 is the
+    * bench-scale demo value, a 100 TB corpus wants 24+).
+    */
+  def knnLabelAgreementLsh(df: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, k: Int = 5,
+                           planes: Int = 8, seed: Int = 42): DataFrame = {
+    val nd = dimsOf(df, vecCol)
+    val v = normalizedVectors(df, idCol, vecCol, labelCol, nd)
+    labelAgreement(majorityVote(topkNeighbors(
+      lshCandidatePairs(v, nd, planes, seed), k)), labelCol)
+  }
+
+  /** One-row audit of the candidate-based screen against the exact
+    * baseline (the dd02/dd13 recall-ledger pattern): runs BOTH forms
+    * over the same normalized corpus and reports
+    *   n_vecs        vectors voted by the exact form (the population),
+    *   n_cand_voted  vectors that had at least one hamming<=1 candidate,
+    *   n_topk_pairs / n_topk_hit / nbr_recall
+    *                 exact top-k neighbor edges and the fraction the
+    *                 candidate top-k reproduces,
+    *   agree_exact / agree_cand / agree_delta
+    *                 overall vote-agreement rates and their difference.
+    * Fully replayable by an external SQL oracle: signatures are the
+    * md5 sign table, candidates are bit_count(xor)<=1, cosines round
+    * to 6 before ranking.
+    */
+  def knnAgreementAudit(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, k: Int = 5,
+                        planes: Int = 8, seed: Int = 42): DataFrame = {
+    val nd = dimsOf(df, vecCol)
+    val v = normalizedVectors(df, idCol, vecCol, labelCol, nd)
+    // pin both neighbor lists (n*k skinny rows each): every downstream
+    // branch — recall join, majority, agreement — would otherwise
+    // re-run the n^2 / candidate pair scans per referencing subtree
+    val exactNb = topkNeighbors(exactPairs(v, nd), k).localCheckpoint(true)
+    val candNb = topkNeighbors(lshCandidatePairs(v, nd, planes, seed), k)
+      .localCheckpoint(true)
+    val aggE = majorityVote(exactNb)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("vote") === col("lbl"), 1L).otherwise(0L)).as("__ae"))
+    val aggC = majorityVote(candNb)
+      .agg(count(lit(1)).as("n_cand_voted"),
+        sum(when(col("vote") === col("lbl"), 1L).otherwise(0L)).as("__ac"))
+    val pairsE = exactNb.agg(count(lit(1)).as("n_topk_pairs"))
+    // exact top-k edges the candidate top-k reproduces; both sides are
+    // unique on (id, id2) so semi-join count == intersection size
+    val hit = exactNb.select(col("id"), col("id2"))
+      .join(candNb.select(col("id"), col("id2")), Seq("id", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_topk_hit"))
+    aggE.crossJoin(aggC).crossJoin(pairsE).crossJoin(hit)
+      .select(col("n_vecs"), col("n_cand_voted"),
+        col("n_topk_pairs"), col("n_topk_hit"),
+        round(col("n_topk_hit") * lit(1.0) / col("n_topk_pairs") + lit(1e-11), 6)
+          .as("nbr_recall"),
+        round(col("__ae") * lit(1.0) / col("n_vecs") + lit(1e-11), 6)
+          .as("agree_exact"),
+        round(col("__ac") * lit(1.0) / col("n_cand_voted") + lit(1e-11), 6)
+          .as("agree_cand"))
+      .withColumn("agree_delta",
+        round(col("agree_cand") - col("agree_exact") + lit(1e-11), 6))
+  }
+
+  // ---------------- shared kNN vote pipeline ----------------
+
+  /** Normalized (id, lbl, v) corpus for the kNN vote pipeline.
+    *
+    * Pre-normalize ONCE so the per-pair kernel is a bare dot product
+    * (cosine() would recompute both norms on every pair: 3x the flops
+    * on the pair hot path). The localCheckpoint is the materialization
+    * barrier: without it CollapseProject inlines the interpreted
+    * transform() lambda into the join output and the normalization
+    * re-runs on every PAIR row instead of n times — measured 2.6x
+    * slower than not normalizing at all. The pinned table is n skinny
+    * rows (it is also the broadcast input).
+    *
+    * Null and zero-norm vectors are EXCLUDED here: a zero vector has
+    * no direction (its cosine is 0/0 = NaN), and letting NaNs into the
+    * pair stream silently drops the vector from voting mid-pipeline;
+    * excluding it up front makes the audited population explicit.
+    */
+  private def normalizedVectors(df: DataFrame, idCol: String, vecCol: String,
+                                labelCol: String, nd: Int): DataFrame = {
     def norm(c: Column) = sqrt(
       (1 to nd).map(d => element_at(c, d) * element_at(c, d))
         .foldLeft(lit(0.0))(_ + _))
-    val v = df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
-      transform(asDouble(col(vecCol)), x => x / norm(asDouble(col(vecCol))))
-        .as("v"))
+    df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      asDouble(col(vecCol)).as("__raw"))
+      .filter(col("__raw").isNotNull)
+      .withColumn("__norm", norm(col("__raw")))
+      .filter(col("__norm") > 0)
+      .select(col("id"), col("lbl"),
+        transform(col("__raw"), x => x / col("__norm")).as("v"))
       .localCheckpoint(true)
+  }
+
+  private def pairDot(nd: Int): Column =
+    (1 to nd).map(d => element_at(col("v"), d) * element_at(col("v2"), d))
+      .foldLeft(lit(0.0))(_ + _)
+
+  /** All-pairs candidate stream (the exact baseline): broadcast the n
+    * skinny normalized rows against themselves.
+    */
+  private def exactPairs(v: DataFrame, nd: Int): DataFrame = {
     val r = v.select(col("id").as("id2"), col("v").as("v2"), col("lbl").as("lbl2"))
     // the corpus parquet often arrives as ONE partition at this row
     // count, and a broadcast nested-loop join preserves left
     // partitioning — without this repartition all n^2 pair dots run in
     // a single task (measured 60 s vs 4 s at 2k vectors / 4M pairs)
-    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val vl = v.repartition(par)
-    def pairDot = (1 to nd).map(d => element_at(col("v"), d) * element_at(col("v2"), d))
-      .foldLeft(lit(0.0))(_ + _)
-    // top-k per vector as a grouped collect+sort+slice aggregate, NOT a
-    // row_number window: Spark's WindowGroupLimit rewrite plants a
-    // map-side Sort BELOW the exchange, i.e. inside the join's single
-    // output partition — one task sorting all n^2 pair rows (measured
-    // 43 s vs 0.7 s for this aggregate on the same pairs). The struct
-    // sort key (-cos normalized to kill -0.0, then id2) reproduces the
-    // window's (cos DESC, id2) order exactly.
-    val neighbors = vl.crossJoin(broadcast(r)).filter(col("id") =!= col("id2"))
+    val par = v.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    v.repartition(par).crossJoin(broadcast(r)).filter(col("id") =!= col("id2"))
       .select(col("id"), col("lbl"), col("id2"), col("lbl2"),
-        round(pairDot, 6).as("__cos"))
+        round(pairDot(nd), 6).as("__cos"))
+  }
+
+  /** Hamming<=1 multi-probe candidate stream: sign the corpus, explode
+    * each vector into its 1+planes probe buckets (own signature plus
+    * every single-bit flip), equi-join probes against exact signatures.
+    * Each qualifying ordered pair matches EXACTLY one probe (the XOR
+    * delta determines it), so the join emits no duplicates.
+    */
+  private def lshCandidatePairs(v: DataFrame, nd: Int,
+                                planes: Int, seed: Int): DataFrame = {
+    val signed = v.withColumn("__sig",
+      hyperplaneSignature(col("v"), planes, seed, nd))
+    val probes = array(
+      (col("__sig") +: (0 until planes).map(p =>
+        col("__sig").bitwiseXOR(lit(1L << p)))): _*)
+    val lhs = signed.select(col("id"), col("lbl"), col("v"),
+      explode(probes).as("__probe"))
+    val rhs = signed.select(col("id").as("id2"), col("lbl").as("lbl2"),
+      col("v").as("v2"), col("__sig").as("__sig2"))
+    lhs.join(rhs, col("__probe") === col("__sig2") && col("id") =!= col("id2"))
+      .select(col("id"), col("lbl"), col("id2"), col("lbl2"),
+        round(pairDot(nd), 6).as("__cos"))
+  }
+
+  /** Top-k per vector as a grouped collect+sort+slice aggregate, NOT a
+    * row_number window: Spark's WindowGroupLimit rewrite plants a
+    * map-side Sort BELOW the exchange, i.e. inside the join's single
+    * output partition — one task sorting all n^2 pair rows (measured
+    * 43 s vs 0.7 s for this aggregate on the same pairs). The struct
+    * sort key (-cos normalized to kill -0.0, then id2) reproduces the
+    * window's (cos DESC, id2) order exactly.
+    */
+  private def topkNeighbors(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .groupBy(col("id"), col("lbl"))
       .agg(slice(sort_array(collect_list(struct(
         ((lit(0.0) - col("__cos")) + lit(0.0)).as("nc"),
         col("id2").as("id2"), col("lbl2").as("lbl2")))), 1, k).as("top"))
       .select(col("id"), col("lbl"), explode(col("top")).as("t"))
-      .select(col("id"), col("lbl"), col("t.lbl2").as("lbl2"))
-    // majority label per vector: argmax count, ties to the smaller
-    // label — min(struct(-count, label)), no window
-    val majority = neighbors.groupBy(col("id"), col("lbl"), col("lbl2"))
+      .select(col("id"), col("lbl"), col("t.id2").as("id2"),
+        col("t.lbl2").as("lbl2"))
+
+  /** Majority label per vector: argmax count, ties to the smaller
+    * label — min(struct(-count, label)), no window.
+    */
+  private def majorityVote(neighbors: DataFrame): DataFrame =
+    neighbors.groupBy(col("id"), col("lbl"), col("lbl2"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("id"), col("lbl"))
       .agg(min(struct((-col("__n")).as("nn"), col("lbl2").as("l"))).as("__m"))
-      .select(col("id"), col("lbl"), col("__m.l").as("lbl2"))
+      .select(col("id"), col("lbl"), col("__m.l").as("vote"))
+
+  private def labelAgreement(majority: DataFrame, labelCol: String): DataFrame =
     majority.groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("lbl2") === col("lbl"), 1L).otherwise(0L)).as("n_agree"))
+        sum(when(col("vote") === col("lbl"), 1L).otherwise(0L)).as("n_agree"))
       .select(col("lbl").as(labelCol), col("n_vecs"), col("n_agree"),
         round(col("n_agree") / col("n_vecs") + lit(1e-11), 6).as("agree_rate"))
-  }
 }

@@ -60,8 +60,12 @@ object QueryProfiler {
       case (_, m) if m.metricType == "nsTiming" => m.value / 1e6
     }.sum
 
-  /** Execute and profile one query through the engine. The action is a
-    * `collect`, so operator metrics reflect a complete run.
+  /** Execute and profile one query through the engine. The action runs
+    * the frame's OWN executed plan as a distributed row count (a fold
+    * of per-partition counts), so operator SQL metrics reflect a
+    * complete run while the driver never materializes a single result
+    * row — profiling a 100M-row query costs the driver no more memory
+    * than profiling 10 rows.
     */
   def profile(engine: graft.CypherEngine, cypher: String,
               params: Map[String, Any] = Map.empty): ProfileReport = {
@@ -71,15 +75,17 @@ object QueryProfiler {
 
     val t1 = System.nanoTime()
     val df = engine.query(cypher, params)
-    df.queryExecution.executedPlan // force analysis + planning
+    val plan = df.queryExecution.executedPlan // force analysis + planning
     val compileMs = (System.nanoTime() - t1) / 1e6
 
     val t2 = System.nanoTime()
-    val rows = df.collect()
+    val rowCount = plan.execute()
+      .mapPartitions(it => Iterator.single {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      }).fold(0L)(_ + _)
     val executeMs = (System.nanoTime() - t2) / 1e6
     val totalMs = (System.nanoTime() - t0) / 1e6
 
-    val plan = df.queryExecution.executedPlan
     val operators = plan.collect { case node =>
       OperatorProfile(node.nodeName, timeMsOf(node),
         node.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
@@ -89,9 +95,8 @@ object QueryProfiler {
       .headOption.map(_.operator)
 
     ProfileReport(cypher, totalMs, parseMs, compileMs, executeMs,
-      rows.length.toLong, operators, hotspot,
-      recommend(cypher, plan, parseMs, compileMs, rows.length.toLong,
-        operators))
+      rowCount, operators, hotspot,
+      recommend(cypher, plan, parseMs, compileMs, rowCount, operators))
   }
 
   private def recommend(cypher: String, plan: SparkPlan, parseMs: Double,

@@ -189,6 +189,17 @@ object PipelineQueries {
         "embedding", "label", k = 5)
     },
 
+    // Candidate-based label-noise screen audited against the exact
+    // baseline: hamming<=1 LSH multi-probe candidates (the bucketed
+    // corpus-scale shape — no n^2 stage) voted with the same 5-NN rule,
+    // reported as one recall/agreement-delta row. FULLY oracled: the
+    // DuckDB oracle replays signatures (md5 sign table), the hamming
+    // candidate join, both vote pipelines, and every rate.
+    "ann06_knn_agreement_audit" -> { (s, dir) =>
+      Similarity.knnAgreementAudit(Tables(s, dir).embeddings, "vec_id",
+        "embedding", "label", k = 5, planes = 8, seed = 42)
+    },
+
     // N-gram novelty: fraction of each doc's distinct 4-grams whose
     // first corpus occurrence is this doc — dedup-aware contribution
     // scoring for mixture construction.
@@ -641,6 +652,88 @@ object PipelineQueries {
                 round(sum(CASE WHEN lbl2 = lbl THEN 1 ELSE 0 END) * 1.0
                       / count(*) + 1e-11, 6) AS agree_rate
          FROM maj GROUP BY 1""",
+    // full replay of ann06: md5 sign table -> 8-plane signatures (raw
+    // dots — sign is scale-invariant, so they equal the engine's
+    // normalized-dot signs), hamming<=1 candidate pairs vs all pairs,
+    // the SAME 5-NN/majority pipeline on both, one audit row. Zero-norm
+    // and null vectors are excluded exactly as the engine excludes them.
+    "ann06_knn_agreement_audit" ->
+      s"""WITH ${signCte(8, 64)},
+         sig AS (
+           SELECT vec_id,
+                  sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << l)
+                           ELSE 0 END) AS sig
+           FROM dots GROUP BY 1
+         ),
+         vl AS (
+           SELECT v.vec_id AS id, v.e, emb.label AS lbl, s.sig
+           FROM v
+           JOIN embeddings emb ON emb.vec_id = v.vec_id
+           JOIN sig s ON s.vec_id = v.vec_id
+           WHERE v.e IS NOT NULL
+             AND list_sum(list_transform(v.e, x -> x * x)) > 0
+         ),
+         exn AS (
+           SELECT a.id, a.lbl, b.id AS id2, b.lbl AS lbl2,
+                  round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6) AS c
+           FROM vl a JOIN vl b ON a.id <> b.id
+         ),
+         exk AS (
+           SELECT id, lbl, id2, lbl2 FROM (
+             SELECT exn.*, row_number() OVER (PARTITION BY id
+                      ORDER BY c DESC, id2) AS rn
+             FROM exn
+           ) WHERE rn <= 5
+         ),
+         cdn AS (
+           SELECT a.id, a.lbl, b.id AS id2, b.lbl AS lbl2,
+                  round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6) AS c
+           FROM vl a JOIN vl b
+             ON a.id <> b.id AND bit_count(xor(a.sig, b.sig)) <= 1
+         ),
+         cdk AS (
+           SELECT id, lbl, id2, lbl2 FROM (
+             SELECT cdn.*, row_number() OVER (PARTITION BY id
+                      ORDER BY c DESC, id2) AS rn
+             FROM cdn
+           ) WHERE rn <= 5
+         ),
+         majE AS (
+           SELECT id, lbl, lbl2 AS vote FROM (
+             SELECT t.*, row_number() OVER (PARTITION BY id
+                      ORDER BY n DESC, lbl2) AS vr
+             FROM (SELECT id, lbl, lbl2, count(*) AS n
+                   FROM exk GROUP BY 1, 2, 3) t
+           ) WHERE vr = 1
+         ),
+         majC AS (
+           SELECT id, lbl, lbl2 AS vote FROM (
+             SELECT t.*, row_number() OVER (PARTITION BY id
+                      ORDER BY n DESC, lbl2) AS vr
+             FROM (SELECT id, lbl, lbl2, count(*) AS n
+                   FROM cdk GROUP BY 1, 2, 3) t
+           ) WHERE vr = 1
+         ),
+         aggE AS (SELECT count(*) AS n_vecs,
+                         sum(CASE WHEN vote = lbl THEN 1 ELSE 0 END) AS ae
+                  FROM majE),
+         aggC AS (SELECT count(*) AS n_cand_voted,
+                         sum(CASE WHEN vote = lbl THEN 1 ELSE 0 END) AS ac
+                  FROM majC),
+         pe AS (SELECT count(*) AS n_topk_pairs FROM exk),
+         hit AS (SELECT count(*) AS n_topk_hit
+                 FROM exk e JOIN cdk c ON e.id = c.id AND e.id2 = c.id2)
+         SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+                CAST(n_cand_voted AS BIGINT) AS n_cand_voted,
+                CAST(n_topk_pairs AS BIGINT) AS n_topk_pairs,
+                CAST(n_topk_hit AS BIGINT) AS n_topk_hit,
+                round(n_topk_hit * 1.0 / n_topk_pairs + 1e-11, 6) AS nbr_recall,
+                round(ae * 1.0 / n_vecs + 1e-11, 6) AS agree_exact,
+                round(ac * 1.0 / n_cand_voted + 1e-11, 6) AS agree_cand,
+                round(round(ac * 1.0 / n_cand_voted + 1e-11, 6)
+                      - round(ae * 1.0 / n_vecs + 1e-11, 6) + 1e-11, 6)
+                  AS agree_delta
+         FROM aggE, aggC, pe, hit""",
     // full replay of tx15: distinct positional 4-grams per doc (the
     // dd10 gram convention), gram owner = min doc_id, novelty =
     // owned-gram fraction

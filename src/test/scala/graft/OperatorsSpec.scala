@@ -434,6 +434,53 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1) == ((4L, 3L)))
   }
 
+  test("candidate-based knn agreement matches exact on clustered corpus") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    def jig(eps: Float) = { val v = base.clone(); v(0) += eps; v }
+    val neg = base.map(-_)
+    def njig(eps: Float) = { val v = neg.clone(); v(1) += eps; v }
+    // both clusters get 4 members so every vector's exact top-3 is
+    // intra-cluster (a 3-member cluster's top-3 would include one
+    // cross-cluster edge the LSH candidates correctly never see)
+    val vecs = Seq(
+      (1L, jig(0.00f), 0), (2L, jig(0.01f), 0), (3L, jig(0.02f), 0),
+      (7L, jig(0.03f), 1),
+      (4L, njig(0.00f), 1), (5L, njig(0.01f), 1), (6L, njig(0.02f), 1),
+      (8L, njig(0.03f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // near-identical directions share all 8 hyperplane signs, so each
+    // cluster is one hamming-0 bucket and the candidate top-k equals
+    // the exact top-k — the LSH form must reproduce the exact verdicts
+    val r = Similarity.knnLabelAgreementLsh(
+      vecs, "vec_id", "embedding", "label", k = 3, planes = 8)
+      .collect().map(x => x.getAs[Int]("label") ->
+        ((x.getAs[Long]("n_vecs"), x.getAs[Long]("n_agree")))).toMap
+    assert(r(0) == ((3L, 3L)))
+    assert(r(1) == ((5L, 4L)))
+    val a = Similarity.knnAgreementAudit(
+      vecs, "vec_id", "embedding", "label", k = 3, planes = 8).head()
+    assert(a.getAs[Long]("n_vecs") == 8L)
+    assert(a.getAs[Long]("n_cand_voted") == 8L)
+    assert(a.getAs[Double]("nbr_recall") == 1.0)
+    assert(a.getAs[Double]("agree_delta") == 0.0)
+  }
+
+  test("knn vote pipeline excludes null and zero-norm vectors up front") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    def jig(eps: Float) = { val v = base.clone(); v(0) += eps; v }
+    val vecs = Seq(
+      (1L, jig(0.00f), 0), (2L, jig(0.01f), 0), (3L, jig(0.02f), 0),
+      (8L, Array.fill(8)(0.0f), 0),
+      (9L, null.asInstanceOf[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    // a zero vector has no direction (0/0 cosine); it must leave the
+    // audited population instead of NaN-poisoning the pair stream
+    val r = Similarity.knnLabelAgreement(vecs, "vec_id", "embedding", "label", k = 2)
+      .collect()
+    assert(r.map(_.getAs[Long]("n_vecs")).sum == 3L)
+    assert(r.map(_.getAs[Long]("n_agree")).sum == 3L)
+  }
+
   test("language id identifies real multilingual snippets") {
     val multi = Seq(
       (1L, "the cat sat on the mat and it was happy for a while"),

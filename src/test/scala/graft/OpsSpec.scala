@@ -238,6 +238,42 @@ class OpsSpec extends SparkSpec {
     assert(cross.recommendations.exists(_.toLowerCase.contains("cartesian")))
   }
 
+  test("query profiler never materializes the result on the driver") {
+    import graft.ops.QueryProfiler
+    // 200k rows x ~200-char payload ≈ 40 MB serialized: a collect-based
+    // profile ships it all to the driver; the plan-count profile ships
+    // only per-partition counts. Task resultSize is the public record
+    // of what actually crossed that wire.
+    val wide = spark.range(200000L).selectExpr(
+      "id AS __ID__", "repeat('x', 200) AS payload")
+    val cat = new GraphCatalog().addEntity("Doc", wide)
+    val eng = new CypherEngine(spark, cat)
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong
+    val tasksSeen = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (e.taskMetrics != null) resultBytes.addAndGet(e.taskMetrics.resultSize)
+        tasksSeen.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rep = QueryProfiler.profile(eng,
+        "MATCH (d:Doc) RETURN d.payload AS payload")
+      assert(rep.rowCount == 200000L)
+      // listener delivery is async: wait until the task stream goes quiet
+      var last = -1L
+      var spins = 0
+      while (tasksSeen.get() != last && spins < 50) {
+        last = tasksSeen.get(); Thread.sleep(100); spins += 1
+      }
+      val mb = resultBytes.get() / 1e6
+      assert(resultBytes.get() < 5L * 1000 * 1000,
+        f"profile shipped $mb%.1f MB to the driver — it is collecting the result")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("explain includes complexity and the physical plan") {
     val eng = engineWith(None)
     val text = eng.explain("MATCH (p:Person) WHERE p.age > 26 RETURN p.name AS n")
