@@ -73,15 +73,23 @@ final class GraphCatalog {
     * and joins against real frames without analysis-time type
     * mismatches; LongType only when the catalog is empty too.
     */
-  private def emptyIdType: org.apache.spark.sql.types.DataType =
-    entities.values.headOption.map(e => e.df.schema(e.idCol).dataType)
-      .orElse(relationships.values.headOption
-        .map(r => r.df.schema(r.srcCol).dataType))
+  private def emptyIdType(preferRelationships: Boolean)
+      : org.apache.spark.sql.types.DataType = {
+    // TrieMap iteration order is nondeterministic — pick the
+    // lexicographically-first key so heterogeneous-id catalogs
+    // synthesize the SAME empty-frame type run-to-run; empty rel
+    // frames prefer a relationship's src/dst type over an entity id
+    def entityT = entities.keys.toSeq.sorted.headOption
+      .map(l => { val e = entities(l); e.df.schema(e.idCol).dataType })
+    def relT = relationships.keys.toSeq.sorted.headOption
+      .map(t => { val r = relationships(t); r.df.schema(r.srcCol).dataType })
+    (if (preferRelationships) relT.orElse(entityT) else entityT.orElse(relT))
       .getOrElse(org.apache.spark.sql.types.LongType)
+  }
 
   private def emptyDf(cols: String*): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
-    val t = emptyIdType
+    val t = emptyIdType(preferRelationships = cols.contains("__SOURCE__"))
     org.apache.spark.sql.SparkSession.active.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       StructType(cols.map(StructField(_, t, nullable = true))))

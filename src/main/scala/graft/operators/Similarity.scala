@@ -697,15 +697,17 @@ object Similarity {
     val hit = exactNb.select(col("id"), col("id2"))
       .join(candNb.select(col("id"), col("id2")), Seq("id", "id2"), "left_semi")
       .agg(count(lit(1)).as("n_topk_hit"))
+    // degenerate corpora (empty / single vector / all zero-norm) leave
+    // the denominators at 0 — emit an explicit 0.0 rate, not null
+    def rate(num: Column, den: Column): Column =
+      round(when(den > 0, num * lit(1.0) / den).otherwise(lit(0.0))
+        + lit(1e-11), 6)
     aggE.crossJoin(aggC).crossJoin(pairsE).crossJoin(hit)
       .select(col("n_vecs"), col("n_cand_voted"),
         col("n_topk_pairs"), col("n_topk_hit"),
-        round(col("n_topk_hit") * lit(1.0) / col("n_topk_pairs") + lit(1e-11), 6)
-          .as("nbr_recall"),
-        round(col("__ae") * lit(1.0) / col("n_vecs") + lit(1e-11), 6)
-          .as("agree_exact"),
-        round(col("__ac") * lit(1.0) / col("n_cand_voted") + lit(1e-11), 6)
-          .as("agree_cand"))
+        rate(col("n_topk_hit"), col("n_topk_pairs")).as("nbr_recall"),
+        rate(col("__ae"), col("n_vecs")).as("agree_exact"),
+        rate(col("__ac"), col("n_cand_voted")).as("agree_cand"))
       .withColumn("agree_delta",
         round(col("agree_cand") - col("agree_exact") + lit(1e-11), 6))
   }
@@ -738,7 +740,11 @@ object Similarity {
       .filter(col("__raw").isNotNull)
       .withColumn("__norm", norm(col("__raw")))
       .filter(col("__norm") > 0)
-      .select(col("id"), col("lbl"),
+      // __raw rides along so signature paths can sign the ORIGINAL
+      // vector: sign is scale-invariant in exact arithmetic, but a
+      // near-zero hyperplane dot can flip under the normalized floats,
+      // diverging from the index convention and the oracle replay
+      .select(col("id"), col("lbl"), col("__raw"),
         transform(col("__raw"), x => x / col("__norm")).as("v"))
       .localCheckpoint(true)
   }
@@ -771,7 +777,7 @@ object Similarity {
   private def lshCandidatePairs(v: DataFrame, nd: Int,
                                 planes: Int, seed: Int): DataFrame = {
     val signed = v.withColumn("__sig",
-      hyperplaneSignature(col("v"), planes, seed, nd))
+      hyperplaneSignature(col("__raw"), planes, seed, nd))
     val probes = array(
       (col("__sig") +: (0 until planes).map(p =>
         col("__sig").bitwiseXOR(lit(1L << p)))): _*)

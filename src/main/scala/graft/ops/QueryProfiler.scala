@@ -79,10 +79,16 @@ object QueryProfiler {
     val compileMs = (System.nanoTime() - t1) / 1e6
 
     val t2 = System.nanoTime()
-    val rowCount = plan.execute()
-      .mapPartitions(it => Iterator.single {
-        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
-      }).fold(0L)(_ + _)
+    // run under a SQL execution id so the profiled run shows up in the
+    // SQL UI/event log and driver-side metrics (broadcast/subquery)
+    // still post — plan.execute() alone would skip all of that
+    val rowCount = org.apache.spark.sql.execution.SQLExecution
+      .withNewExecutionId(df.queryExecution) {
+        plan.execute()
+          .mapPartitions(it => Iterator.single {
+            var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+          }).fold(0L)(_ + _)
+      }
     val executeMs = (System.nanoTime() - t2) / 1e6
     val totalMs = (System.nanoTime() - t0) / 1e6
 

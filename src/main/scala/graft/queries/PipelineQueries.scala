@@ -622,7 +622,10 @@ object PipelineQueries {
     // label), agreement aggregated per stored label
     "ann05_knn_label_agreement" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
-                    FROM embeddings),
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL
+                      AND list_sum(list_transform(
+                            CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
          nb AS (
            SELECT a.vec_id, a.label AS lbl, b.vec_id AS id2, b.label AS lbl2,
                   round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6) AS c
