@@ -17,6 +17,35 @@ import graft.parser.CypherAst._
   * succeeds. `localCheckpoint` pins each mutated table so later reads
   * in the same query see the writes without unbounded lineage growth.
   */
+/** Dense sequential id assignment WITHOUT a global window.
+  *
+  * `row_number() OVER (ORDER BY …)` with no PARTITION BY funnels every
+  * row through ONE task (Spark warns "No Partition Defined for Window
+  * operation") — the write path's single-partition bottleneck: CREATE
+  * from a 100M-row binding frame serializes. This is the zipWithIndex
+  * shape instead: a distributed range-partitioned sort on the order
+  * key, then one lightweight count job over partition sizes and a
+  * per-partition map adding `base + partitionOffset + localIndex`.
+  * Same dense deterministic ids (identical to the window's output
+  * whenever the order key is a total order), no single-task stage.
+  */
+private[graft] object DenseId {
+  def assign(df: DataFrame, orderCols: Seq[String],
+             idName: String, base: Long): DataFrame = {
+    val spark = df.sparkSession
+    // localCheckpoint pins the sorted layout so zipWithIndex's count
+    // job and the subsequent map see the SAME partition contents (an
+    // uncached RDD would re-execute the sort once per job)
+    val sorted = df.orderBy(orderCols.map(col): _*).localCheckpoint()
+    val schema = sorted.schema.add(idName,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
+
 final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
                            params: Map[String, Any]) {
 
@@ -93,10 +122,9 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     val compiler = ec(f)
     val propCols = np.props.map { case (k, e) => compiler.compile(e).as(k) }
     // one created node per binding row; id = base + dense row number
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__rowid"))
-    val created = f.df
-      .select(Seq(col("__rowid")) ++ propCols: _*)
-      .withColumn(idCol, (row_number().over(w) - 1).cast("long") + lit(base))
+    val created = DenseId.assign(
+      f.df.select(Seq(col("__rowid")) ++ propCols: _*),
+      Seq("__rowid"), idCol, base)
       .localCheckpoint()
 
     val newRows = created.drop("__rowid")
@@ -139,8 +167,7 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       col(f.idCol(dstVar)).as(dstCol0)) ++ propCols: _*)
     idColOpt.foreach { ic =>
       val base = existing.map(d => nextIdBase(d, ic)).getOrElse(0L)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(srcCol0), col(dstCol0))
-      newRels = newRels.withColumn(ic, (row_number().over(w) - 1).cast("long") + lit(base))
+      newRels = DenseId.assign(newRels, Seq(srcCol0, dstCol0), ic, base)
     }
     val merged = existing match {
       case Some(d) => d.unionByName(newRels, allowMissingColumns = true)
@@ -433,10 +460,8 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
 
     if (!missing.isEmpty) {
       val base = nextIdBase(e.df, e.idCol)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__rowid"))
-      val created = missing
-        .dropDuplicates(keyNames)
-        .withColumn(e.idCol, (row_number().over(w) - 1).cast("long") + lit(base))
+      val created = DenseId.assign(missing.dropDuplicates(keyNames),
+        Seq("__rowid"), e.idCol, base)
         .drop("__rowid")
       catalog.replaceEntity(label,
         e.df.unionByName(created, allowMissingColumns = true).localCheckpoint())
@@ -657,9 +682,7 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
         omCols.map("__om_" + _._1): _*)
       idColOpt.foreach { ic =>
         val base = existing.map(d => nextIdBase(d, ic)).getOrElse(0L)
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col(srcCol0), col(dstCol0))
-        newRels = newRels.withColumn(ic,
-          (row_number().over(w) - 1).cast("long") + lit(base))
+        newRels = DenseId.assign(newRels, Seq(srcCol0, dstCol0), ic, base)
       }
       val current = if (catalog.hasRelationship(relType))
         Some(catalog.relationship(relType).df) else None

@@ -461,4 +461,35 @@ class MutationSpec extends SparkSpec {
     // the dangling A->B edge must be gone despite undeclared labels
     assert(eng.catalog.relationship("LIKES").df.count() == 0L)
   }
+
+  test("created-id assignment is dense, deterministic, and window-free") {
+    import graft.compiler.DenseId
+    // multi-partition input: the old row_number window would funnel all
+    // rows through one task ("No Partition Defined" warning)
+    val df = spark.range(0, 1000, 1, numPartitions = 8)
+      .selectExpr("id AS __rowid", "id * 2 AS payload")
+    val assigned = DenseId.assign(df, Seq("__rowid"), "__nid", 5000L)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"id plan must not contain a Window:\n$plan")
+    val rows = assigned.collect().map(r => (r.getLong(0), r.getLong(2)))
+    // dense contiguous ids in __rowid order, stable across runs
+    assert(rows.sortBy(_._1).map(_._2).toSeq == (5000L until 6000L))
+    val again = DenseId.assign(df, Seq("__rowid"), "__nid", 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("CREATE from a multi-partition frame mints dense contiguous ids") {
+    val eng = freshEngine
+    eng.execute(
+      """MATCH (p:Person) CREATE (t:Tag {src: p.name})""")
+    val ids = eng.catalog.entity("Tag").df
+      .select("__ID__").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L))
+    // appending again continues after the current max id
+    eng.execute("""MATCH (p:Person) CREATE (t:Tag {src: p.name})""")
+    val ids2 = eng.catalog.entity("Tag").df
+      .select("__ID__").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2 == (0L to 5L))
+  }
 }
