@@ -863,11 +863,24 @@ object Dedup {
     * round(cosine to centroid, 6) and kept as 0/1.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    nlist: Int = 16, tau: Double = 0.9): DataFrame = {
+                    nlist: Int = 0, tau: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nd = Similarity.dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
-    val cent = Similarity.sampledCentroids(v, nlist)
+    // nlist <= 0 → derive from the corpus: candidate cost is
+    // sum(cluster_size^2), so a FIXED cluster count degrades toward
+    // all-pairs as n grows. ceil(n / targetClusterSize) keeps expected
+    // cluster size (hence per-cluster pair cost) constant as the corpus
+    // scales; the count job is one pass the self-join pays for anyway.
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val target = df.sparkSession.conf
+          .getOption("graft.semanticDedup.targetClusterSize").map(_.toInt)
+          .getOrElse(1024)
+        math.max(16, math.ceil(v.count().toDouble / target).toInt)
+      }
+    val cent = Similarity.sampledCentroids(v, k)
     val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
     val assigned = v.crossJoin(broadcast(cent))
       .withColumn("__dist", Similarity.sqDist(col("v"), col("c"), nd))

@@ -397,6 +397,31 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.semanticDedup.hotClusterWarn")
   }
 
+  test("semantic dedup: unset nlist scale-derives cluster count, bounding cluster size") {
+    // skewed deterministic corpus: 200 vectors clumped in one corner,
+    // 56 spread out — a FIXED small nlist would leave one huge cluster
+    // (quadratic self-join); the derived nlist = ceil(n/target) samples
+    // centroids proportionally from the clump, keeping clusters bounded
+    val rnd = new scala.util.Random(42)
+    def vec(center: Double, spread: Double) =
+      Array.tabulate(8)(_ => (center + rnd.nextGaussian() * spread).toFloat)
+    val rows = (0 until 200).map(i => (i.toLong, vec(10.0, 0.5))) ++
+      (200 until 256).map(i => (i.toLong, vec(-5.0, 8.0)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    spark.conf.set("graft.semanticDedup.targetClusterSize", "8")
+    try {
+      val r = Dedup.semanticDedup(vecs, "vec_id", "embedding", tau = 0.999)
+        .groupBy("cluster").count().collect()
+      // derived k = max(16, ceil(256/8)) = 32 > the old fixed 16
+      assert(r.length > 16, s"expected >16 non-empty clusters, got ${r.length}")
+      val maxSize = r.map(_.getLong(1)).max
+      // expected size 8; deterministic corpus+md5 centroids → stable.
+      // bound at 8x target: the skewed clump must NOT collapse into one
+      // quadratic mega-cluster (fixed nlist=4 puts 200 rows in one)
+      assert(maxSize <= 64, s"max cluster size $maxSize exceeds 8x target")
+    } finally spark.conf.unset("graft.semanticDedup.targetClusterSize")
+  }
+
   test("ngram novelty: first occurrence owns the gram, duplicates score zero") {
     val r = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 4)
       .collect().map(x => x.getAs[Long]("doc_id") ->
