@@ -1,0 +1,263 @@
+package graft
+
+import java.io.{BufferedReader, PrintWriter, StringReader, StringWriter}
+import java.nio.file.Files
+
+import graft.model.GraphCatalog
+import graft.ops.CypherRepl
+
+/** Interactive REPL over injectable streams (reference repl.py:79-958):
+  * scripted sessions drive the SAME loop the stdin console runs —
+  * dot-commands, timing/row counts, EXPLAIN/PROFILE, multi-line `;`,
+  * templates, batch files, history persistence, completion.
+  */
+class ReplSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshEngine: CypherEngine = {
+    val person = Seq(
+      (0L, "Alice", 30L),
+      (1L, "Bob", 25L),
+      (2L, "Carol", 35L)).toDF("__ID__", "name", "age")
+    val knows = Seq((0L, 0L, 1L), (1L, 1L, 2L))
+      .toDF("__ID__", "__SOURCE__", "__TARGET__")
+    val cat = new GraphCatalog()
+      .addEntity("Person", person)
+      .addRelationship("KNOWS", knows,
+        srcLabel = Some("Person"), dstLabel = Some("Person"))
+    new CypherEngine(spark, cat)
+  }
+
+  /** Run a scripted session; returns the full transcript. */
+  private def session(lines: String*): String = {
+    val engine = freshEngine
+    val out = new StringWriter()
+    val repl = new CypherRepl(engine,
+      new BufferedReader(new StringReader(lines.mkString("\n"))),
+      new PrintWriter(out), historyFile = None)
+    repl.run()
+    out.toString
+  }
+
+  test("query executes with row count and timing") {
+    val t = session("MATCH (p:Person) RETURN p.name AS name ORDER BY name;")
+    assert(t.contains("Alice") && t.contains("Bob") && t.contains("Carol"))
+    assert("""3 row\(s\)\s+\(\d+(\.\d+)? ms\)""".r.findFirstIn(t).isDefined, t)
+  }
+
+  test("multi-line input accumulates until ';'") {
+    val t = session(
+      "MATCH (p:Person)",
+      "WHERE p.age > 26",
+      "RETURN count(*) AS n;")
+    // continuation prompt appears, then one result
+    assert(t.contains(".> "))
+    assert(t.contains("1 row(s)"))
+    assert(t.contains("| 2"))
+  }
+
+  test("errors are reported, counted, and do not kill the loop") {
+    val t = session(
+      "MATCH (p:Nope) RETURN p;",
+      "MATCH (p:Person) RETURN count(*) AS n;",
+      ".metrics")
+    assert(t.contains("Error:"))
+    assert(t.contains("1 row(s)"))
+    assert(t.contains("1 error(s)"), t)
+  }
+
+  test("EXPLAIN shows the plan without running; PROFILE shows a breakdown") {
+    val t = session("EXPLAIN MATCH (p:Person) RETURN p.name;")
+    assert(t.contains("complexity:") && t.contains("Physical Plan"), t)
+    val p = session("PROFILE MATCH (p:Person) RETURN p.name AS name;")
+    assert(p.contains("Query Profile:") && p.contains("Operator breakdown:"), p)
+  }
+
+  test(".help lists every dot-command") {
+    val t = session(".help")
+    CypherRepl.DotCommands.foreach(c => assert(t.contains(s".$c"), s"missing .$c"))
+    assert(t.contains("EXPLAIN") && t.contains("PROFILE"))
+  }
+
+  test(".schema shows labels, relationship endpoints, and properties") {
+    val t = session(".schema")
+    assert(t.contains(":Person") && t.contains("(2 properties)"))
+    assert(t.contains(".name") && t.contains(".age"))
+    assert(t.contains("[:KNOWS]") && t.contains("(Person)->(Person)"))
+  }
+
+  test(".tables shows row and column counts") {
+    val t = session(".tables")
+    assert(t.contains("Person: 3 rows, 3 cols"))
+    assert(t.contains("KNOWS: 2 rows, 3 cols"))
+  }
+
+  test(".functions lists the registry surface") {
+    val t = session(".functions")
+    assert(t.contains("available functions:"))
+    Seq("count", "collect", "substring", "percentiledisc").foreach(f =>
+      assert(t.contains(f), s"missing $f"))
+  }
+
+  test(".examples are schema-aware") {
+    val t = session(".examples")
+    assert(t.contains("MATCH (n:Person)"))
+    assert(t.contains("[r:KNOWS]"))
+  }
+
+  test(".metrics aggregates session counts") {
+    val t = session(
+      "MATCH (p:Person) RETURN count(*) AS n;",
+      "MATCH (p:Person) RETURN count(*) AS n;",
+      ".metrics")
+    assert(t.contains("2 queries"), t)
+  }
+
+  test(".history and .search recall prior input") {
+    val t = session(
+      "MATCH (p:Person) RETURN count(*) AS n;",
+      ".schema",
+      ".history",
+      ".search match",
+      ".search zzznope")
+    assert(t.contains("Recent history"))
+    // the .search line itself is in history by dispatch time, like readline
+    assert(t.contains("2 match(es) for 'match'"), t)
+    assert(t.contains("1: MATCH (p:Person)"), t)
+    // a .search always matches its own history entry, like readline;
+    // 'zzznope' matches nothing else
+    assert(t.contains("1 match(es) for 'zzznope'"), t)
+  }
+
+  test(".format switches table/csv/json output") {
+    val csv = session(".format csv",
+      "MATCH (p:Person) RETURN p.name AS name, p.age AS age ORDER BY name LIMIT 1;")
+    assert(csv.contains("name,age") && csv.contains("Alice,30"), csv)
+    val json = session(".format json",
+      "MATCH (p:Person) RETURN p.name AS name ORDER BY name LIMIT 1;")
+    assert(json.contains("\"name\" : \"Alice\""), json)
+    val bad = session(".format yaml")
+    assert(bad.contains("Unknown format 'yaml'"))
+  }
+
+  test(".template save/list/run/delete with $param substitution") {
+    val t = session(
+      ".template save byname MATCH (p:Person {name: '$name'}) RETURN p.age AS age",
+      ".template list",
+      ".template run byname name=Alice",
+      ".template delete byname",
+      ".template list")
+    assert(t.contains("Template 'byname' saved."))
+    assert(t.contains("1 template(s):"))
+    assert(t.contains("Running: MATCH (p:Person {name: 'Alice'})"))
+    assert(t.contains("| 30"), t)
+    assert(t.contains("Template 'byname' deleted."))
+    assert(t.contains("No templates saved."))
+    val warn = session(
+      ".template save q MATCH (p:Person {name: '$name'}) RETURN p",
+      ".template run q")
+    assert(warn.contains("unsubstituted parameters: $name"))
+  }
+
+  test(".batch runs queries from a file, skipping -- comments") {
+    val f = Files.createTempFile("repl_batch", ".cypher")
+    Files.write(f, java.util.List.of(
+      "-- a comment",
+      "MATCH (p:Person) RETURN count(*) AS n;",
+      "",
+      "MATCH (p:Person) WHERE p.age > 26 RETURN count(*) AS n;"))
+    try {
+      val t = session(s".batch $f", ".metrics")
+      assert(t.contains("Running 2 queries"))
+      assert(t.contains("[1/2]") && t.contains("[2/2]"))
+      assert(t.contains("Batch complete: 2 queries."))
+      assert(t.contains("2 queries,"), t) // both counted in metrics
+    } finally Files.delete(f)
+  }
+
+  test(".load registers entity and relationship sources mid-session") {
+    val dir = Files.createTempDirectory("repl_load")
+    val cities = dir.resolve("cities.csv")
+    Files.write(cities, java.util.List.of("cid,cname", "1,Oslo", "2,Bergen"))
+    val edges = dir.resolve("edges.csv")
+    Files.write(edges, java.util.List.of("s,t", "1,2"))
+    try {
+      val t = session(
+        s".load entity City=$cities:cid",
+        s".load rel NEAR=$edges:s:t",
+        "MATCH (c:City) RETURN count(*) AS n;",
+        ".load bogus x=y",
+        ".load entity Broken=/nope/missing.csv")
+      assert(t.contains("Loaded entity City") && t.contains("2 rows"), t)
+      assert(t.contains("Loaded relationship NEAR"))
+      assert(t.contains("| 2"))
+      assert(t.contains("Unknown load type 'bogus'"))
+      assert(t.contains("Error:"))
+    } finally {
+      Files.delete(cities); Files.delete(edges); Files.delete(dir)
+    }
+  }
+
+  test("mutations run through the REPL and persist within the session") {
+    val t = session(
+      "CREATE (p:Person {name: 'Dave', age: 40});",
+      "MATCH (p:Person) RETURN count(*) AS n;")
+    assert(t.contains("| 4"), t)
+  }
+
+  test("unknown dot-command suggests close matches") {
+    val t = session(".shcema", ".zzz")
+    assert(t.contains("Did you mean") && t.contains(".schema"), t)
+    assert(t.contains("Type .help for available commands."))
+  }
+
+  test("result display is driver-bounded: truncation note past maxRows") {
+    val engine = freshEngine
+    spark.conf.set("graft.repl.maxRows", "2")
+    try {
+      val out = new StringWriter()
+      new CypherRepl(engine,
+        new BufferedReader(new StringReader(
+          "MATCH (p:Person) RETURN p.name AS name ORDER BY name;")),
+        new PrintWriter(out), historyFile = None).run()
+      val t = out.toString
+      assert(t.contains("3 row(s)"))
+      assert(t.contains("... (1 more rows"), t)
+    } finally spark.conf.unset("graft.repl.maxRows")
+  }
+
+  test("history persists across sessions via the history file") {
+    val f = Files.createTempFile("repl_hist", "")
+    Files.delete(f)
+    try {
+      val out1 = new StringWriter()
+      new CypherRepl(freshEngine,
+        new BufferedReader(new StringReader("MATCH (p:Person) RETURN count(*) AS n;")),
+        new PrintWriter(out1), historyFile = Some(f)).run()
+      assert(Files.exists(f))
+      val out2 = new StringWriter()
+      new CypherRepl(freshEngine,
+        new BufferedReader(new StringReader(".history")),
+        new PrintWriter(out2), historyFile = Some(f)).run()
+      assert(out2.toString.contains("MATCH (p:Person) RETURN count(*) AS n"), out2.toString)
+    } finally Files.deleteIfExists(f)
+  }
+
+  test("completion surface: dot-commands, keywords, functions, labels, props") {
+    val engine = freshEngine
+    val repl = new CypherRepl(engine,
+      new BufferedReader(new StringReader("")),
+      new PrintWriter(new StringWriter()), historyFile = None)
+    assert(repl.complete(".sch") == Seq(".schema"))
+    assert(repl.complete("MAT").contains("MATCH"))
+    assert(repl.complete("coun").contains("count("))
+    assert(repl.complete("Pers").contains("Person"))
+    assert(repl.complete("KNO").contains("KNOWS"))
+    assert(repl.complete("p.na").contains("p.name"))
+  }
+
+  test(".quit ends the loop without reading further input") {
+    val t = session(".quit", "MATCH (p:Person) RETURN count(*) AS n;")
+    assert(!t.contains("row(s)"), t)
+  }
+}
