@@ -33,10 +33,14 @@ private[graft] object DenseId {
   def assign(df: DataFrame, orderCols: Seq[String],
              idName: String, base: Long): DataFrame = {
     val spark = df.sparkSession
+    // a property column sharing the id name would silently duplicate
+    // under schema.add (the replaced row_number path overwrote it) —
+    // drop it so the assigned id stays the single unambiguous column
+    val clean = if (df.columns.contains(idName)) df.drop(idName) else df
     // localCheckpoint pins the sorted layout so zipWithIndex's count
     // job and the subsequent map see the SAME partition contents (an
     // uncached RDD would re-execute the sort once per job)
-    val sorted = df.orderBy(orderCols.map(col): _*).localCheckpoint()
+    val sorted = clean.orderBy(orderCols.map(col): _*).localCheckpoint()
     val schema = sorted.schema.add(idName,
       org.apache.spark.sql.types.LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>

@@ -24,10 +24,11 @@ import graft.etl.PipelineRunner
   *   - runs over a pair of INJECTABLE streams (the CypherLsp pattern) —
   *     the interactive console is `run()` on stdin/stdout, and a spec
   *     drives the identical loop with a scripted session;
-  *   - result display never materializes more than maxRows+count on the
-  *     driver (`df.limit(n).collect` + a distributed count), where the
-  *     reference collects the whole pandas frame — a 100M-row RETURN
-  *     costs the REPL driver ~50 rows of memory;
+  *   - result display never materializes more than maxRows+1 rows on
+  *     the driver (`df.limit(n+1).collect`, plus a distributed count
+  *     only when the page overflows), where the reference collects the
+  *     whole pandas frame — a 100M-row RETURN costs the REPL driver
+  *     ~50 rows of memory;
   *   - EXPLAIN shows the Catalyst formatted physical plan + the
   *     complexity gate report (the engine's honest plan, where the
   *     reference prints its Lark AST: repl.py:309-356);
@@ -81,8 +82,20 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
 
     if (stripped.startsWith(".") && multiline.isEmpty) { dotCommand(stripped); return }
 
-    // accumulate multi-line input until a ';' terminator (repl.py:242-266)
+    // accumulate multi-line input until a ';' terminator (repl.py:242-266).
+    // Escape hatches while accumulating: an empty line executes what is
+    // buffered (matching the banner's "or press Enter"), and .quit/.exit
+    // still dispatch so a half-typed MATCH can't trap the session.
     if (multiline.nonEmpty) {
+      if (stripped == ".quit" || stripped == ".exit") {
+        multiline.clear(); dotCommand(stripped); return
+      }
+      if (stripped.isEmpty) {
+        val q = multiline.mkString(" ").trim.stripSuffix(";").trim
+        multiline.clear()
+        if (q.nonEmpty) executeQuery(q)
+        return
+      }
       multiline += line
       if (stripped.endsWith(";")) {
         val q = multiline.mkString(" ").trim.stripSuffix(";").trim
@@ -111,10 +124,15 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
     val t0 = System.nanoTime()
     val result =
       try {
+        // one execution fetches maxRows+1; the separate distributed
+        // count only runs when the result actually overflows the page,
+        // so small results cost a single job and shown rows can never
+        // disagree with the reported count for nondeterministic frames
         val df = engine.execute(query)
-        val total = df.count()
-        val shown = df.limit(maxRows).collect()
-        Right((df, total, shown))
+        val n = maxRows
+        val fetched = df.limit(n + 1).collect()
+        val total = if (fetched.length > n) df.count() else fetched.length.toLong
+        Right((df, total, fetched.take(n)))
       } catch { case NonFatal(e) => Left(rootMessage(e)) }
     val ms = (System.nanoTime() - t0) / 1e6
 
@@ -415,12 +433,15 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
     if (arg.isEmpty) { echo("Usage: .batch <file.cypher>"); return }
     val p = Paths.get(arg)
     if (!Files.exists(p)) { echo(s"File not found: $arg"); return }
-    val queries = Files.readAllLines(p).asScala.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("--")).toSeq
+    // join the file and split on ';' (outside string literals), so
+    // batch files support the same multi-line query syntax the
+    // interactive loop accepts — a clause-per-line MATCH is one query
+    val body = Files.readAllLines(p).asScala.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("--")).mkString(" ")
+    val queries = splitStatements(body)
     if (queries.isEmpty) { echo("No queries found in file."); return }
     echo(s"Running ${queries.length} queries from $arg...")
-    queries.zipWithIndex.foreach { case (q0, i) =>
-      val q = q0.stripSuffix(";").trim
+    queries.zipWithIndex.foreach { case (q, i) =>
       echo(s"\n[${i + 1}/${queries.length}] $q")
       executeQuery(q)
     }
@@ -552,6 +573,37 @@ object CypherRepl {
     if (words.lastOption.exists(continuing)) return true
     upper.contains("MATCH") && !upper.contains("RETURN") &&
       !Seq("CREATE", "MERGE", "DELETE", "SET ", "REMOVE").exists(upper.contains)
+  }
+
+  /** Split a batch-file body into statements on ';', ignoring
+    * semicolons inside single/double-quoted string literals (with
+    * backslash escapes) and backticked identifiers.
+    */
+  private[graft] def splitStatements(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body(i)
+      if (quote != 0) {
+        cur += c
+        if (c == '\\' && quote != '`' && i + 1 < body.length) {
+          cur += body(i + 1); i += 1
+        } else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case ';' =>
+          val q = cur.toString.trim
+          if (q.nonEmpty) out += q
+          cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    val tail = cur.toString.trim
+    if (tail.nonEmpty) out += tail
+    out.toSeq
   }
 
   private[ops] def fmtCell(v: Any): String = v match {

@@ -655,10 +655,11 @@ object PipelineQueries {
                 round(sum(CASE WHEN lbl2 = lbl THEN 1 ELSE 0 END) * 1.0
                       / count(*) + 1e-11, 6) AS agree_rate
          FROM maj GROUP BY 1""",
-    // full replay of ann06: md5 sign table -> 8-plane signatures (raw
-    // dots — sign is scale-invariant, so they equal the engine's
-    // normalized-dot signs), hamming<=1 candidate pairs vs all pairs,
-    // the SAME 5-NN/majority pipeline on both, one audit row. Zero-norm
+    // full replay of ann06: md5 sign table -> 8-plane signatures. Both
+    // sides sign the RAW vector (the engine's lshCandidatePairs keeps
+    // __raw through normalization for exactly this), so plane signs
+    // match bit-for-bit; hamming<=1 candidate pairs vs all pairs, the
+    // SAME 5-NN/majority pipeline on both, one audit row. Zero-norm
     // and null vectors are excluded exactly as the engine excludes them.
     "ann06_knn_agreement_audit" ->
       s"""WITH ${signCte(8, 64)},

@@ -479,6 +479,20 @@ class MutationSpec extends SparkSpec {
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("DenseId overwrites a pre-existing column with the id name") {
+    import graft.compiler.DenseId
+    // a property sharing the id column name must not survive as a
+    // duplicate column (ambiguous downstream in unionByName) — the
+    // assigned id replaces it, matching the old row_number+withColumn
+    val df = spark.range(0, 10, 1, numPartitions = 4)
+      .selectExpr("id AS __rowid", "id * 100 AS __nid")
+    val assigned = DenseId.assign(df, Seq("__rowid"), "__nid", 0L)
+    assert(assigned.columns.count(_ == "__nid") == 1, assigned.columns.toSeq)
+    val ids = assigned.orderBy("__rowid").collect().map(
+      _.getLong(assigned.columns.indexOf("__nid"))).toSeq
+    assert(ids == (0L until 10L))
+  }
+
   test("CREATE from a multi-partition frame mints dense contiguous ids") {
     val eng = freshEngine
     eng.execute(

@@ -260,4 +260,46 @@ class ReplSpec extends SparkSpec {
     val t = session(".quit", "MATCH (p:Person) RETURN count(*) AS n;")
     assert(!t.contains("row(s)"), t)
   }
+
+  test("empty line executes the accumulated multi-line buffer") {
+    val t = session(
+      "MATCH (p:Person)",
+      "RETURN count(*) AS n",
+      "", // Enter on an empty line runs the buffer, per the banner
+      "MATCH (p:Person) WHERE p.age > 26 RETURN count(*) AS n;")
+    assert(t.contains("| 3"), t)
+    assert(t.contains("| 2"), t)
+  }
+
+  test(".quit dispatches even while multi-line input is accumulating") {
+    val t = session(
+      "MATCH (p:Person)",
+      ".quit",
+      "MATCH (p:Person) RETURN count(*) AS n;")
+    assert(!t.contains("row(s)"), t)
+  }
+
+  test(".batch supports multi-line queries split across file lines") {
+    val f = Files.createTempFile("repl_batch_ml", ".cypher")
+    Files.write(f, java.util.List.of(
+      "MATCH (p:Person)",
+      "WHERE p.age > 26",
+      "RETURN count(*) AS n;",
+      "-- trailing query without a semicolon still runs",
+      "MATCH (p:Person) RETURN count(*) AS total"))
+    try {
+      val t = session(s".batch $f")
+      assert(t.contains("Running 2 queries"), t)
+      assert(t.contains("| 2"), t)
+      assert(t.contains("| 3"), t)
+    } finally Files.delete(f)
+  }
+
+  test("statement splitting ignores ';' inside string literals and backticks") {
+    assert(CypherRepl.splitStatements(
+      "RETURN 'a; b' AS x; RETURN \"c;\" AS y; MATCH (n:`w;t`) RETURN n") ==
+      Seq("RETURN 'a; b' AS x", "RETURN \"c;\" AS y", "MATCH (n:`w;t`) RETURN n"))
+    assert(CypherRepl.splitStatements("RETURN 'esc\\'; still' AS x; RETURN 1") ==
+      Seq("RETURN 'esc\\'; still' AS x", "RETURN 1"))
+  }
 }
