@@ -25,17 +25,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and integer-divide
-    * to micros — the same truncation DuckDB applies, so `ts` values
-    * match the oracle exactly. `div` (integer division) avoids the
-    * double-precision loss of `/` on epoch-nano magnitudes.
+  /** events.parquet has shipped with two physical `ts` types across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so we read nanos as long (legacy conf) and
+    * integer-divide to micros, the same truncation DuckDB applies —
+    * and plain TIMESTAMP(MICROS), which needs no conversion. Dispatch
+    * on the footer schema so both read identically; `div` (integer
+    * division) avoids double-precision loss on epoch-nano magnitudes.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ forbids the numeric casts the window queries use; with the
+        // session pinned to UTC this cast is value-preserving.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
