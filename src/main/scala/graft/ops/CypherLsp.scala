@@ -122,7 +122,9 @@ final class CypherLsp(in: InputStream, out: OutputStream) {
         docs.remove(params.path("textDocument").path("uri").asText(""))
       case "textDocument/completion"    => respond(id, completions())
       case "textDocument/hover"         => respond(id, atPosition(params)(hover))
-      case "textDocument/definition"    => respond(id, atPosition(params)(definition))
+      case "textDocument/definition" =>
+        val uri = params.path("textDocument").path("uri").asText("")
+        respond(id, atPosition(params)(definition(uri, _, _, _)))
       case "textDocument/signatureHelp" => respond(id, atPosition(params)(signatureHelp))
       case "textDocument/formatting" =>
         val text = docs.getOrElse(params.path("textDocument").path("uri").asText(""), "")
@@ -238,7 +240,8 @@ final class CypherLsp(in: InputStream, out: OutputStream) {
     * `(v`, `[v` (pattern binding) or `UNWIND ... AS v` / `AS v`
     * occurrence strictly before any later re-mention.
     */
-  private def definition(text: String, line: Int, character: Int): JsonNode = {
+  private def definition(uri: String, text: String, line: Int,
+                         character: Int): JsonNode = {
     val word = wordAt(text, line, character)
     if (word.isEmpty) return mapper.nullNode()
     val q = java.util.regex.Pattern.quote(word)
@@ -246,7 +249,9 @@ final class CypherLsp(in: InputStream, out: OutputStream) {
     text.split("\n", -1).zipWithIndex.iterator.flatMap { case (row, ln) =>
       binder.findAllMatchIn(row).map(m => (ln, m.start(1)))
     }.toSeq.headOption.fold[JsonNode](mapper.nullNode()) { case (ln, col) =>
-      val loc = obj("uri" -> "")
+      // Location.uri must echo the request's document — an empty uri
+      // makes go-to-definition a silent no-op in real editors.
+      val loc = obj("uri" -> uri)
       loc.set[ObjectNode]("range", range(ln, col, ln, col + word.length))
       loc
     }

@@ -37,7 +37,7 @@ object QueryFormatter {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == '\'' || c == '"') {
+      if (c == '\'' || c == '"' || c == '`') {
         if (buf.nonEmpty) { out += ((false, buf.toString)); buf.clear() }
         val quote = c
         val s = new StringBuilder().append(c)
@@ -57,8 +57,13 @@ object QueryFormatter {
     out.toSeq
   }
 
+  /** `(?<!\.)` keeps property accesses like `n.in` untouched — a
+    * keyword-colliding identifier after a dot is an identifier, not a
+    * keyword (backtick-quoted identifiers are excluded earlier, by the
+    * string tokenizer).
+    */
   private def keywordRegex(kw: String): scala.util.matching.Regex =
-    ("(?i)\\b" + java.util.regex.Pattern.quote(kw)
+    ("(?i)(?<!\\.)\\b" + java.util.regex.Pattern.quote(kw)
       .replace(" ", "\\E\\s+\\Q") + "\\b").r
 
   private val uppercasePatterns: Seq[(scala.util.matching.Regex, String)] =
@@ -74,7 +79,13 @@ object QueryFormatter {
     */
   def format(query: String, uppercase: Boolean = true, indent: Int = 2): String = {
     if (query == null || query.trim.isEmpty) return query
-    val collapsed = query.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    // collapse whitespace OUTSIDE string literals only — `'a  b'` must
+    // survive formatting byte-identical (the LSP applies format() as a
+    // whole-document edit, so a literal rewrite would alter semantics)
+    val collapsed = tokenizePreservingStrings(query).map {
+      case (true, s)  => s
+      case (false, s) => s.replaceAll("\\s+", " ")
+    }.mkString.trim
     val upped =
       if (!uppercase) collapsed
       else tokenizePreservingStrings(collapsed).map {
@@ -85,8 +96,11 @@ object QueryFormatter {
     val clausePat = ("(?i)\\s+(" + ClauseKeywords.sortBy(-_.length)
       .map(kw => java.util.regex.Pattern.quote(kw)
         .replace(" ", "\\E\\s+\\Q")).mkString("|") + ")\\b").r
+    // shield literal newlines inside strings from the line pass below;
+    // they are restored verbatim at the end
+    val NL = '\u0000' // unrepresentable in a query, restored below
     val lined = tokenizePreservingStrings(upped).map {
-      case (true, s)  => s
+      case (true, s)  => s.replace('\n', NL)
       case (false, s) => clausePat.replaceAllIn(s, m => "\n" + m.group(1))
     }.mkString
     lined.split("\n").map(_.trim).filter(_.nonEmpty).map { line =>
@@ -94,7 +108,7 @@ object QueryFormatter {
       val heads = Seq(first2.take(1), first2.take(2), first2.take(3))
         .map(_.mkString(" ").toUpperCase)
       if (heads.exists(IndentAfter.contains)) (" " * indent) + line else line
-    }.mkString("\n")
+    }.mkString("\n").replace(NL, '\n')
   }
 
   /** One lint finding (1-based line/column). */

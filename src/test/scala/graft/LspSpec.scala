@@ -142,6 +142,9 @@ class LspSpec extends AnyFunSuite {
     val msgs = session(didOpen(uri, text), req(5, "textDocument/definition",
       s"""{"textDocument":{"uri":"$uri"},"position":{"line":1,"character":8}}"""))
     val loc = byId(msgs, 5)
+    // the Location must echo the request's document uri — an empty uri
+    // makes go-to-definition a silent no-op in real editors
+    assert(loc.path("uri").asText() == uri)
     assert(loc.path("range").path("start").path("line").asInt() == 0)
     assert(loc.path("range").path("start").path("character").asInt() == 7)
   }

@@ -207,6 +207,23 @@ class OpsSpec extends SparkSpec {
         |RETURN a.name AS n""".stripMargin)
   }
 
+  test("query formatter: literals, dotted identifiers, backticks survive") {
+    import graft.ops.QueryFormatter
+    // multi-space string literal must survive byte-identical — the LSP
+    // applies format() as a whole-document edit
+    val f = QueryFormatter.format("match (n)   where n.x = 'a  b'  return n.x as y")
+    assert(f.contains("'a  b'"))
+    // keyword-colliding property names are identifiers, not keywords
+    val f2 = QueryFormatter.format("match (n) return n.in as i, n.contains as c")
+    assert(f2.contains("n.in") && f2.contains("n.contains"))
+    // backtick-quoted identifiers are never rewritten
+    val f3 = QueryFormatter.format("match (n) return n.`match  all` as m")
+    assert(f3.contains("`match  all`"))
+    // and none of these draw lint case warnings
+    assert(!QueryFormatter.lint("MATCH (n) RETURN n.in AS i").exists(_.message.contains("uppercase")))
+    assert(!QueryFormatter.lint("MATCH (n) RETURN n.`match` AS m").exists(_.message.contains("uppercase")))
+  }
+
   test("query linter: case issues, trailing whitespace, parse errors") {
     import graft.ops.QueryFormatter
     val issues = QueryFormatter.lint("match (n:Person) RETURN n.name AS name ")
