@@ -35,6 +35,44 @@ object Multimodal {
   // executor JVMs never try to open one
   System.setProperty("java.awt.headless", "true")
 
+  /** The codec seam: a pluggable, serializable per-blob decoder that
+    * ships to executors inside the `mapPartitions` closure. A build
+    * that links ffmpeg (or any other codec library) implements this
+    * one method and passes it to `extractFeatures` — the batch shape,
+    * byte budgeting, and schema contract stay identical. Return None
+    * for payloads the decoder does not claim; the kernel falls through
+    * to the next decoder in the chain and ultimately to the
+    * deterministic stub, so a partial decoder never fails a task.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, content: Array[Byte], dims: Int): Option[Array[Float]]
+
+    /** Chain decoders: try `this`, fall back to `other` (ffmpeg first,
+      * JDK built-ins second is the expected composition).
+      */
+    final def orElse(other: MediaDecoder): MediaDecoder = {
+      val first = this
+      new MediaDecoder {
+        def decode(kind: String, content: Array[Byte], dims: Int): Option[Array[Float]] =
+          first.decode(kind, content, dims).orElse(other.decode(kind, content, dims))
+      }
+    }
+  }
+
+  /** Default decoder: the JDK's real codecs — imageio for images, PCM
+    * WAV/AIFF/AU for audio. Video and compressed audio are not claimed
+    * (None), so they reach the stub unless a custom decoder is chained
+    * in front.
+    */
+  object JdkDecoder extends MediaDecoder {
+    def decode(kind: String, content: Array[Byte], dims: Int): Option[Array[Float]] =
+      kind match {
+        case "image" => decodeImage(content).map(imageFeatures(_, dims))
+        case "audio" => decodeAudio(content).map { case (s, _) => audioFeatures(s, dims) }
+        case _       => None
+      }
+  }
+
   /** Canonical media schema: content + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -190,7 +228,8 @@ object Multimodal {
     * images fall back to the stub rather than failing the task.
     */
   def extractFeatures(df: DataFrame, dims: Int = 16,
-                      batchBytes: Long = 64L << 20): DataFrame = {
+                      batchBytes: Long = 64L << 20,
+                      decoder: MediaDecoder = JdkDecoder): DataFrame = {
     val outSchema = df.schema.add("features", ArrayType(FloatType))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
     val contentIdx = df.schema.fieldIndex("content")
@@ -205,15 +244,11 @@ object Multimodal {
             val r = rows.next()
             val content = r.get(contentIdx).asInstanceOf[Array[Byte]]
             bytes += (if (content == null) 0 else content.length)
-            val feats = r.getString(kindIdx) match {
-              case "image" =>
-                decodeImage(content).map(imageFeatures(_, dims))
-                  .getOrElse(stubDecodeFeatures(content, dims))
-              case "audio" => // real for PCM WAV/AIFF/AU; stub for compressed
-                decodeAudio(content).map { case (s, _) => audioFeatures(s, dims) }
-                  .getOrElse(stubDecodeFeatures(content, dims))
-              case _ => stubDecodeFeatures(content, dims) // ===== STUB kinds =====
-            }
+            // decoder chain first (custom codecs, then JDK built-ins by
+            // default); unclaimed/undecodable payloads take the
+            // deterministic ===== STUB ===== kernel instead of failing
+            val feats = decoder.decode(r.getString(kindIdx), content, dims)
+              .getOrElse(stubDecodeFeatures(content, dims))
             buf.enqueue(Row.fromSeq(r.toSeq :+ feats.toSeq))
           }
         }

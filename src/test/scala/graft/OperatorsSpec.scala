@@ -460,7 +460,13 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("candidate-based knn agreement matches exact on clustered corpus") {
-    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    // NOT (1..8): that direction has an EXACTLY-ZERO dot with md5-sign
+    // hyperplanes 4 and 6 (sum of ±(1..8) cancels), so the jitter below
+    // would flip those signature bits arbitrarily per member and split
+    // the cluster across hamming>1 buckets. With 9 as the last
+    // component every plane dot is >=1 in magnitude — far above the
+    // 0.03 jitter — so each cluster is provably one hamming-0 bucket.
+    val base = Array.tabulate(8)(i => if (i == 7) 9f else (i + 1).toFloat)
     def jig(eps: Float) = { val v = base.clone(); v(0) += eps; v }
     val neg = base.map(-_)
     def njig(eps: Float) = { val v = neg.clone(); v(1) += eps; v }
@@ -908,6 +914,44 @@ class OperatorsSpec extends SparkSpec {
     assert(probed(1L).isNullAt(1) && probed(1L).isNullAt(2))
     assert(probed(1L).getLong(3) == 1000L)
     assert(probed(2L).getLong(3) == 500L)
+  }
+
+  test("multimodal: injectable decoder seam — a custom codec chains in front of the JDK one") {
+    import graft.operators.Multimodal
+    // stand-in for an ffmpeg-linked build: claims video payloads only,
+    // returns a recognizable constant vector
+    object FakeVideoCodec extends Multimodal.MediaDecoder {
+      def decode(kind: String, content: Array[Byte], dims: Int): Option[Array[Float]] =
+        if (kind == "video" && content != null) Some(Array.fill(dims)(0.75f))
+        else None
+    }
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 8, 8); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "video", Array[Byte](9, 9, 9)),
+      (2L, "image", png(0xFFFFFF)),
+      (3L, "audio", Array[Byte](1, 2, 3))) // compressed-ish: nobody claims it
+      .toDF("media_id", "kind", "content")
+    val chained = FakeVideoCodec.orElse(Multimodal.JdkDecoder)
+    // small batchBytes forces multiple refills through the same chain
+    val feats = Multimodal.extractFeatures(rows, dims = 4, batchBytes = 2,
+      decoder = chained).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(feats(1L).forall(_ == 0.75f))   // custom codec claimed video
+    assert(feats(2L).forall(_ > 0.99f))    // JDK image decode still real
+    // unclaimed payload falls to the deterministic stub — identical to
+    // the default-decoder run, proving fallback order is stable
+    val default = Multimodal.extractFeatures(rows, dims = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(feats(3L) == default(3L))
+    assert(default(1L) != feats(1L))       // without the codec, video stubs
   }
 
   test("multimodal: frame sampling expands by duration") {
