@@ -199,4 +199,49 @@ object Sampling {
     withComp.join(winner, Seq("comp", idCol), "left_semi")
       .select(col(idCol), col("comp"), col(qualityCol))
   }
+
+  /** Sequence packing (concat-and-chunk): lay documents end-to-end in
+    * `idCol` order and cut the token stream every `ctxLen` tokens —
+    * the standard LM-pretraining packing that turns a curated corpus
+    * into fixed-length training sequences with zero padding. Emits per
+    * document its global token `offset` and the `first_seq`/`last_seq`
+    * window ids it lands in (`first_seq != last_seq` marks a document
+    * split across a sequence boundary — the attention-masking cases a
+    * loader needs enumerated up front).
+    *
+    * Scale shape: the global running sum is NOT one
+    * `Window.orderBy(id)` (that funnels the corpus through a single
+    * task — the exact shape removed from MutationEngine). Instead a
+    * TWO-PHASE prefix sum: `repartitionByRange` on the id gives
+    * contiguous id ranges in partition order, the heavy cumsum runs
+    * per partition, and only the ≤`parts`-row partition-totals table
+    * pays a (bounded) global window before broadcasting back. Values
+    * are bit-identical to the single-window form and independent of
+    * sampled range boundaries.
+    *
+    * Rows with non-positive weight are excluded (a zero-token document
+    * occupies no stream position); weights must be integral tokens.
+    */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+                    ctxLen: Long, parts: Int = 256): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    val src = df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("__w"))
+    val parted = src.repartitionByRange(parts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    // global-window on the TOTALS only: ≤ parts rows, driver-bounded
+    val wPre = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = parted.groupBy(col("__pid")).agg(sum(col("__w")).as("__pt"))
+      .withColumn("__pre", coalesce(sum(col("__pt")).over(wPre), lit(0L)))
+      .select(col("__pid"), col("__pre"))
+    parted
+      .withColumn("__cum", sum(col("__w")).over(wLocal))
+      .join(broadcast(prefix), Seq("__pid"))
+      .withColumn("offset", col("__pre") + col("__cum") - col("__w"))
+      .select(col(idCol), col("__w").as("n_tokens"), col("offset"),
+        expr(s"offset div ${ctxLen}L").as("first_seq"),
+        expr(s"(offset + __w - 1) div ${ctxLen}L").as("last_seq"))
+  }
 }

@@ -207,6 +207,16 @@ object PipelineQueries {
       TextAnalysis.ngramNovelty(Tables(s, dir).documents, "doc_id", "text", n = 4)
     },
 
+    // Sequence packing (concat-and-chunk): documents laid end-to-end
+    // in doc_id order, cut every 512 ws-tokens; per-doc global offset
+    // + spanned sequence window ids. Two-phase range-partitioned
+    // prefix sum — no corpus-wide single-task window.
+    "tx16_sequence_pack" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Sampling.packSequences(toks, "doc_id", "n_tokens", ctxLen = 512L)
+    },
+
     // LSH ANN against the PERSISTED signature index: md5 sign table →
     // the oracle replays signature + hamming<=1 multi-probe + cosine
     // top-k; the probe scan prunes to the 1+planes probe buckets.
@@ -759,6 +769,26 @@ object PipelineQueries {
                 round(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) * 1.0
                       / count(*) + 1e-11, 6) AS novelty
          FROM g JOIN own USING (gh) GROUP BY 1""",
+    // single global window here is FINE for the oracle (DuckDB, 500
+    // rows); the engine side is the two-phase range-partitioned form
+    "tx16_sequence_pack" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens
+           FROM documents
+         ),
+         cum AS (
+           SELECT doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                    AS "offset"
+           FROM toks WHERE n_tokens > 0
+         )
+         SELECT doc_id, n_tokens, "offset",
+                "offset" // 512 AS first_seq,
+                ("offset" + n_tokens - 1) // 512 AS last_seq
+         FROM cum""",
     "tx01_text_stats" ->
       """SELECT doc_id, n_chars,
          length(text) AS text_len,

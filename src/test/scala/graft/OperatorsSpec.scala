@@ -134,6 +134,37 @@ class OperatorsSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("sequence packing equals the sequential fold; boundary docs flagged") {
+    import graft.operators.Sampling
+    // multi-partition, out-of-order input with varied sizes and a doc
+    // bigger than the context (spans 3+ sequences); a zero-token doc
+    // must be excluded, not packed at a point
+    val sizes = Map(1L -> 100L, 2L -> 700L, 3L -> 12L, 4L -> 0L,
+      5L -> 500L, 6L -> 212L, 7L -> 1L)
+    val df = spark.createDataFrame(
+      scala.util.Random.shuffle(sizes.toSeq).map { case (i, n) => (i, n) })
+      .toDF("doc_id", "n_tokens").repartition(5)
+    val got = Sampling.packSequences(df, "doc_id", "n_tokens",
+      ctxLen = 256L, parts = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // sequential fold oracle
+    var off = 0L
+    val want = sizes.toSeq.sortBy(_._1).filter(_._2 > 0).map { case (i, n) =>
+      val r = (i, (n, off, off / 256, (off + n - 1) / 256)); off += n; r
+    }.toMap
+    assert(got == want)
+    assert(!got.contains(4L))
+    // doc 2 (700 tokens at offset 100) spans sequences 0 through 3
+    assert(got(2L)._3 == 0L && got(2L)._4 == 3L)
+    // deterministic under a different partition count
+    val again = Sampling.packSequences(df, "doc_id", "n_tokens",
+      ctxLen = 256L, parts = 11)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again == got)
+  }
+
   test("two-phase top-k per group equals the naive global ranking") {
     import graft.operators.Sampling
     import org.apache.spark.sql.expressions.Window
