@@ -59,7 +59,8 @@ object Bench {
       val dt = if (times.isEmpty) -1.0 else times.sorted.apply((times.size - 1) / 2)
       name -> (dt, times.sorted)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qsFull = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query [min, median, max] so artifacts record run-to-run spread
     // instead of a single sample that can't be reconciled later
@@ -70,7 +71,42 @@ object Bench {
       s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    // The harness that collects this output keeps only the LAST 2000
+    // characters of the run log; the full 105-query map with
+    // nanosecond-precision doubles is ~5 KB and has never survived that
+    // window intact (every BENCH_r*.json so far carries parsed:null).
+    // So: the full per-query results + spread go to a FILE, and stdout
+    // gets a compact line — ms-precision values for a headline subset
+    // that spans every query family and the BASELINE.md-comparable ops —
+    // sized to fit the window with room for the runner's epilogue.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("bench_full.json")
+    java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
+    val headline: Vector[String] = Vector(
+      // BASELINE.md-mapped cypher ops: scan/filter/hop/agg/two-hop/var-length
+      "cy01_scan", "cy02_filter", "cy03_hop", "cy04_agg", "cy05_twohop",
+      "cy15_varlength", "cy25_varlength_deep", "cy30_shortestpath",
+      "cy40_wcoj_triangles", "cy44_shortestpath_witness",
+      // relational tier
+      "q01_pricing_summary", "q03_topk_revenue", "q08_window_topn_per_group",
+      "q15_star_join", "q19_tumbling_window", "q21_session_islands",
+      // dedup tier
+      "dd01_exact_dedup", "dd02_minhash_lsh", "dd03_simhash",
+      "dd05_embedding_neardup", "dd08_dedup_resolve",
+      "dd13_incremental_index_recall", "dd14_semantic_dedup",
+      // ann tier
+      "ann01_bruteforce_topk", "ann03_ivf_topk", "ann05_knn_label_agreement",
+      // text tier
+      "tx06_token_budget", "tx08_tfidf_topterms", "tx09_unigram_nll",
+      "tx11_temperature_mix", "tx13_curation_pipeline", "tx15_ngram_novelty",
+      "tx16_sequence_pack",
+      // mutation tier
+      "mu01_mutation_pipeline")
+    val qsHead = headline.flatMap(k => results.get(k).map { case (v, _) =>
+      s"\"" + k + "\":" + num(v)
+    }).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsHead,"errors":$errs,"n_queries":${results.size},"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

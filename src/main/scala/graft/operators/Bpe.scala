@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer TRAINING and encoding
+  * (Sennrich et al. 2016) — the on-cluster tokenizer-learning job of a
+  * pre-training data pipeline, beyond the reference's surface.
+  *
+  * Representation: a word's symbol sequence is one STRING with every
+  * symbol wrapped in `␟` sentinels — `[l,o,w]` is `␟l␟␟o␟␟w␟`.
+  * Merging pair (a,b) is then a literal (non-regex, codegen'd)
+  * `replace(w, "␟a␟␟b␟", "␟ab␟")`: Java's replace scans left-to-right
+  * and resumes AFTER each replacement, which is exactly BPE's
+  * non-overlapping greedy merge (`x x x` → `xx x`), and the doubled
+  * separator between symbols means adjacent matches never share a
+  * sentinel character, so `a b a b` merges BOTH pairs in one pass.
+  *
+  * Scale: training state is the DISTINCT-word count table (Zipf: tens
+  * of millions of rows at 100 TB, never the corpus itself). Each merge
+  * iteration is (1) one map-side-combinable pair-count aggregate
+  * shuffling one row per distinct (word, adjacent-pair) and (2) a
+  * map-only literal replace — two narrow jobs; the driver receives ONE
+  * argmax row per iteration. Lineage is truncated with a local
+  * checkpoint every few iterations so the plan never grows with the
+  * merge count.
+  */
+object Bpe {
+
+  private val S = "\u001F" // unit separator: the symbol sentinel
+  private val SS = S + S
+
+  /** Wrap a whitespace token into sentinel form, one symbol per
+    * character. Raw `␟` in input text is stripped first (it IS the
+    * framing character), as is the empty word.
+    */
+  private def wrapChars(word: Column): Column =
+    concat(lit(S), array_join(split(translate(word, S, ""), ""), SS), lit(S))
+
+  /** Distinct-word counts of `textCol` under the corpus-standard
+    * lowercase whitespace tokenization, in wrapped-symbol form.
+    */
+  private[graft] def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .filter(length(translate(col("word"), S, "")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(wrapChars(col("word")).as("w"), col("cnt"))
+
+  /** Symbols of a wrapped word (sentinels stripped, split on the
+    * doubled separator).
+    */
+  private def symbolsOf(w: Column): Column =
+    split(w.substr(lit(2), length(w) - 2), SS)
+
+  /** Adjacent symbol pairs of a wrapped word, as (a, b) structs.
+    * Single-symbol words yield an empty array (Spark's `sequence(1, 0)`
+    * DESCENDS, so the straightforward form would index element 0).
+    */
+  private def pairsOf(w: Column): Column = {
+    val sym = symbolsOf(w)
+    when(size(sym) >= 2,
+      transform(sequence(lit(1), size(sym) - 1),
+        i => struct(element_at(sym, i).as("a"), element_at(sym, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+  }
+
+  /** One merge: (rank, left, right, pair_count). */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Learn `numMerges` BPE merges from the corpus. Deterministic: the
+    * argmax pair breaks count ties lexicographically on (left, right).
+    * Stops early when no pair reaches `minPairCount`.
+    */
+  def train(df: DataFrame, textCol: String = "text", numMerges: Int = 50,
+            minPairCount: Long = 2L): Seq[Merge] = {
+    var words = wordCounts(df, textCol).persist()
+    words.count() // materialize before the loop so the scan runs once
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val best = words
+        .select(explode(pairsOf(col("w"))).as("p"), col("cnt"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      best.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2))) match {
+        case Some((a, b, n)) if n >= minPairCount =>
+          merges += Merge(rank, a, b, n)
+          val prev = words
+          words = words.select(
+            replace(col("w"), lit(S + a + S + S + b + S), lit(S + a + b + S)).as("w"),
+            col("cnt"))
+          // truncate lineage so the plan stays O(1) across iterations
+          words = (if (rank % 8 == 0) words.localCheckpoint(true)
+                   else words.persist())
+          words.count()
+          prev.unpersist()
+          rank += 1
+        case _ => done = true
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** The learned vocabulary as a DataFrame (for `queries()` exposure /
+    * persistence): one row per merge in rank order.
+    */
+  def trainTable(spark: SparkSession, df: DataFrame, textCol: String = "text",
+                 numMerges: Int = 50, minPairCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    train(df, textCol, numMerges, minPairCount)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Encode: apply the merges to a wrapped word in rank order, one
+    * left-to-right pass each — the standard apply-BPE chain (a later
+    * merge's operands only ever exist after earlier merges ran, so
+    * rank order IS priority order). Returns the symbol array.
+    */
+  private def encodeWord(word: Column, merges: Seq[Merge]): Column = {
+    val merged = merges.foldLeft(wrapChars(word)) { (w, m) =>
+      replace(w, lit(S + m.left + S + S + m.right + S), lit(S + m.left + m.right + S))
+    }
+    symbolsOf(merged)
+  }
+
+  /** Per-document token accounting under the learned vocabulary:
+    * whitespace tokens, BPE tokens, and chars-per-BPE-token
+    * compression — the signal that sizes a token budget before a
+    * training run. Map-only over the document scan (the merge chain is
+    * a codegen'd literal-replace pipeline; no shuffle, no UDFs).
+    */
+  def encodeStats(df: DataFrame, merges: Seq[Merge], idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val words = Dedup.tokens(col(textCol))
+    val bpe = aggregate(
+      transform(words, w => size(encodeWord(w, merges))),
+      lit(0), (acc, n) => acc + n)
+    df.select(
+      col(idCol),
+      size(words).cast("long").as("ws_tokens"),
+      bpe.cast("long").as("bpe_tokens"),
+      round(length(regexp_replace(col(textCol), "\\s+", "")) * lit(1.0) /
+        bpe + lit(1e-11), 4).as("chars_per_token"))
+  }
+}

@@ -274,6 +274,57 @@ object TextAnalysis {
         phoneRe, "<PHONE>").as("redacted"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank corpus
+    * documents by how target-like they are, as the mean per-token
+    * log-likelihood ratio between a TARGET unigram distribution (the
+    * rows matching `targetFilter` — a trusted high-quality slice) and
+    * the RAW corpus distribution. Both distributions are Laplace
+    * (+1) smoothed over the corpus vocabulary, so target-unseen terms
+    * contribute a finite negative ratio instead of -inf:
+    *
+    *   p(w) = (cnt_target(w)+1) / (T_target+V)
+    *   q(w) = (cnt_corpus(w)+1) / (T_corpus+V)
+    *   importance(d) = Σ_w tf(d,w)·ln(p(w)/q(w)) / Σ_w tf(d,w)
+    *
+    * Selecting the top-importance documents (or hash-sampling
+    * proportional to exp(importance)) reproduces DSIR's
+    * importance-resampled pre-training mix.
+    *
+    * Scale: two map-side-combinable term-count aggregates (corpus +
+    * target — the target counts are a filtered re-aggregation, not a
+    * second scan state), three broadcast scalars (token totals +
+    * vocab size), and one per-doc average; shuffled rows are (doc,
+    * term) and (term) counts only — the same profile as
+    * [[unigramLogProb]], which runs in ~0.6 s over sf0.1. No windows,
+    * no driver participation, skew-free keys.
+    */
+  def dsirImportance(df: DataFrame, targetFilter: Column,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("id"), targetFilter.as("is_target"),
+        Dedup.tokens(col(textCol)).as("t"))
+      .select(col("id"), col("is_target"), explode(col("t")).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = terms.groupBy(col("term")).agg(
+      count(lit(1)).as("cf_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("cf_tgt"))
+    val totals = cf.agg(
+      sum(col("cf_raw")).as("tot_raw"),
+      sum(col("cf_tgt")).as("tot_tgt"),
+      count(lit(1)).as("vocab"))
+    tf.join(cf, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id"))
+      .agg(round(
+        (sum(col("tf") *
+          (log((col("cf_tgt") + lit(1.0)) / (col("tot_tgt") + col("vocab"))) -
+            log((col("cf_raw") + lit(1.0)) / (col("tot_raw") + col("vocab"))))) /
+          sum(col("tf"))) + lit(1e-11), 6).as("importance"))
+      .select(col("id").as(idCol), col("importance"))
+  }
+
   /** N-gram novelty ("contribution") scoring: the fraction of a
     * document's distinct n-grams whose FIRST corpus occurrence (owner =
     * minimum doc id over the gram) is this document — a dedup-aware

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis)
   * exposed through the driver's queries()/oracleSql() correctness gate.
@@ -49,6 +49,17 @@ object PipelineQueries {
         "embedding", p, nlist = 16)
       p
     })
+
+  /** Per-process learned BPE vocabulary, one per corpus dir — the
+    * offline tokenizer-training/online-encode split (training is a
+    * driver-looped merge learner; encode is a map-only literal-replace
+    * chain over the scan).
+    */
+  private val bpeVocab = scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+
+  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpeVocab.getOrElseUpdate(dir,
+      Bpe.train(Tables(s, dir).documents, numMerges = 30))
 
   /** 1-row pushdown lookup of a query vector (the production ANN shape:
     * the query embedding arrives from outside the index).
@@ -215,6 +226,32 @@ object PipelineQueries {
       val toks = Tables(s, dir).documents.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       Sampling.packSequences(toks, "doc_id", "n_tokens", ctxLen = 512L)
+    },
+
+    // Distributed BPE tokenizer training: the learned merge table in
+    // rank order (Sennrich greedy pair-merging over the distinct-word
+    // count table). Deterministic (lexicographic tie-break) but a
+    // driver-looped fixpoint — rows-only check; semantics are pinned by
+    // the hand-computed OperatorsSpec merge sequence.
+    "bpe01_bpe_train" -> { (s, dir) =>
+      Bpe.trainTable(s, Tables(s, dir).documents, numMerges = 30)
+    },
+
+    // Encode under the learned vocabulary: per-doc whitespace vs BPE
+    // token counts + chars-per-token compression — the token-budget
+    // sizing signal. Map-only codegen'd replace chain; rows-only check
+    // (the vocabulary is data-dependent, so no static SQL oracle).
+    "bpe02_bpe_encode" -> { (s, dir) =>
+      Bpe.encodeStats(Tables(s, dir).documents, bpeMerges(s, dir))
+    },
+
+    // DSIR importance: mean per-token log-likelihood ratio between the
+    // src0 slice's unigram distribution (the "target") and the whole
+    // corpus, Laplace-smoothed over the corpus vocabulary — the Xie
+    // et al. 2023 importance-resampling score. FULLY oracled.
+    "tx17_dsir_importance" -> { (s, dir) =>
+      TextAnalysis.dsirImportance(Tables(s, dir).documents,
+        col("source") === "src0")
     },
 
     // LSH ANN against the PERSISTED signature index: md5 sign table →
@@ -1071,6 +1108,27 @@ object PipelineQueries {
          tot AS (SELECT sum(cf) AS total_tokens FROM cf)
          SELECT doc_id,
                 round(sum(tf * -ln(cf / total_tokens)) / sum(tf) + 1e-11, 4) AS nll
+         FROM tf JOIN cf USING (term), tot
+         GROUP BY doc_id""",
+    // full replay of tx17: joint-vocab Laplace-smoothed unigram
+    // distributions for the src0 target slice vs the raw corpus,
+    // per-doc length-normalized log ratio
+    "tx17_dsir_importance" ->
+      """WITH terms AS (
+           SELECT doc_id, (source = 'src0') AS is_target,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents
+         ),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         cf AS (SELECT term, count(*) AS cf_raw,
+                       sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cf_tgt
+                FROM terms GROUP BY 1),
+         tot AS (SELECT sum(cf_raw) AS tot_raw, sum(cf_tgt) AS tot_tgt,
+                        count(*) AS vocab FROM cf)
+         SELECT doc_id,
+                round(sum(tf * (ln((cf_tgt + 1.0) / (tot_tgt + vocab))
+                              - ln((cf_raw + 1.0) / (tot_raw + vocab)))) / sum(tf)
+                      + 1e-11, 6) AS importance
          FROM tf JOIN cf USING (term), tot
          GROUP BY doc_id""",
     // replay of Dedup.decontaminate at n=4 over the same train/benchmark

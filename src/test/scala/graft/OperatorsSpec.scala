@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Components, Dedup, Similarity, TextAnalysis}
 
 /** Training-data operator semantics on hand-built corpora where ground
   * truth is computable exactly.
@@ -631,6 +631,69 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(nll(1L) - expected1) < 1e-3)
     assert(math.abs(nll(2L) - expected2) < 1e-3)
     assert(nll(2L) > nll(1L))
+  }
+
+  test("BPE training learns the hand-computed merge sequence") {
+    // the Sennrich et al. corpus (no end-of-word marker):
+    // low×5 lower×2 newest×6 widest×3
+    val corpus = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, numMerges = 5)
+    // hand-derived: (e,s)=9 ties (s,t)=9 → lexicographic; after es the
+    // (s,t) pair is gone and (es,t)=9; then (l,o)=7 ties (o,w)=7; then
+    // (lo,w)=7; then (e,w)=6 ties (n,e)=6 and (w,est)=6
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L), ("e", "w", 6L)))
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("BPE encode applies merges in rank order: lowest → [low, est]") {
+    val corpus = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, numMerges = 5)
+    val stats = Bpe.encodeStats(
+      Seq((10L, "lowest lowest newest"), (11L, "low ew")).toDF("doc_id", "text"),
+      merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))).toMap
+    // lowest = l o w e s t → es → est → lo → low → [low, est] (2 tokens);
+    // newest = n e w est → ew → [n, ew, est] (3)
+    assert(stats(10L) == ((3L, 2L + 2L + 3L)))
+    // low → [low]; ew → e w → [ew]
+    assert(stats(11L) == ((2L, 1L + 1L)))
+    // repeated-pair greed is left-to-right non-overlapping: "x x x" with
+    // merge (x,x) must give [xx, x], and "a b a b" must merge BOTH pairs
+    val m2 = Seq(Bpe.Merge(1, "x", "x", 99L))
+    val g = Bpe.encodeStats(Seq((1L, "xxx abab")).toDF("doc_id", "text"),
+      m2 ++ Seq(Bpe.Merge(2, "a", "b", 99L))).collect().head
+    // xxx → [xx, x] (2); abab → a b a b → [ab, ab] (2)
+    assert(g.getAs[Long]("bpe_tokens") == 4L)
+  }
+
+  test("DSIR importance: target-like docs score positive, off-target negative") {
+    val corpus = Seq(
+      (1L, "good good good nice"),
+      (2L, "bad bad good ugly")).toDF("doc_id", "text")
+    val imp = TextAnalysis.dsirImportance(corpus, col("doc_id") === 1L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("importance")).toMap
+    // corpus: good×4 nice×1 bad×2 ugly×1 (tot 8, vocab 4); target (doc 1):
+    // good×3 nice×1 (tot 4). Laplace: p(good)=4/8 q(good)=5/12,
+    // p(nice)=2/8 q(nice)=2/12, p(bad)=1/8 q(bad)=3/12, p(ugly)=1/8
+    // q(ugly)=2/12.
+    val exp1 = (3 * math.log(0.5 / (5.0 / 12)) + math.log(0.25 / (2.0 / 12))) / 4
+    val exp2 = (2 * math.log(0.125 / 0.25) + math.log(0.5 / (5.0 / 12)) +
+      math.log(0.125 / (2.0 / 12))) / 4
+    assert(math.abs(imp(1L) - exp1) < 1e-4)
+    assert(math.abs(imp(2L) - exp2) < 1e-4)
+    assert(imp(1L) > 0 && imp(2L) < 0)
   }
 
   test("decontaminate flags only train docs sharing an n-gram with the benchmark") {
