@@ -291,13 +291,15 @@ object TextAnalysis {
     * proportional to exp(importance)) reproduces DSIR's
     * importance-resampled pre-training mix.
     *
-    * Scale: two map-side-combinable term-count aggregates (corpus +
-    * target — the target counts are a filtered re-aggregation, not a
-    * second scan state), three broadcast scalars (token totals +
-    * vocab size), and one per-doc average; shuffled rows are (doc,
-    * term) and (term) counts only — the same profile as
-    * [[unigramLogProb]], which runs in ~0.6 s over sf0.1. No windows,
-    * no driver participation, skew-free keys.
+    * Scale: the corpus is scanned and tokenized ONCE — both unigram
+    * distributions and the totals derive from the per-(doc, term)
+    * count table (`is_target` rides along as a grouping key, constant
+    * per doc), so the explode→partial-aggregate subplan is shared and
+    * Spark's ReuseExchange executes it a single time; the three
+    * broadcast scalars (token totals + vocab size) and the final
+    * per-doc average shuffle only (doc, term) and (term) count rows —
+    * the same profile as [[unigramLogProb]], which runs in ~0.6 s over
+    * sf0.1. No windows, no driver participation, skew-free keys.
     */
   def dsirImportance(df: DataFrame, targetFilter: Column,
                      idCol: String = "doc_id",
@@ -306,10 +308,11 @@ object TextAnalysis {
       .select(col(idCol).as("id"), targetFilter.as("is_target"),
         Dedup.tokens(col(textCol)).as("t"))
       .select(col("id"), col("is_target"), explode(col("t")).as("term"))
-    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val cf = terms.groupBy(col("term")).agg(
-      count(lit(1)).as("cf_raw"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("cf_tgt"))
+    val tf = terms.groupBy(col("id"), col("is_target"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("term")).agg(
+      sum(col("tf")).as("cf_raw"),
+      sum(when(col("is_target"), col("tf")).otherwise(0L)).as("cf_tgt"))
     val totals = cf.agg(
       sum(col("cf_raw")).as("tot_raw"),
       sum(col("cf_tgt")).as("tot_tgt"),
