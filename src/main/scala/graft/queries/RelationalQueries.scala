@@ -237,6 +237,31 @@ object RelationalQueries {
           max(col("ts").cast("long")).as("session_end"))
     },
 
+    // Beyond-parity as-of join (SURVEY §2.3 as-of row: absent in the
+    // reference): each purchase event joined to the user's most recent
+    // at-or-before click via the union+keyed-window lowering — ONE
+    // shuffle, no range-join explosion. Right side deduped at
+    // (user, ts) keeping the max event id so ties are deterministic in
+    // both engines; oracle is DuckDB's NATIVE ASOF LEFT JOIN.
+    "q26_asof_join" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val c0 = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"), col("value").as("c_value"))
+      val wDed = Window.partitionBy(col("user_id"), col("c_ts"))
+        .orderBy(col("c_id").desc)
+      val c = c0.withColumn("__rn", row_number().over(wDed))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsOfJoin.asof(p, c, Seq("user_id"), "ts", "c_ts")
+        .select(col("p_id"), col("user_id"),
+          col("ts").cast("long").as("p_epoch"),
+          col("c_id"),
+          round(col("c_value") + lit(1e-11), 4).as("c_value"),
+          (col("ts").cast("long") - col("c_ts").cast("long")).as("gap_s"))
+    },
+
     // §2.4 percentiles + stddev (exact interpolated percentile).
     "q22_percentiles" -> { (s, dir) =>
       Tables(s, dir).lineitem
@@ -411,6 +436,24 @@ object RelationalQueries {
                 min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start,
                 max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end
          FROM sid GROUP BY 1, 2""",
+    // the engine's union+window as-of lowering vs DuckDB's NATIVE
+    // ASOF LEFT JOIN — two entirely different algorithms, one result
+    "q26_asof_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts
+                    FROM events WHERE event_type = 'purchase'),
+         c0 AS (SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value
+                FROM events WHERE event_type = 'click'),
+         c AS (SELECT * FROM c0
+               QUALIFY row_number()
+                 OVER (PARTITION BY user_id, c_ts ORDER BY c_id DESC) = 1)
+         SELECT p.p_id, p.user_id,
+                CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+                c.c_id,
+                round(c.c_value + 1e-11, 4) AS c_value,
+                CAST(floor(epoch(p.ts)) AS BIGINT)
+                  - CAST(floor(epoch(c.c_ts)) AS BIGINT) AS gap_s
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.c_ts""",
     "q22_percentiles" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

@@ -633,6 +633,43 @@ class OperatorsSpec extends SparkSpec {
     assert(nll(2L) > nll(1L))
   }
 
+  test("as-of join: most recent at-or-before match, inclusive ties, tolerance, inner") {
+    import graft.operators.AsOfJoin
+    val quotes = Seq( // (sym, qts, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "qts", "px")
+    val trades = Seq( // (sym, ts, qty)
+      ("A", 5L, 100L),  // before any quote → null
+      ("A", 20L, 200L), // equal ts → inclusive match at 20
+      ("A", 25L, 300L), // between → quote 20
+      ("A", 99L, 400L), // far after → quote 30
+      ("C", 50L, 500L)  // key with no quotes → null
+    ).toDF("sym", "ts", "qty")
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", "qts")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("ts")) ->
+        (Option(r.getAs[Any]("qts")), Option(r.getAs[Any]("px")))).toMap
+    assert(out(("A", 5L)) == ((None, None)))
+    assert(out(("A", 20L)) == ((Some(20L), Some(2.0))))
+    assert(out(("A", 25L)) == ((Some(20L), Some(2.0))))
+    assert(out(("A", 99L)) == ((Some(30L), Some(3.0))))
+    assert(out(("C", 50L)) == ((None, None)))
+    // tolerance: matches farther back than 10 ticks become misses
+    val tol = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", "qts",
+      tolerance = Some(lit(10L)))
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("ts")) ->
+        Option(r.getAs[Any]("qts"))).toMap
+    assert(tol(("A", 25L)) == Some(20L))  // gap 5 ≤ 10
+    assert(tol(("A", 99L)).isEmpty)       // gap 69 > 10 → miss
+    // inner drops unmatched left rows
+    val inner = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", "qts",
+      joinType = "inner").collect()
+    assert(inner.length == 3)
+    // right columns colliding with left names get the suffix
+    val q2 = quotes.withColumnRenamed("px", "qty") // collides with trades.qty
+    val cols = AsOfJoin.asof(trades, q2, Seq("sym"), "ts", "qts").columns.toSeq
+    assert(cols.count(_ == "qty") == 1 && cols.contains("qty_r"))
+  }
+
   test("BPE training learns the hand-computed merge sequence") {
     // the Sennrich et al. corpus (no end-of-word marker):
     // low×5 lower×2 newest×6 widest×3
