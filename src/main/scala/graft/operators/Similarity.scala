@@ -835,4 +835,54 @@ object Similarity {
         sum(when(col("vote") === col("lbl"), 1L).otherwise(0L)).as("n_agree"))
       .select(col("lbl").as(labelCol), col("n_vecs"), col("n_agree"),
         round(col("n_agree") / col("n_vecs") + lit(1e-11), 6).as("agree_rate"))
+
+  /** Per-label centroid audit — the DISTRIBUTION-level complement to
+    * [[knnLabelAgreement]]'s per-point screen: for each label, the
+    * member count, the centroid's L2 norm (near-zero = the label's
+    * vectors cancel — an incoherent or bimodal class), and the mean
+    * member→centroid cosine (tightness; low = diffuse class, prime
+    * label-noise suspect). The embedding-table QA pass before labels
+    * drive stratified sampling or nearest-centroid classification.
+    *
+    * Centroid components are rounded (6 dp, epsilon-nudged) BEFORE any
+    * downstream arithmetic, so the result is stable across engines and
+    * summation orders (the tx08 pre-rounding convention) — which makes
+    * the whole audit oracle-able.
+    *
+    * Scale: one posexplode of the corpus (rows = n·dims), one
+    * (label, dim) average — at most labels×dims groups — and one
+    * (vector, label) reduce against the BROADCAST centroid table; no
+    * all-pairs stage anywhere, shuffles carry component rows only.
+    * Zero-norm and null vectors are excluded up front (the ann05
+    * population convention).
+    */
+  def labelCentroidAudit(df: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String): DataFrame = {
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("e"))
+      .filter(aggregate(col("e"), lit(0.0), (a, x) => a + x * x) > 0)
+    val dims = v.select(col("id"), col("lbl"),
+      posexplode(col("e")).as(Seq("i", "x")))
+    val cent = dims.groupBy(col("lbl"), col("i"))
+      .agg(round(avg(col("x")) + lit(1e-11), 6).as("cx"))
+    val cnorm = cent.groupBy(col("lbl"))
+      .agg(sqrt(sum(col("cx") * col("cx"))).as("cnorm"))
+    val member = dims.join(broadcast(cent), Seq("lbl", "i"))
+      .groupBy(col("id"), col("lbl"))
+      .agg(sum(col("x") * col("cx")).as("dot"),
+        sqrt(sum(col("x") * col("x"))).as("vnorm"))
+    member.join(broadcast(cnorm), Seq("lbl"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(first(col("cnorm")) + lit(1e-11), 6).as("centroid_norm"),
+        // a fully-cancelled centroid (rounded norm 0 — the incoherent-
+        // class signal) yields NULL tightness, not an engine-dependent
+        // NaN/Inf from the zero division
+        round(avg(when(col("cnorm") > 0,
+          col("dot") / (col("vnorm") * col("cnorm")))) + lit(1e-11), 4)
+          .as("mean_cos"))
+      .select(col("lbl").as(labelCol), col("n_vecs"),
+        col("centroid_norm"), col("mean_cos"))
+  }
 }

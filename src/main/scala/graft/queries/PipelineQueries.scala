@@ -211,6 +211,15 @@ object PipelineQueries {
         "embedding", "label", k = 5, planes = 8, seed = 42)
     },
 
+    // Per-label centroid audit: member count, centroid L2 norm, and
+    // mean member→centroid cosine per label — the distribution-level
+    // embedding-QA pass (ann05 screens per point). Centroids are
+    // pre-rounded so the audit is FULLY oracled.
+    "ann07_label_centroid_audit" -> { (s, dir) =>
+      Similarity.labelCentroidAudit(Tables(s, dir).embeddings,
+        "vec_id", "embedding", "label")
+    },
+
     // N-gram novelty: fraction of each doc's distinct 4-grams whose
     // first corpus occurrence is this doc — dedup-aware contribution
     // scoring for mixture construction.
@@ -1110,6 +1119,30 @@ object PipelineQueries {
                 round(sum(tf * -ln(cf / total_tokens)) / sum(tf) + 1e-11, 4) AS nll
          FROM tf JOIN cf USING (term), tot
          GROUP BY doc_id""",
+    // full replay of ann07: same population filter as ann05, centroid
+    // components pre-rounded (6 dp + epsilon) before norms/dots so both
+    // engines compute from identical centroids
+    "ann07_label_centroid_audit" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL
+                      AND list_sum(list_transform(
+                            CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+         u AS (SELECT vec_id, label, i, e[i] AS x
+               FROM v, UNNEST(generate_series(1, len(e))) AS g(i)),
+         c AS (SELECT label, i, round(avg(x) + 1e-11, 6) AS cx
+               FROM u GROUP BY 1, 2),
+         cn AS (SELECT label, sqrt(sum(cx * cx)) AS cnorm FROM c GROUP BY 1),
+         d AS (SELECT u.vec_id, u.label, sum(u.x * c.cx) AS dot,
+                      sqrt(sum(u.x * u.x)) AS vnorm
+               FROM u JOIN c USING (label, i) GROUP BY 1, 2)
+         SELECT d.label, count(*) AS n_vecs,
+                round(any_value(cn.cnorm) + 1e-11, 6) AS centroid_norm,
+                round(avg(CASE WHEN cn.cnorm > 0
+                            THEN d.dot / (d.vnorm * cn.cnorm) END)
+                      + 1e-11, 4) AS mean_cos
+         FROM d JOIN cn USING (label)
+         GROUP BY d.label""",
     // full replay of tx17: joint-vocab Laplace-smoothed unigram
     // distributions for the src0 target slice vs the raw corpus,
     // per-doc length-normalized log ratio

@@ -633,6 +633,34 @@ class OperatorsSpec extends SparkSpec {
     assert(nll(2L) > nll(1L))
   }
 
+  test("label centroid audit: tightness and cancelled-centroid null") {
+    val vecs = Seq(
+      // label 1: orthogonal pair → centroid (.5,.5), norm √.5,
+      // each member at 45° → mean cos = cos(45°) ≈ 0.7071
+      (1L, Seq(1.0f, 0.0f), 1),
+      (2L, Seq(0.0f, 1.0f), 1),
+      // label 2: exact cancellation → centroid (0,0): norm 0, cos NULL
+      (3L, Seq(1.0f, 0.0f), 2),
+      (4L, Seq(-1.0f, 0.0f), 2),
+      // label 3: identical members → cos exactly 1
+      (5L, Seq(3.0f, 4.0f), 3),
+      (6L, Seq(3.0f, 4.0f), 3),
+      // excluded: zero-norm and null vectors
+      (7L, Seq(0.0f, 0.0f), 1),
+      (8L, null.asInstanceOf[Seq[Float]], 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .labelCentroidAudit(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_norm"),
+          Option(r.getAs[Any]("mean_cos")))).toMap
+    assert(out(1)._1 == 2L)
+    assert(math.abs(out(1)._2 - math.sqrt(0.5)) < 1e-5)
+    assert(math.abs(out(1)._3.get.asInstanceOf[Double] - math.sqrt(0.5)) < 1e-3)
+    assert(out(2) == ((2L, 0.0, None)))
+    assert(out(3)._1 == 2L && math.abs(out(3)._3.get.asInstanceOf[Double] - 1.0) < 1e-3)
+  }
+
   test("as-of join: most recent at-or-before match, inclusive ties, tolerance, inner") {
     import graft.operators.AsOfJoin
     val quotes = Seq( // (sym, qts, px)
