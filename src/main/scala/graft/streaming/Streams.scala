@@ -69,6 +69,36 @@ object Streams {
              joinType: String = "left_outer"): DataFrame =
     stream.join(table, keys, joinType)
 
+  /** Watermarked stream-stream event-time interval join — the
+    * STREAMING counterpart of `operators.AsOfJoin`: each left event
+    * pairs with the right events of the same key whose timestamp falls
+    * in `[leftTs - lookback, leftTs]`. True as-of (most-recent-ONLY)
+    * needs an unbounded argmax the streaming engine cannot retract;
+    * the bounded-lookback interval join is the standard streaming
+    * form, and Spark's native stream-stream join executes it with
+    * watermark-bounded state eviction on both sides — state is
+    * O(lookback + watermark) per key, not O(stream).
+    *
+    * `joinType` inner or left_outer (outer emission waits for the
+    * watermark to close the match window, per engine semantics).
+    * Left/right timestamp columns must be distinctly named (the join
+    * output carries both sides' columns).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, lookback: String,
+                   watermark: String = "30 seconds",
+                   joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one equi-key")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) <= l(leftTs) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback")
+    val joined = l.join(r, cond, joinType)
+    // keys are emitted once (left side); the right copies are dropped
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
   /** Incremental materialized view: each micro-batch is upserted by key
     * into a hash-bucketed parquet store, queryable via `snapshot`. The
     * changelog semantics of the reference's IncrementalView

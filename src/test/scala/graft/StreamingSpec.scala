@@ -83,6 +83,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("tier") === "free").count() == 2)
   }
 
+  test("stream-stream interval join pairs purchases with recent same-user clicks") {
+    val clicks = Seq(
+      ("c1", ts("2024-01-01 00:00:05"), "u1"),
+      ("c2", ts("2024-01-01 00:00:20"), "u1"),
+      ("c3", ts("2024-01-01 00:00:21"), "u2"))
+      .toDF("click_id", "cts", "user")
+    val purchases = Seq(
+      ("p1", ts("2024-01-01 00:00:25"), "u1"), // c2 within 10s; c1 too old
+      ("p2", ts("2024-01-01 00:00:50"), "u1"), // nothing within 10s
+      ("p3", ts("2024-01-01 00:00:22"), "u2")) // c3 (cross-user c2 excluded)
+      .toDF("purchase_id", "pts", "user")
+    val out = Streams.runToMemory(
+      Streams.intervalJoin(fileStream(purchases), fileStream(clicks),
+        Seq("user"), "pts", "cts", lookback = "10 seconds"),
+      "t_interval")
+    val pairs = out.select(col("purchase_id"), col("click_id")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("p1", "c2"), ("p3", "c3")))
+    // keys emitted once: exactly one `user` column survives
+    assert(out.columns.count(_ == "user") == 1)
+  }
+
   test("incremental view maintains latest aggregate per key") {
     val view = new Streams.IncrementalView(Seq("kind"))
     val agg = fileStream(events)
