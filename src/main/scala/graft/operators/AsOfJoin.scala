@@ -33,13 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Backward as-of join of `left` to `right` on equality over `on`
-    * plus `right.rightTs <= left.leftTs`.
+  /** As-of join of `left` to `right` on equality over `on` plus the
+    * time condition: `direction = "backward"` (default) matches the
+    * most recent right row with `rightTs <= leftTs`; `"forward"`
+    * matches the earliest right row with `rightTs >= leftTs` (both
+    * inclusive, as in pandas `merge_asof`). Forward is the same
+    * lowering with the side tags swapped (so equal-ts right rows land
+    * INSIDE the following frame) and a running `first` over the
+    * following frame instead of `last` over the preceding one.
     *
-    * @param tolerance  optional max allowed `leftTs - rightTs` as a
+    * @param tolerance  optional max allowed gap (`leftTs - rightTs`
+    *                   backward, `rightTs - leftTs` forward) as a
     *                   Spark interval/numeric Column matching the ts
     *                   type arithmetic (e.g. `expr("INTERVAL 1 HOUR")`
-    *                   for timestamps); matches farther back are
+    *                   for timestamps); matches farther away are
     *                   treated as misses
     * @param joinType   "left" (unmatched left rows survive with null
     *                   right columns) or "inner"
@@ -51,32 +58,44 @@ object AsOfJoin {
            leftTs: String, rightTs: String,
            tolerance: Option[Column] = None,
            joinType: String = "left",
-           rightSuffix: String = "_r"): DataFrame = {
+           rightSuffix: String = "_r",
+           direction: String = "backward"): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key")
     require(Seq("left", "inner").contains(joinType),
       s"asof joinType must be left|inner, got $joinType")
+    require(Seq("backward", "forward").contains(direction),
+      s"asof direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
+    val (sideL, sideR) = if (backward) (1, 0) else (0, 1)
     val rightPayload = right.columns.filterNot(on.contains).toSeq
     val outRight = rightPayload.map { c =>
       if (left.columns.contains(c)) c + rightSuffix else c
     }
     val l = left.select(
-      on.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+      on.map(col) ++ Seq(col(leftTs).as("__ts"), lit(sideL).as("__side"),
         struct(left.columns.map(col): _*).as("__l")): _*)
     val r = right.select(
-      on.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+      on.map(col) ++ Seq(col(rightTs).as("__ts"), lit(sideR).as("__side"),
         struct(rightPayload.map(col): _*).as("__r")): _*)
     // unionByName(allowMissing) nulls each side's absent payload struct
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(on.map(col): _*)
+    val wBase = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val matchedRaw =
+      if (backward)
+        last(col("__r"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__r"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     val withMatch = u.withColumn("__m", matchedRaw)
-      .filter(col("__side") === 1)
+      .filter(col("__side") === sideL)
     // tolerance applies to the MATCHED right row's own ts
+    val gap =
+      if (backward) col("__ts") - col("__m").getField(rightTs)
+      else col("__m").getField(rightTs) - col("__ts")
     val gated = tolerance match {
-      case Some(tol) => when(col("__m").isNotNull &&
-        col("__ts") - col("__m").getField(rightTs) <= tol, col("__m"))
+      case Some(tol) => when(col("__m").isNotNull && gap <= tol, col("__m"))
       case None => col("__m")
     }
     val projected = withMatch.withColumn("__m", gated)

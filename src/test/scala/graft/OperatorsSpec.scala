@@ -696,6 +696,45 @@ class OperatorsSpec extends SparkSpec {
     val q2 = quotes.withColumnRenamed("px", "qty") // collides with trades.qty
     val cols = AsOfJoin.asof(trades, q2, Seq("sym"), "ts", "qts").columns.toSeq
     assert(cols.count(_ == "qty") == 1 && cols.contains("qty_r"))
+    // forward direction: earliest right at-or-after, inclusive
+    val fwd = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", "qts",
+      direction = "forward")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("ts")) ->
+        Option(r.getAs[Any]("qts"))).toMap
+    assert(fwd(("A", 5L)) == Some(10L))   // earliest quote after 5
+    assert(fwd(("A", 20L)) == Some(20L))  // inclusive at equal ts
+    assert(fwd(("A", 25L)) == Some(30L))
+    assert(fwd(("A", 99L)).isEmpty)       // nothing after 99
+  }
+
+  test("as-of join matches a brute-force reference on random event sets") {
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(42)
+    val keys = Vector("a", "b", "c", "d")
+    val leftRows = (1 to 120).map(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(60).toLong))
+    // right: distinct (key, ts) so the running-last tie rule is moot
+    val rightRows = rnd.shuffle(
+      for (k <- keys; t <- 0L until 60L) yield (k, t)
+    ).take(90).zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }
+    val left = leftRows.toDF("lid", "k", "ts")
+    val right = rightRows.toDF("rid", "k", "rts")
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+        direction = dir)
+        .collect().map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("rid")))
+        .toMap
+      val expect = leftRows.map { case (lid, k, ts) =>
+        val cands = rightRows.filter(r => r._2 == k &&
+          (if (dir == "backward") r._3 <= ts else r._3 >= ts))
+        val best =
+          if (cands.isEmpty) None
+          else if (dir == "backward") Some(cands.maxBy(_._3)._1)
+          else Some(cands.minBy(_._3)._1)
+        lid -> best
+      }.toMap
+      assert(got == expect, s"direction=$dir")
+    }
   }
 
   test("BPE training learns the hand-computed merge sequence") {
