@@ -253,6 +253,48 @@ class PlanSpec extends SparkSpec {
       s"gates should be semi/anti joins:\n$p")
   }
 
+  test("co-bucketed tables join with zero exchanges; one-sided bucketing " +
+    "shuffles only the other side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = (0L until 2000L).map(i => (i % 100, (i * 7) % 100))
+      .toDF("src", "dst")
+    val nodes = (0L until 100L).map(i => (i, s"n$i")).toDF("id", "name")
+    graft.etl.BucketedGraphStore.writeBucketed(edges, "bgs_edges",
+      Seq("src"), buckets = 8, sortCols = Seq("src"))
+    graft.etl.BucketedGraphStore.writeBucketed(nodes, "bgs_nodes",
+      Seq("id"), buckets = 8, sortCols = Seq("id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val both = graft.etl.BucketedGraphStore.table(spark, "bgs_nodes")
+        .join(graft.etl.BucketedGraphStore.table(spark, "bgs_edges"),
+          col("id") === col("src"))
+      val pBoth = plan(both)
+      assert(!pBoth.contains("Exchange"),
+        s"co-bucketed join should not shuffle either side:\n$pBoth")
+      assert(both.count() == 2000L)
+      // one-sided: a plain frame joins the bucketed edges — exactly one
+      // exchange (the plain side); the bucketed scan is never shuffled
+      val plain = (0L until 100L).map(i => (i, i * 2)).toDF("id", "w")
+      val one = plain.join(
+        graft.etl.BucketedGraphStore.table(spark, "bgs_edges"),
+        col("id") === col("src"))
+      val pOne = plan(one)
+      // count tree nodes only (the formatted detail section repeats
+      // each operator name once more)
+      val exchanges = pOne.linesIterator.count(l =>
+        l.matches(""".*[+:]- Exchange .*""") && !l.contains("Reused"))
+      assert(exchanges == 1,
+        s"expected exactly the plain side to shuffle, got $exchanges:\n$pOne")
+      assert(one.count() == 2000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bgs_edges")
+      spark.sql("DROP TABLE IF EXISTS bgs_nodes")
+    }
+  }
+
   test("pattern comprehension compiles to one grouped collect + one join-back") {
     val df = TpchGraph.engine(spark, dir).query(
       """MATCH (r:Region)
