@@ -295,6 +295,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("compiled Cypher hop over a bucketed edge table keeps the shuffle elision " +
+    "through the var-prefix renames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val people = (0L until 100L).map(i => (i, s"p$i")).toDF("pid", "name")
+    val knows = (0L until 2000L).map(i => (i % 100, (i * 13) % 100))
+      .toDF("src", "dst")
+    graft.etl.BucketedGraphStore.writeBucketed(people, "bgs_people",
+      Seq("pid"), buckets = 8, sortCols = Seq("pid"))
+    graft.etl.BucketedGraphStore.writeBucketed(knows, "bgs_knows",
+      Seq("src"), buckets = 8, sortCols = Seq("src"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val catalog = new graft.model.GraphCatalog()
+        .addEntity("Person", graft.etl.BucketedGraphStore.table(spark, "bgs_people"),
+          idCol = "pid")
+        .addRelationship("KNOWS", graft.etl.BucketedGraphStore.table(spark, "bgs_knows"),
+          srcCol = "src", dstCol = "dst",
+          srcLabel = Some("Person"), dstLabel = Some("Person"))
+      val df = new CypherEngine(spark, catalog).query(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS an, b.name AS bn")
+      val p = plan(df)
+      // the a↔KNOWS join is keyed on the bucketed src: the node scan is
+      // bucketed on pid with the same count, so NEITHER side of that
+      // first join may shuffle; only the dst-side join is allowed an
+      // exchange. Tree-node count: ≤ 2 exchanges total (dst probe + b
+      // side), and the bucketed edge scan must not sit under one keyed
+      // on src.
+      val exchanges = p.linesIterator.count(l =>
+        l.matches(""".*[+:]- Exchange .*""") && !l.contains("Reused"))
+      assert(exchanges <= 2, s"hop over bucketed tables shuffled everything:\n$p")
+      assert(!p.contains("hashpartitioning(src#"),
+        s"edge src side re-shuffled despite bucketing:\n$p")
+      assert(df.count() == 2000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bgs_people")
+      spark.sql("DROP TABLE IF EXISTS bgs_knows")
+    }
+  }
+
   test("pattern comprehension compiles to one grouped collect + one join-back") {
     val df = TpchGraph.engine(spark, dir).query(
       """MATCH (r:Region)
