@@ -254,6 +254,35 @@ object PipelineQueries {
       Bpe.encodeStats(Tables(s, dir).documents, bpeMerges(s, dir))
     },
 
+    // Quality-quartile curriculum bins: exact interpolated quartile
+    // thresholds over the (pre-rounded) tx02 quality score, docs
+    // assigned by `<=` threshold comparison, per-bin doc and token
+    // budgets — the curriculum/mixing table a quality-aware sampler
+    // consumes. Thresholds ride in as ONE broadcast row; everything
+    // else is two map-side-combinable aggregates. FULLY oracled.
+    "tx18_quality_bins" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val q = TextAnalysis.qualityScore(docs)
+      val toks = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"))
+      val th = q.agg(
+        percentile(col("quality"), lit(0.25)).as("t1"),
+        percentile(col("quality"), lit(0.5)).as("t2"),
+        percentile(col("quality"), lit(0.75)).as("t3"))
+      q.join(toks, Seq("doc_id"))
+        .crossJoin(broadcast(th))
+        .select(col("ws_tokens"), col("quality"),
+          when(col("quality") <= col("t1"), 0)
+            .when(col("quality") <= col("t2"), 1)
+            .when(col("quality") <= col("t3"), 2)
+            .otherwise(3).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("tokens"),
+          round(min(col("quality")) + lit(1e-11), 4).as("min_q"),
+          round(max(col("quality")) + lit(1e-11), 4).as("max_q"))
+    },
+
     // DSIR importance: mean per-token log-likelihood ratio between the
     // src0 slice's unigram distribution (the "target") and the whole
     // corpus, Laplace-smoothed over the corpus vocabulary — the Xie
@@ -1143,6 +1172,32 @@ object PipelineQueries {
                       + 1e-11, 4) AS mean_cos
          FROM d JOIN cn USING (label)
          GROUP BY d.label""",
+    // full replay of tx18: the tx02 quality CTE, quantile_cont
+    // thresholds (same interpolation as Spark's exact percentile),
+    // identical <= bin rule
+    "tx18_quality_bins" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  round(0.5 * least(length(text) / 500.0, 1.0)
+                      + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                               / len(string_split(text, ' '))) + 1e-11, 4) AS quality,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS ws_tokens
+           FROM documents
+         ),
+         th AS (SELECT quantile_cont(quality, 0.25) AS t1,
+                       quantile_cont(quality, 0.5) AS t2,
+                       quantile_cont(quality, 0.75) AS t3 FROM q)
+         SELECT CASE WHEN quality <= t1 THEN 0
+                     WHEN quality <= t2 THEN 1
+                     WHEN quality <= t3 THEN 2
+                     ELSE 3 END AS bin,
+                count(*) AS n_docs,
+                CAST(sum(ws_tokens) AS BIGINT) AS tokens,
+                round(min(quality) + 1e-11, 4) AS min_q,
+                round(max(quality) + 1e-11, 4) AS max_q
+         FROM q, th
+         GROUP BY 1""",
     // full replay of tx17: joint-vocab Laplace-smoothed unigram
     // distributions for the src0 target slice vs the raw corpus,
     // per-doc length-normalized log ratio
