@@ -328,6 +328,81 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("importance"))
   }
 
+  /** CCNet-style language-model quality bucketing (Wenzek et al. 2020):
+    * score every document by its perplexity proxy under a bigram LM
+    * with stupid backoff (Brants et al. 2007) trained on a TARGET
+    * slice of the corpus (CCNet trains on Wikipedia and scores the
+    * crawl; `targetFilter` selects the in-domain slice here), then
+    * assign head / middle / tail buckets at the tertiles of the
+    * per-document score — the standard LM-filter front door of a
+    * pre-training data pipeline.
+    *
+    * Model: S(w2|w1) = C(w1 w2)/C(w1) when the bigram occurs in the
+    * training slice, else backoff * (C(w2)+1)/(N+V) — the stupid-
+    * backoff unigram fallback with the same Laplace smoothing over the
+    * training vocabulary that [[dsirImportance]] uses, so words unseen
+    * in training still get a finite penalty. Per-doc score = the
+    * occurrence-weighted mean of -ln S over the doc's bigrams
+    * (documents under 2 tokens have no bigrams and are absent, as in
+    * [[ngramNovelty]]). Lower = more target-like; `head` is the
+    * best-scoring third.
+    *
+    * Scale: bigrams come from the shared codegen'd shingle kernel;
+    * training counts are two map-side-combinable aggregates over the
+    * TARGET slice only; scoring is three hash joins on short keys
+    * (bigram string, then each side word against the unigram table —
+    * boilerplate grams spread across docs, so no skew-prone hot keys);
+    * totals ride in as one broadcast row. The tertile thresholds are a
+    * single exact-percentile aggregate over PRE-ROUNDED per-doc scores
+    * (bounded distinct values, so the percentile buffer stays small)
+    * broadcast back as one row — the same threshold pattern as the
+    * quality-quartile binning. No windows, no driver loops.
+    */
+  def bigramPerplexityBins(df: DataFrame, targetFilter: Column,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           backoff: Double = 0.4): DataFrame = {
+    val longEnough = df.filter(size(Dedup.tokens(col(textCol))) >= 2)
+    // per-doc bigram occurrence counts over the WHOLE corpus
+    val tf = Dedup.shingleRows(longEnough, idCol, textCol, 2)
+      .groupBy(col("id"), col("shingle")).agg(count(lit(1)).as("tf"))
+    val tgt = df.filter(targetFilter)
+    // training-slice bigram and unigram counts + totals
+    val cb = Dedup.shingleRows(tgt.filter(size(Dedup.tokens(col(textCol))) >= 2),
+        idCol, textCol, 2)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("cb"))
+    val cu = tgt.select(explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val totals = cu.agg(sum(col("cu")).as("n_train"), count(lit(1)).as("v_train"))
+    val scored = tf
+      .withColumn("w1", substring_index(col("shingle"), " ", 1))
+      .withColumn("w2", substring_index(col("shingle"), " ", -1))
+      .join(cb, Seq("shingle"), "left")
+      .join(cu.select(col("term").as("w1"), col("cu").as("c1")), Seq("w1"), "left")
+      .join(cu.select(col("term").as("w2"), col("cu").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("s",
+        when(col("cb").isNotNull,
+          col("cb") / col("c1"))
+          .otherwise(lit(backoff) * (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (col("n_train") + col("v_train"))))
+    val nll = scored.groupBy(col("id"))
+      .agg(round((sum(col("tf") * -log(col("s"))) / sum(col("tf")))
+        + lit(1e-11), 4).as("nll"))
+    // tertiles over the pre-rounded score: when the interpolation
+    // position is fractional the threshold falls strictly between two
+    // distinct data values (1-ulp engine differences can't flip a <=),
+    // and when it is integral both engines return the element verbatim
+    val th = nll.agg(
+      percentile(col("nll"), lit(1.0 / 3)).as("t1"),
+      percentile(col("nll"), lit(2.0 / 3)).as("t2"))
+    nll.crossJoin(broadcast(th))
+      .select(col("id").as(idCol), col("nll"),
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** N-gram novelty ("contribution") scoring: the fraction of a
     * document's distinct n-grams whose FIRST corpus occurrence (owner =
     * minimum doc id over the gram) is this document — a dedup-aware

@@ -283,6 +283,15 @@ object PipelineQueries {
           round(max(col("quality")) + lit(1e-11), 4).as("max_q"))
     },
 
+    // CCNet-style LM quality bucketing: stupid-backoff bigram LM
+    // trained on the src0 slice, per-doc occurrence-weighted mean
+    // -ln S over bigrams, head/middle/tail at the score tertiles.
+    // FULLY oracled.
+    "tx19_lm_quality_bins" -> { (s, dir) =>
+      TextAnalysis.bigramPerplexityBins(Tables(s, dir).documents,
+        col("source") === "src0")
+    },
+
     // DSIR importance: mean per-token log-likelihood ratio between the
     // src0 slice's unigram distribution (the "target") and the whole
     // corpus, Laplace-smoothed over the corpus vocabulary — the Xie
@@ -1198,6 +1207,49 @@ object PipelineQueries {
                 round(max(quality) + 1e-11, 4) AS max_q
          FROM q, th
          GROUP BY 1""",
+    // full replay of tx19: stupid-backoff bigram LM trained on the
+    // src0 slice (bigram MLE when seen, else 0.4 x Laplace-smoothed
+    // unigram), occurrence-weighted per-doc mean -ln S, tertile
+    // head/middle/tail buckets over the pre-rounded score
+    "tx19_lm_quality_bins" ->
+      """WITH toks AS (
+           SELECT doc_id, (source = 'src0') AS is_t,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents
+         ),
+         big AS (
+           SELECT doc_id, is_t, t[i] AS w1, t[i+1] AS w2,
+                  t[i] || ' ' || t[i+1] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2
+         ),
+         tf AS (SELECT doc_id, shingle, min(w1) AS w1, min(w2) AS w2,
+                       count(*) AS tf
+                FROM big GROUP BY 1, 2),
+         cb AS (SELECT shingle, count(*) AS cb FROM big WHERE is_t GROUP BY 1),
+         cu AS (SELECT term, count(*) AS cu FROM (
+                  SELECT unnest(t) AS term FROM toks WHERE is_t) GROUP BY 1),
+         tot AS (SELECT sum(cu) AS n_train, count(*) AS v_train FROM cu),
+         sc AS (
+           SELECT tf.doc_id, tf.tf,
+                  CASE WHEN cb.cb IS NOT NULL THEN cb.cb * 1.0 / c1.cu
+                       ELSE 0.4 * (coalesce(c2.cu, 0) + 1.0)
+                            / (tot.n_train + tot.v_train)
+                  END AS s
+           FROM tf
+           LEFT JOIN cb USING (shingle)
+           LEFT JOIN cu c1 ON tf.w1 = c1.term
+           LEFT JOIN cu c2 ON tf.w2 = c2.term, tot
+         ),
+         nll AS (SELECT doc_id, round(sum(tf * -ln(s)) / sum(tf) + 1e-11, 4) AS nll
+                 FROM sc GROUP BY 1),
+         th AS (SELECT quantile_cont(nll, 1.0/3) AS t1,
+                       quantile_cont(nll, 2.0/3) AS t2 FROM nll)
+         SELECT doc_id, nll,
+                CASE WHEN nll <= t1 THEN 'head'
+                     WHEN nll <= t2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM nll, th""",
     // full replay of tx17: joint-vocab Laplace-smoothed unigram
     // distributions for the src0 target slice vs the raw corpus,
     // per-doc length-normalized log ratio

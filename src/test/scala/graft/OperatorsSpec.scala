@@ -800,6 +800,32 @@ class OperatorsSpec extends SparkSpec {
     assert(imp(1L) > 0 && imp(2L) < 0)
   }
 
+  test("bigram LM bins: stupid backoff scores and tertile buckets hand-check") {
+    val corpus = Seq(
+      (1L, "a b a c"), // the training slice
+      (2L, "a b x"),
+      (3L, "a c"),
+      (4L, "z")) // single token: no bigrams, absent from output
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramPerplexityBins(corpus, col("doc_id") === 1L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("nll"), r.getAs[String]("bucket")))).toMap
+    // train: bigrams {a b, b a, a c}×1; unigrams a×2 b×1 c×1 (N=4, V=3).
+    // doc1: s(a b)=1/2, s(b a)=1/1, s(a c)=1/2 → nll=(2·ln2)/3
+    // doc2: s(a b)=1/2, s(b x) backoff=0.4·(0+1)/7 → nll=(ln2+ln(7/0.4))/2
+    // doc3: s(a c)=1/2 → nll=ln2
+    val n1 = 2 * math.log(2) / 3
+    val n2 = (math.log(2) + math.log(7 / 0.4)) / 2
+    val n3 = math.log(2)
+    assert(math.abs(r(1L)._1 - n1) < 1e-4)
+    assert(math.abs(r(2L)._1 - n2) < 1e-4)
+    assert(math.abs(r(3L)._1 - n3) < 1e-4)
+    // tertiles of {0.4621, 0.6931, 1.7777}: t1≈0.6161, t2≈1.0547
+    assert(r(1L)._2 == "head" && r(3L)._2 == "middle" && r(2L)._2 == "tail")
+    assert(!r.contains(4L))
+  }
+
   test("decontaminate flags only train docs sharing an n-gram with the benchmark") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
