@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph iterative analytics over plain `(src, dst)` edge
+  * DataFrames — the batch counterpart of the per-pattern traversals in
+  * [[graft.paths.PathExpand]]. Beyond the reference's surface (its
+  * graph layer stops at Cypher pattern matching), but a first-class
+  * need of the curation stack: centrality scores rank seed URLs /
+  * entities when building a crawl-derived corpus, and they reuse the
+  * same bucketed edge tables the compiled hops read.
+  */
+object GraphAlgos {
+
+  /** Synchronous power-iteration PageRank (Page et al. 1999) with full
+    * dangling-node redistribution, so rank mass is conserved exactly
+    * (sum of ranks stays 1 every iteration — spec-asserted; GraphX's
+    * formulation leaks dangling mass instead).
+    *
+    * Per iteration:
+    *   rank'(v) = (1-d)/n + d * ( Σ_{u→v} rank(u)/outdeg(u) + D/n )
+    * where D is the total rank held by dangling nodes (no out-edges).
+    *
+    * Scale shape: the edge table joined with its outdegree is pinned
+    * ONCE (`localCheckpoint` — the corpus-sized operand never
+    * recomputes or re-shuffles its build); each iteration moves only
+    * the n-row rank vector through one hash join on the node key and
+    * one map-side-combinable sum per destination (celebrity/hub skew
+    * collapses in the partial aggregate), plus a single-row broadcast
+    * for the dangling mass. The rank vector is checkpointed per
+    * iteration because it feeds both the contribution join and the
+    * dangling aggregate — without pinning, iteration k's plan would
+    * execute iteration k-1 twice (2^k blowup). No driver-side loops:
+    * the only driver scalar is the node count, one job at build time.
+    *
+    * Node set = distinct sources ∪ destinations. `relative = true`
+    * returns rank scaled by n (rank relative to uniform — the form
+    * that compares across corpus sizes).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85,
+               relative: Boolean = false): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val od = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // edge ⋈ outdeg pinned once: every iteration re-reads this at the
+    // cost of a materialized scan, never the upstream shuffles
+    val w = e.join(od, Seq("src"))
+      .select(col("src").as("node"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val nN = nodes.count()
+    val base = (1.0 - damping) / nN
+    var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank"))
+    for (_ <- 1 to iterations) {
+      val dang = ranks.join(od.select(col("src").as("node")),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val contrib = w.join(ranks, Seq("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("dmass") / nN)).as("rank"))
+        .localCheckpoint()
+    }
+    if (relative) ranks.select(col("node"), (col("rank") * nN).as("rank"))
+    else ranks
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, GraphAlgos, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis)
   * exposed through the driver's queries()/oracleSql() correctness gate.
@@ -281,6 +281,21 @@ object PipelineQueries {
           sum(col("ws_tokens")).as("tokens"),
           round(min(col("quality")) + lit(1e-11), 4).as("min_q"),
           round(max(col("quality")) + lit(1e-11), 4).as("max_q"))
+    },
+
+    // PageRank over the symmetrized supplier—part co-purchase graph
+    // (node ids: part → 2·partkey, supplier → 2·suppkey+1): 5 power
+    // iterations with dangling redistribution (a no-op here — the
+    // symmetric graph has no dangling nodes — so the unrolled DuckDB
+    // oracle replays it verbatim). FULLY oracled.
+    "gr01_pagerank" -> { (s, dir) =>
+      val p = Tables(s, dir).lineitem
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b")).distinct()
+      val edges = p.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+      GraphAlgos.pageRank(edges, iterations = 5, relative = true)
+        .select(col("node"), round(col("rank") + lit(1e-11), 6).as("rel_rank"))
     },
 
     // CCNet-style LM quality bucketing: stupid-backoff bigram LM
@@ -1207,6 +1222,27 @@ object PipelineQueries {
                 round(max(quality) + 1e-11, 4) AS max_q
          FROM q, th
          GROUP BY 1""",
+    // full replay of gr01: 5 unrolled power iterations of
+    // rank'(v) = 0.15/n + 0.85 * sum(rank(u)/outdeg(u)) over the
+    // symmetrized supplier—part graph (no dangling nodes, so the
+    // redistribution term is exactly zero on both engines)
+    "gr01_pagerank" -> {
+      val iter = (k: Int) =>
+        s"""s$k AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS s
+           FROM r${k - 1} r JOIN e ON r.node = e.src
+           JOIN od ON r.node = od.src GROUP BY 1),
+           r$k AS (SELECT node, 0.15 / nn.n + 0.85 * s AS rank FROM s$k, nn)"""
+      s"""WITH p AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             FROM lineitem),
+         e AS (SELECT a AS src, b AS dst FROM p
+               UNION ALL SELECT b, a FROM p),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM od),
+         r0 AS (SELECT src AS node, 1.0 / nn.n AS rank FROM od, nn),
+         ${(1 to 5).map(iter).mkString(",\n         ")}
+         SELECT node, round(rank * nn.n + 1e-11, 6) AS rel_rank
+         FROM r5, nn"""
+    },
     // full replay of tx19: stupid-backoff bigram LM trained on the
     // src0 slice (bigram MLE when seen, else 0.4 x Laplace-smoothed
     // unigram), occurrence-weighted per-doc mean -ln S, tertile

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Components, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Components, Dedup, GraphAlgos, Similarity, TextAnalysis}
 
 /** Training-data operator semantics on hand-built corpora where ground
   * truth is computable exactly.
@@ -798,6 +798,31 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(imp(1L) - exp1) < 1e-4)
     assert(math.abs(imp(2L) - exp2) < 1e-4)
     assert(imp(1L) > 0 && imp(2L) < 0)
+  }
+
+  test("pagerank: hand-computed star graph, mass conserved with dangling nodes") {
+    // symmetrized star 0—1, 0—2, 0—3: after one iteration
+    // center = 0.15/4 + 0.85·(3·0.25) = 0.675, leaf = 0.15/4 + 0.85·(0.25/3);
+    // after two, center = 0.15/4 + 0.85·(3·leaf1) = 0.31375, leaf = 0.22875
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val r2 = GraphAlgos.pageRank(star, iterations = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(r2(0L) - 0.31375) < 1e-9)
+    Seq(1L, 2L, 3L).foreach(n => assert(math.abs(r2(n) - 0.22875) < 1e-9))
+    // dangling redistribution: a→b with b sink. After one iteration
+    // rank(a) = 0.075 + 0.85·(0.5/2) = 0.2875, rank(b) = 0.075 +
+    // 0.85·(0.5 + 0.5/2) = 0.7125 — total mass stays exactly 1
+    val dang = Seq((10L, 11L)).toDF("src", "dst")
+    val d1 = GraphAlgos.pageRank(dang, iterations = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(d1(10L) - 0.2875) < 1e-9)
+    assert(math.abs(d1(11L) - 0.7125) < 1e-9)
+    assert(math.abs(d1.values.sum - 1.0) < 1e-12)
+    // relative=true scales by n: uniform 2-cycle stays at exactly 1.0
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    GraphAlgos.pageRank(cyc, iterations = 3, relative = true)
+      .collect().foreach(r => assert(math.abs(r.getAs[Double]("rank") - 1.0) < 1e-12))
   }
 
   test("bigram LM bins: stupid backoff scores and tertile buckets hand-check") {
