@@ -610,6 +610,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ADC top-k (Jégou et al. 2011): split the
+    * d-dim space into `m` subspaces, quantize each sub-vector to its
+    * nearest of `ksub` sub-centroids (codes: m bytes per vector —
+    * a 64-dim float corpus compresses 32×), then score candidates by
+    * asymmetric distance: the query precomputes an m×ksub table of
+    * per-subspace squared distances and each vector's approximate
+    * distance is a pure m-term table-lookup sum over its codes.
+    *
+    * Codebook = the deterministic md5-ranked sample (the ann03/dd14
+    * rule) subsliced per subspace, so an external SQL engine replays
+    * codebook, codes, and ADC verbatim — the auditable variant, with
+    * the same recall-ledger role the sampled IVF plays for `ivfTopK`.
+    *
+    * Scale shape: encode is MAP-ONLY — a native codegen'd expression
+    * against the plan-constant codebook (no join, no shuffle, no HOF
+    * dispatch); scoring is a map-only lookup-sum (cost independent of
+    * dimensionality) followed by TakeOrderedAndProject. The only
+    * driver work is the ksub-row centroid collect and the one-row
+    * query fetch. At index scale the codes column (m bytes/vector) is
+    * what you persist; the float vectors stay cold.
+    *
+    * Returns top-k by (rounded ADC distance, id) with the exact
+    * cosine of each survivor alongside — the refine column a
+    * re-ranking stage consumes.
+    */
+  def pqSampledTopK(df: DataFrame, idCol: String, vecCol: String,
+                    queryVecId: Long, k: Int, m: Int = 8,
+                    ksub: Int = 16): DataFrame = {
+    val nd = dimsOf(df, vecCol)
+    require(m > 0 && nd % m == 0, s"dims $nd not divisible into $m subspaces")
+    val sd = nd / m
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // ascending-cid codebook rows: the kernel's first-wins argmin then
+    // equals the oracle's (distance, cid) tie ordering
+    val cent = sampledCentroids(v, ksub).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => cent.map(_._2.slice(mi * sd, (mi + 1) * sd)))
+    val qv = v.filter(col("id") === queryVecId).head().getSeq[Double](1).toArray
+    val lut: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      codebook(mi).map { c =>
+        var d = 0.0
+        var t = 0
+        while (t < sd) { val x = qv(mi * sd + t) - c(t); d += x * x; t += 1 }
+        d
+      }
+    }
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val q = v.filter(col("id") === queryVecId).select(col("v").as("qv"))
+    v.filter(col("id") =!= queryVecId)
+      .withColumn("__codes",
+        column(graft.functions.PqEncode(expression(col("v")), codebook)))
+      .withColumn("__adc",
+        column(graft.functions.PqAdc(expression(col("__codes")), lut)))
+      .crossJoin(broadcast(q))
+      .select(col("id").as(idCol),
+        round(col("__adc") + lit(1e-11), 6).as("adc_dist"),
+        round(cosine(col("v"), col("qv"), nd), 6).as("cos_sim"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Label-noise detection by k-nearest-neighbor label agreement
     * (the confident-learning/cleanlab-style screen): for every vector,
     * take its k nearest neighbors by exact cosine (ties broken by id),

@@ -183,6 +183,15 @@ object PipelineQueries {
         excludeId = Some(0L), idColName = "vec_id")
     },
 
+    // Product-quantization ADC top-k: deterministic md5-sampled
+    // codebook (8 subspaces × 16 sub-centroids over 64 dims), map-only
+    // codegen'd encode, table-lookup asymmetric distances, exact
+    // cosine on the survivors. FULLY oracled.
+    "ann08_pq_topk" -> { (s, dir) =>
+      Similarity.pqSampledTopK(Tables(s, dir).embeddings, "vec_id",
+        "embedding", queryVecId = 0L, k = 10, m = 8, ksub = 16)
+    },
+
     // Int8 scalar-quantized exact cosine top-k — integer dot products
     // are exact in double, so this ANN variant has a full oracle.
     "ann04_quantized_topk" -> { (s, dir) =>
@@ -669,6 +678,38 @@ object PipelineQueries {
                   AS DOUBLE), 6) AS cos_sim
          FROM v JOIN cand USING (vec_id)
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // full replay of ann08's PQ: md5-ranked sampled codebook subsliced
+    // per subspace, per-(vector, subspace) argmin codes with ties to
+    // the lower centroid id, ADC = sum of the query's per-subspace
+    // squared distances to the coded centroids, exact cosine alongside
+    "ann08_pq_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (
+           SELECT vec_id AS cid, e AS c FROM v
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         ),
+         ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+         sc AS (SELECT cid, m, c[m*8+1 : m*8+8] AS sc FROM cent, ms),
+         sv AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS se FROM v, ms),
+         codes AS (
+           SELECT vec_id, m, cid FROM (
+             SELECT sv.vec_id, sv.m, sc.cid,
+                    row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                      ORDER BY list_distance(sv.se, sc.sc), sc.cid) AS rn
+             FROM sv JOIN sc USING (m)) WHERE rn = 1
+         ),
+         q AS (SELECT m, se AS qe FROM sv WHERE vec_id = 0),
+         lut AS (SELECT sc.m, sc.cid, pow(list_distance(q.qe, sc.sc), 2) AS d
+                 FROM sc JOIN q USING (m)),
+         adc AS (SELECT c.vec_id, sum(l.d) AS ad
+                 FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+                 WHERE c.vec_id <> 0 GROUP BY 1),
+         qv AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+         SELECT a.vec_id, round(a.ad + 1e-11, 6) AS adc_dist,
+                round(CAST(list_cosine_similarity(v.e, (SELECT qe FROM qv))
+                  AS DOUBLE), 6) AS cos_sim
+         FROM adc a JOIN v USING (vec_id)
+         ORDER BY adc_dist, vec_id LIMIT 10""",
     // full replay of ann03's deterministic IVF: md5-ranked sampled
     // centroids, argmin assignment, nprobe=4 probe, cosine top-10
     "ann03_ivf_topk" ->

@@ -800,6 +800,37 @@ class OperatorsSpec extends SparkSpec {
     assert(imp(1L) > 0 && imp(2L) < 0)
   }
 
+  test("product quantization: top-k matches a plain-Scala PQ replay") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => i -> Array.fill(8)(rnd.nextDouble()))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val (m, ksub, sd, k) = (4, 4, 2, 5)
+    val got = Similarity.pqSampledTopK(df, "vec_id", "embedding",
+      queryVecId = 0L, k = k, m = m, ksub = ksub)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_dist")))
+    // independent replay: md5-ranked sample, per-subspace argmin codes,
+    // lookup-table ADC, (adc, id) top-k
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cents = vecs.sortBy { case (i, _) => (md5hex(i.toString), i) }
+      .take(ksub).sortBy(_._1).map(_._2)
+    def sq(a: Array[Double], b: Array[Double], off: Int) =
+      (0 until sd).map(t => { val d = a(off + t) - b(t); d * d }).sum
+    val sub = (mi: Int) => cents.map(_.slice(mi * sd, (mi + 1) * sd))
+    val q = vecs.toMap.apply(0L)
+    val want = vecs.filter(_._1 != 0L).map { case (i, v) =>
+      val adc = (0 until m).map { mi =>
+        val cs = sub(mi)
+        val code = cs.indices.minBy(j => (sq(v, cs(j), mi * sd), j))
+        sq(q, cs(code), mi * sd)
+      }.sum
+      (i, adc)
+    }.sortBy { case (i, a) => (a, i) }.take(k)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, ga), (_, wa)) =>
+      assert(math.abs(ga - wa) < 1e-6) }
+  }
+
   test("pagerank: hand-computed star graph, mass conserved with dangling nodes") {
     // symmetrized star 0—1, 0—2, 0—3: after one iteration
     // center = 0.15/4 + 0.85·(3·0.25) = 0.675, leaf = 0.15/4 + 0.85·(0.25/3);
