@@ -49,6 +49,11 @@ object PipelineRunner {
       else if (lower.endsWith(".parquet")) spark.read.parquet(path)
       else if (lower.endsWith(".json") || lower.endsWith(".jsonl") ||
         lower.endsWith(".ndjson")) spark.read.json(path)
+      else if (lower.endsWith(".orc")) spark.read.orc(path)
+      // raw-text corpora (the canonical LLM-pipeline ingest): one row
+      // per line in a single `value` column; shape with `query`
+      else if (lower.endsWith(".txt") || lower.endsWith(".text"))
+        spark.read.text(path)
       else throw new IllegalArgumentException(s"unsupported source format: $uri")
     schemaHints.foreach { case (c, t) =>
       df = df.withColumn(c, df(c).cast(sqlTypeName(t)))
@@ -121,6 +126,7 @@ object PipelineRunner {
       val lower = path.toLowerCase
       if (lower.endsWith(".csv")) "csv"
       else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) "json"
+      else if (lower.endsWith(".orc")) "orc"
       else "parquet"
     }
     fmt match {
@@ -128,6 +134,7 @@ object PipelineRunner {
         .option("header", "true").csv(path)
       case "json"    => df.coalesce(1).write.mode("overwrite").json(path)
       case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "orc"     => df.write.mode("overwrite").orc(path)
       case other     => throw new IllegalArgumentException(s"unsupported sink format: $other")
     }
   }

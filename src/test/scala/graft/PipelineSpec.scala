@@ -469,6 +469,23 @@ class PipelineSpec extends SparkSpec {
     assert(rows.head.getLong(0) == 2L)
   }
 
+  test("orc and raw-text source/sink round-trips through readSource/writeSink") {
+    val dir = tmpDir
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    PipelineRunner.writeSink(df, s"$dir/t.orc", format = None)
+    val back = PipelineRunner.readSource(spark, s"$dir/t.orc")
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta"))
+    // raw-text corpus: one row per line in `value`, shaped by `query`
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/corpus.txt"), "hello world\nsecond line\n")
+    val txt = PipelineRunner.readSource(spark, s"$dir/corpus.txt",
+      query = Some("SELECT value AS text, length(value) AS n FROM source"))
+    assert(txt.orderBy("n").collect().map(_.getString(0)).toSeq ==
+      Seq("hello world", "second line"))
+  }
+
   test("on_error: warn skips a broken source") {
     val dir = tmpDir
     writeFixtures(dir)
