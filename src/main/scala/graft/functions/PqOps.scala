@@ -52,10 +52,15 @@ object PqKernels {
   /** Asymmetric-distance lookup: sum over subspaces of the query's
     * precomputed distance to the centroid each code names.
     */
-  def adc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+  def adc(codes: ArrayData, lut: Array[Array[Double]]): Any = {
+    if (codes.numElements() != lut.length) return null
     var s = 0.0
     var mi = 0
-    while (mi < lut.length) { s += lut(mi)(codes.getInt(mi)); mi += 1 }
+    while (mi < lut.length) {
+      if (codes.isNullAt(mi)) return null
+      s += lut(mi)(codes.getInt(mi))
+      mi += 1
+    }
     s
   }
 }
@@ -106,8 +111,10 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
 case class PqAdc(child: Expression, lut: Array[Array[Double]])
     extends UnaryExpression {
 
+  // containsNull is accepted either way: a parquet round-trip widens
+  // the writer's containsNull=false to true; the kernel null-checks
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"pq_adc expects array<int> codes, got ${t.sql}")
   }
@@ -120,8 +127,14 @@ case class PqAdc(child: Expression, lut: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val l = ctx.addReferenceObj("pqLut", lut, "double[][]")
-    nullSafeCodeGen(ctx, ev,
-      c => s"${ev.value} = graft.functions.PqKernels.adc($c, $l);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("adcRes")
+      s"""
+         |Object $r = graft.functions.PqKernels.adc($c, $l);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqAdc =

@@ -674,6 +674,103 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF-PQ index (the FAISS IVFPQ deployment shape, on raw
+    * vectors rather than residuals — the auditable simplification, same
+    * determinism rule as everything sampled here): coarse buckets from
+    * the nlist md5-sampled centroids (partition-pruned at probe time),
+    * PQ codes from the ksub-sampled codebook (m ints per vector). The
+    * persisted corpus is (id, codes) ONLY — m small ints per vector
+    * instead of d floats is the memory/IO collapse that makes
+    * billion-vector search feasible; the float vectors stay in the
+    * source table for optional re-ranking. `_centroids` holds the
+    * coarse table, `_codebook` the per-(subspace, rank) sub-centroids —
+    * both self-describing, so the probe needs no side-channel params.
+    */
+  def pqIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+                   path: String, nlist: Int = 16, m: Int = 8,
+                   ksub: Int = 16): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nd = dimsOf(df, vecCol)
+    require(m > 0 && nd % m == 0, s"dims $nd not divisible into $m subspaces")
+    val sd = nd / m
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // coarse centroids pinned driver-side (nlist rows), as in
+    // ivfSampledIndexWrite: one corpus pass for the sample
+    val centPlan = sampledCentroids(v, math.max(nlist, ksub))
+    val centRows = centPlan.collect().toIndexedSeq
+    val coarse = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows.take(nlist), 1), centPlan.schema)
+    val codebook: Array[Array[Array[Double]]] = {
+      val sorted = centRows.take(ksub)
+        .map(r => (r.get(0).asInstanceOf[Number].longValue,
+          r.getSeq[Double](1).toArray)).sortBy(_._1)
+      Array.tabulate(m)(mi => sorted.map(_._2.slice(mi * sd, (mi + 1) * sd)).toArray)
+    }
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
+    v.crossJoin(broadcast(coarse))
+      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
+      .withColumn("__rn", row_number().over(wid))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("__bucket"))
+      .withColumn("codes",
+        column(graft.functions.PqEncode(expression(col("v")), codebook)))
+      .select(col("id"), col("codes"), col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    // self-describing codebook: (subspace, code rank, sub-centroid)
+    import spark.implicits._
+    (0 until m).flatMap(mi => codebook(mi).zipWithIndex.map {
+      case (sc, j) => (mi, j, sc.toSeq)
+    }).toDF("m", "j", "sc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+    writeMeta(spark, path, "ivf_pq", nlist, 0L)
+  }
+
+  /** Probe-only PQ top-k against a stored IVF-PQ index: rank the tiny
+    * coarse-centroid table against the query (driver, nlist rows),
+    * build the m×ksub ADC lookup table (driver, one pass over the
+    * persisted codebook), then a partition-pruned scan of the nprobe
+    * buckets where each candidate costs an m-term table-lookup sum —
+    * no float vector is read at all.
+    */
+  def pqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queryVec: Seq[Double], k: Int, nprobe: Int = 4,
+                  excludeId: Option[Long] = None,
+                  idColName: String = "id"): DataFrame = {
+    readMeta(spark, path, "ivf_pq")
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1)))
+    val probes = cents.map { case (cid, c) =>
+      (c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+    }.sortBy(identity).take(nprobe).map(_._2)
+    val cb = spark.read.parquet(s"$path/_codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val sd = cb.head._3.length
+    val lut: Array[Array[Double]] = {
+      val a = Array.ofDim[Double](m, cb.count(_._1 == 0))
+      cb.foreach { case (mi, j, sc) =>
+        var d = 0.0
+        var t = 0
+        while (t < sd) { val x = queryVec(mi * sd + t) - sc(t); d += x * x; t += 1 }
+        a(mi)(j) = d
+      }
+      a
+    }
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(probes.toIndexedSeq: _*))
+      .filter(excludeId.map(col("id") =!= _).getOrElse(lit(true)))
+      .withColumn("__adc",
+        column(graft.functions.PqAdc(expression(col("codes")), lut)))
+      .select(col("id").as(idColName),
+        round(col("__adc") + lit(1e-11), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idColName))
+      .limit(k)
+  }
+
   /** Label-noise detection by k-nearest-neighbor label agreement
     * (the confident-learning/cleanlab-style screen): for every vector,
     * take its k nearest neighbors by exact cosine (ties broken by id),

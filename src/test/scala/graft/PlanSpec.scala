@@ -148,6 +148,24 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning on __bucket:\n$ip")
     assert(rows(iprobe) == rows(Similarity.ivfSampledTopK(emb, "vec_id",
       "embedding", 0L, 5, nlist = 8, nprobe = 2)))
+
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.pqIndexWrite(emb, "vec_id", "embedding", pqPath,
+      nlist = 8, m = 8, ksub = 16)
+    val pprobe = Similarity.pqIndexTopK(spark, pqPath, qv, 5, nprobe = 2,
+      excludeId = Some(0L), idColName = "vec_id")
+    val pp = plan(pprobe)
+    assert(pp.contains("PartitionFilters") &&
+      pp.linesIterator.filter(_.contains("PartitionFilters")).mkString.contains("__bucket"),
+      s"no partition pruning on __bucket:\n$pp")
+    // with every bucket probed, the pure-code probe (no float vectors
+    // read) equals the inline operator's ADC ranking exactly
+    val pfull = Similarity.pqIndexTopK(spark, pqPath, qv, 5, nprobe = 8,
+      excludeId = Some(0L), idColName = "vec_id")
+    assert(rows(pfull) == Similarity.pqSampledTopK(emb, "vec_id", "embedding",
+      0L, 5, m = 8, ksub = 16)
+      .select(col("vec_id"), col("adc_dist")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
   test("decontamination broadcasts the benchmark gram set, never the corpus") {
