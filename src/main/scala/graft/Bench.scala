@@ -98,11 +98,14 @@ object Bench {
       "dd13_incremental_index_recall", "dd14_semantic_dedup",
       // ann tier
       "ann01_bruteforce_topk", "ann03_ivf_topk", "ann05_knn_label_agreement",
-      "ann07_label_centroid_audit",
+      "ann07_label_centroid_audit", "ann08_pq_topk",
+      // graph analytics
+      "gr01_pagerank",
       // text tier
       "tx06_token_budget", "tx08_tfidf_topterms", "tx09_unigram_nll",
       "tx11_temperature_mix", "tx13_curation_pipeline", "tx15_ngram_novelty",
-      "tx16_sequence_pack", "tx17_dsir_importance", "bpe02_bpe_encode",
+      "tx16_sequence_pack", "tx17_dsir_importance", "tx19_lm_quality_bins",
+      "bpe02_bpe_encode",
       // mutation tier
       "mu01_mutation_pipeline")
     val qsHead = headline.flatMap(k => results.get(k).map { case (v, _) =>

@@ -168,6 +168,22 @@ class PlanSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("PQ ADC top-k is shuffle-free: map-only encode/score, broadcast query, " +
+    "TakeOrdered") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.pqSampledTopK(emb, "vec_id", "embedding",
+      queryVecId = 0L, k = 10, m = 8, ksub = 16))
+    // both native expressions present, evaluated in the scan stage
+    assert(p.contains("pq_encode") && p.contains("pq_adc"), s"PQ exprs absent:\n$p")
+    // candidate scoring must not shuffle: the only exchange is the
+    // 1-row query broadcast, and top-k is per-partition heaps + driver
+    // merge, never a global sort
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("SortMergeJoin"),
+      s"unexpected shuffle in the PQ scoring path:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark gram set, never the corpus") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
