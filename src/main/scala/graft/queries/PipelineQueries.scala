@@ -42,6 +42,35 @@ object PipelineQueries {
       p
     })
 
+  /** Shared oracle CTE chain for the deterministic PQ (ann08/ann09):
+    * md5-sampled codebook → per-subspace argmin codes → query LUT →
+    * per-vector ADC sums, plus the raw-vector view `v` and the query
+    * vector `qv`.
+    */
+  private val pqAdcCte: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cent AS (
+        SELECT vec_id AS cid, e AS c FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      ),
+      ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+      sc AS (SELECT cid, m, c[m*8+1 : m*8+8] AS sc FROM cent, ms),
+      sv AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS se FROM v, ms),
+      codes AS (
+        SELECT vec_id, m, cid FROM (
+          SELECT sv.vec_id, sv.m, sc.cid,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                   ORDER BY list_distance(sv.se, sc.sc), sc.cid) AS rn
+          FROM sv JOIN sc USING (m)) WHERE rn = 1
+      ),
+      q AS (SELECT m, se AS qe FROM sv WHERE vec_id = 0),
+      lut AS (SELECT sc.m, sc.cid, pow(list_distance(q.qe, sc.sc), 2) AS d
+              FROM sc JOIN q USING (m)),
+      adc AS (SELECT c.vec_id, sum(l.d) AS ad
+              FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+              WHERE c.vec_id <> 0 GROUP BY 1),
+      qv AS (SELECT e AS qe FROM v WHERE vec_id = 0)"""
+
   private def ivfSampledIndexPath(s: SparkSession, dir: String): String =
     builtIndexes.getOrElseUpdate(s"$dir#ivfs16", {
       val p = s"${indexRoot(dir)}/ivfs16"
@@ -190,6 +219,22 @@ object PipelineQueries {
     "ann08_pq_topk" -> { (s, dir) =>
       Similarity.pqSampledTopK(Tables(s, dir).embeddings, "vec_id",
         "embedding", queryVecId = 0L, k = 10, m = 8, ksub = 16)
+    },
+
+    // PQ recall ledger: overlap of ann08's ADC top-10 with the exact
+    // brute-force cosine top-10 — the dd02/ann06 pattern: every
+    // approximate operator ships with an oracled measurement of what
+    // it misses. FULLY oracled.
+    "ann09_pq_recall" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val pq = Similarity.pqSampledTopK(emb, "vec_id", "embedding",
+        queryVecId = 0L, k = 10, m = 8, ksub = 16).select(col("vec_id"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryVecId = 0L, k = 10).select(col("vec_id"))
+      pq.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(10L).as("k"), col("n_hit"),
+          round(col("n_hit") / lit(10.0) + lit(1e-11), 4).as("recall"))
     },
 
     // Int8 scalar-quantized exact cosine top-k — integer dot products
@@ -683,33 +728,28 @@ object PipelineQueries {
     // the lower centroid id, ADC = sum of the query's per-subspace
     // squared distances to the coded centroids, exact cosine alongside
     "ann08_pq_topk" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         cent AS (
-           SELECT vec_id AS cid, e AS c FROM v
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-         ),
-         ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-         sc AS (SELECT cid, m, c[m*8+1 : m*8+8] AS sc FROM cent, ms),
-         sv AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS se FROM v, ms),
-         codes AS (
-           SELECT vec_id, m, cid FROM (
-             SELECT sv.vec_id, sv.m, sc.cid,
-                    row_number() OVER (PARTITION BY sv.vec_id, sv.m
-                      ORDER BY list_distance(sv.se, sc.sc), sc.cid) AS rn
-             FROM sv JOIN sc USING (m)) WHERE rn = 1
-         ),
-         q AS (SELECT m, se AS qe FROM sv WHERE vec_id = 0),
-         lut AS (SELECT sc.m, sc.cid, pow(list_distance(q.qe, sc.sc), 2) AS d
-                 FROM sc JOIN q USING (m)),
-         adc AS (SELECT c.vec_id, sum(l.d) AS ad
-                 FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
-                 WHERE c.vec_id <> 0 GROUP BY 1),
-         qv AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+      s"""WITH $pqAdcCte
          SELECT a.vec_id, round(a.ad + 1e-11, 6) AS adc_dist,
                 round(CAST(list_cosine_similarity(v.e, (SELECT qe FROM qv))
                   AS DOUBLE), 6) AS cos_sim
          FROM adc a JOIN v USING (vec_id)
          ORDER BY adc_dist, vec_id LIMIT 10""",
+    // the ann08 ADC top-10 intersected with the exact cosine top-10 —
+    // the same recall-ledger replay, so the approximation's miss rate
+    // is itself an oracled number
+    "ann09_pq_recall" ->
+      s"""WITH $pqAdcCte,
+         pq AS (SELECT a.vec_id FROM adc a
+                ORDER BY round(a.ad + 1e-11, 6), a.vec_id LIMIT 10),
+         ex AS (SELECT vec_id FROM (
+                  SELECT vec_id, round(CAST(list_cosine_similarity(e,
+                    (SELECT qe FROM qv)) AS DOUBLE), 6) AS cs
+                  FROM v WHERE vec_id <> 0)
+                ORDER BY cs DESC, vec_id LIMIT 10),
+         hit AS (SELECT vec_id FROM pq INTERSECT SELECT vec_id FROM ex)
+         SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_hit,
+                round(count(*) / 10.0 + 1e-11, 4) AS recall
+         FROM hit""",
     // full replay of ann03's deterministic IVF: md5-ranked sampled
     // centroids, argmin assignment, nprobe=4 probe, cosine top-10
     "ann03_ivf_topk" ->
