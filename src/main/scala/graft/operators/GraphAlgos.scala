@@ -28,19 +28,24 @@ object GraphAlgos {
     * the n-row rank vector through one hash join on the node key and
     * one map-side-combinable sum per destination (celebrity/hub skew
     * collapses in the partial aggregate), plus a single-row broadcast
-    * for the dangling mass. The rank vector is checkpointed per
-    * iteration because it feeds both the contribution join and the
-    * dangling aggregate — without pinning, iteration k's plan would
-    * execute iteration k-1 twice (2^k blowup). No driver-side loops:
-    * the only driver scalar is the node count, one job at build time.
+    * for the dangling mass, derived by conservation from the same
+    * aggregate (D = 1 - Σ contributions) so the rank vector is
+    * traversed exactly once per iteration. The n-row contribution
+    * table is the iteration's only materialization (pinning it keeps
+    * the loop's plan linear — both its readers would otherwise
+    * re-execute the whole prefix). No driver-side loops: the only
+    * driver scalar is the node count, one job at build time.
     *
     * Node set = distinct sources ∪ destinations. `relative = true`
     * returns rank scaled by n (rank relative to uniform — the form
-    * that compares across corpus sizes).
+    * that compares across corpus sizes). `tolerance = Some(tol)` stops
+    * early once the L∞ rank delta drops below `tol` (`iterations`
+    * stays the hard cap).
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
-               relative: Boolean = false): DataFrame = {
+               relative: Boolean = false,
+               tolerance: Option[Double] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val od = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // edge ⋈ outdeg pinned once: every iteration re-reads this at the
@@ -53,19 +58,42 @@ object GraphAlgos {
     val nN = nodes.count()
     val base = (1.0 - damping) / nN
     var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank"))
-    for (_ <- 1 to iterations) {
-      val dang = ranks.join(od.select(col("src").as("node")),
-          Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      // the aggregated n-row contribution table is the iteration's one
+      // materialization: it is read twice (dangling mass + rank
+      // update), and pinning it keeps the loop's plan linear
       val contrib = w.join(ranks, Seq("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+        .localCheckpoint()
+      // dangling mass by conservation: ranks always sum to exactly 1,
+      // and the contribution stream sums to the non-dangling mass
+      // (each source's rank/outdeg appears once per out-edge), so
+      // D = 1 - Σs — no second pass over the rank vector, no
+      // anti-join. fp error vs the explicit dangling sum is ~1 ulp,
+      // ~1e-21 per rank after the /n — invisible at any rounding
+      val dang = contrib
+        .agg((lit(1.0) - coalesce(sum(col("s")), lit(0.0))).as("dmass"))
+      val next = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(base) + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dmass") / nN)).as("rank"))
-        .localCheckpoint()
+      // convergence is opt-in because the L∞ delta is one extra n-row
+      // join + max aggregate per iteration (a driver scalar, the
+      // standard power-iteration stop rule); `iterations` stays the
+      // hard cap either way, so the fixed-iteration oracle form is the
+      // tolerance=None default
+      tolerance.foreach { tol =>
+        val delta = next.join(ranks.withColumnRenamed("rank", "prev"), Seq("node"))
+          .agg(max(abs(col("rank") - col("prev"))).as("d"))
+          .head().getDouble(0)
+        converged = delta < tol
+      }
+      ranks = next
+      it += 1
     }
     if (relative) ranks.select(col("node"), (col("rank") * nN).as("rank"))
     else ranks

@@ -413,6 +413,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank matches an in-memory power iteration on random directed graphs") {
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      nE <- Gen.chooseNum(1, 25)
+      es <- Gen.listOfN(nE, for {
+        a <- Gen.chooseNum(0L, 11L); b <- Gen.chooseNum(0L, 11L)
+      } yield (a, b)) // self-loops, parallel edges, dangling nodes all arise
+    } yield es
+    forAll(edgeGen, trials = 4) { edges =>
+      import spark.implicits._
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val n = nodes.size
+      // reference semantics: outdeg counts edge ROWS (parallel edges
+      // contribute once each), dangling mass redistributes uniformly
+      val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 3) {
+        val dang = nodes.filter(v => !out.contains(v)).map(r).sum
+        val contrib = scala.collection.mutable.Map.empty[Long, Double]
+          .withDefaultValue(0.0)
+        edges.foreach { case (s, d) => contrib(d) += r(s) / out(s) }
+        r = nodes.map(v =>
+          v -> ((1.0 - 0.85) / n + 0.85 * (contrib(v) + dang / n))).toMap
+      }
+      val got = graft.operators.GraphAlgos
+        .pageRank(edges.toDF("src", "dst"), iterations = 3)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(got.keySet == r.keySet, s"node sets diverged; edges=$edges")
+      r.foreach { case (v, want) =>
+        assert(math.abs(got(v) - want) < 1e-9,
+          s"rank($v): got ${got(v)}, want $want; edges=$edges") }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass leaked; edges=$edges")
+    }
+    // tolerance mode: a 2-cycle is stationary from the start, so the
+    // early stop fires after one iteration and the result is uniform
+    import spark.implicits._
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    graft.operators.GraphAlgos
+      .pageRank(cyc, iterations = 50, tolerance = Some(1e-12))
+      .collect().foreach(x => assert(math.abs(x.getDouble(1) - 0.5) < 1e-12))
+  }
+
   // ---- path materialization vs brute-force walk enumeration ----
 
   /** Random multigraph on 6 vertices: self-loops and parallel edges
