@@ -100,7 +100,7 @@ object Bench {
       "ann01_bruteforce_topk", "ann03_ivf_topk", "ann05_knn_label_agreement",
       "ann07_label_centroid_audit", "ann08_pq_topk",
       // graph analytics
-      "gr01_pagerank",
+      "gr01_pagerank", "gr02_label_propagation",
       // text tier
       "tx06_token_budget", "tx08_tfidf_topterms", "tx09_unigram_nll",
       "tx11_temperature_mix", "tx13_curation_pipeline", "tx15_ngram_novelty",

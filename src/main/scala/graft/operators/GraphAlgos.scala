@@ -98,4 +98,47 @@ object GraphAlgos {
     if (relative) ranks.select(col("node"), (col("rank") * nN).as("rank"))
     else ranks
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with fully
+    * deterministic tie-breaking: every node starts labeled with its
+    * own id; each iteration it adopts the most frequent label among
+    * its in-neighbors, ties to the SMALLEST label (the openly known
+    * fix for LPA's tie nondeterminism). Nodes with no in-edges keep
+    * their label. Pass symmetrized edges for the usual undirected
+    * community semantics. Exact integer state — an external SQL
+    * engine replays every iteration verbatim.
+    *
+    * Scale shape mirrors [[pageRank]]: the edge table is pinned once;
+    * each iteration is one hash join moving the n-row label vector,
+    * one map-side-combinable (node, label) count, and one
+    * per-node-partitioned ranking window (its partition size is the
+    * number of DISTINCT neighbor labels, which shrinks every
+    * iteration — never a global window). Labels are checkpointed per
+    * iteration to keep the loop's plan linear.
+    *
+    * Synchronous LPA can oscillate on bipartite structures (period-2
+    * flips) — the documented trade for determinism; `iterations` caps
+    * the loop either way.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iterations) {
+      val counts = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("label"))
+      val won = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("node"), col("label").as("__new"))
+      labels = nodes.join(won, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -367,6 +367,19 @@ object PipelineQueries {
         .select(col("node"), round(col("rank") + lit(1e-11), 6).as("rel_rank"))
     },
 
+    // Label-propagation communities over the same symmetrized graph:
+    // 3 synchronous iterations, most-frequent neighbor label with
+    // ties to the smallest — exact integer state, fully replayed by
+    // the unrolled oracle. FULLY oracled.
+    "gr02_label_propagation" -> { (s, dir) =>
+      val p = Tables(s, dir).lineitem
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b")).distinct()
+      val edges = p.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+      GraphAlgos.labelPropagation(edges, iterations = 3)
+    },
+
     // CCNet-style LM quality bucketing: stupid-backoff bigram LM
     // trained on the src0 slice, per-doc occurrence-weighted mean
     // -ln S over bigrams, head/middle/tail at the score tertiles.
@@ -1346,6 +1359,23 @@ object PipelineQueries {
          ${(1 to 5).map(iter).mkString(",\n         ")}
          SELECT node, round(rank * nn.n + 1e-11, 6) AS rel_rank
          FROM r5, nn"""
+    },
+    // full replay of gr02: 3 unrolled synchronous LPA iterations —
+    // per-(node, neighbor-label) counts, winner by (count desc, label)
+    "gr02_label_propagation" -> {
+      val iter = (k: Int) =>
+        s"""c$k AS (SELECT e.dst AS node, l.label, count(*) AS c
+           FROM l${k - 1} l JOIN e ON l.node = e.src GROUP BY 1, 2),
+           l$k AS (SELECT node, label FROM (
+             SELECT node, label, row_number() OVER (PARTITION BY node
+               ORDER BY c DESC, label) AS rn FROM c$k) WHERE rn = 1)"""
+      s"""WITH p AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             FROM lineitem),
+         e AS (SELECT a AS src, b AS dst FROM p
+               UNION ALL SELECT b, a FROM p),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         ${(1 to 3).map(iter).mkString(",\n         ")}
+         SELECT node, label FROM l3"""
     },
     // full replay of tx19: stupid-backoff bigram LM trained on the
     // src0 slice (bigram MLE when seen, else 0.4 x Laplace-smoothed

@@ -856,6 +856,17 @@ class OperatorsSpec extends SparkSpec {
       .collect().foreach(r => assert(math.abs(r.getAs[Double]("rank") - 1.0) < 1e-12))
   }
 
+  test("label propagation: disjoint triangles converge to min-id communities") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val lab = GraphAlgos.labelPropagation(tri, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: node 1 sees labels {2,3} → tie → 2; nodes 2,3 see 1.
+    // iter2: everyone's neighborhood is majority-1 → all 1. Stable.
+    Seq(1L, 2L, 3L).foreach(v => assert(lab(v) == 1L, s"node $v: ${lab(v)}"))
+    Seq(10L, 11L, 12L).foreach(v => assert(lab(v) == 10L, s"node $v: ${lab(v)}"))
+  }
+
   test("bigram LM bins: stupid backoff scores and tertile buckets hand-check") {
     val corpus = Seq(
       (1L, "a b a c"), // the training slice

@@ -454,6 +454,34 @@ class PropertySpec extends AnyFunSuite {
       .collect().foreach(x => assert(math.abs(x.getDouble(1) - 0.5) < 1e-12))
   }
 
+  test("label propagation matches an in-memory synchronous replay") {
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      nE <- Gen.chooseNum(1, 25)
+      es <- Gen.listOfN(nE, for {
+        a <- Gen.chooseNum(0L, 11L); b <- Gen.chooseNum(0L, 11L)
+      } yield (a, b))
+    } yield es
+    forAll(edgeGen, trials = 4) { edges =>
+      import spark.implicits._
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var lab = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to 3) {
+        val in = edges.groupBy(_._2)
+        lab = nodes.map { v =>
+          v -> in.get(v).map { es =>
+            val counts = es.map(e => lab(e._1))
+              .groupBy(identity).view.mapValues(_.size).toMap
+            counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }.getOrElse(v)
+        }.toMap
+      }
+      val got = graft.operators.GraphAlgos
+        .labelPropagation(edges.toDF("src", "dst"), iterations = 3)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == lab, s"LPA diverged; edges=$edges")
+    }
+  }
+
   // ---- path materialization vs brute-force walk enumeration ----
 
   /** Random multigraph on 6 vertices: self-loops and parallel edges
