@@ -25,6 +25,36 @@ object Sampling {
     conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 1), 16, 10)
       .cast("int")
 
+  private def hex2(keyCol: Column): Column =
+    // value 0..255 of the md5's first two hex digits — the finer
+    // acceptance lattice per-row probabilities need
+    conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int")
+
+  /** DSIR importance RESAMPLING (Xie et al. 2023 — the selection step
+    * the importance score exists for): keep each row with probability
+    * exp((score - max)/temperature), self-normalized so the
+    * best-scoring row is always kept and acceptance decays with the
+    * score gap; lower temperature sharpens toward greedy top-score
+    * selection. Membership is the same deterministic md5 rule as
+    * [[hashSample]], quantized to 256ths (two hex digits), so the
+    * sample is reproducible across engines, partitionings, and
+    * retries. Scale: one broadcast scalar (the max score) and one
+    * codegen'd filter — scan-shaped, no shuffle of the corpus. The
+    * 1e-9 shift before floor keeps exact-integer acceptance fractions
+    * from quantizing down on ulp drift (the temperatureSample rule).
+    */
+  def importanceResample(df: DataFrame, keyCol: String, scoreCol: String,
+                         temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val mx = df.agg(max(col(scoreCol)).as("__smax"))
+    df.crossJoin(broadcast(mx))
+      .filter(hex2(col(keyCol)) <
+        floor(exp((col(scoreCol) - col("__smax")) / lit(temperature)) * 256
+          + lit(1e-9)))
+      .drop("__smax")
+  }
+
   /** Keep rows whose key hashes into the first `sixteenths`/16 of the
     * space. 0 keeps nothing, 16 everything.
     */

@@ -71,6 +71,31 @@ object PipelineQueries {
               WHERE c.vec_id <> 0 GROUP BY 1),
       qv AS (SELECT e AS qe FROM v WHERE vec_id = 0)"""
 
+  /** Shared oracle CTE for the DSIR importance score (tx17/tx20):
+    * joint-vocab Laplace-smoothed unigram distributions for the src0
+    * target slice vs the raw corpus, per-doc length-normalized log
+    * ratio in `imp(doc_id, importance)`.
+    */
+  private val dsirCte: String =
+    """terms AS (
+        SELECT doc_id, (source = 'src0') AS is_target,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+      ),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      cf AS (SELECT term, count(*) AS cf_raw,
+                    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cf_tgt
+             FROM terms GROUP BY 1),
+      tot AS (SELECT sum(cf_raw) AS tot_raw, sum(cf_tgt) AS tot_tgt,
+                     count(*) AS vocab FROM cf),
+      imp AS (
+        SELECT doc_id,
+               round(sum(tf * (ln((cf_tgt + 1.0) / (tot_tgt + vocab))
+                             - ln((cf_raw + 1.0) / (tot_raw + vocab)))) / sum(tf)
+                     + 1e-11, 6) AS importance
+        FROM tf JOIN cf USING (term), tot
+        GROUP BY doc_id)"""
+
   private def ivfSampledIndexPath(s: SparkSession, dir: String): String =
     builtIndexes.getOrElseUpdate(s"$dir#ivfs16", {
       val p = s"${indexRoot(dir)}/ivfs16"
@@ -396,6 +421,16 @@ object PipelineQueries {
     "tx17_dsir_importance" -> { (s, dir) =>
       TextAnalysis.dsirImportance(Tables(s, dir).documents,
         col("source") === "src0")
+    },
+
+    // DSIR importance RESAMPLING: the selection step over tx17's
+    // scores — keep-probability exp((s - smax)/T) at T = 0.5,
+    // deterministic md5-256ths acceptance. FULLY oracled.
+    "tx20_dsir_resample" -> { (s, dir) =>
+      Sampling.importanceResample(
+        TextAnalysis.dsirImportance(Tables(s, dir).documents,
+          col("source") === "src0"),
+        "doc_id", "importance", temperature = 0.5)
     },
 
     // LSH ANN against the PERSISTED signature index: md5 sign table →
@@ -1424,23 +1459,19 @@ object PipelineQueries {
     // distributions for the src0 target slice vs the raw corpus,
     // per-doc length-normalized log ratio
     "tx17_dsir_importance" ->
-      """WITH terms AS (
-           SELECT doc_id, (source = 'src0') AS is_target,
-                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-           FROM documents
-         ),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-         cf AS (SELECT term, count(*) AS cf_raw,
-                       sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cf_tgt
-                FROM terms GROUP BY 1),
-         tot AS (SELECT sum(cf_raw) AS tot_raw, sum(cf_tgt) AS tot_tgt,
-                        count(*) AS vocab FROM cf)
-         SELECT doc_id,
-                round(sum(tf * (ln((cf_tgt + 1.0) / (tot_tgt + vocab))
-                              - ln((cf_raw + 1.0) / (tot_raw + vocab)))) / sum(tf)
-                      + 1e-11, 6) AS importance
-         FROM tf JOIN cf USING (term), tot
-         GROUP BY doc_id""",
+      s"""WITH $dsirCte
+         SELECT doc_id, importance FROM imp""",
+    // tx17's importance CTE + the deterministic md5-256ths acceptance
+    // rule at temperature 0.5 — the selection step replayed end-to-end
+    "tx20_dsir_resample" ->
+      s"""WITH $dsirCte,
+         mx AS (SELECT max(importance) AS smax FROM imp)
+         SELECT doc_id, importance FROM imp, mx
+         WHERE (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+           < floor(exp((importance - smax) / 0.5) * 256 + 1e-9)""",
     // replay of Dedup.decontaminate at n=4 over the same train/benchmark
     // split; per-doc shingle sets are DISTINCT, so hits is a plain count
     "dd09_decontaminate" ->

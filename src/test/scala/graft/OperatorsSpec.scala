@@ -856,6 +856,25 @@ class OperatorsSpec extends SparkSpec {
       .collect().foreach(r => assert(math.abs(r.getAs[Double]("rank") - 1.0) < 1e-12))
   }
 
+  test("importance resampling: max always kept, uniform scores keep all, " +
+    "temperature is monotone") {
+    import graft.operators.Sampling
+    val flat = (1L to 200L).map(i => (i, 0.5)).toDF("doc_id", "score")
+    // equal scores → f = exp(0) = 1 → acceptance 256/256: everything kept
+    assert(Sampling.importanceResample(flat, "doc_id", "score").count() == 200L)
+    val rnd = new scala.util.Random(3)
+    val scored = (1L to 200L).map(i => (i, rnd.nextDouble() * 4 - 2))
+      .toDF("doc_id", "score")
+    def keep(t: Double) = Sampling
+      .importanceResample(scored, "doc_id", "score", temperature = t)
+      .collect().map(_.getLong(0)).toSet
+    val (cold, warm) = (keep(0.2), keep(1.0))
+    val top = scored.orderBy(col("score").desc).head().getLong(0)
+    assert(cold.contains(top) && warm.contains(top)) // argmax survives any T
+    assert(cold.subsetOf(warm)) // higher temperature only adds rows
+    assert(cold.size < warm.size && warm.size < 200)
+  }
+
   test("label propagation: disjoint triangles converge to min-id communities") {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")

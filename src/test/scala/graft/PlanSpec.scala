@@ -329,6 +329,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pagerank's edge-side build over a bucketed edge table is exchange-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val edges = (0L until 2000L).map(i => (i % 100, (i * 7) % 100))
+      .toDF("src", "dst")
+    graft.etl.BucketedGraphStore.writeBucketed(edges, "bgs_pr_edges",
+      Seq("src"), buckets = 8, sortCols = Seq("src"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the corpus-sized operand GraphAlgos.pageRank pins once:
+      // edges ⋈ per-src outdegree — over a bucketed table BOTH the
+      // aggregate and the self-join run on co-located buckets, so the
+      // one-off build never shuffles the edge table at all
+      val e = graft.etl.BucketedGraphStore.table(spark, "bgs_pr_edges")
+      val od = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val w = e.join(od, Seq("src"))
+        .select(col("src").as("node"), col("dst"), col("outdeg"))
+      val p = plan(w)
+      assert(!p.contains("Exchange"),
+        s"bucketed pagerank build should not shuffle the edge table:\n$p")
+      assert(w.count() == 2000L)
+      // and the per-iteration rank update over that operand agrees with
+      // the plain-frame operator end-to-end
+      val viaBucketed = graft.operators.GraphAlgos.pageRank(e, iterations = 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaPlain = graft.operators.GraphAlgos.pageRank(edges, iterations = 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaBucketed.keySet == viaPlain.keySet)
+      viaPlain.foreach { case (k, v) =>
+        assert(math.abs(viaBucketed(k) - v) < 1e-12) }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bgs_pr_edges")
+    }
+  }
+
   test("compiled Cypher hop over a bucketed edge table keeps the shuffle elision " +
     "through the var-prefix renames") {
     import spark.implicits._
