@@ -105,7 +105,7 @@ object Bench {
       "tx06_token_budget", "tx08_tfidf_topterms", "tx09_unigram_nll",
       "tx11_temperature_mix", "tx13_curation_pipeline", "tx15_ngram_novelty",
       "tx16_sequence_pack", "tx17_dsir_importance", "tx19_lm_quality_bins",
-      "bpe02_bpe_encode",
+      "tx20_dsir_resample", "bpe02_bpe_encode",
       // mutation tier
       "mu01_mutation_pipeline")
     val qsHead = headline.flatMap(k => results.get(k).map { case (v, _) =>
