@@ -170,14 +170,16 @@ object Sampling {
     * phase-1 output.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
-                   k: Int, tieCol: String): DataFrame = {
+                   k: Int, tieCol: String,
+                   ascending: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val ord = if (ascending) col(orderCol).asc else col(orderCol).desc
     val salt = conv(substring(
       md5(col(tieCol).cast("string").cast("binary")), 1, 2), 16, 10).cast("int")
     val w1 = Window.partitionBy(col(groupCol), col("__salt"))
-      .orderBy(col(orderCol).desc, col(tieCol))
+      .orderBy(ord, col(tieCol))
     val w2 = Window.partitionBy(col(groupCol))
-      .orderBy(col(orderCol).desc, col(tieCol))
+      .orderBy(ord, col(tieCol))
     df.withColumn("__salt", salt)
       .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= k)

@@ -487,6 +487,27 @@ object Similarity {
       .limit(nlist)
       .select(col("id").as("cid"), col("v").as("c"))
 
+  /** Deterministic cluster ASSIGNMENT (the ann03/dd14 sampled-centroid
+    * rule) exposed as its own operator: (id, cluster) by argmin squared
+    * L2 against the nlist md5-sampled centroids, ties to the lower
+    * centroid id — the front half of every sampled-IVF pipeline, and
+    * the grouping key for cluster-aware mixing/sampling. Broadcast
+    * nlist-row dim; per-id argmin window (partition size = nlist).
+    */
+  def ivfSampledAssign(df: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = dimsOf(df, vecCol)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent = sampledCentroids(v, nlist)
+    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
+    v.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
+      .withColumn("__rn", row_number().over(wid))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idCol), col("cid").as("cluster"))
+  }
+
   /** Deterministic IVF-Flat top-k: sampled centroids, assignment =
     * argmin squared distance (broadcast join + per-id argmin window,
     * ties to the lower centroid id), probe = the same argmin rule on

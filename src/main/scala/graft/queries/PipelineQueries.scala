@@ -423,6 +423,20 @@ object PipelineQueries {
         col("source") === "src0")
     },
 
+    // Cluster-balanced sampling (SemDeDup/DoReMi-adjacent mixing prep):
+    // deterministic sampled-centroid assignment, then at most 20
+    // md5-ranked rows per cluster through the skew-safe salted top-k —
+    // topic-balancing an embedding corpus without any learned state.
+    // FULLY oracled.
+    "tx21_cluster_balanced_sample" -> { (s, dir) =>
+      val asg = Similarity.ivfSampledAssign(Tables(s, dir).embeddings,
+        "vec_id", "embedding", nlist = 16)
+        .withColumn("__ord", md5(col("vec_id").cast("string").cast("binary")))
+      Sampling.topKPerGroup(asg, "cluster", "__ord", k = 20,
+        tieCol = "vec_id", ascending = true)
+        .select(col("vec_id"), col("cluster"))
+    },
+
     // DSIR importance RESAMPLING: the selection step over tx17's
     // scores — keep-probability exp((s - smax)/T) at T = 0.5,
     // deterministic md5-256ths acceptance. FULLY oracled.
@@ -1461,6 +1475,27 @@ object PipelineQueries {
     "tx17_dsir_importance" ->
       s"""WITH $dsirCte
          SELECT doc_id, importance FROM imp""",
+    // replay of tx21: the ann03 assignment CTE + per-cluster md5-rank
+    // cutoff at 20
+    "tx21_cluster_balanced_sample" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (
+           SELECT vec_id AS cid, e AS c FROM v
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         ),
+         asg AS (
+           SELECT vec_id, cid AS cluster FROM (
+             SELECT v.vec_id, cent.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_distance(v.e, cent.c), cent.cid) AS rn
+             FROM v, cent) WHERE rn = 1
+         ),
+         sel AS (
+           SELECT vec_id, cluster,
+                  row_number() OVER (PARTITION BY cluster
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM asg)
+         SELECT vec_id, cluster FROM sel WHERE rn <= 20""",
     // tx17's importance CTE + the deterministic md5-256ths acceptance
     // rule at temperature 0.5 — the selection step replayed end-to-end
     "tx20_dsir_resample" ->

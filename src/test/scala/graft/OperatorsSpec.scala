@@ -856,6 +856,20 @@ class OperatorsSpec extends SparkSpec {
       .collect().foreach(r => assert(math.abs(r.getAs[Double]("rank") - 1.0) < 1e-12))
   }
 
+  test("ascending salted top-k equals the plain ascending window") {
+    import graft.operators.Sampling
+    val df = (1L to 50L).map(i => (i, i % 5, i * 7 % 50)).toDF("id", "g", "s")
+    val got = Sampling.topKPerGroup(df, "g", "s", 3, "id", ascending = true)
+      .select("g", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s").asc, col("id"))
+    val want = df.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("g", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.size == 15)
+  }
+
   test("importance resampling: max always kept, uniform scores keep all, " +
     "temperature is monotone") {
     import graft.operators.Sampling
