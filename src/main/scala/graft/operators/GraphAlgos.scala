@@ -40,18 +40,29 @@ object GraphAlgos {
     * returns rank scaled by n (rank relative to uniform — the form
     * that compares across corpus sizes). `tolerance = Some(tol)` stops
     * early once the L∞ rank delta drops below `tol` (`iterations`
-    * stays the hard cap).
+    * stays the hard cap). `weightCol` makes the walk weighted: a
+    * source's rank splits across its out-edges proportionally to the
+    * edge weight (unit weights reproduce the unweighted results
+    * bit-identically).
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
                relative: Boolean = false,
-               tolerance: Option[Double] = None): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val od = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+               tolerance: Option[Double] = None,
+               weightCol: Option[String] = None): DataFrame = {
+    // weighted edges split a source's rank ∝ weight instead of evenly;
+    // with unit weights sum(__w) is exactly the outdegree count, so the
+    // unweighted results are bit-identical to the count formulation
+    val e = weightCol match {
+      case Some(wc) => edges.select(col("src"), col("dst"),
+        col(wc).cast("double").as("__w"))
+      case None => edges.select(col("src"), col("dst"), lit(1.0).as("__w"))
+    }
+    val od = e.groupBy(col("src")).agg(sum(col("__w")).as("outdeg"))
     // edge ⋈ outdeg pinned once: every iteration re-reads this at the
     // cost of a materialized scan, never the upstream shuffles
     val w = e.join(od, Seq("src"))
-      .select(col("src").as("node"), col("dst"), col("outdeg"))
+      .select(col("src").as("node"), col("dst"), col("__w"), col("outdeg"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
@@ -66,7 +77,7 @@ object GraphAlgos {
       // update), and pinning it keeps the loop's plan linear
       val contrib = w.join(ranks, Seq("node"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("outdeg")).as("s"))
+        .agg(sum(col("rank") * col("__w") / col("outdeg")).as("s"))
         .localCheckpoint()
       // dangling mass by conservation: ranks always sum to exactly 1,
       // and the contribution stream sums to the non-dangling mass

@@ -854,6 +854,15 @@ class OperatorsSpec extends SparkSpec {
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     GraphAlgos.pageRank(cyc, iterations = 3, relative = true)
       .collect().foreach(r => assert(math.abs(r.getAs[Double]("rank") - 1.0) < 1e-12))
+    // weighted: 0→1 (w=1), 0→2 (w=3) splits node 0's rank 1/4 vs 3/4;
+    // one iteration (1,2 dangling, D=2/3): rank(1) = 0.05 +
+    // 0.85·(1/12 + 2/9), rank(2) = 0.05 + 0.85·(1/4 + 2/9)
+    val wdf = Seq((0L, 1L, 1.0), (0L, 2L, 3.0)).toDF("src", "dst", "wt")
+    val wr = GraphAlgos.pageRank(wdf, iterations = 1, weightCol = Some("wt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(wr(1L) - (0.05 + 0.85 * (1.0 / 12 + 2.0 / 9))) < 1e-12)
+    assert(math.abs(wr(2L) - (0.05 + 0.85 * (0.25 + 2.0 / 9))) < 1e-12)
+    assert(math.abs(wr.values.sum - 1.0) < 1e-12)
   }
 
   test("ascending salted top-k equals the plain ascending window") {
