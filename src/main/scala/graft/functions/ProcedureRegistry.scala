@@ -43,6 +43,47 @@ object ProcedureRegistry {
     * per distinct tuple) the way the reference's docs demonstrate custom
     * registration (relational_models.py:167-174).
     */
+  // ---- graph analytics procedures (the GDS-style CALL surface over
+  // graft.operators.GraphAlgos): the stored relationship table IS the
+  // edge list, so analytics compose with any Cypher pipeline ----
+
+  private def edgeArgs(cat: GraphCatalog, args: Seq[Any])
+    : (DataFrame, Int, Boolean) = {
+    import org.apache.spark.sql.functions.col
+    val relType = args.headOption match {
+      case Some(s: String) => s
+      case other => throw new IllegalArgumentException(
+        s"graph.* procedures take (relType[, iterations[, undirected]]), got $other")
+    }
+    def intArg(i: Int, default: Int) = args.lift(i) match {
+      case Some(n: Number) => n.intValue
+      case Some(null) | None => default
+      case Some(other) => other.toString.toInt
+    }
+    val undirected = args.lift(2) match {
+      case Some(b: java.lang.Boolean) => b.booleanValue
+      case _ => false
+    }
+    val rel = cat.relationship(relType)
+    val e0 = rel.df.select(col(rel.srcCol).as("src"), col(rel.dstCol).as("dst"))
+    val e = if (undirected)
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    else e0
+    (e, intArg(1, -1), undirected)
+  }
+
+  register("graph.pagerank", (spark, cat, args) => {
+    val (e, iters, _) = edgeArgs(cat, args)
+    graft.operators.GraphAlgos.pageRank(e,
+      iterations = if (iters > 0) iters else 5)
+  })
+
+  register("graph.labelpropagation", (spark, cat, args) => {
+    val (e, iters, _) = edgeArgs(cat, args)
+    graft.operators.GraphAlgos.labelPropagation(e,
+      iterations = if (iters > 0) iters else 3)
+  })
+
   register("graft.series", (spark, _, args) => {
     val n = args.headOption match {
       case Some(l: java.lang.Long)    => l.longValue

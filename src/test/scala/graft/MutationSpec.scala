@@ -447,6 +447,31 @@ class MutationSpec extends SparkSpec {
       Seq(("Alice", 5L), ("Bob", 3L), ("Carol", 5L)))
   }
 
+  test("graph analytics procedures: CALL graph.pageRank / labelPropagation " +
+    "over the stored relationship table") {
+    val eng = freshEngine // KNOWS: 0 → 1
+    // directed, 1 iteration: node 1 is dangling; D = 0.5 redistributes.
+    // rank(0) = 0.075 + 0.85·(0.5/2) = 0.2875, rank(1) = 0.075 +
+    // 0.85·(0.5 + 0.25) = 0.7125
+    val pr = eng.query(
+      """CALL graph.pageRank('KNOWS', 1) YIELD node, rank
+         RETURN node, rank ORDER BY node""").collect()
+    assert(pr.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(math.abs(pr(0).getDouble(1) - 0.2875) < 1e-12)
+    assert(math.abs(pr(1).getDouble(1) - 0.7125) < 1e-12)
+    // undirected: the 2-cycle is stationary at uniform 0.5
+    eng.query(
+      """CALL graph.pageRank('KNOWS', 3, true) YIELD node, rank
+         RETURN rank""").collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - 0.5) < 1e-12))
+    // undirected LPA, 1 synchronous iteration: the pair swaps labels
+    val lp = eng.query(
+      """CALL graph.labelPropagation('KNOWS', 1, true) YIELD node, label
+         RETURN node, label ORDER BY node""").collect()
+    assert(lp.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (1L, 0L)))
+  }
+
   test("DETACH DELETE scrubs relationship tables with undeclared labels") {
     import spark.implicits._
     val person = Seq((0L, "A"), (1L, "B")).toDF("__ID__", "name")
