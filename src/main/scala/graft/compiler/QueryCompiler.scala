@@ -99,14 +99,16 @@ final class QueryCompiler(catalog: GraphCatalog, spark: SparkSession,
     val correlated = outer.exists(o =>
       cp.args.exists(a => freeVars(a).intersect(o.vars.keySet).nonEmpty))
     if (correlated) return compileCorrelatedCall(cp, outer.get)
-    val argVals: Seq[Any] = cp.args.map {
+    def litVal(e: Expr): Any = e match {
       case IntLit(v) => v
       case FloatLit(v) => v
       case StrLit(v) => v
       case BoolLit(v) => v
+      case ListLit(els) => els.map(litVal)
       case Param(n) => params(n)
       case other => throw new IllegalArgumentException(s"procedure arg must be literal: $other")
     }
+    val argVals: Seq[Any] = cp.args.map(litVal)
     val df = graft.functions.ProcedureRegistry(cp.name)(spark, catalog, argVals)
     val out = applyYields(df, cp)
     val callFrame = Frame(out, out.columns.map(c => c -> (ValueVar: VarMeta)).toMap)

@@ -74,8 +74,17 @@ object ProcedureRegistry {
 
   register("graph.pagerank", (spark, cat, args) => {
     val (e, iters, _) = edgeArgs(cat, args)
+    // optional 4th arg: seed node-id list → personalized PageRank
+    val seeds = args.lift(3) match {
+      case Some(s: Seq[_]) if s.nonEmpty =>
+        Some(s.map(x => x.asInstanceOf[Number].longValue))
+      case Some(l: java.util.List[_]) if !l.isEmpty =>
+        Some(scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+          .map(x => x.asInstanceOf[Number].longValue))
+      case _ => None
+    }
     graft.operators.GraphAlgos.pageRank(e,
-      iterations = if (iters > 0) iters else 5)
+      iterations = if (iters > 0) iters else 5, seeds = seeds)
   })
 
   register("graph.labelpropagation", (spark, cat, args) => {

@@ -43,13 +43,16 @@ object GraphAlgos {
     * stays the hard cap). `weightCol` makes the walk weighted: a
     * source's rank splits across its out-edges proportionally to the
     * edge weight (unit weights reproduce the unweighted results
-    * bit-identically).
+    * bit-identically). `seeds` personalizes: teleport and dangling
+    * mass go to the seed set instead of uniform, turning rank into
+    * proximity-to-seeds (the graph-retrieval form).
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
                relative: Boolean = false,
                tolerance: Option[Double] = None,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               seeds: Option[Seq[Long]] = None): DataFrame = {
     // weighted edges split a source's rank ∝ weight instead of evenly;
     // with unit weights sum(__w) is exactly the outdegree count, so the
     // unweighted results are bit-identical to the count formulation
@@ -68,7 +71,19 @@ object GraphAlgos {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val nN = nodes.count()
     val base = (1.0 - damping) / nN
-    var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank"))
+    // personalized PageRank: teleport (and dangling redistribution)
+    // concentrate on the seed set instead of uniform — rank becomes
+    // proximity to the seeds (the graph-retrieval form). Seeds must be
+    // nodes of the graph or their teleport mass is lost. The uniform
+    // path keeps its original scalar arithmetic untouched so unseeded
+    // results stay bit-identical to the oracle replay.
+    val teleport: org.apache.spark.sql.Column = seeds match {
+      case Some(s) =>
+        require(s.nonEmpty, "personalized pageRank needs at least one seed")
+        when(col("node").isin(s: _*), lit(1.0 / s.size)).otherwise(lit(0.0))
+      case None => lit(1.0 / nN)
+    }
+    var ranks = nodes.select(col("node"), teleport.as("rank"))
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
@@ -87,11 +102,17 @@ object GraphAlgos {
       // ~1e-21 per rank after the /n — invisible at any rounding
       val dang = contrib
         .agg((lit(1.0) - coalesce(sum(col("s")), lit(0.0))).as("dmass"))
+      val rankExpr = seeds match {
+        case Some(_) =>
+          lit(1.0 - damping) * teleport + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("dmass") * teleport)
+        case None =>
+          lit(base) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("dmass") / nN)
+      }
       val next = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
-          (lit(base) + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + col("dmass") / nN)).as("rank"))
+        .select(col("node"), rankExpr.as("rank"))
       // convergence is opt-in because the L∞ delta is one extra n-row
       // join + max aggregate per iteration (a driver scalar, the
       // standard power-iteration stop rule); `iterations` stays the

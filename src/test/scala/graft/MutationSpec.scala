@@ -464,6 +464,13 @@ class MutationSpec extends SparkSpec {
       """CALL graph.pageRank('KNOWS', 3, true) YIELD node, rank
          RETURN rank""").collect()
       .foreach(r => assert(math.abs(r.getDouble(0) - 0.5) < 1e-12))
+    // personalized (seeded at node 0), undirected, 2 iterations:
+    // r2 = (0.15 + 0.85², 0.85·0.15)
+    val ppr = eng.query(
+      """CALL graph.pageRank('KNOWS', 2, true, [0]) YIELD node, rank
+         RETURN node, rank ORDER BY node""").collect()
+    assert(math.abs(ppr(0).getDouble(1) - 0.8725) < 1e-12)
+    assert(math.abs(ppr(1).getDouble(1) - 0.1275) < 1e-12)
     // undirected LPA, 1 synchronous iteration: the pair swaps labels
     val lp = eng.query(
       """CALL graph.labelPropagation('KNOWS', 1, true) YIELD node, label

@@ -863,6 +863,15 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(wr(1L) - (0.05 + 0.85 * (1.0 / 12 + 2.0 / 9))) < 1e-12)
     assert(math.abs(wr(2L) - (0.05 + 0.85 * (0.25 + 2.0 / 9))) < 1e-12)
     assert(math.abs(wr.values.sum - 1.0) < 1e-12)
+    // personalized: chain 1↔2↔3 seeded at {1}. Two iterations:
+    // r1 = (0.15, 0.85, 0); r2 = (0.15+0.85·0.425, 0.85·0.15, 0.85·0.425)
+    val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val pp = GraphAlgos.pageRank(chain, iterations = 2, seeds = Some(Seq(1L)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pp(1L) - 0.51125) < 1e-12)
+    assert(math.abs(pp(2L) - 0.1275) < 1e-12)
+    assert(math.abs(pp(3L) - 0.36125) < 1e-12)
+    assert(math.abs(pp.values.sum - 1.0) < 1e-12) // mass stays on the walk
   }
 
   test("ascending salted top-k equals the plain ascending window") {
