@@ -96,6 +96,7 @@ object Bench {
       "dd01_exact_dedup", "dd02_minhash_lsh", "dd03_simhash",
       "dd05_embedding_neardup", "dd08_dedup_resolve",
       "dd13_incremental_index_recall", "dd14_semantic_dedup",
+      "dd15_fuzzy_join",
       // ann tier
       "ann01_bruteforce_topk", "ann03_ivf_topk", "ann05_knn_label_agreement",
       "ann07_label_centroid_audit", "ann08_pq_topk",

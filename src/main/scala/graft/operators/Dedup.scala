@@ -917,4 +917,43 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"), col("csim"),
         when(col("__drop").isNotNull, 0).otherwise(1).as("kept"))
   }
+
+  /** Edit-distance pair mining (record linkage / entity resolution):
+    * every pair of rows whose strings are within Levenshtein distance
+    * 1, found by SYMMETRIC-DELETE blocking (the SymSpell scheme,
+    * Garbe 2012): each string's candidate key set is itself plus every
+    * single-character deletion. Any two strings at distance <=1 share
+    * a key (substitution at i -> both i-deletions equal; insertion/
+    * deletion -> the shorter string IS a deletion of the longer), so
+    * the equi-join on keys has EXACT recall; the final codegen'd
+    * `levenshtein` filter discards the distance-2 pairs that
+    * double-sided deletion also admits. Returns (id1 < id2, dist).
+    *
+    * Scale: the only shuffles are the variant equi-join (key length ~
+    * string length, explode work proportional to total corpus
+    * characters) and the candidate distinct - no all-pairs stage; a
+    * hot variant bucket means many strings one deletion apart, which
+    * is exactly the cluster the operator must emit. The brute-force
+    * O(n^2) form is the ORACLE, not the plan.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String,
+                        strCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val vars = v
+      .select(col("id"), col("s"),
+        explode(sequence(lit(0), length(col("s")))).as("__i"))
+      .select(col("id"), col("s"),
+        when(col("__i") === 0, col("s"))
+          .otherwise(expr(
+            "concat(substring(s, 1, __i - 1), substring(s, __i + 1, length(s)))"))
+          .as("__v"))
+    val a = vars.select(col("__v"), col("id").as("id1"), col("s").as("s1"))
+    val b = vars.select(col("__v"), col("id").as("id2"), col("s").as("s2"))
+    a.join(b, Seq("__v"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2")).distinct()
+      .filter(levenshtein(col("s1"), col("s2")) <= 1)
+      .select(col("id1"), col("id2"),
+        levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
+  }
 }

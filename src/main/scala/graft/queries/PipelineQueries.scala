@@ -423,6 +423,16 @@ object PipelineQueries {
         col("source") === "src0")
     },
 
+    // Fuzzy-match entity resolution: customer-name pairs within
+    // Levenshtein distance 1 via symmetric-delete blocking (exact
+    // recall), verified against the brute-force O(n²) ORACLE — the
+    // recall guarantee is itself what the gate checks. FULLY oracled.
+    "dd15_fuzzy_join" -> { (s, dir) =>
+      Dedup.editDistancePairs(Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_name")), "c_custkey", "c_name")
+        .select(col("id1"), col("id2"), col("dist"))
+    },
+
     // Cluster-balanced sampling (SemDeDup/DoReMi-adjacent mixing prep):
     // deterministic sampled-centroid assignment, then at most 20
     // md5-ranked rows per cluster through the skew-safe salted top-k —
@@ -1475,6 +1485,14 @@ object PipelineQueries {
     "tx17_dsir_importance" ->
       s"""WITH $dsirCte
          SELECT doc_id, importance FROM imp""",
+    // brute-force ground truth for dd15: every pair within edit
+    // distance 1 — the blocked plan must reproduce it EXACTLY
+    "dd15_fuzzy_join" ->
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a, customer b
+         WHERE a.c_custkey < b.c_custkey
+           AND levenshtein(a.c_name, b.c_name) <= 1""",
     // replay of tx21: the ann03 assignment CTE + per-cluster md5-rank
     // cutoff at 20
     "tx21_cluster_balanced_sample" ->

@@ -874,6 +874,36 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(pp.values.sum - 1.0) < 1e-12) // mass stays on the walk
   }
 
+  test("fuzzy join: symmetric-delete blocking has exact recall at distance 1") {
+    val names = Seq((1L, "cat"), (2L, "cats"), (3L, "ct"), (4L, "dog"),
+      (5L, "kitten"), (6L, "sitten"), (7L, "sittin"), (8L, "cat"))
+    val got = Dedup.editDistancePairs(names.toDF("id", "name"), "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // covers all three edit kinds: (1,2) insertion, (1,3) deletion,
+    // (5,6)/(6,7) substitution, (1,8) exact dup; (5,7) and (2,3) are
+    // distance 2 and must be absent
+    assert(got == Set((1L, 8L, 0L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 8L, 1L), (3L, 8L, 1L), (5L, 6L, 1L), (6L, 7L, 1L)))
+    // randomized differential: dense near-match corpus vs brute force
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    val rs = (1L to 40L).map(i =>
+      (i, (1 to 3 + rnd.nextInt(3)).map(_ => ('0' + rnd.nextInt(3)).toChar).mkString))
+    val want = (for {
+      (i, s) <- rs; (j, t) <- rs if i < j && lev(s, t) <= 1
+    } yield (i, j, lev(s, t).toLong)).toSet
+    val g2 = Dedup.editDistancePairs(rs.toDF("id", "name"), "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g2 == want)
+  }
+
   test("ascending salted top-k equals the plain ascending window") {
     import graft.operators.Sampling
     val df = (1L to 50L).map(i => (i, i % 5, i * 7 % 50)).toDF("id", "g", "s")
