@@ -938,22 +938,29 @@ object Dedup {
     */
   def editDistancePairs(df: DataFrame, idCol: String,
                         strCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
     val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    val vars = v
-      .select(col("id"), col("s"),
-        explode(sequence(lit(0), length(col("s")))).as("__i"))
-      .select(col("id"), col("s"),
-        when(col("__i") === 0, col("s"))
-          .otherwise(expr(
-            "concat(substring(s, 1, __i - 1), substring(s, __i + 1, length(s)))"))
-          .as("__v"))
+    // per-string variant sets deduped BEFORE the shuffle
+    // (array_distinct on the in-row array): strings with repeated
+    // characters — id-style keys with zero runs — otherwise emit the
+    // same deletion many times and square that duplication in the join
+    val vars = v.select(col("id"), col("s"),
+      explode(array_distinct(transform(sequence(lit(0), length(col("s"))), i =>
+        when(i === lit(0), col("s"))
+          .otherwise(concat(substring(col("s"), lit(1), i - 1),
+            substring(col("s"), i + 1, length(col("s"))))))))
+        .as("__v"))
     val a = vars.select(col("__v"), col("id").as("id1"), col("s").as("s1"))
     val b = vars.select(col("__v"), col("id").as("id2"), col("s").as("s2"))
+    // verify with the O(n) capped-distance kernel, then dedupe the
+    // narrow (id1, id2, dist) survivors — the full-DP levenshtein at
+    // ~d² per pair was the dominant cost of the whole operator
+    val dist = column(graft.functions.EditDistanceLe1(
+      expression(col("s1")), expression(col("s2"))))
     a.join(b, Seq("__v"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("s1"), col("s2")).distinct()
-      .filter(levenshtein(col("s1"), col("s2")) <= 1)
-      .select(col("id1"), col("id2"),
-        levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
+      .select(col("id1"), col("id2"), dist.cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
   }
 }
