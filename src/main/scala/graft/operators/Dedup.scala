@@ -936,31 +936,42 @@ object Dedup {
     * is exactly the cluster the operator must emit. The brute-force
     * O(n^2) form is the ORACLE, not the plan.
     */
-  def editDistancePairs(df: DataFrame, idCol: String,
-                        strCol: String): DataFrame = {
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (deletion-neighborhood size is len^d), got $maxDist")
     import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
     val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    // per-string variant sets deduped BEFORE the shuffle
-    // (array_distinct on the in-row array): strings with repeated
-    // characters — id-style keys with zero runs — otherwise emit the
-    // same deletion many times and square that duplication in the join
-    val vars = v.select(col("id"), col("s"),
-      explode(array_distinct(transform(sequence(lit(0), length(col("s"))), i =>
-        when(i === lit(0), col("s"))
-          .otherwise(concat(substring(col("s"), lit(1), i - 1),
-            substring(col("s"), i + 1, length(col("s"))))))))
-        .as("__v"))
+    // the ≤d-deletion neighborhood, deduped in-row BEFORE the shuffle
+    // (array_distinct): strings with repeated characters — id-style
+    // keys with zero runs — otherwise emit the same deletion many
+    // times and square that duplication in the join. An optimal
+    // alignment of a distance-≤d pair deletes ≤d positions from each
+    // side to reach a common string, so the neighborhood equi-join has
+    // EXACT recall at d (the SymSpell argument, any d).
+    def delAll(s: Column): Column =
+      transform(sequence(lit(0), length(s)), i =>
+        when(i === lit(0), s)
+          .otherwise(concat(substring(s, lit(1), i - 1),
+            substring(s, i + 1, length(s)))))
+    val hood =
+      if (maxDist == 1) array_distinct(delAll(col("s")))
+      else array_distinct(flatten(transform(delAll(col("s")), v1 => delAll(v1))))
+    val vars = v.select(col("id"), col("s"), explode(hood).as("__v"))
     val a = vars.select(col("__v"), col("id").as("id1"), col("s").as("s1"))
     val b = vars.select(col("__v"), col("id").as("id2"), col("s").as("s2"))
-    // verify with the O(n) capped-distance kernel, then dedupe the
+    // verify with an O(cap·n) capped-distance kernel, then dedupe the
     // narrow (id1, id2, dist) survivors — the full-DP levenshtein at
     // ~d² per pair was the dominant cost of the whole operator
-    val dist = column(graft.functions.EditDistanceLe1(
-      expression(col("s1")), expression(col("s2"))))
+    val dist =
+      if (maxDist == 1) column(graft.functions.EditDistanceLe1(
+        expression(col("s1")), expression(col("s2"))))
+      else column(graft.functions.EditDistanceCapped(
+        expression(col("s1")), expression(col("s2")), maxDist))
     a.join(b, Seq("__v"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), dist.cast("long").as("dist"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .distinct()
   }
 }

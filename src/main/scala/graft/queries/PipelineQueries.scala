@@ -433,6 +433,16 @@ object PipelineQueries {
         .select(col("id1"), col("id2"), col("dist"))
     },
 
+    // The distance-2 form: ≤2-deletion neighborhoods (the SymSpell
+    // recall argument holds at any d), banded capped-DP verify. Same
+    // brute-force ground-truth oracle. FULLY oracled.
+    "dd16_fuzzy_join2" -> { (s, dir) =>
+      Dedup.editDistancePairs(Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_name")), "c_custkey", "c_name",
+        maxDist = 2)
+        .select(col("id1"), col("id2"), col("dist"))
+    },
+
     // Cluster-balanced sampling (SemDeDup/DoReMi-adjacent mixing prep):
     // deterministic sampled-centroid assignment, then at most 20
     // md5-ranked rows per cluster through the skew-safe salted top-k —
@@ -1493,6 +1503,13 @@ object PipelineQueries {
          FROM customer a, customer b
          WHERE a.c_custkey < b.c_custkey
            AND levenshtein(a.c_name, b.c_name) <= 1""",
+    // brute-force ground truth for dd16 at distance 2
+    "dd16_fuzzy_join2" ->
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a, customer b
+         WHERE a.c_custkey < b.c_custkey
+           AND levenshtein(a.c_name, b.c_name) <= 2""",
     // replay of tx21: the ann03 assignment CTE + per-cluster md5-rank
     // cutoff at 20
     "tx21_cluster_balanced_sample" ->

@@ -902,6 +902,15 @@ class OperatorsSpec extends SparkSpec {
     val g2 = Dedup.editDistancePairs(rs.toDF("id", "name"), "id", "name")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(g2 == want)
+    // distance-2 form against the same brute force
+    val want2 = (for {
+      (i, s) <- rs; (j, t) <- rs if i < j && lev(s, t) <= 2
+    } yield (i, j, lev(s, t).toLong)).toSet
+    val g3 = Dedup.editDistancePairs(rs.toDF("id", "name"), "id", "name",
+        maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g3 == want2)
+    assert(want2.size > want.size) // d=2 genuinely admits more pairs here
   }
 
   test("ascending salted top-k equals the plain ascending window") {
