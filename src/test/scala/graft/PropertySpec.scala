@@ -454,6 +454,60 @@ class PropertySpec extends AnyFunSuite {
       .collect().foreach(x => assert(math.abs(x.getDouble(1) - 0.5) < 1e-12))
   }
 
+  test("bigram LM quality bins match an in-memory replay on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 6)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      nd <- Gen.chooseNum(4, 8)
+      ds <- Gen.listOfN(nd, docGen)
+    } yield ("a b" +: ds).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusGen, trials = 4) { corpus =>
+      import spark.implicits._
+      def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+      val isTgt = (id: Long) => id % 2 == 0 // doc 0 ("a b") is always target
+      val tgtToks = corpus.filter(c => isTgt(c._1)).flatMap(c => toks(c._2))
+      val cu = tgtToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (nTrain, vTrain) = (tgtToks.size.toLong, cu.size.toLong)
+      def bigrams(t: String) = { val w = toks(t); w.zip(w.tail) }
+      val cb = corpus.filter(c => isTgt(c._1)).flatMap(c => bigrams(c._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def r4(x: Double) = BigDecimal(x + 1e-11)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nll = corpus.flatMap { case (id, t) =>
+        val bg = bigrams(t)
+        if (bg.isEmpty) None else Some(id -> r4(bg.map { case (w1, w2) =>
+          if (cb.contains((w1, w2))) -math.log(cb((w1, w2)).toDouble / cu(w1))
+          else -math.log(0.4 * (cu.getOrElse(w2, 0L) + 1.0) / (nTrain + vTrain))
+        }.sum / bg.size))
+      }.toMap
+      val sorted = nll.values.toSeq.sorted
+      def pct(p: Double) = { // Spark's exact percentile interpolation
+        val pos = (sorted.size - 1) * p
+        val lo = pos.toInt
+        if (lo + 1 >= sorted.size) sorted(lo)
+        else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+      }
+      val (t1, t2) = (pct(1.0 / 3), pct(2.0 / 3))
+      val want = nll.map { case (id, v) =>
+        id -> ((v, if (v <= t1) "head" else if (v <= t2) "middle" else "tail"))
+      }
+      val got = graft.operators.TextAnalysis.bigramPerplexityBins(
+          corpus.toDF("doc_id", "text"),
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("nll"), r.getAs[String]("bucket")))).toMap
+      assert(got.keySet == want.keySet, s"doc sets diverged; corpus=$corpus")
+      want.foreach { case (id, (v, b)) =>
+        assert(math.abs(got(id)._1 - v) < 1e-9,
+          s"nll($id): ${got(id)._1} vs $v; corpus=$corpus")
+        assert(got(id)._2 == b, s"bucket($id); corpus=$corpus")
+      }
+    }
+  }
+
   test("label propagation matches an in-memory synchronous replay") {
     val edgeGen: Gen[Seq[(Long, Long)]] = for {
       nE <- Gen.chooseNum(1, 25)
