@@ -93,6 +93,25 @@ object ProcedureRegistry {
       iterations = if (iters > 0) iters else 3)
   })
 
+  // entity-resolution on the Cypher surface: every pair of label
+  // `args(0)` whose string property `args(1)` is within edit distance
+  // `args(2)` (default 1) — symmetric-delete blocked, exact recall
+  register("graph.fuzzymatch", (spark, cat, args) => {
+    import org.apache.spark.sql.functions.col
+    (args.headOption, args.lift(1)) match {
+      case (Some(label: String), Some(prop: String)) =>
+        val d = args.lift(2) match {
+          case Some(n: Number) => n.intValue
+          case _ => 1
+        }
+        val e = cat.entity(label)
+        graft.operators.Dedup.editDistancePairs(
+          e.df.select(col(e.idCol), col(prop)), e.idCol, prop, d)
+      case other => throw new IllegalArgumentException(
+        s"graph.fuzzyMatch takes (label, property[, maxDist]), got $other")
+    }
+  })
+
   register("graft.series", (spark, _, args) => {
     val n = args.headOption match {
       case Some(l: java.lang.Long)    => l.longValue

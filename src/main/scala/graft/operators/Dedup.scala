@@ -942,36 +942,69 @@ object Dedup {
       s"maxDist must be 1 or 2 (deletion-neighborhood size is len^d), got $maxDist")
     import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
     val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    // the ≤d-deletion neighborhood, deduped in-row BEFORE the shuffle
-    // (array_distinct): strings with repeated characters — id-style
-    // keys with zero runs — otherwise emit the same deletion many
-    // times and square that duplication in the join. An optimal
-    // alignment of a distance-≤d pair deletes ≤d positions from each
-    // side to reach a common string, so the neighborhood equi-join has
-    // EXACT recall at d (the SymSpell argument, any d).
-    def delAll(s: Column): Column =
-      transform(sequence(lit(0), length(s)), i =>
-        when(i === lit(0), s)
-          .otherwise(concat(substring(s, lit(1), i - 1),
-            substring(s, i + 1, length(s)))))
-    val hood =
-      if (maxDist == 1) array_distinct(delAll(col("s")))
-      else array_distinct(flatten(transform(delAll(col("s")), v1 => delAll(v1))))
-    val vars = v.select(col("id"), col("s"), explode(hood).as("__v"))
+    val vars = v.select(col("id"), col("s"),
+      explode(deletionHood(col("s"), maxDist)).as("__v"))
     val a = vars.select(col("__v"), col("id").as("id1"), col("s").as("s1"))
     val b = vars.select(col("__v"), col("id").as("id2"), col("s").as("s2"))
     // verify with an O(cap·n) capped-distance kernel, then dedupe the
     // narrow (id1, id2, dist) survivors — the full-DP levenshtein at
     // ~d² per pair was the dominant cost of the whole operator
+    verifyCandidates(a.join(b, Seq("__v")).filter(col("id1") < col("id2")),
+      maxDist)
+  }
+
+  /** The ≤d-deletion neighborhood of a string column, deduped IN-ROW
+    * before any shuffle (array_distinct): strings with repeated
+    * characters — id-style keys with zero runs — otherwise emit the
+    * same deletion many times and square that duplication in the
+    * candidate join. An optimal alignment of a distance-≤d pair
+    * deletes ≤d positions from each side to reach a common string, so
+    * a neighborhood equi-join has EXACT recall at d (the SymSpell
+    * argument, any d).
+    */
+  private def deletionHood(s: Column, maxDist: Int): Column = {
+    def delAll(c: Column): Column =
+      transform(sequence(lit(0), length(c)), i =>
+        when(i === lit(0), c)
+          .otherwise(concat(substring(c, lit(1), i - 1),
+            substring(c, i + 1, length(c)))))
+    if (maxDist == 1) array_distinct(delAll(s))
+    else array_distinct(flatten(transform(delAll(s), v1 => delAll(v1))))
+  }
+
+  private def verifyCandidates(cand: DataFrame, maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
     val dist =
       if (maxDist == 1) column(graft.functions.EditDistanceLe1(
         expression(col("s1")), expression(col("s2"))))
       else column(graft.functions.EditDistanceCapped(
         expression(col("s1")), expression(col("s2")), maxDist))
-    a.join(b, Seq("__v"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), dist.cast("long").as("dist"))
+    cand.select(col("id1"), col("id2"), dist.cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** Cross-table record LINKAGE within edit distance `maxDist`
+    * (matching crawl-extracted entities against a canonical table):
+    * the same symmetric-delete blocking and capped verify as
+    * [[editDistancePairs]], but candidates come from the equi-join of
+    * the two tables' deletion neighborhoods — exact recall by the same
+    * alignment argument. Returns every (id1, id2, dist) link; a
+    * downstream best-match rule (min dist, tie to min id2 — one
+    * salted top-k per id1) picks canonical assignments.
+    */
+  def fuzzyLink(left: DataFrame, lIdCol: String, lStrCol: String,
+                right: DataFrame, rIdCol: String, rStrCol: String,
+                maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2, got $maxDist")
+    def vars(df: DataFrame, idCol: String, strCol: String,
+             idAs: String, sAs: String) =
+      df.select(col(idCol).as(idAs), col(strCol).as(sAs),
+        explode(deletionHood(col(strCol), maxDist)).as("__v"))
+    verifyCandidates(
+      vars(left, lIdCol, lStrCol, "id1", "s1")
+        .join(vars(right, rIdCol, rStrCol, "id2", "s2"), Seq("__v")),
+      maxDist)
   }
 }

@@ -443,6 +443,17 @@ object PipelineQueries {
         .select(col("id1"), col("id2"), col("dist"))
     },
 
+    // Cross-table record linkage: customers matched against a
+    // truncated-name variant table within distance 1 — blocking join
+    // of the two tables' deletion neighborhoods, brute-force ground
+    // truth as the oracle. FULLY oracled.
+    "dd17_fuzzy_link" -> { (s, dir) =>
+      val c = Tables(s, dir).customer.select(col("c_custkey"), col("c_name"))
+      val right = c.select(col("c_custkey").as("r_id"),
+        expr("substring(c_name, 1, length(c_name) - 1)").as("r_name"))
+      Dedup.fuzzyLink(c, "c_custkey", "c_name", right, "r_id", "r_name")
+    },
+
     // Cluster-balanced sampling (SemDeDup/DoReMi-adjacent mixing prep):
     // deterministic sampled-centroid assignment, then at most 20
     // md5-ranked rows per cluster through the skew-safe salted top-k —
@@ -1510,6 +1521,14 @@ object PipelineQueries {
          FROM customer a, customer b
          WHERE a.c_custkey < b.c_custkey
            AND levenshtein(a.c_name, b.c_name) <= 2""",
+    // brute-force ground truth for dd17's cross-table linkage
+    "dd17_fuzzy_link" ->
+      """WITH r AS (SELECT c_custkey AS id2,
+                  substr(c_name, 1, length(c_name) - 1) AS rn FROM customer)
+         SELECT a.c_custkey AS id1, r.id2,
+                CAST(levenshtein(a.c_name, r.rn) AS BIGINT) AS dist
+         FROM customer a, r
+         WHERE levenshtein(a.c_name, r.rn) <= 1""",
     // replay of tx21: the ann03 assignment CTE + per-cluster md5-rank
     // cutoff at 20
     "tx21_cluster_balanced_sample" ->

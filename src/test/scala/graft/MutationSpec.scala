@@ -479,6 +479,19 @@ class MutationSpec extends SparkSpec {
       Seq((0L, 1L), (1L, 0L)))
   }
 
+  test("CALL graph.fuzzyMatch mines near-duplicate entity names") {
+    import spark.implicits._
+    val person = Seq((0L, "Smith"), (1L, "Smyth"), (2L, "Jones"), (3L, "Smith"))
+      .toDF("__ID__", "name")
+    val eng = new CypherEngine(spark,
+      new GraphCatalog().addEntity("Person", person))
+    val r = eng.query(
+      """CALL graph.fuzzyMatch('Person', 'name', 1) YIELD id1, id2, dist
+         RETURN id1, id2, dist ORDER BY id1, id2""").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((0L, 1L, 1L), (0L, 3L, 0L), (1L, 3L, 1L)))
+  }
+
   test("DETACH DELETE scrubs relationship tables with undeclared labels") {
     import spark.implicits._
     val person = Seq((0L, "A"), (1L, "B")).toDF("__ID__", "name")

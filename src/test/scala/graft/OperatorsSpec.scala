@@ -913,6 +913,21 @@ class OperatorsSpec extends SparkSpec {
     assert(want2.size > want.size) // d=2 genuinely admits more pairs here
   }
 
+  test("cross-table fuzzy link finds matches across tables, not within") {
+    val left = Seq((1L, "cat"), (2L, "dog"), (3L, "bird")).toDF("id", "name")
+    val right = Seq((10L, "cats"), (11L, "dug"), (12L, "nope"))
+      .toDF("rid", "rname")
+    val got = Dedup.fuzzyLink(left, "id", "name", right, "rid", "rname")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 1L), (2L, 11L, 1L)))
+    // at distance 2, dog—dug stays and bird gains none; cat—dug is 3
+    val got2 = Dedup.fuzzyLink(left, "id", "name", right, "rid", "rname",
+        maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2.contains((1L, 10L, 1L)) && got2.contains((2L, 11L, 1L)))
+    assert(!got2.exists { case (a, b, _) => (a, b) == ((1L, 11L)) })
+  }
+
   test("ascending salted top-k equals the plain ascending window") {
     import graft.operators.Sampling
     val df = (1L to 50L).map(i => (i, i % 5, i * 7 % 50)).toDF("id", "g", "s")
