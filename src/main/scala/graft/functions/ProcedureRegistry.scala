@@ -93,6 +93,20 @@ object ProcedureRegistry {
       iterations = if (iters > 0) iters else 3)
   })
 
+  // connected components over a relationship table (always treated as
+  // undirected, as components are) → (id, comp = min reachable id)
+  register("graph.components", (spark, cat, args) => {
+    import org.apache.spark.sql.functions.col
+    val relType = args.headOption match {
+      case Some(s: String) => s
+      case other => throw new IllegalArgumentException(
+        s"graph.components takes (relType), got $other")
+    }
+    val rel = cat.relationship(relType)
+    graft.operators.Components.connectedComponents(
+      rel.df.select(col(rel.srcCol), col(rel.dstCol)), rel.srcCol, rel.dstCol)
+  })
+
   // entity-resolution on the Cypher surface: every pair of label
   // `args(0)` whose string property `args(1)` is within edit distance
   // `args(2)` (default 1) — symmetric-delete blocked, exact recall

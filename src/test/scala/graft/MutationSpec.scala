@@ -471,6 +471,12 @@ class MutationSpec extends SparkSpec {
          RETURN node, rank ORDER BY node""").collect()
     assert(math.abs(ppr(0).getDouble(1) - 0.8725) < 1e-12)
     assert(math.abs(ppr(1).getDouble(1) - 0.1275) < 1e-12)
+    // connected components over the stored relationship table
+    val cc = eng.query(
+      """CALL graph.components('KNOWS') YIELD id, comp
+         RETURN id, comp ORDER BY id""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cc == Seq((0L, 0L), (1L, 0L)))
     // undirected LPA, 1 synchronous iteration: the pair swaps labels
     val lp = eng.query(
       """CALL graph.labelPropagation('KNOWS', 1, true) YIELD node, label
