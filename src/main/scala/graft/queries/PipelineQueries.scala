@@ -104,6 +104,14 @@ object PipelineQueries {
       p
     })
 
+  private def pqIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(s"$dir#pq16_8_16", {
+      val p = s"${indexRoot(dir)}/pq16_8_16"
+      Similarity.pqIndexWrite(Tables(s, dir).embeddings, "vec_id",
+        "embedding", p, nlist = 16, m = 8, ksub = 16)
+      p
+    })
+
   /** Per-process learned BPE vocabulary, one per corpus dir — the
     * offline tokenizer-training/online-encode split (training is a
     * driver-looped merge learner; encode is a map-only literal-replace
@@ -244,6 +252,16 @@ object PipelineQueries {
     "ann08_pq_topk" -> { (s, dir) =>
       Similarity.pqSampledTopK(Tables(s, dir).embeddings, "vec_id",
         "embedding", queryVecId = 0L, k = 10, m = 8, ksub = 16)
+    },
+
+    // IVF-PQ probe against the PERSISTED code-only index: coarse
+    // bucket ranking on the driver (nlist rows), partition-pruned scan
+    // of nprobe=4 buckets, ADC over stored codes — no float vectors
+    // read. The oracle replays coarse assignment, probes, codes, and
+    // ADC. FULLY oracled.
+    "ann10_pqindex_topk" -> { (s, dir) =>
+      Similarity.pqIndexTopK(s, pqIndexPath(s, dir), queryVec(s, dir, 0L),
+        k = 10, nprobe = 4, excludeId = Some(0L), idColName = "vec_id")
     },
 
     // PQ recall ledger: overlap of ann08's ADC top-10 with the exact
@@ -846,6 +864,28 @@ object PipelineQueries {
                 round(CAST(list_cosine_similarity(v.e, (SELECT qe FROM qv))
                   AS DOUBLE), 6) AS cos_sim
          FROM adc a JOIN v USING (vec_id)
+         ORDER BY adc_dist, vec_id LIMIT 10""",
+    // full replay of ann10: the PQ CTE plus coarse argmin assignment
+    // (same md5 sample serves as coarse centroids AND codebook at
+    // nlist = ksub = 16), nprobe=4 probe ranking, ADC top-10 within
+    // the probed buckets only
+    "ann10_pqindex_topk" ->
+      s"""WITH $pqAdcCte,
+         asg AS (
+           SELECT vec_id, cid AS bucket FROM (
+             SELECT v.vec_id, cent.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_distance(v.e, cent.c), cent.cid) AS rn
+             FROM v, cent) WHERE rn = 1
+         ),
+         probes AS (
+           SELECT cid FROM cent, qv
+           ORDER BY list_distance(c, qe), cid LIMIT 4
+         )
+         SELECT a.vec_id, round(a.ad + 1e-11, 6) AS adc_dist
+         FROM adc a
+         JOIN asg USING (vec_id)
+         JOIN probes ON asg.bucket = probes.cid
          ORDER BY adc_dist, vec_id LIMIT 10""",
     // the ann08 ADC top-10 intersected with the exact cosine top-10 —
     // the same recall-ledger replay, so the approximation's miss rate
