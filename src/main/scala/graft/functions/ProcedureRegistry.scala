@@ -43,6 +43,13 @@ object ProcedureRegistry {
     * per distinct tuple) the way the reference's docs demonstrate custom
     * registration (relational_models.py:167-174).
     */
+  // registry introspection (Neo4j SHOW PROCEDURES / dbms.procedures):
+  // lists every registered name, including later custom registrations
+  register("db.procedures", (spark, _, _) => {
+    import spark.implicits._
+    procs.keys.toSeq.sorted.toDF("name")
+  })
+
   // ---- graph analytics procedures (the GDS-style CALL surface over
   // graft.operators.GraphAlgos): the stored relationship table IS the
   // edge list, so analytics compose with any Cypher pipeline ----

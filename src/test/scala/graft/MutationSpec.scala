@@ -485,6 +485,15 @@ class MutationSpec extends SparkSpec {
       Seq((0L, 1L), (1L, 0L)))
   }
 
+  test("CALL db.procedures lists the registry, including graph analytics") {
+    val names = freshEngine.query(
+      "CALL db.procedures() YIELD name RETURN name").collect()
+      .map(_.getString(0)).toSet
+    Seq("db.labels", "db.procedures", "graph.pagerank",
+      "graph.labelpropagation", "graph.components", "graph.fuzzymatch",
+      "graft.series").foreach(p => assert(names.contains(p), s"missing $p"))
+  }
+
   test("CALL graph.fuzzyMatch mines near-duplicate entity names") {
     import spark.implicits._
     val person = Seq((0L, "Smith"), (1L, "Smyth"), (2L, "Jones"), (3L, "Smith"))
