@@ -91,7 +91,7 @@ object Bench {
       // relational tier
       "q01_pricing_summary", "q03_topk_revenue", "q08_window_topn_per_group",
       "q15_star_join", "q19_tumbling_window", "q21_session_islands",
-      "q26_asof_join",
+      "q26_asof_join", "q27_funnel",
       // dedup tier
       "dd01_exact_dedup", "dd02_minhash_lsh", "dd03_simhash",
       "dd05_embedding_neardup", "dd08_dedup_resolve",

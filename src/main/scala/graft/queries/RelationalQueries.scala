@@ -262,6 +262,38 @@ object RelationalQueries {
           (col("ts").cast("long") - col("c_ts").cast("long")).as("gap_s"))
     },
 
+    // Beyond-parity event-funnel analysis (first-touch, strict temporal
+    // order, 24 h stage window): per user, the earliest view, the
+    // earliest click within a day AFTER that view, the earliest
+    // purchase within a day after that click — three filter→join→min
+    // chains, all map-side-combinable, no ranking windows — then the
+    // stage table with conversion rates. FULLY oracled.
+    "q27_funnel" -> { (s, dir) =>
+      val win = 86400L
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        col("event_type"), col("ts").cast("long").as("tsl"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tsl")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("tsl") > col("t1") && col("tsl") <= col("t1") + win)
+        .groupBy(col("user_id")).agg(min(col("tsl")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("tsl") > col("t2") && col("tsl") <= col("t2") + win)
+        .groupBy(col("user_id")).agg(min(col("tsl")).as("t3"))
+      val c1 = t1.agg(count(lit(1)).as("n_users"))
+      val stages = c1.select(lit(1).as("stage"), lit("view").as("step"),
+          col("n_users"))
+        .unionAll(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage"), lit("click").as("step"), col("n_users")))
+        .unionAll(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage"), lit("purchase").as("step"), col("n_users")))
+      stages.crossJoin(broadcast(c1.select(col("n_users").as("__n1"))))
+        .select(col("stage"), col("step"), col("n_users"),
+          round(col("n_users") / col("__n1") + lit(1e-11), 4).as("conv"))
+    },
+
     // §2.4 percentiles + stddev (exact interpolated percentile).
     "q22_percentiles" -> { (s, dir) =>
       Tables(s, dir).lineitem
@@ -309,6 +341,30 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // full replay of q27: the three first-touch stage chains and the
+    // conversion table (epoch(ts) floored to match Spark's long cast)
+    "q27_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS tsl FROM events),
+         t1 AS (SELECT user_id, min(tsl) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(tsl) AS t2 FROM e JOIN t1 USING (user_id)
+                WHERE event_type = 'click' AND tsl > t1.t1
+                  AND tsl <= t1.t1 + 86400 GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(tsl) AS t3 FROM e JOIN t2 USING (user_id)
+                WHERE event_type = 'purchase' AND tsl > t2.t2
+                  AND tsl <= t2.t2 + 86400 GROUP BY 1),
+         c1 AS (SELECT count(*) AS n FROM t1),
+         c2 AS (SELECT count(*) AS n FROM t2),
+         c3 AS (SELECT count(*) AS n FROM t3)
+         SELECT 1 AS stage, 'view' AS step, c1.n AS n_users,
+                round(c1.n * 1.0 / c1.n + 1e-11, 4) AS conv FROM c1
+         UNION ALL
+         SELECT 2, 'click', c2.n,
+                round(c2.n * 1.0 / (SELECT n FROM c1) + 1e-11, 4) FROM c2
+         UNION ALL
+         SELECT 3, 'purchase', c3.n,
+                round(c3.n * 1.0 / (SELECT n FROM c1) + 1e-11, 4) FROM c3""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
