@@ -262,6 +262,53 @@ object Streams {
       .toDF("id1", "id2", "band")
   }
 
+  /** Streaming first-touch funnel — the per-user STATE-MACHINE
+    * counterpart of the batch `q27_funnel` chains: state per user is
+    * (stage reached, timestamp of the event that reached it); each
+    * micro-batch replays the user's new events in timestamp order and
+    * advances while the next stage's event falls strictly after the
+    * current stage's event and within `windowSec` of it. Emits one
+    * (user_id, stage, step, tsl) row per ADVANCEMENT — append-mode
+    * monotone, never retracted.
+    *
+    * Semantics note (the documented streaming trade): events are
+    * processed AT ARRIVAL — an out-of-order earlier occurrence
+    * arriving after an advancement cannot retract it (first-touch at
+    * arrival). The batch operator over the full history is the
+    * reconciliation form. State is one (int, long) per user —
+    * partitioned on the user key, bounded by the live-user count; put
+    * a watermark + timeout upstream when the key space is unbounded.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageList = stages.toIndexedSeq
+    events.select(col("user_id").cast("long").as("uid"),
+        col("event_type").as("et"), col("ts").cast("long").as("tsl"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[(Int, Long)]) =>
+          var (stage, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = scala.collection.mutable.Buffer.empty[(Long, Int, String, Long)]
+          rows.toSeq.sortBy(_._3).foreach { case (_, et, tsl) =>
+            if (stage < stageList.size && et == stageList(stage) &&
+                (stage == 0 || (tsl > lastTs && tsl <= lastTs + windowSec))) {
+              stage += 1
+              lastTs = tsl
+              out += ((uid, stage, et, tsl))
+            }
+          }
+          if (out.nonEmpty) state.update((stage, lastTs))
+          out.iterator
+      }
+      .toDF("user_id", "stage", "step", "tsl")
+  }
+
   /** The PRODUCTION incremental-crawl dedup loop as a streaming
     * pipeline — the shape `dd13` simulates in batch, wired end-to-end
     * under `foreachBatch` (reference analog: the incremental-view

@@ -173,6 +173,42 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), s"got $pairs")
   }
 
+  test("streaming funnel advances per-user stage state across micro-batches") {
+    val dir = Files.createTempDirectory("graft_sfun").toFile.getAbsolutePath
+    def ev(rows: (Long, String, Long)*) = rows.toDF("user_id", "event_type", "ts")
+    // user 1 views then clicks in batch 1; user 2 clicks with no view;
+    // user 3 lands out of ORDER within the batch (ts sort must fix it)
+    ev((1L, "view", 100L), (1L, "click", 200L), (2L, "click", 100L),
+      (3L, "purchase", 50L), (3L, "click", 30L), (3L, "view", 10L))
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(ev((0L, "x", 0L)).schema).parquet(dir)
+    val q = Streams.funnel(stream, Seq("view", "click", "purchase"),
+        windowSec = 1000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_funnel").start()
+    q.processAllAvailable()
+    def got = spark.table("t_funnel")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 1, "view", 100L), (1L, 2, "click", 200L),
+      (3L, 1, "view", 10L), (3L, 2, "click", 30L), (3L, 3, "purchase", 50L)),
+      s"batch-1 emissions: $got")
+    // batch 2: user 1 purchases within window (cross-batch state),
+    // user 2 finally views (stage 1 only — its old click is gone),
+    // user 3 is already complete and emits nothing more
+    ev((1L, "purchase", 900L), (2L, "view", 300L), (2L, "click", 5000L),
+      (3L, "view", 60L))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    assert(got == Set((1L, 1, "view", 100L), (1L, 2, "click", 200L),
+      (1L, 3, "purchase", 900L),
+      (2L, 1, "view", 300L),
+      (3L, 1, "view", 10L), (3L, 2, "click", 30L), (3L, 3, "purchase", 50L)),
+      s"batch-2 emissions: $got")
+  }
+
   test("batch curation operators run unchanged on a stream; content dedup is " +
     "exactly-once across micro-batches") {
     import graft.operators.TextAnalysis
