@@ -294,6 +294,29 @@ object RelationalQueries {
           round(col("n_users") / col("__n1") + lit(1e-11), 4).as("conv"))
     },
 
+    // Beyond-parity cohort retention: users cohorted by first-signup
+    // epoch week, retention = fraction of the cohort active (any
+    // event) k weeks later — two map-side-combinable aggregates, a
+    // distinct on (user, week), and one broadcast of the cohort
+    // sizes. FULLY oracled.
+    "q28_retention" -> { (s, dir) =>
+      val wk = 604800L
+      val ev = Tables(s, dir).events.select(col("user_id"),
+        col("event_type"), (col("ts").cast("long") / wk).cast("long").as("w"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("w")).as("c_wk"))
+      val sizes = cohort.groupBy(col("c_wk")).agg(count(lit(1)).as("cohort_n"))
+      val active = ev.select(col("user_id"), col("w")).distinct()
+      cohort.join(active, Seq("user_id"))
+        .filter(col("w") >= col("c_wk"))
+        .groupBy(col("c_wk"), (col("w") - col("c_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("c_wk"))
+        .select(col("c_wk").as("cohort_week"), col("week_offset"),
+          col("n_active"), col("cohort_n"),
+          round(col("n_active") / col("cohort_n") + lit(1e-11), 4).as("retention"))
+    },
+
     // §2.4 percentiles + stddev (exact interpolated percentile).
     "q22_percentiles" -> { (s, dir) =>
       Tables(s, dir).lineitem
@@ -341,6 +364,24 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // full replay of q28: signup-week cohorts, (user, week) activity
+    // distinct, offset counts over broadcastable cohort sizes
+    "q28_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+               CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800.0)
+                 AS BIGINT) AS w
+             FROM events),
+         cohort AS (SELECT user_id, min(w) AS c_wk FROM e
+                    WHERE event_type = 'signup' GROUP BY 1),
+         sizes AS (SELECT c_wk, count(*) AS cohort_n FROM cohort GROUP BY 1),
+         active AS (SELECT DISTINCT user_id, w FROM e),
+         hits AS (
+           SELECT c.c_wk, a.w - c.c_wk AS week_offset, count(*) AS n_active
+           FROM cohort c JOIN active a USING (user_id)
+           WHERE a.w >= c.c_wk GROUP BY 1, 2)
+         SELECT h.c_wk AS cohort_week, h.week_offset, h.n_active, s.cohort_n,
+                round(h.n_active * 1.0 / s.cohort_n + 1e-11, 4) AS retention
+         FROM hits h JOIN sizes s USING (c_wk)""",
     // full replay of q27: the three first-touch stage chains and the
     // conversion table (epoch(ts) floored to match Spark's long cast)
     "q27_funnel" ->
