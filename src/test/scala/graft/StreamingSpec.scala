@@ -209,6 +209,46 @@ class StreamingSpec extends SparkSpec {
       s"batch-2 emissions: $got")
   }
 
+  test("streaming funnel on complete history equals the batch first-touch chains") {
+    // when every event arrives (in any in-batch order) in ONE batch,
+    // the state machine must reach exactly the stage the batch
+    // filter→join→min chains compute — the reconciliation contract
+    val rnd = new scala.util.Random(17)
+    val stages = Seq("view", "click", "purchase")
+    val win = 100L
+    val events = (0 until 120).map { i =>
+      (rnd.nextInt(12).toLong, stages(rnd.nextInt(3)), rnd.nextInt(400).toLong)
+    }
+    // batch reference: t1 = min view; t_k = min stage-k event in
+    // (t_{k-1}, t_{k-1} + win]
+    val byUser = events.groupBy(_._1)
+    val wantStage = byUser.map { case (u, evs) =>
+      var last = Long.MinValue
+      var stage = 0
+      var advanced = true
+      while (advanced && stage < stages.size) {
+        val nxt = evs.filter(e => e._2 == stages(stage) &&
+          (stage == 0 || (e._3 > last && e._3 <= last + win))).map(_._3)
+        if (nxt.isEmpty) advanced = false
+        else { last = nxt.min; stage += 1 }
+      }
+      u -> stage
+    }.filter(_._2 > 0)
+    val dir = Files.createTempDirectory("graft_sfun2").toFile.getAbsolutePath
+    events.toDF("user_id", "event_type", "ts").write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(events.toDF("user_id", "event_type", "ts").schema).parquet(dir)
+    val q = Streams.funnel(stream, stages, win)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_funnel_eq").start()
+    q.processAllAvailable()
+    q.stop()
+    val gotStage = spark.table("t_funnel_eq")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("stage").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotStage == wantStage, s"events=$events")
+  }
+
   test("batch curation operators run unchanged on a stream; content dedup is " +
     "exactly-once across micro-batches") {
     import graft.operators.TextAnalysis
