@@ -317,6 +317,21 @@ object RelationalQueries {
           round(col("n_active") / col("cohort_n") + lit(1e-11), 4).as("retention"))
     },
 
+    // Beyond-parity numeric band (range) join: customer × supplier
+    // balances within ±1.0, via eps-grid bucketing with a 3-cell
+    // probe (exact recall, no cross join). FULLY oracled against the
+    // brute-force cross join.
+    "q29_band_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.BandJoin.bandJoin(
+        t.customer.select(col("c_custkey"), col("c_acctbal")), "c_acctbal",
+        t.supplier.select(col("s_suppkey"), col("s_acctbal")), "s_acctbal",
+        eps = 1.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(abs(col("c_acctbal") - col("s_acctbal")) + lit(1e-11), 4)
+            .as("adiff"))
+    },
+
     // §2.4 percentiles + stddev (exact interpolated percentile).
     "q22_percentiles" -> { (s, dir) =>
       Tables(s, dir).lineitem
@@ -364,6 +379,13 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force ground truth for q29 (both engines subtract the
+    // identical parquet doubles, so the <= boundary is bit-stable)
+    "q29_band_join" ->
+      """SELECT c_custkey, s_suppkey,
+                round(abs(c_acctbal - s_acctbal) + 1e-11, 4) AS adiff
+         FROM customer, supplier
+         WHERE abs(c_acctbal - s_acctbal) <= 1.0""",
     // full replay of q28: signup-week cohorts, (user, week) activity
     // distinct, offset counts over broadcastable cohort sizes
     "q28_retention" ->

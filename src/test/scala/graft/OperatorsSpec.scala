@@ -913,6 +913,29 @@ class OperatorsSpec extends SparkSpec {
     assert(want2.size > want.size) // d=2 genuinely admits more pairs here
   }
 
+  test("band join equals the brute-force range join on random doubles") {
+    import graft.operators.BandJoin
+    val rnd = new scala.util.Random(23)
+    val ls = (1L to 60L).map(i => (i, rnd.nextDouble() * 20 - 10))
+    val rs = (100L to 140L).map(i => (i, rnd.nextDouble() * 20 - 10))
+    val eps = 0.75
+    val want = (for {
+      (i, a) <- ls; (j, b) <- rs if math.abs(a - b) <= eps
+    } yield (i, j)).toSet
+    val got = BandJoin.bandJoin(
+        ls.toDF("lid", "lv"), "lv", rs.toDF("rid", "rv"), "rv", eps)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the differential actually exercised pairs
+    // boundary inclusivity: exactly-eps pairs survive
+    val b = BandJoin.bandJoin(
+        Seq((1L, 1.0)).toDF("lid", "lv"), "lv",
+        Seq((2L, 1.75), (3L, 1.76)).toDF("rid", "rv"), "rv", eps)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(b == Set(2L))
+  }
+
   test("cross-table fuzzy link finds matches across tables, not within") {
     val left = Seq((1L, "cat"), (2L, "dog"), (3L, "bird")).toDF("id", "name")
     val right = Seq((10L, "cats"), (11L, "dug"), (12L, "nope"))
