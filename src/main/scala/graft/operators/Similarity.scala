@@ -695,6 +695,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space sibling
+    * of the n-gram `Dedup.decontaminate`: every (train, benchmark)
+    * pair whose exact cosine meets `tau`, catching paraphrased eval
+    * leakage that shares no exact n-grams. The benchmark side is
+    * BROADCAST (eval sets are small by nature — the same asymmetry
+    * dd09 exploits for gram sets), so the plan is one scan of the
+    * train corpus with a broadcast nested-loop — no shuffle, no index,
+    * exact results, which is THE 100 TB shape for a small
+    * contamination probe set. For benchmark sets too large to
+    * broadcast, route through the LSH/IVF candidate indexes instead.
+    */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            tau: Double): DataFrame = {
+    val nd = dimsOf(train, vecCol)
+    val b = bench.select(col(idCol).as("bench_id"), asDouble(col(vecCol)).as("bv"))
+    train.select(col(idCol).as("train_id"), asDouble(col(vecCol)).as("tv"))
+      .crossJoin(broadcast(b))
+      .select(col("train_id"), col("bench_id"),
+        round(cosine(col("tv"), col("bv"), nd), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
   /** Persist an IVF-PQ index (the FAISS IVFPQ deployment shape, on raw
     * vectors rather than residuals — the auditable simplification, same
     * determinism rule as everything sampled here): coarse buckets from

@@ -466,6 +466,18 @@ object PipelineQueries {
         .select(col("id1"), col("id2"), col("dist"))
     },
 
+    // Semantic decontamination: train vectors (id % 29 != 0) whose
+    // exact cosine against any benchmark vector (id % 29 == 0) meets
+    // 0.2 — the broadcast-benchmark scan shape of dd09, in embedding
+    // space. FULLY oracled.
+    "dd18_semantic_decontaminate" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 29 =!= 0),
+        emb.filter(col("vec_id") % 29 === 0),
+        "vec_id", "embedding", tau = 0.2)
+    },
+
     // Cross-table record linkage: customers matched against a
     // truncated-name variant table within distance 1 — blocking join
     // of the two tables' deletion neighborhoods, brute-force ground
@@ -1567,6 +1579,16 @@ object PipelineQueries {
          WHERE a.c_custkey % 3 = 0 AND b.c_custkey % 3 = 0
            AND a.c_custkey < b.c_custkey
            AND levenshtein(a.c_name, b.c_name) <= 2""",
+    // full replay of dd18: exact cross-slice cosine at the same
+    // rounded threshold
+    "dd18_semantic_decontaminate" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (SELECT vec_id AS bench_id, e AS bv FROM v WHERE vec_id % 29 = 0),
+         t AS (SELECT vec_id AS train_id, e AS tv FROM v WHERE vec_id % 29 <> 0)
+         SELECT train_id, bench_id,
+                round(CAST(list_cosine_similarity(tv, bv) AS DOUBLE), 6) AS cos_sim
+         FROM t, b
+         WHERE round(CAST(list_cosine_similarity(tv, bv) AS DOUBLE), 6) >= 0.2""",
     // brute-force ground truth for dd17's cross-table linkage
     "dd17_fuzzy_link" ->
       """WITH r AS (SELECT c_custkey AS id2,

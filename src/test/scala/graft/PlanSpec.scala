@@ -184,6 +184,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
   }
 
+  test("semantic decontamination broadcasts the benchmark vectors, never shuffles") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 29 =!= 0),
+      emb.filter(col("vec_id") % 29 === 0), "vec_id", "embedding", tau = 0.2))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"bench side not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("SortMergeJoin"),
+      s"train corpus shuffled:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark gram set, never the corpus") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
