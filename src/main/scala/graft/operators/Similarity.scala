@@ -695,6 +695,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED exact top-k: many query vectors against the corpus in one
+    * plan — the realistic retrieval shape (queries arrive in batches,
+    * and per-query jobs would pay the scheduler floor per query). The
+    * query batch is broadcast; the corpus is scanned ONCE; per-query
+    * ranking goes through the skew-safe salted top-k (never one task
+    * per query with a global sort). Cost: one corpus scan × |batch|
+    * dot products, independent of how many queries share the batch.
+    */
+  def batchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val nd = dimsOf(corpus, vecCol)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("v"), col("qv"), nd), 6).as("cos_sim"))
+    Sampling.topKPerGroup(scored, "query_id", "cos_sim", k, "corpus_id")
+      .drop("rank")
+  }
+
   /** SEMANTIC benchmark decontamination — the embedding-space sibling
     * of the n-gram `Dedup.decontaminate`: every (train, benchmark)
     * pair whose exact cosine meets `tau`, catching paraphrased eval

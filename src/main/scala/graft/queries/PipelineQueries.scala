@@ -264,6 +264,15 @@ object PipelineQueries {
         k = 10, nprobe = 4, excludeId = Some(0L), idColName = "vec_id")
     },
 
+    // Batched exact top-k: the vec_id % 97 == 0 query batch against
+    // the whole corpus in ONE scan, per-query ranking through the
+    // salted top-k. FULLY oracled.
+    "ann11_batch_topk" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      Similarity.batchTopK(emb, emb.filter(col("vec_id") % 97 === 0),
+        "vec_id", "embedding", k = 5)
+    },
+
     // PQ recall ledger: overlap of ann08's ADC top-10 with the exact
     // brute-force cosine top-10 — the dd02/ann06 pattern: every
     // approximate operator ships with an oracled measurement of what
@@ -877,6 +886,20 @@ object PipelineQueries {
                   AS DOUBLE), 6) AS cos_sim
          FROM adc a JOIN v USING (vec_id)
          ORDER BY adc_dist, vec_id LIMIT 10""",
+    // full replay of ann11: cross join against the query slice, exact
+    // cosine, rank <= 5 per query with (cos desc, id) ties
+    "ann11_batch_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % 97 = 0),
+         s AS (
+           SELECT q.query_id, v.vec_id AS corpus_id,
+                  round(CAST(list_cosine_similarity(v.e, q.qv) AS DOUBLE), 6)
+                    AS cos_sim
+           FROM v, q WHERE v.vec_id <> q.query_id)
+         SELECT query_id, corpus_id, cos_sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, corpus_id) AS rn FROM s)
+         WHERE rn <= 5""",
     // full replay of ann10: the PQ CTE plus coarse argmin assignment
     // (same md5 sample serves as coarse centroids AND codebook at
     // nlist = ksub = 16), nprobe=4 probe ranking, ADC top-10 within
