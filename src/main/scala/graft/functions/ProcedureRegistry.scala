@@ -100,6 +100,15 @@ object ProcedureRegistry {
       iterations = if (iters > 0) iters else 3)
   })
 
+  // k-core: CALL graph.kCore('KNOWS', k[, undirected]) YIELD node, deg
+  // — surviving nodes of the k-core with their in-core degree. The
+  // arg slot order reuses edgeArgs, so slot 1 is k here (not an
+  // iteration count; the peel runs to its fixpoint).
+  register("graph.kcore", (spark, cat, args) => {
+    val (e, k, _) = edgeArgs(cat, args)
+    graft.operators.GraphAlgos.kCore(e, k = if (k > 0) k else 2)
+  })
+
   // connected components over a relationship table (always treated as
   // undirected, as components are) → (id, comp = min reachable id)
   register("graph.components", (spark, cat, args) => {

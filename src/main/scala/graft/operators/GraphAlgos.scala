@@ -131,6 +131,51 @@ object GraphAlgos {
     else ranks
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * distributed formulation of Montresor et al. 2013): repeatedly
+    * delete every node whose degree is below `k` until no such node
+    * remains; what survives is the k-core, the standard density filter
+    * for seed selection / spam-farm pruning over crawl graphs. Expects
+    * symmetrized edges (both directions present) and returns each
+    * surviving node with its degree INSIDE the core.
+    *
+    * Scale shape: each round is one map-side-combinable degree count
+    * plus two left-semi hash joins of the edge table against the n-row
+    * survivor set — all shuffles keyed on the node id, and the edge
+    * set only ever shrinks, so per-round cost is monotone decreasing.
+    * The edge frame is pinned per round (`localCheckpoint`) to keep
+    * the loop's plan linear; the only driver scalar is the per-round
+    * edge count used for the fixpoint test.
+    *
+    * Determinism: peeling is confluent — the fixpoint does not depend
+    * on deletion order — and IDEMPOTENT past convergence, so a replay
+    * that unrolls exactly `maxRounds` rounds produces the identical
+    * core whether or not it knows where the fixpoint fell. That is
+    * what makes the fixed-unroll external-SQL oracle exact.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var nEdges = e.count()
+    var round = 0
+    var converged = nEdges == 0
+    while (round < maxRounds && !converged) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val next = e
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == nEdges
+      e = next
+      nEdges = nNext
+      round += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) with fully
     * deterministic tie-breaking: every node starts labeled with its
     * own id; each iteration it adopts the most frequent label among

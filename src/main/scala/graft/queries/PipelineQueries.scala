@@ -432,6 +432,28 @@ object PipelineQueries {
       GraphAlgos.labelPropagation(edges, iterations = 3)
     },
 
+    // k-core decomposition (iterative peeling) over the part—part
+    // co-purchase graph, deterministically md5-thinned to mean degree
+    // ~6 so the peel cascades (the raw synthetic graph is min-degree
+    // 42, which k=4 would never touch). 12 peel rounds span the
+    // fixpoint at sf0.01 (round 11) and peeling is idempotent past
+    // it, so the fixed-unroll oracle replays the loop verbatim.
+    // FULLY oracled.
+    "gr03_kcore" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .filter(substring(md5(concat(col("src").cast("string"), lit("-"),
+          col("dst").cast("string")).cast("binary")), 1, 2) < "0d")
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      GraphAlgos.kCore(edges, k = 4, maxRounds = 12)
+    },
+
     // CCNet-style LM quality bucketing: stupid-backoff bigram LM
     // trained on the src0 slice, per-doc occurrence-weighted mean
     // -ln S over bigrams, head/middle/tail at the score tertiles.
@@ -1536,6 +1558,32 @@ object PipelineQueries {
          l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
          ${(1 to 3).map(iter).mkString(",\n         ")}
          SELECT node, label FROM l3"""
+    },
+    // full replay of gr03: 12 unrolled peel rounds (degree count ->
+    // keep-set >= 4 -> both-endpoint semi-join) over the md5-thinned
+    // co-purchase graph; idempotence past the fixpoint makes the
+    // fixed unroll exact
+    "gr03_kcore" -> {
+      // MATERIALIZED is load-bearing: each round reads the previous
+      // edge set three times, so DuckDB's default CTE inlining would
+      // expand the 12-round chain 3^12-fold (it manifests as "too
+      // many open files" on the base parquet)
+      val iter = (i: Int) =>
+        s"""kp$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+             HAVING count(*) >= 4),
+           e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+             JOIN kp$i x ON e.src = x.src JOIN kp$i y ON e.dst = y.src)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         th AS (SELECT src, dst FROM pr
+             WHERE substr(md5(CAST(src AS VARCHAR) || '-' ||
+               CAST(dst AS VARCHAR)), 1, 2) < '0d'),
+         e0 AS MATERIALIZED (SELECT src, dst FROM th
+                UNION ALL SELECT dst, src FROM th),
+         ${(1 to 12).map(iter).mkString(",\n         ")}
+         SELECT src AS node, count(*) AS deg FROM e12 GROUP BY 1"""
     },
     // full replay of tx19: stupid-backoff bigram LM trained on the
     // src0 slice (bigram MLE when seen, else 0.4 x Laplace-smoothed

@@ -483,6 +483,16 @@ class MutationSpec extends SparkSpec {
          RETURN node, label ORDER BY node""").collect()
     assert(lp.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((0L, 1L), (1L, 0L)))
+    // k-core: the undirected pair is a 1-core (deg 1 each) and has no
+    // 2-core — slot 1 is k, and the peel runs to fixpoint
+    val kc = eng.query(
+      """CALL graph.kCore('KNOWS', 1, true) YIELD node, deg
+         RETURN node, deg ORDER BY node""").collect()
+    assert(kc.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (1L, 1L)))
+    assert(eng.query(
+      """CALL graph.kCore('KNOWS', 2, true) YIELD node, deg
+         RETURN node""").collect().isEmpty)
   }
 
   test("CALL db.procedures lists the registry, including graph analytics") {
@@ -491,7 +501,8 @@ class MutationSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     Seq("db.labels", "db.procedures", "graph.pagerank",
       "graph.labelpropagation", "graph.components", "graph.fuzzymatch",
-      "graft.series").foreach(p => assert(names.contains(p), s"missing $p"))
+      "graph.kcore", "graft.series")
+      .foreach(p => assert(names.contains(p), s"missing $p"))
   }
 
   test("CALL graph.fuzzyMatch mines near-duplicate entity names") {

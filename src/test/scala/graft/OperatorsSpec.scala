@@ -874,6 +874,28 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(pp.values.sum - 1.0) < 1e-12) // mass stays on the walk
   }
 
+  test("kcore: peeling cascades, returns in-core degrees, caps honored") {
+    def sym(es: Seq[(Long, Long)]) =
+      es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    // 4-clique {1,2,3,4} with a pendant chain 4—5—6. k=2: round 1
+    // peels 6 (deg 1), which drops 5 to deg 1 so round 2 peels it —
+    // a genuine cascade; the clique survives with in-core degree 3
+    val g = sym(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)))
+    val core = GraphAlgos.kCore(g, k = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // maxRounds caps the cascade mid-flight: after one round 6 is
+    // gone but 5 (now deg 1) is still in, proving rounds are the
+    // synchronous peel the unrolled oracle replays
+    val one = GraphAlgos.kCore(g, k = 2, maxRounds = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(one == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    // k above the degeneracy empties the graph (triangle has no 3-core)
+    assert(GraphAlgos.kCore(sym(Seq((1L, 2L), (2L, 3L), (1L, 3L))), k = 3)
+      .count() == 0L)
+  }
+
   test("fuzzy join: symmetric-delete blocking has exact recall at distance 1") {
     val names = Seq((1L, "cat"), (2L, "cats"), (3L, "ct"), (4L, "dog"),
       (5L, "kitten"), (6L, "sitten"), (7L, "sittin"), (8L, "cat"))
