@@ -332,6 +332,24 @@ object RelationalQueries {
             .as("adiff"))
     },
 
+    // Beyond-parity SCD2 history build: each customer's order-status
+    // change stream collapses into validity intervals (runs of equal
+    // status compress; half-open [valid_from, valid_to), open row
+    // flagged current). Two windows, both partitioned by the customer
+    // key — one shuffle, no global window. FULLY oracled.
+    "q30_scd2" -> { (s, dir) =>
+      graft.operators.Scd2.intervals(
+        Tables(s, dir).orders, keyCols = Seq("o_custkey"),
+        tsCol = "o_orderdate", trackedCols = Seq("o_orderstatus"),
+        tieCols = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderstatus"),
+          // o_orderdate ships as TIMESTAMP_NTZ, which forbids numeric
+          // casts — the UTC-pinned session makes the hop lossless
+          col("valid_from").cast("timestamp").cast("long").as("valid_from_s"),
+          col("valid_to").cast("timestamp").cast("long").as("valid_to_s"),
+          col("is_current"))
+    },
+
     // §2.4 percentiles + stddev (exact interpolated percentile).
     "q22_percentiles" -> { (s, dir) =>
       Tables(s, dir).lineitem
@@ -379,6 +397,27 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // full replay of q30: change-flag lag window, run compression,
+    // closing lead window (IS DISTINCT FROM = Spark's negated <=>)
+    "q30_scd2" ->
+      """WITH s AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                  lag(o_orderstatus) OVER w AS prev,
+                  (lag(o_orderdate) OVER w IS NULL) AS first
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)),
+         op AS (SELECT * FROM s
+                WHERE first OR prev IS DISTINCT FROM o_orderstatus),
+         iv AS (SELECT o_custkey, o_orderstatus, o_orderdate AS vf,
+                  lead(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS vt
+                FROM op)
+         SELECT o_custkey, o_orderstatus,
+                CAST(floor(epoch(vf)) AS BIGINT) AS valid_from_s,
+                CAST(floor(epoch(vt)) AS BIGINT) AS valid_to_s,
+                vt IS NULL AS is_current
+         FROM iv""",
     // brute-force ground truth for q29 (both engines subtract the
     // identical parquet doubles, so the <= boundary is bit-stable)
     "q29_band_join" ->

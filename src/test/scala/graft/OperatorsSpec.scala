@@ -874,6 +874,32 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(pp.values.sum - 1.0) < 1e-12) // mass stays on the walk
   }
 
+  test("scd2: runs compress, intervals chain half-open, nulls are no-change") {
+    import graft.operators.Scd2
+    // key 1: A,A,B,A — the AA run compresses; three intervals chain.
+    // key 2: null,null,X — null→null is "no change" (one interval),
+    // null→X is a change. Tie column orders equal timestamps.
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"),
+      (2L, 10L, 5L, null), (2L, 20L, 6L, null), (2L, 30L, 7L, "X"))
+      .toDF("k", "ts", "id", "status")
+    val got = Scd2.intervals(ev, Seq("k"), "ts", Seq("status"),
+        tieCols = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, "A", 10L, 30L, false), (1L, "B", 30L, 40L, false),
+      (1L, "A", 40L, -1L, true),
+      (2L, null, 10L, 30L, false), (2L, "X", 30L, -1L, true)))
+    // multi-attribute tracking: a change in EITHER column opens
+    val ev2 = Seq((1L, 10L, "A", "x"), (1L, 20L, "A", "y"),
+      (1L, 30L, "A", "y")).toDF("k", "ts", "s1", "s2")
+    assert(Scd2.intervals(ev2, Seq("k"), "ts", Seq("s1", "s2"))
+      .count() == 2L)
+  }
+
   test("kcore: peeling cascades, returns in-core degrees, caps honored") {
     def sym(es: Seq[(Long, Long)]) =
       es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
