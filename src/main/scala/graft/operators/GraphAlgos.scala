@@ -218,4 +218,42 @@ object GraphAlgos {
     }
     labels
   }
+
+  /** Per-node triangle participation + local clustering coefficient
+    * (Watts–Strogatz 1998) over a SYMMETRIC simple edge table.
+    *
+    * Triangle enumeration reuses the worst-case-optimal join
+    * ([[Wcoj.triangles]]) on the a<b<c orientation, so each triangle
+    * is produced exactly once and total work respects the AGM bound
+    * (Σ per-edge min-degree) instead of the wedge count — the thing
+    * that matters on a skewed 100 TB web graph, where the wedge count
+    * of one celebrity node alone can exceed the full triangle count.
+    * Everything after enumeration is map-side-combinable: explode the
+    * 3 corners, count per node, one broadcast-sized join back to the
+    * degree table. Nodes in no triangle are kept (triangles = 0), so
+    * the output is exactly one row per node of the input graph.
+    *
+    * cc(v) = 2·T(v) / (d(v)·(d(v)−1)), 0 when d < 2; rounded to 6dp
+    * (+1e-11) for cross-engine hash stability.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val oriented = sym.filter(col("src") < col("dst"))
+    // pattern frames for a<b<c: ab = (a,b), bc = (b,c), ca = (c,a) —
+    // the closing edge runs against orientation, so reverse it
+    val tri = Wcoj.triangles(oriented, oriented,
+      oriented.select(col("dst").as("src"), col("src").as("dst")))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        col("degree"),
+        round(when(col("degree") >= 2,
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)) + lit(1e-11), 6).as("cc"))
+  }
 }

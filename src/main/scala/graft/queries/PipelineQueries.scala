@@ -454,6 +454,26 @@ object PipelineQueries {
       GraphAlgos.kCore(edges, k = 4, maxRounds = 12)
     },
 
+    // Per-node triangle counts + local clustering coefficient over the
+    // gr03 thinned co-purchase graph — enumeration through the
+    // worst-case-optimal join (never the wedge count), counting and
+    // degree both map-side-combinable. FULLY oracled (DuckDB replays
+    // the a<b<c enumeration with binary joins — fine at oracle scale).
+    "gr04_triangle_stats" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .filter(substring(md5(concat(col("src").cast("string"), lit("-"),
+          col("dst").cast("string")).cast("binary")), 1, 2) < "0d")
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      GraphAlgos.triangleStats(edges)
+    },
+
     // CCNet-style LM quality bucketing: stupid-backoff bigram LM
     // trained on the src0 slice, per-doc occurrence-weighted mean
     // -ln S over bigrams, head/middle/tail at the score tertiles.
@@ -507,6 +527,27 @@ object PipelineQueries {
         emb.filter(col("vec_id") % 29 =!= 0),
         emb.filter(col("vec_id") % 29 === 0),
         "vec_id", "embedding", tau = 0.2)
+    },
+
+    // Incremental-crawl EXACT dedup against an at-rest corpus, bloom
+    // fast path: the new batch (deterministic tenth of documents) is
+    // probed against the index's 16-word-prefix sketch — rows the
+    // bloom rejects are DEFINITELY new and never reach a join; only
+    // the might-contain sliver (true prefix-dups + fpp of the batch)
+    // pays an exact anti-join. The exact post-join makes the result
+    // identical to the plain NOT EXISTS the oracle runs. This is the
+    // steady-state crawl shape at 100 TB: index at rest, batch small,
+    // join input ~0 instead of |batch|. FULLY oracled.
+    "dd19_bloom_incremental" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val key = array_join(
+        slice(split(lower(trim(col("text"))), "\\s+"), 1, 16), " ")
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), key.as("k"))
+      val index = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").as("idx_id"), key.as("k"))
+      graft.operators.BloomJoin.antiJoin(batch, col("k"), index, col("k"))
+        .select(col("doc_id"))
     },
 
     // Cross-table record linkage: customers matched against a
@@ -1660,6 +1701,41 @@ object PipelineQueries {
                 round(CAST(list_cosine_similarity(tv, bv) AS DOUBLE), 6) AS cos_sim
          FROM t, b
          WHERE round(CAST(list_cosine_similarity(tv, bv) AS DOUBLE), 6) >= 0.2""",
+    // plain NOT EXISTS ground truth for dd19's bloom-fast-path form
+    "dd19_bloom_incremental" ->
+      """WITH kd AS (SELECT doc_id,
+             array_to_string((regexp_split_to_array(lower(trim(text)),
+               '\s+'))[1:16], ' ') AS k
+           FROM documents)
+         SELECT d.doc_id FROM kd d
+         WHERE d.doc_id % 10 = 7 AND NOT EXISTS
+           (SELECT 1 FROM kd i WHERE i.doc_id % 10 <> 7 AND i.k = d.k)""",
+    // replay of gr04: same thinned graph as gr03, triangles enumerated
+    // once on the a<b<c orientation, per-corner counts + degrees
+    "gr04_triangle_stats" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         th AS (SELECT src, dst FROM pr
+             WHERE substr(md5(CAST(src AS VARCHAR) || '-' ||
+               CAST(dst AS VARCHAR)), 1, 2) < '0d'),
+         o AS (SELECT src, dst FROM th),
+         tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+             FROM o x JOIN o y ON x.dst = y.src
+             JOIN o z ON z.src = x.src AND z.dst = y.dst),
+         tn AS (SELECT node, count(*) AS t FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY 1),
+         e AS (SELECT src, dst FROM th
+               UNION ALL SELECT dst, src FROM th),
+         deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1)
+         SELECT deg.node, coalesce(tn.t, 0) AS triangles, deg.d AS degree,
+                round(CASE WHEN deg.d >= 2
+                  THEN 2.0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1))
+                  ELSE 0 END + 1e-11, 6) AS cc
+         FROM deg LEFT JOIN tn ON deg.node = tn.node""",
     // brute-force ground truth for dd17's cross-table linkage
     "dd17_fuzzy_link" ->
       """WITH r AS (SELECT c_custkey AS id2,

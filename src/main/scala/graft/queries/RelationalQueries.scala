@@ -393,6 +393,70 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
+    },
+
+    // §2.4 full grouping-set lattice: CUBE emits all 4 subsets in ONE
+    // pass (Expand map-side, still partially aggregated before the
+    // shuffle — N-pass union-of-scans is what this replaces at scale);
+    // grouping_id() disambiguates aggregated-away NULLs from data NULLs.
+    "q31_cube" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          grouping_id().as("gid"))
+    },
+
+    // §2.2/§2.4 pivot with an EXPLICIT value list — the distinct-scan
+    // that `pivot(col)` alone would run is elided, and the reshape
+    // lowers to one hash aggregate with per-bucket conditional sums
+    // (same plan shape as the oracle's FILTER aggregates; no join, no
+    // second scan).
+    "q32_pivot" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")))
+        .withColumnRenamed("F", "f_price_c")
+        .withColumnRenamed("O", "o_price_c")
+    },
+
+    // Time-series gap fill + forward fill (beyond-parity; the events
+    // table is ~5% sparse at hourly grain). Calendar generation is
+    // per-key `sequence()` over the key's own [min, max] span — no
+    // driver-side calendar, no cross join against a global spine; the
+    // forward fill is one window per key. At 100 TB the state is one
+    // row per (key, bucket), and the single window partitions by key —
+    // no global ordering anywhere.
+    "q33_gapfill" -> { (s, dir) =>
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      val cal = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("d0"), max(col("hr")).as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      cal.join(hourly, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr").cast("long").as("hr_epoch"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ff"))
+    },
+
+    // §2.3 bloom-prefiltered semi join: the fact side is filtered by a
+    // codegen'd might_contain against the dimension subset's sketch
+    // BEFORE the exchange, then an exact leftsemi removes the ~fpp
+    // false positives — the result is bit-identical to a plain semi
+    // join (the oracle IS the plain semi join) while the shuffle
+    // carries ~10% of lineitem instead of all of it.
+    "q34_bloom_semijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val dim = t.orders.filter(col("o_totalprice") > 450000)
+      graft.operators.BloomJoin.semiJoin(
+          t.lineitem, col("l_orderkey"), dim, col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
     }
   )
 
@@ -632,6 +696,41 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
          FROM lineitem
-         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q31_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q32_pivot" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+           FILTER (l_linestatus = 'F') AS BIGINT) AS f_price_c,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+           FILTER (l_linestatus = 'O') AS BIGINT) AS o_price_c
+         FROM lineitem GROUP BY 1""",
+    "q33_gapfill" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr,
+                  count(*) AS n, round(sum(value), 2) AS v
+           FROM events GROUP BY 1, 2),
+         cal AS (
+           SELECT event_type,
+                  unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+           FROM hourly GROUP BY event_type)
+         SELECT c.event_type, CAST(floor(epoch(c.hr)) AS BIGINT) AS hr_epoch,
+                coalesce(h.n, 0) AS n,
+                last_value(h.v IGNORE NULLS) OVER (
+                  PARTITION BY c.event_type ORDER BY c.hr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+         FROM cal c LEFT JOIN hourly h
+           ON c.event_type = h.event_type AND c.hr = h.hr""",
+    "q34_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+         GROUP BY 1"""
   )
 }

@@ -1433,4 +1433,63 @@ class OperatorsSpec extends SparkSpec {
     val ms = frames.select("frame_ms").collect().map(_.getLong(0)).sorted
     assert(ms.toSeq == Seq(0L, 1000L, 2000L)) // image row filtered out
   }
+
+  test("triangle stats: counts, degrees, and cc on known graphs") {
+    import graft.operators.GraphAlgos
+    // K4 on 1..4 (every node: 3 triangles, degree 3, cc 1) plus a
+    // pendant 5-1 (node 5: degree 1, cc 0) plus a triangle-free
+    // square 6-7-8-9 (cc 0 everywhere)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphAlgos.triangleStats(edges).collect()
+      .map(x => x.getAs[Long]("node") ->
+        ((x.getAs[Long]("triangles"), x.getAs[Long]("degree"),
+          x.getAs[Double]("cc")))).toMap
+    assert(r.size == 9)
+    assert(r(1L) == ((3L, 4L, 0.5)))     // K4 member + pendant: 3/C(4,2)
+    assert(r(2L) == ((3L, 3L, 1.0)))
+    assert(r(3L) == ((3L, 3L, 1.0)))
+    assert(r(5L) == ((0L, 1L, 0.0)))
+    assert(r(6L) == ((0L, 2L, 0.0)))     // square: wedges but no triangles
+  }
+
+  test("bloom semi join equals plain leftsemi on long and string keys") {
+    import graft.operators.BloomJoin
+    val big = spark.range(0, 5000).toDF("k")
+      .withColumn("s", concat(lit("key-"), col("k")))
+    val small = spark.range(0, 5000, 7).toDF("j")
+      .withColumn("t", concat(lit("key-"), col("j")))
+    val expectLong = big.join(small, col("k") === col("j"), "leftsemi")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val gotLong = BloomJoin.semiJoin(big, col("k"), small, col("j"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(gotLong == expectLong && gotLong.size == small.count())
+    val gotStr = BloomJoin.semiJoin(big, col("s"), small, col("t"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(gotStr == expectLong)
+  }
+
+  test("bloom anti join equals plain leftanti; no false negatives at high fpp") {
+    import graft.operators.BloomJoin
+    val big = spark.range(0, 3000).toDF("k")
+    val small = spark.range(0, 3000, 11).toDF("j")
+    val expect = big.join(small, col("k") === col("j"), "leftanti")
+      .collect().map(_.getLong(0)).toSet
+    // deliberately lousy fpp: correctness must come from the exact
+    // post-join on the might-contain sliver, not from sketch accuracy
+    val got = BloomJoin.antiJoin(big, col("k"), small, col("j"), fpp = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("bloom prefilter prunes most non-matching rows before the join") {
+    import graft.operators.BloomJoin
+    val big = spark.range(0, 20000).toDF("k")
+    val small = spark.range(0, 20000, 100).toDF("j") // 1% match rate
+    val bytes = BloomJoin.buildBloomBytes(small, col("j"), fpp = 0.01)
+    val kept = big.filter(BloomJoin.mightContain(bytes, col("k"))).count()
+    // 200 true + ~1% fp of 19800 — far below the unfiltered 20000
+    assert(kept >= 200 && kept < 1200, s"prefilter kept $kept rows")
+  }
 }
