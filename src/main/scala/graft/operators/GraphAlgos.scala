@@ -256,4 +256,47 @@ object GraphAlgos {
               (col("degree") * (col("degree") - 1)))
           .otherwise(lit(0.0)) + lit(1e-11), 6).as("cc"))
   }
+
+  /** Single-source (or multi-seed) shortest weighted distances by
+    * synchronous Bellman–Ford relaxation: each round every edge offers
+    * `dist(src) + weight` to its destination and every node keeps its
+    * minimum. Seeds start at 0; nodes never reached emit no row.
+    *
+    * Exact integer arithmetic (weights are cast to long), so an
+    * external engine replays the loop verbatim; relaxation is
+    * IDEMPOTENT past the fixpoint, which makes a fixed-unroll oracle
+    * exact whether or not it knows where convergence fell (same
+    * argument as [[kCore]]).
+    *
+    * Scale shape: the weighted edge table is pinned once; each round
+    * is one hash join moving the reached-set rows along edges plus one
+    * map-side-combinable min per destination — no windows, no global
+    * ordering. Convergence is detected from two scalars ((count,
+    * sum(dist)) — relaxation never removes a node or increases a
+    * distance, so equality means fixpoint) rather than an EXCEPT join.
+    * `maxRounds` caps hostile diameters; per-round frontier deltas are
+    * the usual Pregel/GraphX shape re-expressed as DataFrame joins.
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 15): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("long").as("weight")).localCheckpoint()
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var signature = (dist.count(), 0L)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val offers = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("weight")).as("dist"))
+      val next = dist.unionAll(offers)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val sig = next.agg(count(lit(1)), sum(col("dist"))).collect()(0)
+      val nextSig = (sig.getLong(0), sig.getLong(1))
+      converged = nextSig == signature
+      dist = next
+      signature = nextSig
+      round += 1
+    }
+    dist
+  }
 }

@@ -474,6 +474,32 @@ object PipelineQueries {
       GraphAlgos.triangleStats(edges)
     },
 
+    // Single-source shortest weighted distances (Bellman–Ford
+    // relaxation) over the thinned co-purchase graph. Weights are a
+    // deterministic integer function of the undirected edge (exact in
+    // both engines); seed = minimum node id. The fixed-unroll oracle
+    // is exact whether or not 15 rounds reach the fixpoint, because
+    // both engines run the identical loop and relaxation is idempotent
+    // past convergence. FULLY oracled.
+    "gr05_sssp" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .filter(substring(md5(concat(col("src").cast("string"), lit("-"),
+          col("dst").cast("string")).cast("binary")), 1, 2) < "0d")
+      val edges = pairs.unionAll(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("weight", lit(1) +
+          (least(col("src"), col("dst")) * 7 +
+            greatest(col("src"), col("dst")) * 13) % 10)
+      val seeds = edges.agg(min(col("src")).as("node"))
+      GraphAlgos.sssp(edges, seeds, maxRounds = 15)
+    },
+
     // CCNet-style LM quality bucketing: stupid-backoff bigram LM
     // trained on the src0 slice, per-doc occurrence-weighted mean
     // -ln S over bigrams, head/middle/tail at the score tertiles.
@@ -1736,6 +1762,34 @@ object PipelineQueries {
                   THEN 2.0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1))
                   ELSE 0 END + 1e-11, 6) AS cc
          FROM deg LEFT JOIN tn ON deg.node = tn.node""",
+    // full replay of gr05: 15 unrolled Bellman-Ford relaxation rounds
+    // (reached set UNION ALL edge offers -> min per node) over the
+    // same thinned weighted graph; idempotence past the fixpoint makes
+    // the fixed unroll exact
+    "gr05_sssp" -> {
+      val iter = (i: Int) =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT w.dst AS node, d.dist + w.weight AS dist
+             FROM d${i - 1} d JOIN w ON d.node = w.src) GROUP BY 1)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         th AS (SELECT src, dst FROM pr
+             WHERE substr(md5(CAST(src AS VARCHAR) || '-' ||
+               CAST(dst AS VARCHAR)), 1, 2) < '0d'),
+         e AS MATERIALIZED (SELECT src, dst FROM th
+               UNION ALL SELECT dst, src FROM th),
+         w AS MATERIALIZED (SELECT src, dst,
+               1 + (least(src, dst) * 7 + greatest(src, dst) * 13) % 10
+                 AS weight FROM e),
+         d0 AS MATERIALIZED (
+             SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM w),
+         ${(1 to 15).map(iter).mkString(",\n         ")}
+         SELECT node, CAST(dist AS BIGINT) AS dist FROM d15"""
+    },
     // brute-force ground truth for dd17's cross-table linkage
     "dd17_fuzzy_link" ->
       """WITH r AS (SELECT c_custkey AS id2,

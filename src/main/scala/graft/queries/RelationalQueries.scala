@@ -457,6 +457,30 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
+    // §2.3 interval-overlap join (beyond-parity): two order-derived
+    // validity windows, co-keyed on priority, paired iff they overlap
+    // — lowered to a grid-cell equi-join (no nested-loop), first-
+    // shared-cell dedup as a pure filter, exact overlap verified by
+    // codegen. The oracle is the plain inequality join.
+    "q35_interval_join" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val l = o.filter(col("o_custkey") % 97 === 0)
+        .select(col("o_orderkey").as("l_id"),
+          col("o_orderpriority").as("prio"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ls"))
+        .withColumn("le", col("ls") + (col("l_id") % 14 + 1) * 86400L)
+      val r = o.filter(col("o_custkey") % 53 === 0)
+        .select(col("o_orderkey").as("r_id"),
+          col("o_orderpriority").as("prio"),
+          col("o_orderdate").cast("timestamp").cast("long").as("rs"))
+        .withColumn("re", col("rs") + (col("r_id") % 21 + 1) * 86400L)
+      graft.operators.IntervalJoin.overlapJoin(
+          l, "ls", "le", r, "rs", "re", Seq("prio"), cell = 7 * 86400L)
+        .select(col("prio"), col("l_id"), col("r_id"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+            .as("overlap_s"))
     }
   )
 
@@ -731,6 +755,20 @@ object RelationalQueries {
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem WHERE l_orderkey IN
            (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q35_interval_join" ->
+      """WITH l AS (SELECT o_orderkey AS l_id, o_orderpriority AS prio,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ls,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               + (o_orderkey % 14 + 1) * 86400 AS le
+           FROM orders WHERE o_custkey % 97 = 0),
+         r AS (SELECT o_orderkey AS r_id, o_orderpriority AS prio,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS rs,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               + (o_orderkey % 21 + 1) * 86400 AS re
+           FROM orders WHERE o_custkey % 53 = 0)
+         SELECT l.prio, l_id, r_id,
+                CAST(least(le, re) - greatest(ls, rs) AS BIGINT) AS overlap_s
+         FROM l JOIN r ON l.prio = r.prio AND ls <= re AND rs <= le"""
   )
 }

@@ -1454,6 +1454,40 @@ class OperatorsSpec extends SparkSpec {
     assert(r(6L) == ((0L, 2L, 0.0)))     // square: wedges but no triangles
   }
 
+  test("sssp: hand graph distances, unreachable nodes excluded") {
+    import graft.operators.GraphAlgos
+    // 1→2 (w5), 1→3 (w1), 3→2 (w1): via-3 beats direct; 4↔5 unreachable
+    val und = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 1L), (4L, 5L, 2L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "weight")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val d = GraphAlgos.sssp(edges, seeds, maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 1L)) // 2 via 3, not w5 direct
+  }
+
+  test("interval join equals brute-force inequality join on random intervals") {
+    import graft.operators.IntervalJoin
+    val rnd = new scala.util.Random(42)
+    val l = (1 to 300).map(i => (i.toLong, "k" + rnd.nextInt(3), {
+      val s = rnd.nextInt(10000).toLong; (s, s + rnd.nextInt(500)) })).map {
+      case (id, k, (s, e)) => (id, k, s, e) }.toDF("l_id", "key", "ls", "le")
+    val r = (1 to 300).map(i => (i.toLong, "k" + rnd.nextInt(3), {
+      val s = rnd.nextInt(10000).toLong; (s, s + rnd.nextInt(2000)) })).map {
+      case (id, k, (s, e)) => (id, k, s, e) }.toDF("r_id", "key", "rs", "re")
+    val expect = l.join(r, l("key") === r("key") &&
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // cell width far from interval scale in both directions still exact
+    for (cell <- Seq(100L, 1000L)) {
+      val got = IntervalJoin.overlapJoin(l, "ls", "le", r, "rs", "re",
+          Seq("key"), cell).select(col("l_id"), col("r_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == expect, s"cell=$cell: ${got.size} vs ${expect.size}")
+    }
+  }
+
   test("bloom semi join equals plain leftsemi on long and string keys") {
     import graft.operators.BloomJoin
     val big = spark.range(0, 5000).toDF("k")
