@@ -299,4 +299,49 @@ object GraphAlgos {
     }
     dist
   }
+
+  /** Per-origin hop distances from a seed set — synchronous BFS with
+    * (origin, node) state, the landmark-distance building block.
+    * Same loop shape and fixed-unroll-exact argument as [[sssp]]; the
+    * state is |seeds| × reached nodes, so seed count is the memory
+    * knob (landmark methods sample tens of seeds, not thousands).
+    */
+  def multiSourceHopDistances(edges: DataFrame, seeds: DataFrame,
+                              maxRounds: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var dist = seeds.select(col("node").as("origin"), col("node"),
+      lit(0L).as("dist")).localCheckpoint()
+    var signature = (dist.count(), 0L)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val offers = dist.join(e, dist("node") === e("src"))
+        .select(col("origin"), col("dst").as("node"),
+          (col("dist") + 1).as("dist"))
+      val next = dist.unionAll(offers)
+        .groupBy(col("origin"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val sig = next.agg(count(lit(1)), sum(col("dist"))).collect()(0)
+      val nextSig = (sig.getLong(0), sig.getLong(1))
+      converged = nextSig == signature
+      dist = next
+      signature = nextSig
+      round += 1
+    }
+    dist
+  }
+
+  /** Harmonic closeness centrality of each seed: Σ 1/d(seed, v) over
+    * reached v ≠ seed (Marchiori–Latora 2000 — the closeness variant
+    * that is well-defined on disconnected graphs). Exact hop
+    * distances from [[multiSourceHopDistances]]; rounded 6dp (+1e-11)
+    * for cross-engine stability.
+    */
+  def harmonicCloseness(edges: DataFrame, seeds: DataFrame,
+                        maxRounds: Int = 10): DataFrame =
+    multiSourceHopDistances(edges, seeds, maxRounds)
+      .filter(col("dist") > 0)
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n_reached"),
+        round(sum(lit(1.0) / col("dist")) + lit(1e-11), 6).as("closeness"))
 }

@@ -500,6 +500,29 @@ object PipelineQueries {
       GraphAlgos.sssp(edges, seeds, maxRounds = 15)
     },
 
+    // Harmonic closeness centrality of 4 md5-chosen landmark nodes —
+    // per-origin BFS with (origin, node) state; seed count is the
+    // memory knob (the landmark-sampling shape). Fixed-unroll-exact
+    // oracle by the same idempotence argument as gr03/gr05. FULLY
+    // oracled.
+    "gr06_closeness" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .filter(substring(md5(concat(col("src").cast("string"), lit("-"),
+          col("dst").cast("string")).cast("binary")), 1, 2) < "0d")
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
+        .limit(4)
+      GraphAlgos.harmonicCloseness(edges, seeds, maxRounds = 10)
+    },
+
     // CCNet-style LM quality bucketing: stupid-backoff bigram LM
     // trained on the src0 slice, per-doc occurrence-weighted mean
     // -ln S over bigrams, head/middle/tail at the score tertiles.
@@ -1789,6 +1812,34 @@ object PipelineQueries {
              SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM w),
          ${(1 to 15).map(iter).mkString(",\n         ")}
          SELECT node, CAST(dist AS BIGINT) AS dist FROM d15"""
+    },
+    // full replay of gr06: md5-ranked 4-seed pick, 10 unrolled
+    // (origin, node) BFS rounds, harmonic sum over dist > 0
+    "gr06_closeness" -> {
+      val iter = (i: Int) =>
+        s"""d$i AS MATERIALIZED (SELECT origin, node, min(dist) AS dist
+           FROM (
+             SELECT origin, node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT d.origin, e.dst AS node, d.dist + 1 AS dist
+             FROM d${i - 1} d JOIN e ON d.node = e.src) GROUP BY 1, 2)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         th AS (SELECT src, dst FROM pr
+             WHERE substr(md5(CAST(src AS VARCHAR) || '-' ||
+               CAST(dst AS VARCHAR)), 1, 2) < '0d'),
+         e AS MATERIALIZED (SELECT src, dst FROM th
+               UNION ALL SELECT dst, src FROM th),
+         s AS (SELECT src AS node FROM (SELECT DISTINCT src FROM e)
+               ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 4),
+         d0 AS MATERIALIZED (SELECT node AS origin, node,
+               CAST(0 AS BIGINT) AS dist FROM s),
+         ${(1 to 10).map(iter).mkString(",\n         ")}
+         SELECT origin, count(*) AS n_reached,
+                round(sum(1.0 / dist) + 1e-11, 6) AS closeness
+         FROM d10 WHERE dist > 0 GROUP BY 1"""
     },
     // brute-force ground truth for dd17's cross-table linkage
     "dd17_fuzzy_link" ->

@@ -481,6 +481,40 @@ object RelationalQueries {
         .select(col("prio"), col("l_id"), col("r_id"),
           (least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
             .as("overlap_s"))
+    },
+
+    // §2.5 RANGE-framed moving aggregates: 7-day trailing sum/count
+    // per event type over DAILY pre-aggregates — the window runs over
+    // ~30 rows per key, not raw events (aggregate-then-window is the
+    // scale order; window-then-aggregate would sort the raw table).
+    // RANGE (not ROWS) so missing days weight zero, matching the
+    // calendar semantics analysts expect.
+    "q36_moving_window" -> { (s, dir) =>
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          (date_trunc("day", col("ts")).cast("long") / 86400).cast("long")
+            .as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("v_c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(col("event_type"), col("day"), col("n"),
+        sum(col("n")).over(w).as("n_7d"),
+        sum(col("v_c")).over(w).as("v_c_7d"))
+    },
+
+    // Z-order (Morton) clustering key — the data-layout operator's
+    // exact-integer core, oracle-checked bit for bit; the layout
+    // effect itself (per-partition bounding boxes shrink on every
+    // clustered column) is spec-asserted in OperatorsSpec.
+    "q37_zorder" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 4096).as("ck"),
+          (col("o_orderkey") % 4096).as("ok"))
+        .withColumn("z",
+          graft.operators.Layout.zValue(Seq(col("ck"), col("ok")), 12))
     }
   )
 
@@ -769,6 +803,34 @@ object RelationalQueries {
            FROM orders WHERE o_custkey % 53 = 0)
          SELECT l.prio, l_id, r_id,
                 CAST(least(le, re) - greatest(ls, rs) AS BIGINT) AS overlap_s
-         FROM l JOIN r ON l.prio = r.prio AND ls <= re AND rs <= le"""
+         FROM l JOIN r ON l.prio = r.prio AND ls <= re AND rs <= le""",
+    "q36_moving_window" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                    // 86400 AS day,
+                  count(*) AS n,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS v_c
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, n,
+                CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+                CAST(sum(v_c) OVER w AS BIGINT) AS v_c_7d
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "q37_zorder" -> {
+      // the same bit-interleave, generated term by term
+      val terms = for {
+        (c, i) <- Seq("ck", "ok").zipWithIndex
+        j <- 0 until 12
+      } yield s"((($c >> $j) & 1) << ${j * 2 + i})"
+      s"""WITH q AS (SELECT o_orderkey,
+             o_custkey % 4096 AS ck, o_orderkey % 4096 AS ok
+           FROM orders WHERE o_orderkey % 17 = 0)
+         SELECT o_orderkey, ck, ok,
+                CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+         FROM q"""
+    }
   )
 }

@@ -1488,6 +1488,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("zorder: morton code interleaves bits exactly") {
+    import graft.operators.Layout
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (4095L, 4095L))
+      .toDF("x", "y")
+    val got = df.withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 12))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def morton(x: Long, y: Long): Long =
+      (0 until 12).map(j => (((x >> j) & 1L) << (2 * j)) |
+        (((y >> j) & 1L) << (2 * j + 1))).reduce(_ | _)
+    got.foreach { case ((x, y), z) => assert(z == morton(x, y), s"($x,$y)") }
+  }
+
+  test("zorder layout shrinks per-partition bounding boxes on both dims") {
+    import graft.operators.Layout
+    // 64x64 uniform grid; 16 partitions. A z-ordered layout keeps each
+    // partition inside a ~16x16 box; a single-column range layout gets
+    // a 4-wide stripe on x but the FULL 64 range on y.
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    def boxSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("p", spark_partition_id())
+        .groupBy(col("p"))
+        .agg(((max(col("x")) - min(col("x")) + 1) *
+          (max(col("y")) - min(col("y")) + 1)).as("box"))
+        .agg(sum(col("box"))).collect()(0).getLong(0)
+    val zs = boxSum(Layout.zorder(grid, Seq(col("x"), col("y")), 6, 16))
+    val rs = boxSum(grid.repartitionByRange(16, col("x")))
+    // z: 16 boxes of ~256 cells = ~4096; x-range: 16 stripes of 4x64 = 4096
+    // cells but each box is 256 on y — compare the MAX per-dim extent
+    assert(zs <= rs, s"z=$zs stripe=$rs")
+    val zBoxes = Layout.zorder(grid, Seq(col("x"), col("y")), 6, 16)
+      .withColumn("p", spark_partition_id())
+      .groupBy(col("p"))
+      .agg((max(col("y")) - min(col("y")) + 1).as("yext"))
+      .agg(max(col("yext"))).collect()(0).getLong(0)
+    assert(zBoxes <= 32, s"max y-extent of a z partition was $zBoxes (stripe layout: 64)")
+  }
+
   test("bloom semi join equals plain leftsemi on long and string keys") {
     import graft.operators.BloomJoin
     val big = spark.range(0, 5000).toDF("k")
