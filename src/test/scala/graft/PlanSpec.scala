@@ -432,4 +432,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join LeftOuter") || p.contains("LeftOuter"),
       s"no left join-back:\n$p")
   }
+
+  test("interval join plans as an equi-join: no nested-loop, no cartesian") {
+    val df = RelationalQueries.queries("q35_interval_join")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to a product join:\n$p")
+    assert(p.contains("Join") || p.contains("HashJoin"), s"no join at all:\n$p")
+  }
+
+  test("bloom semi join: might_contain prefilter sits in the scan stage, " +
+       "before any exchange") {
+    val df = RelationalQueries.queries("q34_bloom_semijoin")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"no bloom prefilter in plan:\n$p")
+    // the prefilter must appear in the lineitem branch BEFORE its first
+    // exchange: in formatted explain, the Filter node carrying
+    // might_contain must reference the parquet scan subtree directly
+    val lines = p.linesIterator.toVector
+    val filterIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(filterIdx >= 0)
+    // cheap structural proxy: the plan still broadcasts or shuffles the
+    // dim side somewhere AFTER the filter line (filter not post-join)
+    assert(lines.drop(filterIdx).exists(l =>
+        l.contains("Exchange") || l.contains("Broadcast")),
+      s"bloom filter appears after all exchanges (post-join?):\n$p")
+  }
+
+  test("zorder re-layout is one range exchange + local sort, no global sort") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(0, 1000).toDF("x").withColumn("y", col("x") * 7 % 1000)
+    val df = graft.operators.Layout.zorder(base, Seq(col("x"), col("y")), 10, 8)
+    val p = plan(df)
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"no range exchange:\n$p")
+    // the sort must be local (within partitions): formatted explain marks
+    // global sorts with "Sort [global=true" / local with global=false
+    assert(!p.contains("global=true"), s"global sort in layout plan:\n$p")
+  }
 }
