@@ -1113,4 +1113,71 @@ object Similarity {
       .select(col("lbl").as(labelCol), col("n_vecs"),
         col("centroid_norm"), col("mean_cos"))
   }
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell–Goldstein
+    * 1998): greedily pick k results trading query relevance against
+    * redundancy with what's already picked —
+    * `score(c) = λ·sim(c, q) − (1−λ)·max_{s∈S} sim(c, s)`.
+    * The retrieval shape for dataset curation: "the k most relevant
+    * AND mutually distinct" examples, not k near-clones of the top hit.
+    *
+    * Scale split: relevance scoring + shortlist selection are fully
+    * distributed (one corpus scan, broadcast 1-row query,
+    * TakeOrdered — the ann01 plan); the greedy selection then runs
+    * over the SHORTLIST only, whose pairwise-similarity matrix
+    * (shortlist² rows, computed by the same codegen'd [[cosine]]
+    * expression so cross-engine semantics are identical) is a bounded
+    * collect — the nlist-centroid pattern, not a corpus collect.
+    * Greedy MMR is inherently sequential in k; k and shortlist are
+    * both small by definition of the operator.
+    *
+    * Determinism: every similarity is rounded (+1e-11, 6dp, HALF_UP —
+    * the repo convention) BEFORE any comparison; argmax ties break on
+    * the smaller id. An external SQL engine replays the whole
+    * selection exactly (ann12's DuckDB oracle unrolls the k steps).
+    */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryVecId: Long, k: Int, lambda: Double = 0.7,
+              shortlist: Int = 40): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need 1 <= k <= shortlist")
+    val spark = df.sparkSession
+    val nd = dimsOf(df, vecCol)
+    val q = df.filter(col(idCol) === queryVecId)
+      .select(asDouble(col(vecCol)).as("qv"))
+    val short = df.filter(col(idCol) =!= queryVecId)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("v"),
+        round(cosine(col("v"), col("qv"), nd) + lit(1e-11), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(shortlist)
+      .localCheckpoint()
+    val base = short.select(col("id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // pairwise sims via the SAME cosine expression (bounded shortlist²)
+    val a = short.select(col("id").as("id1"), col("v").as("v1"))
+    val b = short.select(col("id").as("id2"), col("v").as("v2"))
+    val pair = a.crossJoin(b).filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2"), nd) + lit(1e-11), 6).as("ps"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    for (rank <- 1 to math.min(k, base.length)) {
+      val best = base.iterator.filterNot(c => chosen(c._1)).map { case (id, sim) =>
+        val maxRed =
+          if (chosen.isEmpty) 0.0
+          else chosen.iterator.map(s => pair((id, s))).max
+        val score = if (chosen.isEmpty) sim else lambda * sim - (1 - lambda) * maxRed
+        (id, sim, score)
+      }.reduceLeft { (x, y) =>
+        if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+      }
+      selected += ((rank, best._1, best._2))
+      chosen += best._1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", idCol, "cos_sim")
+      .select(col("rank").cast("long").as("rank"), col(idCol), col("cos_sim"))
+  }
 }

@@ -273,6 +273,16 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
     },
 
+    // MMR-diversified retrieval: λ·relevance − (1−λ)·redundancy greedy
+    // over a 40-deep exact shortlist — relevance scan distributed,
+    // greedy selection bounded by the shortlist (every similarity
+    // rounded before comparison, so the DuckDB oracle replays all 5
+    // greedy steps exactly). FULLY oracled.
+    "ann12_mmr_topk" -> { (s, dir) =>
+      Similarity.mmrTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
+        queryVecId = 0L, k = 5, lambda = 0.7, shortlist = 40)
+    },
+
     // PQ recall ledger: overlap of ann08's ADC top-10 with the exact
     // brute-force cosine top-10 — the dd02/ann06 pattern: every
     // approximate operator ships with an oracled measurement of what
@@ -998,6 +1008,40 @@ object PipelineQueries {
                   AS DOUBLE), 6) AS cos_sim
          FROM adc a JOIN v USING (vec_id)
          ORDER BY adc_dist, vec_id LIMIT 10""",
+    // full replay of ann12: exact-cosine 40-shortlist, then 5 unrolled
+    // greedy MMR steps — every similarity rounded (+1e-11, 6dp) before
+    // any comparison, score literals written as (1 - 0.7) so both
+    // engines compute the identical IEEE doubles, ties to smaller id
+    "ann12_mmr_topk" -> {
+      val step = (i: Int) =>
+        s"""c$i AS (SELECT c.vec_id, c.e, c.sim,
+             max(round(CAST(list_cosine_similarity(c.e, s.e) AS DOUBLE)
+               + 1e-11, 6)) AS ms
+           FROM sh c, p${i - 1} s
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM p${i - 1})
+           GROUP BY c.vec_id, c.e, c.sim),
+         s$i AS (SELECT vec_id, e, sim, $i AS rank FROM c$i
+           ORDER BY (0.7 * sim - (1 - 0.7) * ms) DESC, vec_id LIMIT 1),
+         p$i AS (SELECT vec_id, e, sim FROM p${i - 1}
+                 UNION ALL SELECT vec_id, e, sim FROM s$i)"""
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings),
+         q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         sh AS MATERIALIZED (
+           SELECT vec_id, e,
+                  round(CAST(list_cosine_similarity(e, (SELECT qe FROM q))
+                    AS DOUBLE) + 1e-11, 6) AS sim
+           FROM v WHERE vec_id <> 0
+           ORDER BY sim DESC, vec_id LIMIT 40),
+         s1 AS (SELECT vec_id, e, sim, 1 AS rank FROM sh
+                ORDER BY sim DESC, vec_id LIMIT 1),
+         p1 AS (SELECT vec_id, e, sim FROM s1),
+         ${(2 to 5).map(step).mkString(",\n         ")}
+         SELECT CAST(rank AS BIGINT) AS rank, vec_id, sim AS cos_sim
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+               UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+               UNION ALL SELECT * FROM s5)"""
+    },
     // full replay of ann11: cross join against the query slice, exact
     // cosine, rank <= 5 per query with (cos desc, id) ties
     "ann11_batch_topk" ->

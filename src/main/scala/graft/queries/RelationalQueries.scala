@@ -503,6 +503,26 @@ object RelationalQueries {
         sum(col("v_c")).over(w).as("v_c_7d"))
     },
 
+    // Incremental SCD2 upsert: the dimension is built from pre-1996
+    // history, then the 1996+ batch is MERGED in — closed history and
+    // untouched keys pass through by anti/semi join (the O(delta)
+    // warehouse shape). The oracle is the FULL-history rebuild (q30's
+    // SQL), so the hash compare proves merge == rebuild on real data.
+    "q38_scd2_merge" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val cutoff = lit("1996-01-01").cast("timestamp")
+      val existing = graft.operators.Scd2.intervals(
+        o.filter(col("o_orderdate") < cutoff), Seq("o_custkey"),
+        "o_orderdate", Seq("o_orderstatus"), Seq("o_orderkey"))
+      graft.operators.Scd2.merge(existing,
+          o.filter(col("o_orderdate") >= cutoff), Seq("o_custkey"),
+          "o_orderdate", Seq("o_orderstatus"), Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("valid_from").cast("timestamp").cast("long").as("valid_from_s"),
+          col("valid_to").cast("timestamp").cast("long").as("valid_to_s"),
+          col("is_current"))
+    },
+
     // Z-order (Morton) clustering key — the data-layout operator's
     // exact-integer core, oracle-checked bit for bit; the layout
     // effect itself (per-partition bounding boxes shrink on every
@@ -521,6 +541,27 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     // full replay of q30: change-flag lag window, run compression,
     // closing lead window (IS DISTINCT FROM = Spark's negated <=>)
+    // the merge's oracle IS the full-history rebuild: hash equality
+    // proves the incremental upsert reproduces the q30 build exactly
+    "q38_scd2_merge" ->
+      """WITH s AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                  lag(o_orderstatus) OVER w AS prev,
+                  (lag(o_orderdate) OVER w IS NULL) AS first
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)),
+         op AS (SELECT * FROM s
+                WHERE first OR prev IS DISTINCT FROM o_orderstatus),
+         iv AS (SELECT o_custkey, o_orderstatus, o_orderdate AS vf,
+                  lead(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS vt
+                FROM op)
+         SELECT o_custkey, o_orderstatus,
+                CAST(floor(epoch(vf)) AS BIGINT) AS valid_from_s,
+                CAST(floor(epoch(vt)) AS BIGINT) AS valid_to_s,
+                vt IS NULL AS is_current
+         FROM iv""",
     "q30_scd2" ->
       """WITH s AS (
            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

@@ -1488,6 +1488,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("scd2 merge equals full rebuild on random change streams") {
+    import graft.operators.Scd2
+    val rnd = new scala.util.Random(7)
+    // keys 1..20 with random status streams; ts collisions within a key
+    // are frequent by construction (ts drawn from a small range), so
+    // the tie column is load-bearing; keys 18-20 appear ONLY after the
+    // split (new-key path), key 1 only before (untouched path)
+    val events = (1 to 20).flatMap { k =>
+      val n = if (k == 1) 6 else 12
+      (1 to n).map { i =>
+        val ts = if (k == 1) rnd.nextInt(50).toLong
+                 else if (k >= 18) 100L + rnd.nextInt(50)
+                 else rnd.nextInt(150).toLong
+        (k.toLong, ts, "S" + rnd.nextInt(3), (k * 1000 + i).toLong)
+      }
+    }
+    val df = events.toDF("key", "ts", "status", "tie")
+    val full = Scd2.intervals(df, Seq("key"), "ts", Seq("status"), Seq("tie"))
+    val early = df.filter(col("ts") < 100)
+    val late = df.filter(col("ts") >= 100)
+    val merged = Scd2.merge(
+      Scd2.intervals(early, Seq("key"), "ts", Seq("status"), Seq("tie")),
+      late, Seq("key"), "ts", Seq("status"), Seq("tie"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(canon(merged) == canon(full))
+  }
+
   test("zorder: morton code interleaves bits exactly") {
     import graft.operators.Layout
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (4095L, 4095L))
