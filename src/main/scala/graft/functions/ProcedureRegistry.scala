@@ -109,6 +109,83 @@ object ProcedureRegistry {
     graft.operators.GraphAlgos.kCore(e, k = if (k > 0) k else 2)
   })
 
+  // per-node triangle counts + local clustering coefficient:
+  // CALL graph.triangles('KNOWS'[, _, undirected])
+  //   YIELD node, triangles, degree, cc
+  // (the operator symmetrizes internally for directed input, since a
+  // triangle census is an undirected notion)
+  register("graph.triangles", (spark, cat, args) => {
+    val (e, _, und) = edgeArgs(cat, args)
+    val sym = if (und) e else e.unionAll(
+      e.select(org.apache.spark.sql.functions.col("dst").as("src"),
+        org.apache.spark.sql.functions.col("src").as("dst")))
+    graft.operators.GraphAlgos.triangleStats(sym)
+  })
+
+  // shortest weighted distances from a seed list (unit weights here —
+  // property-weighted edges go through the operator API):
+  // CALL graph.sssp('KNOWS', [seedId, ...][, undirected])
+  //   YIELD node, dist
+  register("graph.sssp", (spark, cat, args) => {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val relType = args.headOption match {
+      case Some(s: String) => s
+      case other => throw new IllegalArgumentException(
+        s"graph.sssp takes (relType, [seeds...][, undirected]), got $other")
+    }
+    val seedIds: Seq[Long] = args.lift(1) match {
+      case Some(s: Seq[_]) if s.nonEmpty =>
+        s.map(x => x.asInstanceOf[Number].longValue)
+      case Some(l: java.util.List[_]) if !l.isEmpty =>
+        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+          .map(x => x.asInstanceOf[Number].longValue)
+      case other => throw new IllegalArgumentException(
+        s"graph.sssp needs a non-empty seed id list, got $other")
+    }
+    val und = args.lift(2) match {
+      case Some(b: java.lang.Boolean) => b.booleanValue
+      case _ => false
+    }
+    val rel = cat.relationship(relType)
+    val e0 = rel.df.select(col(rel.srcCol).as("src"), col(rel.dstCol).as("dst"))
+    val e = (if (und) e0.unionAll(e0.select(col("dst").as("src"),
+        col("src").as("dst"))) else e0)
+      .withColumn("weight", lit(1L))
+    graft.operators.GraphAlgos.sssp(e, seedIds.toDF("node"))
+  })
+
+  // harmonic closeness of explicit landmark seeds:
+  // CALL graph.closeness('KNOWS', [seedId, ...][, undirected])
+  //   YIELD origin, n_reached, closeness
+  register("graph.closeness", (spark, cat, args) => {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val relType = args.headOption match {
+      case Some(s: String) => s
+      case other => throw new IllegalArgumentException(
+        s"graph.closeness takes (relType, [seeds...][, undirected]), got $other")
+    }
+    val seedIds: Seq[Long] = args.lift(1) match {
+      case Some(s: Seq[_]) if s.nonEmpty =>
+        s.map(x => x.asInstanceOf[Number].longValue)
+      case Some(l: java.util.List[_]) if !l.isEmpty =>
+        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+          .map(x => x.asInstanceOf[Number].longValue)
+      case other => throw new IllegalArgumentException(
+        s"graph.closeness needs a non-empty seed id list, got $other")
+    }
+    val und = args.lift(2) match {
+      case Some(b: java.lang.Boolean) => b.booleanValue
+      case _ => false
+    }
+    val rel = cat.relationship(relType)
+    val e0 = rel.df.select(col(rel.srcCol).as("src"), col(rel.dstCol).as("dst"))
+    val e = if (und) e0.unionAll(e0.select(col("dst").as("src"),
+      col("src").as("dst"))) else e0
+    graft.operators.GraphAlgos.harmonicCloseness(e, seedIds.toDF("node"))
+  })
+
   // connected components over a relationship table (always treated as
   // undirected, as components are) → (id, comp = min reachable id)
   register("graph.components", (spark, cat, args) => {

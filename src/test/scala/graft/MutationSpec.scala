@@ -493,6 +493,27 @@ class MutationSpec extends SparkSpec {
     assert(eng.query(
       """CALL graph.kCore('KNOWS', 2, true) YIELD node, deg
          RETURN node""").collect().isEmpty)
+    // triangles: the 2-node pair has none, degrees are 1, cc 0
+    val tr = eng.query(
+      """CALL graph.triangles('KNOWS', 1, true)
+         YIELD node, triangles, degree, cc
+         RETURN node, triangles, degree ORDER BY node""").collect()
+    assert(tr.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 1L), (1L, 0L, 1L)))
+    // sssp with unit weights from seed 0 (undirected): dist 0 and 1
+    val sp = eng.query(
+      """CALL graph.sssp('KNOWS', [0], true) YIELD node, dist
+         RETURN node, dist ORDER BY node""").collect()
+    assert(sp.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 1L)))
+    // harmonic closeness of both seeds on the undirected pair: each
+    // reaches the other at distance 1 → closeness 1.0
+    val cl = eng.query(
+      """CALL graph.closeness('KNOWS', [0, 1], true)
+         YIELD origin, n_reached, closeness
+         RETURN origin, n_reached, closeness ORDER BY origin""").collect()
+    assert(cl.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((0L, 1L, 1.0), (1L, 1L, 1.0)))
   }
 
   test("CALL db.procedures lists the registry, including graph analytics") {
