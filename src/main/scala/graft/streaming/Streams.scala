@@ -372,6 +372,80 @@ object Streams {
       }
   }
 
+  /** Streaming EXACT dedup against an at-rest corpus, bloom fast path —
+    * the streaming form of [[graft.operators.BloomJoin.antiJoin]]
+    * (batch sibling: dd19). Per micro-batch:
+    *
+    *   1. rows whose key the sketch rejects are DEFINITELY new — they
+    *      skip the index entirely (in steady state that is almost the
+    *      whole batch, so the per-batch index join input is the true-
+    *      duplicate sliver plus fpp of the batch);
+    *   2. might-contain rows pay one exact anti-join against the key
+    *      index (text equality, so a 64-bit hash collision can never
+    *      drop a genuinely new document);
+    *   3. intra-batch exact dups keep the smallest id;
+    *   4. survivors append to the index, and their DELTA sketch —
+    *      built distributed (`stat.bloomFilter`) with the same
+    *      (expectedItems, fpp) geometry — merges into the held sketch
+    *      (a bit-OR on the driver, bytes not rows).
+    *
+    * The sketch lives in the sink closure for the query's lifetime and
+    * rebuilds from the index on restart — the index parquet is the
+    * source of truth; the bloom is a pure accelerator, so losing it
+    * costs one rebuild scan, never correctness.
+    */
+  def bloomCrawlDedup(stream: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, survivorDir: String,
+                      expectedItems: Long = 1000000L,
+                      fpp: Double = 0.03): DataStreamWriter[Row] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    import graft.operators.BloomJoin
+    var bloom: BloomFilter = null
+    val keysDir = s"$indexDir/keys"
+    stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          if (bloom == null) {
+            bloom = BloomFilter.create(expectedItems, fpp)
+            if (new java.io.File(keysDir).exists()) {
+              val existing = spark.read.parquet(keysDir)
+              bloom.mergeInPlace(
+                existing.select(xxhash64(col("k")).as("__h"))
+                  .stat.bloomFilter("__h", expectedItems, fpp))
+            }
+          }
+          val bytes = { val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos); bos.toByteArray }
+          val definitelyNew = batch.filter(
+            !BloomJoin.mightContain(bytes, col(textCol)))
+          val sliver =
+            if (new java.io.File(keysDir).exists())
+              batch.filter(BloomJoin.mightContain(bytes, col(textCol)))
+                .join(spark.read.parquet(keysDir)
+                  .select(col("k").as(textCol)), Seq(textCol), "left_anti")
+            else batch.filter(BloomJoin.mightContain(bytes, col(textCol)))
+          // intra-batch exact dedup, smallest id survives (unionByName:
+          // the using-column anti join reorders the sliver's columns)
+          val fresh = definitelyNew.unionByName(
+            sliver.select(definitelyNew.columns.map(col).toSeq: _*))
+          val survivors = batch.join(
+              fresh.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
+              Seq(textCol, idCol), "left_semi")
+            .localCheckpoint(true)
+          if (!survivors.isEmpty) {
+            survivors.select(col(textCol).as("k"))
+              .write.mode("append").parquet(keysDir)
+            bloom.mergeInPlace(
+              survivors.select(xxhash64(col(textCol)).as("__h"))
+                .stat.bloomFilter("__h", expectedItems, fpp))
+            survivors.write.mode("append").parquet(survivorDir)
+          }
+        }
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against the
     * currently-available input (memory sink) and return the result —
     * the test harness pattern for batch-driving streaming plans.

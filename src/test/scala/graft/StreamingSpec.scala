@@ -378,6 +378,47 @@ class StreamingSpec extends SparkSpec {
       results.toString)
   }
 
+  test("streaming bloom exact-dedup: batch-boundary invariant, seeded index " +
+    "respected, intra-batch dups keep the smallest id") {
+    val seed = Seq((1L, "seeded document alpha"), (2L, "seeded document beta"))
+    val arrivals = Seq(
+      (10L, "seeded document alpha"),      // dup of at-rest index
+      (11L, "novel gamma content"),
+      (12L, "novel gamma content"),        // intra-stream dup of 11
+      (13L, "novel delta content"))
+    def run(batches: Seq[Seq[(Long, String)]]): (Set[Long], Set[String]) = {
+      val idx = Files.createTempDirectory("graft_bloomidx").toFile.getAbsolutePath
+      val out = Files.createTempDirectory("graft_bloomout").toFile.getAbsolutePath
+      val in = Files.createTempDirectory("graft_bloomin").toFile.getAbsolutePath
+      seed.toDF("doc_id", "text").select(col("text").as("k"))
+        .write.mode("append").parquet(s"$idx/keys")
+      batches.head.toDF("doc_id", "text").write.mode("append").parquet(in)
+      val stream = spark.readStream
+        .schema(batches.head.toDF("doc_id", "text").schema).parquet(in)
+      val q = Streams.bloomCrawlDedup(stream, "doc_id", "text", idx, out,
+        expectedItems = 1000L).start()
+      q.processAllAvailable()
+      batches.tail.foreach { b =>
+        b.toDF("doc_id", "text").write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val survivors = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val keys = spark.read.parquet(s"$idx/keys").select("k")
+        .collect().map(_.getString(0)).toSet
+      (survivors, keys)
+    }
+    val expectKeys = Set("seeded document alpha", "seeded document beta",
+      "novel gamma content", "novel delta content")
+    val results = Seq(
+      Seq(arrivals),                             // one big batch
+      Seq(arrivals.take(2), arrivals.drop(2)),   // dup pair split across batches
+      arrivals.map(Seq(_)))                      // one doc per batch
+      .map(run)
+    assert(results.forall(_ == ((Set(11L, 13L), expectKeys))), results.toString)
+  }
+
   test("late data beyond watermark is dropped from append output") {
     // two files: first advances the watermark far ahead, second is late
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
