@@ -92,7 +92,7 @@ object Bench {
       "q01_pricing_summary", "q03_topk_revenue", "q08_window_topn_per_group",
       "q15_star_join", "q19_tumbling_window", "q21_session_islands",
       "q26_asof_join", "q27_funnel", "q33_gapfill", "q34_bloom_semijoin",
-      "q35_interval_join",
+      "q35_interval_join", "q38_scd2_merge",
       // dedup tier
       "dd01_exact_dedup", "dd02_minhash_lsh", "dd03_simhash",
       "dd05_embedding_neardup", "dd08_dedup_resolve",
@@ -103,7 +103,8 @@ object Bench {
       "ann07_label_centroid_audit", "ann08_pq_topk",
       // graph analytics
       "gr01_pagerank", "gr02_label_propagation", "gr04_triangle_stats",
-      "gr05_sssp",
+      "gr05_sssp", "gr06_closeness", "gr07_bipartite_project",
+      "dd19_bloom_incremental", "ann12_mmr_topk",
       // text tier
       "tx06_token_budget", "tx08_tfidf_topterms", "tx09_unigram_nll",
       "tx11_temperature_mix", "tx13_curation_pipeline", "tx15_ngram_novelty",

@@ -331,6 +331,33 @@ object GraphAlgos {
     dist
   }
 
+  /** Weighted one-mode projection of a bipartite graph: given
+    * (left, right) membership edges, connect left nodes that share a
+    * right neighbor, weighted by the number of shared neighbors — the
+    * standard co-occurrence graph build (users→items ⇒ item-item,
+    * orders→parts ⇒ part-part co-purchase), which this repo's graph
+    * queries have been deriving inline; as an operator it carries the
+    * skew guard the inline form lacks.
+    *
+    * Scale shape: one self-join keyed on the RIGHT node + one
+    * map-side-combinable count. The hazard is a celebrity right node
+    * (a part in every order) squaring into pairs; `maxRightDegree`
+    * drops right nodes above the cap BEFORE the join (one aggregate),
+    * the documented projection practice — a right node shared by
+    * everyone carries no co-occurrence signal, only quadratic cost.
+    * Emits each undirected pair once (a < b).
+    */
+  def bipartiteProject(edges: DataFrame, maxRightDegree: Int = 1 << 20): DataFrame = {
+    val e = edges.select(col("left"), col("right")).distinct()
+    val keep = e.groupBy(col("right")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") <= maxRightDegree).select(col("right"))
+    val ek = e.join(keep, Seq("right"), "left_semi")
+    ek.as("x").join(ek.as("y"),
+        col("x.right") === col("y.right") && col("x.left") < col("y.left"))
+      .groupBy(col("x.left").as("a"), col("y.left").as("b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Harmonic closeness centrality of each seed: Σ 1/d(seed, v) over
     * reached v ≠ seed (Marchiori–Latora 2000 — the closeness variant
     * that is well-defined on disconnected graphs). Exact hop

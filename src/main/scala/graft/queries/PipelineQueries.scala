@@ -510,6 +510,19 @@ object PipelineQueries {
       GraphAlgos.sssp(edges, seeds, maxRounds = 15)
     },
 
+    // Weighted bipartite projection: order—part membership edges
+    // projected to the part—part co-purchase graph with shared-order
+    // counts as weights — the operator form of the graph build gr01-
+    // gr06 derive inline, plus the celebrity-right-node guard. Scoped
+    // to a deterministic key slice so the oracle's self-join stays
+    // replayable. FULLY oracled.
+    "gr07_bipartite_project" -> { (s, dir) =>
+      GraphAlgos.bipartiteProject(
+        Tables(s, dir).lineitem
+          .filter(col("l_orderkey") % 7 === 0)
+          .select(col("l_partkey").as("left"), col("l_orderkey").as("right")))
+    },
+
     // Harmonic closeness centrality of 4 md5-chosen landmark nodes —
     // per-origin BFS with (origin, node) state; seed count is the
     // memory knob (the landmark-sampling shape). Fixed-unroll-exact
@@ -1857,6 +1870,14 @@ object PipelineQueries {
          ${(1 to 15).map(iter).mkString(",\n         ")}
          SELECT node, CAST(dist AS BIGINT) AS dist FROM d15"""
     },
+    // replay of gr07: distinct membership + right-keyed self-join with
+    // a < b orientation, shared-neighbor counts as weights
+    "gr07_bipartite_project" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS lft, l_orderkey AS rgt
+             FROM lineitem WHERE l_orderkey % 7 = 0)
+         SELECT x.lft AS a, y.lft AS b, count(*) AS weight
+         FROM e x JOIN e y ON x.rgt = y.rgt AND x.lft < y.lft
+         GROUP BY 1, 2""",
     // full replay of gr06: md5-ranked 4-seed pick, 10 unrolled
     // (origin, node) BFS rounds, harmonic sum over dist > 0
     "gr06_closeness" -> {

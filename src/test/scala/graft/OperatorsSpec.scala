@@ -1454,6 +1454,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r(6L) == ((0L, 2L, 0.0)))     // square: wedges but no triangles
   }
 
+  test("bipartite projection: shared-neighbor weights and the celebrity guard") {
+    import graft.operators.GraphAlgos
+    // parts 1,2 share orders 10,11 (weight 2); 2,3 share 11 (weight 1);
+    // order 99 contains every part — a celebrity right node
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L),
+      (1L, 99L), (2L, 99L), (3L, 99L), (4L, 99L))
+      .toDF("left", "right")
+    val full = GraphAlgos.bipartiteProject(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full == Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (2L, 3L) -> 2L,
+      (1L, 4L) -> 1L, (2L, 4L) -> 1L, (3L, 4L) -> 1L))
+    // capping right degree at 3 drops order 99 before the join
+    val guarded = GraphAlgos.bipartiteProject(edges, maxRightDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(guarded == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
   test("sssp: hand graph distances, unreachable nodes excluded") {
     import graft.operators.GraphAlgos
     // 1→2 (w5), 1→3 (w1), 3→2 (w1): via-3 beats direct; 4↔5 unreachable
