@@ -714,4 +714,34 @@ class PropertySpec extends AnyFunSuite {
       } finally spark.conf.unset("graft.pathExpand.materializePaths")
     }
   }
+
+  test("sssp matches in-memory Dijkstra on random weighted digraphs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 12 + rnd.nextInt(8)
+      val edges = (1 to n * 3).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(9))
+      }.filter(e => e._1 != e._2).distinct
+      // reference: plain Dijkstra over an adjacency map (min over
+      // parallel edges happens naturally — both relax every edge)
+      val adj = edges.groupBy(_._1).view
+        .mapValues(_.map(e => (e._2, e._3))).toMap
+      val dist = scala.collection.mutable.Map(0L -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, 0L))(
+        Ordering.by(-_._2))
+      while (pq.nonEmpty) {
+        val (u, d) = pq.dequeue()
+        if (d == dist(u)) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((v, d + w)) }
+        }
+      }
+      val got = graft.operators.GraphAlgos.sssp(
+          edges.toDF("src", "dst", "weight"),
+          Seq(Tuple1(0L)).toDF("node"), maxRounds = n + 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist.toMap, s"trial $trial diverged; edges=$edges")
+    }
+  }
 }
