@@ -503,6 +503,21 @@ object RelationalQueries {
         sum(col("v_c")).over(w).as("v_c_7d"))
     },
 
+    // CDC changelog compaction (keep-latest upsert): one row per key,
+    // the newest by (ts, tiebreak) — the SCD1 sibling of q30/q38 and
+    // the standard lakehouse MERGE target shape. One keyed ranking
+    // window (partitioned by the key — never global).
+    "q39_changelog_compact" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables(s, dir).orders
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("timestamp").cast("long").as("as_of_s"),
+          col("o_orderkey").as("src_key"))
+    },
+
     // Incremental SCD2 upsert: the dimension is built from pre-1996
     // history, then the 1996+ batch is MERGED in — closed history and
     // untouched keys pass through by anti/semi join (the O(delta)
@@ -541,6 +556,14 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     // full replay of q30: change-flag lag window, run compression,
     // closing lead window (IS DISTINCT FROM = Spark's negated <=>)
+    "q39_changelog_compact" ->
+      """SELECT o_custkey, o_orderstatus,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS as_of_s,
+         o_orderkey AS src_key
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1""",
     // the merge's oracle IS the full-history rebuild: hash equality
     // proves the incremental upsert reproduces the q30 build exactly
     "q38_scd2_merge" ->
