@@ -422,25 +422,21 @@ object RelationalQueries {
     },
 
     // Time-series gap fill + forward fill (beyond-parity; the events
-    // table is ~5% sparse at hourly grain). Calendar generation is
-    // per-key `sequence()` over the key's own [min, max] span — no
-    // driver-side calendar, no cross join against a global spine; the
-    // forward fill is one window per key. At 100 TB the state is one
-    // row per (key, bucket), and the single window partitions by key —
+    // table is ~5% sparse at hourly grain) through TimeSeries.gapFill:
+    // the calendar generates in two bounded levels in bucket-index
+    // space (no row ever holds a key's whole span — the hazard the
+    // naive per-key sequence() has on decade-span keys), the join is
+    // on (key, bucket), and the forward fill is one window per key —
     // no global ordering anywhere.
     "q33_gapfill" -> { (s, dir) =>
       val hourly = Tables(s, dir).events
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
-      val cal = hourly.groupBy(col("event_type"))
-        .agg(min(col("hr")).as("d0"), max(col("hr")).as("d1"))
-        .select(col("event_type"),
-          explode(sequence(col("d0"), col("d1"), expr("interval 1 hour"))).as("hr"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
-      cal.join(hourly, Seq("event_type", "hr"), "left")
-        .select(col("event_type"), col("hr").cast("long").as("hr_epoch"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          last(col("v"), ignoreNulls = true).over(w).as("v_ff"))
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("long").as("hr_epoch"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v_ff"))
+      graft.operators.TimeSeries.gapFill(hourly, Seq("event_type"),
+          "hr_epoch", step = 3600L, zeroFill = Seq("n"),
+          forwardFill = Seq("v_ff"))
+        .select(col("event_type"), col("hr_epoch"), col("n"), col("v_ff"))
     },
 
     // §2.3 bloom-prefiltered semi join: the fact side is filtered by a

@@ -1505,6 +1505,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("gap fill: chunked calendar equals naive sequence; zero/forward fills") {
+    import graft.operators.TimeSeries
+    // key a: buckets 0,30,90 (gaps at 10,20,40..80); key b: single bucket
+    val df = Seq(("a", 0L, 5L, 1.5), ("a", 30L, 2L, 2.5), ("a", 90L, 1L, 3.5),
+      ("b", 50L, 7L, 9.9)).toDF("k", "t", "n", "v")
+    for (chunk <- Seq(1, 2, 3, 100)) {  // boundary-crossing chunk sizes
+      val r = TimeSeries.gapFill(df, Seq("k"), "t", step = 10L,
+        zeroFill = Seq("n"), forwardFill = Seq("v"), chunk = chunk)
+        .collect().map(x => (x.getString(0), x.getLong(1)) ->
+          ((x.getLong(2), x.getDouble(3)))).toMap
+      assert(r.size == 11, s"chunk=$chunk: ${r.size} rows")   // 10 for a, 1 for b
+      assert(r(("a", 0L)) == ((5L, 1.5)))
+      assert(r(("a", 10L)) == ((0L, 1.5)))   // zero count, forward-filled v
+      assert(r(("a", 40L)) == ((0L, 2.5)))
+      assert(r(("a", 90L)) == ((1L, 3.5)))
+      assert(r(("b", 50L)) == ((7L, 9.9)))
+    }
+  }
+
   test("scd2 merge equals full rebuild on random change streams") {
     import graft.operators.Scd2
     val rnd = new scala.util.Random(7)
