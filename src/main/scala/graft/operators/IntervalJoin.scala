@@ -33,21 +33,34 @@ object IntervalJoin {
 
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
                   right: DataFrame, rStart: String, rEnd: String,
-                  keys: Seq[String] = Nil, cell: Long = 86400L): DataFrame = {
+                  keys: Seq[String] = Nil, cell: Long = 86400L,
+                  chunk: Int = 1024): DataFrame = {
     require(cell > 0, s"cell width must be positive, got $cell")
-    def cells(s: Column, e: Column): Column =
-      sequence(floor(s / cell).cast("long"), floor(e / cell).cast("long"))
-    val lc = left.withColumn("__lcells", cells(col(lStart), col(lEnd)))
-      .withColumn("__cell", explode(col("__lcells")))
-    val rc = right.withColumn("__rcells", cells(col(rStart), col(rEnd)))
-      .withColumn("__cell", explode(col("__rcells")))
+    require(chunk > 0, s"chunk must be positive, got $chunk")
+    // two-level explode (coarse chunks of `chunk` cells, then the
+    // cells inside each chunk): a mis-sized `cell` against a very long
+    // interval produces many ROWS — inherent replication — but never a
+    // single huge array (the per-row bound is max(chunk, span/chunk)).
+    // The first covered cell is a scalar column, not element_at over a
+    // retained array, so nothing array-valued survives to the join.
+    def expand(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__i0", floor(col(s) / cell).cast("long"))
+        .withColumn("__i1", floor(col(e) / cell).cast("long"))
+        .withColumn("__c",
+          explode(sequence(floor(col("__i0") / chunk).cast("long"),
+            floor(col("__i1") / chunk).cast("long"))))
+        .withColumn("__cell",
+          explode(sequence(greatest(col("__c") * chunk, col("__i0")),
+            least(col("__c") * chunk + (chunk - 1), col("__i1")))))
+        .drop("__c", "__i1")
+    val lc = expand(left, lStart, lEnd).withColumnRenamed("__i0", "__lfirst")
+    val rc = expand(right, rStart, rEnd).withColumnRenamed("__i0", "__rfirst")
     lc.join(rc, keys :+ "__cell")
       // exact overlap, then count the pair only in the first shared
       // cell: max(firstCell_l, firstCell_r) — both replicas of a
       // surviving pair agree on it, so the predicate is a pure filter
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-        col("__cell") === greatest(element_at(col("__lcells"), 1),
-          element_at(col("__rcells"), 1)))
-      .drop("__cell", "__lcells", "__rcells")
+        col("__cell") === greatest(col("__lfirst"), col("__rfirst")))
+      .drop("__cell", "__lfirst", "__rfirst")
   }
 }

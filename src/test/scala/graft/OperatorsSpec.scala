@@ -1496,12 +1496,14 @@ class OperatorsSpec extends SparkSpec {
         col("ls") <= col("re") && col("rs") <= col("le"))
       .select(col("l_id"), col("r_id"))
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-    // cell width far from interval scale in both directions still exact
-    for (cell <- Seq(100L, 1000L)) {
+    // cell width far from interval scale in both directions still
+    // exact, and tiny chunk sizes (forcing chunk-boundary crossings in
+    // the two-level expansion) change nothing
+    for (cell <- Seq(100L, 1000L); chunk <- Seq(2, 1024)) {
       val got = IntervalJoin.overlapJoin(l, "ls", "le", r, "rs", "re",
-          Seq("key"), cell).select(col("l_id"), col("r_id"))
+          Seq("key"), cell, chunk).select(col("l_id"), col("r_id"))
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      assert(got == expect, s"cell=$cell: ${got.size} vs ${expect.size}")
+      assert(got == expect, s"cell=$cell chunk=$chunk: ${got.size} vs ${expect.size}")
     }
   }
 
