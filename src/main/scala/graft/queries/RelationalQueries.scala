@@ -395,6 +395,25 @@ object RelationalQueries {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
     },
 
+    // Externally-replayable HyperLogLog distinct count with an audited
+    // error row: the sketch is md5/integer arithmetic both engines
+    // compute bit-identically, so the APPROXIMATE estimate itself is
+    // under the exact-match oracle (Spark's approx_count_distinct is a
+    // black box no external engine can verify) — the recall-ledger
+    // pattern applied to counting. One map-side-combinable register
+    // aggregate; no distinct set ever shuffles.
+    "q40_hll_distinct" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val est = graft.operators.Sketches.hllDistinct(
+        li, Seq("l_returnflag"), "l_orderkey")
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        .join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"), col("n_hll"),
+          round(abs(col("n_hll") - col("n_exact")) / col("n_exact")
+            + lit(1e-11), 4).as("rel_err"))
+    },
+
     // §2.4 full grouping-set lattice: CUBE emits all 4 subsets in ONE
     // pass (Expand map-side, still partially aggregated before the
     // shuffle — N-pass union-of-scans is what this replaces at scale);
@@ -815,6 +834,43 @@ object RelationalQueries {
          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    // full replay of q40: same md5 register index / 60-bit rank value /
+    // binary-string rho, the harmonic sum as EXACT scaled integers in
+    // DECIMAL(38,0), and the one final double division written with
+    // the identical left-associated constants
+    "q40_hll_distinct" -> {
+      val poly = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${2 + i}, 1)) - 1) * " +
+          s"${1L << (4 * (15 - i))}").mkString(" + ")
+      s"""WITH x AS (SELECT l_returnflag,
+             md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+         r AS (SELECT l_returnflag,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+                  strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) AS b,
+             CAST($poly AS BIGINT) AS v
+           FROM x),
+         m AS (SELECT l_returnflag, b,
+             max(CASE WHEN v = 0 THEN 61
+                 ELSE 61 - length(bin(v)) END) AS mr
+           FROM r GROUP BY 1, 2),
+         s AS (SELECT l_returnflag,
+             sum(CAST((CAST(1 AS BIGINT) << CAST(61 - mr AS INTEGER))
+               AS DECIMAL(38,0))) AS s0,
+             count(*) AS present
+           FROM m GROUP BY 1),
+         e AS (SELECT l_returnflag,
+             round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+               2305843009213693952.0 /
+               CAST(s0 + (256 - present) *
+                 CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+               + 1e-11, 2) AS n_hll
+           FROM s),
+         ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem GROUP BY 1)
+         SELECT ex.l_returnflag, n_exact, n_hll,
+                round(abs(n_hll - n_exact) / n_exact + 1e-11, 4) AS rel_err
+         FROM ex JOIN e USING (l_returnflag)"""
+    },
     "q31_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,

@@ -1507,6 +1507,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hll distinct: within the m=256 error regime, duplicate-insensitive, " +
+       "partition-invariant") {
+    import graft.operators.Sketches
+    val n = 20000
+    val base = spark.range(0, n).toDF("v").withColumn("g", lit("x"))
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllDistinct(df, Seq("g"), "v").collect()(0).getDouble(1)
+    val e = est(base)
+    assert(math.abs(e - n) / n < 0.10, s"estimate $e for $n")  // 1.04/sqrt(256)=6.5%
+    // duplicates do not move the registers
+    assert(est(base.unionAll(base).unionAll(base)) == e)
+    // partitioning does not move the estimate (max is commutative)
+    assert(est(base.repartition(17)) == e)
+  }
+
   test("gap fill: chunked calendar equals naive sequence; zero/forward fills") {
     import graft.operators.TimeSeries
     // key a: buckets 0,30,90 (gaps at 10,20,40..80); key b: single bucket
