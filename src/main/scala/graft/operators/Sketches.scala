@@ -36,6 +36,39 @@ object Sketches {
   private val M = 256           // registers (b = 8 index bits)
   private val Scale = 1L << 61  // 2^61: the exact-integer scaling of 2^-M
 
+  /** Count-min sketch frequency estimates (Cormode–Muthukrishnan
+    * 2005), replayable for the same reason as [[hllDistinct]]: the d
+    * salted hash rows are md5 arithmetic, the counters are exact
+    * integer counts, and the estimate is an integer min — no floating
+    * point anywhere, so the approximate answer hash-matches an
+    * external replay exactly. The CMS guarantee (estimate ≥ true
+    * count, overshoot ≤ εN w.h.p. at w = e/ε) becomes an AUDITABLE
+    * column when joined with exact counts, as q41 does.
+    *
+    * Scale shape: the counter table is d·w rows regardless of input
+    * size (one map-side-combinable count), and probing joins the
+    * DISTINCT keys against it on (row, column) — the sketch of a
+    * 100 TB column is a broadcast-sized table. Returns one (key, est)
+    * row per distinct input value.
+    */
+  def cmsEstimates(df: DataFrame, valueCol: String,
+                   d: Int = 4, w: Int = 512): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    val cells = (0 until d).map { r =>
+      struct(lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"$r:"),
+          col(valueCol).cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % w).as("c"))
+    }
+    val ex = df.select(col(valueCol).as("key"),
+        explode(array(cells: _*)).as("rc"))
+      .select(col("key"), col("rc.r").as("r"), col("rc.c").as("c"))
+    val counters = ex.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    ex.select(col("key"), col("r"), col("c")).distinct()
+      .join(counters, Seq("r", "c"))
+      .groupBy(col("key")).agg(min(col("cnt")).as("est"))
+  }
+
   /** (groupCols..., n_hll) — raw HLL estimate, rounded 2dp. */
   def hllDistinct(df: DataFrame, groupCols: Seq[String],
                   valueCol: String): DataFrame = {

@@ -414,6 +414,21 @@ object RelationalQueries {
             + lit(1e-11), 4).as("rel_err"))
     },
 
+    // Count-min heavy hitters with the audit column inline: integer-
+    // only md5 sketch arithmetic, so the APPROXIMATE estimates are
+    // under the exact-match oracle; overcount = est − exact exposes
+    // the CMS one-sided-error guarantee (always ≥ 0) as data.
+    "q41_cms_heavy_hitters" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val est = graft.operators.Sketches.cmsEstimates(li, "l_partkey")
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
+        .join(est, col("l_partkey") === col("key"))
+        .select(col("l_partkey"), col("est"), col("n_exact"),
+          (col("est") - col("n_exact")).as("overcount"))
+        .orderBy(col("est").desc, col("l_partkey"))
+        .limit(20)
+    },
+
     // §2.4 full grouping-set lattice: CUBE emits all 4 subsets in ONE
     // pass (Expand map-side, still partially aggregated before the
     // shuffle — N-pass union-of-scans is what this replaces at scale);
@@ -834,6 +849,29 @@ object RelationalQueries {
          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    // full replay of q41: 4 salted md5 hash rows, exact counters,
+    // integer min — no floats anywhere in the sketch
+    "q41_cms_heavy_hitters" -> {
+      def hx(e: String) = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr($e, $i, 1)) - 1) * " +
+          s"${1L << (4 * (8 - i))}").mkString(" + ")
+      val branches = (0 until 4).map { r =>
+        s"""SELECT l_partkey AS key, $r AS r,
+            CAST(${hx(s"md5('$r:' || CAST(l_partkey AS VARCHAR))")}
+              AS BIGINT) % 512 AS c
+            FROM lineitem"""
+      }.mkString("\n         UNION ALL ")
+      s"""WITH ex AS ($branches),
+         counters AS (SELECT r, c, count(*) AS cnt FROM ex GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT key, r, c FROM ex),
+         est AS (SELECT key, min(cnt) AS est
+                 FROM probes JOIN counters USING (r, c) GROUP BY 1),
+         exact AS (SELECT l_partkey, count(*) AS n_exact
+                   FROM lineitem GROUP BY 1)
+         SELECT l_partkey, est, n_exact, est - n_exact AS overcount
+         FROM exact JOIN est ON l_partkey = key
+         ORDER BY est DESC, l_partkey LIMIT 20"""
+    },
     // full replay of q40: same md5 register index / 60-bit rank value /
     // binary-string rho, the harmonic sum as EXACT scaled integers in
     // DECIMAL(38,0), and the one final double division written with

@@ -1522,6 +1522,21 @@ class OperatorsSpec extends SparkSpec {
     assert(est(base.repartition(17)) == e)
   }
 
+  test("count-min: one-sided error, exact on heavy hitters vs a skewed stream") {
+    import graft.operators.Sketches
+    // zipf-ish: key k appears ceil(2000/k) times for k in 1..200
+    val rows = (1 to 200).flatMap(k => Seq.fill(math.ceil(2000.0 / k).toInt)(k.toLong))
+    val df = rows.toDF("v")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = Sketches.cmsEstimates(df, "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // CMS guarantee: never an undercount
+    est.foreach { case (k, e) => assert(e >= exact(k), s"undercount at $k") }
+    // at d=4, w=512 with 200 keys, the top hitters should be exact
+    assert(est(1L) == exact(1L) && est(2L) == exact(2L))
+  }
+
   test("gap fill: chunked calendar equals naive sequence; zero/forward fills") {
     import graft.operators.TimeSeries
     // key a: buckets 0,30,90 (gaps at 10,20,40..80); key b: single bucket
