@@ -69,16 +69,35 @@ object Sketches {
       .groupBy(col("key")).agg(min(col("cnt")).as("est"))
   }
 
-  /** (groupCols..., n_hll) — raw HLL estimate, rounded 2dp. */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String],
-                  valueCol: String): DataFrame = {
+  /** The (group, register, max-ρ) table — the sketch's mergeable,
+    * persistable state: registers of two corpora (or an at-rest
+    * register table and a new batch's) merge by one more max-groupBy,
+    * and `hllFromRegisters` of the merge EQUALS the estimate over the
+    * concatenated data (spec-asserted) — the incremental-counting
+    * shape: never re-scan history to keep a distinct count current.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                   valueCol: String): DataFrame = {
     val keys = groupCols.map(col)
     val h = md5(col(valueCol).cast("string").cast("binary"))
     val bucket = conv(substring(h, 1, 2), 16, 10).cast("long").as("__b")
     val v = conv(substring(h, 3, 15), 16, 10).cast("long")
     val rho = when(v === 0, lit(61)).otherwise(lit(61) - length(bin(v)))
-    val regs = df.select(keys :+ bucket :+ rho.as("__rho"): _*)
+    df.select(keys :+ bucket :+ rho.as("__rho"): _*)
       .groupBy(keys :+ col("__b"): _*).agg(max(col("__rho")).as("__m"))
+  }
+
+  /** Merge register tables (same group/register schema): max per
+    * (group, register). */
+  def hllMergeRegisters(regs: DataFrame*): DataFrame = {
+    val all = regs.reduce(_ unionByName _)
+    val keys = all.columns.filterNot(Seq("__m").contains).map(col)
+    all.groupBy(keys.toSeq: _*).agg(max(col("__m")).as("__m"))
+  }
+
+  /** Estimate from a register table produced by [[hllRegisters]]. */
+  def hllFromRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
     regs.groupBy(keys: _*)
       .agg(
         sum(expr("cast(shiftleft(1L, cast(61 - __m as int)) as decimal(38,0))"))
@@ -91,4 +110,9 @@ object Sketches {
               lit(java.math.BigDecimal.valueOf(Scale))).cast("double") +
           lit(1e-11), 2).as("n_hll"): _*)
   }
+
+  /** (groupCols..., n_hll) — raw HLL estimate, rounded 2dp. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, valueCol), groupCols)
 }

@@ -1522,6 +1522,20 @@ class OperatorsSpec extends SparkSpec {
     assert(est(base.repartition(17)) == e)
   }
 
+  test("hll registers merge losslessly: merged batches equal one pass") {
+    import graft.operators.Sketches
+    val a = spark.range(0, 8000).toDF("v").withColumn("g", lit("x"))
+    val b = spark.range(5000, 12000).toDF("v").withColumn("g", lit("x"))
+    val onePass = Sketches.hllDistinct(a.unionAll(b), Seq("g"), "v")
+      .collect()(0).getDouble(1)
+    val merged = Sketches.hllFromRegisters(
+      Sketches.hllMergeRegisters(
+        Sketches.hllRegisters(a, Seq("g"), "v"),
+        Sketches.hllRegisters(b, Seq("g"), "v")),
+      Seq("g")).collect()(0).getDouble(1)
+    assert(merged == onePass)
+  }
+
   test("count-min: one-sided error, exact on heavy hitters vs a skewed stream") {
     import graft.operators.Sketches
     // zipf-ish: key k appears ceil(2000/k) times for k in 1..200
