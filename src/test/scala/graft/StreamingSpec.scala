@@ -419,6 +419,41 @@ class StreamingSpec extends SparkSpec {
     assert(results.forall(_ == ((Set(11L, 13L), expectKeys))), results.toString)
   }
 
+  test("streaming HLL register maintenance: estimate after N batches equals " +
+    "one batch pass over the full stream") {
+    import graft.operators.Sketches
+    val dir = Files.createTempDirectory("graft_hllin").toFile.getAbsolutePath
+    val regDir = Files.createTempDirectory("graft_hllreg").toFile.getAbsolutePath
+    val batches = Seq((0L, 4000L), (3000L, 8000L), (7000L, 9000L))
+    def write(b: (Long, Long)) = spark.range(b._1, b._2).toDF("v")
+      .withColumn("g", lit("x")).write.mode("append").parquet(dir)
+    write(batches.head)
+    val stream = spark.readStream
+      .schema(spark.range(1).toDF("v").withColumn("g", lit("x")).schema)
+      .parquet(dir)
+    // per micro-batch: merge the batch's registers into the at-rest
+    // table — the sketch-at-rest counterpart of bloomCrawlDedup
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh = Sketches.hllRegisters(batch, Seq("g"), "v")
+        val merged =
+          if (new java.io.File(s"$regDir/t").exists())
+            Sketches.hllMergeRegisters(
+              batch.sparkSession.read.parquet(s"$regDir/t"), fresh)
+          else fresh
+        merged.localCheckpoint(true).write.mode("overwrite")
+          .parquet(s"$regDir/t")
+      }.start()
+    q.processAllAvailable()
+    batches.tail.foreach { b => write(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = Sketches.hllFromRegisters(
+      spark.read.parquet(s"$regDir/t"), Seq("g")).collect()(0).getDouble(1)
+    val onePass = Sketches.hllDistinct(
+      spark.read.parquet(dir), Seq("g"), "v").collect()(0).getDouble(1)
+    assert(streamed == onePass)
+  }
+
   test("late data beyond watermark is dropped from append output") {
     // two files: first advances the watermark far ahead, second is late
     val dir = Files.createTempDirectory("graft_late").toFile.getAbsolutePath
