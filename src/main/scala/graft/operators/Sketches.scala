@@ -54,17 +54,21 @@ object Sketches {
   def cmsEstimates(df: DataFrame, valueCol: String,
                    d: Int = 4, w: Int = 512): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
-    val cells = (0 until d).map { r =>
+    def cells(c: Column) = (0 until d).map { r =>
       struct(lit(r).as("r"),
         (conv(substring(md5(concat(lit(s"$r:"),
-          col(valueCol).cast("string")).cast("binary")), 1, 8), 16, 10)
+          c.cast("string")).cast("binary")), 1, 8), 16, 10)
           .cast("long") % w).as("c"))
     }
     val ex = df.select(col(valueCol).as("key"),
-        explode(array(cells: _*)).as("rc"))
-      .select(col("key"), col("rc.r").as("r"), col("rc.c").as("c"))
+        explode(array(cells(col(valueCol)): _*)).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
     val counters = ex.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
-    ex.select(col("key"), col("r"), col("c")).distinct()
+    // probes hash the DISTINCT keys, not a distinct over the exploded
+    // corpus — d·|keys| rows instead of re-aggregating d·|rows|
+    df.select(col(valueCol).as("key")).distinct()
+      .select(col("key"), explode(array(cells(col("key")): _*)).as("rc"))
+      .select(col("key"), col("rc.r").as("r"), col("rc.c").as("c"))
       .join(counters, Seq("r", "c"))
       .groupBy(col("key")).agg(min(col("cnt")).as("est"))
   }
