@@ -395,6 +395,24 @@ object RelationalQueries {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
     },
 
+    // Data-quality constraint report (Deequ/dbt-test shape): five
+    // declarative rules over orders+lineitem — null check, key
+    // uniqueness, referential integrity, range, and a predicate —
+    // each ONE map-side-combinable aggregate, unioned into the audit
+    // table a curation pipeline gates on. The range rule is chosen to
+    // FAIL (real violations counted), so the pass flag is exercised.
+    "q42_quality_report" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.operators.Quality.report(
+        graft.operators.Quality.notNull(t.orders, Seq("o_custkey", "o_orderdate")),
+        graft.operators.Quality.unique(t.orders, Seq("o_orderkey")),
+        graft.operators.Quality.foreignKey(t.lineitem, "l_orderkey",
+          t.orders, "o_orderkey"),
+        graft.operators.Quality.inRange(t.orders, "o_totalprice", 1000, 450000),
+        graft.operators.Quality.satisfies(t.lineitem, "disc_le_10pct",
+          col("l_discount") <= 0.1))
+    },
+
     // Externally-replayable HyperLogLog distinct count with an audited
     // error row: the sketch is md5/integer arithmetic both engines
     // compute bit-identically, so the APPROXIMATE estimate itself is
@@ -849,6 +867,28 @@ object RelationalQueries {
          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q42_quality_report" ->
+      """SELECT rule, n_violations,
+                CAST(n_violations = 0 AS INTEGER) AS pass FROM (
+         SELECT 'not_null:o_custkey,o_orderdate' AS rule,
+                count(*) FILTER (o_custkey IS NULL OR o_orderdate IS NULL)
+                  AS n_violations FROM orders
+         UNION ALL
+         SELECT 'unique:o_orderkey',
+                CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
+                  SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+         UNION ALL
+         SELECT 'fk:l_orderkey', count(*) FROM lineitem
+         WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders)
+         UNION ALL
+         SELECT 'range:o_totalprice',
+                count(*) FILTER (o_totalprice < 1000 OR o_totalprice > 450000)
+           FROM orders
+         UNION ALL
+         SELECT 'satisfies:disc_le_10pct',
+                count(*) FILTER (NOT coalesce(l_discount <= 0.1, false))
+           FROM lineitem)""",
     // full replay of q41: 4 salted md5 hash rows, exact counters,
     // integer min — no floats anywhere in the sketch
     "q41_cms_heavy_hitters" -> {

@@ -1522,6 +1522,27 @@ class OperatorsSpec extends SparkSpec {
     assert(est(base.repartition(17)) == e)
   }
 
+  test("quality rules count known violations; nulls fail predicates, not FKs") {
+    import graft.operators.Quality
+    val child = Seq((1L, Option(10L), Option(0.05)), (2L, Option(10L), None),
+      (3L, Option(99L), Option(0.5)), (4L, None, Option(0.05)),
+      (4L, Option(20L), Option(0.05)))
+      .toDF("id", "parent_id", "ratio")
+    val parent = Seq(Tuple1(10L), Tuple1(20L)).toDF("pid")
+    val r = Quality.report(
+        Quality.notNull(child, Seq("parent_id")),
+        Quality.unique(child, Seq("id")),
+        Quality.foreignKey(child, "parent_id", parent, "pid"),
+        Quality.inRange(child, "ratio", 0.0, 0.1),
+        Quality.satisfies(child, "r", col("ratio") <= 0.1))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(r("not_null:parent_id") == ((1L, 0)))
+    assert(r("unique:id") == ((1L, 0)))          // id 4 twice -> 1 surplus
+    assert(r("fk:parent_id") == ((1L, 0)))       // 99 orphan; null NOT counted
+    assert(r("range:ratio") == ((1L, 0)))        // 0.5 out; null not counted
+    assert(r("satisfies:r") == ((2L, 0)))        // 0.5 fails AND null fails
+  }
+
   test("hll registers merge losslessly: merged batches equal one pass") {
     import graft.operators.Sketches
     val a = spark.range(0, 8000).toDF("v").withColumn("g", lit("x"))
