@@ -432,6 +432,34 @@ object RelationalQueries {
             + lit(1e-11), 4).as("rel_err"))
     },
 
+    // Mergeable-sketch rollup: DAILY HLL registers of active users,
+    // rolled up to WEEKLY distinct estimates by max-merging registers
+    // — no rescan of raw events for the coarser grain (max is
+    // associative, so the rollup is IDENTICAL to computing weekly
+    // registers directly, which is exactly what the oracle does).
+    // This is the pre-aggregated-cube pattern for distinct counts: at
+    // 100 TB the daily register tables are m rows per day at rest,
+    // and any ad-hoc date-range distinct count is one max-groupBy
+    // over them. Exact weekly counts ride along as the audit column.
+    "q43_hll_rollup" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .withColumn("day",
+          floor(col("ts").cast("long") / 86400).cast("long"))
+      val daily = graft.operators.Sketches.hllRegisters(
+        ev, Seq("day"), "user_id")
+      val weekly = graft.operators.Sketches.hllFromRegisters(
+        daily.withColumn("wk", floor(col("day") / 7).cast("long"))
+          .groupBy(col("wk"), col("__b")).agg(max(col("__m")).as("__m")),
+        Seq("wk"))
+      ev.withColumn("wk", floor(col("day") / 7).cast("long"))
+        .groupBy(col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(weekly, Seq("wk"))
+        .select(col("wk"), col("n_exact"), col("n_hll"),
+          round(abs(col("n_hll") - col("n_exact")) / col("n_exact")
+            + lit(1e-11), 4).as("rel_err"))
+    },
+
     // Count-min heavy hitters with the audit column inline: integer-
     // only md5 sketch arithmetic, so the APPROXIMATE estimates are
     // under the exact-match oracle; overcount = est − exact exposes
@@ -529,6 +557,34 @@ object RelationalQueries {
         .select(col("prio"), col("l_id"), col("r_id"),
           (least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
             .as("overlap_s"))
+    },
+
+    // First-touch attribution: each purchase credits the user's FIRST
+    // click in the prior 7 days (min (ts, id) struct — deterministic),
+    // unattributed purchases kept by the left join. The join is
+    // user-keyed with the window as a residual condition — per-user
+    // work, no time-bucket explosion needed at this selectivity (the
+    // interval-join lowering is the escape hatch when a key's event
+    // density makes user-pairs quadratic).
+    "q44_first_touch" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("t"), col("event_type"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("t").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("cu"),
+          col("t").as("c_ts"))
+      val firsts = p.join(c, col("user_id") === col("cu") &&
+          col("c_ts") >= col("p_ts") - 604800L && col("c_ts") < col("p_ts"))
+        .groupBy(col("p_id"))
+        .agg(min(struct(col("c_ts"), col("c_id"))).as("f"))
+        .select(col("p_id").as("fp_id"), col("f.c_id").as("c_id"),
+          col("f.c_ts").as("f_ts"))
+      p.join(firsts, col("p_id") === col("fp_id"), "left")
+        .select(col("p_id"), col("user_id"), col("c_id"),
+          (col("p_ts") - col("f_ts")).as("secs_before"))
     },
 
     // §2.5 RANGE-framed moving aggregates: 7-day trailing sum/count
@@ -912,6 +968,43 @@ object RelationalQueries {
          FROM exact JOIN est ON l_partkey = key
          ORDER BY est DESC, l_partkey LIMIT 20"""
     },
+    // replay of q43: max-merge associativity means the weekly rollup
+    // equals computing weekly registers directly — which is what this
+    // does, with the q40 register/decimal machinery on user_id
+    "q43_hll_rollup" -> {
+      val poly = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${2 + i}, 1)) - 1) * " +
+          s"${1L << (4 * (15 - i))}").mkString(" + ")
+      s"""WITH x AS (SELECT
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS wk,
+             user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+         r AS (SELECT wk, user_id,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+                  strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) AS b,
+             CAST($poly AS BIGINT) AS v
+           FROM x),
+         m AS (SELECT wk, b,
+             max(CASE WHEN v = 0 THEN 61
+                 ELSE 61 - length(bin(v)) END) AS mr
+           FROM r GROUP BY 1, 2),
+         s AS (SELECT wk,
+             sum(CAST((CAST(1 AS BIGINT) << CAST(61 - mr AS INTEGER))
+               AS DECIMAL(38,0))) AS s0,
+             count(*) AS present
+           FROM m GROUP BY 1),
+         e AS (SELECT wk,
+             round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+               2305843009213693952.0 /
+               CAST(s0 + (256 - present) *
+                 CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+               + 1e-11, 2) AS n_hll
+           FROM s),
+         ex AS (SELECT wk, count(DISTINCT user_id) AS n_exact
+                FROM x GROUP BY 1)
+         SELECT ex.wk, n_exact, n_hll,
+                round(abs(n_hll - n_exact) / n_exact + 1e-11, 4) AS rel_err
+         FROM ex JOIN e USING (wk)"""
+    },
     // full replay of q40: same md5 register index / 60-bit rank value /
     // binary-string rho, the harmonic sum as EXACT scaled integers in
     // DECIMAL(38,0), and the one final double division written with
@@ -998,6 +1091,22 @@ object RelationalQueries {
          SELECT l.prio, l_id, r_id,
                 CAST(least(le, re) - greatest(ls, rs) AS BIGINT) AS overlap_s
          FROM l JOIN r ON l.prio = r.prio AND ls <= re AND rs <= le""",
+    "q44_first_touch" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type FROM events),
+         p AS (SELECT event_id AS p_id, user_id, t AS p_ts FROM e
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, t AS c_ts FROM e
+               WHERE event_type = 'click'),
+         pr AS (SELECT p.p_id, c.c_id, c.c_ts FROM p JOIN c
+                ON p.user_id = c.user_id
+                AND c.c_ts >= p.p_ts - 604800 AND c.c_ts < p.p_ts),
+         f AS (SELECT p_id, min(c_ts) AS f_ts FROM pr GROUP BY 1),
+         pk AS (SELECT pr.p_id, f.f_ts, min(pr.c_id) AS c_id
+                FROM pr JOIN f ON pr.p_id = f.p_id AND pr.c_ts = f.f_ts
+                GROUP BY 1, 2)
+         SELECT p.p_id, p.user_id, pk.c_id, p.p_ts - pk.f_ts AS secs_before
+         FROM p LEFT JOIN pk ON p.p_id = pk.p_id""",
     "q36_moving_window" ->
       """WITH daily AS (
            SELECT event_type,
