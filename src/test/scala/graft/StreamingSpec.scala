@@ -105,6 +105,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.count(_ == "user") == 1)
   }
 
+  test("left-outer interval join emits unmatched rows once the watermark passes") {
+    val pDir = Files.createTempDirectory("graft_loj_p").toFile.getAbsolutePath
+    val cDir = Files.createTempDirectory("graft_loj_c").toFile.getAbsolutePath
+    val p1 = Seq(("p1", ts("2024-01-01 00:00:25"), "u1"),   // matches c2
+      ("p2", ts("2024-01-01 00:00:50"), "u1"))              // no click in window
+      .toDF("purchase_id", "pts", "user")
+    val c1 = Seq(("c2", ts("2024-01-01 00:00:20"), "u1"))
+      .toDF("click_id", "cts", "user")
+    p1.write.mode("append").parquet(pDir); c1.write.mode("append").parquet(cDir)
+    val joined = Streams.intervalJoin(
+      spark.readStream.schema(p1.schema).parquet(pDir),
+      spark.readStream.schema(c1.schema).parquet(cDir),
+      Seq("user"), "pts", "cts", lookback = "10 seconds",
+      watermark = "5 seconds", joinType = "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_loj").start()
+    q.processAllAvailable()
+    // outer results hold until the watermark clears the join window:
+    // push both watermarks far past p2's window, then expect the null row
+    Seq(("p9", ts("2024-01-01 00:10:00"), "u9")).toDF("purchase_id", "pts", "user")
+      .write.mode("append").parquet(pDir)
+    Seq(("c9", ts("2024-01-01 00:10:00"), "u9")).toDF("click_id", "cts", "user")
+      .write.mode("append").parquet(cDir)
+    q.processAllAvailable()
+    // one more cycle so the state-store eviction from the advanced
+    // watermark lands in an emitted batch
+    Seq(("p10", ts("2024-01-01 00:12:00"), "u9")).toDF("purchase_id", "pts", "user")
+      .write.mode("append").parquet(pDir)
+    Seq(("c10", ts("2024-01-01 00:12:00"), "u9")).toDF("click_id", "cts", "user")
+      .write.mode("append").parquet(cDir)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_loj")
+      .select(col("purchase_id"), col("click_id")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(rows("p1") == Some("c2"))
+    assert(rows.contains("p2") && rows("p2").isEmpty,
+      s"unmatched purchase not emitted with null: $rows")
+  }
+
   test("incremental view maintains latest aggregate per key") {
     val view = new Streams.IncrementalView(Seq("kind"))
     val agg = fileStream(events)
