@@ -92,7 +92,9 @@ object Bench {
       "q01_pricing_summary", "q03_topk_revenue", "q08_window_topn_per_group",
       "q15_star_join", "q19_tumbling_window", "q21_session_islands",
       "q26_asof_join", "q27_funnel", "q33_gapfill", "q34_bloom_semijoin",
-      "q35_interval_join", "q38_scd2_merge",
+      "q35_interval_join", "q38_scd2_merge", "q40_hll_distinct",
+      "q41_cms_heavy_hitters", "q42_quality_report", "q43_hll_rollup",
+      "q44_first_touch",
       // dedup tier
       "dd01_exact_dedup", "dd02_minhash_lsh", "dd03_simhash",
       "dd05_embedding_neardup", "dd08_dedup_resolve",

@@ -109,6 +109,23 @@ object ProcedureRegistry {
     graft.operators.GraphAlgos.kCore(e, k = if (k > 0) k else 2)
   })
 
+  // approximate distinct values of a node property via the replayable
+  // HLL sketch: CALL db.distinctEstimate('Customer', 'c_custkey')
+  //   YIELD n_hll — constant state (m registers) however large the
+  // label table; the batch operators expose the register tables for
+  // incremental maintenance.
+  register("db.distinctestimate", (spark, cat, args) => {
+    import org.apache.spark.sql.functions.lit
+    (args.headOption, args.lift(1)) match {
+      case (Some(label: String), Some(prop: String)) =>
+        graft.operators.Sketches.hllDistinct(
+          cat.entity(label).df.withColumn("__g", lit(1)), Seq("__g"), prop)
+          .drop("__g")
+      case other => throw new IllegalArgumentException(
+        s"db.distinctEstimate takes (label, property), got $other")
+    }
+  })
+
   // per-node triangle counts + local clustering coefficient:
   // CALL graph.triangles('KNOWS'[, _, undirected])
   //   YIELD node, triangles, degree, cc

@@ -99,20 +99,31 @@ object Sketches {
     all.groupBy(keys.toSeq: _*).agg(max(col("__m")).as("__m"))
   }
 
-  /** Estimate from a register table produced by [[hllRegisters]]. */
+  /** Estimate from a register table produced by [[hllRegisters]],
+    * with Flajolet's small-range correction: when the raw estimate is
+    * ≤ 2.5m and empty registers remain, linear counting
+    * (m·ln(m/V), V = empty registers) replaces it — raw HLL
+    * overestimates tiny cardinalities by orders of magnitude. The
+    * branch condition and both branches are identical expressions in
+    * the external replay; ln is the one libm call in the pipeline,
+    * and the 2dp(+1e-11) rounding absorbs cross-engine ulps.
+    */
   def hllFromRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val keys = groupCols.map(col)
+    val vZero = lit(M) - col("__present")
+    val raw =
+      lit(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0) * lit(Scale.toDouble) /
+        (col("__s0") + vZero * lit(java.math.BigDecimal.valueOf(Scale)))
+          .cast("double")
+    val est = when(raw <= lit(2.5 * 256.0) && vZero > 0,
+      lit(M.toDouble) * log(lit(M.toDouble) / vZero.cast("double")))
+      .otherwise(raw)
     regs.groupBy(keys: _*)
       .agg(
         sum(expr("cast(shiftleft(1L, cast(61 - __m as int)) as decimal(38,0))"))
           .as("__s0"),
         count(lit(1)).as("__present"))
-      .select(keys :+
-        round(
-          lit(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0) * lit(Scale.toDouble) /
-            (col("__s0") + (lit(M) - col("__present")) *
-              lit(java.math.BigDecimal.valueOf(Scale))).cast("double") +
-          lit(1e-11), 2).as("n_hll"): _*)
+      .select(keys :+ round(est + lit(1e-11), 2).as("n_hll"): _*)
   }
 
   /** (groupCols..., n_hll) — raw HLL estimate, rounded 2dp. */

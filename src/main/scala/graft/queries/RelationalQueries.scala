@@ -992,13 +992,17 @@ object RelationalQueries {
                AS DECIMAL(38,0))) AS s0,
              count(*) AS present
            FROM m GROUP BY 1),
-         e AS (SELECT wk,
-             round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+         e0 AS (SELECT wk, 256 - present AS vz,
+             0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
                2305843009213693952.0 /
                CAST(s0 + (256 - present) *
-                 CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
-               + 1e-11, 2) AS n_hll
+                 CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE) AS raw
            FROM s),
+         e AS (SELECT wk,
+             round(CASE WHEN raw <= 2.5 * 256.0 AND vz > 0
+               THEN 256.0 * ln(256.0 / CAST(vz AS DOUBLE))
+               ELSE raw END + 1e-11, 2) AS n_hll
+           FROM e0),
          ex AS (SELECT wk, count(DISTINCT user_id) AS n_exact
                 FROM x GROUP BY 1)
          SELECT ex.wk, n_exact, n_hll,
@@ -1029,13 +1033,17 @@ object RelationalQueries {
                AS DECIMAL(38,0))) AS s0,
              count(*) AS present
            FROM m GROUP BY 1),
-         e AS (SELECT l_returnflag,
-             round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+         e0 AS (SELECT l_returnflag, 256 - present AS vz,
+             0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
                2305843009213693952.0 /
                CAST(s0 + (256 - present) *
-                 CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
-               + 1e-11, 2) AS n_hll
+                 CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE) AS raw
            FROM s),
+         e AS (SELECT l_returnflag,
+             round(CASE WHEN raw <= 2.5 * 256.0 AND vz > 0
+               THEN 256.0 * ln(256.0 / CAST(vz AS DOUBLE))
+               ELSE raw END + 1e-11, 2) AS n_hll
+           FROM e0),
          ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
            FROM lineitem GROUP BY 1)
          SELECT ex.l_returnflag, n_exact, n_hll,

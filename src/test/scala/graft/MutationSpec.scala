@@ -514,6 +514,12 @@ class MutationSpec extends SparkSpec {
          RETURN origin, n_reached, closeness ORDER BY origin""").collect()
     assert(cl.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
       Seq((0L, 1L, 1.0), (1L, 1L, 1.0)))
+    // HLL distinct estimate of a node property (3 distinct names →
+    // the m=256 sketch is near-exact at this cardinality)
+    val de = eng.query(
+      """CALL db.distinctEstimate('Person', 'name') YIELD n_hll
+         RETURN n_hll""").collect()
+    assert(de.length == 1 && math.abs(de(0).getDouble(0) - 3.0) < 0.1, de.toSeq)
   }
 
   test("CALL db.procedures lists the registry, including graph analytics") {
