@@ -370,17 +370,19 @@ object PipelineQueries {
 
     // Distributed BPE tokenizer training: the learned merge table in
     // rank order (Sennrich greedy pair-merging over the distinct-word
-    // count table). Deterministic (lexicographic tie-break) but a
-    // driver-looped fixpoint — rows-only check; semantics are pinned by
-    // the hand-computed OperatorsSpec merge sequence.
+    // count table). Deterministic (lexicographic tie-break), so the
+    // driver-looped fixpoint replays exactly as 30 unrolled DuckDB
+    // MATERIALIZED CTEs — FULLY oracled (plus the hand-computed
+    // OperatorsSpec merge sequence).
     "bpe01_bpe_train" -> { (s, dir) =>
       Bpe.trainTable(s, Tables(s, dir).documents, numMerges = 30)
     },
 
     // Encode under the learned vocabulary: per-doc whitespace vs BPE
     // token counts + chars-per-token compression — the token-budget
-    // sizing signal. Map-only codegen'd replace chain; rows-only check
-    // (the vocabulary is data-dependent, so no static SQL oracle).
+    // sizing signal. FULLY oracled: the DuckDB replay re-learns the 30
+    // merges (same unroll as bpe01) and applies them in rank order to
+    // the distinct-word table.
     "bpe02_bpe_encode" -> { (s, dir) =>
       Bpe.encodeStats(Tables(s, dir).documents, bpeMerges(s, dir))
     },
@@ -2297,6 +2299,90 @@ object PipelineQueries {
                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
                   'g'),
                   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
-         FROM pii"""
+         FROM pii""",
+    // full replay of bpe01: 30 unrolled Sennrich merge iterations over
+    // the distinct-word count table (the gr05/gr06 fixed-unroll
+    // pattern). Each iteration is deterministic — pair explode → count
+    // → argmax with (n DESC, a, b) lexicographic tie-break → literal
+    // sentinel-replace — so the replay is exact; DuckDB's replace() is
+    // the same left-to-right non-overlapping scan as Java's, and the
+    // doubled-sentinel framing makes adjacency unambiguous (Bpe.scala's
+    // representation note). 30 merges at sf0.01 never hits the
+    // minPairCount=2 early stop (rank-30 count is 934), so the fixed
+    // unroll covers the whole loop.
+    "bpe01_bpe_train" -> {
+      s"""WITH ${bpeTrainCtes(30)}
+         ${(1 to 30).map(i =>
+            s"""SELECT $i AS rank, a AS "left", b AS "right", n AS pair_count FROM m$i""")
+           .mkString("\n         UNION ALL ")}"""
+    },
+    // full replay of bpe02: the same 30 training CTEs yield the merge
+    // table, then a second chain applies each merge in rank order to
+    // the distinct words of the corpus (rank order IS priority order —
+    // a later merge's operands only exist after earlier merges ran).
+    // Per-doc stats come from joining word instances back to the
+    // per-distinct-word BPE length.
+    "bpe02_bpe_encode" -> {
+      val S = "chr(31)"
+      val SS = "chr(31)||chr(31)"
+      val encodeChain = (1 to 30).map(i =>
+        s"""e$i AS MATERIALIZED (
+           SELECT word, replace(w, (SELECT $S||a||$SS||b||$S FROM m$i),
+             (SELECT $S||a||b||$S FROM m$i)) AS w FROM e${i - 1})""").mkString(",\n         ")
+      s"""WITH ${bpeTrainCtes(30)},
+         dw AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+           FROM documents),
+         e0 AS MATERIALIZED (
+           SELECT word, $S || array_to_string(
+             regexp_split_to_array(replace(word, chr(31), ''), ''), $SS) || $S AS w
+           FROM (SELECT DISTINCT word FROM dw)),
+         $encodeChain,
+         bl AS (
+           SELECT word, CAST(len(string_split(substr(w, 2, length(w) - 2), $SS)) AS BIGINT)
+             AS bpe_len FROM e30),
+         agg AS (
+           SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
+                  CAST(sum(bl.bpe_len) AS BIGINT) AS bpe_tokens
+           FROM dw JOIN bl USING (word) GROUP BY 1)
+         SELECT d.doc_id, agg.ws_tokens, agg.bpe_tokens,
+                round(length(regexp_replace(d.text, '\\s+', '', 'g')) * 1.0
+                  / agg.bpe_tokens + 1e-11, 4) AS chars_per_token
+         FROM documents d JOIN agg ON d.doc_id = agg.doc_id"""
+    }
   )
+
+  /** The shared bpe01/bpe02 training unroll: wc (distinct-word counts
+    * under the corpus tokenization) → w0 (sentinel-wrapped) → 30 ×
+    * (m_i argmax merge, w_i replace). Mirrors Bpe.train exactly —
+    * cited there per iteration step.
+    */
+  private def bpeTrainCtes(n: Int): String = {
+    val S = "chr(31)"
+    val SS = "chr(31)||chr(31)"
+    def pairs(src: String) =
+      s"""SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+           SELECT unnest(list_transform(range(1, len(syms)),
+             i -> {'a': syms[i], 'b': syms[i+1]})) AS p, cnt
+           FROM (SELECT string_split(substr(w, 2, length(w) - 2), $SS) AS syms, cnt
+                 FROM $src))
+           GROUP BY 1, 2"""
+    val head =
+      s"""wc AS (
+           SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+             FROM documents)
+           WHERE length(replace(word, chr(31), '')) > 0 GROUP BY 1),
+         w0 AS MATERIALIZED (
+           SELECT $S || array_to_string(
+             regexp_split_to_array(replace(word, chr(31), ''), ''), $SS) || $S AS w, cnt
+           FROM wc)"""
+    val iters = (1 to n).map(i =>
+      s"""m$i AS MATERIALIZED (
+           SELECT a, b, n FROM (${pairs(s"w${i - 1}")}) ORDER BY n DESC, a, b LIMIT 1),
+         w$i AS MATERIALIZED (
+           SELECT replace(w, (SELECT $S||a||$SS||b||$S FROM m$i),
+             (SELECT $S||a||b||$S FROM m$i)) AS w, cnt FROM w${i - 1})""")
+    (head +: iters).mkString(",\n         ")
+  }
 }
