@@ -115,17 +115,35 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Above this many merges, encode switches from the literal-replace
+    * chain (one expression node per merge — ideal codegen at demo
+    * sizes, but a 32k-merge vocab would be a 32k-deep expression tree,
+    * past Janino's 64KB method limit into interpreted fallback) to
+    * [[graft.functions.BpeApply]], whose vocabulary rides as ONE
+    * codegen reference object with O(1) plan size.
+    */
+  private[graft] val ChainMaxMerges = 64
+
   /** Encode: apply the merges to a wrapped word in rank order, one
     * left-to-right pass each — the standard apply-BPE chain (a later
     * merge's operands only ever exist after earlier merges ran, so
-    * rank order IS priority order). Returns the symbol array.
+    * rank order IS priority order). Returns the symbol array. Small
+    * vocabularies inline as a literal-replace chain; real ones route
+    * through the O(1)-plan [[graft.functions.BpeApply]] expression
+    * (BpeApplySpec proves the two paths agree).
     */
-  private def encodeWord(word: Column, merges: Seq[Merge]): Column = {
-    val merged = merges.foldLeft(wrapChars(word)) { (w, m) =>
-      replace(w, lit(S + m.left + S + S + m.right + S), lit(S + m.left + m.right + S))
+  private[graft] def encodeWord(word: Column, merges: Seq[Merge]): Column =
+    if (merges.size <= ChainMaxMerges) {
+      val merged = merges.foldLeft(wrapChars(word)) { (w, m) =>
+        replace(w, lit(S + m.left + S + S + m.right + S), lit(S + m.left + m.right + S))
+      }
+      symbolsOf(merged)
+    } else {
+      org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.functions.BpeApply(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(word),
+          merges.map(m => (m.left, m.right))))
     }
-    symbolsOf(merged)
-  }
 
   /** Per-document token accounting under the learned vocabulary:
     * whitespace tokens, BPE tokens, and chars-per-BPE-token
