@@ -299,7 +299,10 @@ object GraphAlgos {
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }
       val next = cur.localCheckpoint()
-      val sig = next.agg(count(lit(1)), sum(col("dist"))).collect()(0)
+      // coalesce: an empty seed set makes sum(dist) null — converge to
+      // an empty result instead of an NPE on getLong
+      val sig = next.agg(count(lit(1)),
+        coalesce(sum(col("dist")), lit(0L))).collect()(0)
       val nextSig = (sig.getLong(0), sig.getLong(1))
       converged = nextSig == signature
       dist = next
@@ -336,7 +339,10 @@ object GraphAlgos {
           .groupBy(col("origin"), col("node")).agg(min(col("dist")).as("dist"))
       }
       val next = cur.localCheckpoint()
-      val sig = next.agg(count(lit(1)), sum(col("dist"))).collect()(0)
+      // coalesce: an empty seed set makes sum(dist) null — converge to
+      // an empty result instead of an NPE on getLong
+      val sig = next.agg(count(lit(1)),
+        coalesce(sum(col("dist")), lit(0L))).collect()(0)
       val nextSig = (sig.getLong(0), sig.getLong(1))
       converged = nextSig == signature
       dist = next

@@ -1140,12 +1140,23 @@ object Similarity {
               queryVecId: Long, k: Int, lambda: Double = 0.7,
               shortlist: Int = 40): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need 1 <= k <= shortlist")
+    // ids must be integral (the result schema and the greedy driver
+    // loop are long-typed); int/short ids are widened below, string
+    // ids are rejected here instead of a ClassCastException mid-query
+    require({
+      import org.apache.spark.sql.types._
+      df.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }, s"mmrTopK: $idCol must be an integral id column, " +
+      s"got ${df.schema(idCol).dataType.sql}")
     val spark = df.sparkSession
     val nd = dimsOf(df, vecCol)
     val q = df.filter(col(idCol) === queryVecId)
       .select(asDouble(col(vecCol)).as("qv"))
     val short = df.filter(col(idCol) =!= queryVecId)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(q))
       .select(col("id"), col("v"),
         round(cosine(col("v"), col("qv"), nd) + lit(1e-11), 6).as("sim"))

@@ -49,7 +49,8 @@ object Sketches {
     * size (one map-side-combinable count), and probing joins the
     * DISTINCT keys against it on (row, column) — the sketch of a
     * 100 TB column is a broadcast-sized table. Returns one (key, est)
-    * row per distinct input value.
+    * row per distinct NON-NULL input value (null keys are filtered,
+    * per SQL aggregate convention — see the note in the body).
     */
   def cmsEstimates(df: DataFrame, valueCol: String,
                    d: Int = 4, w: Int = 512): DataFrame = {
@@ -60,13 +61,19 @@ object Sketches {
           c.cast("string")).cast("binary")), 1, 8), 16, 10)
           .cast("long") % w).as("c"))
     }
-    val ex = df.select(col(valueCol).as("key"),
+    // null keys are EXCLUDED (explicitly, here) — md5(null) would
+    // otherwise yield null cells that silently vanish from both the
+    // counters and the probe join; SQL-aggregate convention (count()
+    // etc. skip nulls), and it keeps "one (key, est) row per distinct
+    // NON-NULL value" exact
+    val in = df.filter(col(valueCol).isNotNull)
+    val ex = in.select(col(valueCol).as("key"),
         explode(array(cells(col(valueCol)): _*)).as("rc"))
       .select(col("rc.r").as("r"), col("rc.c").as("c"))
     val counters = ex.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
     // probes hash the DISTINCT keys, not a distinct over the exploded
     // corpus — d·|keys| rows instead of re-aggregating d·|rows|
-    df.select(col(valueCol).as("key")).distinct()
+    in.select(col(valueCol).as("key")).distinct()
       .select(col("key"), explode(array(cells(col("key")): _*)).as("rc"))
       .select(col("key"), col("rc.r").as("r"), col("rc.c").as("c"))
       .join(counters, Seq("r", "c"))

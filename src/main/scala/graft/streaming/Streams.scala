@@ -402,14 +402,23 @@ object Streams {
     import graft.operators.BloomJoin
     var bloom: BloomFilter = null
     val keysDir = s"$indexDir/keys"
+    // index-at-rest existence through Hadoop's FileSystem, not
+    // java.io.File — on HDFS/S3 a local-File check is always false, so
+    // a restart would silently rebuild an EMPTY bloom AND skip the
+    // exact anti-join sliver, emitting known duplicates as survivors
+    def indexExists(spark: org.apache.spark.sql.SparkSession): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(keysDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     stream.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val spark = batch0.sparkSession
         val batch = batch0.localCheckpoint(true)
         if (!batch.isEmpty) {
+          val haveIndex = indexExists(spark)
           if (bloom == null) {
             bloom = BloomFilter.create(expectedItems, fpp)
-            if (new java.io.File(keysDir).exists()) {
+            if (haveIndex) {
               val existing = spark.read.parquet(keysDir)
               bloom.mergeInPlace(
                 existing.select(xxhash64(col("k")).as("__h"))
@@ -421,7 +430,7 @@ object Streams {
           val definitelyNew = batch.filter(
             !BloomJoin.mightContain(bytes, col(textCol)))
           val sliver =
-            if (new java.io.File(keysDir).exists())
+            if (haveIndex)
               batch.filter(BloomJoin.mightContain(bytes, col(textCol)))
                 .join(spark.read.parquet(keysDir)
                   .select(col("k").as(textCol)), Seq(textCol), "left_anti")
@@ -435,12 +444,18 @@ object Streams {
               Seq(textCol, idCol), "left_semi")
             .localCheckpoint(true)
           if (!survivors.isEmpty) {
+            // survivor rows FIRST, index keys second: a crash between
+            // the two writes then at worst re-emits those survivors on
+            // replay (duplicate output, recoverable downstream) — the
+            // reverse order would anti-join the replayed rows away and
+            // lose the documents permanently
+            survivors.write.mode("append").parquet(survivorDir)
             survivors.select(col(textCol).as("k"))
               .write.mode("append").parquet(keysDir)
             bloom.mergeInPlace(
               survivors.select(xxhash64(col(textCol)).as("__h"))
                 .stat.bloomFilter("__h", expectedItems, fpp))
-            survivors.write.mode("append").parquet(survivorDir)
+            ()
           }
         }
       }

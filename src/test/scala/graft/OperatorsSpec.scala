@@ -1481,6 +1481,35 @@ class OperatorsSpec extends SparkSpec {
     val d = GraphAlgos.sssp(edges, seeds, maxRounds = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 1L)) // 2 via 3, not w5 direct
+    // empty seed set → empty result, not an NPE from a null sum() in
+    // the convergence signature
+    val empty = Seq.empty[Tuple1[Long]].toDF("node")
+    assert(GraphAlgos.sssp(edges, empty, maxRounds = 3).count() == 0L)
+    assert(GraphAlgos.multiSourceHopDistances(
+      edges.select(col("src"), col("dst")), empty, maxRounds = 3).count() == 0L)
+  }
+
+  test("mmrTopK widens int ids; rejects string ids up front") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0, Seq(1.0f, 0.0f)), (1, Seq(0.9f, 0.1f)),
+      (2, Seq(0.8f, 0.2f)), (3, Seq(0.0f, 1.0f)))
+    val intIds = vecs.toDF("vec_id", "embedding") // vec_id is IntegerType
+    val got = Similarity.mmrTopK(intIds, "vec_id", "embedding",
+        queryVecId = 0L, k = 2, shortlist = 3).collect()
+      .map(r => r.getAs[Long]("vec_id")).toSet
+    val longIds = vecs.map { case (i, v) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val want = Similarity.mmrTopK(longIds, "vec_id", "embedding",
+        queryVecId = 0L, k = 2, shortlist = 3).collect()
+      .map(r => r.getAs[Long]("vec_id")).toSet
+    assert(got == want && got.size == 2)
+    val strIds = vecs.map { case (i, v) => (i.toString, v) }
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(strIds, "vec_id", "embedding", 0L, 2, shortlist = 3)
+    }
+    assert(err.getMessage.contains("integral"))
   }
 
   test("interval join equals brute-force inequality join on random intervals") {
@@ -1570,6 +1599,13 @@ class OperatorsSpec extends SparkSpec {
     est.foreach { case (k, e) => assert(e >= exact(k), s"undercount at $k") }
     // at d=4, w=512 with 200 keys, the top hitters should be exact
     assert(est(1L) == exact(1L) && est(2L) == exact(2L))
+    // null keys are excluded explicitly (not silently hashed to null
+    // cells): counters and probe agree, non-null estimates unchanged
+    val withNulls = rows.map(Option(_)).toDF("v")
+      .unionAll(Seq.fill(5)(None: Option[Long]).toDF("v"))
+    val estN = Sketches.cmsEstimates(withNulls, "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(estN == est)
   }
 
   test("gap fill: chunked calendar equals naive sequence; zero/forward fills") {
