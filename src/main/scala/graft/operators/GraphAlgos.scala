@@ -30,11 +30,13 @@ object GraphAlgos {
     * collapses in the partial aggregate), plus a single-row broadcast
     * for the dangling mass, derived by conservation from the same
     * aggregate (D = 1 - Σ contributions) so the rank vector is
-    * traversed exactly once per iteration. The n-row contribution
-    * table is the iteration's only materialization (pinning it keeps
-    * the loop's plan linear — both its readers would otherwise
-    * re-execute the whole prefix). No driver-side loops: the only
-    * driver scalar is the node count, one job at build time.
+    * traversed exactly once per iteration. Because that dangling
+    * scalar stays in-plan (broadcast aggregate, not a driver collect),
+    * TWO iterations fuse into one linear plan between
+    * materializations — the rank vector checkpoints once per two
+    * steps, bit-identically (the sssp/closeness double-step). No
+    * driver-side loops: the only driver scalar is the node count, one
+    * job at build time (plus the opt-in tolerance delta).
     *
     * Node set = distinct sources ∪ destinations. `relative = true`
     * returns rank scaled by n (rank relative to uniform — the form
@@ -87,32 +89,44 @@ object GraphAlgos {
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
-      // the aggregated n-row contribution table is the iteration's one
-      // materialization: it is read twice (dangling mass + rank
-      // update), and pinning it keeps the loop's plan linear
-      val contrib = w.join(ranks, Seq("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("__w") / col("outdeg")).as("s"))
-        .localCheckpoint()
-      // dangling mass by conservation: ranks always sum to exactly 1,
-      // and the contribution stream sums to the non-dangling mass
-      // (each source's rank/outdeg appears once per out-edge), so
-      // D = 1 - Σs — no second pass over the rank vector, no
-      // anti-join. fp error vs the explicit dangling sum is ~1 ulp,
-      // ~1e-21 per rank after the /n — invisible at any rounding
-      val dang = contrib
-        .agg((lit(1.0) - coalesce(sum(col("s")), lit(0.0))).as("dmass"))
-      val rankExpr = seeds match {
-        case Some(_) =>
-          lit(1.0 - damping) * teleport + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + col("dmass") * teleport)
-        case None =>
-          lit(base) + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + col("dmass") / nN)
+      // double-step between materializations (the sssp/closeness
+      // fusion): the dangling scalar is IN-PLAN (a broadcast 1-row
+      // aggregate of the contribution table, not a driver collect), so
+      // two full iterations compose into one linear plan and the rank
+      // vector materializes once per two steps — same expressions,
+      // bit-identical ranks, half the checkpoint + scheduler floor.
+      // Within a fused step the contribution subplan has two readers
+      // (dangling mass + rank update); Catalyst's exchange reuse
+      // shares its shuffle, so the cost is one extra n-row hash
+      // aggregate, far below a materialization. Tolerance mode stays
+      // single-step: the stop rule compares CONSECUTIVE iterations.
+      val steps = if (tolerance.isDefined) 1 else math.min(2, iterations - it)
+      var cur = ranks
+      for (_ <- 1 to steps) {
+        val contrib = w.join(cur, Seq("node"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") * col("__w") / col("outdeg")).as("s"))
+        // dangling mass by conservation: ranks always sum to exactly 1,
+        // and the contribution stream sums to the non-dangling mass
+        // (each source's rank/outdeg appears once per out-edge), so
+        // D = 1 - Σs — no second pass over the rank vector, no
+        // anti-join. fp error vs the explicit dangling sum is ~1 ulp,
+        // ~1e-21 per rank after the /n — invisible at any rounding
+        val dang = contrib
+          .agg((lit(1.0) - coalesce(sum(col("s")), lit(0.0))).as("dmass"))
+        val rankExpr = seeds match {
+          case Some(_) =>
+            lit(1.0 - damping) * teleport + lit(damping) *
+              (coalesce(col("s"), lit(0.0)) + col("dmass") * teleport)
+          case None =>
+            lit(base) + lit(damping) *
+              (coalesce(col("s"), lit(0.0)) + col("dmass") / nN)
+        }
+        cur = nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"), rankExpr.as("rank"))
       }
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"), rankExpr.as("rank"))
+      val next = cur.localCheckpoint()
       // convergence is opt-in because the L∞ delta is one extra n-row
       // join + max aggregate per iteration (a driver scalar, the
       // standard power-iteration stop rule); `iterations` stays the
@@ -125,7 +139,7 @@ object GraphAlgos {
         converged = delta < tol
       }
       ranks = next
-      it += 1
+      it += steps
     }
     if (relative) ranks.select(col("node"), (col("rank") * nN).as("rank"))
     else ranks
@@ -190,8 +204,10 @@ object GraphAlgos {
     * one map-side-combinable (node, label) count, and one
     * per-node-partitioned ranking window (its partition size is the
     * number of DISTINCT neighbor labels, which shrinks every
-    * iteration — never a global window). Labels are checkpointed per
-    * iteration to keep the loop's plan linear.
+    * iteration — never a global window). Labels are checkpointed once
+    * per TWO iterations (double-step fusion — the update is pure, so
+    * fused steps are label-identical) to keep the loop's plan linear
+    * at half the materializations.
     *
     * Synchronous LPA can oscillate on bipartite structures (period-2
     * flips) — the documented trade for determinism; `iterations` caps
@@ -203,18 +219,28 @@ object GraphAlgos {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iterations) {
-      val counts = e.join(labels, e("src") === labels("node"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("c").desc, col("label"))
-      val won = counts.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("dst").as("node"), col("label").as("__new"))
-      labels = nodes.join(won, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("__new"), col("node")).as("label"))
-        .localCheckpoint()
+    var it = 0
+    while (it < iterations) {
+      // the update is pure (join + count + ranking window), so two
+      // iterations fuse into one linear plan between checkpoints —
+      // identical labels, half the materializations (the pageRank/
+      // sssp double-step)
+      val steps = math.min(2, iterations - it)
+      var cur = labels
+      for (_ <- 1 to steps) {
+        val counts = e.join(cur, e("src") === cur("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("dst"))
+          .orderBy(col("c").desc, col("label"))
+        val won = counts.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("dst").as("node"), col("label").as("__new"))
+        cur = nodes.join(won, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__new"), col("node")).as("label"))
+      }
+      labels = cur.localCheckpoint()
+      it += steps
     }
     labels
   }
