@@ -54,6 +54,11 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
   private var errorCount = 0
   private var totalMs = 0.0
   private var done = false
+  // caller-recorded per-query audit (not a session listener — the REPL
+  // owns exactly its own queries), feeding `.metrics`' baseline +
+  // regression analytics through [[QueryAnalytics]]; graft-visible so
+  // specs can feed synthetic history to the `.metrics` surface
+  private[graft] val audit = new QueryAudit(engine.spark)
 
   private def echo(s: String = ""): Unit = { out.println(s); out.flush() }
 
@@ -143,6 +148,7 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
       case Right((df, total, shown)) =>
         queryCount += 1
         totalMs += ms
+        audit.record(query, "repl", ms, total)
         displayResult(df, total, shown)
         echo(f"$total row(s)  ($ms%.1f ms)")
     }
@@ -348,8 +354,39 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
     echo()
     echo(f"Session metrics: $queryCount quer${if (queryCount == 1) "y" else "ies"}, " +
       f"$errorCount error(s), total $totalMs%.1f ms, avg $avg%.1f ms")
+    // performance analytics over the session's per-query audit
+    // (QueryAnalytics — the reference's AnalyticsEngine/
+    // RegressionDetector surface): latency percentiles, then any
+    // fingerprints whose recent runs regressed vs their own baseline
+    if (queryCount > 0) {
+      val df = audit.toDF
+      val s = QueryAnalytics.summary(df).collect()(0)
+      echo(f"Latency: p50 ${s.getAs[Double]("p50_ms")}%.1f ms, " +
+        f"p95 ${s.getAs[Double]("p95_ms")}%.1f ms, " +
+        f"max ${s.getAs[Double]("max_ms")}%.1f ms")
+      val alerts = QueryAnalytics.regressions(df,
+          baselineWindow = replBaselineWindow, recentWindow = replRecentWindow)
+        .collect()
+      alerts.foreach { a =>
+        echo(f"REGRESSION [${a.getAs[String]("severity")}] " +
+          f"${a.getAs[Double]("ratio")}%.1fx slower " +
+          f"(baseline ${a.getAs[Double]("baseline_ms")}%.1f ms -> " +
+          f"recent ${a.getAs[Double]("current_ms")}%.1f ms): " +
+          a.getAs[String]("sample_label").linesIterator.mkString(" ").take(80))
+      }
+      if (alerts.isEmpty) echo("No query regressions detected.")
+    }
     echo()
   }
+
+  // regression windows sized for an interactive session (the library
+  // default of 20+5 suits service traffic); conf-overridable
+  private def replBaselineWindow: Int =
+    engine.spark.conf.getOption("graft.repl.regressionBaselineWindow")
+      .flatMap(_.toIntOption).getOrElse(5)
+  private def replRecentWindow: Int =
+    engine.spark.conf.getOption("graft.repl.regressionRecentWindow")
+      .flatMap(_.toIntOption).getOrElse(3)
 
   private def doHistory(): Unit = {
     echo()

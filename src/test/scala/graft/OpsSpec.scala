@@ -297,4 +297,77 @@ class OpsSpec extends SparkSpec {
     assert(text.contains("complexity:"))
     assert(text.contains("Physical Plan") || text.contains("Scan"))
   }
+
+  test("regression detector: a slowed query yields exactly one alert; " +
+    "steady and short-history queries yield none") {
+    import graft.ops.{QueryAnalytics, QueryAudit}
+    val audit = new QueryAudit(spark)
+    // slowed: 20 baseline runs ~10ms, then 5 recent runs ~60ms (6x →
+    // critical at the default 5x bar); recorded with strictly
+    // increasing synthetic timestamps via distinct labels? record()
+    // stamps wall time — order by insertion is preserved because each
+    // call gets currentTimeMillis and ties sort stably by duration,
+    // so make recent runs strictly later via a tiny sleep each 5 rows
+    def burst(label: String, ms: Double, n: Int): Unit =
+      (1 to n).foreach { _ =>
+        audit.record(label, "collect", ms); Thread.sleep(2)
+      }
+    burst("MATCH (n:Doc) WHERE n.x > 1 RETURN n", 10.0, 20)
+    burst("MATCH (n:Doc) WHERE n.x > 9 RETURN n", 60.0, 5) // same fingerprint
+    // steady control at the same volume
+    burst("MATCH (m:Other) RETURN count(m)", 12.0, 25)
+    // short history (below baseline+recent): must not alert even if slow
+    burst("MATCH (q:New) RETURN q", 500.0, 6)
+    val alerts = QueryAnalytics.regressions(audit.toDF).collect()
+    assert(alerts.length == 1, alerts.mkString("\n"))
+    val a = alerts(0)
+    assert(a.getAs[String]("severity") == "critical")
+    assert(a.getAs[Double]("ratio") == 6.0)
+    assert(a.getAs[Double]("baseline_ms") == 10.0)
+    assert(a.getAs[Double]("current_ms") == 60.0)
+    assert(a.getAs[String]("sample_label").contains("n.x > 9"))
+    // 2x-5x classifies as warning
+    val audit2 = new QueryAudit(spark)
+    (1 to 20).foreach(_ => audit2.record("q", "collect", 10.0))
+    Thread.sleep(5)
+    (1 to 5).foreach(_ => audit2.record("q", "collect", 25.0))
+    val warn = QueryAnalytics.regressions(audit2.toDF).collect()
+    assert(warn.length == 1 && warn(0).getAs[String]("severity") == "warning")
+    // a recovered query (recent back to baseline) clears
+    Thread.sleep(5)
+    (1 to 5).foreach(_ => audit2.record("q", "collect", 10.0))
+    assert(QueryAnalytics.regressions(audit2.toDF).isEmpty)
+  }
+
+  test("analytics summary/baselines/trends over synthetic audit history") {
+    import graft.ops.{QueryAnalytics, QueryAudit}
+    val audit = new QueryAudit(spark)
+    (1 to 9).foreach(i => audit.record("a", "collect", i * 10.0))
+    audit.record("a", "collect", -1.0, status = "failure")
+    val s = QueryAnalytics.summary(audit.toDF, slowThresholdMs = 45.0).collect()(0)
+    assert(s.getAs[Long]("total_queries") == 10L)
+    assert(s.getAs[Double]("error_rate") == 0.1)
+    assert(s.getAs[Double]("p50_ms") == 50.0)   // exact interpolated median of 10..90
+    assert(s.getAs[Double]("min_ms") == 10.0 && s.getAs[Double]("max_ms") == 90.0)
+    assert(s.getAs[Long]("n_slow") == 5L)       // 50..90
+    val b = QueryAnalytics.baselines(audit.toDF).collect()
+    assert(b.length == 1 && b(0).getAs[Long]("n") == 9L &&
+      b(0).getAs[Double]("median_ms") == 50.0)
+    val t = QueryAnalytics.trends(audit.toDF, bucketSeconds = 3600L).collect()
+    assert(t.map(_.getAs[Long]("query_count")).sum == 10L)
+    assert(t.map(_.getAs[Long]("error_count")).sum == 1L)
+    // text fingerprinting (no plan hash): literals collapse, so the
+    // same structure with different constants shares a fingerprint
+    import org.apache.spark.sql.functions.lit
+    val fp = spark.range(1).select(
+      QueryAnalytics.fingerprintCol(
+        lit("MATCH (n) WHERE n.age > 30 RETURN n"), lit("")).as("f1"),
+      QueryAnalytics.fingerprintCol(
+        lit("MATCH  (n) WHERE n.age > 99  RETURN n"), lit("")).as("f2"),
+      QueryAnalytics.fingerprintCol(
+        lit("MATCH (n) WHERE n.name = 'x' RETURN m"), lit("")).as("f3"))
+      .collect()(0)
+    assert(fp.getString(0) == fp.getString(1))
+    assert(fp.getString(0) != fp.getString(2))
+  }
 }

@@ -111,6 +111,32 @@ class ReplSpec extends SparkSpec {
       "MATCH (p:Person) RETURN count(*) AS n;",
       ".metrics")
     assert(t.contains("2 queries"), t)
+    // the analytics surface rides along: latency percentiles and the
+    // (empty, here) regression report
+    assert(t.contains("Latency: p50"), t)
+    assert(t.contains("No query regressions detected."), t)
+  }
+
+  test(".metrics surfaces a regression alert from the session audit") {
+    val engine = freshEngine
+    val out = new StringWriter()
+    val repl = new CypherRepl(engine,
+      new BufferedReader(new StringReader(
+        "MATCH (p:Person) RETURN count(*) AS n;\n.metrics")),
+      new PrintWriter(out), historyFile = None)
+    // feed synthetic history sized to the REPL's interactive windows
+    // (baseline 5 + recent 3): one fingerprint runs 5 x 10ms then
+    // 3 x 80ms (8x -> critical). The real query above ensures
+    // queryCount > 0 so doMetrics runs the analytics block.
+    (1 to 5).foreach(_ => repl.audit.record("MATCH (d:Doc) RETURN d", "repl", 10.0))
+    Thread.sleep(5)
+    (1 to 3).foreach(_ => repl.audit.record("MATCH (d:Doc) RETURN d", "repl", 80.0))
+    repl.run()
+    val t = out.toString
+    assert(t.contains("REGRESSION [critical]"), t)
+    assert(t.contains("8.0x slower"), t)
+    assert(t.count(_ == 'R') > 0 &&
+      "REGRESSION".r.findAllIn(t).size == 1, t) // exactly one alert
   }
 
   test(".history and .search recall prior input") {
