@@ -68,13 +68,41 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
     * `Star.run(query, timeout_seconds=…)` (star.py:625-690). The
     * timeout guards the ACTION; expiry cancels the query's job group so
     * no orphaned stages keep running.
+    *
+    * The collect is BOUNDED: at most `maxRows` rows reach the driver
+    * (default 10,000 — finite on purpose: an unbounded `MATCH (n)
+    * RETURN n` through the convenience API must not OOM the driver).
+    * Like the REPL, one execution fetches maxRows+1 and a distributed
+    * count runs only on overflow, so within-bound queries cost a
+    * single job. `runCounted` reports the truncation; pass
+    * `Int.MaxValue` to opt back into an unbounded collect explicitly.
     */
   def run(cypher: String, timeoutSeconds: Double,
-          params: Map[String, Any] = Map.empty): Array[org.apache.spark.sql.Row] = {
+          params: Map[String, Any] = Map.empty,
+          maxRows: Int = CypherEngine.DefaultMaxRows)
+  : Array[org.apache.spark.sql.Row] =
+    runCounted(cypher, timeoutSeconds, params, maxRows).rows
+
+  /** [[run]] with the truncation made explicit: the retained page, the
+    * TRUE distributed row count, and whether the page is partial.
+    */
+  def runCounted(cypher: String, timeoutSeconds: Double,
+                 params: Map[String, Any] = Map.empty,
+                 maxRows: Int = CypherEngine.DefaultMaxRows)
+  : CypherEngine.RunResult = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
     metrics.started.incrementAndGet()
     try {
       val r = graft.ops.QueryGuard.withTimeout(spark, timeoutSeconds) {
-        query(cypher, params).collect()
+        val df = query(cypher, params)
+        val fetched =
+          if (maxRows == Int.MaxValue) df.collect()
+          else df.limit(maxRows + 1).collect()
+        if (fetched.length > maxRows)
+          CypherEngine.RunResult(fetched.take(maxRows), df.count(),
+            truncated = true)
+        else CypherEngine.RunResult(fetched, fetched.length.toLong,
+          truncated = false)
       }
       metrics.completed.incrementAndGet()
       r
@@ -191,6 +219,15 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
 }
 
 object CypherEngine {
+  /** Driver-side row cap for the convenience collect APIs. */
+  val DefaultMaxRows: Int = 10000
+
+  /** A bounded collect: the retained rows, the true total count, and
+    * whether `rows` is a partial page.
+    */
+  final case class RunResult(rows: Array[org.apache.spark.sql.Row],
+                             totalRows: Long, truncated: Boolean)
+
   def apply(spark: SparkSession): CypherEngine =
     new CypherEngine(spark, new GraphCatalog)
 }

@@ -298,6 +298,25 @@ class OpsSpec extends SparkSpec {
     assert(text.contains("Physical Plan") || text.contains("Scan"))
   }
 
+  test("run bounds its collect: huge results truncate with the true count") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val big = spark.range(30000)
+      .select(col("id").as("__ID__"),
+        concat(lit("n"), col("id").cast("string")).as("name"))
+    val cat = new GraphCatalog().addEntity("Person", big)
+    val eng = new CypherEngine(spark, cat)
+    val r = eng.runCounted("MATCH (p:Person) RETURN p.name AS n",
+      timeoutSeconds = 120, maxRows = 100)
+    assert(r.rows.length == 100 && r.totalRows == 30000L && r.truncated)
+    // the convenience array form truncates at the finite default
+    assert(eng.run("MATCH (p:Person) RETURN p.name AS n", 120).length ==
+      CypherEngine.DefaultMaxRows)
+    // within-bound results are complete and unmarked
+    val small = eng.runCounted(
+      "MATCH (p:Person) WHERE p.__ID__ < 3 RETURN p.name AS n", 120)
+    assert(small.rows.length == 3 && small.totalRows == 3L && !small.truncated)
+  }
+
   test("regression detector: a slowed query yields exactly one alert; " +
     "steady and short-history queries yield none") {
     import graft.ops.{QueryAnalytics, QueryAudit}
