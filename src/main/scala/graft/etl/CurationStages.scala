@@ -1,0 +1,160 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Declarative curation stages for YAML pipelines — the beyond-parity
+  * dedup/quality/text tier exposed with `nmetl run` ergonomics
+  * (reference: the config-driven pipeline path in
+  * /root/reference/packages/pycypher/src/pycypher/ingestion/config.py +
+  * cli/pipeline.py — its stages stop at source→query→output; graft adds
+  * the curation ops a pre-training corpus needs between source and
+  * output, WITHOUT Scala: gate → dedup → decontaminate → budget from
+  * one YAML file).
+  *
+  * Every stage maps 1:1 onto a library operator (the same code the
+  * dd/tx oracle queries run) and preserves the input's full column
+  * set — stages are document FILTERS (or, for `pii_redact`, a text
+  * rewrite), so they compose in any order. Params arrive as strings
+  * from YAML and are validated here.
+  */
+object CurationStages {
+
+  val SupportedOps: Set[String] = Set("quality_gate", "langid_filter",
+    "exact_dedup", "minhash_dedup", "decontaminate", "pii_redact",
+    "sample", "token_budget")
+
+  /** Apply one stage to the document frame. */
+  def apply(spark: SparkSession, df: DataFrame, idCol: String,
+            textCol: String, stage: CurationStageDef): DataFrame = {
+    def param(name: String): Option[String] = stage.params.get(name)
+    def intParam(name: String, default: Int): Int =
+      param(name).map(_.toInt).getOrElse(default)
+    def longParam(name: String): Option[Long] = param(name).map(_.toLong)
+    def doubleParam(name: String, default: Double): Double =
+      param(name).map(_.toDouble).getOrElse(default)
+    // operators in the text tier take (doc_id, text) — present the
+    // frame under those names, keep results keyed by the real id
+    def docs: DataFrame =
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+    stage.op match {
+      case "quality_gate" =>
+        // keep documents at/above the quality threshold (length
+        // saturation + lexical diversity — TextAnalysis.qualityScore)
+        val minQ = doubleParam("min_quality", 0.5)
+        val keep = TextAnalysis.qualityScore(docs)
+          .filter(col("quality") >= minQ)
+          .select(col("doc_id").as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+
+      case "langid_filter" =>
+        // keep documents whose predicted language is in `allow`
+        val allow = param("allow").getOrElse(
+          throw new IllegalArgumentException(
+            "langid_filter needs allow: comma-separated language codes"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val keep = TextAnalysis.languageId(docs)
+          .filter(col("pred_lang").isin(allow: _*))
+          .select(col("doc_id").as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+
+      case "exact_dedup" =>
+        // lowest id per exact text hash survives (Dedup.exactByHash)
+        val keep = Dedup.exactByHash(df, col(textCol), col(idCol))
+          .select(col("keep_id").as(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+
+      case "minhash_dedup" =>
+        // MinHash-LSH candidate pairs → connected components → the
+        // highest-quality doc per cluster survives (the dd08 shape)
+        val pairs = Dedup.minHashLshPairs(df, idCol, textCol,
+          shingleSize = intParam("shingle_size", 3),
+          numHashes = intParam("num_hashes", 64),
+          bands = intParam("bands", 16))
+        val quality = TextAnalysis.qualityScore(docs)
+          .select(col("doc_id").as(idCol), col("quality"))
+        val survivors = Sampling.resolveDuplicates(pairs, quality, idCol)
+          .select(col(idCol))
+        df.join(survivors, Seq(idCol), "left_semi")
+
+      case "decontaminate" =>
+        // drop documents sharing more than `max_hits` distinct n-grams
+        // with the benchmark corpus (broadcast gram set — Dedup
+        // .decontaminate, the dd09 shape)
+        val benchUri = param("benchmark_uri").getOrElse(
+          throw new IllegalArgumentException(
+            "decontaminate needs benchmark_uri"))
+        val benchIdCol = param("benchmark_id_col").getOrElse(idCol)
+        val benchTextCol = param("benchmark_text_col").getOrElse(textCol)
+        val bench = PipelineRunner.readSource(spark, benchUri)
+          .select(col(benchIdCol).as(idCol), col(benchTextCol).as(textCol))
+        val maxHits = longParam("max_hits").getOrElse(0L)
+        val contaminated = Dedup.decontaminate(df, bench, idCol, textCol,
+            n = intParam("ngram", 4))
+          .filter(col("hits") > maxHits)
+          .select(col("id").as(idCol))
+        df.join(contaminated, Seq(idCol), "left_anti")
+
+      case "pii_redact" =>
+        // rewrite the text column with emails/IPv4s/phones replaced by
+        // placeholder tags (TextAnalysis.redactPii)
+        val red = TextAnalysis.redactPii(df, idCol, textCol)
+          .select(col(idCol), col("redacted"))
+        df.withColumnRenamed(textCol, "__orig")
+          .join(red, Seq(idCol))
+          .withColumn(textCol, col("redacted"))
+          .drop("__orig", "redacted")
+
+      case "sample" =>
+        // deterministic id-hash sample, n/16ths of the corpus
+        Sampling.hashSample(df, idCol, intParam("sixteenths", 8))
+
+      case "token_budget" =>
+        // hash-ordered greedy fill to a whitespace-token budget, per
+        // `group_col` when given else one global budget
+        // (Sampling.budgetSample — salted two-phase prefix sum)
+        val budget = longParam("budget").getOrElse(
+          throw new IllegalArgumentException("token_budget needs budget"))
+        val weighted = df
+          .withColumn("__wt",
+            size(split(trim(col(textCol)), "\\s+")).cast("long"))
+        val (grouped, groupCol) = param("group_col") match {
+          case Some(g) => (weighted, g)
+          case None    => (weighted.withColumn("__grp", lit("all")), "__grp")
+        }
+        val budgets = param("group_col") match {
+          case Some(_) =>
+            // per-group budgets as group=value pairs, e.g.
+            // budgets: "en=50000,de=10000"; groups not named keep
+            // everything; `budget` is the default for named-only form
+            param("budgets") match {
+              case Some(spec) => spec.split(",").map { kv =>
+                val Array(k, v) = kv.split("=")
+                k.trim -> v.trim.toLong
+              }.toMap
+              case None =>
+                throw new IllegalArgumentException(
+                  "token_budget with group_col needs budgets: g=v,...")
+            }
+          case None => Map("all" -> budget)
+        }
+        Sampling.budgetSample(grouped, idCol, groupCol, "__wt", budgets)
+          .drop("__wt", "__grp")
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown curation op '$other' (supported: " +
+            s"${SupportedOps.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** Run a whole curation pipeline: stages in order over the input. */
+  def run(spark: SparkSession, input: DataFrame,
+          pipeline: CurationPipelineDef): DataFrame =
+    pipeline.stages.foldLeft(input) { (df, stage) =>
+      apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
+    }
+}

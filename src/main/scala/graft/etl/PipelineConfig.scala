@@ -21,12 +21,30 @@ final case class RelationshipSource(id: String, uri: String, relationshipType: S
 final case class QueryDef(id: String, cypher: String, description: Option[String])
 final case class OutputDef(queryId: String, uri: String, format: Option[String])
 
+/** One declarative curation stage: an operator name from
+  * [[CurationStages.SupportedOps]] plus its (string-typed, YAML-sourced)
+  * parameters.
+  */
+final case class CurationStageDef(op: String, params: Map[String, String])
+
+/** A curation pipeline: documents in (a source URI, or the id of an
+  * earlier curation pipeline to chain from), stages in order, optional
+  * sink. The result also lands in the run's results map under `id`, so
+  * `output:` entries can reference it like any query id.
+  */
+final case class CurationPipelineDef(id: String, input: String,
+                                     idCol: String, textCol: String,
+                                     stages: Seq[CurationStageDef],
+                                     outputUri: Option[String],
+                                     format: Option[String])
+
 final case class PipelineConfig(name: String, description: Option[String],
                                 entities: Seq[EntitySource],
                                 relationships: Seq[RelationshipSource],
                                 queries: Seq[QueryDef],
                                 outputs: Seq[OutputDef],
-                                auditUri: Option[String] = None)
+                                auditUri: Option[String] = None,
+                                curation: Seq[CurationPipelineDef] = Seq.empty)
 
 object PipelineConfig {
 
@@ -85,12 +103,31 @@ object PipelineConfig {
     val outputs = arr(root, "output").map { o =>
       OutputDef(req(o, "query_id", "output"), req(o, "uri", "output"), str(o, "format"))
     }
+    val curation = arr(root, "curation").map { c =>
+      val id = req(c, "id", "curation pipeline")
+      val stages = arr(c, "stages").map { s =>
+        val op = req(s, "op", s"curation pipeline $id stage")
+        val params = s.properties().asScala
+          .filter(_.getKey != "op")
+          .map(kv => kv.getKey -> kv.getValue.asText).toMap
+        CurationStageDef(op, params)
+      }
+      require(stages.nonEmpty, s"curation pipeline $id has no stages")
+      CurationPipelineDef(id,
+        input = req(c, "input", s"curation pipeline $id"),
+        idCol = str(c, "id_col").getOrElse("doc_id"),
+        textCol = str(c, "text_col").getOrElse("text"),
+        stages = stages,
+        outputUri = str(c, "output"),
+        format = str(c, "format"))
+    }
     PipelineConfig(
       name = project.map(p => req(p, "name", "project")).getOrElse("pipeline"),
       description = project.flatMap(p => str(p, "description")),
       entities, relationships, queries, outputs,
       // project.audit_uri: parquet sink for the run's query-audit
       // records (star.py:833-896 parity in the nmetl path)
-      auditUri = project.flatMap(p => str(p, "audit_uri")))
+      auditUri = project.flatMap(p => str(p, "audit_uri")),
+      curation = curation)
   }
 }

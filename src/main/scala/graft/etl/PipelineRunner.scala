@@ -250,7 +250,33 @@ object PipelineRunner {
     dependencyOrder(engine, config.queries).foreach { q =>
       results(q.id) = graft.ops.QueryAudit.label(engine.execute(q.cypher), q.id)
     }
-    val written = config.outputs.map { o =>
+    // curation pipelines (gate → dedup → budget from YAML): input is a
+    // source URI or an earlier result id (a query's frame or a prior
+    // curation pipeline — declaration order is execution order), and
+    // the curated frame joins the results map so `output:` entries can
+    // reference it like any query id
+    val curationWrites = config.curation.map { c =>
+      val input = results.getOrElse(c.input,
+        readSource(spark, c.input))
+      val curated = graft.ops.QueryAudit.label(
+        CurationStages.run(spark, input, c), c.id)
+      results(c.id) = curated
+      c.outputUri.foreach { uri =>
+        val t0 = System.nanoTime()
+        try {
+          writeSink(curated, uri, c.format)
+          audit.foreach(_.record(c.id, s"sink:$uri", (System.nanoTime() - t0) / 1e6))
+        } catch {
+          case e: Throwable =>
+            audit.foreach(_.record(c.id, s"sink:$uri",
+              (System.nanoTime() - t0) / 1e6, status = "failure",
+              error = String.valueOf(e.getMessage).take(500)))
+            throw e
+        }
+      }
+      c.outputUri
+    }.flatten
+    val written = curationWrites ++ config.outputs.map { o =>
       val df = results.getOrElse(o.queryId,
         throw new IllegalArgumentException(s"output references unknown query ${o.queryId}"))
       val t0 = System.nanoTime()

@@ -77,6 +77,95 @@ class PipelineSpec extends SparkSpec {
     assert(written.count() == 2)
   }
 
+  test("curation stages run from YAML: gate -> dedup -> budget, chained " +
+    "decontamination, sink written") {
+    import spark.implicits._
+    val dir = tmpDir; val out = tmpDir
+    // distinct-word text so quality (ttr x length saturation) is high
+    val wordsA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val wordsB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val nearA = (1 to 39).map(i => s"alpha$i").mkString(" ") + " changed"
+    Seq(
+      (1L, wordsA),            // survives everything
+      (2L, wordsA),            // exact dup of 1 -> exact_dedup drops
+      (3L, nearA),             // near-dup of 1 -> minhash_dedup drops
+      (4L, "a a a a a"),       // low quality -> quality_gate drops
+      (5L, wordsB)             // survives gate+dedup; decontaminated later
+    ).toDF("doc_id", "text").write.parquet(s"$dir/docs.parquet")
+    Seq((100L, wordsB)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/bench.parquet")
+    val cfg = PipelineConfig.parse(
+      s"""project:
+         |  name: curation_test
+         |curation:
+         |  - id: curated
+         |    input: file://$dir/docs.parquet
+         |    stages:
+         |      - op: quality_gate
+         |        min_quality: 0.5
+         |      - op: exact_dedup
+         |      - op: minhash_dedup
+         |      - op: token_budget
+         |        budget: 1000
+         |    output: file://$out/curated.parquet
+         |  - id: decontaminated
+         |    input: curated
+         |    stages:
+         |      - op: decontaminate
+         |        benchmark_uri: file://$dir/bench.parquet
+         |""".stripMargin)
+    assert(cfg.curation.size == 2 && cfg.curation.head.stages.size == 4)
+    val result = PipelineRunner.run(spark, cfg)
+    val curated = result.queries("curated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(curated == Set(1L, 5L), s"curated = $curated")
+    // chained pipeline consumed the first one's frame, then dropped the
+    // benchmark-contaminated doc
+    val decon = result.queries("decontaminated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(decon == Set(1L), s"decontaminated = $decon")
+    // the inline sink wrote the curated frame
+    assert(result.outputsWritten.contains(s"file://$out/curated.parquet"))
+    val written = spark.read.parquet(s"$out/curated.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(written == Set(1L, 5L))
+  }
+
+  test("curation stages: pii_redact rewrites text in place; sample and " +
+    "langid filter rows; unknown op rejected") {
+    import spark.implicits._
+    import graft.etl.{CurationPipelineDef, CurationStageDef, CurationStages}
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog were friends with the cat"),
+      (2L, "reach me at bob@example.com or 415-555-0199 for the details"),
+      (3L, "der schnelle braune fuchs und der faule hund sind die freunde")
+    ).toDF("doc_id", "text")
+    val red = CurationStages(spark, docs, "doc_id", "text",
+      CurationStageDef("pii_redact", Map.empty))
+    assert(red.columns.toSet == Set("doc_id", "text"))
+    val t2 = red.filter($"doc_id" === 2L).select("text").head().getString(0)
+    assert(t2.contains("<EMAIL>") && t2.contains("<PHONE>") &&
+      !t2.contains("example.com"))
+    val en = CurationStages(spark, docs, "doc_id", "text",
+      CurationStageDef("langid_filter", Map("allow" -> "en")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(en.contains(1L) && !en.contains(3L), s"en = $en")
+    val sampled = CurationStages(spark, docs, "doc_id", "text",
+      CurationStageDef("sample", Map("sixteenths" -> "16")))
+    assert(sampled.count() == 3L) // 16/16 keeps everything
+    val err = intercept[IllegalArgumentException] {
+      CurationStages(spark, docs, "doc_id", "text",
+        CurationStageDef("nope", Map.empty))
+    }
+    assert(err.getMessage.contains("unknown curation op"))
+    // a budget cut keeps the hash-order prefix within the token budget
+    val budgeted = CurationStages(spark, docs, "doc_id", "text",
+      CurationStageDef("token_budget", Map("budget" -> "13")))
+    val kept = budgeted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < 3, s"kept = $kept")
+    assert(budgeted.columns.toSet == Set("doc_id", "text"))
+  }
+
   test("audit_uri: a run leaves a queryable parquet audit artifact") {
     val dir = tmpDir; val out = tmpDir
     writeFixtures(dir)
