@@ -34,11 +34,11 @@ import graft.etl.PipelineRunner
   *     reference prints its Lark AST: repl.py:309-356);
   *   - PROFILE delegates to [[QueryProfiler]] (per-operator SQL
   *     metrics; reference repl.py:357-387 times its clause interpreter);
-  *   - tab completion is exposed as the pure `complete(text)` surface
-  *     (dot-commands, keywords, functions, labels, `var.prop`) —
-  *     terminal key binding needs a line-editing dependency this build
-  *     intentionally does not take (reference repl.py:869-947 binds the
-  *     same list through readline).
+  *   - tab completion is the pure `complete(text)` surface
+  *     (dot-commands, keywords, functions, labels, `var.prop`),
+  *     terminal-bound through jline 3 by [[JlineConsole]] when stdin
+  *     is a real TTY (reference repl.py:869-947 binds the same list
+  *     through readline); the stream loop stays dependency-free.
   */
 final class CypherRepl(engine: CypherEngine, in: BufferedReader,
                        out: PrintWriter,
@@ -63,14 +63,26 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
   private def echo(s: String = ""): Unit = { out.println(s); out.flush() }
 
   /** Read-eval-print loop over the injected streams until EOF/.quit. */
-  def run(): Unit = {
+  def run(): Unit = runWith { prompt =>
+    out.print(prompt)
+    out.flush()
+    Option(in.readLine())
+  }
+
+  /** The prompt for the next read — continuation form mid-statement. */
+  private[ops] def promptText: String =
+    if (multiline.nonEmpty) "    .> " else "cypher> "
+
+  /** The loop with an injectable line source (prompt → line, None =
+    * EOF): the plain-stream console and the jline-bound terminal
+    * ([[JlineConsole]]) drive the SAME dispatch/history/session state.
+    */
+  def runWith(readLine: String => Option[String]): Unit = {
     loadHistory()
     echo("graft Cypher shell\nType Cypher queries or .help for commands.  " +
       "End queries with ';' or press Enter.")
     while (!done) {
-      out.print(if (multiline.nonEmpty) "    .> " else "cypher> ")
-      out.flush()
-      Option(in.readLine()) match {
+      readLine(promptText) match {
         case None       => done = true // EOF = Ctrl-D (repl.py:802)
         case Some(line) => handleLine(line)
       }
@@ -691,7 +703,12 @@ object CypherRepl {
       case Array("--rel", spec)    => repl.handleLine(s".load rel $spec")
       case other => System.err.println(s"ignored args: ${other.mkString(" ")}")
     }
-    repl.run()
+    // a real terminal gets jline line editing + tab completion
+    // (GRAFT_REPL_PLAIN=1 opts out); piped/redirected stdin keeps the
+    // plain stream loop
+    if (System.console() != null && !sys.env.contains("GRAFT_REPL_PLAIN"))
+      JlineConsole.run(repl)
+    else repl.run()
     spark.stop()
   }
 }

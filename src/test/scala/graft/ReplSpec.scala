@@ -117,6 +117,48 @@ class ReplSpec extends SparkSpec {
     assert(t.contains("No query regressions detected."), t)
   }
 
+  test("jline binding: completer adapts complete(text); runWith drives " +
+    "the same loop with prompts") {
+    import graft.ops.JlineConsole
+    val engine = freshEngine
+    val out = new StringWriter()
+    val repl = new CypherRepl(engine,
+      new BufferedReader(new StringReader("")),
+      new PrintWriter(out), historyFile = None)
+    // the jline Completer feeds candidates from the REPL surface
+    val completer = JlineConsole.completer(repl)
+    def candidatesFor(w: String): Seq[String] = {
+      val parsed = new org.jline.reader.ParsedLine {
+        override def word(): String = w
+        override def wordCursor(): Int = w.length
+        override def wordIndex(): Int = 0
+        override def words(): java.util.List[String] =
+          java.util.Collections.singletonList(w)
+        override def line(): String = w
+        override def cursor(): Int = w.length
+      }
+      val cands = new java.util.ArrayList[org.jline.reader.Candidate]()
+      completer.complete(null, parsed, cands)
+      scala.jdk.CollectionConverters.ListHasAsScala(cands).asScala
+        .map(_.value()).toSeq
+    }
+    assert(candidatesFor("MAT").contains("MATCH"))
+    assert(candidatesFor(".he").contains(".help"))
+    assert(candidatesFor("Pers").contains("Person"))
+    assert(candidatesFor("coun").exists(_.startsWith("count(")))
+    // runWith: a scripted line source sees the standard + continuation
+    // prompts and drives the same dispatch as run()
+    val prompts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val script = Iterator(
+      "MATCH (p:Person)", "RETURN count(*) AS n;", ".quit")
+    repl.runWith { prompt =>
+      prompts += prompt
+      if (script.hasNext) Some(script.next()) else None
+    }
+    assert(prompts.take(3) == Seq("cypher> ", "    .> ", "cypher> "), prompts)
+    assert(out.toString.contains("| 3"), out.toString)
+  }
+
   test(".metrics surfaces a regression alert from the session audit") {
     val engine = freshEngine
     val out = new StringWriter()
