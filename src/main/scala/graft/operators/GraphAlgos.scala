@@ -157,9 +157,11 @@ object GraphAlgos {
     * plus two left-semi hash joins of the edge table against the n-row
     * survivor set — all shuffles keyed on the node id, and the edge
     * set only ever shrinks, so per-round cost is monotone decreasing.
-    * The edge frame is pinned per round (`localCheckpoint`) to keep
-    * the loop's plan linear; the only driver scalar is the per-round
-    * edge count used for the fixpoint test.
+    * The edge frame is pinned once per TWO peels (double-step fusion —
+    * peeling is pure, so fused steps are edge-identical) to keep the
+    * loop's plan linear at half the materializations; the only driver
+    * scalar is the per-materialization edge count used for the
+    * fixpoint test.
     *
     * Determinism: peeling is confluent — the fixpoint does not depend
     * on deletion order — and IDEMPOTENT past convergence, so a replay
@@ -174,18 +176,29 @@ object GraphAlgos {
     var round = 0
     var converged = nEdges == 0
     while (round < maxRounds && !converged) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src"))
-      val next = e
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+      // double-step between materializations (the pageRank/LPA/sssp
+      // fusion): one peel is a pure degree-filter + two semi joins, so
+      // two peels compose into one linear plan. Edges only shrink and
+      // peeling is idempotent past the fixpoint, so an equal edge
+      // count after a fused pair implies neither step changed
+      // anything — the convergence test and the fixed-unroll oracle
+      // are both unaffected.
+      val steps = math.min(2, maxRounds - round)
+      var cur = e
+      for (_ <- 1 to steps) {
+        val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src"))
+        cur = cur
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+      }
+      val next = cur.localCheckpoint()
       val nNext = next.count()
       converged = nNext == nEdges
       e = next
       nEdges = nNext
-      round += 1
+      round += steps
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
