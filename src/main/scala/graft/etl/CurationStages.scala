@@ -24,7 +24,7 @@ object CurationStages {
 
   val SupportedOps: Set[String] = Set("quality_gate", "langid_filter",
     "exact_dedup", "minhash_dedup", "decontaminate", "pii_redact",
-    "sample", "token_budget")
+    "span_cut", "paragraph_dedup", "sample", "token_budget")
 
   /** Apply one stage to the document frame. */
   def apply(spark: SparkSession, df: DataFrame, idCol: String,
@@ -97,6 +97,32 @@ object CurationStages {
           .filter(col("hits") > maxHits)
           .select(col("id").as(idCol))
         df.join(contaminated, Seq(idCol), "left_anti")
+
+      case "span_cut" =>
+        // cut every non-canonical occurrence of cross-document
+        // duplicated minSpan-token windows and rebuild the text
+        // (Dedup.cutDuplicatedSpans, the Lee-2022 suffix-array cut in
+        // relational form). NOTE: the rebuilt text is the token
+        // stream — lowercased, whitespace-collapsed.
+        val cut = Dedup.cutDuplicatedSpans(df, idCol, textCol,
+            minSpan = intParam("min_span", 4))
+          .select(col("id").as(idCol), col("clean_text"))
+        df.withColumnRenamed(textCol, "__orig")
+          .join(cut, Seq(idCol))
+          .withColumn(textCol, col("clean_text"))
+          .drop("__orig", "clean_text")
+
+      case "paragraph_dedup" =>
+        // keep only the corpus-wide first occurrence of each distinct
+        // paragraph and rebuild documents (Dedup.paragraphDedup, the
+        // Dolma/CCNet paragraph pass)
+        val clean = Dedup.paragraphDedup(df, idCol, textCol,
+            delim = param("delim").getOrElse("\n"))
+          .select(col("id").as(idCol), col("clean_text"))
+        df.withColumnRenamed(textCol, "__orig")
+          .join(clean, Seq(idCol))
+          .withColumn(textCol, col("clean_text"))
+          .drop("__orig", "clean_text")
 
       case "pii_redact" =>
         // rewrite the text column with emails/IPv4s/phones replaced by

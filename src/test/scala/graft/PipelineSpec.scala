@@ -164,6 +164,27 @@ class PipelineSpec extends SparkSpec {
     val kept = budgeted.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.nonEmpty && kept.size < 3, s"kept = $kept")
     assert(budgeted.columns.toSet == Set("doc_id", "text"))
+    // span_cut rewrites a boilerplate-sharing doc's text; the canonical
+    // (lowest id,pos) occurrence keeps its copy
+    val boiler = "subscribe to our newsletter for updates"
+    val spanDocs = Seq(
+      (1L, s"unique alpha words here $boiler"),
+      (2L, s"$boiler and other beta content follows")).toDF("doc_id", "text")
+    val cut = CurationStages(spark, spanDocs, "doc_id", "text",
+        CurationStageDef("span_cut", Map("min_span" -> "4")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(cut(1L).contains("subscribe"), cut(1L))   // canonical survives
+    assert(!cut(2L).contains("newsletter"), cut(2L)) // duplicate cut
+    assert(cut(2L).contains("beta content"), cut(2L))
+    // paragraph_dedup keeps the first occurrence of a repeated paragraph
+    val paraDocs = Seq(
+      (1L, "intro text\nshared legal footer"),
+      (2L, "different body\nshared legal footer")).toDF("doc_id", "text")
+    val pd = CurationStages(spark, paraDocs, "doc_id", "text",
+        CurationStageDef("paragraph_dedup", Map.empty))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(pd(1L).contains("shared legal footer"), pd(1L))
+    assert(!pd(2L).contains("footer"), pd(2L))
   }
 
   test("audit_uri: a run leaves a queryable parquet audit artifact") {
