@@ -55,15 +55,15 @@ object QueryAnalytics {
     val d = when(ok, col("durationMs"))
     audit.agg(
       count(lit(1)).as("total_queries"),
-      round(coalesce(avg(when(ok, 0.0).otherwise(1.0)), lit(0.0)), 4)
+      round(coalesce(avg(when(ok, 0.0).otherwise(1.0)), lit(0.0)) + lit(1e-11), 4)
         .as("error_rate"),
-      round(coalesce(percentile(d, lit(0.5)), lit(0.0)), 3).as("p50_ms"),
-      round(coalesce(percentile(d, lit(0.9)), lit(0.0)), 3).as("p90_ms"),
-      round(coalesce(percentile(d, lit(0.95)), lit(0.0)), 3).as("p95_ms"),
-      round(coalesce(percentile(d, lit(0.99)), lit(0.0)), 3).as("p99_ms"),
-      round(coalesce(avg(d), lit(0.0)), 3).as("mean_ms"),
-      round(coalesce(min(d), lit(0.0)), 3).as("min_ms"),
-      round(coalesce(max(d), lit(0.0)), 3).as("max_ms"),
+      round(coalesce(percentile(d, lit(0.5)), lit(0.0)) + lit(1e-11), 3).as("p50_ms"),
+      round(coalesce(percentile(d, lit(0.9)), lit(0.0)) + lit(1e-11), 3).as("p90_ms"),
+      round(coalesce(percentile(d, lit(0.95)), lit(0.0)) + lit(1e-11), 3).as("p95_ms"),
+      round(coalesce(percentile(d, lit(0.99)), lit(0.0)) + lit(1e-11), 3).as("p99_ms"),
+      round(coalesce(avg(d), lit(0.0)) + lit(1e-11), 3).as("mean_ms"),
+      round(coalesce(min(d), lit(0.0)) + lit(1e-11), 3).as("min_ms"),
+      round(coalesce(max(d), lit(0.0)) + lit(1e-11), 3).as("max_ms"),
       sum(when(ok && col("durationMs") > slowThresholdMs, 1L).otherwise(0L))
         .as("n_slow"))
   }
@@ -78,9 +78,9 @@ object QueryAnalytics {
       .groupBy(col("fingerprint"))
       .agg(
         count(lit(1)).as("n"),
-        round(percentile(col("durationMs"), lit(0.5)), 3).as("median_ms"),
-        round(percentile(col("durationMs"), lit(0.95)), 3).as("p95_ms"),
-        round(avg(col("durationMs")), 3).as("mean_ms"),
+        round(percentile(col("durationMs"), lit(0.5)) + lit(1e-11), 3).as("median_ms"),
+        round(percentile(col("durationMs"), lit(0.95)) + lit(1e-11), 3).as("p95_ms"),
+        round(avg(col("durationMs")) + lit(1e-11), 3).as("mean_ms"),
         max_by(col("label"), col("tsMillis")).as("sample_label"))
 
   /** Regression alerts (regression.py `RegressionDetector`): one row
@@ -119,9 +119,9 @@ object QueryAnalytics {
         col("__recent") / col("__base") >= thresholdRatio)
       .select(
         col("fingerprint"), col("sample_label"),
-        round(col("__base"), 2).as("baseline_ms"),
-        round(col("__recent"), 2).as("current_ms"),
-        round(col("__recent") / col("__base"), 2).as("ratio"),
+        round(col("__base") + lit(1e-11), 2).as("baseline_ms"),
+        round(col("__recent") + lit(1e-11), 2).as("current_ms"),
+        round(col("__recent") / col("__base") + lit(1e-11), 2).as("ratio"),
         when(col("__recent") / col("__base") >= criticalRatio, "critical")
           .otherwise("warning").as("severity"),
         col("last_seen_ms"))
@@ -141,8 +141,8 @@ object QueryAnalytics {
         count(lit(1)).as("query_count"),
         sum(when(col("status") === "success", 0L).otherwise(1L))
           .as("error_count"),
-        round(coalesce(avg(d), lit(0.0)), 3).as("avg_latency_ms"),
-        round(coalesce(percentile(d, lit(0.95)), lit(0.0)), 3)
+        round(coalesce(avg(d), lit(0.0)) + lit(1e-11), 3).as("avg_latency_ms"),
+        round(coalesce(percentile(d, lit(0.95)), lit(0.0)) + lit(1e-11), 3)
           .as("p95_latency_ms"))
       .orderBy(col("bucket_start_ms"))
   }

@@ -387,6 +387,74 @@ object PipelineQueries {
       Bpe.encodeStats(Tables(s, dir).documents, bpeMerges(s, dir))
     },
 
+    // Query-performance regression detection (QueryAnalytics, the
+    // reference's RegressionDetector) under the hash gate: a synthetic
+    // audit history derived deterministically from the events table —
+    // every event a successful run of its type's query, event_id as
+    // the time axis, with the 5 most recent 'click' runs slowed 6x
+    // (critical) and 'view' runs slowed 2.5x (warning). The DuckDB
+    // oracle replays the full windowing: per-fingerprint retention cap
+    // at baseline+recent, first-20 vs last-5 means, threshold and
+    // severity classification, and the text-fingerprint md5. FULLY
+    // oracled.
+    "qa01_regression_alerts" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id").desc)
+      val audit = Tables(s, dir).events
+        .withColumn("__rn", row_number().over(w))
+        .select(
+          concat(lit("run "), col("event_type"), lit(" batch")).as("label"),
+          col("event_id").as("tsMillis"),
+          when(col("event_type") === "click" && col("__rn") <= 5, 60.0)
+            .when(col("event_type") === "view" && col("__rn") <= 5, 25.0)
+            .otherwise(10.0).as("durationMs"),
+          lit("").as("planHash"),
+          lit("success").as("status"))
+      graft.ops.QueryAnalytics.regressions(audit)
+    },
+
+    // Latency/error summary over the same synthetic audit (exact
+    // percentiles, error rate from 'error'-type rows, slow-query
+    // count). FULLY oracled via quantile_cont replay.
+    "qa02_latency_summary" -> { (s, dir) =>
+      val audit = Tables(s, dir).events.select(
+        concat(lit("evt "), col("event_type")).as("label"),
+        col("event_id").as("tsMillis"),
+        col("value").as("durationMs"),
+        lit("").as("planHash"),
+        when(col("event_type") === "error", "failure")
+          .otherwise("success").as("status"))
+      graft.ops.QueryAnalytics.summary(audit, slowThresholdMs = 10.0)
+    },
+
+    // The DECLARATIVE curation surface end-to-end under the hash gate:
+    // a YAML config (parsed by PipelineConfig, executed by
+    // CurationStages — the same path `nmetl run` takes) composing
+    // quality_gate -> langid_filter -> token_budget over the documents
+    // table. The oracle replays the composed pipeline: the tx02
+    // quality CTE gates, the tx04 language CASE filters to English,
+    // and the tx06-style hash-ordered cumulative fill cuts to the
+    // token budget. FULLY oracled.
+    "cu01_curation_yaml" -> { (s, dir) =>
+      val cfg = graft.etl.PipelineConfig.parse(
+        s"""project:
+           |  name: cu01
+           |curation:
+           |  - id: curated
+           |    input: $dir/documents.parquet
+           |    stages:
+           |      - op: quality_gate
+           |        min_quality: 0.5
+           |      - op: langid_filter
+           |        allow: en
+           |      - op: token_budget
+           |        budget: 8000
+           |""".stripMargin, env = Map.empty)
+      val docs = graft.etl.PipelineRunner.readSource(s, s"$dir/documents.parquet")
+      graft.etl.CurationStages.run(s, docs, cfg.curation.head)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
     // Quality-quartile curriculum bins: exact interpolated quartile
     // thresholds over the (pre-rounded) tx02 quality score, docs
     // assigned by `<=` threshold comparison, per-bin doc and token
@@ -2300,6 +2368,119 @@ object PipelineQueries {
                   'g'),
                   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
          FROM pii""",
+    // full replay of qa01: the same synthetic audit (events with the 5
+    // most recent click/view runs slowed), then QueryAnalytics'
+    // regression semantics verbatim — per-fingerprint retention cap at
+    // 25, first-20 vs last-5 means, >=2x threshold, >=5x critical.
+    // Labels carry no literals, so the text fingerprint reduces to
+    // md5(upper(label)) here.
+    "qa01_regression_alerts" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY event_id DESC) AS rn
+           FROM events),
+         audit AS (
+           SELECT 'run ' || event_type || ' batch' AS label,
+                  event_id AS ts,
+                  CASE WHEN event_type = 'click' AND rn <= 5 THEN 60.0
+                       WHEN event_type = 'view' AND rn <= 5 THEN 25.0
+                       ELSE 10.0 END AS ms
+           FROM ev),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY label
+             ORDER BY ts DESC, ms DESC) AS rn2 FROM audit),
+         keep AS (SELECT * FROM ranked WHERE rn2 <= 25),
+         stats AS (
+           SELECT label, count(*) AS n,
+                  avg(CASE WHEN rn2 > 5 THEN ms END) AS base,
+                  avg(CASE WHEN rn2 <= 5 THEN ms END) AS recent,
+                  max(ts) AS last_seen
+           FROM keep GROUP BY 1)
+         SELECT substr(md5(upper(label)), 1, 16) AS fingerprint,
+                label AS sample_label,
+                round(base + 1e-11, 2) AS baseline_ms,
+                round(recent + 1e-11, 2) AS current_ms,
+                round(recent / base + 1e-11, 2) AS ratio,
+                CASE WHEN recent / base >= 5.0 THEN 'critical'
+                     ELSE 'warning' END AS severity,
+                last_seen AS last_seen_ms
+         FROM stats
+         WHERE n = 25 AND base > 0 AND recent / base >= 2.0""",
+    // full replay of qa02: exact interpolated percentiles over the
+    // successful durations, error rate from 'error'-type rows
+    "qa02_latency_summary" ->
+      """WITH audit AS (
+           SELECT value AS ms,
+                  CASE WHEN event_type = 'error' THEN 'failure'
+                       ELSE 'success' END AS status
+           FROM events)
+         SELECT count(*) AS total_queries,
+                round(avg(CASE WHEN status = 'success' THEN 0.0
+                               ELSE 1.0 END) + 1e-11, 4) AS error_rate,
+                round(quantile_cont(CASE WHEN status = 'success' THEN ms END,
+                  0.5) + 1e-11, 3) AS p50_ms,
+                round(quantile_cont(CASE WHEN status = 'success' THEN ms END,
+                  0.9) + 1e-11, 3) AS p90_ms,
+                round(quantile_cont(CASE WHEN status = 'success' THEN ms END,
+                  0.95) + 1e-11, 3) AS p95_ms,
+                round(quantile_cont(CASE WHEN status = 'success' THEN ms END,
+                  0.99) + 1e-11, 3) AS p99_ms,
+                round(avg(CASE WHEN status = 'success' THEN ms END)
+                  + 1e-11, 3) AS mean_ms,
+                round(min(CASE WHEN status = 'success' THEN ms END)
+                  + 1e-11, 3) AS min_ms,
+                round(max(CASE WHEN status = 'success' THEN ms END)
+                  + 1e-11, 3) AS max_ms,
+                CAST(sum(CASE WHEN status = 'success' AND ms > 10.0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_slow
+         FROM audit""",
+    // full replay of cu01's composed YAML pipeline: tx02's quality
+    // gate, tx04's language CASE restricted to 'en', then the
+    // tx06-style md5-ordered cumulative token fill at 8000
+    "cu01_curation_yaml" ->
+      """WITH q AS (
+           SELECT doc_id FROM documents
+           WHERE round(0.5 * least(length(text) / 500.0, 1.0)
+               + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                        / len(string_split(text, ' '))) + 1e-11, 4) >= 0.5),
+         t AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+           FROM documents),
+         s AS (
+           SELECT doc_id, text,
+             len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','mit','ich'], x))) * 1.0 / greatest(len(tk), 1) AS s_de,
+             len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','a'], x))) * 1.0 / greatest(len(tk), 1) AS s_en,
+             len(list_filter(tk, x -> list_contains(['el','los','las','es','una','que','por','para','con','yo','no'], x))) * 1.0 / greatest(len(tk), 1) AS s_es,
+             len(list_filter(tk, x -> list_contains(['le','la','les','et','est','une','que','pour','dans','je','pas'], x))) * 1.0 / greatest(len(tk), 1) AS s_fr,
+             len(list_filter(tk, x -> list_contains(['il','gli','che','di','per','con','sono','una','non','io','si'], x))) * 1.0 / greatest(len(tk), 1) AS s_it
+           FROM t),
+         lid AS (
+           SELECT doc_id,
+             CASE
+               WHEN regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') THEN 'zh'
+               WHEN regexp_matches(text, '[\p{Cyrillic}]') THEN 'ru'
+               WHEN regexp_matches(text, '[\p{Greek}]') THEN 'el'
+               WHEN greatest(s_de, s_en, s_es, s_fr, s_it) > 0 THEN
+                 CASE WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+                      WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+                      WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+                      WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+                      ELSE 'de' END
+               ELSE 'und' END AS pred_lang
+           FROM s),
+         gated AS (
+           SELECT d.doc_id, d.lang, d.n_chars,
+                  len(regexp_split_to_array(trim(d.text), '\s+')) AS w
+           FROM documents d
+           JOIN q ON d.doc_id = q.doc_id
+           JOIN lid ON d.doc_id = lid.doc_id AND lid.pred_lang = 'en')
+         SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  sum(w) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS cum
+           FROM gated)
+         WHERE cum <= 8000""",
     // full replay of bpe01: 30 unrolled Sennrich merge iterations over
     // the distinct-word count table (the gr05/gr06 fixed-unroll
     // pattern). Each iteration is deterministic — pair explode → count
