@@ -427,6 +427,20 @@ object PipelineQueries {
       graft.ops.QueryAnalytics.summary(audit, slowThresholdMs = 10.0)
     },
 
+    // Time-bucketed audit trend (the reference's TrendPoint series):
+    // per-1000-unit buckets of the synthetic audit — counts, errors,
+    // mean + p95 latency. FULLY oracled.
+    "qa03_audit_trends" -> { (s, dir) =>
+      val audit = Tables(s, dir).events.select(
+        concat(lit("evt "), col("event_type")).as("label"),
+        col("event_id").as("tsMillis"),
+        col("value").as("durationMs"),
+        lit("").as("planHash"),
+        when(col("event_type") === "error", "failure")
+          .otherwise("success").as("status"))
+      graft.ops.QueryAnalytics.trends(audit, bucketSeconds = 1L)
+    },
+
     // The DECLARATIVE curation surface end-to-end under the hash gate:
     // a YAML config (parsed by PipelineConfig, executed by
     // CurationStages — the same path `nmetl run` takes) composing
@@ -2435,6 +2449,18 @@ object PipelineQueries {
                 CAST(sum(CASE WHEN status = 'success' AND ms > 10.0
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_slow
          FROM audit""",
+    // full replay of qa03's bucketed trend aggregate
+    "qa03_audit_trends" ->
+      """SELECT CAST(floor(event_id / 1000) * 1000 AS BIGINT)
+                  AS bucket_start_ms,
+                count(*) AS query_count,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS error_count,
+                round(coalesce(avg(CASE WHEN event_type <> 'error'
+                  THEN value END), 0.0) + 1e-11, 3) AS avg_latency_ms,
+                round(coalesce(quantile_cont(CASE WHEN event_type <> 'error'
+                  THEN value END, 0.95), 0.0) + 1e-11, 3) AS p95_latency_ms
+         FROM events GROUP BY 1""",
     // full replay of cu01's composed YAML pipeline: tx02's quality
     // gate, tx04's language CASE restricted to 'en', then the
     // tx06-style md5-ordered cumulative token fill at 8000
