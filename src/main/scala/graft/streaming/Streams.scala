@@ -461,6 +461,71 @@ object Streams {
       }
   }
 
+  /** Streaming query-performance regression alerts — the stateful
+    * stream counterpart of [[graft.ops.QueryAnalytics.regressions]]
+    * (reference regression.py `RegressionDetector.ingest`, which pulls
+    * the collector incrementally — exactly a stream): audit records
+    * arrive as a stream of (label, planHash, tsMillis, durationMs,
+    * status); per-fingerprint state is the reference's
+    * deque(maxlen = baseline+recent) of latencies, and a batch that
+    * leaves a fingerprint in regression (recent-window mean ≥
+    * threshold × baseline-window mean) emits ONE alert row with the
+    * same fields and rounding as the batch operator — spec-asserted
+    * EQUAL to running the batch `regressions` over the concatenated
+    * history.
+    *
+    * Scale shape: state is (baseline+recent) doubles per live
+    * fingerprint, partitioned on the fingerprint key — the natural
+    * mapGroupsWithState profile; a service with unbounded one-off
+    * query texts should fingerprint by plan hash (the default when
+    * present) and add a state timeout upstream.
+    */
+  def regressionAlerts(audit: DataFrame,
+                       baselineWindow: Int = 20, recentWindow: Int = 5,
+                       thresholdRatio: Double = 2.0,
+                       criticalRatio: Double = 5.0): DataFrame = {
+    require(baselineWindow >= 1 && recentWindow >= 1,
+      "windows must be >= 1 observation")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = audit.sparkSession
+    import spark.implicits._
+    val keep = baselineWindow + recentWindow
+    def r2(x: Double): Double = math.round((x + 1e-11) * 100).toDouble / 100
+    val keyed = audit.filter(col("status") === "success")
+      .select(
+        graft.ops.QueryAnalytics.fingerprintCol(col("label"), col("planHash"))
+          .as("fp"),
+        col("label"), col("tsMillis").cast("long").as("ts"),
+        col("durationMs").cast("double").as("ms"))
+      .as[(String, String, Long, Double)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Long, Double)],
+        (String, String, Double, Double, Double, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (fp, rows, state: GroupState[Vector[(Long, Double)]]) =>
+          var hist = state.getOption.getOrElse(Vector.empty)
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var alert: Option[(String, String, Double, Double, Double, String, Long)] = None
+          sorted.foreach { case (_, label, ts, ms) =>
+            hist = (hist :+ ((ts, ms))).takeRight(keep) // deque(maxlen)
+            if (hist.size == keep) {
+              val base = hist.take(baselineWindow).map(_._2).sum / baselineWindow
+              val recent = hist.takeRight(recentWindow).map(_._2).sum / recentWindow
+              if (base > 0 && recent / base >= thresholdRatio)
+                alert = Some((fp, label, r2(base), r2(recent),
+                  r2(recent / base),
+                  if (recent / base >= criticalRatio) "critical" else "warning",
+                  ts))
+              else alert = None // recovered within the batch — cleared
+            }
+          }
+          state.update(hist)
+          alert.iterator
+      }
+      .toDF("fingerprint", "sample_label", "baseline_ms", "current_ms",
+        "ratio", "severity", "last_seen_ms")
+  }
+
   /** Convenience: run a streaming DataFrame to completion against the
     * currently-available input (memory sink) and return the result —
     * the test harness pattern for batch-driving streaming plans.

@@ -213,6 +213,54 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), s"got $pairs")
   }
 
+  test("streaming regression alerts match the batch detector on the same " +
+    "history; recovery clears") {
+    import graft.ops.QueryAnalytics
+    val dir = Files.createTempDirectory("graft_sreg").toFile.getAbsolutePath
+    def audit(rows: (Long, Double)*): DataFrame =
+      rows.toDF("tsMillis", "durationMs")
+        .select(lit("MATCH (n:Doc) RETURN n").as("label"),
+          lit("").as("planHash"), col("tsMillis"), col("durationMs"),
+          lit("success").as("status"))
+    val fast = audit((1L to 20L).map(i => (i, 10.0)): _*)
+    fast.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(fast.schema).parquet(dir)
+    val q = Streams.regressionAlerts(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_sreg").start()
+    q.processAllAvailable()
+    assert(spark.table("t_sreg").isEmpty) // baseline only: no alert
+    // batch 2: 5 slow runs -> one critical alert, equal to the batch
+    // detector over the concatenated history
+    audit((21L to 25L).map(i => (i, 80.0)): _*)
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val streamed = spark.table("t_sreg").collect()
+    assert(streamed.length == 1, streamed.mkString("\n"))
+    val full = audit((1L to 20L).map(i => (i, 10.0)) ++
+      (21L to 25L).map(i => (i, 80.0)): _*)
+    val batch = QueryAnalytics.regressions(full).collect()
+    assert(batch.length == 1)
+    val (s0, b0) = (streamed(0), batch(0))
+    Seq("fingerprint", "sample_label", "severity").foreach(c =>
+      assert(s0.getAs[String](c) == b0.getAs[String](c), c))
+    Seq("baseline_ms", "current_ms", "ratio").foreach(c =>
+      assert(s0.getAs[Double](c) == b0.getAs[Double](c), c))
+    assert(s0.getAs[String]("severity") == "critical")
+    assert(s0.getAs[Double]("ratio") == 8.0)
+    // batch 3: recovery — no new alert appended, and the batch
+    // detector over the full history agrees there is no regression
+    audit((26L to 30L).map(i => (i, 10.0)): _*)
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t_sreg").count() == 1L) // still just the old row
+    val full3 = audit((1L to 20L).map(i => (i, 10.0)) ++
+      (21L to 25L).map(i => (i, 80.0)) ++
+      (26L to 30L).map(i => (i, 10.0)): _*)
+    assert(QueryAnalytics.regressions(full3).isEmpty)
+  }
+
   test("streaming funnel advances per-user stage state across micro-batches") {
     val dir = Files.createTempDirectory("graft_sfun").toFile.getAbsolutePath
     def ev(rows: (Long, String, Long)*) = rows.toDF("user_id", "event_type", "ts")
