@@ -68,12 +68,17 @@ object CurationStages {
         df.join(keep, Seq(idCol), "left_semi")
 
       case "minhash_dedup" =>
-        // MinHash-LSH candidate pairs → connected components → the
-        // highest-quality doc per cluster survives (the dd08 shape)
-        val pairs = Dedup.minHashLshPairs(df, idCol, textCol,
-          shingleSize = intParam("shingle_size", 3),
-          numHashes = intParam("num_hashes", 64),
-          bands = intParam("bands", 16))
+        // MinHash-LSH candidates EXACT-VERIFIED at the Jaccard
+        // threshold (band collisions alone would over-merge), then
+        // connected components → the highest-quality doc per cluster
+        // survives (the dd08 shape on its scale path)
+        val pairs = Dedup.ngramJaccardPairs(df, idCol, textCol,
+            n = intParam("shingle_size", 3),
+            threshold = doubleParam("threshold", 0.8),
+            numHashes = intParam("num_hashes", 64),
+            bands = intParam("bands", 16),
+            exhaustive = false)
+          .select("id1", "id2")
         val quality = TextAnalysis.qualityScore(docs)
           .select(col("doc_id").as(idCol), col("quality"))
         val survivors = Sampling.resolveDuplicates(pairs, quality, idCol)
