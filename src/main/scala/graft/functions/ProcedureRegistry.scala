@@ -236,6 +236,38 @@ object ProcedureRegistry {
     }
   })
 
+  // query-performance analytics over an at-rest audit parquet sink
+  // (the one PipelineRunner writes for project.audit_uri, or any
+  // QueryAudit.flushTo path) — the reference's AnalyticsEngine /
+  // RegressionDetector surface reachable from plain Cypher:
+  //   CALL analytics.summary('path'[, slowMs]) YIELD total_queries, …
+  //   CALL analytics.regressions('path'[, baseline, recent]) YIELD …
+  //   CALL analytics.baselines('path') YIELD fingerprint, median_ms, …
+  //   CALL analytics.trends('path'[, bucketSec]) YIELD bucket_start_ms, …
+  private def auditFrame(spark: SparkSession, args: Seq[Any]): DataFrame =
+    args.headOption match {
+      case Some(path: String) => spark.read.parquet(path)
+      case other => throw new IllegalArgumentException(
+        s"analytics.* procedures take (auditPath, ...), got $other")
+    }
+  private def numArg(args: Seq[Any], i: Int, default: Double): Double =
+    args.lift(i) match {
+      case Some(n: Number) => n.doubleValue
+      case _ => default
+    }
+  register("analytics.summary", (spark, _, args) =>
+    graft.ops.QueryAnalytics.summary(auditFrame(spark, args),
+      slowThresholdMs = numArg(args, 1, 1000.0)))
+  register("analytics.regressions", (spark, _, args) =>
+    graft.ops.QueryAnalytics.regressions(auditFrame(spark, args),
+      baselineWindow = numArg(args, 1, 20).toInt,
+      recentWindow = numArg(args, 2, 5).toInt))
+  register("analytics.baselines", (spark, _, args) =>
+    graft.ops.QueryAnalytics.baselines(auditFrame(spark, args)))
+  register("analytics.trends", (spark, _, args) =>
+    graft.ops.QueryAnalytics.trends(auditFrame(spark, args),
+      bucketSeconds = numArg(args, 1, 60).toLong))
+
   register("graft.series", (spark, _, args) => {
     val n = args.headOption match {
       case Some(l: java.lang.Long)    => l.longValue

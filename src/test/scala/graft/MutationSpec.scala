@@ -528,8 +528,38 @@ class MutationSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     Seq("db.labels", "db.procedures", "graph.pagerank",
       "graph.labelpropagation", "graph.components", "graph.fuzzymatch",
-      "graph.kcore", "graft.series")
+      "graph.kcore", "graft.series", "analytics.summary",
+      "analytics.regressions", "analytics.baselines", "analytics.trends")
       .foreach(p => assert(names.contains(p), s"missing $p"))
+  }
+
+  test("CALL analytics.* reads an at-rest audit sink through Cypher") {
+    val eng = freshEngine
+    val audit = new graft.ops.QueryAudit(spark)
+    (1 to 20).foreach(_ => audit.record("MATCH (d:Doc) RETURN d", "collect", 10.0))
+    Thread.sleep(5)
+    (1 to 5).foreach(_ => audit.record("MATCH (d:Doc) RETURN d", "collect", 80.0))
+    audit.record("MATCH (x) RETURN x", "collect", 30.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_auditsink")
+      .toFile.getAbsolutePath
+    audit.flushTo(dir)
+    val alerts = eng.query(
+      s"""CALL analytics.regressions('$dir') YIELD ratio, severity
+         RETURN ratio, severity""").collect()
+    assert(alerts.length == 1)
+    assert(alerts(0).getDouble(0) == 8.0 && alerts(0).getString(1) == "critical")
+    val summary = eng.query(
+      s"""CALL analytics.summary('$dir', 50.0) YIELD total_queries, n_slow
+         RETURN total_queries, n_slow""").collect()
+    assert(summary(0).getLong(0) == 26L && summary(0).getLong(1) == 5L)
+    val base = eng.query(
+      s"""CALL analytics.baselines('$dir') YIELD fingerprint, n
+         RETURN count(fingerprint) AS k, sum(n) AS total""").collect()
+    assert(base(0).getLong(0) == 2L && base(0).getLong(1) == 26L)
+    val trends = eng.query(
+      s"""CALL analytics.trends('$dir', 3600) YIELD query_count
+         RETURN sum(query_count) AS n""").collect()
+    assert(trends(0).getLong(0) == 26L)
   }
 
   test("CALL graph.fuzzyMatch mines near-duplicate entity names") {
