@@ -1210,6 +1210,62 @@ object Similarity {
         col("centroid_norm"), col("mean_cos"))
   }
 
+  /** Cross-snapshot embedding drift audit: per label, how far the
+    * class centroid moved between two corpus snapshots — the
+    * distribution-drift check a recurring training-data pipeline runs
+    * before re-training on a refreshed corpus (the per-class analog of
+    * embedding-space drift monitors). For each label present in BOTH
+    * snapshots: member counts, the cosine between the two (rounded)
+    * centroids, and the L2 centroid shift; labels present in only one
+    * snapshot surface with null drift columns (appearing/disappearing
+    * classes are exactly the events to notice).
+    *
+    * Scale shape mirrors [[labelCentroidAudit]]: each snapshot costs
+    * one posexplode + one (label, dim) combinable average — centroid
+    * tables are labels×dims rows, so the join/compare is
+    * broadcast-sized regardless of corpus size. Centroids round to 6dp
+    * before comparison (the ann07 convention), making the whole audit
+    * externally replayable.
+    */
+  def labelCentroidDrift(dfOld: DataFrame, dfNew: DataFrame, idCol: String,
+                         vecCol: String, labelCol: String): DataFrame = {
+    def cents(df: DataFrame): (DataFrame, DataFrame) = {
+      val v = df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+          asDouble(col(vecCol)).as("e"))
+        .filter(aggregate(col("e"), lit(0.0), (a, x) => a + x * x) > 0)
+      val cent = v.select(col("lbl"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy(col("lbl"), col("i"))
+        .agg(round(avg(col("x")) + lit(1e-11), 6).as("cx"))
+      val counts = v.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      (cent, counts)
+    }
+    val (co, no) = cents(dfOld)
+    val (cn, nn) = cents(dfNew)
+    val drift = co.select(col("lbl"), col("i"), col("cx").as("co"))
+      .join(cn.select(col("lbl"), col("i"), col("cx").as("cn")), Seq("lbl", "i"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("co") * col("cn")).as("dot"),
+        sqrt(sum(col("co") * col("co"))).as("n1"),
+        sqrt(sum(col("cn") * col("cn"))).as("n2"),
+        round(sqrt(sum((col("co") - col("cn")) * (col("co") - col("cn"))))
+          + lit(1e-11), 6).as("centroid_shift"))
+      .select(col("lbl"),
+        // a cancelled centroid on either side has no direction: null
+        // cosine, not an engine-dependent 0/0
+        round(when(col("n1") > 0 && col("n2") > 0,
+          col("dot") / (col("n1") * col("n2"))) + lit(1e-11), 4)
+          .as("centroid_cos"),
+        col("centroid_shift"))
+    no.select(col("lbl"), col("n").as("n_old"))
+      .join(nn.select(col("lbl"), col("n").as("n_new")), Seq("lbl"), "full_outer")
+      .join(drift, Seq("lbl"), "left")
+      .select(col("lbl").as(labelCol),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("centroid_cos"), col("centroid_shift"))
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k (Carbonell–Goldstein
     * 1998): greedily pick k results trading query relevance against
     * redundancy with what's already picked —

@@ -351,6 +351,18 @@ object PipelineQueries {
         "vec_id", "embedding", "label")
     },
 
+    // Cross-snapshot embedding drift: per-label centroid cosine/shift
+    // between two corpus snapshots (deterministically the even/odd
+    // vec_id halves here) — the re-training drift audit. FULLY
+    // oracled (rounded centroids, the ann07 convention).
+    "ann13_centroid_drift" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      Similarity.labelCentroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label")
+    },
+
     // N-gram novelty: fraction of each doc's distinct 4-grams whose
     // first corpus occurrence is this doc — dedup-aware contribution
     // scoring for mixture construction.
@@ -1752,6 +1764,41 @@ object PipelineQueries {
                       + 1e-11, 4) AS mean_cos
          FROM d JOIN cn USING (label)
          GROUP BY d.label""",
+    // full replay of ann13: the ann07 rounded-centroid CTE per
+    // even/odd snapshot, joined on (label, dim) for cosine + L2 shift
+    "ann13_centroid_drift" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL
+                      AND list_sum(list_transform(
+                            CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+         u AS (SELECT vec_id, vec_id % 2 AS half, label, i, e[i] AS x
+               FROM v, UNNEST(generate_series(1, len(e))) AS g(i)),
+         c AS (SELECT half, label, i, round(avg(x) + 1e-11, 6) AS cx
+               FROM u GROUP BY 1, 2, 3),
+         n AS (SELECT half, label, count(DISTINCT vec_id) AS n
+               FROM u GROUP BY 1, 2),
+         drift AS (
+           SELECT a.label,
+                  sum(a.cx * b.cx) AS dot,
+                  sqrt(sum(a.cx * a.cx)) AS n1,
+                  sqrt(sum(b.cx * b.cx)) AS n2,
+                  round(sqrt(sum((a.cx - b.cx) * (a.cx - b.cx))) + 1e-11, 6)
+                    AS centroid_shift
+           FROM (SELECT * FROM c WHERE half = 0) a
+           JOIN (SELECT * FROM c WHERE half = 1) b
+             USING (label, i)
+           GROUP BY 1)
+         SELECT label,
+                coalesce(o.n, 0) AS n_old, coalesce(w.n, 0) AS n_new,
+                round(CASE WHEN d.n1 > 0 AND d.n2 > 0
+                           THEN d.dot / (d.n1 * d.n2) END + 1e-11, 4)
+                  AS centroid_cos,
+                d.centroid_shift
+         FROM (SELECT label, n FROM n WHERE half = 0) o
+         FULL OUTER JOIN (SELECT label, n FROM n WHERE half = 1) w
+           USING (label)
+         LEFT JOIN drift d USING (label)""",
     // full replay of tx18: the tx02 quality CTE, quantile_cont
     // thresholds (same interpolation as Spark's exact percentile),
     // identical <= bin rule

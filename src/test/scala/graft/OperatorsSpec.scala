@@ -1489,6 +1489,36 @@ class OperatorsSpec extends SparkSpec {
       edges.select(col("src"), col("dst")), empty, maxRounds = 3).count() == 0L)
   }
 
+  test("centroid drift: self-drift is identity; a shifted class moves; " +
+    "one-sided labels surface with null drift") {
+    import graft.operators.Similarity
+    val old = Seq(
+      (1, Seq(1.0f, 0.0f), "a"), (2, Seq(0.0f, 1.0f), "a"),
+      (3, Seq(1.0f, 1.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    // same corpus on both sides: cosine 1, shift 0
+    val self = Similarity.labelCentroidDrift(old, old, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[String]("label") ->
+        ((r.getAs[Double]("centroid_cos"), r.getAs[Double]("centroid_shift")))).toMap
+    assert(self("a") == ((1.0, 0.0)) && self("b") == ((1.0, 0.0)))
+    // class a's centroid rotates 90 degrees; class c appears, b vanishes
+    val nw = Seq(
+      (10, Seq(-1.0f, 0.0f), "a"), (11, Seq(0.0f, -1.0f), "a"),
+      (12, Seq(2.0f, 0.0f), "c"))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.labelCentroidDrift(old, nw, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[String]("label") -> r).toMap
+    // a: centroid (0.5,0.5) -> (-0.5,-0.5): cosine -1, shift sqrt(2)
+    assert(rows("a").getAs[Double]("centroid_cos") == -1.0)
+    assert(math.abs(rows("a").getAs[Double]("centroid_shift") - math.sqrt(2.0)) < 1e-5)
+    assert(rows("a").getAs[Long]("n_old") == 2L && rows("a").getAs[Long]("n_new") == 2L)
+    // b only old, c only new: counts one-sided, drift null
+    assert(rows("b").getAs[Long]("n_new") == 0L && rows("b").isNullAt(
+      rows("b").fieldIndex("centroid_cos")))
+    assert(rows("c").getAs[Long]("n_old") == 0L && rows("c").isNullAt(
+      rows("c").fieldIndex("centroid_shift")))
+  }
+
   test("mmrTopK widens int ids; rejects string ids up front") {
     import graft.operators.Similarity
     val vecs = Seq(
