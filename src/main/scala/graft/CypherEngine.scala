@@ -80,8 +80,17 @@ final class CypherEngine(val spark: SparkSession, val catalog: GraphCatalog,
   def run(cypher: String, timeoutSeconds: Double,
           params: Map[String, Any] = Map.empty,
           maxRows: Int = CypherEngine.DefaultMaxRows)
-  : Array[org.apache.spark.sql.Row] =
-    runCounted(cypher, timeoutSeconds, params, maxRows).rows
+  : Array[org.apache.spark.sql.Row] = {
+    val r = runCounted(cypher, timeoutSeconds, params, maxRows)
+    // the convenience API drops the truncation flag — make the cut
+    // visible so callers that relied on complete results notice
+    // (use runCounted to detect it programmatically)
+    if (r.truncated)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"query result truncated to $maxRows of ${r.totalRows} rows; " +
+        "use runCounted (or raise maxRows) for the full result")
+    r.rows
+  }
 
   /** [[run]] with the truncation made explicit: the retained page, the
     * TRUE distributed row count, and whether the page is partial.

@@ -109,24 +109,31 @@ object CurationStages {
         // (Dedup.cutDuplicatedSpans, the Lee-2022 suffix-array cut in
         // relational form). NOTE: the rebuilt text is the token
         // stream — lowercased, whitespace-collapsed.
+        // left join + coalesce: a token-less (empty/whitespace-only)
+        // document has no op-output row, and this stage is a REWRITE,
+        // not a filter — such docs must pass through unchanged
         val cut = Dedup.cutDuplicatedSpans(df, idCol, textCol,
             minSpan = intParam("min_span", 4))
           .select(col("id").as(idCol), col("clean_text"))
         df.withColumnRenamed(textCol, "__orig")
-          .join(cut, Seq(idCol))
-          .withColumn(textCol, col("clean_text"))
+          .join(cut, Seq(idCol), "left_outer")
+          .withColumn(textCol, coalesce(col("clean_text"), col("__orig")))
           .drop("__orig", "clean_text")
 
       case "paragraph_dedup" =>
         // keep only the corpus-wide first occurrence of each distinct
         // paragraph and rebuild documents (Dedup.paragraphDedup, the
         // Dolma/CCNet paragraph pass)
+        // left join + coalesce, as in span_cut: paragraphDedup filters
+        // empty paragraphs, so an empty or delimiter-only document has
+        // no output row — pass it through unchanged instead of
+        // dropping it (this stage rewrites, it does not filter)
         val clean = Dedup.paragraphDedup(df, idCol, textCol,
             delim = param("delim").getOrElse("\n"))
           .select(col("id").as(idCol), col("clean_text"))
         df.withColumnRenamed(textCol, "__orig")
-          .join(clean, Seq(idCol))
-          .withColumn(textCol, col("clean_text"))
+          .join(clean, Seq(idCol), "left_outer")
+          .withColumn(textCol, coalesce(col("clean_text"), col("__orig")))
           .drop("__orig", "clean_text")
 
       case "pii_redact" =>
@@ -188,4 +195,109 @@ object CurationStages {
     pipeline.stages.foldLeft(input) { (df, stage) =>
       apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
     }
+
+  /** STREAMING curation: the same YAML stage list applied per
+    * micro-batch under `foreachBatch` — an incremental crawl runs
+    * gate → dedup → budget from the same file the batch pipeline uses
+    * (reference analog: the nmetl streaming fast path,
+    * cli/pipeline.py:499-652). Survivors of the whole stage list
+    * append to the pipeline's `output:` directory (parquet).
+    *
+    * Every stage applies verbatim to the batch EXCEPT `minhash_dedup`
+    * with an `index_dir` param, which becomes the incremental-crawl
+    * form against a MinHash index-at-rest (the dd13/crawlDedup shape,
+    * Streams.scala): probe the index for cross-batch near-dups, band
+    * the batch against itself for intra-batch dups (min-id canonical),
+    * then append the survivors' signatures to the index. The index
+    * parquet is the SOURCE OF TRUTH across restarts — a duplicate of
+    * anything ever admitted is dropped by the probe no matter where
+    * batch or restart boundaries fall. The first batch creates the
+    * index with the stage's `shingle_size`/`num_hashes`/`bands`
+    * (defaults 3/64/16); afterwards parameters always come from the
+    * index's `_meta`, so sketch and index can never drift.
+    *
+    * Trade vs the batch stage, stated: the batch form exact-verifies
+    * LSH candidates at the Jaccard threshold and keeps the
+    * HIGHEST-QUALITY doc per cluster; the incremental form matches
+    * `crawlDedup` — signature-estimated Jaccard, arrival-order
+    * canonical (min id within a batch, earlier batch wins across
+    * batches) — because a crawl cannot re-rank against documents it
+    * has not seen yet.
+    */
+  def runStreaming(spark: SparkSession, stream: DataFrame,
+                   pipeline: CurationPipelineDef)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val outDir = pipeline.outputUri.getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming curation pipeline ${pipeline.id} needs output:"))
+    val writer = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // pinned once per batch: several stages semi-join the batch
+        // against their own derived frames
+        val batch = batch0.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val curated = pipeline.stages.foldLeft(batch) { (df, stage) =>
+            if (stage.op == "minhash_dedup" && stage.params.contains("index_dir"))
+              streamingMinhashDedup(spark, df,
+                pipeline.idCol, pipeline.textCol, stage)
+            else apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
+          }
+          curated.write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+    pipeline.checkpointUri.fold(writer)(
+      ck => writer.option("checkpointLocation", ck))
+  }
+
+  /** The cross-batch arm of `minhash_dedup` in streaming mode. */
+  private def streamingMinhashDedup(spark: SparkSession, df: DataFrame,
+                                    idCol: String, textCol: String,
+                                    stage: CurationStageDef): DataFrame = {
+    import graft.operators.Components
+    val indexDir = stage.params("index_dir")
+    val threshold = stage.params.get("threshold").map(_.toDouble).getOrElse(0.8)
+    def intraSurvivors(d: DataFrame, shingleSize: Int, numHashes: Int,
+                       bands: Int): DataFrame = {
+      val pairs = Dedup.minHashLshPairs(d, idCol, textCol,
+          shingleSize, numHashes, bands)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id1"), col("id2"))
+      val nonCanon = Components.connectedComponents(pairs, "id1", "id2")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as(idCol))
+      d.join(nonCanon, Seq(idCol), "left_anti")
+    }
+    // HDFS-safe existence check (a java.io.File check is always false
+    // on HDFS/S3 and would re-create the index every restart)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
+    val haveIndex = metaPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaPath)
+    if (!haveIndex) {
+      val survivors = intraSurvivors(df,
+          stage.params.get("shingle_size").map(_.toInt).getOrElse(3),
+          stage.params.get("num_hashes").map(_.toInt).getOrElse(64),
+          stage.params.get("bands").map(_.toInt).getOrElse(16))
+        .localCheckpoint(true)
+      Dedup.minHashIndexWrite(survivors, idCol, textCol, indexDir,
+        stage.params.get("shingle_size").map(_.toInt).getOrElse(3),
+        stage.params.get("num_hashes").map(_.toInt).getOrElse(64),
+        stage.params.get("bands").map(_.toInt).getOrElse(16))
+      survivors
+    } else {
+      val m = spark.read.parquet(s"$indexDir/_meta").head()
+      val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+      val idxDup = Dedup
+        .minHashIndexLookup(spark, indexDir, df, idCol, textCol)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("new_id").as(idCol)).distinct()
+      val survivors = intraSurvivors(
+          df.join(idxDup, Seq(idCol), "left_anti"),
+          shingleSize, numHashes, bands)
+        .localCheckpoint(true)
+      Dedup.minHashIndexAppend(spark, indexDir, survivors, idCol, textCol)
+      survivors
+    }
+  }
 }

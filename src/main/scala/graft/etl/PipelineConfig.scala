@@ -36,7 +36,9 @@ final case class CurationPipelineDef(id: String, input: String,
                                      idCol: String, textCol: String,
                                      stages: Seq[CurationStageDef],
                                      outputUri: Option[String],
-                                     format: Option[String])
+                                     format: Option[String],
+                                     streaming: Boolean = false,
+                                     checkpointUri: Option[String] = None)
 
 final case class PipelineConfig(name: String, description: Option[String],
                                 entities: Seq[EntitySource],
@@ -119,7 +121,12 @@ object PipelineConfig {
         textCol = str(c, "text_col").getOrElse("text"),
         stages = stages,
         outputUri = str(c, "output"),
-        format = str(c, "format"))
+        format = str(c, "format"),
+        // streaming: true turns the same stage list into an
+        // incremental foreachBatch pipeline (CurationStages
+        // .runStreaming), started via PipelineRunner.startCuration
+        streaming = Option(c.get("streaming")).exists(_.asBoolean(false)),
+        checkpointUri = str(c, "checkpoint"))
     }
     PipelineConfig(
       name = project.map(p => req(p, "name", "project")).getOrElse("pipeline"),

@@ -255,7 +255,9 @@ object PipelineRunner {
     // curation pipeline — declaration order is execution order), and
     // the curated frame joins the results map so `output:` entries can
     // reference it like any query id
-    val curationWrites = config.curation.map { c =>
+    // streaming pipelines don't run in the batch pass — they are
+    // long-lived queries started explicitly via `startCuration`
+    val curationWrites = config.curation.filterNot(_.streaming).map { c =>
       val input = results.getOrElse(c.input,
         readSource(spark, c.input))
       val curated = graft.ops.QueryAudit.label(
@@ -293,6 +295,43 @@ object PipelineRunner {
       o.uri
     }
     RunResult(results.toMap, written)
+  }
+
+  /** Start a `streaming: true` curation pipeline from the config as a
+    * long-lived Structured Streaming query: the pipeline's `input:`
+    * becomes a file-source stream (schema inferred from a batch read
+    * of whatever already sits in the directory — file streams require
+    * a declared schema), the stage list runs per micro-batch through
+    * [[CurationStages.runStreaming]] (cross-batch dedup against the
+    * stage's MinHash index-at-rest), survivors append to `output:`.
+    * Give the pipeline a `checkpoint:` so offsets and exactly-once
+    * accounting survive restarts — the dedup INDEX survives either
+    * way, it is at-rest parquet.
+    */
+  def startCuration(spark: SparkSession, config: PipelineConfig,
+                    id: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val c = config.curation.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"unknown curation pipeline: $id"))
+    require(c.streaming,
+      s"curation pipeline $id is batch (streaming: true to stream it)")
+    // a crawl input is a directory (no extension for readSource's
+    // dispatch to key on) — resolve the format from `format:` or the
+    // path, then batch-read it once for the schema the file stream
+    // requires
+    val fmt = c.format.getOrElse(inferFormat(c.input))
+    val schema = spark.read.format(fmt)
+      .option("header", "true").option("inferSchema", "true")
+      .load(c.input).schema
+    val stream = spark.readStream.schema(schema)
+      .format(fmt).option("header", "true").load(c.input)
+    CurationStages.runStreaming(spark, stream, c).start()
+  }
+
+  private def inferFormat(uri: String): String = {
+    val clean = uri.stripSuffix("/")
+    if (clean.endsWith(".csv")) "csv"
+    else if (clean.endsWith(".json") || clean.endsWith(".jsonl")) "json"
+    else "parquet"
   }
 
   /** Every (sourceId, frame) the config declares, loaded lazily —

@@ -120,6 +120,11 @@ final class GraphCatalog {
     relationships.put(relType, old.copy(df = df))
   }
 
+  /** All entity registrations, label-sorted (stable for manifests). */
+  def entityDefs: Seq[EntityDef] = labels.map(entities(_))
+  /** All relationship registrations, type-sorted. */
+  def relationshipDefs: Seq[RelationshipDef] = relTypes.map(relationships(_))
+
   /** Shallow snapshot for query-scoped mutation staging. */
   def snapshot(): GraphCatalog = {
     val c = new GraphCatalog

@@ -1045,6 +1045,25 @@ object Similarity {
     * way the struct sort key did; id equality/ordering follow the
     * integral id values (non-integral ids fall back to the pair
     * stream).
+    *
+    * ASSUMES ids are distinct (true for every normalizedVectors
+    * corpus, which keys on an id column): with duplicate ids the pair
+    * stream groups the duplicates into one k-sized neighbor list while
+    * this kernel emits one k-list per row and excludes ALL same-id
+    * rows — results diverge. Callers with possibly-duplicated ids must
+    * dedup first or use `topkNeighbors(exactPairs(...), k)` directly.
+    *
+    * DRIVER-COLLECT GUARD: this exact-baseline form materializes the
+    * whole corpus on the driver (`collect` + broadcast). That is the
+    * point — n skinny rows, same footprint as `exactPairs`' broadcast
+    * side — but pointed at a large corpus it would OOM the driver
+    * silently where the old crossJoin at least failed executor-side.
+    * So the collect is gated on `graft.similarity.exactMaxRows`
+    * (default 2,000,000) and `graft.similarity.exactMaxBytes`
+    * (default 4 GiB, estimated as rows x dims x 8); an oversized
+    * corpus fails fast with an error routing to the candidate-based
+    * path (`knnLabelAgreementLsh` / `lshCandidatePairs`), the
+    * Components.driverMaxEdges precedent.
     */
   private[operators] def exactTopkNeighbors(v: DataFrame, nd: Int, k: Int): DataFrame = {
     val integralId = {
@@ -1060,6 +1079,20 @@ object Similarity {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         v.schema("id"), v.schema("lbl"),
         v.schema("id").copy(name = "id2"), v.schema("lbl").copy(name = "lbl2")))
+      val maxRows = spark.conf
+        .get("graft.similarity.exactMaxRows", "2000000").toLong
+      val maxBytes = spark.conf
+        .get("graft.similarity.exactMaxBytes", (4L << 30).toString).toLong
+      val corpusRows = v.count()
+      val estBytes = corpusRows * nd.toLong * 8L
+      if (corpusRows > maxRows || estBytes > maxBytes)
+        throw new IllegalArgumentException(
+          s"exact kNN baseline would collect $corpusRows rows " +
+          s"(~${estBytes / (1L << 20)} MiB of vectors) to the driver, over the " +
+          s"configured cap (graft.similarity.exactMaxRows=$maxRows, " +
+          s"graft.similarity.exactMaxBytes=$maxBytes). The exact form is a " +
+          "small-corpus baseline; at this size use the candidate-based path " +
+          "(knnLabelAgreementLsh / lshCandidatePairs), or raise the caps.")
       val side = v.select(col("id"), col("lbl"), col("v")).collect()
       val n = side.length
       val idVals = side.map(_.get(0))

@@ -73,6 +73,17 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
   private[ops] def promptText: String =
     if (multiline.nonEmpty) "    .> " else "cypher> "
 
+  /** Abort any half-typed multi-line statement (Ctrl-C semantics):
+    * clears the continuation buffer so the next empty line is a no-op
+    * instead of executing the abandoned fragment. Returns whether
+    * anything was discarded, so the caller can acknowledge the abort.
+    */
+  def discardPending(): Boolean = {
+    val had = multiline.nonEmpty
+    multiline.clear()
+    had
+  }
+
   /** The loop with an injectable line source (prompt → line, None =
     * EOF): the plain-stream console and the jline-bound terminal
     * ([[JlineConsole]]) drive the SAME dispatch/history/session state.
@@ -242,6 +253,7 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
       case "functions" => doFunctions()
       case "examples"  => doExamples()
       case "metrics"   => doMetrics()
+      case "analytics" => doAnalytics(arg)
       case "history"   => doHistory()
       case "search"    => doSearch(arg)
       case "format"    => doFormat(arg)
@@ -268,6 +280,7 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
       |  .functions             List available Cypher functions
       |  .examples              Show query examples for loaded schema
       |  .metrics               Show session query metrics
+      |  .analytics <report> <auditPath>  Analytics over an at-rest audit sink
       |  .history               Show recent query history
       |  .search <keyword>      Search history for matching queries
       |  .format <table|csv|json>  Set output format
@@ -389,6 +402,55 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
       if (alerts.isEmpty) echo("No query regressions detected.")
     }
     echo()
+  }
+
+  /** `.analytics <report> <auditPath> [arg]` — the four analytics.*
+    * procedures plus `slowest`, bound to an AT-REST audit sink (a
+    * `QueryAudit.flushTo` path or the pipeline runner's `audit_uri`) —
+    * parity with the reference's CLI analytics entry points
+    * (fastopendata analytics/engine.py surfaced through its CLI) where
+    * `.metrics` covers only the LIVE session's ring buffer. Results
+    * render through the session's normal output format.
+    */
+  private def doAnalytics(arg: String): Unit = {
+    val parts = arg.split("\\s+").filter(_.nonEmpty)
+    if (parts.length < 2) {
+      echo("Usage: .analytics <report> <auditPath> [arg]")
+      echo("  summary <path> [slowMs]       latency/error overview")
+      echo("  regressions <path> [sinceMs]  per-fingerprint regression alerts")
+      echo("  baselines <path>              per-fingerprint latency norms")
+      echo("  trends <path> [bucketSec]     time-bucketed latency/error trend")
+      echo("  slowest <path> [n]            slowest successful queries")
+      return
+    }
+    val sub = parts(0).toLowerCase
+    val path = parts(1)
+    val extra = parts.lift(2)
+    if (!Set("summary", "regressions", "baselines", "trends", "slowest")(sub)) {
+      echo(s"Unknown analytics report '$sub' " +
+        "(summary, regressions, baselines, trends, slowest)")
+      return
+    }
+    try {
+      val atRest = engine.spark.read.parquet(path)
+      val result = sub match {
+        case "summary" => QueryAnalytics.summary(atRest,
+          slowThresholdMs = extra.flatMap(_.toDoubleOption).getOrElse(1000.0))
+        case "regressions" => QueryAnalytics.regressions(atRest,
+          sinceMillis = extra.flatMap(_.toLongOption))
+        case "baselines" => QueryAnalytics.baselines(atRest)
+        case "trends" => QueryAnalytics.trends(atRest,
+          bucketSeconds = extra.flatMap(_.toLongOption).getOrElse(60L))
+        case _ => QueryAnalytics.slowest(atRest,
+          n = extra.flatMap(_.toIntOption).getOrElse(10))
+      }
+      val n = maxRows
+      val fetched = result.limit(n + 1).collect()
+      val total = if (fetched.length > n) result.count() else fetched.length.toLong
+      displayResult(result, total, fetched.take(n))
+    } catch {
+      case NonFatal(e) => errorCount += 1; echo(s"Error: ${rootMessage(e)}")
+    }
   }
 
   // regression windows sized for an interactive session (the library
@@ -603,8 +665,8 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
 object CypherRepl {
 
   val DotCommands: Seq[String] = Seq("help", "load", "schema", "tables",
-    "functions", "metrics", "history", "search", "format", "template",
-    "batch", "examples", "clear", "quit", "exit")
+    "functions", "metrics", "analytics", "history", "search", "format",
+    "template", "batch", "examples", "clear", "quit", "exit")
 
   private val MaxHistory = 1000
   private val MaxCellWidth = 40

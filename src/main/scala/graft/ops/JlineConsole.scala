@@ -49,7 +49,13 @@ object JlineConsole {
         try Some(reader.readLine(prompt))
         catch {
           case _: EndOfFileException    => None
-          case _: UserInterruptException => Some("") // Ctrl-C: drop the line
+          case _: UserInterruptException =>
+            // Ctrl-C: abort the line AND any buffered continuation —
+            // without the discard, the empty line we hand back would
+            // EXECUTE the half-typed statement (empty-line-mid-
+            // multiline means "run what's buffered")
+            repl.discardPending()
+            Some("")
         }
       }
     } finally terminal.close()

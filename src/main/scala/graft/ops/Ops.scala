@@ -245,14 +245,27 @@ final class QueryAudit(spark: org.apache.spark.sql.SparkSession,
     records.toDF()
   }
 
-  /** Append the current buffer to a parquet audit sink and clear it. */
-  def flushTo(path: String): Unit = {
+  /** Append the current buffer to a parquet audit sink and clear it.
+    * `partitionByDay` lays the sink out day-partitioned on an
+    * `audit_date` column derived from `tsMillis` — the shape a
+    * LONG-LIVED service should use, so retention-bounded analytics
+    * ([[QueryAnalytics.regressions]]' `sinceMillis`) prune whole
+    * partitions instead of scanning years of history. Keep the flag
+    * consistent per sink path (mixed layouts make the partition
+    * column sometimes-absent).
+    */
+  def flushTo(path: String, partitionByDay: Boolean = false): Unit = {
     val snapshot = buf.synchronized {
       val s = records; buf.clear(); s
     }
     if (snapshot.nonEmpty) {
       import spark.implicits._
-      snapshot.toDF().write.mode("append").parquet(path)
+      import org.apache.spark.sql.functions.{col, timestamp_millis, to_date}
+      val df = snapshot.toDF()
+      if (partitionByDay)
+        df.withColumn("audit_date", to_date(timestamp_millis(col("tsMillis"))))
+          .write.mode("append").partitionBy("audit_date").parquet(path)
+      else df.write.mode("append").parquet(path)
     }
   }
 }

@@ -89,23 +89,42 @@ object QueryAnalytics {
     * baseline+recent successful observations are skipped (not enough
     * data), exactly as the reference. Scale shape: one ranking window
     * partitioned by fingerprint (partition size capped at the audit
-    * history per query — the ring buffer caps the live case; an
-    * at-rest sink should be time-partitioned and pre-filtered the same
-    * way the reference's deque caps retention), then one combinable
-    * aggregate.
+    * history per query — the ring buffer caps the live case), then one
+    * combinable aggregate.
+    *
+    * `sinceMillis` is the at-rest retention pre-filter: the deque
+    * semantics only ever look at each fingerprint's newest
+    * baseline+recent rows, so against a multi-year audit sink the
+    * ranking window must not scan history older than the caller's
+    * retention horizon. The filter applies to `tsMillis` AND — when
+    * the frame carries the `audit_date` partition column
+    * ([[QueryAudit.flushTo]] with `partitionByDay`) — to `audit_date`,
+    * so on a day-partitioned sink the scan PRUNES whole partitions
+    * instead of reading and discarding them (plan-asserted in
+    * OpsSpec). Semantics caveat, stated rather than hidden: a
+    * fingerprint whose window STRADDLES the horizon sees only its
+    * in-horizon rows, exactly as if its older history had been
+    * compacted away — which is the retention contract.
     */
   def regressions(audit: DataFrame,
                   baselineWindow: Int = 20, recentWindow: Int = 5,
                   thresholdRatio: Double = 2.0,
-                  criticalRatio: Double = 5.0): DataFrame = {
+                  criticalRatio: Double = 5.0,
+                  sinceMillis: Option[Long] = None): DataFrame = {
     require(baselineWindow >= 1 && recentWindow >= 1,
       "windows must be >= 1 observation")
     require(thresholdRatio > 0 && criticalRatio >= thresholdRatio,
       "need 0 < thresholdRatio <= criticalRatio")
     val keep = baselineWindow + recentWindow
+    val recentAudit = sinceMillis.map { s =>
+      val byTs = audit.filter(col("tsMillis") >= lit(s))
+      if (audit.columns.contains("audit_date"))
+        byTs.filter(col("audit_date") >= to_date(timestamp_millis(lit(s))))
+      else byTs
+    }.getOrElse(audit)
     val w = Window.partitionBy(col("fingerprint"))
       .orderBy(col("tsMillis").desc, col("durationMs").desc)
-    val ranked = withFingerprint(audit.filter(col("status") === "success"))
+    val ranked = withFingerprint(recentAudit.filter(col("status") === "success"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= keep) // the reference's deque(maxlen=B+R)
     val stats = ranked.groupBy(col("fingerprint")).agg(

@@ -220,7 +220,8 @@ object Streams {
     */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int = 3, numHashes: Int = 16,
-                    bands: Int = 8, maxBucket: Int = 64): DataFrame = {
+                    bands: Int = 8, maxBucket: Int = 64,
+                    stateTtl: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val rowsPerBand = numHashes / bands
@@ -238,9 +239,17 @@ object Streams {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       .as[(Long, Int, Long)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey { case (_, band, bkey) => (band, bkey) }
       .flatMapGroupsWithState[Seq[Long], (Long, Long, Int)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[Seq[Long]]) if state.hasTimedOut =>
+          // TTL eviction: bucket went cold — docs arriving after the
+          // window can no longer pair with it (bounded-state trade)
+          state.remove()
+          Iterator.empty
         case ((band, _), rows, state: GroupState[Seq[Long]]) =>
           val seen = state.getOption.getOrElse(Seq.empty)
           // admit only up to the cap — ids beyond it are neither stored
@@ -257,6 +266,7 @@ object Streams {
               .map(p => (math.min(p, n), math.max(p, n), band))
           }
           if (fresh.nonEmpty) state.update(seen ++ fresh)
+          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
           pairs.iterator
       }
       .toDF("id1", "id2", "band")
@@ -276,11 +286,14 @@ object Streams {
     * arriving after an advancement cannot retract it (first-touch at
     * arrival). The batch operator over the full history is the
     * reconciliation form. State is one (int, long) per user —
-    * partitioned on the user key, bounded by the live-user count; put
-    * a watermark + timeout upstream when the key space is unbounded.
+    * partitioned on the user key, bounded by the live-user count; set
+    * `stateTtl` (processing-time eviction after that long of user
+    * inactivity) when the key space is unbounded — an evicted user who
+    * returns restarts the funnel from stage 0.
     */
   def funnel(events: DataFrame, stages: Seq[String],
-             windowSec: Long): DataFrame = {
+             windowSec: Long,
+             stateTtl: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
@@ -291,7 +304,12 @@ object Streams {
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Int, Long), (Long, Int, String, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(),
+        if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        case (_, _, state: GroupState[(Int, Long)]) if state.hasTimedOut =>
+          state.remove() // inactive user evicted; a return restarts
+          Iterator.empty
         case (uid, rows, state: GroupState[(Int, Long)]) =>
           var (stage, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
           val out = scala.collection.mutable.Buffer.empty[(Long, Int, String, Long)]
@@ -304,6 +322,7 @@ object Streams {
             }
           }
           if (out.nonEmpty) state.update((stage, lastTs))
+          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
       }
       .toDF("user_id", "stage", "step", "tsl")
@@ -478,12 +497,27 @@ object Streams {
     * fingerprint, partitioned on the fingerprint key — the natural
     * mapGroupsWithState profile; a service with unbounded one-off
     * query texts should fingerprint by plan hash (the default when
-    * present) and add a state timeout upstream.
+    * present) AND set `stateTtl` (e.g. "30 days"): a processing-time
+    * timeout that evicts a fingerprint's window after that long with
+    * no new observations, so one-off queries cannot leak state on a
+    * years-long stream. An evicted fingerprint that returns starts a
+    * fresh window — it must re-fill baseline+recent before it can
+    * alert again, exactly as a brand-new query would.
+    *
+    * Engine note for all three TTL'd detectors here: with
+    * ProcessingTimeTimeout enabled Structured Streaming schedules
+    * batches CONTINUOUSLY (timeouts must be able to fire without new
+    * data — shouldRunAnotherBatch is unconditionally true), so pair
+    * `stateTtl` with a real trigger interval
+    * (`Trigger.ProcessingTime(...)`). Neither `processAllAvailable`
+    * nor `Trigger.AvailableNow` ever observes such a stream as done —
+    * drive it live and watch the sink.
     */
   def regressionAlerts(audit: DataFrame,
                        baselineWindow: Int = 20, recentWindow: Int = 5,
                        thresholdRatio: Double = 2.0,
-                       criticalRatio: Double = 5.0): DataFrame = {
+                       criticalRatio: Double = 5.0,
+                       stateTtl: Option[String] = None): DataFrame = {
     require(baselineWindow >= 1 && recentWindow >= 1,
       "windows must be >= 1 observation")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -498,10 +532,18 @@ object Streams {
         col("label"), col("tsMillis").cast("long").as("ts"),
         col("durationMs").cast("double").as("ms"))
       .as[(String, String, Long, Double)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed.groupByKey(_._1)
       .flatMapGroupsWithState[Vector[(Long, Double)],
         (String, String, Double, Double, Double, String, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[Vector[(Long, Double)]])
+            if state.hasTimedOut =>
+          // TTL eviction: the fingerprint went stale — drop its window
+          state.remove()
+          Iterator.empty
         case (fp, rows, state: GroupState[Vector[(Long, Double)]]) =>
           var hist = state.getOption.getOrElse(Vector.empty)
           val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
@@ -520,6 +562,7 @@ object Streams {
             }
           }
           state.update(hist)
+          stateTtl.foreach(state.setTimeoutDuration)
           alert.iterator
       }
       .toDF("fingerprint", "sample_label", "baseline_ms", "current_ms",

@@ -634,4 +634,46 @@ class MutationSpec extends SparkSpec {
       .select("__ID__").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids2 == (0L to 5L))
   }
+
+  test("durable catalog snapshot: a mutated catalog round-trips through " +
+    "disk; the pointer moves atomically after the version is complete") {
+    import graft.model.CatalogStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat")
+      .toFile.getAbsolutePath
+    val eng = freshEngine
+    eng.execute("CREATE (p:Person {name: 'Dave', age: 40})")
+    eng.execute(
+      """MATCH (a:Person {name: 'Alice'}), (d:Person {name: 'Dave'})
+         CREATE (a)-[:KNOWS]->(d)""")
+    eng.execute("MATCH (p:Person {name: 'Bob'}) SET p.age = 26")
+    val v1 = CatalogStore.save(spark, eng.catalog, dir)
+    assert(v1 == "v00001")
+    // load into a FRESH engine: queries see the mutated state
+    val eng2 = new CypherEngine(spark, CatalogStore.load(spark, dir))
+    val names = eng2.query(
+      "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN b.name AS n ORDER BY n")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("Bob", "Dave"), names)
+    assert(eng2.query("MATCH (p:Person {name: 'Bob'}) RETURN p.age AS a")
+      .collect().head.getLong(0) == 26L)
+    // a second save becomes a new version and the pointer follows;
+    // time-travel to v1 still sees the pre-second-mutation state
+    eng2.execute("MATCH (p:Person {name: 'Dave'}) DETACH DELETE p")
+    val v2 = CatalogStore.save(spark, eng2.catalog, dir)
+    assert(v2 == "v00002")
+    assert(CatalogStore.versions(spark, dir) == Seq("v00001", "v00002"))
+    val live = new CypherEngine(spark, CatalogStore.load(spark, dir))
+    assert(live.query("MATCH (p:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 3L)
+    val old = new CypherEngine(spark,
+      CatalogStore.load(spark, dir, version = Some("v00001")))
+    assert(old.query("MATCH (p:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 4L)
+    // prune retains only the live version
+    CatalogStore.prune(spark, dir)
+    assert(CatalogStore.versions(spark, dir) == Seq("v00002"))
+    assert(new CypherEngine(spark, CatalogStore.load(spark, dir))
+      .query("MATCH (p:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 3L)
+  }
 }

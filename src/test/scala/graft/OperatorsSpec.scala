@@ -527,6 +527,32 @@ class OperatorsSpec extends SparkSpec {
     assert(a.getAs[Double]("agree_delta") == 0.0)
   }
 
+  test("exact knn baseline fails fast when the corpus exceeds the " +
+    "driver-collect cap, routing to the candidate path") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val vecs = Seq((1L, base, 0), (2L, base.map(-_), 1), (3L, base, 0))
+      .toDF("vec_id", "embedding", "label")
+    spark.conf.set("graft.similarity.exactMaxRows", "2")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Similarity.knnLabelAgreement(vecs, "vec_id", "embedding", "label", k = 1)
+      }
+      assert(err.getMessage.contains("exactMaxRows"), err.getMessage)
+      assert(err.getMessage.contains("knnLabelAgreementLsh"), err.getMessage)
+    } finally spark.conf.unset("graft.similarity.exactMaxRows")
+    // byte-estimate cap trips independently of the row cap
+    spark.conf.set("graft.similarity.exactMaxBytes", "1")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Similarity.knnLabelAgreement(vecs, "vec_id", "embedding", "label", k = 1)
+      }
+      assert(err.getMessage.contains("exactMaxBytes"), err.getMessage)
+    } finally spark.conf.unset("graft.similarity.exactMaxBytes")
+    // within the caps the baseline still runs
+    val ok = Similarity.knnLabelAgreement(vecs, "vec_id", "embedding", "label", k = 1)
+    assert(ok.collect().map(_.getAs[Long]("n_vecs")).sum == 3L)
+  }
+
   test("knn vote pipeline excludes null and zero-norm vectors up front") {
     val base = Array.tabulate(8)(i => (i + 1).toFloat)
     def jig(eps: Float) = { val v = base.clone(); v(0) += eps; v }

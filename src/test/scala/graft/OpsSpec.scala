@@ -358,6 +358,49 @@ class OpsSpec extends SparkSpec {
     assert(QueryAnalytics.regressions(audit2.toDF).isEmpty)
   }
 
+  test("regressions sinceMillis PRUNES day partitions of a partitioned " +
+    "audit sink (flushTo partitionByDay) and bounds the alert scan") {
+    import graft.ops.{QueryAnalytics, QueryAudit}
+    import QueryAudit.AuditRecord
+    import org.apache.spark.sql.functions.{col, timestamp_millis, to_date}
+    val path = java.nio.file.Files.createTempDirectory("graft_paudit").toString
+    // an OLD day (2024-01-01) that WOULD alert if scanned: 20 fast
+    // runs then 5 slow ones under one label
+    val oldMs = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val oldRows = (1 to 20).map(i =>
+      AuditRecord(oldMs + i, "MATCH (o:Old) RETURN o", "collect",
+        10.0, 1L, 0L, "", "success", "")) ++
+      (21 to 25).map(i =>
+        AuditRecord(oldMs + i, "MATCH (o:Old) RETURN o", "collect",
+          80.0, 1L, 0L, "", "success", ""))
+    oldRows.toDF()
+      .withColumn("audit_date", to_date(timestamp_millis(col("tsMillis"))))
+      .write.mode("append").partitionBy("audit_date").parquet(path)
+    // the LIVE day through the real flushTo(partitionByDay) path
+    val audit = new QueryAudit(spark)
+    (1 to 20).foreach(_ => audit.record("MATCH (l:Live) RETURN l", "collect", 10.0))
+    Thread.sleep(5)
+    (1 to 5).foreach(_ => audit.record("MATCH (l:Live) RETURN l", "collect", 80.0))
+    audit.flushTo(path, partitionByDay = true)
+    val atRest = spark.read.parquet(path)
+    assert(atRest.columns.contains("audit_date"))
+    // unbounded: both days scanned, both fingerprints alert
+    assert(QueryAnalytics.regressions(atRest).collect().length == 2)
+    // 30-day horizon: only the live fingerprint alerts, and the scan
+    // carries an audit_date PARTITION filter (directory pruning, not
+    // a data filter over the full history)
+    val since = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    val reg = QueryAnalytics.regressions(atRest, sinceMillis = Some(since))
+    val p = reg.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.filter(_.contains("PartitionFilters"))
+        .mkString.contains("audit_date"),
+      s"no partition pruning on audit_date:\n$p")
+    val alerts = reg.collect()
+    assert(alerts.length == 1, alerts.mkString("\n"))
+    assert(alerts(0).getAs[String]("sample_label").contains("Live"))
+  }
+
   test("analytics summary/baselines/trends over synthetic audit history") {
     import graft.ops.{QueryAnalytics, QueryAudit}
     val audit = new QueryAudit(spark)

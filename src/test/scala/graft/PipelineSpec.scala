@@ -187,6 +187,32 @@ class PipelineSpec extends SparkSpec {
     assert(!pd(2L).contains("footer"), pd(2L))
   }
 
+  test("curation span_cut and paragraph_dedup pass empty / delimiter-only " +
+    "docs through unchanged (rewrite stages never drop rows)") {
+    import spark.implicits._
+    import graft.etl.{CurationStageDef, CurationStages}
+    val boiler = "subscribe to our newsletter for updates"
+    val docs = Seq(
+      (1L, s"unique alpha words here $boiler"),
+      (2L, s"$boiler and other beta content follows"),
+      (3L, ""),      // token-less: no span_cut output row
+      (4L, "\n\n")   // delimiter-only: no paragraph_dedup output row
+    ).toDF("doc_id", "text")
+    val cut = CurationStages(spark, docs, "doc_id", "text",
+        CurationStageDef("span_cut", Map("min_span" -> "4")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(cut.keySet == Set(1L, 2L, 3L, 4L), cut.keySet)
+    // doc 3 survives; doc 4 survives as its token-stream rebuild (the
+    // stage's documented whitespace-collapse — the point is no DROP)
+    assert(cut(3L) == "", cut(3L))
+    assert(!cut(2L).contains("newsletter"), cut(2L)) // rewrite still happens
+    val pd = CurationStages(spark, docs, "doc_id", "text",
+        CurationStageDef("paragraph_dedup", Map.empty))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(pd.keySet == Set(1L, 2L, 3L, 4L), pd.keySet)
+    assert(pd(3L) == "" && pd(4L) == "\n\n")
+  }
+
   test("audit_uri: a run leaves a queryable parquet audit artifact") {
     val dir = tmpDir; val out = tmpDir
     writeFixtures(dir)

@@ -181,6 +181,26 @@ class ReplSpec extends SparkSpec {
       "REGRESSION".r.findAllIn(t).size == 1, t) // exactly one alert
   }
 
+  test(".analytics binds the analytics reports to an at-rest audit sink") {
+    val path = Files.createTempDirectory("graft_replaudit").toFile.getAbsolutePath
+    val audit = new graft.ops.QueryAudit(spark)
+    (1 to 20).foreach(_ => audit.record("MATCH (x:A) RETURN x", "collect", 10.0))
+    Thread.sleep(5)
+    (1 to 5).foreach(_ => audit.record("MATCH (x:A) RETURN x", "collect", 80.0))
+    audit.flushTo(path)
+    val t = session(
+      s".analytics summary $path",
+      s".analytics regressions $path",
+      s".analytics baselines $path",
+      ".analytics nope somewhere",
+      ".analytics")
+    assert(t.contains("total_queries"), t)     // summary header rendered
+    assert(t.contains("critical"), t)          // the 8x regression alert
+    assert(t.contains("median_ms"), t)         // baselines header
+    assert(t.contains("Unknown analytics report 'nope'"), t)
+    assert(t.contains("Usage: .analytics"), t)
+  }
+
   test(".history and .search recall prior input") {
     val t = session(
       "MATCH (p:Person) RETURN count(*) AS n;",
@@ -337,6 +357,25 @@ class ReplSpec extends SparkSpec {
       "MATCH (p:Person) WHERE p.age > 26 RETURN count(*) AS n;")
     assert(t.contains("| 3"), t)
     assert(t.contains("| 2"), t)
+  }
+
+  test("Ctrl-C discard: discardPending clears the continuation buffer so " +
+    "the empty line jline hands back is a no-op, not an execution") {
+    val engine = freshEngine
+    val out = new StringWriter()
+    val repl = new CypherRepl(engine,
+      new BufferedReader(new StringReader("")),
+      new PrintWriter(out), historyFile = None)
+    repl.handleLine("MATCH (p:Person)")
+    assert(repl.discardPending())        // something WAS buffered
+    repl.handleLine("")                  // the post-Ctrl-C empty line
+    assert(!out.toString.contains("row(s)"), out.toString) // nothing ran
+    assert(!repl.discardPending())       // buffer already clean
+    // control: WITHOUT the discard, the empty line executes the buffer
+    repl.handleLine("MATCH (p:Person)")
+    repl.handleLine("RETURN count(*) AS n")
+    repl.handleLine("")
+    assert(out.toString.contains("1 row(s)"), out.toString)
   }
 
   test(".quit dispatches even while multi-line input is accumulating") {

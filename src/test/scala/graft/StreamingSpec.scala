@@ -261,6 +261,77 @@ class StreamingSpec extends SparkSpec {
     assert(QueryAnalytics.regressions(full3).isEmpty)
   }
 
+  test("regression alerts state TTL evicts a stale fingerprint; a return " +
+    "re-fills a fresh window and re-alerts") {
+    // ProcessingTimeTimeout makes the engine schedule batches
+    // CONTINUOUSLY (FlatMapGroupsWithStateExec.shouldRunAnotherBatch
+    // is unconditionally true under this timeout mode, so evictions
+    // can fire without new data) — processAllAvailable never observes
+    // noNewData and even Trigger.AvailableNow never terminates. The
+    // only sound harness is a live query on a real trigger, observed
+    // by polling its sink.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_sttl").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_sttl_ck").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_sttl_out").toFile.getAbsolutePath
+    def audit(label: String, rows: (Long, Double)*): DataFrame =
+      rows.toDF("tsMillis", "durationMs")
+        .select(lit(label).as("label"), lit("").as("planHash"),
+          col("tsMillis"), col("durationMs"), lit("success").as("status"))
+    val A = "MATCH (n:Doc) RETURN n"
+    val sch = audit(A, (0L, 0.0)).schema
+    // one file per append (coalesce(1)): the file source must never
+    // see a half-visible multi-file write, which could split one
+    // burst's fast/slow rows across batches in arbitrary order
+    def feed(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(dir)
+    def alerts(): Array[org.apache.spark.sql.Row] =
+      scala.util.Try(spark.read.parquet(out).orderBy("last_seen_ms").collect())
+        .getOrElse(Array.empty)
+    def awaitAlerts(n: Int): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (alerts().length < n && System.currentTimeMillis() - t0 < 60000)
+        Thread.sleep(100)
+    }
+    val q = Streams.regressionAlerts(
+        spark.readStream.schema(sch).parquet(dir),
+        stateTtl = Some("50 milliseconds"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    try {
+      // step 1: fingerprint A fills baseline+recent with a regression
+      feed(audit(A, (1L to 20L).map(i => (i, 10.0)) ++
+        (21L to 25L).map(i => (i, 80.0)): _*))
+      awaitAlerts(1)
+      assert(alerts().length == 1, alerts().mkString("\n"))
+      // the engine keeps running empty batches; once 50 ms pass with
+      // no new A data, A's window is evicted
+      Thread.sleep(2000)
+      // step 2: 5 slow A observations. Had A's window SURVIVED, the
+      // deque would hold 15 fast + 10 slow (baseline mean 27.5,
+      // recent 80.0, ratio ~2.9 >= 2) and alert; after eviction the
+      // fresh window holds only 5 of 25 needed — no alert is the
+      // eviction proof
+      feed(audit(A, (26L to 30L).map(i => (i, 80.0)): _*))
+      Thread.sleep(3000) // several trigger intervals to consume it
+      assert(alerts().length == 1, alerts().mkString("\n"))
+      // step 3: the returned fingerprint re-fills baseline+recent and
+      // alerts again, exactly as a brand-new query would
+      feed(audit(A, (31L to 50L).map(i => (i, 10.0)) ++
+        (51L to 55L).map(i => (i, 80.0)): _*))
+      awaitAlerts(2)
+    } finally q.stop()
+    val a = alerts()
+    assert(a.length == 2, a.mkString("\n"))
+    assert(a.forall(_.getAs[String]("severity") == "critical"))
+    assert(a(1).getAs[Double]("ratio") == 8.0)
+  }
+
   test("streaming funnel advances per-user stage state across micro-batches") {
     val dir = Files.createTempDirectory("graft_sfun").toFile.getAbsolutePath
     def ev(rows: (Long, String, Long)*) = rows.toDF("user_id", "event_type", "ts")
@@ -564,5 +635,60 @@ class StreamingSpec extends SparkSpec {
     val windows = spark.table("t_late").select(col("window.start").cast("string"))
       .collect().map(_.getString(0)).toSet
     assert(!windows.contains("2024-01-01 00:00:00")) // late row never emitted
+  }
+
+  test("YAML streaming curation: gate + cross-batch minhash dedup; the " +
+    "index-at-rest survives a query restart") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_crawl_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_crawl_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_crawl_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_crawl_idx")}/index"
+    val yaml =
+      s"""project: {name: crawl}
+         |curation:
+         |  - id: crawl_curate
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    stages:
+         |      - {op: quality_gate, min_quality: "0.3"}
+         |      - {op: minhash_dedup, index_dir: $idx, threshold: "0.5"}
+         |""".stripMargin
+    val config = PipelineConfig.parse(yaml)
+    assert(config.curation.head.streaming)
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "ant bee cat dog elk fox").split(" ").toSeq
+    def doc(replaceAt: Int, withTok: String): String =
+      base.updated(replaceAt, withTok).mkString(" ")
+    // batch 1: two originals, one near-dup of doc 1 (intra-batch), one
+    // low-quality doc the gate drops
+    Seq(
+      (1L, base.mkString(" ")),
+      (2L, base.map(_.reverse).mkString(" ")),         // disjoint tokens
+      (3L, doc(29, "wolf")),                           // near-dup of 1
+      (4L, "spam spam spam spam spam"))                // fails the gate
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "crawl_curate")
+    q1.processAllAvailable(); q1.stop()
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(1L, 2L), survivors())
+    // RESTART, then batch 2: a near-dup of doc 1 must be dropped by
+    // the index-at-rest (doc 1 itself is long gone from any state the
+    // restart kept), a fresh doc must pass
+    Seq(
+      (5L, doc(28, "hawk")),                           // near-dup of 1
+      (6L, base.map(t => t + t.take(1)).mkString(" "))) // fresh tokens
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q2 = PipelineRunner.startCuration(spark, config, "crawl_curate")
+    q2.processAllAvailable(); q2.stop()
+    assert(survivors() == Set(1L, 2L, 6L), survivors())
+    // the index now holds exactly the survivors' signatures
+    val indexed = spark.read.parquet(s"$idx/_sigs")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 6L), indexed)
   }
 }
