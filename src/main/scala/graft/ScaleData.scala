@@ -81,7 +81,8 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensure(spark, args.headOption.getOrElse("/root/testdata/sf0.1"),
-      if (args.length > 1) args(1) else "/tmp/graft_sf1_full")
+      if (args.length > 1) args(1) else "/tmp/graft_sf1_full",
+      replicas = if (args.length > 2) args(2).toInt else 10)
     spark.stop()
   }
 }

@@ -941,16 +941,131 @@ object Dedup {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (deletion-neighborhood size is len^d), got $maxDist")
     import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
-    val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    val vars = v.select(col("id"), col("s"),
+    // template compaction (the dd16 routing rule IN CODE, round 12):
+    // strip the corpus-constant prefix/suffix before blocking —
+    // Levenshtein is invariant under common-affix removal, so the
+    // output is bit-identical while the deletion-neighborhood explode
+    // shrinks quadratically in the stripped length (TPC-H's
+    // "Customer#0…" template keys: 18-char neighborhoods → 4-8-char)
+    edSelfPairs(compactTemplate(
+      df.select(col(idCol).as("id"), col(strCol).as("s"))), maxDist)
+  }
+
+  /** The blocking+verify core over a prepared (id, s) frame.
+    *
+    * Exact-duplicate collapse first: candidate volume grows
+    * QUADRATICALLY in per-string multiplicity, but every member of an
+    * exact-dup group has identical distances to everything — so block
+    * and verify over DISTINCT strings (the string is its own key),
+    * then expand each surviving string pair over both id groups and
+    * emit the intra-group d=0 pairs directly. Output is identical by
+    * construction; on a clone-dense corpus (boilerplate keys, ×N
+    * replication) the blocking stage shrinks by the clone factor
+    * squared.
+    */
+  private def edSelfPairs(v: DataFrame, maxDist: Int): DataFrame = {
+    val d = v.select(col("s")).distinct().select(col("s").as("id"), col("s"))
+    val vars = d.select(col("id"), col("s"),
       explode(deletionHood(col("s"), maxDist)).as("__v"))
     val a = vars.select(col("__v"), col("id").as("id1"), col("s").as("s1"))
     val b = vars.select(col("__v"), col("id").as("id2"), col("s").as("s2"))
     // verify with an O(cap·n) capped-distance kernel, then dedupe the
     // narrow (id1, id2, dist) survivors — the full-DP levenshtein at
     // ~d² per pair was the dominant cost of the whole operator
-    verifyCandidates(a.join(b, Seq("__v")).filter(col("id1") < col("id2")),
-      maxDist)
+    val sp = verifyCandidates(
+      a.join(b, Seq("__v")).filter(col("id1") < col("id2")), maxDist)
+      .select(col("id1").as("__sa"), col("id2").as("__sb"), col("dist"))
+    // expand string pairs over the id groups (true output rows — a
+    // clone-dense corpus's pair set IS quadratic in clone counts)
+    val cross = sp
+      .join(v.select(col("s").as("__sa"), col("id").as("__ia")), Seq("__sa"))
+      .join(v.select(col("s").as("__sb"), col("id").as("__ib")), Seq("__sb"))
+      .select(least(col("__ia"), col("__ib")).as("id1"),
+        greatest(col("__ia"), col("__ib")).as("id2"), col("dist"))
+    // intra-group pairs: exact dups at distance 0
+    val intra = v.select(col("s"), col("id").as("__ia"))
+      .join(v.select(col("s"), col("id").as("__ib")), Seq("s"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("id1"), col("__ib").as("id2"),
+        lit(0L).as("dist"))
+    cross.unionByName(intra)
+  }
+
+  /** Symmetric-delete collision-density detector: the estimated
+    * candidate PAIRS PER ROW the blocking stage would emit, from a
+    * deterministic hash sample (`sampleSixteenths`/16 of distinct
+    * rows; per-bucket pairs scale with the sampling fraction squared,
+    * rows linearly, so density = samplePairs / (frac · sampleRows)).
+    * Template-dense keys (shared affixes, low-entropy runs) score
+    * orders of magnitude above high-entropy keys — the signal that the
+    * exact tier's candidate set grows quadratically on this corpus.
+    */
+  def deletionCollisionDensity(df: DataFrame, strCol: String,
+                               maxDist: Int = 2,
+                               sampleSixteenths: Int = 4): Double = {
+    require(sampleSixteenths >= 1 && sampleSixteenths <= 16,
+      "sampleSixteenths in 1..16")
+    val s = df.select(col(strCol).as("s"))
+      .filter(pmod(xxhash64(col("s")), lit(16)) < lit(sampleSixteenths))
+      .localCheckpoint(true) // two consumers: the bucket agg + count
+    val frac = sampleSixteenths / 16.0
+    val n = s.count()
+    if (n == 0L) return 0.0
+    // Spark's `/` is double division — exact here (c·(c−1) is even and
+    // a sample count is far under 2^53)
+    val pairs = s.select(explode(deletionHood(col("s"), maxDist)).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)), lit(0.0)))
+      .head().getDouble(0)
+    pairs / frac / n
+  }
+
+  /** Corpus-constant affixes of a string column: (prefix, suffix)
+    * shared by EVERY string. One map-side-combined aggregate: the
+    * common prefix of the lexicographic min and max is common to all
+    * strings (any s with min <= s <= max must match their shared
+    * prefix, else it would sort outside them); the suffix comes from
+    * the same lemma over reversed strings, capped so prefix+suffix
+    * never exceeds the shortest string (no double-stripping).
+    */
+  private[graft] def corpusAffixes(v: DataFrame): (String, String) = {
+    val r = v.agg(min(col("s")).as("mn"), max(col("s")).as("mx"),
+      min(reverse(col("s"))).as("rmn"), max(reverse(col("s"))).as("rmx"),
+      min(length(col("s"))).as("ml")).head()
+    if (r.isNullAt(0)) return ("", "")
+    // all math in CODEPOINTS (Spark substr/length are codepoint-based;
+    // java String ops are UTF-16 and would split surrogate pairs)
+    def cps(s: String): Array[Int] = s.codePoints().toArray
+    def str(a: Array[Int]): String = new String(a, 0, a.length)
+    def lcp(a: Array[Int], b: Array[Int]): Array[Int] =
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+    val pre = lcp(cps(r.getString(0)), cps(r.getString(1)))
+    val sufR = lcp(cps(r.getString(2)), cps(r.getString(3)))
+    val minLen = r.getInt(4)
+    val suf = sufR.reverse.takeRight(math.max(0, minLen - pre.length))
+    (str(pre), str(suf))
+  }
+
+  /** Strip the corpus-constant template from `s` when one exists (>= 2
+    * chars of affix — below that the strip costs more plan than it
+    * saves). Distance-preserving: every string is prefix ++ mid ++
+    * suffix, and an optimal alignment of two strings maps their
+    * identical affixes onto each other, so lev(a, b) =
+    * lev(mid_a, mid_b).
+    */
+  private def compactTemplate(v: DataFrame): DataFrame = {
+    val (pre, suf) = corpusAffixes(v)
+    stripAffixes(v, pre, suf)
+  }
+
+  private def stripAffixes(v: DataFrame, pre: String, suf: String): DataFrame = {
+    // codepoint counts — Spark's substr/length are codepoint-based
+    val preCp = pre.codePointCount(0, pre.length)
+    val sufCp = suf.codePointCount(0, suf.length)
+    if (preCp + sufCp < 2) v
+    else v.select(col("id"),
+      col("s").substr(lit(preCp + 1),
+        length(col("s")) - lit(preCp + sufCp)).as("s"))
   }
 
   /** The ≤d-deletion neighborhood of a string column, deduped IN-ROW
@@ -998,13 +1113,21 @@ object Dedup {
                 maxDist: Int = 1): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2, got $maxDist")
-    def vars(df: DataFrame, idCol: String, strCol: String,
-             idAs: String, sAs: String) =
-      df.select(col(idCol).as(idAs), col(strCol).as(sAs),
-        explode(deletionHood(col(strCol), maxDist)).as("__v"))
+    // template compaction as in editDistancePairs, but the affixes
+    // must be constant over the UNION of both tables — a cross-pair's
+    // common affix is only guaranteed when every string on either
+    // side carries it
+    val l0 = left.select(col(lIdCol).as("id"), col(lStrCol).as("s"))
+    val r0 = right.select(col(rIdCol).as("id"), col(rStrCol).as("s"))
+    val (pre, suf) = corpusAffixes(
+      l0.select(col("s")).unionByName(r0.select(col("s"))))
+    def vars(v: DataFrame, idAs: String, sAs: String) = {
+      val c = stripAffixes(v, pre, suf)
+      c.select(col("id").as(idAs), col("s").as(sAs),
+        explode(deletionHood(col("s"), maxDist)).as("__v"))
+    }
     verifyCandidates(
-      vars(left, lIdCol, lStrCol, "id1", "s1")
-        .join(vars(right, rIdCol, rStrCol, "id2", "s2"), Seq("__v")),
+      vars(l0, "id1", "s1").join(vars(r0, "id2", "s2"), Seq("__v")),
       maxDist)
   }
 }

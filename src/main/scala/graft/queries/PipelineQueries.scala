@@ -685,6 +685,42 @@ object PipelineQueries {
         .select(col("id1"), col("id2"), col("dist"))
     },
 
+    // Routing ledger for the template-compaction route (round 12: the
+    // dd16 "routing rule" is now code, not documentation): the
+    // blocking stage detects the corpus-constant affix template
+    // (Dedup.corpusAffixes — TPC-H names share "Customer#000…") and
+    // strips it before building deletion neighborhoods; Levenshtein is
+    // affix-invariant, so the routed plan's output is BIT-IDENTICAL
+    // while the explode shrinks quadratically in the stripped length.
+    // This row PROVES the exactness claim per run: in-Spark brute-
+    // force truth on the same slice vs the routed plan — n_routed =
+    // n_hit = n_truth, recall exactly 1 — plus the detected affix
+    // lengths. FULLY oracled (DuckDB recomputes truth and the min/max
+    // LCP affixes).
+    "dd20_fuzzy_routing_ledger" -> { (s, dir) =>
+      val cust = Tables(s, dir).customer
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      val routed = Dedup.editDistancePairs(cust, "id", "s", maxDist = 2)
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      val truth = cust
+        .crossJoin(cust.select(col("id").as("id2"), col("s").as("s2")))
+        .filter(col("id") < col("id2") &&
+          levenshtein(col("s"), col("s2")) <= 2)
+        .select(col("id").as("id1"), col("id2"))
+        .localCheckpoint(true)
+      val (pre, suf) = Dedup.corpusAffixes(cust.select(col("s")))
+      val hit = truth.join(routed, Seq("id1", "id2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(routed.agg(count(lit(1)).as("n_routed")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(
+          lit(pre.codePointCount(0, pre.length)).cast("long").as("prefix_cp"),
+          lit(suf.codePointCount(0, suf.length)).cast("long").as("suffix_cp"),
+          col("n_truth"), col("n_routed"), col("n_hit"),
+          round(col("n_hit") / col("n_truth") + lit(1e-11), 4).as("recall"))
+    },
+
     // Semantic decontamination: train vectors (id % 29 != 0) whose
     // exact cosine against any benchmark vector (id % 29 == 0) meets
     // 0.2 — the broadcast-benchmark scan shape of dd09, in embedding
@@ -1954,6 +1990,32 @@ object PipelineQueries {
          WHERE a.c_custkey % 3 = 0 AND b.c_custkey % 3 = 0
            AND a.c_custkey < b.c_custkey
            AND levenshtein(a.c_name, b.c_name) <= 2""",
+    // dd20 replay: brute-force truth on the slice (the compacted route
+    // is exactness-preserving, so n_routed = n_hit = n_truth and
+    // recall is exactly 1) + the corpus LCP/LCSuffix lengths from the
+    // lexicographic min/max lemma, suffix capped at minLen - prefix
+    "dd20_fuzzy_routing_ledger" ->
+      """WITH sl AS (SELECT c_custkey AS id, c_name AS s
+                     FROM customer WHERE c_custkey % 3 = 0),
+         mm AS (SELECT min(s) AS a, max(s) AS b,
+                       min(reverse(s)) AS ra, max(reverse(s)) AS rb,
+                       min(length(s)) AS ml FROM sl),
+         pre AS (SELECT coalesce(
+             (SELECT max(i) FROM generate_series(1, 64) g(i), mm
+              WHERE i <= least(length(mm.a), length(mm.b))
+                AND substr(mm.a, 1, CAST(i AS INT)) = substr(mm.b, 1, CAST(i AS INT))), 0) AS p),
+         suf AS (SELECT greatest(0, least(coalesce(
+             (SELECT max(i) FROM generate_series(1, 64) g(i), mm
+              WHERE i <= least(length(mm.ra), length(mm.rb))
+                AND substr(mm.ra, 1, CAST(i AS INT)) = substr(mm.rb, 1, CAST(i AS INT))), 0),
+             (SELECT ml FROM mm) - (SELECT p FROM pre))) AS sfx),
+         tr AS (SELECT count(*) AS c FROM sl a, sl b
+                WHERE a.id < b.id AND levenshtein(a.s, b.s) <= 2)
+         SELECT CAST(pre.p AS BIGINT) AS prefix_cp,
+                CAST(suf.sfx AS BIGINT) AS suffix_cp,
+                tr.c AS n_truth, tr.c AS n_routed, tr.c AS n_hit,
+                round(tr.c * 1.0 / tr.c + 1e-11, 4) AS recall
+         FROM pre, suf, tr""",
     // full replay of dd18: exact cross-slice cosine at the same
     // rounded threshold
     "dd18_semantic_decontaminate" ->

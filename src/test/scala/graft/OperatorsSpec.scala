@@ -987,6 +987,54 @@ class OperatorsSpec extends SparkSpec {
     assert(want2.size > want.size) // d=2 genuinely admits more pairs here
   }
 
+  test("template compaction: corpus-constant affixes are detected and " +
+    "stripped without changing the fuzzy pair set") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // TPC-H-shaped template corpus: constant prefix AND suffix around
+    // a low-entropy core — the worst case the router exists for
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 60L).map(i => (i,
+      "Cust#" + (1 to 4).map(_ => ('0' + rnd.nextInt(3)).toChar).mkString + "-X"))
+    val (pre, suf) = Dedup.corpusAffixes(
+      rows.toDF("id", "s").select(col("s").as("s")))
+    assert(pre == "Cust#", pre)
+    assert(suf == "-X", suf)
+    // differential: the compacted plan is bit-identical to brute force
+    val want = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j && lev(a, b) <= 2
+    } yield (i, j, lev(a, b).toLong)).toSet
+    val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "id", "s",
+        maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // multibyte affixes: substr/length math is codepoint-based end to
+    // end, so a surrogate-pair emoji template strips cleanly
+    val emoji = Seq((1L, "😀😀A1"),
+      (2L, "😀😀B2"),
+      (3L, "😀😀A2")).toDF("id", "s")
+    val ep = Dedup.editDistancePairs(emoji, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ep == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)), ep)
+    // the collision-density detector separates template-dense keys
+    // from high-entropy keys of the same count and length
+    val entropic = (1L to 60L).map(i => (i,
+      rnd.alphanumeric.take(11).mkString))
+    val dDense = Dedup.deletionCollisionDensity(
+      rows.toDF("id", "s"), "s", maxDist = 2, sampleSixteenths = 16)
+    val dSparse = Dedup.deletionCollisionDensity(
+      entropic.toDF("id", "s"), "s", maxDist = 2, sampleSixteenths = 16)
+    assert(dDense > 10 * math.max(dSparse, 0.01),
+      s"dense=$dDense sparse=$dSparse")
+  }
+
   test("band join equals the brute-force range join on random doubles") {
     import graft.operators.BandJoin
     val rnd = new scala.util.Random(23)
