@@ -9,9 +9,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    // shuffle partitions default to the core count (right for the
+    // sf0.1 gate); at sf10+ pass SPARK_GRAFT_SHUFFLE so 50M+-row
+    // shuffles aren't forced through 32 spilling partitions — the
+    // local stand-in for sizing spark.sql.shuffle.partitions to the
+    // data on a real cluster
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
