@@ -808,6 +808,32 @@ object PipelineQueries {
         .select(col("vec_id"), col("cluster"))
     },
 
+    // tx22 with a FIXED-SIZE benchmark (round 12): the sf10 scale
+    // study measured tx22 at exponent 1.70 BECAUSE its synthetic
+    // benchmark slice (vec_id % 29) grows with the corpus; a real
+    // decontamination benchmark is a fixed eval suite. This variant
+    // pins the benchmark to the 5 smallest %29 vectors (deterministic,
+    // identical at every SF), making the decontamination stage a
+    // broadcast map-only scan LINEAR in the corpus — the measured
+    // counterpart of the PERFORMANCE.md reading. FULLY oracled.
+    "tx23_retrieval_fixed_bench" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val train = emb.filter(col("vec_id") % 29 =!= 0)
+      val bench = emb.filter(col("vec_id") % 29 === 0)
+        .orderBy(col("vec_id")).limit(5)
+      val contaminated = Similarity.semanticDecontaminate(
+          train, bench, "vec_id", "embedding", tau = 0.2)
+        .select(col("train_id").as("vec_id")).distinct()
+      val clean = train.join(contaminated, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      val asg = Similarity.ivfSampledAssign(clean, "vec_id", "embedding",
+          nlist = 8)
+        .withColumn("__ord", md5(col("vec_id").cast("string").cast("binary")))
+      Sampling.topKPerGroup(asg, "cluster", "__ord", k = 10,
+        tieCol = "vec_id", ascending = true)
+        .select(col("vec_id"), col("cluster"))
+    },
+
     // DSIR importance RESAMPLING: the selection step over tx17's
     // scores — keep-probability exp((s - smax)/T) at T = 0.5,
     // deterministic md5-256ths acceptance. FULLY oracled.
@@ -2187,6 +2213,37 @@ object PipelineQueries {
                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
            FROM asg)
          SELECT vec_id, cluster FROM sel WHERE rn <= 10""",
+    // tx23: the tx22 replay with the benchmark pinned to the 5
+    // smallest %29 vectors
+    "tx23_retrieval_fixed_bench" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings),
+         b AS (SELECT vec_id AS bench_id, e AS bv FROM v
+               WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT 5),
+         t AS (SELECT vec_id, e FROM v WHERE vec_id % 29 <> 0),
+         clean AS (
+           SELECT tr.vec_id, tr.e FROM t tr WHERE NOT EXISTS (
+             SELECT 1 FROM b
+             WHERE round(CAST(list_cosine_similarity(tr.e, b.bv) AS DOUBLE), 6)
+                   >= 0.2)),
+         cent AS (
+           SELECT vec_id AS cid, e AS c FROM clean
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+         ),
+         asg AS (
+           SELECT vec_id, cid AS cluster FROM (
+             SELECT clean.vec_id, cent.cid,
+                    row_number() OVER (PARTITION BY clean.vec_id
+                      ORDER BY list_distance(clean.e, cent.c), cent.cid) AS rn
+             FROM clean, cent) WHERE rn = 1
+         ),
+         sel AS (
+           SELECT vec_id, cluster,
+                  row_number() OVER (PARTITION BY cluster
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM asg)
+         SELECT vec_id, cluster FROM sel WHERE rn <= 10""",
+
     // tx17's importance CTE + the deterministic md5-256ths acceptance
     // rule at temperature 0.5 — the selection step replayed end-to-end
     "tx20_dsir_resample" ->
