@@ -203,10 +203,13 @@ object CurationStages {
     * cli/pipeline.py:499-652). Survivors of the whole stage list
     * append to the pipeline's `output:` directory (parquet).
     *
-    * Every stage applies verbatim to the batch EXCEPT `minhash_dedup`
-    * with an `index_dir` param, which becomes the incremental-crawl
-    * form against a MinHash index-at-rest (the dd13/crawlDedup shape,
-    * Streams.scala): probe the index for cross-batch near-dups, band
+    * Every stage applies verbatim to the batch EXCEPT the two dedup
+    * stages given an `index_dir` param, which become incremental-crawl
+    * forms against an index-at-rest: `exact_dedup` anti-joins a
+    * text-key index (text equality — the index is the whole truth
+    * across restarts), and `minhash_dedup` probes a MinHash index
+    * (the dd13/crawlDedup shape, Streams.scala): probe for
+    * cross-batch near-dups, band
     * the batch against itself for intra-batch dups (min-id canonical),
     * then append the survivors' signatures to the index. The index
     * parquet is the SOURCE OF TRUTH across restarts — a duplicate of
@@ -238,8 +241,11 @@ object CurationStages {
         val batch = batch0.localCheckpoint(true)
         if (!batch.isEmpty) {
           val curated = pipeline.stages.foldLeft(batch) { (df, stage) =>
-            if (stage.op == "minhash_dedup" && stage.params.contains("index_dir"))
+            if (stage.params.contains("index_dir") && stage.op == "minhash_dedup")
               streamingMinhashDedup(spark, df,
+                pipeline.idCol, pipeline.textCol, stage)
+            else if (stage.params.contains("index_dir") && stage.op == "exact_dedup")
+              streamingExactDedup(spark, df,
                 pipeline.idCol, pipeline.textCol, stage)
             else apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
           }
@@ -249,6 +255,38 @@ object CurationStages {
       }
     pipeline.checkpointUri.fold(writer)(
       ck => writer.option("checkpointLocation", ck))
+  }
+
+  /** The cross-batch arm of `exact_dedup` in streaming mode: a
+    * text-key index at rest under `index_dir/keys`. Per batch — drop
+    * rows whose EXACT text was ever admitted (anti-join against the
+    * key index: batch-sized side vs an at-rest scan, the
+    * minHashIndexLookup join shape), keep the min-id row per
+    * intra-batch text, append survivors' keys. Text equality makes
+    * the index the whole truth, so restarts cost nothing; the
+    * standalone `Streams.bloomCrawlDedup` adds the bloom fast path
+    * when the at-rest side is large enough for the sketch to matter.
+    */
+  private def streamingExactDedup(spark: SparkSession, df: DataFrame,
+                                  idCol: String, textCol: String,
+                                  stage: CurationStageDef): DataFrame = {
+    val keysDir = s"${stage.params("index_dir")}/keys"
+    val p = new org.apache.hadoop.fs.Path(keysDir)
+    val have = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fresh =
+      if (have)
+        df.join(spark.read.parquet(keysDir).select(col("k").as(textCol)),
+            Seq(textCol), "left_anti")
+          .select(df.columns.map(col).toSeq: _*)
+      else df
+    val survivors = fresh.join(
+        fresh.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
+        Seq(textCol, idCol), "left_semi")
+      .select(df.columns.map(col).toSeq: _*)
+      .localCheckpoint(true)
+    survivors.select(col(textCol).as("k")).distinct()
+      .write.mode("append").parquet(keysDir)
+    survivors
   }
 
   /** The cross-batch arm of `minhash_dedup` in streaming mode. */

@@ -691,4 +691,40 @@ class StreamingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(indexed == Set(1L, 2L, 6L), indexed)
   }
+
+  test("YAML streaming curation: exact_dedup against a key index-at-rest " +
+    "drops cross-batch exact dups across a restart") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_xd_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_xd_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_xd_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_xd_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: xcrawl}
+         |curation:
+         |  - id: xd
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    stages:
+         |      - {op: exact_dedup, index_dir: $idx}
+         |""".stripMargin)
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "xd")
+    q1.processAllAvailable(); q1.stop()
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(1L, 2L), survivors()) // 3 = intra-batch dup
+    // restart; 4 repeats batch-1 text (dropped by the index), 5 is new
+    Seq((4L, "gamma delta"), (5L, "epsilon zeta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q2 = PipelineRunner.startCuration(spark, config, "xd")
+    q2.processAllAvailable(); q2.stop()
+    assert(survivors() == Set(1L, 2L, 5L), survivors())
+    val keys = spark.read.parquet(s"$idx/keys")
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(keys == Set("alpha beta", "gamma delta", "epsilon zeta"), keys)
+  }
 }
