@@ -227,14 +227,13 @@ object GraphAlgos {
     * the loop either way.
     */
   def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
     var it = 0
     while (it < iterations) {
-      // the update is pure (join + count + ranking window), so two
+      // the update is pure (join + count + argmax aggregate), so two
       // iterations fuse into one linear plan between checkpoints —
       // identical labels, half the materializations (the pageRank/
       // sssp double-step)
@@ -243,11 +242,17 @@ object GraphAlgos {
       for (_ <- 1 to steps) {
         val counts = e.join(cur, e("src") === cur("node"))
           .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("dst"))
-          .orderBy(col("c").desc, col("label"))
-        val won = counts.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("dst").as("node"), col("label").as("__new"))
+        // winner = (count desc, label asc) as min(struct(-c, label)) —
+        // a map-side-combinable aggregate, NOT a row_number window: a
+        // ranking window sorts every (node, label) row inside each
+        // shuffle partition, and at sf10 (48M edge rows per round,
+        // one JVM) that sort was the measured memory-pressure term of
+        // the round-12 scaling study; the aggregate collapses each
+        // node's labels to one row map-side. Same winner, bit-
+        // identical labels (gr02's fixed-unroll oracle pins it).
+        val won = counts.groupBy(col("dst"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("__m"))
+          .select(col("dst").as("node"), col("__m.l").as("__new"))
         cur = nodes.join(won, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("__new"), col("node")).as("label"))
