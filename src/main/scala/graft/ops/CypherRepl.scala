@@ -254,6 +254,7 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
       case "examples"  => doExamples()
       case "metrics"   => doMetrics()
       case "analytics" => doAnalytics(arg)
+      case "catalog"   => doCatalog(arg)
       case "history"   => doHistory()
       case "search"    => doSearch(arg)
       case "format"    => doFormat(arg)
@@ -281,6 +282,7 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
       |  .examples              Show query examples for loaded schema
       |  .metrics               Show session query metrics
       |  .analytics <report> <auditPath>  Analytics over an at-rest audit sink
+      |  .catalog save|open|versions <dir>  Durable catalog snapshots
       |  .history               Show recent query history
       |  .search <keyword>      Search history for matching queries
       |  .format <table|csv|json>  Set output format
@@ -448,6 +450,43 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
       val fetched = result.limit(n + 1).collect()
       val total = if (fetched.length > n) result.count() else fetched.length.toLong
       displayResult(result, total, fetched.take(n))
+    } catch {
+      case NonFatal(e) => errorCount += 1; echo(s"Error: ${rootMessage(e)}")
+    }
+  }
+
+  /** `.catalog save|open|versions <dir> [version]` — the durable side
+    * of the session's graph ([[graft.model.CatalogStore]]): `save`
+    * writes every registered table + manifest as a new version and
+    * moves the atomic pointer; `open` absorbs a snapshot's
+    * registrations into the LIVE catalog (same-name labels/types are
+    * overwritten by the snapshot, extra live ones are kept — the
+    * mutation-commit absorb semantics); `versions` lists retained
+    * snapshots for time travel (`.catalog open <dir> v00001`).
+    */
+  private def doCatalog(arg: String): Unit = {
+    val parts = arg.split("\\s+").filter(_.nonEmpty)
+    if (parts.length < 2 ||
+        !Set("save", "open", "versions")(parts(0).toLowerCase)) {
+      echo("Usage: .catalog save|open|versions <dir> [version]")
+      return
+    }
+    val dir = parts(1)
+    try parts(0).toLowerCase match {
+      case "save" =>
+        val v = graft.model.CatalogStore.save(engine.spark, engine.catalog, dir)
+        echo(s"Catalog saved as $v (${engine.catalog.labels.size} " +
+          s"labels, ${engine.catalog.relTypes.size} relationship types)")
+      case "open" =>
+        val loaded = graft.model.CatalogStore.load(engine.spark, dir,
+          version = parts.lift(2))
+        engine.catalog.absorbFrom(loaded)
+        echo(s"Catalog loaded: labels ${loaded.labels.mkString(", ")}; " +
+          s"relationships ${loaded.relTypes.mkString(", ")}")
+      case "versions" =>
+        val vs = graft.model.CatalogStore.versions(engine.spark, dir)
+        if (vs.isEmpty) echo("No snapshots found.")
+        else echo(vs.mkString("Versions: ", ", ", ""))
     } catch {
       case NonFatal(e) => errorCount += 1; echo(s"Error: ${rootMessage(e)}")
     }
@@ -665,8 +704,8 @@ final class CypherRepl(engine: CypherEngine, in: BufferedReader,
 object CypherRepl {
 
   val DotCommands: Seq[String] = Seq("help", "load", "schema", "tables",
-    "functions", "metrics", "analytics", "history", "search", "format",
-    "template", "batch", "examples", "clear", "quit", "exit")
+    "functions", "metrics", "analytics", "catalog", "history", "search",
+    "format", "template", "batch", "examples", "clear", "quit", "exit")
 
   private val MaxHistory = 1000
   private val MaxCellWidth = 40

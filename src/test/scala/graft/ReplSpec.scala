@@ -201,6 +201,32 @@ class ReplSpec extends SparkSpec {
     assert(t.contains("Usage: .analytics"), t)
   }
 
+  test(".catalog save/versions/open round-trips the session graph " +
+    "through disk, including time travel to an earlier version") {
+    val dir = Files.createTempDirectory("graft_replcat").toFile.getAbsolutePath
+    val t1 = session(
+      s".catalog save $dir",
+      "CREATE (p:Person {name: 'Dave', age: 40});",
+      s".catalog save $dir",
+      s".catalog versions $dir",
+      ".catalog bogus x",
+      ".catalog")
+    assert(t1.contains("Catalog saved as v00001"), t1)
+    assert(t1.contains("Catalog saved as v00002"), t1)
+    assert(t1.contains("Versions: v00001, v00002"), t1)
+    assert(t1.contains("Usage: .catalog"), t1)
+    // a FRESH session opens the live snapshot (4 persons), then time-
+    // travels to v00001 (3 persons — pre-mutation)
+    val t2 = session(
+      s".catalog open $dir",
+      "MATCH (p:Person) RETURN count(*) AS n;",
+      s".catalog open $dir v00001",
+      "MATCH (p:Person) RETURN count(*) AS n;")
+    assert(t2.contains("Catalog loaded"), t2)
+    val counts = "\\| (\\d+) ".r.findAllMatchIn(t2).map(_.group(1)).toSeq
+    assert(counts == Seq("4", "3"), s"$counts\n$t2")
+  }
+
   test(".history and .search recall prior input") {
     val t = session(
       "MATCH (p:Person) RETURN count(*) AS n;",
