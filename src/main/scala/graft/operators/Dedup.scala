@@ -1121,13 +1121,23 @@ object Dedup {
     val r0 = right.select(col(rIdCol).as("id"), col(rStrCol).as("s"))
     val (pre, suf) = corpusAffixes(
       l0.select(col("s")).unionByName(r0.select(col("s"))))
-    def vars(v: DataFrame, idAs: String, sAs: String) = {
-      val c = stripAffixes(v, pre, suf)
-      c.select(col("id").as(idAs), col("s").as(sAs),
+    // per-side exact-duplicate collapse, as in the self-join form:
+    // block/verify over distinct strings, expand links over both id
+    // groups afterward — identical output, clone-factor² less blocking
+    def distinctVars(v: DataFrame, idAs: String, sAs: String) = {
+      val c = stripAffixes(v, pre, suf).select(col("s")).distinct()
+      c.select(col("s").as(idAs), col("s").as(sAs),
         explode(deletionHood(col("s"), maxDist)).as("__v"))
     }
-    verifyCandidates(
-      vars(l0, "id1", "s1").join(vars(r0, "id2", "s2"), Seq("__v")),
-      maxDist)
+    val sp = verifyCandidates(
+      distinctVars(l0, "id1", "s1").join(distinctVars(r0, "id2", "s2"),
+        Seq("__v")), maxDist)
+      .select(col("id1").as("__sa"), col("id2").as("__sb"), col("dist"))
+    val lG = stripAffixes(l0, pre, suf)
+      .select(col("s").as("__sa"), col("id").as("id1"))
+    val rG = stripAffixes(r0, pre, suf)
+      .select(col("s").as("__sb"), col("id").as("id2"))
+    sp.join(lG, Seq("__sa")).join(rG, Seq("__sb"))
+      .select(col("id1"), col("id2"), col("dist"))
   }
 }
