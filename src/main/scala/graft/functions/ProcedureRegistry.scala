@@ -267,6 +267,9 @@ object ProcedureRegistry {
   register("analytics.trends", (spark, _, args) =>
     graft.ops.QueryAnalytics.trends(auditFrame(spark, args),
       bucketSeconds = numArg(args, 1, 60).toLong))
+  register("analytics.slowest", (spark, _, args) =>
+    graft.ops.QueryAnalytics.slowest(auditFrame(spark, args),
+      n = numArg(args, 1, 10).toInt))
 
   register("graft.series", (spark, _, args) => {
     val n = args.headOption match {

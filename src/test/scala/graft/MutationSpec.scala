@@ -529,7 +529,8 @@ class MutationSpec extends SparkSpec {
     Seq("db.labels", "db.procedures", "graph.pagerank",
       "graph.labelpropagation", "graph.components", "graph.fuzzymatch",
       "graph.kcore", "graft.series", "analytics.summary",
-      "analytics.regressions", "analytics.baselines", "analytics.trends")
+      "analytics.regressions", "analytics.baselines", "analytics.trends",
+      "analytics.slowest")
       .foreach(p => assert(names.contains(p), s"missing $p"))
   }
 
@@ -560,6 +561,10 @@ class MutationSpec extends SparkSpec {
       s"""CALL analytics.trends('$dir', 3600) YIELD query_count
          RETURN sum(query_count) AS n""").collect()
     assert(trends(0).getLong(0) == 26L)
+    val slow = eng.query(
+      s"""CALL analytics.slowest('$dir', 3) YIELD durationMs
+         RETURN count(durationMs) AS k, min(durationMs) AS mn""").collect()
+    assert(slow(0).getLong(0) == 3L && slow(0).getDouble(1) == 80.0)
   }
 
   test("CALL graph.fuzzyMatch mines near-duplicate entity names") {
@@ -675,5 +680,18 @@ class MutationSpec extends SparkSpec {
     assert(new CypherEngine(spark, CatalogStore.load(spark, dir))
       .query("MATCH (p:Person) RETURN count(*) AS n")
       .collect().head.getLong(0) == 3L)
+    // crash-safety shape: a half-written version directory WITHOUT a
+    // pointer move (the crash-mid-save leftover) is garbage, not
+    // corruption — load still follows _current; the next save claims
+    // the next free version number past the orphan
+    val orphan = new java.io.File(s"$dir/v00007")
+    orphan.mkdirs()
+    assert(new CypherEngine(spark, CatalogStore.load(spark, dir))
+      .query("MATCH (p:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 3L)
+    val v3 = CatalogStore.save(spark,
+      CatalogStore.load(spark, dir), dir)
+    assert(v3 == "v00008", v3)
+    assert(CatalogStore.load(spark, dir).labels.nonEmpty)
   }
 }
