@@ -46,6 +46,7 @@ final case class PipelineConfig(name: String, description: Option[String],
                                 queries: Seq[QueryDef],
                                 outputs: Seq[OutputDef],
                                 auditUri: Option[String] = None,
+                                auditDaily: Boolean = false,
                                 curation: Seq[CurationPipelineDef] = Seq.empty)
 
 object PipelineConfig {
@@ -135,6 +136,11 @@ object PipelineConfig {
       // project.audit_uri: parquet sink for the run's query-audit
       // records (star.py:833-896 parity in the nmetl path)
       auditUri = project.flatMap(p => str(p, "audit_uri")),
+      // project.audit_daily: lay the sink out day-partitioned
+      // (audit_date column) so retention-bounded analytics prune
+      // partitions — the long-lived-service layout
+      auditDaily = project.exists(p =>
+        Option(p.get("audit_daily")).exists(_.asBoolean(false))),
       curation = curation)
   }
 }

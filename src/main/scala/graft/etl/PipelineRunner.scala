@@ -210,7 +210,7 @@ object PipelineRunner {
       try {
         config.auditUri.foreach { uri =>
           org.apache.spark.sql.graftshim.ListenerBridge.waitUntilEmpty(spark, 10000L)
-          a.flushTo(uri)
+          a.flushTo(uri, partitionByDay = config.auditDaily)
         }
       } catch {
         // an unwritable audit sink must not replace the pipeline's real

@@ -244,6 +244,23 @@ class PipelineSpec extends SparkSpec {
     spark.range(3).count()
     org.apache.spark.sql.graftshim.ListenerBridge.waitUntilEmpty(spark, 5000L)
     assert(spark.read.parquet(s"$out/_audit").count() == audit.count())
+    // audit_daily: true lays the sink out day-partitioned so
+    // retention-bounded analytics (regressions sinceMillis) can prune
+    val config2 = PipelineConfig.parse(
+      s"""project: {name: audited2, audit_uri: $out/_daudit, audit_daily: true}
+         |sources:
+         |  entities:
+         |    - {id: people, uri: $dir/people.csv, entity_type: Person, id_col: id}
+         |queries:
+         |  - {id: adults, inline: "MATCH (p:Person) WHERE p.age >= 30 RETURN p.name AS name"}
+         |output:
+         |  - {query_id: adults, uri: $out/adults2.parquet}
+         |""".stripMargin)
+    assert(config2.auditDaily)
+    PipelineRunner.run(spark, config2)
+    val daily = spark.read.parquet(s"$out/_daudit")
+    assert(daily.columns.contains("audit_date"))
+    assert(daily.count() >= 1)
   }
 
   test("audit survives a failing sink: the failure row is flushed") {
