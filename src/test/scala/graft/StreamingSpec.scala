@@ -692,6 +692,55 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 6L), indexed)
   }
 
+  test("YAML streaming curation is batch-boundary invariant: one batch " +
+    "vs three batches give the same survivors and index") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "ant bee cat dog elk fox").split(" ").toSeq
+    def doc(replaceAt: Int, withTok: String): String =
+      base.updated(replaceAt, withTok).mkString(" ")
+    // clique-shaped duplicate group {1, 3, 5} + two distinct docs —
+    // the regime where greedy arrival-order dedup is batching-proof
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, base.map(_.reverse).mkString(" ")),
+      (3L, doc(29, "wolf")),
+      (4L, base.map(t => t + t.take(1)).mkString(" ")),
+      (5L, doc(28, "hawk")))
+    def run(batches: Seq[Seq[(Long, String)]]): (Set[Long], Set[Long]) = {
+      val src = Files.createTempDirectory("graft_inv_src").toFile.getAbsolutePath
+      val out = Files.createTempDirectory("graft_inv_out").toFile.getAbsolutePath
+      val ck = Files.createTempDirectory("graft_inv_ck").toFile.getAbsolutePath
+      val idx = s"${Files.createTempDirectory("graft_inv_idx")}/index"
+      val config = PipelineConfig.parse(
+        s"""project: {name: inv}
+           |curation:
+           |  - id: inv
+           |    input: $src
+           |    streaming: true
+           |    checkpoint: $ck
+           |    output: $out
+           |    stages:
+           |      - {op: minhash_dedup, index_dir: $idx, threshold: "0.5"}
+           |""".stripMargin)
+      batches.foreach { b =>
+        b.toDF("doc_id", "text").write.mode("append").parquet(src)
+        val q = PipelineRunner.startCuration(spark, config, "inv")
+        q.processAllAvailable(); q.stop()
+      }
+      (spark.read.parquet(out).select("doc_id")
+         .collect().map(_.getLong(0)).toSet,
+       spark.read.parquet(s"$idx/_sigs").select("id")
+         .collect().map(_.getLong(0)).toSet)
+    }
+    val oneShot = run(Seq(docs))
+    val threeBatches = run(Seq(docs.take(2), docs.slice(2, 4), docs.drop(4)))
+    assert(oneShot == threeBatches, s"$oneShot vs $threeBatches")
+    assert(oneShot._1 == Set(1L, 2L, 4L), oneShot)  // 3, 5 near-dup of 1
+    assert(oneShot._1 == oneShot._2) // index holds exactly the survivors
+  }
+
   test("YAML streaming curation: exact_dedup against a key index-at-rest " +
     "drops cross-batch exact dups across a restart") {
     import graft.etl.{PipelineConfig, PipelineRunner}
