@@ -223,9 +223,28 @@ object CurationStages {
     * LSH candidates at the Jaccard threshold and keeps the
     * HIGHEST-QUALITY doc per cluster; the incremental form matches
     * `crawlDedup` — signature-estimated Jaccard, arrival-order
-    * canonical (min id within a batch, earlier batch wins across
-    * batches) — because a crawl cannot re-rank against documents it
-    * has not seen yet.
+    * canonical across batches (earlier batch wins) — because a crawl
+    * cannot re-rank against documents it has not seen yet. WITHIN a
+    * batch the ranking IS computable: `rank_by: quality` on the
+    * minhash stage keeps the highest-quality doc per intra-batch
+    * cluster (the batch stage's pick); the default stays min-id.
+    *
+    * Exactly-once mechanics (the crash/replay contract): every
+    * micro-batch write — the curated output AND the dedup
+    * index-at-rest — is stamped with the foreachBatch batchId and
+    * written as a DYNAMIC PARTITION OVERWRITE of that batch's own
+    * partition, so a replayed batch erases its failed attempt instead
+    * of duplicating or (worse) anti-joining against it; the index
+    * probe reads only `batch < currentBatchId`, i.e. the index AS OF
+    * the batches before this one. Index appends are DEFERRED until
+    * the output write has succeeded and admit ONLY ids that reached
+    * the output — a survivor that a LATER stage filters (the
+    * gate→dedup→budget order) is not indexed, so its future
+    * duplicates compete again rather than being silently dropped
+    * against a row that never shipped. Consequence for readers: the
+    * output directory is partitioned by `batch_id` (drop the column
+    * if unwanted), and the stage's index uses the batch-tagged layout
+    * ([[graft.operators.Dedup.minHashIndexPut]]).
     */
   def runStreaming(spark: SparkSession, stream: DataFrame,
                    pipeline: CurationPipelineDef)
@@ -235,21 +254,35 @@ object CurationStages {
         s"streaming curation pipeline ${pipeline.id} needs output:"))
     val writer = stream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // pinned once per batch: several stages semi-join the batch
         // against their own derived frames
         val batch = batch0.localCheckpoint(true)
         if (!batch.isEmpty) {
+          // index writes are collected, not executed, during the fold:
+          // they run only after the output write commits, and only
+          // over ids that reached the output
+          val deferred = scala.collection.mutable.ListBuffer
+            .empty[DataFrame => Unit]
           val curated = pipeline.stages.foldLeft(batch) { (df, stage) =>
-            if (stage.params.contains("index_dir") && stage.op == "minhash_dedup")
-              streamingMinhashDedup(spark, df,
-                pipeline.idCol, pipeline.textCol, stage)
-            else if (stage.params.contains("index_dir") && stage.op == "exact_dedup")
-              streamingExactDedup(spark, df,
-                pipeline.idCol, pipeline.textCol, stage)
-            else apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
-          }
-          curated.write.mode("append").parquet(outDir)
+            if (stage.params.contains("index_dir") && stage.op == "minhash_dedup") {
+              val (survivors, admit) = streamingMinhashDedup(spark, df,
+                pipeline.idCol, pipeline.textCol, stage, batchId)
+              deferred += admit
+              survivors
+            } else if (stage.params.contains("index_dir") && stage.op == "exact_dedup") {
+              val (survivors, admit) = streamingExactDedup(spark, df,
+                pipeline.idCol, pipeline.textCol, stage, batchId)
+              deferred += admit
+              survivors
+            } else apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
+          }.localCheckpoint(true)
+          curated.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+          val shipped = curated.select(col(pipeline.idCol))
+          deferred.foreach(_(shipped))
         }
         ()
       }
@@ -258,24 +291,33 @@ object CurationStages {
   }
 
   /** The cross-batch arm of `exact_dedup` in streaming mode: a
-    * text-key index at rest under `index_dir/keys`. Per batch — drop
-    * rows whose EXACT text was ever admitted (anti-join against the
-    * key index: batch-sized side vs an at-rest scan, the
-    * minHashIndexLookup join shape), keep the min-id row per
-    * intra-batch text, append survivors' keys. Text equality makes
-    * the index the whole truth, so restarts cost nothing; the
-    * standalone `Streams.bloomCrawlDedup` adds the bloom fast path
-    * when the at-rest side is large enough for the sketch to matter.
+    * text-key index at rest under `index_dir/keys`, partitioned by
+    * the admitting batch id. Per batch — drop rows whose EXACT text
+    * was admitted by an EARLIER batch (anti-join against the key
+    * index filtered to `batch < batchId`: batch-sized side vs an
+    * at-rest scan, the minHashIndexLookup join shape; the filter is
+    * partition pruning and is what makes a crashed batch's replay
+    * blind to its own half-applied keys), keep the min-id row per
+    * intra-batch text. Returns (survivors, admit): `admit(shipped)`
+    * dynamic-partition-overwrites `batch=<id>` with the keys of the
+    * survivors that reached the output — run it only after the
+    * output write commits. Text equality makes the index the whole
+    * truth, so restarts cost nothing; the standalone
+    * `Streams.bloomCrawlDedup` adds the bloom fast path when the
+    * at-rest side is large enough for the sketch to matter.
     */
   private def streamingExactDedup(spark: SparkSession, df: DataFrame,
                                   idCol: String, textCol: String,
-                                  stage: CurationStageDef): DataFrame = {
+                                  stage: CurationStageDef, batchId: Long)
+  : (DataFrame, DataFrame => Unit) = {
     val keysDir = s"${stage.params("index_dir")}/keys"
     val p = new org.apache.hadoop.fs.Path(keysDir)
     val have = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     val fresh =
       if (have)
-        df.join(spark.read.parquet(keysDir).select(col("k").as(textCol)),
+        df.join(spark.read.parquet(keysDir)
+              .filter(col("batch") < lit(batchId))
+              .select(col("k").as(textCol)),
             Seq(textCol), "left_anti")
           .select(df.columns.map(col).toSeq: _*)
       else df
@@ -284,58 +326,86 @@ object CurationStages {
         Seq(textCol, idCol), "left_semi")
       .select(df.columns.map(col).toSeq: _*)
       .localCheckpoint(true)
-    survivors.select(col(textCol).as("k")).distinct()
-      .write.mode("append").parquet(keysDir)
-    survivors
+    val admit: DataFrame => Unit = shipped =>
+      survivors.join(shipped, Seq(idCol), "left_semi")
+        .select(col(textCol).as("k")).distinct()
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(keysDir)
+    (survivors, admit)
   }
 
-  /** The cross-batch arm of `minhash_dedup` in streaming mode. */
+  /** The cross-batch arm of `minhash_dedup` in streaming mode.
+    * Returns (survivors, admit): probe + intra-batch dedup run in the
+    * stage fold; `admit(shipped)` batch-tag-writes the signatures of
+    * survivors that reached the output (run after the output commit —
+    * see [[runStreaming]]'s exactly-once contract). Intra-batch
+    * canonical is min-id by default; `rank_by: quality` keeps the
+    * highest-quality doc per intra-batch cluster instead (the batch
+    * stage's pick — computable within a batch; ACROSS batches
+    * arrival order still wins, a crawl cannot re-rank history).
+    */
   private def streamingMinhashDedup(spark: SparkSession, df: DataFrame,
                                     idCol: String, textCol: String,
-                                    stage: CurationStageDef): DataFrame = {
+                                    stage: CurationStageDef, batchId: Long)
+  : (DataFrame, DataFrame => Unit) = {
     import graft.operators.Components
     val indexDir = stage.params("index_dir")
     val threshold = stage.params.get("threshold").map(_.toDouble).getOrElse(0.8)
+    val rankBy = stage.params.getOrElse("rank_by", "id")
+    require(rankBy == "id" || rankBy == "quality",
+      s"minhash_dedup rank_by must be 'id' or 'quality', got '$rankBy'")
     def intraSurvivors(d: DataFrame, shingleSize: Int, numHashes: Int,
                        bands: Int): DataFrame = {
       val pairs = Dedup.minHashLshPairs(d, idCol, textCol,
           shingleSize, numHashes, bands)
         .filter(col("est_jaccard") >= threshold)
         .select(col("id1"), col("id2"))
-      val nonCanon = Components.connectedComponents(pairs, "id1", "id2")
-        .filter(col("id") =!= col("comp"))
-        .select(col("id").as(idCol))
-      d.join(nonCanon, Seq(idCol), "left_anti")
+      if (rankBy == "quality") {
+        val quality = TextAnalysis.qualityScore(
+            d.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+          .select(col("doc_id").as(idCol), col("quality"))
+        val keep = Sampling.resolveDuplicates(pairs, quality, idCol)
+          .select(col(idCol))
+        d.join(keep, Seq(idCol), "left_semi")
+      } else {
+        val nonCanon = Components.connectedComponents(pairs, "id1", "id2")
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as(idCol))
+        d.join(nonCanon, Seq(idCol), "left_anti")
+      }
     }
     // HDFS-safe existence check (a java.io.File check is always false
-    // on HDFS/S3 and would re-create the index every restart)
+    // on HDFS/S3 and would re-create the index every restart). _meta
+    // is written LAST by minHashIndexPut and never rewritten, so
+    // "exists" means the first batch's index write fully committed.
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
     val haveIndex = metaPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaPath)
-    if (!haveIndex) {
-      val survivors = intraSurvivors(df,
-          stage.params.get("shingle_size").map(_.toInt).getOrElse(3),
-          stage.params.get("num_hashes").map(_.toInt).getOrElse(64),
-          stage.params.get("bands").map(_.toInt).getOrElse(16))
-        .localCheckpoint(true)
-      Dedup.minHashIndexWrite(survivors, idCol, textCol, indexDir,
+    val (shingleSize, numHashes, bands) =
+      if (haveIndex) {
+        val m = spark.read.parquet(s"$indexDir/_meta").head()
+        (m.getInt(0), m.getInt(1), m.getInt(2))
+      } else (
         stage.params.get("shingle_size").map(_.toInt).getOrElse(3),
         stage.params.get("num_hashes").map(_.toInt).getOrElse(64),
         stage.params.get("bands").map(_.toInt).getOrElse(16))
-      survivors
-    } else {
-      val m = spark.read.parquet(s"$indexDir/_meta").head()
-      val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
-      val idxDup = Dedup
-        .minHashIndexLookup(spark, indexDir, df, idCol, textCol)
-        .filter(col("est_jaccard") >= threshold)
-        .select(col("new_id").as(idCol)).distinct()
-      val survivors = intraSurvivors(
-          df.join(idxDup, Seq(idCol), "left_anti"),
-          shingleSize, numHashes, bands)
-        .localCheckpoint(true)
-      Dedup.minHashIndexAppend(spark, indexDir, survivors, idCol, textCol)
-      survivors
-    }
+    val pre =
+      if (haveIndex) {
+        val idxDup = Dedup
+          .minHashIndexLookup(spark, indexDir, df, idCol, textCol,
+            excludeBatchFrom = Some(batchId))
+          .filter(col("est_jaccard") >= threshold)
+          .select(col("new_id").as(idCol)).distinct()
+        df.join(idxDup, Seq(idCol), "left_anti")
+      } else df
+    val survivors = intraSurvivors(pre, shingleSize, numHashes, bands)
+      .localCheckpoint(true)
+    val admit: DataFrame => Unit = shipped =>
+      Dedup.minHashIndexPut(spark, indexDir,
+        survivors.join(shipped, Seq(idCol), "left_semi"),
+        idCol, textCol, batchId, shingleSize, numHashes, bands)
+    (survivors, admit)
   }
 }

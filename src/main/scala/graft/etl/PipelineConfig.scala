@@ -38,7 +38,8 @@ final case class CurationPipelineDef(id: String, input: String,
                                      outputUri: Option[String],
                                      format: Option[String],
                                      streaming: Boolean = false,
-                                     checkpointUri: Option[String] = None)
+                                     checkpointUri: Option[String] = None,
+                                     schemaDdl: Option[String] = None)
 
 final case class PipelineConfig(name: String, description: Option[String],
                                 entities: Seq[EntitySource],
@@ -127,7 +128,12 @@ object PipelineConfig {
         // incremental foreachBatch pipeline (CurationStages
         // .runStreaming), started via PipelineRunner.startCuration
         streaming = Option(c.get("streaming")).exists(_.asBoolean(false)),
-        checkpointUri = str(c, "checkpoint"))
+        checkpointUri = str(c, "checkpoint"),
+        // schema: optional DDL ("doc_id LONG, text STRING") for the
+        // streaming file source — beats inference when the input dir
+        // is empty at start or CSV inference would mis-type columns
+        // from the initial files
+        schemaDdl = str(c, "schema"))
     }
     PipelineConfig(
       name = project.map(p => req(p, "name", "project")).getOrElse("pipeline"),

@@ -316,12 +316,33 @@ object PipelineRunner {
       s"curation pipeline $id is batch (streaming: true to stream it)")
     // a crawl input is a directory (no extension for readSource's
     // dispatch to key on) — resolve the format from `format:` or the
-    // path, then batch-read it once for the schema the file stream
-    // requires
+    // path, then take the schema the file stream requires from the
+    // pipeline's explicit `schema:` DDL, or batch-read the directory
+    // once to infer it. Explicit DDL is the production posture: it
+    // works before the first file lands, and CSV inference from the
+    // initial files can mis-type columns relative to later ones.
     val fmt = c.format.getOrElse(inferFormat(c.input))
-    val schema = spark.read.format(fmt)
-      .option("header", "true").option("inferSchema", "true")
-      .load(c.input).schema
+    val schema = c.schemaDdl match {
+      case Some(ddl) => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      case None =>
+        val inferred =
+          try spark.read.format(fmt)
+            .option("header", "true").option("inferSchema", "true")
+            .load(c.input).schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"curation pipeline $id: cannot infer the stream schema " +
+                  s"from '${c.input}' (missing or empty at start). Either " +
+                  "declare it in the YAML — schema: \"doc_id LONG, text " +
+                  "STRING\" — or create the directory with at least one " +
+                  "file before starting.", e)
+          }
+        if (inferred.isEmpty) throw new IllegalArgumentException(
+          s"curation pipeline $id: inferred an empty schema from " +
+            s"'${c.input}'; declare schema: \"...\" in the YAML instead")
+        inferred
+    }
     val stream = spark.readStream.schema(schema)
       .format(fmt).option("header", "true").load(c.input)
     CurationStages.runStreaming(spark, stream, c).start()

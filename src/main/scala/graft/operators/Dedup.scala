@@ -611,6 +611,56 @@ object Dedup {
     epoch
   }
 
+  /** Idempotent, batch-tagged write into a STREAMING-OWNED MinHash
+    * index — the exactly-once arm of the incremental-crawl loop.
+    * Unlike [[minHashIndexAppend]] (blind parquet append), every band
+    * and signature row here is stamped with the caller's micro-batch
+    * id and written with DYNAMIC PARTITION OVERWRITE of the
+    * `batch=<id>` partition only: replaying a failed micro-batch
+    * overwrites exactly its own rows instead of duplicating them, and
+    * a half-written attempt is erased by the retry. Layout:
+    * `bands/batch=N/band=B/`, `_sigs/batch=N/` — same columns as the
+    * batch index plus the `batch` partition key, which
+    * [[minHashIndexLookup]] ignores unless told to filter on it.
+    *
+    * `_meta` is written ONLY if absent and never rewritten: the
+    * append-path epoch bump of [[minHashIndexAppend]] is an
+    * overwrite, and a crash in that window would leave the index
+    * looking uncreated — a replay would then rebuild it from one
+    * batch, silently discarding every earlier batch. An immutable
+    * `_meta` closes that window; parameters still can never drift
+    * because every later put reads them back from `_meta`.
+    */
+  def minHashIndexPut(spark: org.apache.spark.sql.SparkSession,
+                      path: String, df: DataFrame,
+                      idCol: String, textCol: String, batch: Long,
+                      shingleSize: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (ss, nh, nb) =
+      if (fs.exists(metaPath)) {
+        val m = spark.read.parquet(s"$path/_meta").head()
+        (m.getInt(0), m.getInt(1), m.getInt(2))
+      } else (shingleSize, numHashes, bands)
+    val sigs = minHashSignatures(shingleRows(df, idCol, textCol, ss), nh)
+      .localCheckpoint(true)
+    sigs.select(col("id"), explode(bandKeyArray(col("sig"), nh, nb)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("id"))
+      .withColumn("batch", lit(batch))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "band").parquet(s"$path/bands")
+    sigs.withColumn("batch", lit(batch))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/_sigs")
+    if (!fs.exists(metaPath)) {
+      import spark.implicits._
+      Seq((ss, nh, nb, batch))
+        .toDF("shingle_size", "num_hashes", "bands", "epoch")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    }
+  }
+
   /** Probe a stored MinHash index with a new document batch: sign the
     * batch (batch-sized work, pinned so it runs ONCE), BROADCAST its
     * band keys against the at-rest band files (one index scan per
@@ -631,9 +681,20 @@ object Dedup {
   def minHashIndexLookup(spark: org.apache.spark.sql.SparkSession,
                          path: String, newDf: DataFrame,
                          idCol: String, textCol: String,
-                         maxBroadcastDocs: Long = 100000L): DataFrame = {
+                         maxBroadcastDocs: Long = 100000L,
+                         excludeBatchFrom: Option[Long] = None): DataFrame = {
     val m = spark.read.parquet(s"$path/_meta").head()
     val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    // batch-tagged (minHashIndexPut) indexes only: a replayed
+    // micro-batch must probe the index AS OF the batches before it —
+    // its own half-applied entries from the failed attempt would
+    // otherwise match the batch against itself and drop every
+    // survivor. `batch` is a partition key, so the filter is
+    // partition PRUNING, not a scan-and-discard.
+    def asOf(df: DataFrame): DataFrame = excludeBatchFrom match {
+      case Some(b) => df.filter(col("batch") < lit(b))
+      case None    => df
+    }
     val sigNew = minHashSignatures(
       shingleRows(newDf, idCol, textCol, shingleSize), numHashes)
       .localCheckpoint(true)
@@ -650,7 +711,7 @@ object Dedup {
     // `maxBroadcastDocs`. Too big → hash join fallback; Catalyst must
     // NOT be left to pick, because auto-broadcast would try to ship
     // the INDEX side. The count is a cheap scan of the pinned blocks.
-    val idx = spark.read.parquet(s"$path/bands")
+    val idx = asOf(spark.read.parquet(s"$path/bands"))
     val batchDocs = sigNew.count()
     val estBroadcastBytes = batchDocs * (16L * bands + 8L * numHashes)
     val smallBatch =
@@ -665,7 +726,7 @@ object Dedup {
       .reduce(_ + _)
     val sigNewSide = sigNew.select(col("id").as("new_id"), col("sig").as("sig2"))
     cand
-      .join(spark.read.parquet(s"$path/_sigs")
+      .join(asOf(spark.read.parquet(s"$path/_sigs"))
         .select(col("id").as("corpus_id"), col("sig").as("sig1")), Seq("corpus_id"))
       .join(if (smallBatch) broadcast(sigNewSide) else sigNewSide, Seq("new_id"))
       .select(col("new_id"), col("corpus_id"),
@@ -935,6 +996,14 @@ object Dedup {
     * hot variant bucket means many strings one deletion apart, which
     * is exactly the cluster the operator must emit. The brute-force
     * O(n^2) form is the ORACLE, not the plan.
+    *
+    * PRECONDITION: id values are distinct (the same contract as
+    * `Similarity.exactTopkNeighbors`). The exact-duplicate collapse
+    * expands surviving string pairs over id GROUPS, so a repeated id
+    * value spanning two near-dup strings would collapse a genuine
+    * pair into id1 == id2 (guarded — such rows are filtered) and can
+    * emit one (id1, id2) row per string pairing rather than exactly
+    * once. Deduplicate ids upstream if the corpus can repeat them.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int = 1): DataFrame = {
@@ -982,6 +1051,11 @@ object Dedup {
       .join(v.select(col("s").as("__sb"), col("id").as("__ib")), Seq("__sb"))
       .select(least(col("__ia"), col("__ib")).as("id1"),
         greatest(col("__ia"), col("__ib")).as("id2"), col("dist"))
+      // guard for the duplicated-id edge (see the precondition on
+      // editDistancePairs): two rows sharing an id value across two
+      // near-dup strings would otherwise emit an id1 == id2 row,
+      // which the pre-collapse direct id1 < id2 filter could not
+      .filter(col("id1") =!= col("id2"))
     // intra-group pairs: exact dups at distance 0
     val intra = v.select(col("s"), col("id").as("__ia"))
       .join(v.select(col("s"), col("id").as("__ib")), Seq("s"))
@@ -993,9 +1067,11 @@ object Dedup {
 
   /** Symmetric-delete collision-density detector: the estimated
     * candidate PAIRS PER ROW the blocking stage would emit, from a
-    * deterministic hash sample (`sampleSixteenths`/16 of distinct
-    * rows; per-bucket pairs scale with the sampling fraction squared,
-    * rows linearly, so density = samplePairs / (frac · sampleRows)).
+    * deterministic hash sample (`sampleSixteenths`/16 of DISTINCT
+    * strings — the post-collapse population the blocking stage
+    * actually explodes; per-bucket pairs scale with the sampling
+    * fraction squared, rows linearly, so density = samplePairs /
+    * (frac · sampleRows)).
     * Template-dense keys (shared affixes, low-entropy runs) score
     * orders of magnitude above high-entropy keys — the signal that the
     * exact tier's candidate set grows quadratically on this corpus.
@@ -1005,8 +1081,15 @@ object Dedup {
                                sampleSixteenths: Int = 4): Double = {
     require(sampleSixteenths >= 1 && sampleSixteenths <= 16,
       "sampleSixteenths in 1..16")
+    // DISTINCT strings, matching the blocking stage this density
+    // models (edSelfPairs collapses exact duplicates BEFORE exploding
+    // neighborhoods — raw-row sampling would inflate the estimate on
+    // a clone-dense corpus by the clone factor squared). The hash
+    // gate is deterministic per string, so filtering before distinct
+    // is equivalent and cheaper.
     val s = df.select(col(strCol).as("s"))
       .filter(pmod(xxhash64(col("s")), lit(16)) < lit(sampleSixteenths))
+      .distinct()
       .localCheckpoint(true) // two consumers: the bucket agg + count
     val frac = sampleSixteenths / 16.0
     val n = s.count()

@@ -985,6 +985,13 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(g3 == want2)
     assert(want2.size > want.size) // d=2 genuinely admits more pairs here
+    // duplicated-id edge (documented precondition violation): a
+    // repeated id spanning two near-dup strings must not surface as a
+    // degenerate id1 == id2 self-pair from the clone-collapse expand
+    val dup = Seq((1L, "cat"), (1L, "cats"), (2L, "dog"))
+    val gd = Dedup.editDistancePairs(dup.toDF("id", "name"), "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!gd.exists(p => p._1 == p._2), gd)
   }
 
   test("template compaction: corpus-constant affixes are detected and " +
@@ -1033,6 +1040,14 @@ class OperatorsSpec extends SparkSpec {
       entropic.toDF("id", "s"), "s", maxDist = 2, sampleSixteenths = 16)
     assert(dDense > 10 * math.max(dSparse, 0.01),
       s"dense=$dDense sparse=$dSparse")
+    // clone-invariance: the density models the POST-COLLAPSE blocking
+    // population (distinct strings), so replicating every row 5×
+    // must not inflate the estimate
+    val cloned = rows.flatMap { case (i, s) =>
+      (0L to 4L).map(k => (i * 10 + k, s)) }
+    val dCloned = Dedup.deletionCollisionDensity(
+      cloned.toDF("id", "s"), "s", maxDist = 2, sampleSixteenths = 16)
+    assert(math.abs(dCloned - dDense) < 1e-9, s"cloned=$dCloned dense=$dDense")
   }
 
   test("band join equals the brute-force range join on random doubles") {

@@ -776,4 +776,194 @@ class StreamingSpec extends SparkSpec {
       .select("k").collect().map(_.getString(0)).toSet
     assert(keys == Set("alpha beta", "gamma delta", "epsilon zeta"), keys)
   }
+
+  test("YAML streaming curation schema: explicit DDL starts against an " +
+    "EMPTY input dir; inference against a missing dir fails with a " +
+    "message naming the fix") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_sc_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_sc_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_sc_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_sc_idx")}/index"
+    def yaml(schemaLine: String, input: String): String =
+      s"""project: {name: sc}
+         |curation:
+         |  - id: sc
+         |    input: $input
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out$schemaLine
+         |    stages:
+         |      - {op: exact_dedup, index_dir: $idx}
+         |""".stripMargin
+    // empty dir + declared schema: the stream starts before any file
+    // lands (the production crawl posture), and picks up the first
+    // arrivals
+    val cfg = PipelineConfig.parse(
+      yaml("\n    schema: \"doc_id LONG, text STRING\"", src))
+    assert(cfg.curation.head.schemaDdl.contains("doc_id LONG, text STRING"))
+    val q = PipelineRunner.startCuration(spark, cfg, "sc")
+    q.processAllAvailable()
+    Seq((1L, "alpha"), (2L, "alpha")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // no schema + missing dir: a clear error, not a stack of
+    // AnalysisException internals
+    val missing = s"$src/never_created"
+    val err = intercept[IllegalArgumentException] {
+      PipelineRunner.startCuration(spark,
+        PipelineConfig.parse(yaml("", missing)), "sc")
+    }
+    assert(err.getMessage.contains("schema:"), err.getMessage)
+  }
+
+  test("YAML streaming curation replay is idempotent: a re-processed " +
+    "micro-batch overwrites its own output/index partitions instead of " +
+    "duplicating them or anti-joining against itself") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    import org.apache.commons.io.FileUtils
+    val src = Files.createTempDirectory("graft_rp_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_rp_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_rp_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_rp_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: rp}
+         |curation:
+         |  - id: rp
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    stages:
+         |      - {op: minhash_dedup, index_dir: $idx, threshold: "0.5"}
+         |""".stripMargin)
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega ant bee cat dog elk fox").split(" ").toSeq
+    Seq(
+      (1L, base.mkString(" ")),
+      (2L, base.map(_.reverse).mkString(" ")),
+      (3L, base.updated(29, "wolf").mkString(" "))) // near-dup of 1
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "rp")
+    q1.processAllAvailable(); q1.stop()
+    def state(): (Seq[Long], Seq[Long]) =
+      (spark.read.parquet(out).select("doc_id")
+         .collect().map(_.getLong(0)).toSeq.sorted,
+       spark.read.parquet(s"$idx/_sigs").select("id")
+         .collect().map(_.getLong(0)).toSeq.sorted)
+    val first = state()
+    assert(first == ((Seq(1L, 2L), Seq(1L, 2L))), first)
+    // wipe the checkpoint: the restart re-reads every file as batch 0
+    // again — the crash-replay shape. The as-of probe (batch <
+    // batchId) must blind the replay to its own first-attempt index
+    // rows, and both writes must OVERWRITE the batch's partitions, so
+    // the end state is bit-identical: no survivor lost to a
+    // self-anti-join, no duplicated output rows or signatures.
+    FileUtils.deleteDirectory(new java.io.File(ck))
+    val q2 = PipelineRunner.startCuration(spark, config, "rp")
+    q2.processAllAvailable(); q2.stop()
+    assert(state() == first, s"${state()} vs $first")
+  }
+
+  test("YAML streaming curation indexes only rows that reach the output: " +
+    "a dedup survivor filtered by a LATER stage is not admitted, so its " +
+    "future near-duplicates still compete") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_ls_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_ls_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_ls_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_ls_idx")}/index"
+    // gate AFTER dedup: doc 2 survives dedup but fails the gate — the
+    // r12 advice's exact hazard window (admitted to the index, never
+    // shipped → its future near-dups silently dropped forever)
+    val config = PipelineConfig.parse(
+      s"""project: {name: ls}
+         |curation:
+         |  - id: ls
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    stages:
+         |      - {op: minhash_dedup, index_dir: $idx, threshold: "0.5"}
+         |      - {op: quality_gate, min_quality: "0.3"}
+         |""".stripMargin)
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega ant bee cat dog elk fox").split(" ").toSeq
+    Seq(
+      (1L, base.mkString(" ")),
+      (2L, "spam spam spam spam spam")) // passes dedup, fails the gate
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "ls")
+    q1.processAllAvailable(); q1.stop()
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(1L), survivors())
+    // doc 2 must NOT be in the index — it never reached the output
+    val indexed = spark.read.parquet(s"$idx/_sigs")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L), indexed)
+    // a later near-dup of the unshipped doc 2 competes afresh: it is
+    // dropped by the GATE (its own quality), not by a ghost index row;
+    // a high-quality fresh doc passes
+    Seq(
+      (3L, "spam spam spam spam spam ham"),
+      (4L, base.map(t => t + t.take(1)).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q2 = PipelineRunner.startCuration(spark, config, "ls")
+    q2.processAllAvailable(); q2.stop()
+    assert(survivors() == Set(1L, 4L), survivors())
+    assert(spark.read.parquet(s"$idx/_sigs").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
+
+  test("YAML streaming curation rank_by quality: the intra-batch minhash " +
+    "survivor is the batch stage's highest-quality pick, not min-id") {
+    import graft.etl.{CurationStages, PipelineConfig, PipelineRunner}
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega ant bee cat dog elk fox").split(" ").toSeq
+    // doc 1 = low lexical diversity (repeated token), doc 2 = clean
+    // near-dup with HIGHER id: min-id keeps 1, quality keeps 2
+    val docs = Seq(
+      (1L, base.updated(29, "alpha").mkString(" ")),
+      (2L, base.mkString(" ")),
+      (3L, base.map(_.reverse).mkString(" ")))
+    def run(rankBy: String): Set[Long] = {
+      val src = Files.createTempDirectory("graft_rq_src").toFile.getAbsolutePath
+      val out = Files.createTempDirectory("graft_rq_out").toFile.getAbsolutePath
+      val ck = Files.createTempDirectory("graft_rq_ck").toFile.getAbsolutePath
+      val idx = s"${Files.createTempDirectory("graft_rq_idx")}/index"
+      val config = PipelineConfig.parse(
+        s"""project: {name: rq}
+           |curation:
+           |  - id: rq
+           |    input: $src
+           |    streaming: true
+           |    checkpoint: $ck
+           |    output: $out
+           |    stages:
+           |      - {op: minhash_dedup, index_dir: $idx, threshold: "0.5",
+           |         rank_by: $rankBy}
+           |""".stripMargin)
+      docs.toDF("doc_id", "text").write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "rq")
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(run("id") == Set(1L, 3L))      // arrival-order default
+    val quality = run("quality")
+    assert(quality == Set(2L, 3L), quality)
+    // and it IS the batch stage's pick on the same data
+    val batchPick = CurationStages.apply(spark, docs.toDF("doc_id", "text"),
+        "doc_id", "text",
+        graft.etl.CurationStageDef("minhash_dedup", Map("threshold" -> "0.5")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchPick == quality, s"$batchPick vs $quality")
+  }
 }
