@@ -271,6 +271,42 @@ object ProcedureRegistry {
     graft.ops.QueryAnalytics.slowest(auditFrame(spark, args),
       n = numArg(args, 1, 10).toInt))
 
+  // ---- durable catalog snapshots on the CALL surface
+  // (graft.model.CatalogStore — previously REPL-only via `.catalog`):
+  //   CALL catalog.save('dir')        YIELD version, dir
+  //   CALL catalog.versions('dir')    YIELD version, current
+  //   CALL catalog.prune('dir')       YIELD version   (the ones dropped)
+  // so YAML pipelines and LSP clients can snapshot/inspect without
+  // the REPL. `save` snapshots the catalog the query RUNS AGAINST.
+  private def dirArg(args: Seq[Any], proc: String): String =
+    args.headOption match {
+      case Some(d: String) if d.nonEmpty => d
+      case other => throw new IllegalArgumentException(
+        s"$proc takes (snapshotDir), got $other")
+    }
+  register("catalog.save", (spark, cat, args) => {
+    import spark.implicits._
+    val dir = dirArg(args, "catalog.save")
+    val v = graft.model.CatalogStore.save(spark, cat, dir)
+    Seq((v, dir)).toDF("version", "dir")
+  })
+  register("catalog.versions", (spark, _, args) => {
+    import spark.implicits._
+    val dir = dirArg(args, "catalog.versions")
+    val cur = graft.model.CatalogStore.current(spark, dir)
+    graft.model.CatalogStore.versions(spark, dir)
+      .map(v => (v, cur.contains(v)))
+      .toDF("version", "current")
+  })
+  register("catalog.prune", (spark, _, args) => {
+    import spark.implicits._
+    val dir = dirArg(args, "catalog.prune")
+    val before = graft.model.CatalogStore.versions(spark, dir)
+    graft.model.CatalogStore.prune(spark, dir)
+    val after = graft.model.CatalogStore.versions(spark, dir).toSet
+    before.filterNot(after).toDF("version")
+  })
+
   register("graft.series", (spark, _, args) => {
     val n = args.headOption match {
       case Some(l: java.lang.Long)    => l.longValue

@@ -1,7 +1,8 @@
 package graft.model
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Durable catalog snapshots: save/load a [[GraphCatalog]] to a
   * versioned parquet directory with an atomic `_current` pointer —
@@ -15,9 +16,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Layout under `dir`:
   * {{{
+  *   _claim_v00001                    (exclusive writer claim, created first)
   *   v00001/entity_<label>/...parquet
   *   v00001/rel_<type>/...parquet
-  *   v00001/_manifest/...parquet      (registration metadata)
+  *   v00001/_manifest/...parquet      (registration metadata + bucket specs)
   *   _current                         (one line: the live version)
   * }}}
   *
@@ -29,6 +31,37 @@ import org.apache.spark.sql.SparkSession
   * corruption). Old versions are retained for time-travel/debugging;
   * `prune` drops all but the live one.
   *
+  * Concurrent writers: the FIRST thing `save` does is claim its
+  * version number exclusively — a sibling `_claim_v0000N` marker
+  * created WITHOUT the OVERWRITE flag, which is an atomic
+  * create-or-fail on HDFS and local filesystems. Two savers that race
+  * to the same `max+1` cannot both win: the loser throws
+  * `ConcurrentModificationException` before writing a single data
+  * file, instead of silently interleaving parquet overwrites inside
+  * one version directory. A saver that starts AFTER another's claim
+  * sees the claim in the listing (version numbering takes the max
+  * over version directories AND claim markers) and takes the next
+  * number — both succeed, last pointer move wins (the other snapshot
+  * stays retained). A crashed claimer therefore blocks nothing: later
+  * savers number past its claim, `load` refuses the unfinished
+  * version with a clear error, and `prune` collects it. `prune`
+  * itself assumes a single administrative caller — it deletes every
+  * non-current version, including one a concurrent saver is
+  * mid-writing.
+  *
+  * Pruned readers: a time-travel `load(dir, Some("v00001"))` of a
+  * version that `prune` removed fails with an error naming the
+  * retained versions — never a bare FileNotFoundException from deep
+  * inside a scan.
+  *
+  * Bucket layout survives the round trip: a table registered from
+  * [[graft.etl.BucketedGraphStore]] carries its bucket spec in the
+  * scan; `save` detects it, writes the snapshot table BUCKETED (same
+  * columns/count/sort), records the spec in the manifest, and `load`
+  * re-registers the files as an external bucketed table — so the
+  * zero-exchange joins the bucketed store exists for are preserved
+  * across save/restore instead of silently degrading to plain parquet.
+  *
   * Scale: each table is one distributed parquet write — the snapshot
   * never collects data to the driver; only the manifest (a few rows of
   * metadata) is small by construction.
@@ -36,6 +69,7 @@ import org.apache.spark.sql.SparkSession
 object CatalogStore {
 
   private val VersionRe = "^v(\\d{5,})$".r
+  private val ClaimRe = "^_claim_v(\\d{5,})$".r
 
   /** Path-safe encoding for labels/types (they may carry characters
     * meaningful to filesystems or URIs).
@@ -60,6 +94,24 @@ object CatalogStore {
     }.flatten
   }
 
+  /** Version numbers other savers have CLAIMED (marker files), whether
+    * or not their version directories exist yet — counted into the
+    * next-version computation so a crashed or in-flight claimer is
+    * numbered past, never collided with or deadlocked on.
+    */
+  private def listClaims(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isFile =>
+        st.getPath.getName match {
+          case ClaimRe(n) => Some(n.toLong)
+          case _          => None
+        }
+    }.flatten
+  }
+
   private def readPointer(spark: SparkSession, dir: String): Option[String] = {
     val p = new Path(s"$dir/_current")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,38 +125,140 @@ object CatalogStore {
     }
   }
 
+  /** The storage-level bucket spec under a frame, if it is (a
+    * projection/alias of) a bucketed-table scan AND the bucket/sort
+    * columns all survive into the frame's output — the guard keeps a
+    * join or rename from inheriting a spec over columns it no longer
+    * carries.
+    */
+  private def bucketSpecOf(df: DataFrame)
+  : Option[(Seq[String], Int, Seq[String])] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.bucketSpec
+        case _                   => None
+      }
+    }.flatten
+      .filter(bs => (bs.bucketColumnNames ++ bs.sortColumnNames)
+        .forall(df.columns.contains))
+      .map(bs => (bs.bucketColumnNames.toSeq, bs.numBuckets,
+        bs.sortColumnNames.toSeq))
+
+  /** Write one snapshot table: plain parquet, or — when the source
+    * frame is a bucketed scan — a bucketed external write at the same
+    * path (a temp session-catalog entry carries the spec through
+    * `saveAsTable`; dropping the EXTERNAL entry keeps the files, whose
+    * names encode the bucket ids). Returns the manifest's
+    * (bucket_cols, num_buckets, sort_cols) triple, comma-joined and
+    * URL-encoded per name, nulls for the plain case.
+    */
+  private def writeTable(spark: SparkSession, df: DataFrame, path: String)
+  : (String, String, String) =
+    bucketSpecOf(df) match {
+      case Some((cols, n, sortCols)) =>
+        val tmp = "graft_snapshot_write_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val w0 = df.write.format("parquet").mode("overwrite")
+          .bucketBy(n, cols.head, cols.tail: _*)
+        val w1 =
+          if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+          else w0
+        w1.option("path", path).saveAsTable(tmp)
+        spark.sql(s"DROP TABLE `$tmp`")
+        (cols.map(enc).mkString(","), n.toString,
+          if (sortCols.isEmpty) null else sortCols.map(enc).mkString(","))
+      case None =>
+        df.write.mode("overwrite").parquet(path)
+        (null, null, null)
+    }
+
+  /** Re-register snapshot files carrying a bucket spec as an external
+    * bucketed table (bucket metadata lives in the session catalog, not
+    * the files — a plain parquet read would silently drop the
+    * zero-exchange property the spec exists for). The table name is
+    * deterministic per (dir, version, table) so a re-load reuses or
+    * refreshes the same entry rather than leaking one per call.
+    */
+  private def readBucketed(spark: SparkSession, path: String,
+                           bucketCols: String, numBuckets: String,
+                           sortCols: String): DataFrame = {
+    val cols = bucketCols.split(",").toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    val sorts = Option(sortCols).toSeq.flatMap(_.split(",").toSeq)
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    val name = "graft_snapshot_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffffL)
+    val ddl = spark.read.parquet(path).schema.toDDL
+    val clustered = cols.map(c => s"`$c`").mkString(", ")
+    val sorted =
+      if (sorts.isEmpty) ""
+      else s" SORTED BY (${sorts.map(c => s"`$c`").mkString(", ")})"
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` ($ddl) USING PARQUET " +
+      s"CLUSTERED BY ($clustered)$sorted INTO ${numBuckets.toInt} BUCKETS " +
+      s"LOCATION '$path'")
+    spark.table(name)
+  }
+
   /** Write every registered table plus the registration manifest under
     * a fresh version directory, then atomically move the `_current`
     * pointer to it. Returns the version name (e.g. "v00002").
+    *
+    * Throws `ConcurrentModificationException` if another saver claimed
+    * the same version number first (see the class doc's concurrency
+    * contract) — nothing is written in that case.
     */
   def save(spark: SparkSession, catalog: GraphCatalog, dir: String): String = {
+    val next =
+      (listVersions(spark, dir) ++ listClaims(spark, dir) :+ 0L).max + 1
+    saveAs(spark, catalog, dir, f"v$next%05d")
+  }
+
+  /** The claim-then-write body of [[save]] at an explicit version —
+    * package-private so the concurrency spec can drive two savers into
+    * the same number deterministically.
+    */
+  private[graft] def saveAs(spark: SparkSession, catalog: GraphCatalog,
+                            dir: String, version: String): String = {
     import spark.implicits._
-    val next = (listVersions(spark, dir) :+ 0L).max + 1
-    val version = f"v$next%05d"
     val vdir = s"$dir/$version"
+    // claim the version EXCLUSIVELY before writing anything: create
+    // without OVERWRITE is an atomic create-or-fail, so of two savers
+    // racing to the same number exactly one proceeds
+    val ctx = fc(spark, dir)
+    try {
+      val out = ctx.create(new Path(s"$dir/_claim_$version"),
+        java.util.EnumSet.of(CreateFlag.CREATE),
+        Options.CreateOpts.createParent())
+      out.close()
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        throw new java.util.ConcurrentModificationException(
+          s"catalog version $version at $dir is already claimed by a " +
+            "concurrent saver; retry to take the next version number", e)
+    }
     val entityRows = catalog.entityDefs.map { e =>
-      val path = s"$vdir/entity_${enc(e.label)}"
-      e.df.write.mode("overwrite").parquet(path)
+      val (bc, nb, sc) = writeTable(spark, e.df, s"$vdir/entity_${enc(e.label)}")
       ("entity", e.label, e.idCol, null: String, null: String,
-        null: String, null: String, s"entity_${enc(e.label)}")
+        null: String, null: String, s"entity_${enc(e.label)}", bc, nb, sc)
     }
     val relRows = catalog.relationshipDefs.map { r =>
-      val path = s"$vdir/rel_${enc(r.relType)}"
-      r.df.write.mode("overwrite").parquet(path)
+      val (bc, nb, sc) = writeTable(spark, r.df, s"$vdir/rel_${enc(r.relType)}")
       ("relationship", r.relType, r.idCol.orNull, r.srcCol, r.dstCol,
-        r.srcLabel.orNull, r.dstLabel.orNull, s"rel_${enc(r.relType)}")
+        r.srcLabel.orNull, r.dstLabel.orNull, s"rel_${enc(r.relType)}",
+        bc, nb, sc)
     }
     (entityRows ++ relRows)
       .toDF("kind", "name", "id_col", "src_col", "dst_col",
-        "src_label", "dst_label", "rel_path")
+        "src_label", "dst_label", "rel_path",
+        "bucket_cols", "num_buckets", "sort_cols")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/_manifest")
     // pointer move LAST, and atomically: tmp write + OVERWRITE rename
-    val ctx = fc(spark, dir)
     val tmp = new Path(s"$dir/_current.tmp")
     val cur = new Path(s"$dir/_current")
     val out = ctx.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
     try out.write(version.getBytes("UTF-8")) finally out.close()
     ctx.rename(tmp, cur, Options.Rename.OVERWRITE)
@@ -113,7 +267,10 @@ object CatalogStore {
 
   /** Load the catalog a snapshot directory points at (`version` to
     * time-travel to a specific retained snapshot). Tables come back as
-    * lazy parquet reads — nothing is scanned until a query runs.
+    * lazy parquet reads — nothing is scanned until a query runs —
+    * except bucketed tables, which are re-registered as external
+    * bucketed session-catalog tables so their zero-exchange join
+    * property survives the round trip.
     */
   def load(spark: SparkSession, dir: String,
            version: Option[String] = None): GraphCatalog = {
@@ -121,12 +278,32 @@ object CatalogStore {
       throw new IllegalArgumentException(
         s"no catalog snapshot at $dir (missing _current pointer)"))
     val vdir = s"$dir/$v"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(vdir)))
+      throw new IllegalArgumentException(
+        s"catalog version $v does not exist at $dir (pruned?); retained: " +
+          versions(spark, dir).mkString("[", ", ", "]"))
+    if (!fs.exists(new Path(s"$vdir/_manifest")))
+      throw new IllegalArgumentException(
+        s"catalog version $v at $dir was claimed but never completed " +
+          "(crashed writer?); load a finished version: " +
+          versions(spark, dir).mkString("[", ", ", "]"))
     val manifest = spark.read.parquet(s"$vdir/_manifest").collect()
     val cat = new GraphCatalog
     manifest.foreach { m =>
       val kind = m.getAs[String]("kind")
       val name = m.getAs[String]("name")
-      val df = spark.read.parquet(s"$vdir/${m.getAs[String]("rel_path")}")
+      val path = s"$vdir/${m.getAs[String]("rel_path")}"
+      // pre-bucket-spec manifests (older snapshots) lack the columns
+      val bucketCols =
+        if (m.schema.fieldNames.contains("bucket_cols"))
+          Option(m.getAs[String]("bucket_cols"))
+        else None
+      val df = bucketCols match {
+        case Some(bc) => readBucketed(spark, path, bc,
+          m.getAs[String]("num_buckets"), m.getAs[String]("sort_cols"))
+        case None => spark.read.parquet(path)
+      }
       kind match {
         case "entity" =>
           cat.addEntity(name, df, m.getAs[String]("id_col"))
@@ -144,11 +321,19 @@ object CatalogStore {
     cat
   }
 
-  /** List retained snapshot versions, oldest first. */
+  /** List retained snapshot versions, oldest first (including any
+    * claimed-but-unfinished orphans — `load` distinguishes them).
+    */
   def versions(spark: SparkSession, dir: String): Seq[String] =
     listVersions(spark, dir).sorted.map(n => f"v$n%05d")
 
-  /** Drop every retained version except the one `_current` points at. */
+  /** The version `_current` points at, if any. */
+  def current(spark: SparkSession, dir: String): Option[String] =
+    readPointer(spark, dir)
+
+  /** Drop every retained version except the one `_current` points at.
+    * Single administrative caller assumed — see the class doc.
+    */
   def prune(spark: SparkSession, dir: String): Unit = {
     val keep = readPointer(spark, dir)
     val p = new Path(dir)
@@ -156,5 +341,10 @@ object CatalogStore {
     versions(spark, dir).filterNot(keep.contains).foreach { v =>
       fs.delete(new Path(s"$dir/$v"), true)
     }
+    // stale claim markers (crashed or pruned writers) go with them —
+    // numbering keys off max(dirs, claims), so dropping a pruned claim
+    // never re-opens its number for collision with a retained version
+    listClaims(spark, dir).map(n => f"v$n%05d").filterNot(keep.contains)
+      .foreach(v => fs.delete(new Path(s"$dir/_claim_$v"), false))
   }
 }

@@ -694,4 +694,98 @@ class MutationSpec extends SparkSpec {
     assert(v3 == "v00008", v3)
     assert(CatalogStore.load(spark, dir).labels.nonEmpty)
   }
+
+  test("catalog snapshot concurrency: the version claim is exclusive — " +
+    "of two savers at the same number one wins and one throws before " +
+    "writing; a later saver numbers past any claim") {
+    import graft.model.CatalogStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc")
+      .toFile.getAbsolutePath
+    val eng = freshEngine
+    assert(CatalogStore.save(spark, eng.catalog, dir) == "v00001")
+    // two savers raced to v00002 and the OTHER one claimed it first
+    // (its marker exists, its data is still being written): this saver
+    // must fail LOUDLY before writing anything — the old behavior was
+    // silent interleaved overwrites inside one version directory
+    new java.io.File(s"$dir/_claim_v00002").createNewFile()
+    val err = intercept[java.util.ConcurrentModificationException] {
+      CatalogStore.saveAs(spark, eng.catalog, dir, "v00002")
+    }
+    assert(err.getMessage.contains("v00002"), err.getMessage)
+    assert(new java.io.File(s"$dir/v00002").listFiles == null) // wrote nothing
+    // pointer and winning snapshot intact
+    assert(CatalogStore.current(spark, dir).contains("v00001"))
+    assert(CatalogStore.load(spark, dir).labels.nonEmpty)
+    // a saver arriving later sees the claim in the listing and numbers
+    // PAST it — an in-flight (or crashed) claimer never deadlocks saves
+    assert(CatalogStore.save(spark, eng.catalog, dir) == "v00003")
+    assert(CatalogStore.current(spark, dir).contains("v00003"))
+    // prune collects the dead claim and the superseded version; the
+    // next save still numbers past the pruned history
+    CatalogStore.prune(spark, dir)
+    assert(CatalogStore.versions(spark, dir) == Seq("v00003"))
+    assert(!new java.io.File(s"$dir/_claim_v00002").exists())
+    assert(CatalogStore.save(spark, eng.catalog, dir) == "v00004")
+  }
+
+  test("catalog snapshot pinned readers: time travel to a pruned or " +
+    "unfinished version fails with an error naming the retained ones") {
+    import graft.model.CatalogStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt")
+      .toFile.getAbsolutePath
+    val eng = freshEngine
+    CatalogStore.save(spark, eng.catalog, dir)
+    CatalogStore.save(spark, eng.catalog, dir)
+    CatalogStore.prune(spark, dir) // drops v00001
+    val gone = intercept[IllegalArgumentException] {
+      CatalogStore.load(spark, dir, version = Some("v00001"))
+    }
+    assert(gone.getMessage.contains("pruned") &&
+      gone.getMessage.contains("v00002"), gone.getMessage)
+    // an unfinished version (claimed, directory exists, no manifest)
+    // is refused with the crashed-writer message, not a scan error
+    new java.io.File(s"$dir/v00009").mkdirs()
+    val unfinished = intercept[IllegalArgumentException] {
+      CatalogStore.load(spark, dir, version = Some("v00009"))
+    }
+    assert(unfinished.getMessage.contains("never completed"),
+      unfinished.getMessage)
+  }
+
+  test("CALL catalog.save/versions/prune: snapshots are reachable from " +
+    "the Cypher surface and SHOW PROCEDURES lists them") {
+    import graft.model.CatalogStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp")
+      .toFile.getAbsolutePath
+    val eng = freshEngine
+    eng.execute("CREATE (p:Person {name: 'Dave', age: 40})")
+    val saved = eng.query(
+      s"CALL catalog.save('$dir') YIELD version, dir RETURN version, dir")
+      .collect()
+    assert(saved.map(_.getString(0)).toSeq == Seq("v00001"))
+    assert(saved.head.getString(1) == dir)
+    // the snapshot taken through the procedure is the post-mutation
+    // catalog, loadable end-to-end
+    val eng2 = new CypherEngine(spark, CatalogStore.load(spark, dir))
+    assert(eng2.query("MATCH (p:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 4L)
+    eng.query(s"CALL catalog.save('$dir') YIELD version RETURN version")
+      .collect()
+    val vs = eng.query(
+      s"""CALL catalog.versions('$dir') YIELD version, current
+          RETURN version, current ORDER BY version""").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(vs == Seq(("v00001", false), ("v00002", true)), vs)
+    val dropped = eng.query(
+      s"CALL catalog.prune('$dir') YIELD version RETURN version")
+      .collect().map(_.getString(0)).toSeq
+    assert(dropped == Seq("v00001"), dropped)
+    // discoverable: db.procedures (the SHOW PROCEDURES surface) lists
+    // the family
+    val listed = eng.query(
+      "CALL db.procedures() YIELD name RETURN name ORDER BY name").collect()
+      .map(_.getString(0)).filter(_.startsWith("catalog.")).toSeq
+    assert(listed == Seq("catalog.prune", "catalog.save", "catalog.versions"),
+      listed)
+  }
 }

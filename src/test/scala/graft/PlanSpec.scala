@@ -420,6 +420,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucket layout survives a catalog snapshot: a bucketed-edge " +
+    "catalog round-tripped through CatalogStore.save/load still plans " +
+    "co-located joins with zero exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val people = (0L until 100L).map(i => (i, s"p$i")).toDF("pid", "name")
+    val knows = (0L until 2000L).map(i => (i % 100, (i * 13) % 100))
+      .toDF("src", "dst")
+    graft.etl.BucketedGraphStore.writeBucketed(people, "bgs_rt_people",
+      Seq("pid"), buckets = 8, sortCols = Seq("pid"))
+    graft.etl.BucketedGraphStore.writeBucketed(knows, "bgs_rt_knows",
+      Seq("src"), buckets = 8, sortCols = Seq("src"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_cat")
+      .toFile.getAbsolutePath
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val catalog = new graft.model.GraphCatalog()
+        .addEntity("Person",
+          graft.etl.BucketedGraphStore.table(spark, "bgs_rt_people"),
+          idCol = "pid")
+        .addRelationship("KNOWS",
+          graft.etl.BucketedGraphStore.table(spark, "bgs_rt_knows"),
+          srcCol = "src", dstCol = "dst",
+          srcLabel = Some("Person"), dstLabel = Some("Person"))
+      graft.model.CatalogStore.save(spark, catalog, dir)
+      val reloaded = graft.model.CatalogStore.load(spark, dir)
+      // the reloaded tables must CARRY the bucket spec — the pid=src
+      // join plans with zero exchanges, exactly as pre-snapshot
+      // (before the manifest recorded specs, this silently degraded
+      // to two full shuffles)
+      val joined = reloaded.entity("Person").df
+        .join(reloaded.relationship("KNOWS").df, col("pid") === col("src"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"snapshot round-trip lost the bucket layout:\n$p")
+      assert(joined.count() == 2000L)
+      // and the compiled-Cypher hop inherits it, same as pre-snapshot
+      val hop = new CypherEngine(spark, reloaded).query(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS an, b.name AS bn")
+      val ph = plan(hop)
+      assert(!ph.contains("hashpartitioning(src#"),
+        s"edge src side re-shuffled after snapshot reload:\n$ph")
+      assert(hop.count() == 2000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bgs_rt_people")
+      spark.sql("DROP TABLE IF EXISTS bgs_rt_knows")
+    }
+  }
+
   test("pattern comprehension compiles to one grouped collect + one join-back") {
     val df = TpchGraph.engine(spark, dir).query(
       """MATCH (r:Region)
