@@ -1044,8 +1044,16 @@ object Dedup {
     val sp = verifyCandidates(
       a.join(b, Seq("__v")).filter(col("id1") < col("id2")), maxDist)
       .select(col("id1").as("__sa"), col("id2").as("__sb"), col("dist"))
-    // expand string pairs over the id groups (true output rows — a
-    // clone-dense corpus's pair set IS quadratic in clone counts)
+    expandStringPairs(v, sp)
+  }
+
+  /** Expand verified DISTINCT-string pairs (__sa, __sb, dist) over the
+    * id groups of the original (id, s) frame and add the intra-group
+    * d=0 pairs — the shared tail of both edit-distance tiers (true
+    * output rows: a clone-dense corpus's pair set IS quadratic in
+    * clone counts).
+    */
+  private def expandStringPairs(v: DataFrame, sp: DataFrame): DataFrame = {
     val cross = sp
       .join(v.select(col("s").as("__sa"), col("id").as("__ia")), Seq("__sa"))
       .join(v.select(col("s").as("__sb"), col("id").as("__ib")), Seq("__sb"))
@@ -1063,6 +1071,88 @@ object Dedup {
       .select(col("__ia").as("id1"), col("__ib").as("id2"),
         lit(0L).as("dist"))
     cross.unionByName(intra)
+  }
+
+  /** The APPROXIMATE edit-distance tier: character-bigram MinHash-LSH
+    * candidates over the distinct strings, exact-verified with the
+    * same capped kernel, expanded over id groups like [[edSelfPairs]].
+    * Cost is ~|distinct strings| signature rows + band-bucket joins —
+    * immune to the deletion-neighborhood blowup on collision-dense or
+    * long keys — at the price of banding recall (<1; near-dup pairs
+    * share most char bigrams, so 2-row bands keep it high). Verified
+    * precision stays exact: every emitted pair is a true ≤maxDist pair.
+    */
+  private def edLshSelfPairs(v: DataFrame, maxDist: Int,
+                             numHashes: Int, bands: Int): DataFrame = {
+    val d = v.select(col("s")).distinct()
+    // char bigrams via the word-shingle machinery: space out the
+    // characters so tokens() yields one char per token (candidate
+    // generation only — verification is exact, so the space-char
+    // token-drop edge cannot cost correctness, only candidates)
+    val spaced = d.select(col("s").as("id"),
+      regexp_replace(col("s"), "(?s)(.)", "$1 ").as("chars"))
+    val cand = lshBandPairs(
+      minHashSignatures(shingleRows(spaced, "id", "chars", 2), numHashes),
+      numHashes, bands)
+      .select(col("id1"), col("id2"),
+        col("id1").as("s1"), col("id2").as("s2"))
+    val sp = verifyCandidates(cand, maxDist)
+      .select(col("id1").as("__sa"), col("id2").as("__sb"), col("dist"))
+    expandStringPairs(v, sp)
+  }
+
+  /** [[editDistancePairs]] behind the collision-density ROUTER — the
+    * runtime seam for [[deletionCollisionDensity]]. Measures the
+    * post-compaction sampled density and mean key length, then routes:
+    * a corpus whose symmetric-delete blocking stays linear (the common
+    * case — the exact tier, bit-identical to the oracle) vs a
+    * collision-dense or long-key corpus where the deletion
+    * neighborhoods explode quadratically (the MinHash tier — LSH
+    * candidates, exact-verified precision, banding recall).
+    *
+    * Returns (pairs, ledger): the ledger is ONE row recording the
+    * decision and the measurements that drove it —
+    * (tier, density, density_threshold, mean_key_cp, max_mean_key_cp,
+    * sample_sixteenths, max_dist) — the auditable counterpart of
+    * dd20's recall ledger. The router is opt-in: callers who need the
+    * exact tier's guaranteed recall keep calling [[editDistancePairs]].
+    */
+  def editDistancePairsAuto(df: DataFrame, idCol: String, strCol: String,
+                            maxDist: Int = 1,
+                            densityThreshold: Double = 64.0,
+                            maxMeanKeyLen: Double = 64.0,
+                            sampleSixteenths: Int = 4,
+                            numHashes: Int = 64, bands: Int = 32)
+  : (DataFrame, DataFrame) = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2, got $maxDist")
+    val spark = df.sparkSession
+    val v = compactTemplate(
+      df.select(col(idCol).as("id"), col(strCol).as("s")))
+    // both measurements run on the POST-COMPACTION distinct strings —
+    // the population the exact tier's blocking would actually explode
+    val density = deletionCollisionDensity(v, "s", maxDist, sampleSixteenths)
+    val meanLen = v.select(col("s"))
+      .filter(pmod(xxhash64(col("s")), lit(16)) < lit(sampleSixteenths))
+      .distinct()
+      .agg(coalesce(avg(length(col("s"))), lit(0.0)))
+      .head().getDouble(0)
+    val tier =
+      if (density > densityThreshold || meanLen > maxMeanKeyLen) "minhash"
+      else "exact"
+    System.err.println(
+      s"[graft] fuzzy routing: tier=$tier density=$density " +
+        s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
+        s"(max $maxMeanKeyLen) maxDist=$maxDist")
+    val pairs =
+      if (tier == "minhash") edLshSelfPairs(v, maxDist, numHashes, bands)
+      else edSelfPairs(v, maxDist)
+    import spark.implicits._
+    val ledger = Seq((tier, density, densityThreshold, meanLen,
+        maxMeanKeyLen, sampleSixteenths, maxDist))
+      .toDF("tier", "density", "density_threshold", "mean_key_cp",
+        "max_mean_key_cp", "sample_sixteenths", "max_dist")
+    (pairs, ledger) // pairs schema matches editDistancePairs: (id1, id2, dist)
   }
 
   /** Symmetric-delete collision-density detector: the estimated

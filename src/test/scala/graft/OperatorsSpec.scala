@@ -1050,6 +1050,62 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(dCloned - dDense) < 1e-9, s"cloned=$dCloned dense=$dDense")
   }
 
+  test("fuzzy routing seam: the density detector routes a template-dense " +
+    "corpus to the MinHash tier and a high-entropy corpus to the exact " +
+    "tier, logging the decision in a ledger row") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    // template corpus: constant affixes around a 5-char alphabet-3
+    // core — post-compaction the short low-entropy cores collide in
+    // nearly every deletion bucket, the quadratic regime the router
+    // exists for
+    val dense = (1L to 600L).map(i => (i,
+      "Cust#" + (1 to 5).map(_ => ('0' + rnd.nextInt(3)).toChar).mkString + "-X"))
+    // high-entropy corpus: 11-char alphanumeric keys — density ~0
+    val sparse = (1L to 60L).map(i => (i, rnd.alphanumeric.take(11).mkString))
+    val (densePairs, denseLedger) = Dedup.editDistancePairsAuto(
+      dense.toDF("id", "s"), "id", "s", maxDist = 2, sampleSixteenths = 16)
+    val (sparsePairs, sparseLedger) = Dedup.editDistancePairsAuto(
+      sparse.toDF("id", "s"), "id", "s", maxDist = 2, sampleSixteenths = 16)
+    // the two corpora route DIFFERENTLY, and the ledger records the
+    // measurements that drove each decision
+    val dl = denseLedger.collect().head
+    val sl = sparseLedger.collect().head
+    assert(dl.getAs[String]("tier") == "minhash", dl)
+    assert(sl.getAs[String]("tier") == "exact", sl)
+    assert(dl.getAs[Double]("density") > dl.getAs[Double]("density_threshold"))
+    assert(sl.getAs[Double]("density") <= sl.getAs[Double]("density_threshold"))
+    // exact tier ≡ editDistancePairs (bit-identical — it IS that plan)
+    val sparseGot = sparsePairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sparseWant = Dedup.editDistancePairs(
+      sparse.toDF("id", "s"), "id", "s", maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sparseGot == sparseWant)
+    // minhash tier: verified precision is EXACT (every emitted pair is
+    // a true ≤2 pair with the true distance); banding recall high on
+    // char-bigram near-dups
+    val truth = (for {
+      (i, a) <- dense; (j, b) <- dense if i < j && lev(a, b) <= 2
+    } yield (i, j, lev(a, b).toLong)).toSet
+    val got = densePairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(truth), (got -- truth).take(5))
+    assert(got.size >= (truth.size * 0.7).toInt, s"${got.size}/${truth.size}")
+    // long keys route to minhash even at low density
+    val long = (1L to 40L).map(i => (i, rnd.alphanumeric.take(200).mkString))
+    val (_, longLedger) = Dedup.editDistancePairsAuto(
+      long.toDF("id", "s"), "id", "s", maxDist = 2, sampleSixteenths = 16)
+    assert(longLedger.collect().head.getAs[String]("tier") == "minhash")
+  }
+
   test("band join equals the brute-force range join on random doubles") {
     import graft.operators.BandJoin
     val rnd = new scala.util.Random(23)
