@@ -35,16 +35,20 @@ object Components {
   def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
                           maxIter: Int = 25): DataFrame = {
     // undirected edge list, deduped once and pinned for the loop
-    val und = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
+    val und = IterPin.pin(pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
       .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct())
 
     val driverCap = und.sparkSession.conf
       .get("graft.components.driverMaxEdges", "200000").toLong
-    if (und.count() <= driverCap) return driverUnionFind(und)
+    if (und.count() <= driverCap) {
+      val r = driverUnionFind(und) // builds from collected longs
+      IterPin.free(und)
+      return r
+    }
 
-    var labels = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var labels = IterPin.pin(und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
 
     var converged = false
     var it = 0
@@ -55,17 +59,18 @@ object Components {
       val stepped = labels.join(nbrMin, col("id") === col("src"), "left_outer")
         .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c1"))
       // pointer jump: follow the label one more level
-      val next = stepped
+      val next = IterPin.pin(stepped
         .join(stepped.select(col("id").as("jid"), col("c1").as("jc")),
           col("c1") === col("jid"), "left_outer")
-        .select(col("id"), coalesce(col("jc"), col("c1")).as("comp"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("jc"), col("c1")).as("comp")))
       converged = next
         .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .filter(col("comp") =!= col("old")).limit(1).isEmpty
+      IterPin.free(labels) // superseded label vector (convergence probe ran)
       labels = next
       it += 1
     }
+    IterPin.free(und) // exit free — the final pinned labels read nothing
     labels
   }
 

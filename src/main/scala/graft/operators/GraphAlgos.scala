@@ -66,11 +66,10 @@ object GraphAlgos {
     val od = e.groupBy(col("src")).agg(sum(col("__w")).as("outdeg"))
     // edge ⋈ outdeg pinned once: every iteration re-reads this at the
     // cost of a materialized scan, never the upstream shuffles
-    val w = e.join(od, Seq("src"))
-      .select(col("src").as("node"), col("dst"), col("__w"), col("outdeg"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val w = IterPin.pin(e.join(od, Seq("src"))
+      .select(col("src").as("node"), col("dst"), col("__w"), col("outdeg")))
+    val nodes = IterPin.pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val nN = nodes.count()
     val base = (1.0 - damping) / nN
     // personalized PageRank: teleport (and dangling redistribution)
@@ -126,7 +125,7 @@ object GraphAlgos {
           .crossJoin(broadcast(dang))
           .select(col("node"), rankExpr.as("rank"))
       }
-      val next = cur.localCheckpoint()
+      val next = IterPin.pin(cur)
       // convergence is opt-in because the L∞ delta is one extra n-row
       // join + max aggregate per iteration (a driver scalar, the
       // standard power-iteration stop rule); `iterations` stays the
@@ -138,9 +137,20 @@ object GraphAlgos {
           .head().getDouble(0)
         converged = delta < tol
       }
+      // the superseded rank vector's last consumer (the delta probe)
+      // has run and `next` is materialized — release its blocks now
+      // instead of letting every round's state pile up on the heap
+      IterPin.free(ranks)
       ranks = next
       it += steps
     }
+    // exit frees: the returned frame reads only the FINAL pinned rank
+    // vector, never the edge-sized loop pins — release them here so a
+    // caller running many analytics back-to-back (the Bench repeat
+    // loop; a REPL session) doesn't accumulate one edge table per call
+    // in the block manager waiting on GC-triggered cleanup
+    IterPin.free(w)
+    if (it > 0) IterPin.free(nodes) // it==0 → ranks still reads nodes
     if (relative) ranks.select(col("node"), (col("rank") * nN).as("rank"))
     else ranks
   }
@@ -171,7 +181,7 @@ object GraphAlgos {
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var e = IterPin.pin(edges.select(col("src"), col("dst")))
     var nEdges = e.count()
     var round = 0
     var converged = nEdges == 0
@@ -193,9 +203,10 @@ object GraphAlgos {
           .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
       }
-      val next = cur.localCheckpoint()
+      val next = IterPin.pin(cur)
       val nNext = next.count()
       converged = nNext == nEdges
+      IterPin.free(e) // superseded peel state — nothing references it
       e = next
       nEdges = nNext
       round += steps
@@ -227,9 +238,9 @@ object GraphAlgos {
     * the loop either way.
     */
   def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = IterPin.pin(edges.select(col("src"), col("dst")))
+    val nodes = IterPin.pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     var labels = nodes.select(col("node"), col("node").as("label"))
     var it = 0
     while (it < iterations) {
@@ -257,9 +268,13 @@ object GraphAlgos {
           .select(col("node"),
             coalesce(col("__new"), col("node")).as("label"))
       }
-      labels = cur.localCheckpoint()
+      val next = IterPin.pin(cur)
+      IterPin.free(labels) // superseded label vector
+      labels = next
       it += steps
     }
+    IterPin.free(e) // exit free — the final pinned labels read neither
+    if (it > 0) IterPin.free(nodes) // (it==0 → labels still reads nodes)
     labels
   }
 
@@ -322,9 +337,9 @@ object GraphAlgos {
     * the usual Pregel/GraphX shape re-expressed as DataFrame joins.
     */
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 15): DataFrame = {
-    val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("long").as("weight")).localCheckpoint()
-    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    val e = IterPin.pin(edges.select(col("src"), col("dst"),
+      col("weight").cast("long").as("weight")))
+    var dist = IterPin.pin(seeds.select(col("node"), lit(0L).as("dist")))
     var signature = (dist.count(), 0L)
     var round = 0
     var converged = false
@@ -342,17 +357,19 @@ object GraphAlgos {
         cur = cur.unionAll(offers)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }
-      val next = cur.localCheckpoint()
+      val next = IterPin.pin(cur)
       // coalesce: an empty seed set makes sum(dist) null — converge to
       // an empty result instead of an NPE on getLong
       val sig = next.agg(count(lit(1)),
         coalesce(sum(col("dist")), lit(0L))).collect()(0)
       val nextSig = (sig.getLong(0), sig.getLong(1))
       converged = nextSig == signature
+      IterPin.free(dist) // superseded distance vector
       dist = next
       signature = nextSig
       round += steps
     }
+    IterPin.free(e) // exit free — the pinned distance vector reads nothing
     dist
   }
 
@@ -364,9 +381,9 @@ object GraphAlgos {
     */
   def multiSourceHopDistances(edges: DataFrame, seeds: DataFrame,
                               maxRounds: Int = 10): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var dist = seeds.select(col("node").as("origin"), col("node"),
-      lit(0L).as("dist")).localCheckpoint()
+    val e = IterPin.pin(edges.select(col("src"), col("dst")))
+    var dist = IterPin.pin(seeds.select(col("node").as("origin"), col("node"),
+      lit(0L).as("dist")))
     var signature = (dist.count(), 0L)
     var round = 0
     var converged = false
@@ -382,17 +399,19 @@ object GraphAlgos {
         cur = cur.unionAll(offers)
           .groupBy(col("origin"), col("node")).agg(min(col("dist")).as("dist"))
       }
-      val next = cur.localCheckpoint()
+      val next = IterPin.pin(cur)
       // coalesce: an empty seed set makes sum(dist) null — converge to
       // an empty result instead of an NPE on getLong
       val sig = next.agg(count(lit(1)),
         coalesce(sum(col("dist")), lit(0L))).collect()(0)
       val nextSig = (sig.getLong(0), sig.getLong(1))
       converged = nextSig == signature
+      IterPin.free(dist) // superseded distance vector
       dist = next
       signature = nextSig
       round += steps
     }
+    IterPin.free(e) // exit free — the pinned distance vector reads nothing
     dist
   }
 

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** Checkpoint discipline for iterative operators (pageRank/LPA/k-core/
+  * sssp/BFS/components/path closure): every loop pins its per-round
+  * state with an EAGER checkpoint so the plan stays linear, and frees
+  * the SUPERSEDED round's blocks once the successor is materialized —
+  * without the free, every round's full state stays pinned in the
+  * block manager until GC-triggered cleanup gets around to it, and on
+  * a shared heap (local mode; dense cluster executors) that retention
+  * was the measured memory-pressure term of the sf10 scaling study
+  * (round 12: gr02's residual 1.17 exponent isolated to one-JVM heap).
+  *
+  * `pin` is `localCheckpoint` by default (executor-local blocks, no
+  * I/O beyond the memory/disk tier). Set `graft.iter.checkpointDir`
+  * to a reliable location (HDFS/object store) to route the same call
+  * sites through RELIABLE `checkpoint` instead — on a large cluster
+  * localCheckpoint blocks die with their executor and a lost executor
+  * kills the whole iteration (no lineage to recompute from); reliable
+  * checkpoints trade per-round write I/O for fault tolerance, the
+  * right side of the trade once rounds are minutes long.
+  *
+  * `free` is safe by construction: it only acts when the frame IS a
+  * checkpoint result (its plan root is the materialized-RDD leaf) and
+  * that RDD is still persisted — a derived/plain frame no-ops, so
+  * callers never have to track which of first-round inputs were
+  * checkpoints. Callers must free a frame only after its successor is
+  * materialized AND the frame's last consumer (convergence probe,
+  * delta check) has run: a freed localCheckpoint cannot be recomputed.
+  */
+private[graft] object IterPin {
+
+  /** Eagerly materialize an iteration frame (see class doc). */
+  def pin(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.iter.checkpointDir") match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
+  /** Drop the block-manager blocks behind a SUPERSEDED pinned frame.
+    * No-op unless the frame is exactly a persisted checkpoint leaf.
+    * Non-blocking: the removal proceeds while the next round runs.
+    */
+  def free(df: DataFrame): Unit =
+    if (df.sparkSession.conf.get("graft.iter.free", "true").toBoolean)
+      df.queryExecution.logical match {
+        case lr: LogicalRDD if lr.rdd.getStorageLevel != StorageLevel.NONE =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+}

@@ -212,10 +212,9 @@ object PathExpand {
       edgeCount <= math.min(doublingThreshold, threshold)
 
     if (doubling) {
-      var closure = edges
+      var closure = graft.operators.IterPin.pin(edges
         .select(col("__src").as("__a"), col("__dst").as("__b"), lit(1L).as("__hops"))
-        .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops"))
-        .localCheckpoint()
+        .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops")))
       var span = 1L
       var abandoned = false
       var converged = false
@@ -225,9 +224,9 @@ object PathExpand {
           .select(col("l.__a").as("__a"), col("r.__b").as("__b"),
             (col("l.__hops") + col("r.__hops")).as("__hops"))
           .filter(col("__hops") <= maxHops)
-        val next = closure.unionByName(composed)
-          .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops"))
-          .localCheckpoint()
+        val next = graft.operators.IterPin.pin(
+          closure.unionByName(composed)
+            .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops")))
         if (next.count() > closureRowCap) abandoned = true
         else {
           // fixpoint: no new pair and no improved hop count. (Count
@@ -236,6 +235,11 @@ object PathExpand {
           // length that later rounds improve in place.)
           converged = next
             .join(closure, Seq("__a", "__b", "__hops"), "left_anti").isEmpty
+          // superseded closure: its last consumer (the fixpoint
+          // anti-join) has run; each round's closure is the full pair
+          // set, so retention across log2(maxHops) rounds is the
+          // doubling regime's dominant memory term
+          graft.operators.IterPin.free(closure)
           closure = next
           span *= 2
         }

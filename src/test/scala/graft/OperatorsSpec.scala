@@ -1907,4 +1907,53 @@ class OperatorsSpec extends SparkSpec {
     // 200 true + ~1% fp of 19800 — far below the unfiltered 20000
     assert(kept >= 200 && kept < 1200, s"prefilter kept $kept rows")
   }
+
+  test("iterative loops bound their checkpoint retention: after an " +
+    "operator returns, at most its RESULT's blocks stay pinned") {
+    import graft.operators.IterPin
+    // deterministic block-manager accounting: persistent-RDD count
+    // before vs after each operator, result fully consumed. Without
+    // the per-round frees every superseded state vector (and on exit
+    // the edge-sized loop pins) stays in the block manager until GC
+    // happens to collect the RDD handle — the measured heap-pressure
+    // term of the r12 sf10 study. ContextCleaner runs async, so drain
+    // any stragglers from OTHER suites first for a stable baseline.
+    val sc = spark.sparkContext
+    def pinned(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val rnd = new scala.util.Random(3)
+    val edges = (1 to 4000).map(_ =>
+        (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+      .localCheckpoint() // input pinned by the TEST, not the operator
+    def leaked(run: => org.apache.spark.sql.DataFrame): Int = {
+      val base = pinned() // re-baselined per operator: a result whose
+      // plan reads its final pin (kCore) legitimately leaves one block
+      val r = run
+      r.count() // consume
+      val extra = (pinned() -- base).size
+      // free the result pin too before the next operator runs
+      IterPin.free(r)
+      extra
+    }
+    // pageRank/LPA/sssp/BFS return ONE pinned vector; over 6-8 rounds
+    // the old code retained 3-4 state checkpoints + 2 edge-sized pins
+    assert(leaked(GraphAlgos.pageRank(edges, iterations = 6)) <= 1)
+    assert(leaked(GraphAlgos.labelPropagation(edges, iterations = 6)) <= 1)
+    assert(leaked(GraphAlgos.sssp(
+      edges.withColumn("weight", lit(1L)),
+      Seq(1L).toDF("node"), maxRounds = 6)) <= 1)
+    assert(leaked(GraphAlgos.multiSourceHopDistances(
+      edges, Seq(1L, 2L).toDF("node"), maxRounds = 6)) <= 1)
+    // kCore's result reads its final edge pin: result + final state
+    assert(leaked(GraphAlgos.kCore(edges, k = 2, maxRounds = 8)) <= 1)
+    // components: distributed regime (cap lowered under the edge count)
+    val prev = spark.conf.getOption("graft.components.driverMaxEdges")
+    spark.conf.set("graft.components.driverMaxEdges", "1")
+    try assert(leaked(Components.connectedComponents(
+      edges.select(col("src").as("a"), col("dst").as("b")), "a", "b")) <= 1)
+    finally prev match {
+      case Some(v) => spark.conf.set("graft.components.driverMaxEdges", v)
+      case None => spark.conf.unset("graft.components.driverMaxEdges")
+    }
+  }
 }
