@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Components, Dedup, Sampling, TextAnalysis}
 
 /** Declarative curation stages for YAML pipelines — the beyond-parity
   * dedup/quality/text tier exposed with `nmetl run` ergonomics
@@ -23,8 +23,8 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
 object CurationStages {
 
   val SupportedOps: Set[String] = Set("quality_gate", "langid_filter",
-    "exact_dedup", "minhash_dedup", "decontaminate", "pii_redact",
-    "span_cut", "paragraph_dedup", "sample", "token_budget")
+    "exact_dedup", "minhash_dedup", "fuzzy_dedup", "decontaminate",
+    "pii_redact", "span_cut", "paragraph_dedup", "sample", "token_budget")
 
   /** Apply one stage to the document frame. */
   def apply(spark: SparkSession, df: DataFrame, idCol: String,
@@ -84,6 +84,31 @@ object CurationStages {
         val survivors = Sampling.resolveDuplicates(pairs, quality, idCol)
           .select(col(idCol))
         df.join(survivors, Seq(idCol), "left_semi")
+
+      case "fuzzy_dedup" =>
+        // edit-distance dedup behind the collision-density AUTO-ROUTER
+        // (Dedup.editDistancePairsAuto, VERDICT r12 item 5): pairs
+        // within `max_dist` Levenshtein on the text column, routed
+        // exact (symmetric-delete, guaranteed recall) or MinHash-LSH
+        // (collision-dense / long-key corpora; exact-verified
+        // precision) by the measured density; the routing ledger row
+        // goes to stderr and, when `ledger_dir` is set, to a parquet
+        // sink for audit. Survivor = min id per connected component —
+        // the right stage for short KEYS (titles, names, urls), not
+        // long documents (those want minhash_dedup).
+        val maxDist = intParam("max_dist", 1)
+        val (pairs, ledger) = Dedup.editDistancePairsAuto(
+          df, idCol, textCol, maxDist = maxDist,
+          densityThreshold = doubleParam("density_threshold", 64.0),
+          maxMeanKeyLen = doubleParam("max_mean_key_len", 64.0))
+        param("ledger_dir").foreach(d =>
+          ledger.write.mode("append").parquet(d))
+        val nonCanon = Components
+          .connectedComponents(pairs.select(col("id1"), col("id2")),
+            "id1", "id2")
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as(idCol))
+        df.join(nonCanon, Seq(idCol), "left_anti")
 
       case "decontaminate" =>
         // drop documents sharing more than `max_hits` distinct n-grams

@@ -961,6 +961,39 @@ object PipelineQueries {
       recallRow(truth, found)
     },
 
+    // The AUTO-ROUTED fuzzy tier (round 13): editDistancePairsAuto
+    // measures post-compaction collision density + mean key length and
+    // routes exact (symmetric-delete) vs MinHash-LSH. This gate PINS
+    // the router's decision on the customer-name corpus: the ledger's
+    // tier joins the pair counts, and the oracle asserts tier='exact'
+    // with n_routed = n_truth and recall exactly 1 — i.e. on a corpus
+    // whose blocking stays linear the router must take the
+    // bit-identical tier, and if a density drift ever flips it the
+    // gate fails loudly instead of silently degrading recall. FULLY
+    // oracled (DuckDB recomputes the brute-force truth). Deterministic
+    // 1/9 slice, dd20's ledger discipline: the truth side is an O(n²)
+    // crossJoin that must never become a suite cost.
+    "dd21_fuzzy_autoroute" -> { (s, dir) =>
+      val cust = Tables(s, dir).customer
+        .filter(col("c_custkey") % 9 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val (pairs, ledger) = Dedup.editDistancePairsAuto(
+        cust, "c_custkey", "c_name", maxDist = 1)
+      val routed = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+      val truth = cust
+        .crossJoin(cust.select(col("c_custkey").as("k2"),
+          col("c_name").as("n2")))
+        .filter(col("c_custkey") < col("k2") &&
+          levenshtein(col("c_name"), col("n2")) <= 1)
+        .select(col("c_custkey").as("id1"), col("k2").as("id2"))
+        .localCheckpoint(true)
+      recallRow(truth, routed)
+        .crossJoin(routed.agg(count(lit(1)).as("n_routed")))
+        .crossJoin(ledger.select(col("tier")))
+        .select(col("tier"), col("n_truth"), col("n_routed"),
+          col("n_hit"), col("recall"))
+    },
+
     // SemDeDup semantic dedup (Abbas et al. 2023): md5-sampled
     // centroids → argmin-L2 cluster assignment → within-cluster
     // cosine >= tau neighbors → drop all but the lowest
@@ -2011,6 +2044,17 @@ object PipelineQueries {
          FROM customer a, customer b
          WHERE a.c_custkey < b.c_custkey
            AND levenshtein(a.c_name, b.c_name) <= 1""",
+    // the router gate: on customer names the density router must take
+    // the exact tier (bit-identical recall), so every count equals the
+    // brute-force truth and the tier is the literal 'exact'
+    "dd21_fuzzy_autoroute" ->
+      """WITH t AS (
+           SELECT count(*) AS n FROM customer a, customer b
+           WHERE a.c_custkey % 9 = 0 AND b.c_custkey % 9 = 0
+             AND a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 1)
+         SELECT 'exact' AS tier, n AS n_truth, n AS n_routed, n AS n_hit,
+                round(1.0 + 1e-11, 4) AS recall FROM t""",
     // brute-force ground truth for dd16 at distance 2 (same slice)
     "dd16_fuzzy_join2" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,

@@ -187,6 +187,31 @@ class PipelineSpec extends SparkSpec {
     assert(!pd(2L).contains("footer"), pd(2L))
   }
 
+  test("curation fuzzy_dedup stage: auto-routed edit-distance dedup keeps " +
+    "one representative per fuzzy cluster and writes the routing ledger") {
+    import spark.implicits._
+    import graft.etl.{CurationStageDef, CurationStages}
+    val ledgerDir = s"$tmpDir/ledger"
+    // short-key corpus (the stage's use case: titles/names/urls):
+    // {1,2,3} within distance 1 of each other, 4 distinct, 5 an exact
+    // dup of 4 (distance 0 — same cluster)
+    val keys = Seq(
+      (1L, "acme corporation"),
+      (2L, "acme corporatio"),   // deletion
+      (3L, "acmé corporation"),  // substitution
+      (4L, "globex industries"),
+      (5L, "globex industries")
+    ).toDF("doc_id", "text")
+    val kept = CurationStages(spark, keys, "doc_id", "text",
+        CurationStageDef("fuzzy_dedup",
+          Map("max_dist" -> "1", "ledger_dir" -> ledgerDir)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), kept)
+    val ledger = spark.read.parquet(ledgerDir).collect()
+    assert(ledger.length == 1)
+    assert(ledger.head.getAs[String]("tier") == "exact") // entropy route
+  }
+
   test("curation span_cut and paragraph_dedup pass empty / delimiter-only " +
     "docs through unchanged (rewrite stages never drop rows)") {
     import spark.implicits._
