@@ -631,6 +631,107 @@ object Similarity {
       .limit(k)
   }
 
+  /** The per-micro-batch body of STREAMING semantic near-dup dedup
+    * against a vector index-at-rest — the embedding counterpart of the
+    * minhash crawl loop (batch sibling: [[semanticDedup]] / SemDeDup,
+    * Abbas et al. 2023; exactly-once mechanics:
+    * [[graft.operators.Dedup.minHashIndexPut]]). Layout under
+    * `indexDir`: `vecs/batch=N/__bucket=B/` (id, v), `_centroids`
+    * (frozen — FAISS `add` semantics: appended batches assign against
+    * the FIRST batch's fitted centroids, the documented drift trade of
+    * [[ivfSampledIndexAppend]]), `_meta` written LAST and never
+    * rewritten.
+    *
+    * Per batch:
+    *  1. cross-batch probe: assign each batch vector to its `nprobe`
+    *     nearest persisted centroids and join only those bucket
+    *     partitions of the index AS OF earlier batches (`batch <
+    *     batchId` — partition pruning; a replayed batch is blind to
+    *     its own half-applied vectors). A batch doc with cosine >= tau
+    *     against any indexed vector is dropped — arrival order is
+    *     canonical across batches, a crawl cannot re-rank history.
+    *  2. intra-batch: home-bucket pairs at cosine >= tau → connected
+    *     components → min-id survivor (the streaming minhash stage's
+    *     rule; like batch SemDeDup, pairing is within-cluster only —
+    *     the recall trade `nlist` buys).
+    *  3. `admit(shippedIds)` writes survivors' home-bucket vectors
+    *     batch-tagged with DYNAMIC PARTITION OVERWRITE — run it only
+    *     after the output write commits, and only over ids that
+    *     reached the output (the deferred-admit contract of
+    *     [[graft.etl.CurationStages.runStreaming]]).
+    *
+    * Returns (survivors of `df`, admit).
+    */
+  def semanticCrawlBatch(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, df: DataFrame,
+                         idCol: String, vecCol: String, tau: Double,
+                         nlist: Int, nprobe: Int, batchId: Long)
+  : (DataFrame, DataFrame => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = dimsOf(df, vecCol)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val have = fs.exists(metaPath)
+    // centroids: persisted and frozen after the first committed batch;
+    // a replay of batch 0 refits from the same rows (md5-ranked sample
+    // — deterministic), so the rebuild is idempotent
+    val cent =
+      if (have) spark.read.parquet(s"$indexDir/_centroids")
+      else {
+        val plan = sampledCentroids(v, nlist)
+        val rows = plan.collect().toIndexedSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), plan.schema)
+      }
+    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
+      .withColumn("__rn", row_number().over(wid))
+      .select(col("id"), col("v"), col("cid").as("__bucket"), col("__rn"))
+      .localCheckpoint(true)
+    val home = assigned.filter(col("__rn") === 1).drop("__rn")
+    // 1. cross-batch drop (index as of batches before this one)
+    val pre =
+      if (have) {
+        val idx = spark.read.parquet(s"$indexDir/vecs")
+          .filter(col("batch") < lit(batchId))
+          .select(col("__bucket"), col("v").as("iv"))
+        val dup = assigned.filter(col("__rn") <= nprobe)
+          .join(idx, Seq("__bucket"))
+          .filter(cosine(col("v"), col("iv"), nd) >= tau)
+          .select(col("id")).distinct()
+        home.join(dup, Seq("id"), "left_anti")
+      } else home
+    // 2. intra-batch components over home-bucket tau-pairs
+    val l = pre.select(col("__bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = pre.select(col("__bucket"), col("id").as("id2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("__bucket"))
+      .filter(col("id1") < col("id2") &&
+        cosine(col("v1"), col("v2"), nd) >= tau)
+      .select(col("id1"), col("id2"))
+    val nonCanon = Components.connectedComponents(pairs, "id1", "id2")
+      .filter(col("id") =!= col("comp")).select(col("id"))
+    val keep = pre.join(nonCanon, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val survivors = df.join(keep.select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val admit: DataFrame => Unit = shipped => {
+      keep.join(shipped.select(col(shipped.columns.head).as("id")),
+          Seq("id"), "left_semi")
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "__bucket").parquet(s"$indexDir/vecs")
+      if (!have) {
+        cent.coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexDir/_centroids")
+        writeMeta(spark, indexDir, "sem_stream", nlist, 0L)
+      }
+    }
+    (survivors, admit)
+  }
+
   /** Product-quantization ADC top-k (Jégou et al. 2011): split the
     * d-dim space into `m` subspaces, quantize each sub-vector to its
     * nearest of `ksub` sub-centroids (codes: m bytes per vector —

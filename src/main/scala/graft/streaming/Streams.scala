@@ -480,6 +480,46 @@ object Streams {
       }
   }
 
+  /** Streaming SEMANTIC near-dup dedup against a vector index-at-rest —
+    * the embedding counterpart of [[bloomCrawlDedup]]/the minhash
+    * curation loop, for crawls that carry precomputed embeddings
+    * (batch sibling: dd14/SemDeDup). Per micro-batch: probe the
+    * persisted IVF-bucketed vector index for cosine >= `tau` neighbors
+    * from EARLIER batches (partition-pruned to the `nprobe` nearest
+    * frozen centroids), resolve intra-batch clusters to their min-id
+    * survivor, write survivors, then admit their vectors to the index.
+    *
+    * Exactly-once: output and index writes are batch-tagged dynamic
+    * partition overwrites, the probe reads the index AS OF earlier
+    * batches, and the index admit runs only AFTER the survivor write
+    * commits over ids that reached it — a crash anywhere in the batch
+    * replays cleanly (the [[graft.etl.CurationStages.runStreaming]]
+    * contract; the mechanics live in
+    * [[graft.operators.Similarity.semanticCrawlBatch]]). Consequence
+    * for readers: `survivorDir` is partitioned by `batch_id`.
+    */
+  def semanticCrawlDedup(stream: DataFrame, idCol: String, vecCol: String,
+                         indexDir: String, survivorDir: String,
+                         tau: Double, nlist: Int = 64, nprobe: Int = 4)
+  : DataStreamWriter[Row] =
+    stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val (survivors, admit) = graft.operators.Similarity
+            .semanticCrawlBatch(spark, indexDir, batch, idCol, vecCol,
+              tau, nlist, nprobe, batchId)
+          val pinned = survivors.localCheckpoint(true)
+          pinned.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(survivorDir)
+          admit(pinned.select(col(idCol)))
+        }
+        ()
+      }
+
   /** Streaming query-performance regression alerts — the stateful
     * stream counterpart of [[graft.ops.QueryAnalytics.regressions]]
     * (reference regression.py `RegressionDetector.ingest`, which pulls

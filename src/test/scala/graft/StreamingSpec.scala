@@ -777,6 +777,61 @@ class StreamingSpec extends SparkSpec {
     assert(keys == Set("alpha beta", "gamma delta", "epsilon zeta"), keys)
   }
 
+  test("streaming semantic dedup against a vector index-at-rest: " +
+    "cross-batch cosine near-dups drop across a restart; replay after a " +
+    "wiped checkpoint is idempotent") {
+    val src = Files.createTempDirectory("graft_sem_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_sem_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_sem_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_sem_idx")}/index"
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("vec_id LONG, emb ARRAY<DOUBLE>").parquet(src)
+      val q = Streams.semanticCrawlDedup(stream, "vec_id", "emb",
+          idx, out, tau = 0.95, nlist = 2, nprobe = 2)
+        .option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // batch 1: 1 ~ 4 (cos 0.9999) intra-batch near-dup, 6 orthogonal.
+    // Ids chosen for the md5-ranked centroid sample (nlist=2 picks the
+    // two smallest md5(id): 6 then 4) so the near-dup PAIR shares a
+    // home bucket — the within-cluster pairing trade SemDeDup makes;
+    // a pair that is itself the sampled centroids splits buckets and
+    // is missed intra-batch (documented, not a bug)
+    Seq(
+      (1L, Seq(0.999, 0.01)),
+      (4L, Seq(1.0, 0.0)),
+      (6L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "emb").write.mode("append").parquet(src)
+    run()
+    assert(survivors() == Set(1L, 6L), survivors())
+    // crash-replay: wipe the checkpoint so the same files re-process as
+    // batch 0 again — the as-of probe (batch < 0 sees nothing) and the
+    // batch-tagged overwrites must land a BIT-IDENTICAL end state: no
+    // survivor lost to a self-anti-join, no duplicated rows or vectors
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+    run()
+    def state(): (Seq[Long], Seq[Long]) =
+      (spark.read.parquet(out).select("vec_id")
+         .collect().map(_.getLong(0)).toSeq.sorted,
+       spark.read.parquet(s"$idx/vecs").select("id")
+         .collect().map(_.getLong(0)).toSeq.sorted)
+    assert(state() == ((Seq(1L, 6L), Seq(1L, 6L))), state())
+    // batch 2 (fresh checkpoint from the replay): 7 ~ 1 must be dropped
+    // by the INDEX (vector 1 is long gone from any state a restart
+    // kept); 8 is fresh
+    Seq(
+      (7L, Seq(0.998, -0.02)),
+      (8L, Seq(0.7, -0.7)))
+      .toDF("vec_id", "emb").write.mode("append").parquet(src)
+    run()
+    assert(survivors() == Set(1L, 6L, 8L), survivors())
+    // the index holds exactly the survivors' vectors, each once
+    assert(state() == ((Seq(1L, 6L, 8L), Seq(1L, 6L, 8L))), state())
+  }
+
   test("YAML streaming curation schema: explicit DDL starts against an " +
     "EMPTY input dir; inference against a missing dir fails with a " +
     "message naming the fix") {
