@@ -403,10 +403,18 @@ object Streams {
     *      index (text equality, so a 64-bit hash collision can never
     *      drop a genuinely new document);
     *   3. intra-batch exact dups keep the smallest id;
-    *   4. survivors append to the index, and their DELTA sketch —
-    *      built distributed (`stat.bloomFilter`) with the same
-    *      (expectedItems, fpp) geometry — merges into the held sketch
-    *      (a bit-OR on the driver, bytes not rows).
+    *   4. survivors and their keys are written as BATCH-TAGGED dynamic
+    *      partition overwrites (output first — the exactly-once
+    *      contract of [[graft.etl.CurationStages.runStreaming]]): a
+    *      replayed micro-batch overwrites exactly its own partitions
+    *      and anti-joins only against keys of EARLIER batches, so a
+    *      crash anywhere in the batch neither duplicates survivors nor
+    *      drops them against their own half-applied keys. The
+    *      survivors' DELTA sketch — built distributed
+    *      (`stat.bloomFilter`) with the same (expectedItems, fpp)
+    *      geometry — merges into the held sketch (a bit-OR on the
+    *      driver, bytes not rows). To pre-seed the index, write plain
+    *      (id-less) key parquet under `indexDir/keys/batch=-1`.
     *
     * The sketch lives in the sink closure for the query's lifetime and
     * rebuilds from the index on restart — the index parquet is the
@@ -430,7 +438,7 @@ object Streams {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     stream.writeStream.outputMode(OutputMode.Append())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
         val batch = batch0.localCheckpoint(true)
         if (!batch.isEmpty) {
@@ -448,12 +456,28 @@ object Streams {
             bloom.writeTo(bos); bos.toByteArray }
           val definitelyNew = batch.filter(
             !BloomJoin.mightContain(bytes, col(textCol)))
+          // the exact anti-join reads keys AS OF earlier batches (batch
+          // is a partition key → pruning): a replayed batch must be
+          // blind to its own half-applied keys, whether they reached
+          // the key files directly or rode back in through the bloom
+          // rebuild above — the bloom is only an accelerator, the
+          // as-of join decides
           val sliver =
-            if (haveIndex)
+            if (haveIndex) {
+              // a pre-seeded or legacy index may lack the batch
+              // partition key (seed convention: write plain parquet
+              // under keys/batch=-1 to join the tagged layout); a
+              // batch-less index keeps the old always-earlier
+              // semantics rather than failing on the missing column
+              val keys0 = spark.read.parquet(keysDir)
+              val asOf =
+                if (keys0.columns.contains("batch"))
+                  keys0.filter(col("batch") < lit(batchId))
+                else keys0
               batch.filter(BloomJoin.mightContain(bytes, col(textCol)))
-                .join(spark.read.parquet(keysDir)
-                  .select(col("k").as(textCol)), Seq(textCol), "left_anti")
-            else batch.filter(BloomJoin.mightContain(bytes, col(textCol)))
+                .join(asOf.select(col("k").as(textCol)),
+                  Seq(textCol), "left_anti")
+            } else batch.filter(BloomJoin.mightContain(bytes, col(textCol)))
           // intra-batch exact dedup, smallest id survives (unionByName:
           // the using-column anti join reorders the sliver's columns)
           val fresh = definitelyNew.unionByName(
@@ -463,14 +487,20 @@ object Streams {
               Seq(textCol, idCol), "left_semi")
             .localCheckpoint(true)
           if (!survivors.isEmpty) {
-            // survivor rows FIRST, index keys second: a crash between
-            // the two writes then at worst re-emits those survivors on
-            // replay (duplicate output, recoverable downstream) — the
-            // reverse order would anti-join the replayed rows away and
-            // lose the documents permanently
-            survivors.write.mode("append").parquet(survivorDir)
+            // batch-tagged DYNAMIC PARTITION OVERWRITES, output first
+            // (the runStreaming exactly-once contract): a replayed
+            // batch overwrites exactly its own output and key
+            // partitions — no duplicated survivors, no documents lost
+            // to a self-anti-join
+            survivors.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(survivorDir)
             survivors.select(col(textCol).as("k"))
-              .write.mode("append").parquet(keysDir)
+              .withColumn("batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch").parquet(keysDir)
             bloom.mergeInPlace(
               survivors.select(xxhash64(col(textCol)).as("__h"))
                 .stat.bloomFilter("__h", expectedItems, fpp))

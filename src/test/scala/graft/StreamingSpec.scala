@@ -549,8 +549,10 @@ class StreamingSpec extends SparkSpec {
       val idx = Files.createTempDirectory("graft_bloomidx").toFile.getAbsolutePath
       val out = Files.createTempDirectory("graft_bloomout").toFile.getAbsolutePath
       val in = Files.createTempDirectory("graft_bloomin").toFile.getAbsolutePath
+      // the documented seed convention: plain key parquet under
+      // batch=-1 joins the batch-tagged layout as "earlier than all"
       seed.toDF("doc_id", "text").select(col("text").as("k"))
-        .write.mode("append").parquet(s"$idx/keys")
+        .write.mode("append").parquet(s"$idx/keys/batch=-1")
       batches.head.toDF("doc_id", "text").write.mode("append").parquet(in)
       val stream = spark.readStream
         .schema(batches.head.toDF("doc_id", "text").schema).parquet(in)
@@ -576,6 +578,31 @@ class StreamingSpec extends SparkSpec {
       arrivals.map(Seq(_)))                      // one doc per batch
       .map(run)
     assert(results.forall(_ == ((Set(11L, 13L), expectKeys))), results.toString)
+    // crash-replay: wipe the checkpoint so the batch re-processes as
+    // batch 0 — the batch-tagged overwrites and the as-of key join
+    // must land a bit-identical end state (the old append-mode writes
+    // duplicated every replayed survivor)
+    val idx = Files.createTempDirectory("graft_bloomrp_i").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_bloomrp_o").toFile.getAbsolutePath
+    val in = Files.createTempDirectory("graft_bloomrp_in").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_bloomrp_ck").toFile.getAbsolutePath
+    arrivals.toDF("doc_id", "text").write.mode("append").parquet(in)
+    def replayRun(): Unit = {
+      val q = Streams.bloomCrawlDedup(
+          spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+          "doc_id", "text", idx, out, expectedItems = 1000L)
+        .option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+    }
+    replayRun()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+    replayRun()
+    val outRows = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(outRows == Seq(10L, 11L, 13L), outRows) // each once, no dups
+    val keyRows = spark.read.parquet(s"$idx/keys").select("k")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(keyRows.distinct == keyRows && keyRows.size == 3, keyRows)
   }
 
   test("streaming HLL register maintenance: estimate after N batches equals " +
