@@ -217,6 +217,21 @@ object CypherParser {
           case TKw("DELETE") => pos += 1; clauses += parseDelete(detach = false)
           case TKw("REMOVE") => pos += 1; clauses += parseRemove()
           case TKw("CALL") => pos += 1; clauses += parseCall()
+          // Neo4j administration-show surface, desugared onto the
+          // procedure registry: SHOW PROCEDURES ≡
+          // CALL db.procedures() YIELD name RETURN name ORDER BY name
+          case TIdent(t) if t.equalsIgnoreCase("SHOW") &&
+              clauses.isEmpty && (peekAt(1) match {
+                case TIdent(w) => w.equalsIgnoreCase("PROCEDURES")
+                case _         => false
+              }) =>
+            pos += 2
+            val item = ReturnItem(Variable("name"), None)
+            clauses += CallProcedure("db.procedures", Seq.empty, Seq(item))
+            clauses += Return(Projection(Seq(item), star = false,
+              distinct = false,
+              orderBy = Seq(OrderItem(Variable("name"), descending = false)),
+              skip = None, limit = None))
           case TKw("FOREACH") =>
             pos += 1
             eatSym("(")

@@ -780,10 +780,9 @@ class MutationSpec extends SparkSpec {
       s"CALL catalog.prune('$dir') YIELD version RETURN version")
       .collect().map(_.getString(0)).toSeq
     assert(dropped == Seq("v00001"), dropped)
-    // discoverable: db.procedures (the SHOW PROCEDURES surface) lists
-    // the family
-    val listed = eng.query(
-      "CALL db.procedures() YIELD name RETURN name ORDER BY name").collect()
+    // discoverable: SHOW PROCEDURES (real syntax, desugared onto
+    // db.procedures) lists the family
+    val listed = eng.query("SHOW PROCEDURES").collect()
       .map(_.getString(0)).filter(_.startsWith("catalog.")).toSeq
     assert(listed == Seq("catalog.prune", "catalog.save", "catalog.versions"),
       listed)
