@@ -231,9 +231,13 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     assert(spark.table("t_sreg").isEmpty) // baseline only: no alert
     // batch 2: 5 slow runs -> one critical alert, equal to the batch
-    // detector over the concatenated history
+    // detector over the concatenated history. coalesce(1): a multi-file
+    // append is not atomic for the file-stream source's listing, and
+    // the continuously-triggering query can pick up a PARTIAL file set
+    // as its own batch (seen as a suite-load flake) — one file per
+    // append appears atomically
     audit((21L to 25L).map(i => (i, 80.0)): _*)
-      .write.mode("append").parquet(dir)
+      .coalesce(1).write.mode("append").parquet(dir)
     q.processAllAvailable()
     val streamed = spark.table("t_sreg").collect()
     assert(streamed.length == 1, streamed.mkString("\n"))
@@ -251,7 +255,7 @@ class StreamingSpec extends SparkSpec {
     // batch 3: recovery — no new alert appended, and the batch
     // detector over the full history agrees there is no regression
     audit((26L to 30L).map(i => (i, 10.0)): _*)
-      .write.mode("append").parquet(dir)
+      .coalesce(1).write.mode("append").parquet(dir)
     q.processAllAvailable()
     q.stop()
     assert(spark.table("t_sreg").count() == 1L) // still just the old row
