@@ -23,8 +23,9 @@ import graft.operators.{Components, Dedup, Sampling, TextAnalysis}
 object CurationStages {
 
   val SupportedOps: Set[String] = Set("quality_gate", "langid_filter",
-    "exact_dedup", "minhash_dedup", "fuzzy_dedup", "decontaminate",
-    "pii_redact", "span_cut", "paragraph_dedup", "sample", "token_budget")
+    "exact_dedup", "minhash_dedup", "fuzzy_dedup", "semantic_dedup",
+    "decontaminate", "pii_redact", "span_cut", "paragraph_dedup", "sample",
+    "token_budget")
 
   /** Apply one stage to the document frame. */
   def apply(spark: SparkSession, df: DataFrame, idCol: String,
@@ -109,6 +110,21 @@ object CurationStages {
           .filter(col("id") =!= col("comp"))
           .select(col("id").as(idCol))
         df.join(nonCanon, Seq(idCol), "left_anti")
+
+      case "semantic_dedup" =>
+        // embedding near-dup dedup (SemDeDup — Dedup.semanticDedup):
+        // for corpora whose rows carry a precomputed embedding column
+        // (`vec_col`), keep each cosine-neighborhood's canonical doc.
+        // The dd14 shape; the text stages never touch vec_col.
+        val vecCol = param("vec_col").getOrElse(
+          throw new IllegalArgumentException(
+            "semantic_dedup needs vec_col: the embedding column"))
+        val kept = Dedup.semanticDedup(df, idCol, vecCol,
+            nlist = intParam("nlist", 0),
+            tau = doubleParam("tau", 0.9))
+          .filter(col("kept") === 1)
+          .select(col(idCol))
+        df.join(kept, Seq(idCol), "left_semi")
 
       case "decontaminate" =>
         // drop documents sharing more than `max_hits` distinct n-grams
@@ -294,6 +310,22 @@ object CurationStages {
               val (survivors, admit) = streamingMinhashDedup(spark, df,
                 pipeline.idCol, pipeline.textCol, stage, batchId)
               deferred += admit
+              survivors
+            } else if (stage.params.contains("index_dir") && stage.op == "semantic_dedup") {
+              // incremental SemDeDup against the vector index-at-rest
+              // (Similarity.semanticCrawlBatch) — same deferred-admit
+              // exactly-once contract as the text stages
+              val vecCol = stage.params.getOrElse("vec_col",
+                throw new IllegalArgumentException(
+                  "streaming semantic_dedup needs vec_col"))
+              val (survivors, admit) = graft.operators.Similarity
+                .semanticCrawlBatch(spark, stage.params("index_dir"), df,
+                  pipeline.idCol, vecCol,
+                  tau = stage.params.get("tau").map(_.toDouble).getOrElse(0.9),
+                  nlist = stage.params.get("nlist").map(_.toInt).getOrElse(64),
+                  nprobe = stage.params.get("nprobe").map(_.toInt).getOrElse(4),
+                  batchId = batchId)
+              deferred += (shipped => admit(shipped))
               survivors
             } else if (stage.params.contains("index_dir") && stage.op == "exact_dedup") {
               val (survivors, admit) = streamingExactDedup(spark, df,

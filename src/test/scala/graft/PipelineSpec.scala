@@ -212,6 +212,35 @@ class PipelineSpec extends SparkSpec {
     assert(ledger.head.getAs[String]("tier") == "exact") // entropy route
   }
 
+  test("curation semantic_dedup stage: embedding near-dups resolve to the " +
+    "SemDeDup canonical; text columns pass through untouched") {
+    import spark.implicits._
+    import graft.etl.{CurationStageDef, CurationStages}
+    val docs = Seq(
+      (1L, "first doc", Seq(1.0, 0.0)),
+      (2L, "near dup of first", Seq(0.999, 0.01)),
+      (3L, "orthogonal doc", Seq(0.0, 1.0)))
+      .toDF("doc_id", "text", "emb")
+    val kept = CurationStages(spark, docs, "doc_id", "text",
+      CurationStageDef("semantic_dedup",
+        Map("vec_col" -> "emb", "tau" -> "0.95", "nlist" -> "1")))
+    assert(kept.columns.toSet == Set("doc_id", "text", "emb"))
+    // SemDeDup keeps the LOWEST-centroid-similarity member of each
+    // neighborhood (farthest from centroid — the diversity rule of
+    // Abbas et al. 2023, dd14's oracle): centroid is vector 1, so the
+    // slightly-off near-dup 2 survives and 1 drops. The STREAMING
+    // semantic_dedup arm keeps min-id instead (arrival order — a crawl
+    // cannot re-rank history), documented on semanticCrawlBatch.
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    // missing vec_col is a clear error, not a late analysis failure
+    val err = intercept[IllegalArgumentException] {
+      CurationStages(spark, docs, "doc_id", "text",
+        CurationStageDef("semantic_dedup", Map.empty))
+    }
+    assert(err.getMessage.contains("vec_col"))
+  }
+
   test("curation span_cut and paragraph_dedup pass empty / delimiter-only " +
     "docs through unchanged (rewrite stages never drop rows)") {
     import spark.implicits._

@@ -863,6 +863,50 @@ class StreamingSpec extends SparkSpec {
     assert(state() == ((Seq(1L, 6L, 8L), Seq(1L, 6L, 8L))), state())
   }
 
+  test("YAML streaming curation: semantic_dedup stage runs the incremental " +
+    "SemDeDup loop against the vector index-at-rest across a restart") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_ys_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_ys_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_ys_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_ys_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: ys}
+         |curation:
+         |  - id: ys
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING, emb ARRAY<DOUBLE>"
+         |    stages:
+         |      - {op: semantic_dedup, index_dir: $idx, vec_col: emb,
+         |         tau: "0.95", nlist: "2", nprobe: "2"}
+         |""".stripMargin)
+    // ids picked for the md5-ranked centroid sample as in the Streams
+    // spec: centroids = {6, 4}, so the near-dup pair {1, 4} co-buckets
+    Seq(
+      (1L, "near dup", Seq(0.999, 0.01)),
+      (4L, "original", Seq(1.0, 0.0)),
+      (6L, "orthogonal", Seq(0.0, 1.0)))
+      .toDF("doc_id", "text", "emb").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "ys")
+    q1.processAllAvailable(); q1.stop()
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(1L, 6L), survivors())
+    // restart: 7 ~ vector 1 drops via the index-at-rest, 8 is fresh
+    Seq(
+      (7L, "late near dup", Seq(0.998, -0.02)),
+      (8L, "fresh", Seq(0.7, -0.7)))
+      .toDF("doc_id", "text", "emb").write.mode("append").parquet(src)
+    val q2 = PipelineRunner.startCuration(spark, config, "ys")
+    q2.processAllAvailable(); q2.stop()
+    assert(survivors() == Set(1L, 6L, 8L), survivors())
+    assert(spark.read.parquet(s"$idx/vecs").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 6L, 8L))
+  }
+
   test("YAML streaming curation schema: explicit DDL starts against an " +
     "EMPTY input dir; inference against a missing dir fails with a " +
     "message naming the fix") {
