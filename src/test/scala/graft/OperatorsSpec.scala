@@ -1908,6 +1908,40 @@ class OperatorsSpec extends SparkSpec {
     assert(kept >= 200 && kept < 1200, s"prefilter kept $kept rows")
   }
 
+  test("graft.iter.checkpointDir routes loop pins through reliable " +
+    "checkpoints: results unchanged, checkpoint files on disk, free() " +
+    "no-ops on the unpersisted reliable leaves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_relck")
+      .toFile.getAbsolutePath
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val local = GraphAlgos.pageRank(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.conf.set("graft.iter.checkpointDir", dir)
+    try {
+      val reliable = GraphAlgos.pageRank(edges, iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(reliable == local) // bit-identical either pin route
+      // the reliable files actually landed under the conf'd dir
+      def files(f: java.io.File): Long =
+        if (f.isFile) 1L
+        else Option(f.listFiles).map(_.map(files).sum).getOrElse(0L)
+      assert(files(new java.io.File(dir)) > 0, "no reliable checkpoint files")
+      // components through the same route (distributed regime)
+      val prev = spark.conf.getOption("graft.components.driverMaxEdges")
+      spark.conf.set("graft.components.driverMaxEdges", "1")
+      try {
+        val comps = Components.connectedComponents(
+            edges.select(col("src").as("a"), col("dst").as("b")), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+      } finally prev match {
+        case Some(v) => spark.conf.set("graft.components.driverMaxEdges", v)
+        case None => spark.conf.unset("graft.components.driverMaxEdges")
+      }
+    } finally spark.conf.unset("graft.iter.checkpointDir")
+  }
+
   test("iterative loops bound their checkpoint retention: after an " +
     "operator returns, at most its RESULT's blocks stay pinned") {
     import graft.operators.IterPin
