@@ -332,6 +332,11 @@ object CurationStages {
                 pipeline.idCol, pipeline.textCol, stage, batchId)
               deferred += admit
               survivors
+            } else if (stage.params.contains("ledger_dir") && stage.op == "token_budget") {
+              val (survivors, admit) = streamingTokenBudget(spark, df,
+                pipeline.idCol, pipeline.textCol, stage, batchId)
+              deferred += admit
+              survivors
             } else apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
           }.localCheckpoint(true)
           curated.withColumn("batch_id", lit(batchId))
@@ -345,6 +350,62 @@ object CurationStages {
       }
     pipeline.checkpointUri.fold(writer)(
       ck => writer.option("checkpointLocation", ck))
+  }
+
+  /** The cross-batch arm of `token_budget` in streaming mode. WITHOUT
+    * `ledger_dir` the stage falls through to the batch form, which
+    * grants the FULL budget to every micro-batch — per-batch rationing,
+    * occasionally wanted, usually not. With `ledger_dir` the budget is
+    * GLOBAL across the stream: a spend ledger at rest records each
+    * batch's admitted token count, the current batch reads the spend
+    * AS OF earlier batches (partition pruning on the batch key — a
+    * replayed batch is blind to its own failed attempt) and greedy-fills
+    * only the remainder, in the batch stage's md5-hash order
+    * ([[graft.operators.Sampling.budgetSample]] — same salted two-phase
+    * prefix sum, so one giant micro-batch cannot single-task-sort).
+    * `admit(shipped)` writes the batch's ledger row with the tokens of
+    * the survivors that REACHED the output (a later stage dropping a
+    * survivor refunds its tokens), dynamic-partition-overwriting the
+    * batch's own partition — the same exactly-once contract as the
+    * dedup index admits. Weight = whitespace token count of the text
+    * column, matching the batch stage.
+    */
+  private def streamingTokenBudget(spark: SparkSession, df: DataFrame,
+                                   idCol: String, textCol: String,
+                                   stage: CurationStageDef, batchId: Long)
+  : (DataFrame, DataFrame => Unit) = {
+    val budget = stage.params.get("budget").map(_.toLong).getOrElse(
+      throw new IllegalArgumentException("token_budget needs budget"))
+    val ledgerDir = stage.params("ledger_dir")
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val have = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val spent =
+      if (have)
+        spark.read.parquet(ledgerDir)
+          .filter(col("batch") < lit(batchId))
+          .agg(coalesce(sum(col("tokens")), lit(0L)))
+          .head().getLong(0)
+      else 0L
+    val remaining = math.max(0L, budget - spent)
+    def withWt(d: DataFrame): DataFrame = d.withColumn("__wt",
+      size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    val survivors =
+      if (remaining == 0L) df.limit(0)
+      else Sampling.budgetSample(
+          withWt(df).withColumn("__grp", lit("all")),
+          idCol, "__grp", "__wt", Map("all" -> remaining))
+        .drop("__wt", "__grp")
+    val admit: DataFrame => Unit = shipped => {
+      import spark.implicits._
+      val tokens = withWt(survivors.join(shipped
+            .select(col(shipped.columns.head).as(idCol)), Seq(idCol), "left_semi"))
+        .agg(coalesce(sum(col("__wt")), lit(0L))).head().getLong(0)
+      Seq((batchId, tokens)).toDF("batch", "tokens")
+        .coalesce(1).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(ledgerDir)
+    }
+    (survivors, admit)
   }
 
   /** The cross-batch arm of `exact_dedup` in streaming mode: a

@@ -907,6 +907,65 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 6L, 8L))
   }
 
+  test("YAML streaming curation: token_budget with a spend ledger is " +
+    "GLOBAL across batches, refunds gate-dropped survivors, and replays " +
+    "idempotently") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_tb_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_tb_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_tb_ck").toFile.getAbsolutePath
+    val led = s"${Files.createTempDirectory("graft_tb_led")}/ledger"
+    // budget 10 tokens across the WHOLE stream; the gate runs AFTER the
+    // budget, so a budget-admitted doc the gate drops must refund its
+    // tokens (the ledger records only shipped rows)
+    val config = PipelineConfig.parse(
+      s"""project: {name: tb}
+         |curation:
+         |  - id: tb
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    stages:
+         |      - {op: token_budget, budget: "10", ledger_dir: $led}
+         |      - {op: quality_gate, min_quality: "0.3"}
+         |""".stripMargin)
+    def run(): Unit = {
+      val q = PipelineRunner.startCuration(spark, config, "tb")
+      q.processAllAvailable(); q.stop()
+    }
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def ledger(): Long = spark.read.parquet(led)
+      .agg(sum(col("tokens"))).head().getLong(0)
+    // batch 1: both fit the budget (8 <= 10); doc 2 fails the gate and
+    // refunds its 4 tokens — ledger must say 4, not 8
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "spam spam spam spam"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(survivors() == Set(1L), survivors())
+    assert(ledger() == 4L, ledger())
+    // crash-replay: wiped checkpoint re-processes the same rows as
+    // batch 0 — the as-of spend read and the batch-partition overwrite
+    // land the identical output and ledger (no double-spend)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+    run()
+    assert(survivors() == Set(1L), survivors())
+    assert(ledger() == 4L, ledger())
+    // batch 2 after a restart: remaining = 10 - 4 = 6. md5-hash order
+    // puts id 6 before id 9 (the batch stage's fill order), so 6's four
+    // tokens fit (cum 4 <= 6) and 9's are cut off (cum 8 > 6)
+    Seq(
+      (6L, "epsilon zeta eta theta"),
+      (9L, "iota kappa lambda mu"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(survivors() == Set(1L, 6L), survivors())
+    assert(ledger() == 8L, ledger())
+  }
+
   test("YAML streaming curation schema: explicit DDL starts against an " +
     "EMPTY input dir; inference against a missing dir fails with a " +
     "message naming the fix") {
