@@ -1313,4 +1313,86 @@ object Dedup {
     sp.join(lG, Seq("__sa")).join(rG, Seq("__sb"))
       .select(col("id1"), col("id2"), col("dist"))
   }
+
+  /** [[fuzzyLink]] behind the collision-density ROUTER — the
+    * cross-table twin of [[editDistancePairsAuto]]. Density and mean
+    * key length are measured over the UNION of both tables'
+    * post-compaction strings (the population whose deletion
+    * neighborhoods meet in shared blocking buckets); linear corpora
+    * run the exact tier (bit-identical to [[fuzzyLink]] and its dd17
+    * oracle), collision-dense or long-key corpora run the char-bigram
+    * MinHash-LSH tier (left-vs-right band join, exact-verified
+    * precision, banding recall). Returns (links, one-row ledger) with
+    * the same schema conventions as the self-join router.
+    */
+  def fuzzyLinkAuto(left: DataFrame, lIdCol: String, lStrCol: String,
+                    right: DataFrame, rIdCol: String, rStrCol: String,
+                    maxDist: Int = 1,
+                    densityThreshold: Double = 64.0,
+                    maxMeanKeyLen: Double = 64.0,
+                    sampleSixteenths: Int = 4,
+                    numHashes: Int = 64, bands: Int = 32)
+  : (DataFrame, DataFrame) = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2, got $maxDist")
+    val spark = left.sparkSession
+    val l0 = left.select(col(lIdCol).as("id"), col(lStrCol).as("s"))
+    val r0 = right.select(col(rIdCol).as("id"), col(rStrCol).as("s"))
+    val (pre, suf) = corpusAffixes(
+      l0.select(col("s")).unionByName(r0.select(col("s"))))
+    val unionS = stripAffixes(l0, pre, suf).select(col("s"))
+      .unionByName(stripAffixes(r0, pre, suf).select(col("s")))
+    val density = deletionCollisionDensity(unionS, "s", maxDist,
+      sampleSixteenths)
+    val meanLen = unionS
+      .filter(pmod(xxhash64(col("s")), lit(16)) < lit(sampleSixteenths))
+      .distinct()
+      .agg(coalesce(avg(length(col("s"))), lit(0.0)))
+      .head().getDouble(0)
+    val tier =
+      if (density > densityThreshold || meanLen > maxMeanKeyLen) "minhash"
+      else "exact"
+    System.err.println(
+      s"[graft] fuzzy-link routing: tier=$tier density=$density " +
+        s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
+        s"(max $maxMeanKeyLen) maxDist=$maxDist")
+    val links =
+      if (tier == "exact")
+        fuzzyLink(left, lIdCol, lStrCol, right, rIdCol, rStrCol, maxDist)
+      else {
+        // char-bigram LSH across the two DISTINCT-string sides: band
+        // collision generates candidates, the capped kernel verifies,
+        // and links expand over both id groups like the exact tail
+        def sides(v: DataFrame) = {
+          val d = stripAffixes(v, pre, suf).select(col("s")).distinct()
+          val spaced = d.select(col("s").as("id"),
+            regexp_replace(col("s"), "(?s)(.)", "$1 ").as("chars"))
+          minHashSignatures(shingleRows(spaced, "id", "chars", 2), numHashes)
+            .select(col("id"),
+              explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
+            .select(col("id"), col("bk.band").as("band"),
+              col("bk.bkey").as("bkey"))
+        }
+        val cand = sides(l0).select(col("id").as("id1"),
+            col("band"), col("bkey"))
+          .join(sides(r0).select(col("id").as("id2"),
+            col("band"), col("bkey")), Seq("band", "bkey"))
+          .select(col("id1"), col("id2"),
+            col("id1").as("s1"), col("id2").as("s2"))
+        val sp = verifyCandidates(cand, maxDist)
+          .select(col("id1").as("__sa"), col("id2").as("__sb"), col("dist"))
+        val lG = stripAffixes(l0, pre, suf)
+          .select(col("s").as("__sa"), col("id").as("id1"))
+        val rG = stripAffixes(r0, pre, suf)
+          .select(col("s").as("__sb"), col("id").as("id2"))
+        sp.join(lG, Seq("__sa")).join(rG, Seq("__sb"))
+          .select(col("id1"), col("id2"), col("dist"))
+      }
+    import spark.implicits._
+    val ledger = Seq((tier, density, densityThreshold, meanLen,
+        maxMeanKeyLen, sampleSixteenths, maxDist))
+      .toDF("tier", "density", "density_threshold", "mean_key_cp",
+        "max_mean_key_cp", "sample_sixteenths", "max_dist")
+    (links, ledger)
+  }
 }

@@ -1908,6 +1908,52 @@ class OperatorsSpec extends SparkSpec {
     assert(kept >= 200 && kept < 1200, s"prefilter kept $kept rows")
   }
 
+  test("fuzzy-link routing seam: cross-table density routes like the " +
+    "self-join router; the exact tier is bit-identical to fuzzyLink") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(13)
+    // high-entropy sides: exact route, output ≡ fuzzyLink. Seed left
+    // strings, derive some rights within distance 1 so links exist.
+    val ls = (1L to 50L).map(i => (i, rnd.alphanumeric.take(10).mkString))
+    val rs = ls.take(20).zipWithIndex.map { case ((_, s), k) =>
+      (100L + k, s.updated(3, '!')) } ++
+      (200L to 220L).map(i => (i, rnd.alphanumeric.take(10).mkString))
+    val (links, ledger) = Dedup.fuzzyLinkAuto(
+      ls.toDF("id", "s"), "id", "s", rs.toDF("id", "s"), "id", "s",
+      maxDist = 1, sampleSixteenths = 16)
+    assert(ledger.collect().head.getAs[String]("tier") == "exact")
+    val got = links.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.fuzzyLink(ls.toDF("id", "s"), "id", "s",
+        rs.toDF("id", "s"), "id", "s", maxDist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+    // template-dense sides: minhash route; verified precision exact,
+    // links a subset of brute-force truth with high banding recall
+    val dl = (1L to 300L).map(i => (i,
+      "Cust#" + (1 to 5).map(_ => ('0' + rnd.nextInt(3)).toChar).mkString + "-X"))
+    val dr = (1000L to 1300L).map(i => (i,
+      "Cust#" + (1 to 5).map(_ => ('0' + rnd.nextInt(3)).toChar).mkString + "-X"))
+    val (dLinks, dLedger) = Dedup.fuzzyLinkAuto(
+      dl.toDF("id", "s"), "id", "s", dr.toDF("id", "s"), "id", "s",
+      maxDist = 2, sampleSixteenths = 16)
+    assert(dLedger.collect().head.getAs[String]("tier") == "minhash")
+    val truth = (for {
+      (i, a) <- dl; (j, b) <- dr if lev(a, b) <= 2
+    } yield (i, j, lev(a, b).toLong)).toSet
+    val dGot = dLinks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dGot.subsetOf(truth), (dGot -- truth).take(5))
+    assert(dGot.size >= (truth.size * 0.7).toInt, s"${dGot.size}/${truth.size}")
+  }
+
   test("graft.iter.checkpointDir routes loop pins through reliable " +
     "checkpoints: results unchanged, checkpoint files on disk, free() " +
     "no-ops on the unpersisted reliable leaves") {
