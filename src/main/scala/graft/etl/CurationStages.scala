@@ -430,27 +430,45 @@ object CurationStages {
   : (DataFrame, DataFrame => Unit) = {
     val keysDir = s"${stage.params("index_dir")}/keys"
     val p = new org.apache.hadoop.fs.Path(keysDir)
-    val have = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish any interrupted legacy-layout migration before reading
+    Dedup.completeBatchMigration(fs, p)
+    val have = fs.exists(p)
     val fresh =
-      if (have)
-        df.join(spark.read.parquet(keysDir)
-              .filter(col("batch") < lit(batchId))
-              .select(col("k").as(textCol)),
-            Seq(textCol), "left_anti")
+      if (have) {
+        // a LEGACY key index (pre-batch-tagging plain appends) lacks
+        // the batch column: keep always-earlier semantics instead of
+        // throwing on the missing column (the bloomCrawlDedup
+        // convention; the admit below migrates it under batch=-1
+        // before its first tagged write)
+        val keys0 = spark.read.parquet(keysDir)
+        val asOf =
+          if (keys0.columns.contains("batch"))
+            keys0.filter(col("batch") < lit(batchId))
+          else keys0
+        df.join(asOf.select(col("k").as(textCol)), Seq(textCol), "left_anti")
           .select(df.columns.map(col).toSeq: _*)
-      else df
+      } else df
     val survivors = fresh.join(
         fresh.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
         Seq(textCol, idCol), "left_semi")
       .select(df.columns.map(col).toSeq: _*)
       .localCheckpoint(true)
-    val admit: DataFrame => Unit = shipped =>
-      survivors.join(shipped, Seq(idCol), "left_semi")
+    val admit: DataFrame => Unit = shipped => {
+      val keys = survivors.join(shipped, Seq(idCol), "left_semi")
         .select(col(textCol).as("k")).distinct()
-        .withColumn("batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(keysDir)
+        .localCheckpoint(true)
+      // an EMPTY admit must not create a data-less keys dir — the next
+      // batch's read would fail schema inference and wedge the stream;
+      // skipping is the same deterministic no-op on replay
+      if (!keys.isEmpty) {
+        Dedup.ensureBatchLayout(fs, p)
+        keys.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(keysDir)
+      }
+    }
     (survivors, admit)
   }
 

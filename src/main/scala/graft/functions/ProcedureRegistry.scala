@@ -298,11 +298,20 @@ object ProcedureRegistry {
       .map(v => (v, cur.contains(v)))
       .toDF("version", "current")
   })
+  // optional args: retainLast (keep the k newest finished versions,
+  // default 1) and force (override read leases / collect dir-less
+  // claims — the administrative big hammer; see CatalogStore.prune)
   register("catalog.prune", (spark, _, args) => {
     import spark.implicits._
     val dir = dirArg(args, "catalog.prune")
+    val retainLast = numArg(args, 1, 1L).toInt
+    val force = args.lift(2).exists {
+      case b: java.lang.Boolean => b.booleanValue
+      case s: String            => s.equalsIgnoreCase("true")
+      case _                    => false
+    }
     val before = graft.model.CatalogStore.versions(spark, dir)
-    graft.model.CatalogStore.prune(spark, dir)
+    graft.model.CatalogStore.prune(spark, dir, retainLast, force)
     val after = graft.model.CatalogStore.versions(spark, dir).toSet
     before.filterNot(after).toDF("version")
   })

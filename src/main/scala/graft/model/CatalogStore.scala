@@ -54,6 +54,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * retained versions — never a bare FileNotFoundException from deep
   * inside a scan.
   *
+  * OPEN readers vs prune: a loaded catalog holds LAZY parquet plans
+  * into its version directory — pruning that version would fail those
+  * plans mid-query with a raw task-level FileNotFoundException. So
+  * `load` takes a READ LEASE (an empty `_lease_<version>_<uuid>`
+  * marker) and `prune` REFUSES to delete a leased version; call
+  * [[GraphCatalog.close]] when done querying to release it. The
+  * escape hatches, in order of preference: `retainLast` (keep the k
+  * newest finished versions regardless), `graft.catalog.lease.ttl.ms`
+  * (leases older than the TTL are treated as crashed readers;
+  * 0 = never expire, the default), and `prune(force = true)` (ignore
+  * leases — an overridden reader dies on deleted files mid-scan, the
+  * documented trade). A reader on a read-only filesystem that cannot
+  * create the marker proceeds UNLEASED and gets no protection.
+  *
   * Bucket layout survives the round trip: a table registered from
   * [[graft.etl.BucketedGraphStore]] carries its bucket spec in the
   * scan; `save` detects it, writes the snapshot table BUCKETED (same
@@ -318,6 +332,16 @@ object CatalogStore {
           throw new IllegalStateException(s"bad manifest kind: $other")
       }
     }
+    // read lease (see the class doc): best-effort — a read-only
+    // filesystem rejecting the marker create leaves the reader
+    // UNLEASED rather than unreadable
+    try {
+      val lease = new Path(s"$dir/_lease_${v}_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      val out = fs.create(lease, false)
+      out.close()
+      cat.releaseLease = () => { fs.delete(lease, false); () }
+    } catch { case _: java.io.IOException => () }
     cat
   }
 
@@ -331,20 +355,62 @@ object CatalogStore {
   def current(spark: SparkSession, dir: String): Option[String] =
     readPointer(spark, dir)
 
-  /** Drop every retained version except the one `_current` points at.
-    * Single administrative caller assumed — see the class doc.
+  /** Drop old versions: everything except the one `_current` points at
+    * and the newest `retainLast` finished versions. Single
+    * administrative caller assumed — see the class doc.
+    *
+    * Refuses (IllegalStateException naming the versions) to delete a
+    * version under an active read lease unless `force = true` — see
+    * the class doc's open-readers contract. Claim markers are
+    * collected ONLY when their number falls at/below the pruned range:
+    * a directory-less claim ABOVE it may be an in-flight saver
+    * mid-write, and deleting it would re-open its number for a second
+    * claimer — the interleaved-write hazard the claims exist to
+    * prevent. `force = true` also collects those (the administrative
+    * caller asserting nothing is in flight).
     */
-  def prune(spark: SparkSession, dir: String): Unit = {
+  def prune(spark: SparkSession, dir: String, retainLast: Int = 1,
+            force: Boolean = false): Unit = {
     val keep = readPointer(spark, dir)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    versions(spark, dir).filterNot(keep.contains).foreach { v =>
-      fs.delete(new Path(s"$dir/$v"), true)
+    val all = versions(spark, dir)
+    val finished = all.filter(v => fs.exists(new Path(s"$dir/$v/_manifest")))
+    val retained =
+      (finished.takeRight(math.max(retainLast, 1)) ++ keep).toSet
+    val candidates = all.filterNot(retained.contains)
+    // active read leases on would-be-pruned versions → refuse (the
+    // reader's lazy plans still point at those files); a lease older
+    // than graft.catalog.lease.ttl.ms is a crashed reader and ignored
+    val ttl = spark.conf.get("graft.catalog.lease.ttl.ms", "0").toLong
+    val now = System.currentTimeMillis()
+    def leaseFiles = fs.listStatus(p).toSeq.filter(st =>
+      st.isFile && st.getPath.getName.startsWith("_lease_"))
+    val live = leaseFiles.filter(st =>
+      ttl <= 0 || now - st.getModificationTime < ttl)
+    if (!force) {
+      val blocked = candidates.filter(v =>
+        live.exists(_.getPath.getName.startsWith(s"_lease_${v}_")))
+      if (blocked.nonEmpty)
+        throw new IllegalStateException(
+          s"prune refused: version(s) ${blocked.mkString(", ")} at $dir " +
+            "are held by active read leases (a loaded catalog's lazy " +
+            "plans still point at their files). close() the readers, " +
+            "raise retainLast, set graft.catalog.lease.ttl.ms, or " +
+            "prune(force = true) — an overridden reader fails mid-query " +
+            "on the deleted files.")
     }
-    // stale claim markers (crashed or pruned writers) go with them —
-    // numbering keys off max(dirs, claims), so dropping a pruned claim
-    // never re-opens its number for collision with a retained version
-    listClaims(spark, dir).map(n => f"v$n%05d").filterNot(keep.contains)
+    candidates.foreach(v => fs.delete(new Path(s"$dir/$v"), true))
+    // lease markers of the versions just pruned (expired or forced)
+    // have nothing left to protect
+    leaseFiles.filter(st => candidates.exists(v =>
+        st.getPath.getName.startsWith(s"_lease_${v}_")))
+      .foreach(st => fs.delete(st.getPath, false))
+    val prunedNums = candidates.collect { case VersionRe(n) => n.toLong }
+    val maxPruned = if (prunedNums.isEmpty) -1L else prunedNums.max
+    listClaims(spark, dir)
+      .filter(n => force || n <= maxPruned)
+      .map(n => f"v$n%05d").filterNot(retained.contains)
       .foreach(v => fs.delete(new Path(s"$dir/_claim_$v"), false))
   }
 }

@@ -29,6 +29,21 @@ final class GraphCatalog {
   private val entities = TrieMap.empty[String, EntityDef]
   private val relationships = TrieMap.empty[String, RelationshipDef]
 
+  // durable-snapshot read-lease release hook ([[CatalogStore.load]]
+  // installs it; no-op otherwise)
+  private[graft] var releaseLease: () => Unit = () => ()
+
+  /** Release this catalog's snapshot read lease, if it holds one. A
+    * leased reader blocks [[CatalogStore.prune]] from deleting the
+    * version its lazy plans point at — close when done querying.
+    * Idempotent; a no-op for catalogs that never came from a snapshot.
+    */
+  def close(): Unit = {
+    val r = releaseLease
+    releaseLease = () => ()
+    r()
+  }
+
   def addEntity(label: String, df: DataFrame, idCol: String = "__ID__"): GraphCatalog = {
     require(df.columns.contains(idCol), s"id column '$idCol' not in ${df.columns.mkString(",")}")
     entities.put(label, EntityDef(label, df, idCol))

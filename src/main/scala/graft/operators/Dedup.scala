@@ -643,21 +643,92 @@ object Dedup {
         val m = spark.read.parquet(s"$path/_meta").head()
         (m.getInt(0), m.getInt(1), m.getInt(2))
       } else (shingleSize, numHashes, bands)
+    // a pre-batch-layout index (flat band=*/part files written by
+    // minHashIndexWrite/Append, or by a release before batch tagging)
+    // cannot take batch=N partition appends: parquet partition
+    // discovery requires one consistent directory depth. Migrate the
+    // flat content under batch=-1 — which sorts before every real
+    // micro-batch id, preserving always-earlier as-of semantics — the
+    // first time the streaming writer touches it.
+    ensureBatchLayout(fs, new org.apache.hadoop.fs.Path(s"$path/bands"))
+    ensureBatchLayout(fs, new org.apache.hadoop.fs.Path(s"$path/_sigs"))
     val sigs = minHashSignatures(shingleRows(df, idCol, textCol, ss), nh)
       .localCheckpoint(true)
-    sigs.select(col("id"), explode(bandKeyArray(col("sig"), nh, nb)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("id"))
-      .withColumn("batch", lit(batch))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "band").parquet(s"$path/bands")
-    sigs.withColumn("batch", lit(batch))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$path/_sigs")
-    if (!fs.exists(metaPath)) {
-      import spark.implicits._
-      Seq((ss, nh, nb, batch))
-        .toDF("shingle_size", "num_hashes", "bands", "epoch")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // an EMPTY admit (every survivor dropped by a later stage, or a
+    // batch of all-too-short docs) must not bootstrap the index:
+    // writing data-less dirs + _meta would make the next batch's
+    // lookup fail schema inference on the empty parquet dirs and
+    // wedge the stream on every replay. Writing nothing is the same
+    // deterministic no-op on replay, so exactly-once holds.
+    if (!sigs.isEmpty) {
+      sigs.select(col("id"), explode(bandKeyArray(col("sig"), nh, nb)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("id"))
+        .withColumn("batch", lit(batch))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "band").parquet(s"$path/bands")
+      sigs.withColumn("batch", lit(batch))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(s"$path/_sigs")
+      if (!fs.exists(metaPath)) {
+        import spark.implicits._
+        Seq((ss, nh, nb, batch))
+          .toDF("shingle_size", "num_hashes", "bands", "epoch")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+      }
+    }
+  }
+
+  /** Finish an interrupted [[ensureBatchLayout]] migration: if the
+    * staging sibling `<dir>.__migrating` exists, the two-rename move
+    * was cut between steps — complete it. Idempotent and read-safe
+    * (probe paths call it so a crash mid-migration never wedges them).
+    */
+  private[graft] def completeBatchMigration(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val mig = new org.apache.hadoop.fs.Path(
+      dir.getParent, dir.getName + ".__migrating")
+    if (fs.exists(mig)) {
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val dst = new org.apache.hadoop.fs.Path(dir, "batch=-1")
+      if (!fs.exists(dst)) fs.rename(mig, dst)
+      else {
+        // a re-migration raced a completed one: fold the stragglers in
+        fs.listStatus(mig).foreach(s => fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(dst, s.getPath.getName)))
+        fs.delete(mig, true)
+      }
+      ()
+    }
+  }
+
+  /** One-time in-place migration of a LEGACY flat index directory into
+    * the batch-partitioned layout the streaming writers own: the whole
+    * flat content (band=* dirs or loose part files) moves under
+    * `batch=-1`, the documented seed convention — it sorts before
+    * every real micro-batch id, so always-earlier as-of semantics are
+    * preserved exactly. Mechanics: rename the dir to a `.__migrating`
+    * staging sibling, then rename that under a fresh `<dir>/batch=-1`;
+    * a crash between the renames is finished by
+    * [[completeBatchMigration]] on the next call from either the probe
+    * or the put. Callers are the streaming index writers
+    * (single-writer contract); standalone batch indexes keep their
+    * flat layout and [[minHashIndexAppend]] path untouched.
+    */
+  private[graft] def ensureBatchLayout(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    completeBatchMigration(fs, dir)
+    if (fs.exists(dir)) {
+      val flat = fs.listStatus(dir).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("batch=") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (flat) {
+        fs.rename(dir, new org.apache.hadoop.fs.Path(
+          dir.getParent, dir.getName + ".__migrating"))
+        completeBatchMigration(fs, dir)
+      }
     }
   }
 
@@ -685,15 +756,28 @@ object Dedup {
                          excludeBatchFrom: Option[Long] = None): DataFrame = {
     val m = spark.read.parquet(s"$path/_meta").head()
     val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    // a crash mid-way through ensureBatchLayout's legacy migration
+    // must not wedge the probe: finish the interrupted renames first
+    // (no-op in every other state)
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      completeBatchMigration(fs, new org.apache.hadoop.fs.Path(s"$path/bands"))
+      completeBatchMigration(fs, new org.apache.hadoop.fs.Path(s"$path/_sigs"))
+    }
     // batch-tagged (minHashIndexPut) indexes only: a replayed
     // micro-batch must probe the index AS OF the batches before it —
     // its own half-applied entries from the failed attempt would
     // otherwise match the batch against itself and drop every
     // survivor. `batch` is a partition key, so the filter is
-    // partition PRUNING, not a scan-and-discard.
+    // partition PRUNING, not a scan-and-discard. A LEGACY batch-less
+    // index (minHashIndexWrite/Append layout, or a pre-batch-tagging
+    // release) keeps the old always-earlier semantics instead of
+    // failing on the missing column — the bloomCrawlDedup convention.
     def asOf(df: DataFrame): DataFrame = excludeBatchFrom match {
-      case Some(b) => df.filter(col("batch") < lit(b))
-      case None    => df
+      case Some(b) if df.columns.contains("batch") =>
+        df.filter(col("batch") < lit(b))
+      case _ => df
     }
     val sigNew = minHashSignatures(
       shingleRows(newDf, idCol, textCol, shingleSize), numHashes)

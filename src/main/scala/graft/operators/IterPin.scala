@@ -43,15 +43,36 @@ private[graft] object IterPin {
       case None => df.localCheckpoint()
     }
 
-  /** Drop the block-manager blocks behind a SUPERSEDED pinned frame.
-    * No-op unless the frame is exactly a persisted checkpoint leaf.
-    * Non-blocking: the removal proceeds while the next round runs.
+  /** Drop the storage behind a SUPERSEDED pinned frame — block-manager
+    * blocks for localCheckpoint pins, the checkpoint DIRECTORY for
+    * reliable pins (nothing else ever reclaims those files: without
+    * this a long-running session leaves one directory per pinned round
+    * on the checkpoint filesystem until SparkContext shutdown — the
+    * block-retention problem one level down, on exactly the
+    * deployments `graft.iter.checkpointDir` targets). No-op unless the
+    * frame is exactly a checkpoint leaf. The caller contract is the
+    * same either way: free only after the successor is materialized
+    * and the frame's last consumer ran, because neither a freed
+    * localCheckpoint nor a deleted checkpoint directory can be re-read.
+    * Non-blocking on the block route; the file delete is a single
+    * recursive FS call on the round's own directory.
     */
   def free(df: DataFrame): Unit =
     if (df.sparkSession.conf.get("graft.iter.free", "true").toBoolean)
       df.queryExecution.logical match {
-        case lr: LogicalRDD if lr.rdd.getStorageLevel != StorageLevel.NONE =>
-          lr.rdd.unpersist(blocking = false)
+        case lr: LogicalRDD =>
+          if (lr.rdd.getStorageLevel != StorageLevel.NONE)
+            lr.rdd.unpersist(blocking = false)
+          // reliable checkpoints report storage level NONE and live as
+          // files under checkpointDir/<uuid>/rdd-<id>; getCheckpointFile
+          // is Some only for the reliable kind, so the local route never
+          // enters here
+          lr.rdd.getCheckpointFile.foreach { dir =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(
+                df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
         case _ => ()
       }
 }

@@ -718,15 +718,24 @@ object Similarity {
     val survivors = df.join(keep.select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
     val admit: DataFrame => Unit = shipped => {
-      keep.join(shipped.select(col(shipped.columns.head).as("id")),
+      val adm = keep.join(shipped.select(col(shipped.columns.head).as("id")),
           Seq("id"), "left_semi")
-        .withColumn("batch", lit(batchId))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch", "__bucket").parquet(s"$indexDir/vecs")
-      if (!have) {
-        cent.coalesce(1).write.mode("overwrite")
-          .parquet(s"$indexDir/_centroids")
-        writeMeta(spark, indexDir, "sem_stream", nlist, 0L)
+        .localCheckpoint(true)
+      // an EMPTY admit (a later stage dropped every survivor) must not
+      // bootstrap the index: data-less vecs + _centroids + _meta would
+      // make every later batch's probe fail schema inference on the
+      // empty parquet dirs and wedge the stream. Skipping is the same
+      // deterministic no-op on replay; the NEXT non-empty batch refits
+      // centroids from its own rows exactly as a first batch would.
+      if (!adm.isEmpty) {
+        adm.withColumn("batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "__bucket").parquet(s"$indexDir/vecs")
+        if (!have) {
+          cent.coalesce(1).write.mode("overwrite")
+            .parquet(s"$indexDir/_centroids")
+          writeMeta(spark, indexDir, "sem_stream", nlist, 0L)
+        }
       }
     }
     (survivors, admit)

@@ -654,7 +654,8 @@ class MutationSpec extends SparkSpec {
     val v1 = CatalogStore.save(spark, eng.catalog, dir)
     assert(v1 == "v00001")
     // load into a FRESH engine: queries see the mutated state
-    val eng2 = new CypherEngine(spark, CatalogStore.load(spark, dir))
+    val cat2 = CatalogStore.load(spark, dir)
+    val eng2 = new CypherEngine(spark, cat2)
     val names = eng2.query(
       "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN b.name AS n ORDER BY n")
       .collect().map(_.getString(0)).toSeq
@@ -666,15 +667,19 @@ class MutationSpec extends SparkSpec {
     eng2.execute("MATCH (p:Person {name: 'Dave'}) DETACH DELETE p")
     val v2 = CatalogStore.save(spark, eng2.catalog, dir)
     assert(v2 == "v00002")
+    cat2.close() // release eng2's read lease on v00001 before the prune
     assert(CatalogStore.versions(spark, dir) == Seq("v00001", "v00002"))
     val live = new CypherEngine(spark, CatalogStore.load(spark, dir))
     assert(live.query("MATCH (p:Person) RETURN count(*) AS n")
       .collect().head.getLong(0) == 3L)
-    val old = new CypherEngine(spark,
-      CatalogStore.load(spark, dir, version = Some("v00001")))
+    val oldCat = CatalogStore.load(spark, dir, version = Some("v00001"))
+    val old = new CypherEngine(spark, oldCat)
     assert(old.query("MATCH (p:Person) RETURN count(*) AS n")
       .collect().head.getLong(0) == 4L)
-    // prune retains only the live version
+    // prune retains only the live version — the time-travel reader
+    // must release its read lease first, or prune refuses (the
+    // open-reader contract, spec'd separately)
+    oldCat.close()
     CatalogStore.prune(spark, dir)
     assert(CatalogStore.versions(spark, dir) == Seq("v00002"))
     assert(new CypherEngine(spark, CatalogStore.load(spark, dir))
@@ -715,17 +720,27 @@ class MutationSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/v00002").listFiles == null) // wrote nothing
     // pointer and winning snapshot intact
     assert(CatalogStore.current(spark, dir).contains("v00001"))
-    assert(CatalogStore.load(spark, dir).labels.nonEmpty)
+    val c1 = CatalogStore.load(spark, dir)
+    assert(c1.labels.nonEmpty)
+    c1.close() // release the read lease so prune below can drop v00001
     // a saver arriving later sees the claim in the listing and numbers
     // PAST it — an in-flight (or crashed) claimer never deadlocks saves
     assert(CatalogStore.save(spark, eng.catalog, dir) == "v00003")
     assert(CatalogStore.current(spark, dir).contains("v00003"))
-    // prune collects the dead claim and the superseded version; the
-    // next save still numbers past the pruned history
+    // prune collects the superseded version but KEEPS the dir-less
+    // claim: it cannot distinguish a crashed claimer from an in-flight
+    // saver mid-write, and deleting an in-flight claim would re-open
+    // its number for a second claimer — the interleaved-write hazard
+    // the claims exist to prevent. Numbering still skips past it.
     CatalogStore.prune(spark, dir)
     assert(CatalogStore.versions(spark, dir) == Seq("v00003"))
-    assert(!new java.io.File(s"$dir/_claim_v00002").exists())
+    assert(new java.io.File(s"$dir/_claim_v00002").exists())
     assert(CatalogStore.save(spark, eng.catalog, dir) == "v00004")
+    // force = the administrative caller asserting nothing is in
+    // flight — NOW the dead claim is collected
+    CatalogStore.prune(spark, dir, force = true)
+    assert(!new java.io.File(s"$dir/_claim_v00002").exists())
+    assert(CatalogStore.save(spark, eng.catalog, dir) == "v00005")
   }
 
   test("catalog snapshot pinned readers: time travel to a pruned or " +
@@ -752,6 +767,47 @@ class MutationSpec extends SparkSpec {
       unfinished.getMessage)
   }
 
+  test("catalog snapshot OPEN readers: prune refuses to delete a " +
+    "version under an active read lease; close() releases it; " +
+    "retainLast and force are the documented overrides") {
+    import graft.model.CatalogStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease")
+      .toFile.getAbsolutePath
+    val eng = freshEngine
+    CatalogStore.save(spark, eng.catalog, dir) // v00001
+    CatalogStore.save(spark, eng.catalog, dir) // v00002 (current)
+    // an open time-travel reader holds lazy plans into v00001 — prune
+    // must REFUSE with an error naming the leased version, not let the
+    // reader die later on a raw FileNotFoundException mid-scan
+    val reader = CatalogStore.load(spark, dir, version = Some("v00001"))
+    val refused = intercept[IllegalStateException] {
+      CatalogStore.prune(spark, dir)
+    }
+    assert(refused.getMessage.contains("v00001") &&
+      refused.getMessage.contains("lease"), refused.getMessage)
+    // the refusal protected the reader: its plans still execute
+    assert(new CypherEngine(spark, reader)
+      .query("MATCH (p:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0) >= 1L)
+    // retainLast covers the leased version → prune proceeds (deletes
+    // nothing here: both versions retained)
+    CatalogStore.prune(spark, dir, retainLast = 2)
+    assert(CatalogStore.versions(spark, dir) ==
+      Seq("v00001", "v00002"))
+    // close() releases the lease; the same default prune now collects
+    reader.close()
+    CatalogStore.prune(spark, dir)
+    assert(CatalogStore.versions(spark, dir) == Seq("v00002"))
+    // force overrides an open lease (documented: the overridden
+    // reader fails on deleted files) — prove the refusal side first
+    CatalogStore.save(spark, eng.catalog, dir) // v00003
+    val r2 = CatalogStore.load(spark, dir, version = Some("v00002"))
+    intercept[IllegalStateException] { CatalogStore.prune(spark, dir) }
+    CatalogStore.prune(spark, dir, force = true)
+    assert(CatalogStore.versions(spark, dir) == Seq("v00003"))
+    r2.close() // idempotent even though the lease file is gone
+  }
+
   test("CALL catalog.save/versions/prune: snapshots are reachable from " +
     "the Cypher surface and SHOW PROCEDURES lists them") {
     import graft.model.CatalogStore
@@ -766,9 +822,11 @@ class MutationSpec extends SparkSpec {
     assert(saved.head.getString(1) == dir)
     // the snapshot taken through the procedure is the post-mutation
     // catalog, loadable end-to-end
-    val eng2 = new CypherEngine(spark, CatalogStore.load(spark, dir))
+    val cat2 = CatalogStore.load(spark, dir)
+    val eng2 = new CypherEngine(spark, cat2)
     assert(eng2.query("MATCH (p:Person) RETURN count(*) AS n")
       .collect().head.getLong(0) == 4L)
+    cat2.close() // release the read lease so CALL catalog.prune can drop v1
     eng.query(s"CALL catalog.save('$dir') YIELD version RETURN version")
       .collect()
     val vs = eng.query(

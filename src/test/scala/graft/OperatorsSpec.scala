@@ -1954,25 +1954,55 @@ class OperatorsSpec extends SparkSpec {
     assert(dGot.size >= (truth.size * 0.7).toInt, s"${dGot.size}/${truth.size}")
   }
 
+  test("batch-layout migration is crash-recoverable: an interrupted " +
+    "two-rename move is completed by the next probe or put, exactly once") {
+    val d = java.nio.file.Files.createTempDirectory("graft_mig")
+      .toFile.getAbsolutePath
+    Seq("a", "b").toDF("k").write.parquet(s"$d/keys")
+    val p = new org.apache.hadoop.fs.Path(s"$d/keys")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash after ensureBatchLayout's FIRST rename: the
+    // staging sibling exists, the live dir is gone
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"$d/keys.__migrating"))
+    assert(!fs.exists(p))
+    Dedup.completeBatchMigration(fs, p)
+    val keys = spark.read.parquet(s"$d/keys")
+    assert(keys.select("k").collect().map(_.getString(0)).toSet ==
+      Set("a", "b"))
+    // recovered content landed under batch=-1 (earlier-than-all)
+    assert(keys.select("batch").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(-1))
+    // both helpers are idempotent no-ops afterwards
+    Dedup.completeBatchMigration(fs, p)
+    Dedup.ensureBatchLayout(fs, p)
+    assert(spark.read.parquet(s"$d/keys").count() == 2)
+  }
+
   test("graft.iter.checkpointDir routes loop pins through reliable " +
-    "checkpoints: results unchanged, checkpoint files on disk, free() " +
-    "no-ops on the unpersisted reliable leaves") {
+    "checkpoints: results unchanged, and free() RECLAIMS superseded " +
+    "rounds' checkpoint directories (bounded disk, not one dir/round)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_relck")
       .toFile.getAbsolutePath
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
-    val local = GraphAlgos.pageRank(edges, iterations = 4)
+    val local = GraphAlgos.pageRank(edges, iterations = 6)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     spark.conf.set("graft.iter.checkpointDir", dir)
     try {
-      val reliable = GraphAlgos.pageRank(edges, iterations = 4)
+      val reliable = GraphAlgos.pageRank(edges, iterations = 6)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(reliable == local) // bit-identical either pin route
-      // the reliable files actually landed under the conf'd dir
-      def files(f: java.io.File): Long =
-        if (f.isFile) 1L
-        else Option(f.listFiles).map(_.map(files).sum).getOrElse(0L)
-      assert(files(new java.io.File(dir)) > 0, "no reliable checkpoint files")
+      // superseded rounds' directories were deleted by free(): only
+      // the surviving pins' rdd-* dirs remain — without the reclaim,
+      // a 6-iteration run leaves one directory PER ROUND (plus the
+      // invariant pins) on exactly the filesystems the conf targets
+      def rddDirs(f: java.io.File): Long =
+        if (!f.isDirectory) 0L
+        else (if (f.getName.startsWith("rdd-")) 1L else 0L) +
+          Option(f.listFiles).map(_.map(rddDirs).sum).getOrElse(0L)
+      val remaining = rddDirs(new java.io.File(dir))
+      assert(remaining <= 2, s"$remaining rdd-* checkpoint dirs remain " +
+        "after a 6-iteration pageRank (retention leak)")
       // components through the same route (distributed regime)
       val prev = spark.conf.getOption("graft.components.driverMaxEdges")
       spark.conf.set("graft.components.driverMaxEdges", "1")

@@ -808,6 +808,140 @@ class StreamingSpec extends SparkSpec {
     assert(keys == Set("alpha beta", "gamma delta", "epsilon zeta"), keys)
   }
 
+  test("YAML streaming curation: a first batch whose survivors are ALL " +
+    "dropped must not bootstrap the dedup indexes — the stream survives " +
+    "and the first real batch creates them (exact, minhash, semantic)") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_eb_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_eb_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_eb_ck").toFile.getAbsolutePath
+    val ix = Files.createTempDirectory("graft_eb_idx").toFile.getAbsolutePath
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "ant bee cat dog elk fox").split(" ").toSeq
+    val config = PipelineConfig.parse(
+      s"""project: {name: eb}
+         |curation:
+         |  - id: eb
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING, emb ARRAY<DOUBLE>"
+         |    stages:
+         |      - {op: quality_gate, min_quality: "0.3"}
+         |      - {op: exact_dedup, index_dir: $ix/x}
+         |      - {op: minhash_dedup, index_dir: $ix/m, threshold: "0.5"}
+         |      - {op: semantic_dedup, index_dir: $ix/s, vec_col: emb,
+         |         tau: "0.9", nlist: "1", nprobe: "1"}
+         |""".stripMargin)
+    // batch 0: the gate drops EVERYTHING — each dedup stage sees an
+    // empty frame and its admit must write NOTHING (an index
+    // bootstrapped with data-less parquet dirs wedges every later
+    // batch's probe on schema inference, permanently: replays repeat it)
+    Seq((1L, "spam spam spam spam spam", Seq(1.0, 0.0, 0.0, 0.0)),
+        (2L, "ham ham ham ham ham", Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("doc_id", "text", "emb").write.mode("append").parquet(src)
+    val q0 = PipelineRunner.startCuration(spark, config, "eb")
+    q0.processAllAvailable(); q0.stop()
+    def exists(p: String) = new java.io.File(p).exists()
+    assert(!exists(s"$ix/x/keys"), "empty admit bootstrapped the key index")
+    assert(!exists(s"$ix/m/_meta"), "empty admit bootstrapped the minhash index")
+    assert(!exists(s"$ix/s/_meta"), "empty admit bootstrapped the vector index")
+    // batch 1: real docs — 11 exact-dups 10, 12 near-dups 10's text,
+    // 13 has fresh text but a near-identical vector. Every stage must
+    // work on the first NON-empty batch (the old behavior crashed here)
+    Seq(
+      (10L, base.mkString(" "), Seq(1.0, 0.0, 0.0, 0.0)),
+      (11L, base.mkString(" "), Seq(0.0, 0.0, 1.0, 0.0)),
+      (12L, base.updated(29, "wolf").mkString(" "), Seq(0.0, 0.0, 0.0, 1.0)),
+      (13L, base.map(_.reverse).mkString(" "), Seq(0.999, 0.02, 0.0, 0.0)))
+      .toDF("doc_id", "text", "emb").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "eb")
+    q1.processAllAvailable(); q1.stop()
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(10L), survivors())
+    // batch 2 across a restart: cross-batch probes against the
+    // indexes created by batch 1 (20 near-dups 10's text; 21 fresh)
+    Seq(
+      (20L, base.updated(28, "hawk").mkString(" "), Seq(0.0, 0.7, 0.7, 0.0)),
+      (21L, base.map(t => t + t.take(1)).mkString(" "), Seq(0.0, 0.0, 0.7, 0.7)))
+      .toDF("doc_id", "text", "emb").write.mode("append").parquet(src)
+    val q2 = PipelineRunner.startCuration(spark, config, "eb")
+    q2.processAllAvailable(); q2.stop()
+    assert(survivors() == Set(10L, 21L), survivors())
+  }
+
+  test("streaming dedup against LEGACY batch-less indexes: always-earlier " +
+    "read semantics, and the first tagged write migrates the flat layout " +
+    "under batch=-1 (exact keys and minhash)") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft_lg_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_lg_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_lg_ck").toFile.getAbsolutePath
+    val ix = Files.createTempDirectory("graft_lg_idx").toFile.getAbsolutePath
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "ant bee cat dog elk fox").split(" ").toSeq
+    // LEGACY key index: the pre-batch-tagging release appended plain
+    // (k) parquet with no batch column or partitions
+    Seq("seed text one", "seed text two").toDF("k")
+      .write.parquet(s"$ix/x/keys")
+    // LEGACY minhash index: the batch-path minHashIndexWrite layout —
+    // flat band=* dirs and flat _sigs, no batch anywhere
+    Dedup.minHashIndexWrite(
+      Seq((100L, base.mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", s"$ix/m", shingleSize = 3, numHashes = 64,
+      bands = 16)
+    assert(!spark.read.parquet(s"$ix/m/bands").columns.contains("batch"))
+    val config = PipelineConfig.parse(
+      s"""project: {name: lg}
+         |curation:
+         |  - id: lg
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: exact_dedup, index_dir: $ix/x}
+         |      - {op: minhash_dedup, index_dir: $ix/m, threshold: "0.5"}
+         |""".stripMargin)
+    // batch 0: 1 exact-matches a legacy key, 2 near-dups the legacy
+    // minhash doc — BOTH must drop under always-earlier semantics
+    // (the old code threw an unresolved-column AnalysisException on
+    // the missing `batch` and wedged the stream); 3 is fresh
+    Seq((1L, "seed text one"),
+        (2L, base.updated(29, "wolf").mkString(" ")),
+        (3L, "a genuinely fresh document about nothing else"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q0 = PipelineRunner.startCuration(spark, config, "lg")
+    q0.processAllAvailable(); q0.stop()
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(3L), survivors())
+    // the tagged admits migrated both flat layouts under batch=-1
+    // (the seed convention: sorts before every real batch id)
+    assert(new java.io.File(s"$ix/x/keys/batch=-1").isDirectory)
+    assert(new java.io.File(s"$ix/m/bands/batch=-1").isDirectory)
+    assert(new java.io.File(s"$ix/m/_sigs/batch=-1").isDirectory)
+    val keyBatches = spark.read.parquet(s"$ix/x/keys")
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet
+    assert(keyBatches == Set(-1, 0), keyBatches)
+    // batch 1 across a restart: dedup works against BOTH the migrated
+    // legacy content and batch 0's admits
+    Seq((4L, "seed text two"),                            // legacy key
+        (5L, "a genuinely fresh document about nothing else"), // batch-0 key
+        (6L, base.updated(28, "hawk").mkString(" ")),     // legacy minhash
+        (7L, "another new document entirely its own"))    // fresh
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "lg")
+    q1.processAllAvailable(); q1.stop()
+    assert(survivors() == Set(3L, 7L), survivors())
+  }
+
   test("streaming semantic dedup against a vector index-at-rest: " +
     "cross-batch cosine near-dups drop across a restart; replay after a " +
     "wiped checkpoint is idempotent") {
