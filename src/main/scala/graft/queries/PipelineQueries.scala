@@ -994,6 +994,38 @@ object PipelineQueries {
           col("n_hit"), col("recall"))
     },
 
+    // The CROSS-TABLE arm of the router (fuzzyLinkAuto — dd21's twin
+    // for record linkage): customers matched against a perturbed
+    // variant table (names truncated by one char) through the
+    // density-routed seam. The gate pins the same contract as dd21:
+    // on this linear-blocking corpus the router must take the exact
+    // tier (fuzzyLink, bit-identical to dd17's brute-force semantics),
+    // so n_routed = n_truth and recall is exactly 1 — a density drift
+    // flipping the tier fails loudly instead of silently trading
+    // recall. Deterministic 1/9 slice (the dd20/dd21 ledger
+    // discipline: the O(n²) truth side must never become a suite
+    // cost). FULLY oracled.
+    "dd22_fuzzy_link_autoroute" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+        .filter(col("c_custkey") % 9 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val right = c.select(col("c_custkey").as("r_id"),
+        expr("substring(c_name, 1, length(c_name) - 1)").as("r_name"))
+      val (links, ledger) = Dedup.fuzzyLinkAuto(c, "c_custkey", "c_name",
+        right, "r_id", "r_name", maxDist = 1)
+      val routed = links.select(col("id1"), col("id2")).localCheckpoint(true)
+      val truth = c
+        .crossJoin(right)
+        .filter(levenshtein(col("c_name"), col("r_name")) <= 1)
+        .select(col("c_custkey").as("id1"), col("r_id").as("id2"))
+        .localCheckpoint(true)
+      recallRow(truth, routed)
+        .crossJoin(routed.agg(count(lit(1)).as("n_routed")))
+        .crossJoin(ledger.select(col("tier")))
+        .select(col("tier"), col("n_truth"), col("n_routed"),
+          col("n_hit"), col("recall"))
+    },
+
     // SemDeDup semantic dedup (Abbas et al. 2023): md5-sampled
     // centroids → argmin-L2 cluster assignment → within-cluster
     // cosine >= tau neighbors → drop all but the lowest
@@ -2053,6 +2085,18 @@ object PipelineQueries {
            WHERE a.c_custkey % 9 = 0 AND b.c_custkey % 9 = 0
              AND a.c_custkey < b.c_custkey
              AND levenshtein(a.c_name, b.c_name) <= 1)
+         SELECT 'exact' AS tier, n AS n_truth, n AS n_routed, n AS n_hit,
+                round(1.0 + 1e-11, 4) AS recall FROM t""",
+    // the cross-table router gate: same contract as dd21 on the
+    // linkage slice — tier pinned 'exact', every count equals the
+    // brute-force cross-table truth, recall exactly 1
+    "dd22_fuzzy_link_autoroute" ->
+      """WITH t AS (
+           SELECT count(*) AS n
+           FROM customer a, customer b
+           WHERE a.c_custkey % 9 = 0 AND b.c_custkey % 9 = 0
+             AND levenshtein(a.c_name,
+                   substr(b.c_name, 1, length(b.c_name) - 1)) <= 1)
          SELECT 'exact' AS tier, n AS n_truth, n AS n_routed, n AS n_hit,
                 round(1.0 + 1e-11, 4) AS recall FROM t""",
     // brute-force ground truth for dd16 at distance 2 (same slice)
