@@ -316,6 +316,24 @@ object ProcedureRegistry {
     before.filterNot(after).toDF("version")
   })
 
+  // ---- streaming-index / curated-output maintenance
+  // (graft.operators.BatchCompaction — run while the owning stream is
+  // STOPPED, on batches whose checkpoint commits are durable):
+  //   CALL curation.compact('outDir', upToBatch)      YIELD dir, files_before, files_after
+  //   CALL curation.compactIndex('indexDir', upToBatch) YIELD component, files_before, files_after
+  register("curation.compact", (spark, _, args) => {
+    val dir = dirArg(args, "curation.compact")
+    graft.operators.BatchCompaction.compactOutput(spark, dir,
+      upTo = numArg(args, 1, -1).toLong,
+      targetFiles = numArg(args, 2, 1).toInt)
+  })
+  register("curation.compactIndex", (spark, _, args) => {
+    val dir = dirArg(args, "curation.compactIndex")
+    graft.operators.BatchCompaction.compactIndex(spark, dir,
+      upTo = numArg(args, 1, -1).toLong,
+      targetFiles = numArg(args, 2, 1).toInt)
+  })
+
   register("graft.series", (spark, _, args) => {
     val n = args.headOption match {
       case Some(l: java.lang.Long)    => l.longValue

@@ -1244,6 +1244,107 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
   }
 
+  test("curation.compact: batch partitions at/below K consolidate under " +
+    "batch=-1 — probe results bit-identical across a restart, file count " +
+    "reduced, and a batch replayed ABOVE the compaction point stays " +
+    "exactly-once") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    import graft.operators.{BatchCompaction, Dedup}
+    val src = Files.createTempDirectory("graft_cm_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_cm_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_cm_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_cm_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: cm}
+         |curation:
+         |  - id: cm
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    stages:
+         |      - {op: minhash_dedup, index_dir: $idx, threshold: "0.5"}
+         |""".stripMargin)
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega ant bee cat dog elk fox").split(" ").toSeq
+    def doc(at: Int, tok: String): String = base.updated(at, tok).mkString(" ")
+    def run(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "cm")
+      q.processAllAvailable(); q.stop()
+    }
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batches 0, 1, 2 (restart between each): three index partitions,
+    // one admit file per band partition per batch
+    run(Seq((1L, base.mkString(" ")),
+            (2L, base.map(_.reverse).mkString(" ")),
+            (3L, doc(29, "wolf"))))                 // near-dup of 1
+    run(Seq((4L, doc(28, "hawk")),                  // near-dup of 1
+            (5L, base.map(t => t + t.take(1)).mkString(" "))))
+    run(Seq((8L, doc(25, "swan")),                  // near-dup of 1
+            (9L, "nine entirely novel tokens composed for the third batch")))
+    assert(survivors() == Set(1L, 2L, 5L, 9L), survivors())
+    // a FIXED probe frame: its results must be bit-identical across
+    // the compaction (the as-of contract: batch=-1 sorts before all)
+    val probe = Seq((100L, doc(27, "newt")),
+      (101L, "entirely different words here")).toDF("doc_id", "text")
+    def probeRows(): Seq[(Long, Long, Double)] =
+      Dedup.minHashIndexLookup(spark, idx, probe, "doc_id", "text")
+        .orderBy("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val beforeProbe = probeRows()
+    assert(beforeProbe.exists(_._2 == 1L), beforeProbe) // 100 collides with 1
+    // compact batches <= 1 through the CALL surface (the maintenance
+    // entry a YAML pipeline or LSP client would use): batches 0 and 1
+    // consolidate under batch=-1, batch 2 stays live
+    val eng = new CypherEngine(spark, new graft.model.GraphCatalog())
+    val stats = eng.query(
+      s"""CALL curation.compactIndex('$idx', 1)
+          YIELD component, files_before, files_after
+          RETURN component, files_before, files_after""").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats.keySet == Set("bands", "_sigs"), stats)
+    assert(stats("bands")._2 < stats("bands")._1, stats) // files reduced
+    assert(stats("_sigs")._2 < stats("_sigs")._1, stats)
+    eng.query(s"CALL curation.compact('$out', 1) YIELD dir RETURN dir")
+      .collect()
+    // batches 0/1 are gone, their rows live under batch=-1, batch 2
+    // untouched
+    assert(new java.io.File(s"$idx/bands/batch=-1").isDirectory)
+    assert(!new java.io.File(s"$idx/bands/batch=0").exists())
+    assert(!new java.io.File(s"$idx/bands/batch=1").exists())
+    assert(new java.io.File(s"$idx/_sigs/batch=2").isDirectory)
+    assert(new java.io.File(s"$out/batch_id=-1").isDirectory)
+    assert(!new java.io.File(s"$out/batch_id=0").exists())
+    // bit-identical probe and unchanged survivors
+    assert(probeRows() == beforeProbe)
+    assert(survivors() == Set(1L, 2L, 5L, 9L), survivors())
+    // REPLAY a batch above the compaction point: drop batch 2's commit
+    // marker (the crash window between the epoch's writes and its
+    // commit) — the restart re-runs batch 2 with the same files; its
+    // probe reads batch < 2 (now the consolidated batch=-1) and its
+    // overwrites target its own live partitions. End state identical.
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.map(_.getName).toSeq == Seq("0", "1", "2"), commits.toSeq)
+    assert(commits.last.delete())
+    // the local ChecksumFileSystem's CRC sidecar must go with it, or
+    // the re-commit reads as a concurrent writer
+    new java.io.File(s"$ck/commits/.2.crc").delete()
+    val qr = PipelineRunner.startCuration(spark, config, "cm")
+    qr.processAllAvailable(); qr.stop()
+    assert(survivors() == Set(1L, 2L, 5L, 9L), survivors())
+    assert(probeRows() == beforeProbe)
+    assert(spark.read.parquet(s"$idx/_sigs").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 5L, 9L))
+    // and a genuinely NEW batch still dedups against compacted history
+    run(Seq((6L, doc(26, "ibis")),                  // near-dup of 1
+            (7L, "completely novel content for the final batch")))
+    assert(survivors() == Set(1L, 2L, 5L, 7L, 9L), survivors())
+  }
+
   test("YAML streaming curation rank_by quality: the intra-batch minhash " +
     "survivor is the batch stage's highest-quality pick, not min-id") {
     import graft.etl.{CurationStages, PipelineConfig, PipelineRunner}
