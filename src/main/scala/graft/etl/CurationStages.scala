@@ -244,11 +244,16 @@ object CurationStages {
     * cli/pipeline.py:499-652). Survivors of the whole stage list
     * append to the pipeline's `output:` directory (parquet).
     *
-    * Every stage applies verbatim to the batch EXCEPT the two dedup
+    * Every stage applies verbatim to the batch EXCEPT the dedup
     * stages given an `index_dir` param, which become incremental-crawl
     * forms against an index-at-rest: `exact_dedup` anti-joins a
     * text-key index (text equality — the index is the whole truth
-    * across restarts), and `minhash_dedup` probes a MinHash index
+    * across restarts), `fuzzy_dedup` probes a deletion-neighborhood or
+    * char-bigram-sketch key index behind the density router decided at
+    * index creation ([[graft.operators.Dedup.fuzzyCrawlBatch]]),
+    * `semantic_dedup` probes the vector index
+    * ([[graft.operators.Similarity.semanticCrawlBatch]]), and
+    * `minhash_dedup` probes a MinHash index
     * (the dd13/crawlDedup shape, Streams.scala): probe for
     * cross-batch near-dups, band
     * the batch against itself for intra-batch dups (min-id canonical),
@@ -326,6 +331,22 @@ object CurationStages {
                   nprobe = stage.params.get("nprobe").map(_.toInt).getOrElse(4),
                   batchId = batchId)
               deferred += (shipped => admit(shipped))
+              survivors
+            } else if (stage.params.contains("index_dir") && stage.op == "fuzzy_dedup") {
+              // incremental fuzzy (edit-distance) dedup against an
+              // index-at-rest, behind the density router decided at
+              // index creation (Dedup.fuzzyCrawlBatch) — same
+              // deferred-admit exactly-once contract as the text stages
+              val (survivors, admit) = Dedup.fuzzyCrawlBatch(spark,
+                stage.params("index_dir"), df, pipeline.idCol,
+                pipeline.textCol, batchId,
+                maxDist = stage.params.get("max_dist")
+                  .map(_.toInt).getOrElse(1),
+                densityThreshold = stage.params.get("density_threshold")
+                  .map(_.toDouble).getOrElse(64.0),
+                maxMeanKeyLen = stage.params.get("max_mean_key_len")
+                  .map(_.toDouble).getOrElse(64.0))
+              deferred += admit
               survivors
             } else if (stage.params.contains("index_dir") && stage.op == "exact_dedup") {
               val (survivors, admit) = streamingExactDedup(spark, df,

@@ -334,6 +334,24 @@ object ProcedureRegistry {
       targetFiles = numArg(args, 2, 1).toInt)
   })
 
+  // ---- streaming vector-index drift watchdog + offline refit
+  // (graft.operators.Similarity — the frozen-centroid trade's
+  // maintenance pair):
+  //   CALL similarity.indexDrift('dir'[, thresholdRatio]) YIELD batch, n_vecs, mean_dist, baseline_dist, drift_ratio, alert
+  //   CALL similarity.refitIndex('dir')                    YIELD dir, n_vecs  (run with the stream STOPPED)
+  register("similarity.indexDrift", (spark, _, args) => {
+    val dir = dirArg(args, "similarity.indexDrift")
+    graft.operators.Similarity.streamIndexDrift(spark, dir,
+      thresholdRatio = numArg(args, 1, 4.0))
+  })
+  register("similarity.refitIndex", (spark, _, args) => {
+    import spark.implicits._
+    val dir = dirArg(args, "similarity.refitIndex")
+    graft.operators.Similarity.refitStreamIndex(spark, dir)
+    val n = spark.read.parquet(s"$dir/vecs").count()
+    Seq((dir, n)).toDF("dir", "n_vecs")
+  })
+
   register("graft.series", (spark, _, args) => {
     val n = args.headOption match {
       case Some(l: java.lang.Long)    => l.longValue

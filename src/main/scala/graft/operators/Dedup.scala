@@ -1398,6 +1398,156 @@ object Dedup {
       .select(col("id1"), col("id2"), col("dist"))
   }
 
+  /** Per-micro-batch body of STREAMING fuzzy (edit-distance) dedup
+    * against an index-at-rest — the short-KEY counterpart of the
+    * minhash crawl loop (names, titles, urls; long documents want the
+    * minhash stage). Drops batch rows whose string is within `maxDist`
+    * Levenshtein of any string admitted by an EARLIER batch, then
+    * resolves intra-batch matches to the min-id survivor per connected
+    * component (the batch stage's rule). Returns (survivors, admit)
+    * under the deferred-admit exactly-once contract of
+    * [[graft.etl.CurationStages.runStreaming]].
+    *
+    * The TIER is decided ONCE, on the index's first non-empty batch,
+    * by the same collision-density + mean-key-length rule as
+    * [[editDistancePairsAuto]], and persisted in the index `_meta` so
+    * writer and prober can never drift — a crawl cannot re-route per
+    * batch because the two tiers keep different layouts:
+    *   - exact (symmetric-delete): `hood/batch=N` holds (k, dk) — the
+    *     ≤maxDist deletion-neighborhood keys of every admitted string.
+    *     The probe explodes the batch's distinct strings' hoods,
+    *     equi-joins `dk` AS OF earlier batches (partition pruning),
+    *     and verifies candidates with the capped kernel — exact recall
+    *     by the SymSpell alignment argument.
+    *   - minhash (collision-dense / long keys): `sketch/` is a
+    *     char-bigram MinHash index in the [[minHashIndexPut]] layout
+    *     keyed by the STRING itself, so the probe can exact-verify
+    *     every band collision at the edit distance — exact precision,
+    *     banding recall (the [[editDistancePairsAuto]] trade).
+    *
+    * No affix compaction here: the corpus template DRIFTS across a
+    * crawl (batch-local affixes are not corpus affixes), so streaming
+    * pays full-string hoods — correct, just less compact than the
+    * batch stage's exactness-preserving strip. Empty admits write
+    * nothing (an index bootstrapped with data-less dirs wedges later
+    * probes), and a legacy batch-less `hood` keeps always-earlier
+    * semantics and is migrated under `batch=-1` by the first tagged
+    * write, like the text stages.
+    */
+  def fuzzyCrawlBatch(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, df: DataFrame,
+                      idCol: String, strCol: String, batchId: Long,
+                      maxDist: Int = 1,
+                      densityThreshold: Double = 64.0,
+                      maxMeanKeyLen: Double = 64.0,
+                      sampleSixteenths: Int = 16,
+                      numHashes: Int = 64, bands: Int = 32)
+  : (DataFrame, DataFrame => Unit) = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2, got $maxDist")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hoodDir = new org.apache.hadoop.fs.Path(s"$indexDir/hood")
+    val have = fs.exists(metaPath)
+    val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .localCheckpoint(true)
+    def spaced(d: DataFrame): DataFrame = d.select(col("s").as("id"),
+      regexp_replace(col("s"), "(?s)(.)", "$1 ").as("chars"))
+    val (tier, md) =
+      if (have) {
+        val m = spark.read.parquet(s"$indexDir/_meta").head()
+        (m.getString(0), m.getInt(1))
+      } else {
+        val density = deletionCollisionDensity(v, "s", maxDist,
+          sampleSixteenths)
+        val meanLen = v.select(col("s"))
+          .filter(pmod(xxhash64(col("s")), lit(16)) < lit(sampleSixteenths))
+          .distinct()
+          .agg(coalesce(avg(length(col("s"))), lit(0.0)))
+          .head().getDouble(0)
+        val t =
+          if (density > densityThreshold || meanLen > maxMeanKeyLen)
+            "minhash"
+          else "exact"
+        System.err.println(
+          s"[graft] streaming fuzzy routing: tier=$t density=$density " +
+            s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
+            s"(max $maxMeanKeyLen) maxDist=$maxDist")
+        (t, maxDist)
+      }
+    // 1. cross-batch drop: batch strings within md of anything the
+    //    index admitted before this batch
+    val dupStrings =
+      if (!have) v.select(col("s")).limit(0)
+      else if (tier == "exact") {
+        completeBatchMigration(fs, hoodDir)
+        val idx0 = spark.read.parquet(s"$indexDir/hood")
+        val idx =
+          if (idx0.columns.contains("batch"))
+            idx0.filter(col("batch") < lit(batchId))
+          else idx0
+        val cand = v.select(col("s")).distinct()
+          .select(col("s"), explode(deletionHood(col("s"), md)).as("dk"))
+          .join(idx.select(col("dk"), col("k")), Seq("dk"))
+          .select(col("s").as("id1"), col("k").as("id2"),
+            col("s").as("s1"), col("k").as("s2")).distinct()
+        verifyCandidates(cand, md).select(col("id1").as("s")).distinct()
+      } else {
+        val cand = minHashIndexLookup(spark, s"$indexDir/sketch",
+            spaced(v.select(col("s")).distinct()), "id", "chars",
+            excludeBatchFrom = Some(batchId))
+          .select(col("new_id").as("id1"), col("corpus_id").as("id2"),
+            col("new_id").as("s1"), col("corpus_id").as("s2")).distinct()
+        verifyCandidates(cand, md).select(col("id1").as("s")).distinct()
+      }
+    val pre = df
+      .join(dupStrings.select(col("s").as(strCol)), Seq(strCol), "left_anti")
+      .select(df.columns.map(col).toSeq: _*)
+    // 2. intra-batch: min-id survivor per edit-distance component
+    val pairs =
+      if (tier == "exact") editDistancePairs(pre, idCol, strCol, md)
+      else edLshSelfPairs(
+        pre.select(col(idCol).as("id"), col(strCol).as("s")),
+        md, numHashes, bands)
+    val nonCanon = Components
+      .connectedComponents(pairs.select(col("id1"), col("id2")),
+        "id1", "id2")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    val survivors = pre.join(nonCanon, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    // 3. deferred admit over shipped ids only
+    val admit: DataFrame => Unit = shipped => {
+      val keys = survivors.join(shipped, Seq(idCol), "left_semi")
+        .select(col(strCol).as("k")).distinct()
+        .localCheckpoint(true)
+      if (!keys.isEmpty) {
+        if (tier == "exact") {
+          ensureBatchLayout(fs, hoodDir)
+          keys.select(col("k"),
+              explode(deletionHood(col("k"), md)).as("dk"))
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(s"$indexDir/hood")
+        } else {
+          minHashIndexPut(spark, s"$indexDir/sketch",
+            spaced(keys.select(col("k").as("s"))), "id", "chars",
+            batchId, shingleSize = 2, numHashes = numHashes,
+            bands = bands)
+        }
+        if (!fs.exists(metaPath)) {
+          import spark.implicits._
+          Seq((tier, md, numHashes, bands))
+            .toDF("tier", "max_dist", "num_hashes", "bands")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$indexDir/_meta")
+        }
+      }
+    }
+    (survivors, admit)
+  }
+
   /** [[fuzzyLink]] behind the collision-density ROUTER — the
     * cross-table twin of [[editDistancePairsAuto]]. Density and mean
     * key length are measured over the UNION of both tables'

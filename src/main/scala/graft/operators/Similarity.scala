@@ -741,6 +741,114 @@ object Similarity {
     (survivors, admit)
   }
 
+  /** Drift audit for a STREAMING vector index
+    * ([[semanticCrawlBatch]]'s layout): the index's centroids are
+    * FROZEN at the first committed batch (FAISS `add` semantics), so
+    * as a long crawl's distribution shifts, later batches land ever
+    * farther from their assigned centroids — bucketing degrades and
+    * the nprobe-pruned probe starts missing true neighbors near
+    * Voronoi boundaries. This audit is the cheap watchdog: per batch,
+    * the mean squared distance of each stored vector to its HOME
+    * centroid, compared against the earliest batch's mean as the
+    * baseline. `alert = drift_ratio > thresholdRatio` (when the
+    * baseline is 0 — every first-batch vector IS a centroid — any
+    * later nonzero mean alerts). Fire → schedule [[refitStreamIndex]].
+    *
+    * Scale shape: one scan of `vecs` joined against the broadcast
+    * nlist-row centroid table, then a groupBy on the batch partition
+    * key — no driver data beyond the result (one row per batch).
+    */
+  def streamIndexDrift(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String,
+                       thresholdRatio: Double = 4.0): DataFrame = {
+    readMeta(spark, indexDir, "sem_stream")
+    val cent = spark.read.parquet(s"$indexDir/_centroids")
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    val nd = dimsOf(vecs, "v")
+    val perBatch = vecs
+      .join(broadcast(cent), vecs("__bucket").cast("long") === cent("cid"))
+      .select(col("batch"), sqDist(col("v"), col("c"), nd).as("__d"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_vecs"),
+        avg(col("__d")).as("__mean"))
+    val base = perBatch.orderBy(col("batch")).limit(1)
+      .select(col("__mean").as("__base"))
+    perBatch.crossJoin(broadcast(base))
+      .select(col("batch"), col("n_vecs"),
+        round(col("__mean") + lit(1e-11), 6).as("mean_dist"),
+        round(col("__base") + lit(1e-11), 6).as("baseline_dist"),
+        when(col("__base") > 0,
+          round(col("__mean") / col("__base") + lit(1e-11), 4))
+          .as("drift_ratio"),
+        when(col("__base") > 0, col("__mean") / col("__base") > thresholdRatio)
+          .otherwise(col("__mean") > 0).as("alert"))
+      .orderBy(col("batch"))
+  }
+
+  /** OFFLINE centroid refit for a streaming vector index (run while
+    * the owning stream is STOPPED — the single-administrative-caller
+    * contract of compaction and catalog prune): re-fit the nlist
+    * centroids over ALL stored vectors (the same deterministic
+    * md5-ranked sample every sampled-IVF operator uses), reassign
+    * every vector to its new home bucket, and rewrite `vecs/`
+    * BATCH-PRESERVING — tags, ids, and vector payloads are untouched,
+    * only `__bucket` changes, so the `batch < batchId` as-of contract
+    * and every admitted row survive the refit bit-identically.
+    *
+    * Crash safety: the reassigned rows are fully written to a hidden
+    * `.vecs_refit` and the new centroids to `.centroids_refit` BEFORE
+    * the `_refit_commit` marker appears; the swap (old dirs out, new
+    * dirs in) runs after, and a rerun of refit (or any crash)
+    * completes an interrupted swap from the marker. `_meta` is
+    * untouched — nlist and the index kind never drift.
+    */
+  def refitStreamIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val (nlist, _, _) = readMeta(spark, indexDir, "sem_stream")
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_refit_commit")
+    val tmpVecs = new Path(root, ".vecs_refit")
+    val tmpCent = new Path(root, ".centroids_refit")
+    val liveVecs = new Path(root, "vecs")
+    val liveCent = new Path(root, "_centroids")
+    def swap(): Unit = {
+      // idempotent completion: every step guards on existence
+      if (fs.exists(tmpVecs)) {
+        fs.delete(liveVecs, true)
+        fs.rename(tmpVecs, liveVecs)
+      }
+      if (fs.exists(tmpCent)) {
+        fs.delete(liveCent, true)
+        fs.rename(tmpCent, liveCent)
+      }
+      fs.delete(marker, false)
+      ()
+    }
+    if (fs.exists(marker)) { swap(); return } // finish an interrupted refit
+    fs.delete(tmpVecs, true); fs.delete(tmpCent, true) // pre-commit garbage
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+      .select(col("id"), col("v"), col("batch"))
+    val nd = dimsOf(vecs, "v")
+    val cent = sampledCentroids(vecs.select(col("id"), col("v")), nlist)
+      .localCheckpoint(true)
+    val wid = Window.partitionBy(col("id"), col("batch"))
+      .orderBy(col("__dist"), col("cid"))
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
+      .withColumn("__rn", row_number().over(wid))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("batch"), col("cid").as("__bucket"))
+      .write.mode("overwrite").partitionBy("batch", "__bucket")
+      .parquet(tmpVecs.toString)
+    cent.coalesce(1).write.mode("overwrite").parquet(tmpCent.toString)
+    val out = fs.create(marker, true)
+    try out.write("refit".getBytes("UTF-8")) finally out.close()
+    swap()
+  }
+
   /** Product-quantization ADC top-k (Jégou et al. 2011): split the
     * d-dim space into `m` subspaces, quantize each sub-vector to its
     * nearest of `ksub` sub-centroids (codes: m bytes per vector —

@@ -1345,6 +1345,221 @@ class StreamingSpec extends SparkSpec {
     assert(survivors() == Set(1L, 2L, 5L, 7L, 9L), survivors())
   }
 
+  test("YAML streaming fuzzy_dedup against an index-at-rest (exact tier): " +
+    "cross-batch edit-distance dups drop across restarts, batching is " +
+    "boundary-invariant and differential vs the batch stage, and a " +
+    "wiped-checkpoint replay is idempotent") {
+    import graft.etl.{CurationStages, PipelineConfig, PipelineRunner}
+    import org.apache.commons.io.FileUtils
+    // clique-shaped fuzzy group (all pairwise lev <= 1) — the regime
+    // where greedy arrival-order dedup is batching-proof, as in the
+    // minhash invariance spec
+    val docs = Seq(
+      (1L, "martha stewart"),
+      (2L, "david bowie"),
+      (3L, "martha stewar"),    // del last char of 1
+      (4L, "martha stewarx"),   // sub last char of 1
+      (5L, "someone else"))
+    def run(batches: Seq[Seq[(Long, String)]])
+    : (Set[Long], String, String, String) = {
+      val src = Files.createTempDirectory("graft_fz_src").toFile.getAbsolutePath
+      val out = Files.createTempDirectory("graft_fz_out").toFile.getAbsolutePath
+      val ck = Files.createTempDirectory("graft_fz_ck").toFile.getAbsolutePath
+      val idx = s"${Files.createTempDirectory("graft_fz_idx")}/index"
+      val config = PipelineConfig.parse(
+        s"""project: {name: fz}
+           |curation:
+           |  - id: fz
+           |    input: $src
+           |    streaming: true
+           |    checkpoint: $ck
+           |    output: $out
+           |    schema: "doc_id LONG, text STRING"
+           |    stages:
+           |      - {op: fuzzy_dedup, index_dir: $idx, max_dist: "1"}
+           |""".stripMargin)
+      batches.foreach { b =>
+        b.toDF("doc_id", "text").write.mode("append").parquet(src)
+        val q = PipelineRunner.startCuration(spark, config, "fz")
+        q.processAllAvailable(); q.stop()
+      }
+      val tier = spark.read.parquet(s"$idx/_meta").head().getString(0)
+      (spark.read.parquet(out).select("doc_id")
+         .collect().map(_.getLong(0)).toSet, tier, ck, idx)
+    }
+    // one batch vs three: identical survivors, exact tier both ways
+    val (oneShot, t1, _, _) = run(Seq(docs))
+    val (threeWay, t3, ck3, _) =
+      run(Seq(docs.take(2), docs.slice(2, 3) ++ docs.drop(4), docs.slice(3, 4)))
+    assert(t1 == "exact" && t3 == "exact", (t1, t3))
+    assert(oneShot == threeWay, s"$oneShot vs $threeWay")
+    assert(oneShot == Set(1L, 2L, 5L), oneShot)
+    // differential vs the BATCH fuzzy_dedup stage on the same data
+    val batchPick = CurationStages.apply(spark, docs.toDF("doc_id", "text"),
+        "doc_id", "text",
+        graft.etl.CurationStageDef("fuzzy_dedup", Map("max_dist" -> "1")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchPick == oneShot, s"$batchPick vs $oneShot")
+    // wiped-checkpoint replay: a single-batch stream re-processed from
+    // scratch must land bit-identical — the as-of probe (batch <
+    // batchId) blinds the replay to its own first-attempt hood rows,
+    // and output/index writes overwrite their own partitions
+    val src = Files.createTempDirectory("graft_fzr_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_fzr_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_fzr_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_fzr_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: fzr}
+         |curation:
+         |  - id: fzr
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: fuzzy_dedup, index_dir: $idx, max_dist: "1"}
+         |""".stripMargin)
+    docs.take(3).toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "fzr")
+    q1.processAllAvailable(); q1.stop()
+    def state(): (Seq[Long], Seq[String]) =
+      (spark.read.parquet(out).select("doc_id")
+         .collect().map(_.getLong(0)).toSeq.sorted,
+       spark.read.parquet(s"$idx/hood").select("k").distinct()
+         .collect().map(_.getString(0)).toSeq.sorted)
+    val first = state()
+    assert(first == ((Seq(1L, 2L),
+      Seq("david bowie", "martha stewart"))), first)
+    FileUtils.deleteDirectory(new java.io.File(ck))
+    val q2 = PipelineRunner.startCuration(spark, config, "fzr")
+    q2.processAllAvailable(); q2.stop()
+    assert(state() == first, s"${state()} vs $first")
+  }
+
+  test("YAML streaming fuzzy_dedup routes LONG keys to the minhash tier " +
+    "at index creation and keeps the choice pinned in _meta across " +
+    "restarts; cross-batch near-keys still drop, verified at the exact " +
+    "edit distance") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_fm_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_fm_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_fm_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_fm_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: fm}
+         |curation:
+         |  - id: fm
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: fuzzy_dedup, index_dir: $idx, max_dist: "1"}
+         |""".stripMargin)
+    // 80-char keys: mean key length beats the 64-codepoint ceiling, so
+    // the router must take the char-bigram minhash tier (the deletion
+    // hoods of long keys are what the exact tier must not explode)
+    val longA = "abcdefghij" * 8
+    val longB = "qrstuvwxyz" * 8
+    Seq((1L, longA), (2L, longB),
+        (3L, longA.updated(5, 'Q')))        // near-dup of 1, intra-batch
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "fm")
+    q1.processAllAvailable(); q1.stop()
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(1L, 2L), survivors())
+    val meta = spark.read.parquet(s"$idx/_meta").head()
+    assert(meta.getString(0) == "minhash", meta)
+    assert(new java.io.File(s"$idx/sketch/_meta").exists())
+    // restart: a near-key of 1 drops via the sketch probe (band
+    // collision, then EXACT <=1 verification); a disjoint key ships
+    Seq((4L, longA.updated(20, 'R')),       // near-dup of 1, cross-batch
+        (5L, "zz" * 40))                     // bigram-disjoint, fresh
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q2 = PipelineRunner.startCuration(spark, config, "fm")
+    q2.processAllAvailable(); q2.stop()
+    assert(survivors() == Set(1L, 2L, 5L), survivors())
+  }
+
+  test("similarity.indexDrift + refitIndex: a drifted crawl alerts against " +
+    "the frozen batch-0 centroids, and the offline refit restores probe " +
+    "recall batch-preserving") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_dr_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_dr_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_dr_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_dr_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: dr}
+         |curation:
+         |  - id: dr
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING, emb ARRAY<DOUBLE>"
+         |    stages:
+         |      - {op: semantic_dedup, index_dir: $idx, vec_col: emb,
+         |         tau: "0.999", nlist: "2", nprobe: "1"}
+         |""".stripMargin)
+    def run(rows: Seq[(Long, String, Seq[Double])]): Unit = {
+      rows.toDF("doc_id", "text", "emb").write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "dr")
+      q.processAllAvailable(); q.stop()
+    }
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 0: ids picked for the md5-ranked sample (6 < 19 < 9): the
+    // FROZEN centroids are the two orthogonal anchors [1,0] and [0,1];
+    // doc 9 rides near anchor 6 so the batch-0 baseline distance is
+    // small but nonzero
+    run(Seq((6L, "a", Seq(1.0, 0.0)), (19L, "b", Seq(0.0, 1.0)),
+            (9L, "c", Seq(0.99, 0.14))))
+    // batches 1-2: the crawl DRIFTS to the diagonal — a near-dup pair
+    // straddling the frozen Voronoi boundary. 33 homes to bucket 19;
+    // its near-dup 40 (cos ≈ 0.99997) probes nprobe=1 into bucket 6
+    // and MISSES it: the frozen-centroid recall loss this watchdog
+    // exists to catch. Both ship.
+    run(Seq((33L, "d", Seq(0.705, 0.71))))
+    run(Seq((40L, "e", Seq(0.71, 0.705))))
+    assert(survivors() == Set(6L, 19L, 9L, 33L, 40L), survivors())
+    // the drift audit fires on the drifted batches, not the baseline
+    val eng = new CypherEngine(spark, new graft.model.GraphCatalog())
+    def drift(): Map[Int, (Boolean, Option[Double])] = eng.query(
+      s"""CALL similarity.indexDrift('$idx', 4.0)
+          YIELD batch, drift_ratio, alert
+          RETURN batch, drift_ratio, alert""").collect()
+      .map(r => r.getInt(0) -> (r.getBoolean(2),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val d0 = drift()
+    assert(!d0(0)._1 && d0(1)._1 && d0(2)._1, d0)
+    assert(d0(1)._2.exists(_ > 50), d0) // ~88x the batch-0 baseline
+    // offline refit: new centroids over ALL stored vectors (md5 sample
+    // now picks {6, 33} — an anchor and the drifted cluster), every
+    // vector reassigned, batch tags preserved
+    val n = eng.query(
+      s"CALL similarity.refitIndex('$idx') YIELD n_vecs RETURN n_vecs")
+      .collect().head.getLong(0)
+    assert(n == 5L)
+    assert(spark.read.parquet(s"$idx/_centroids").select("cid")
+      .collect().map(_.getLong(0)).toSet == Set(6L, 33L))
+    val vecs = spark.read.parquet(s"$idx/vecs")
+    assert(vecs.select("batch").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(0, 1, 2))
+    assert(vecs.filter(col("id") === 19L).select("__bucket")
+      .collect().map(_.getInt(0)).toSeq == Seq(33)) // reassigned home
+    // post-refit the audit is quiet (nothing beats the new baseline 4x)
+    assert(drift().values.forall(!_._1), drift())
+    // and recall is RESTORED: a fresh near-dup of the drifted pair now
+    // probes into the refit bucket holding 33/40 and is dropped; an
+    // unrelated doc still ships
+    run(Seq((50L, "f", Seq(0.708, 0.707)), (51L, "g", Seq(-0.7, 0.7))))
+    assert(survivors() == Set(6L, 19L, 9L, 33L, 40L, 51L), survivors())
+  }
+
   test("YAML streaming curation rank_by quality: the intra-batch minhash " +
     "survivor is the batch stage's highest-quality pick, not min-id") {
     import graft.etl.{CurationStages, PipelineConfig, PipelineRunner}
