@@ -1479,27 +1479,9 @@ object Dedup {
     //    index admitted before this batch
     val dupStrings =
       if (!have) v.select(col("s")).limit(0)
-      else if (tier == "exact") {
-        completeBatchMigration(fs, hoodDir)
-        val idx0 = spark.read.parquet(s"$indexDir/hood")
-        val idx =
-          if (idx0.columns.contains("batch"))
-            idx0.filter(col("batch") < lit(batchId))
-          else idx0
-        val cand = v.select(col("s")).distinct()
-          .select(col("s"), explode(deletionHood(col("s"), md)).as("dk"))
-          .join(idx.select(col("dk"), col("k")), Seq("dk"))
-          .select(col("s").as("id1"), col("k").as("id2"),
-            col("s").as("s1"), col("k").as("s2")).distinct()
-        verifyCandidates(cand, md).select(col("id1").as("s")).distinct()
-      } else {
-        val cand = minHashIndexLookup(spark, s"$indexDir/sketch",
-            spaced(v.select(col("s")).distinct()), "id", "chars",
-            excludeBatchFrom = Some(batchId))
-          .select(col("new_id").as("id1"), col("corpus_id").as("id2"),
-            col("new_id").as("s1"), col("corpus_id").as("s2")).distinct()
-        verifyCandidates(cand, md).select(col("id1").as("s")).distinct()
-      }
+      else matchStrings(spark, indexDir, v.select(col("s")).distinct(),
+          tier, md, Some(batchId))
+        .select(col("s")).distinct()
     val pre = df
       .join(dupStrings.select(col("s").as(strCol)), Seq(strCol), "left_anti")
       .select(df.columns.map(col).toSeq: _*)
@@ -1536,7 +1518,16 @@ object Dedup {
             batchId, shingleSize = 2, numHashes = numHashes,
             bands = bands)
         }
-        if (!fs.exists(metaPath)) {
+        // the outer _meta pins the tier and means "the index exists":
+        // write it only once the tier's OWN write actually landed. The
+        // exact tier always lands (a non-empty key's hood contains the
+        // key itself); the minhash tier skips keys too short to form a
+        // char bigram — an all-1-char-key admit writes no sketch, and
+        // writing _meta anyway would point later probes at a sketch
+        // that is not there
+        val tierLanded = tier == "exact" ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sketch/_meta"))
+        if (tierLanded && !fs.exists(metaPath)) {
           import spark.implicits._
           Seq((tier, md, numHashes, bands))
             .toDF("tier", "max_dist", "num_hashes", "bands")
@@ -1546,6 +1537,132 @@ object Dedup {
       }
     }
     (survivors, admit)
+  }
+
+  /** The probe core shared by [[fuzzyCrawlBatch]] and
+    * [[fuzzyIndexMatches]]: every (s, k, dist) link between the
+    * DISTINCT probe strings `probe` (one column `s`) and index keys
+    * admitted before `excludeBatchFrom`, at the index's tier/maxDist.
+    */
+  private def matchStrings(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, probe: DataFrame,
+                           tier: String, md: Int,
+                           excludeBatchFrom: Option[Long]): DataFrame = {
+    def spaced(d: DataFrame): DataFrame = d.select(col("s").as("id"),
+      regexp_replace(col("s"), "(?s)(.)", "$1 ").as("chars"))
+    val cand =
+      if (tier == "exact") {
+        val hoodDir = new org.apache.hadoop.fs.Path(s"$indexDir/hood")
+        val fs = hoodDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        completeBatchMigration(fs, hoodDir)
+        val idx0 = spark.read.parquet(s"$indexDir/hood")
+        val idx = excludeBatchFrom match {
+          case Some(b) if idx0.columns.contains("batch") =>
+            idx0.filter(col("batch") < lit(b))
+          case _ => idx0
+        }
+        // the probe's exploded hood is the SMALL side (probe keys ×
+        // hood size); the at-rest index must stream through ONE scan
+        // with no shuffle — force the broadcast under a size gate (the
+        // minHashIndexLookup discipline) instead of letting Catalyst
+        // guess over a stats-less leaf: a sort-merge fallback would
+        // shuffle the INDEX, the exact cost the index-at-rest layout
+        // exists to avoid
+        val keys = probe.localCheckpoint(true)
+        val st = keys.agg(count(lit(1)),
+          coalesce(avg(length(col("s"))), lit(0.0))).head()
+        val meanLen = st.getDouble(1)
+        val hoodRows = (st.getLong(0) *
+          (if (md == 1) meanLen + 1
+           else (meanLen + 1) * (meanLen + 2) / 2)).toLong
+        val hood = keys
+          .select(col("s"), explode(deletionHood(col("s"), md)).as("dk"))
+        idx.select(col("dk"), col("k"))
+          .join(if (hoodRows <= 2000000L) broadcast(hood) else hood,
+            Seq("dk"))
+          .select(col("s").as("id1"), col("k").as("id2"),
+            col("s").as("s1"), col("k").as("s2")).distinct()
+      } else
+        minHashIndexLookup(spark, s"$indexDir/sketch", spaced(probe),
+            "id", "chars", excludeBatchFrom = excludeBatchFrom)
+          .select(col("new_id").as("id1"), col("corpus_id").as("id2"),
+            col("new_id").as("s1"), col("corpus_id").as("s2")).distinct()
+    verifyCandidates(cand, md)
+      .select(col("id1").as("s"), col("id2").as("k"), col("dist"))
+  }
+
+  /** Fuzzy LOOKUP against a streaming fuzzy index-at-rest: every
+    * (id, matched index key `k`, dist) link between `df`'s strings and
+    * keys admitted before `excludeBatchFrom` (None = the whole index),
+    * at the tier and maxDist pinned in the index `_meta` — exact tier:
+    * deletion-hood equi-join, exact recall; minhash tier: char-bigram
+    * band collisions, exact-verified precision. The probe half of
+    * [[fuzzyCrawlBatch]] exposed on its own, for linkage-style lookups
+    * ("which admitted entity does this row match") and seed-then-probe
+    * audits (dd23).
+    */
+  def fuzzyIndexMatches(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, df: DataFrame,
+                        idCol: String, strCol: String,
+                        excludeBatchFrom: Option[Long] = None): DataFrame = {
+    val m = spark.read.parquet(s"$indexDir/_meta").head()
+    val (tier, md) = (m.getString(0), m.getInt(1))
+    val v = df.select(col(idCol).as("__pid"), col(strCol).as("s"))
+    v.join(matchStrings(spark, indexDir,
+        v.select(col("s")).distinct(), tier, md, excludeBatchFrom),
+        Seq("s"))
+      .select(col("__pid").as(idCol), col("k"), col("dist"))
+  }
+
+  /** Seed or bulk-append ALL of `df`'s distinct strings into a
+    * streaming fuzzy index (no survivor filtering — the bootstrap arm;
+    * a crawl's own admits stay survivor-only through
+    * [[fuzzyCrawlBatch]]). Creates the index `_meta` (pinning tier and
+    * maxDist) if absent; `tier` is only consulted on creation.
+    * Batch-tag the seed `-1` to sort before every live micro-batch
+    * (the seeding convention), or any id below the stream's next
+    * batch.
+    */
+  def fuzzyIndexPut(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, df: DataFrame, strCol: String,
+                    batch: Long, maxDist: Int = 1,
+                    tier: String = "exact",
+                    numHashes: Int = 64, bands: Int = 32): Unit = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2, got $maxDist")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (t, md, nh, nb) =
+      if (fs.exists(metaPath)) {
+        val m = spark.read.parquet(s"$indexDir/_meta").head()
+        (m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3))
+      } else (tier, maxDist, numHashes, bands)
+    val keys = df.select(col(strCol).as("k")).distinct()
+      .localCheckpoint(true)
+    if (!keys.isEmpty) {
+      if (t == "exact") {
+        val hoodDir = new org.apache.hadoop.fs.Path(s"$indexDir/hood")
+        ensureBatchLayout(fs, hoodDir)
+        keys.select(col("k"), explode(deletionHood(col("k"), md)).as("dk"))
+          .withColumn("batch", lit(batch))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$indexDir/hood")
+      } else
+        minHashIndexPut(spark, s"$indexDir/sketch",
+          keys.select(col("k").as("id"),
+            regexp_replace(col("k"), "(?s)(.)", "$1 ").as("chars")),
+          "id", "chars", batch, shingleSize = 2, numHashes = nh,
+          bands = nb)
+      val landed = t == "exact" ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sketch/_meta"))
+      if (landed && !fs.exists(metaPath)) {
+        import spark.implicits._
+        Seq((t, md, nh, nb))
+          .toDF("tier", "max_dist", "num_hashes", "bands")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_meta")
+      }
+    }
   }
 
   /** [[fuzzyLink]] behind the collision-density ROUTER — the

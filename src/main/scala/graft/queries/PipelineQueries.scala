@@ -42,6 +42,20 @@ object PipelineQueries {
       p
     })
 
+  /** Streaming-fuzzy exact-tier index seeded ONCE with the corpus side
+    * of dd23's boundary (customer %9 slice, %7 != 0 names) — the
+    * seed-then-probe shape of the incremental crawl's fuzzy arm.
+    */
+  private def fzIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(s"$dir#fz1_exact", {
+      val p = s"${indexRoot(dir)}/fz1_exact"
+      Dedup.fuzzyIndexPut(s, p,
+        Tables(s, dir).customer
+          .filter(col("c_custkey") % 9 === 0 && col("c_custkey") % 7 =!= 0),
+        "c_name", batch = 0L, maxDist = 1)
+      p
+    })
+
   /** Shared oracle CTE chain for the deterministic PQ (ann08/ann09):
     * md5-sampled codebook → per-subspace argmin codes → query LUT →
     * per-vector ADC sums, plus the raw-vector view `v` and the query
@@ -1024,6 +1038,25 @@ object PipelineQueries {
         .crossJoin(ledger.select(col("tier")))
         .select(col("tier"), col("n_truth"), col("n_routed"),
           col("n_hit"), col("recall"))
+    },
+
+    // The streaming fuzzy arm's PROBE, oracle-gated as a batch query
+    // (the dd13 seed-then-probe pattern): the corpus side of the
+    // boundary is admitted ONCE into an exact-tier fuzzy index-at-rest
+    // (fuzzyIndexPut — deletion-neighborhood keys under batch=0); the
+    // "new batch" side probes it with fuzzyIndexMatches. The oracle
+    // recomputes the exhaustive cross-boundary truth, and the exact
+    // tier's SymSpell recall makes the probe's links EXACTLY the
+    // brute-force lev<=1 links — certifying the persisted hood index
+    // finds precisely what a full recompute would. Deterministic 1/9
+    // slice (the O(n²) truth discipline of dd20-dd22). FULLY oracled.
+    "dd23_fuzzy_crawl_probe" -> { (s, dir) =>
+      val batch = Tables(s, dir).customer
+        .filter(col("c_custkey") % 9 === 0 && col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      Dedup.fuzzyIndexMatches(s, fzIndexPath(s, dir), batch,
+          "c_custkey", "c_name", excludeBatchFrom = Some(1L))
+        .select(col("c_custkey").as("id1"), col("k"), col("dist"))
     },
 
     // SemDeDup semantic dedup (Abbas et al. 2023): md5-sampled
@@ -2099,6 +2132,16 @@ object PipelineQueries {
                    substr(b.c_name, 1, length(b.c_name) - 1)) <= 1)
          SELECT 'exact' AS tier, n AS n_truth, n AS n_routed, n AS n_hit,
                 round(1.0 + 1e-11, 4) AS recall FROM t""",
+    // brute-force cross-boundary truth for dd23: the exact-tier probe
+    // must reproduce every lev<=1 link between the batch slice and the
+    // seeded corpus slice, with the distances
+    "dd23_fuzzy_crawl_probe" ->
+      """SELECT DISTINCT a.c_custkey AS id1, b.c_name AS k,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a, customer b
+         WHERE a.c_custkey % 9 = 0 AND a.c_custkey % 7 = 0
+           AND b.c_custkey % 9 = 0 AND b.c_custkey % 7 <> 0
+           AND levenshtein(a.c_name, b.c_name) <= 1""",
     // brute-force ground truth for dd16 at distance 2 (same slice)
     "dd16_fuzzy_join2" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
