@@ -96,7 +96,12 @@ object CurationStages {
         // goes to stderr and, when `ledger_dir` is set, to a parquet
         // sink for audit. Survivor = min id per connected component —
         // the right stage for short KEYS (titles, names, urls), not
-        // long documents (those want minhash_dedup).
+        // long documents (those want minhash_dedup). NOTE: under
+        // `streaming: true` WITHOUT `index_dir` this batch form runs
+        // per micro-batch, and the optional ledger_dir audit append is
+        // NOT replay-deduplicated (audit rows may repeat after a
+        // crash); the index-at-rest form (`index_dir`) is the
+        // exactly-once arm.
         val maxDist = intParam("max_dist", 1)
         val (pairs, ledger) = Dedup.editDistancePairsAuto(
           df, idCol, textCol, maxDist = maxDist,

@@ -149,7 +149,12 @@ object BatchCompaction {
       ("keys", Seq.empty[String]),
       ("bands", Seq("band")),
       ("_sigs", Seq.empty[String]),
-      ("vecs", Seq("__bucket")))
+      ("vecs", Seq("__bucket")),
+      // the fuzzy arm: deletion-hood keys, and its minhash tier's
+      // nested char-bigram sketch (a full minHashIndexPut layout)
+      ("hood", Seq.empty[String]),
+      ("sketch/bands", Seq("band")),
+      ("sketch/_sigs", Seq.empty[String]))
     val rows = components.flatMap { case (name, residual) =>
       val p = new Path(s"$indexDir/$name")
       if (fsOf(spark, p).exists(p)) {

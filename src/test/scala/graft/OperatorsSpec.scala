@@ -1978,6 +1978,34 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/keys").count() == 2)
   }
 
+  test("fuzzy index-at-rest compaction: hood partitions consolidate " +
+    "under batch=-1 with bit-identical probe links") {
+    import graft.operators.BatchCompaction
+    val d = s"${java.nio.file.Files.createTempDirectory("graft_fzc")}/index"
+    Dedup.fuzzyIndexPut(spark,
+      d, Seq("martha stewart", "david bowie").toDF("k"), "k",
+      batch = 0L, maxDist = 1)
+    Dedup.fuzzyIndexPut(spark, d, Seq("someone else").toDF("k"), "k",
+      batch = 1L)
+    val probe = Seq((1L, "martha stewar"), (2L, "someone elsx"),
+      (3L, "unrelated")).toDF("id", "s")
+    def links(): Seq[(Long, String, Long)] =
+      Dedup.fuzzyIndexMatches(spark, d, probe, "id", "s")
+        .orderBy("id", "k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val before = links()
+    assert(before == Seq((1L, "martha stewart", 1L),
+      (2L, "someone else", 1L)), before)
+    val stats = BatchCompaction.compactIndex(spark, d, upTo = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(stats.contains("hood"), stats)
+    assert(new java.io.File(s"$d/hood/batch=-1").isDirectory)
+    assert(!new java.io.File(s"$d/hood/batch=0").exists())
+    assert(!new java.io.File(s"$d/hood/batch=1").exists())
+    assert(links() == before)
+  }
+
   test("graft.iter.checkpointDir routes loop pins through reliable " +
     "checkpoints: results unchanged, and free() RECLAIMS superseded " +
     "rounds' checkpoint directories (bounded disk, not one dir/round)") {
