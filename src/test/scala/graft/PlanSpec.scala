@@ -510,6 +510,24 @@ class PlanSpec extends SparkSpec {
       s"bloom filter appears after all exchanges (post-join?):\n$p")
   }
 
+  test("fuzzy index probe BROADCASTS the batch's deletion hood: the " +
+    "at-rest index side streams through one scan, never a shuffle") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val idx = s"${java.nio.file.Files.createTempDirectory("graft_fzp")}/index"
+    Dedup.fuzzyIndexPut(spark, idx,
+      Seq("martha stewart", "david bowie", "someone else").toDF("k"),
+      "k", batch = 0L, maxDist = 1)
+    val probe = Seq((1L, "martha stewar"), (2L, "unrelated")).toDF("id", "s")
+    val df = Dedup.fuzzyIndexMatches(spark, idx, probe, "id", "s")
+    val p = plan(df)
+    // the size gate must have forced the broadcast: a sort-merge
+    // fallback here means the INDEX side gets shuffled — at 100 TB the
+    // exact cost the index-at-rest layout exists to avoid
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in probe:\n$p")
+    assert(df.count() == 1L)
+  }
+
   test("zorder re-layout is one range exchange + local sort, no global sort") {
     import org.apache.spark.sql.functions._
     val base = spark.range(0, 1000).toDF("x").withColumn("y", col("x") * 7 % 1000)

@@ -1558,6 +1558,24 @@ class StreamingSpec extends SparkSpec {
     // unrelated doc still ships
     run(Seq((50L, "f", Seq(0.708, 0.707)), (51L, "g", Seq(-0.7, 0.7))))
     assert(survivors() == Set(6L, 19L, 9L, 33L, 40L, 51L), survivors())
+    // refit crash recovery: simulate a crash AFTER the commit marker
+    // (tmp dirs written, swap not run) — the next refit call must
+    // complete the interrupted swap instead of refitting again
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$idx/$n")
+    val preVecs = spark.read.parquet(s"$idx/vecs")
+      .select("id", "batch", "__bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(fs.rename(p("vecs"), p(".vecs_refit")))
+    assert(fs.rename(p("_centroids"), p(".centroids_refit")))
+    val mk = fs.create(p("_refit_commit"), true)
+    mk.write("refit".getBytes("UTF-8")); mk.close()
+    graft.operators.Similarity.refitStreamIndex(spark, idx)
+    assert(!fs.exists(p("_refit_commit")) && !fs.exists(p(".vecs_refit")))
+    assert(spark.read.parquet(s"$idx/vecs")
+      .select("id", "batch", "__bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet == preVecs)
   }
 
   test("YAML streaming curation rank_by quality: the intra-batch minhash " +
