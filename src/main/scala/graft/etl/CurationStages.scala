@@ -371,6 +371,31 @@ object CurationStages {
             .partitionBy("batch_id").parquet(outDir)
           val shipped = curated.select(col(pipeline.idCol))
           deferred.foreach(_(shipped))
+          // SELF-MAINTENANCE: stages with `compact_every: N` fold their
+          // index-at-rest (or spend ledger) every N batches, keeping
+          // the newest `compact_retain` (>=1, default 1) batch
+          // partitions live and consolidating the rest under batch=-1
+          // (BatchCompaction — as-of semantics preserved). Safe inside
+          // the batch: only COMMITTED batches (<= batchId - retain) are
+          // folded, so no foldable batch can ever replay, and a crash
+          // mid-compaction is repaired by the marker recovery on the
+          // replay of THIS batch. Without this, a months-long crawl
+          // accrues one partition per micro-batch and probe listing
+          // costs grow linearly in batch count.
+          pipeline.stages.foreach { st =>
+            st.params.get("compact_every").map(_.toLong).foreach { every =>
+              val retain = math.max(1L,
+                st.params.get("compact_retain").map(_.toLong).getOrElse(1L))
+              if (every > 0 && batchId >= retain && batchId % every == 0) {
+                st.params.get("index_dir").foreach(idx =>
+                  graft.operators.BatchCompaction
+                    .compactIndex(spark, idx, upTo = batchId - retain))
+                st.params.get("ledger_dir").foreach(led =>
+                  graft.operators.BatchCompaction
+                    .compactDir(spark, led, "batch", upTo = batchId - retain))
+              }
+            }
+          }
         }
         ()
       }

@@ -302,6 +302,20 @@ object CatalogStore {
         s"catalog version $v at $dir was claimed but never completed " +
           "(crashed writer?); load a finished version: " +
           versions(spark, dir).mkString("[", ", ", "]"))
+    // read lease FIRST (see the class doc): taken before any table
+    // registration so a concurrent prune cannot slip between reading
+    // the manifest and the lease landing. Best-effort — a read-only
+    // filesystem rejecting the marker create leaves the reader
+    // UNLEASED rather than unreadable.
+    val lease: Option[Path] =
+      try {
+        val l = new Path(s"$dir/_lease_${v}_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        val out = fs.create(l, false)
+        out.close()
+        Some(l)
+      } catch { case _: java.io.IOException => None }
+    try {
     val manifest = spark.read.parquet(s"$vdir/_manifest").collect()
     val cat = new GraphCatalog
     manifest.foreach { m =>
@@ -332,17 +346,14 @@ object CatalogStore {
           throw new IllegalStateException(s"bad manifest kind: $other")
       }
     }
-    // read lease (see the class doc): best-effort — a read-only
-    // filesystem rejecting the marker create leaves the reader
-    // UNLEASED rather than unreadable
-    try {
-      val lease = new Path(s"$dir/_lease_${v}_" +
-        java.util.UUID.randomUUID().toString.replace("-", ""))
-      val out = fs.create(lease, false)
-      out.close()
-      cat.releaseLease = () => { fs.delete(lease, false); () }
-    } catch { case _: java.io.IOException => () }
+    lease.foreach(l => cat.releaseLease = () => { fs.delete(l, false); () })
     cat
+    } catch {
+      case e: Throwable =>
+        // a failed load must not leak its lease and block prune forever
+        lease.foreach(l => fs.delete(l, false))
+        throw e
+    }
   }
 
   /** List retained snapshot versions, oldest first (including any

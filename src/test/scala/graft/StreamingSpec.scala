@@ -1345,6 +1345,59 @@ class StreamingSpec extends SparkSpec {
     assert(survivors() == Set(1L, 2L, 5L, 7L, 9L), survivors())
   }
 
+  test("YAML streaming compact_every: the index-at-rest self-maintains — " +
+    "old batch partitions fold under batch=-1 every N batches, dedup " +
+    "stays correct, and a replayed compacting batch is exactly-once") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_ce_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_ce_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_ce_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_ce_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: ce}
+         |curation:
+         |  - id: ce
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: exact_dedup, index_dir: $idx, compact_every: "2"}
+         |""".stripMargin)
+    def run(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "ce")
+      q.processAllAvailable(); q.stop()
+    }
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def keySet(): Set[String] = spark.read.parquet(s"$idx/keys")
+      .select("k").collect().map(_.getString(0)).toSet
+    run(Seq((1L, "alpha"), (2L, "beta")))              // batch 0
+    run(Seq((3L, "alpha"), (4L, "gamma")))             // batch 1
+    run(Seq((5L, "beta"), (6L, "delta")))              // batch 2 → compacts <=1
+    assert(survivors() == Set(1L, 2L, 4L, 6L), survivors())
+    assert(new java.io.File(s"$idx/keys/batch=-1").isDirectory)
+    assert(!new java.io.File(s"$idx/keys/batch=0").exists())
+    assert(!new java.io.File(s"$idx/keys/batch=1").exists())
+    assert(new java.io.File(s"$idx/keys/batch=2").isDirectory)
+    assert(keySet() == Set("alpha", "beta", "gamma", "delta"), keySet())
+    // REPLAY the compacting batch (commit marker + crc dropped): its
+    // admit overwrites its own batch=2 partition and its compaction
+    // re-folds the already-folded history idempotently
+    assert(new java.io.File(s"$ck/commits/2").delete())
+    new java.io.File(s"$ck/commits/.2.crc").delete()
+    val qr = PipelineRunner.startCuration(spark, config, "ce")
+    qr.processAllAvailable(); qr.stop()
+    assert(survivors() == Set(1L, 2L, 4L, 6L), survivors())
+    assert(keySet() == Set("alpha", "beta", "gamma", "delta"), keySet())
+    assert(!new java.io.File(s"$idx/keys/batch=0").exists())
+    // and the NEXT batch still dedups against the compacted history
+    run(Seq((7L, "gamma"), (8L, "epsilon")))           // batch 3
+    assert(survivors() == Set(1L, 2L, 4L, 6L, 8L), survivors())
+  }
+
   test("YAML streaming fuzzy_dedup against an index-at-rest (exact tier): " +
     "cross-batch edit-distance dups drop across restarts, batching is " +
     "boundary-invariant and differential vs the batch stage, and a " +
