@@ -1978,6 +1978,66 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/keys").count() == 2)
   }
 
+  test("streaming fuzzy crawl differential: random short-alphabet " +
+    "corpora under random batchings match a driver-side reference model " +
+    "of the arrival-order semantics (cross-batch probe + intra min-id)") {
+    import graft.operators.Dedup
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // reference model: per batch, drop anything within 1 of an
+    // ADMITTED string, then union-find the rest on lev<=1 pairs with
+    // min-id canonical; survivors' strings join the admitted set
+    def model(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val admitted = scala.collection.mutable.Set.empty[String]
+      val out = scala.collection.mutable.Set.empty[Long]
+      batches.foreach { b =>
+        val pre = b.filterNot { case (_, s) =>
+          admitted.exists(t => lev(s, t) <= 1) }
+        val parent = scala.collection.mutable.Map(
+          pre.map { case (i, _) => i -> i }: _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x
+          else { val r = find(parent(x)); parent(x) = r; r }
+        for { (i, s) <- pre; (j, t) <- pre if i < j && lev(s, t) <= 1 } {
+          val (ri, rj) = (find(i), find(j))
+          if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+        }
+        val survivors = pre.filter { case (i, _) => find(i) == i }
+        survivors.foreach { case (i, s) => out += i; admitted += s }
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(17)
+    (0 until 3).foreach { trial =>
+      // 3-letter alphabet, length 3-4: dense with exact dups, dist-1
+      // chains, and cross-batch collisions; batches may come up EMPTY
+      // (the empty-path regression of round 14's advice)
+      val docs = (1L to 24L).map(i => (i,
+        (1 to 3 + rnd.nextInt(2)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString))
+      val assign = docs.map(d => (rnd.nextInt(3), d))
+      val batches = (0 until 3).map(k =>
+        assign.filter(_._1 == k).map(_._2))
+      val idx = s"${java.nio.file.Files.createTempDirectory("graft_fzd")}/ix"
+      var got = Set.empty[Long]
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        val df = b.toDF("id", "s")
+        val (surv, admit) = Dedup.fuzzyCrawlBatch(spark, idx, df,
+          "id", "s", batchId = bi.toLong, maxDist = 1)
+        got ++= surv.select("id").collect().map(_.getLong(0))
+        admit(surv.select(col("id")))
+      }
+      assert(got == model(batches),
+        s"trial $trial: $got vs ${model(batches)} (batches: $batches)")
+    }
+  }
+
   test("fuzzy index-at-rest compaction: hood partitions consolidate " +
     "under batch=-1 with bit-identical probe links") {
     import graft.operators.BatchCompaction
