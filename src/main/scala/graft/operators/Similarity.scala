@@ -741,6 +741,53 @@ object Similarity {
     (survivors, admit)
   }
 
+  /** Seed or bulk-append ALL of `df`'s vectors into a STREAMING vector
+    * index ([[semanticCrawlBatch]]'s layout) — no dedup, the bootstrap
+    * arm (a crawl's own admits stay survivor-only). The FIRST call
+    * fits the frozen centroids on ITS rows (the deterministic
+    * md5-ranked sample); later calls assign against the stored
+    * centroids — FAISS `add` semantics, the drift trade
+    * [[streamIndexDrift]] watches. Batch-tag a seed `-1` to sort
+    * before every live micro-batch, or any id below the stream's next
+    * batch. Empty frames write nothing.
+    */
+  def vecIndexPut(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, df: DataFrame,
+                  idCol: String, vecCol: String, batch: Long,
+                  nlist: Int = 64): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = dimsOf(df, vecCol)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    if (v.isEmpty) return
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val have = fs.exists(metaPath)
+    val cent =
+      if (have) spark.read.parquet(s"$indexDir/_centroids")
+      else {
+        val plan = sampledCentroids(v, nlist)
+        val rows = plan.collect().toIndexedSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), plan.schema)
+      }
+    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
+    v.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
+      .withColumn("__rn", row_number().over(wid))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("__bucket"))
+      .withColumn("batch", lit(batch))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "__bucket").parquet(s"$indexDir/vecs")
+    if (!have) {
+      cent.coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/_centroids")
+      writeMeta(spark, indexDir, "sem_stream", nlist, 0L)
+      ()
+    }
+  }
+
   /** Drift audit for a STREAMING vector index
     * ([[semanticCrawlBatch]]'s layout): the index's centroids are
     * FROZEN at the first committed batch (FAISS `add` semantics), so

@@ -42,6 +42,22 @@ object PipelineQueries {
       p
     })
 
+  /** Streaming vector index seeded as two deterministic "crawl
+    * batches" of the embeddings table (vec_id % 3 == 0 as batch 0 —
+    * the frozen-centroid fit — then % 3 == 1 as batch 1) for the
+    * drift-audit gate ann14.
+    */
+  private def vecStreamIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(s"$dir#vec_stream8", {
+      val p = s"${indexRoot(dir)}/vec_stream8"
+      val emb = Tables(s, dir).embeddings
+      Similarity.vecIndexPut(s, p, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", batch = 0L, nlist = 8)
+      Similarity.vecIndexPut(s, p, emb.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", batch = 1L, nlist = 8)
+      p
+    })
+
   /** Streaming-fuzzy exact-tier index seeded ONCE with the corpus side
     * of dd23's boundary (customer %9 slice, %7 != 0 names) — the
     * seed-then-probe shape of the incremental crawl's fuzzy arm.
@@ -375,6 +391,21 @@ object PipelineQueries {
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding", "label")
+    },
+
+    // STREAMING-index drift audit (round 14): a vector index seeded as
+    // two deterministic crawl batches (batch 0 fits the frozen
+    // centroids, batch 1 assigns against them — FAISS add semantics);
+    // streamIndexDrift reports each batch's mean squared distance to
+    // its HOME centroid vs the batch-0 baseline. FULLY oracled: the
+    // md5 centroid sample, the argmin assignment distance, and the
+    // per-batch means are all relational, so DuckDB replays the whole
+    // audit (the alert flag is threshold-boundary-sensitive and stays
+    // spec-gated in StreamingSpec instead).
+    "ann14_stream_drift" -> { (s, dir) =>
+      Similarity.streamIndexDrift(s, vecStreamIndexPath(s, dir))
+        .select(col("batch").cast("long").as("batch"), col("n_vecs"),
+          col("mean_dist"), col("baseline_dist"), col("drift_ratio"))
     },
 
     // N-gram novelty: fraction of each doc's distinct 4-grams whose
@@ -1962,6 +1993,31 @@ object PipelineQueries {
          FULL OUTER JOIN (SELECT label, n FROM n WHERE half = 1) w
            USING (label)
          LEFT JOIN drift d USING (label)""",
+    // full replay of ann14: batch-0 md5-sampled centroids, per-vector
+    // min squared distance (the home-centroid distance — tie cids
+    // share the value), per-batch means and the ratio vs batch 0
+    "ann14_stream_drift" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (
+           SELECT e AS c FROM v WHERE vec_id % 3 = 0
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         pts AS (
+           SELECT 0 AS batch, vec_id, e FROM v WHERE vec_id % 3 = 0
+           UNION ALL
+           SELECT 1, vec_id, e FROM v WHERE vec_id % 3 = 1),
+         mind AS (
+           SELECT batch, vec_id,
+                  min(list_sum(list_transform(generate_series(1, len(e)),
+                    i -> (e[i] - c[i]) * (e[i] - c[i])))) AS md
+           FROM pts, cent GROUP BY 1, 2),
+         per AS (SELECT batch, count(*) AS n_vecs, avg(md) AS m
+                 FROM mind GROUP BY 1),
+         base AS (SELECT m AS bm FROM per ORDER BY batch LIMIT 1)
+         SELECT CAST(per.batch AS BIGINT) AS batch, per.n_vecs,
+                round(per.m + 1e-11, 6) AS mean_dist,
+                round(base.bm + 1e-11, 6) AS baseline_dist,
+                round(per.m / base.bm + 1e-11, 4) AS drift_ratio
+         FROM per, base""",
     // full replay of tx18: the tx02 quality CTE, quantile_cont
     // thresholds (same interpolation as Spark's exact percentile),
     // identical <= bin rule
