@@ -72,6 +72,23 @@ object PipelineQueries {
       p
     })
 
+  /** dd23's corpus admitted as TWO crawl batches and then COMPACTED
+    * (everything folds under batch=-1) — dd24 pins that the fold is
+    * invisible to the probe against the same brute-force oracle.
+    */
+  private def fzCompactedIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(s"$dir#fz1_exact_compacted", {
+      val p = s"${indexRoot(dir)}/fz1_exact_compacted"
+      val corpus = Tables(s, dir).customer
+        .filter(col("c_custkey") % 9 === 0 && col("c_custkey") % 7 =!= 0)
+      Dedup.fuzzyIndexPut(s, p, corpus.filter(col("c_custkey") % 2 === 0),
+        "c_name", batch = 0L, maxDist = 1)
+      Dedup.fuzzyIndexPut(s, p, corpus.filter(col("c_custkey") % 2 =!= 0),
+        "c_name", batch = 1L)
+      graft.operators.BatchCompaction.compactIndex(s, p, upTo = 1L)
+      p
+    })
+
   /** Shared oracle CTE chain for the deterministic PQ (ann08/ann09):
     * md5-sampled codebook → per-subspace argmin codes → query LUT →
     * per-vector ADC sums, plus the raw-vector view `v` and the query
@@ -1087,6 +1104,20 @@ object PipelineQueries {
         .select(col("c_custkey"), col("c_name"))
       Dedup.fuzzyIndexMatches(s, fzIndexPath(s, dir), batch,
           "c_custkey", "c_name", excludeBatchFrom = Some(1L))
+        .select(col("c_custkey").as("id1"), col("k"), col("dist"))
+    },
+
+    // dd23's probe against a COMPACTED index: the corpus is admitted
+    // as two crawl batches, BatchCompaction folds both under batch=-1
+    // at build time, and the as-of probe (batch < 2) must reproduce
+    // the SAME brute-force truth — the compaction-invisibility
+    // contract, DuckDB-gated end to end. FULLY oracled (dd23's SQL).
+    "dd24_fuzzy_probe_compacted" -> { (s, dir) =>
+      val batch = Tables(s, dir).customer
+        .filter(col("c_custkey") % 9 === 0 && col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      Dedup.fuzzyIndexMatches(s, fzCompactedIndexPath(s, dir), batch,
+          "c_custkey", "c_name", excludeBatchFrom = Some(2L))
         .select(col("c_custkey").as("id1"), col("k"), col("dist"))
     },
 
@@ -2192,6 +2223,14 @@ object PipelineQueries {
     // must reproduce every lev<=1 link between the batch slice and the
     // seeded corpus slice, with the distances
     "dd23_fuzzy_crawl_probe" ->
+      """SELECT DISTINCT a.c_custkey AS id1, b.c_name AS k,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a, customer b
+         WHERE a.c_custkey % 9 = 0 AND a.c_custkey % 7 = 0
+           AND b.c_custkey % 9 = 0 AND b.c_custkey % 7 <> 0
+           AND levenshtein(a.c_name, b.c_name) <= 1""",
+    // dd24 = dd23's truth verbatim: compaction must be invisible
+    "dd24_fuzzy_probe_compacted" ->
       """SELECT DISTINCT a.c_custkey AS id1, b.c_name AS k,
                 CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
          FROM customer a, customer b
