@@ -58,6 +58,22 @@ object PipelineQueries {
       p
     })
 
+  /** Streaming-fuzzy MINHASH-tier index seeded with 80-char document
+    * prefixes (doc_id % 4 != 0) — the long-key tier dd25 gates: at
+    * dist <= 1 on ~80-char keys the char-bigram Jaccard is >= ~0.89
+    * by construction (one edit perturbs <= 2 bigrams), so 2-row
+    * banding recall is certain and the probe reproduces brute force.
+    */
+  private def fzMinhashIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(s"$dir#fz1_minhash", {
+      val p = s"${indexRoot(dir)}/fz1_minhash"
+      Dedup.fuzzyIndexPut(s, p,
+        Tables(s, dir).documents.filter(col("doc_id") % 4 =!= 0)
+          .select(substring(col("text"), 1, 80).as("k")),
+        "k", batch = 0L, maxDist = 1, tier = "minhash")
+      p
+    })
+
   /** Streaming-fuzzy exact-tier index seeded ONCE with the corpus side
     * of dd23's boundary (customer %9 slice, %7 != 0 names) — the
     * seed-then-probe shape of the incremental crawl's fuzzy arm.
@@ -1105,6 +1121,24 @@ object PipelineQueries {
       Dedup.fuzzyIndexMatches(s, fzIndexPath(s, dir), batch,
           "c_custkey", "c_name", excludeBatchFrom = Some(1L))
         .select(col("c_custkey").as("id1"), col("k"), col("dist"))
+    },
+
+    // The MINHASH tier of the fuzzy probe, oracle-gated in the regime
+    // where banding recall is CERTAIN (the dd02/dd13 argument): probe
+    // keys are the corpus's 80-char document prefixes perturbed at one
+    // position, so every true dist<=1 pair shares >= ~89% of its char
+    // bigrams and 2-row banding cannot miss it; precision is exact by
+    // verification. DuckDB recomputes the brute-force cross-boundary
+    // truth with the same perturbation. FULLY oracled.
+    "dd25_fuzzy_probe_minhash" -> { (s, dir) =>
+      val probe = Tables(s, dir).documents
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 39), lit("~"),
+            substring(col("text"), 41, 40)).as("pk"))
+      Dedup.fuzzyIndexMatches(s, fzMinhashIndexPath(s, dir), probe,
+          "doc_id", "pk")
+        .select(col("doc_id").as("id1"), col("k"), col("dist"))
     },
 
     // dd23's probe against a COMPACTED index: the corpus is admitted
@@ -2229,6 +2263,18 @@ object PipelineQueries {
          WHERE a.c_custkey % 9 = 0 AND a.c_custkey % 7 = 0
            AND b.c_custkey % 9 = 0 AND b.c_custkey % 7 <> 0
            AND levenshtein(a.c_name, b.c_name) <= 1""",
+    // brute-force truth for the minhash-tier probe: same perturbation,
+    // exhaustive lev<=1 across the boundary
+    "dd25_fuzzy_probe_minhash" ->
+      """WITH c AS (SELECT DISTINCT substr(text, 1, 80) AS k
+                    FROM documents WHERE doc_id % 4 <> 0),
+         p AS (SELECT doc_id,
+                      substr(text, 1, 39) || '~' || substr(text, 41, 40) AS pk
+               FROM documents WHERE doc_id % 4 = 0)
+         SELECT DISTINCT p.doc_id AS id1, c.k,
+                CAST(levenshtein(p.pk, c.k) AS BIGINT) AS dist
+         FROM p, c
+         WHERE levenshtein(p.pk, c.k) <= 1""",
     // dd24 = dd23's truth verbatim: compaction must be invisible
     "dd24_fuzzy_probe_compacted" ->
       """SELECT DISTINCT a.c_custkey AS id1, b.c_name AS k,
