@@ -812,8 +812,13 @@ object Similarity {
     val cent = spark.read.parquet(s"$indexDir/_centroids")
     val vecs = spark.read.parquet(s"$indexDir/vecs")
     val nd = dimsOf(vecs, "v")
+    // bucket partition values come back as DISCOVERED types (int for
+    // numeric ids, string otherwise) while cid keeps the id column's
+    // own type — compare as strings so a string-id index audits
+    // instead of null-joining to an empty report
     val perBatch = vecs
-      .join(broadcast(cent), vecs("__bucket").cast("long") === cent("cid"))
+      .join(broadcast(cent),
+        vecs("__bucket").cast("string") === cent("cid").cast("string"))
       .select(col("batch"), sqDist(col("v"), col("c"), nd).as("__d"))
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_vecs"),
