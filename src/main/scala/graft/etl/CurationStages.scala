@@ -310,6 +310,21 @@ object CurationStages {
         // against their own derived frames
         val batch = batch0.localCheckpoint(true)
         if (!batch.isEmpty) {
+          // FIRST, before any probe reads an index: repair interrupted
+          // compactions. compactDir's crash window (batch partitions
+          // deleted, tmp not yet renamed) leaves an index missing every
+          // consolidated row, and the recovery inside the compaction
+          // step at the END of the batch comes too late — a replayed
+          // batch would probe the broken index, admit duplicates, and
+          // commit. Also covers an admin CALL curation.compactIndex
+          // that crashed and was never re-run. Idempotent, two exists()
+          // calls per component on a healthy index.
+          pipeline.stages.foreach { st =>
+            st.params.get("index_dir").foreach(idx =>
+              graft.operators.BatchCompaction.recoverIndex(spark, idx))
+            st.params.get("ledger_dir").foreach(led =>
+              graft.operators.BatchCompaction.recoverDir(spark, led, "batch"))
+          }
           // index writes are collected, not executed, during the fold:
           // they run only after the output write commits, and only
           // over ids that reached the output
@@ -378,8 +393,9 @@ object CurationStages {
           // (BatchCompaction — as-of semantics preserved). Safe inside
           // the batch: only COMMITTED batches (<= batchId - retain) are
           // folded, so no foldable batch can ever replay, and a crash
-          // mid-compaction is repaired by the marker recovery on the
-          // replay of THIS batch. Without this, a months-long crawl
+          // mid-compaction is repaired by the recoverIndex pass at the
+          // START of the replayed batch — before its probes read the
+          // index, not here. Without this, a months-long crawl
           // accrues one partition per micro-batch and probe listing
           // costs grow linearly in batch count.
           pipeline.stages.foreach { st =>

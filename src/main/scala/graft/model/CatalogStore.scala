@@ -372,12 +372,19 @@ object CatalogStore {
     *
     * Refuses (IllegalStateException naming the versions) to delete a
     * version under an active read lease unless `force = true` — see
-    * the class doc's open-readers contract. Claim markers are
-    * collected ONLY when their number falls at/below the pruned range:
-    * a directory-less claim ABOVE it may be an in-flight saver
-    * mid-write, and deleting it would re-open its number for a second
-    * claimer — the interleaved-write hazard the claims exist to
-    * prevent. `force = true` also collects those (the administrative
+    * the class doc's open-readers contract; the lease check is
+    * re-run immediately before each version's delete, so a reader
+    * that leases a candidate mid-prune is skipped (and reported)
+    * rather than having its files deleted underneath it. Claim
+    * markers are collected ONLY when their number falls at/below the
+    * pruned range: a directory-less claim ABOVE it may be an
+    * in-flight saver mid-write, and deleting it would re-open its
+    * number for a second claimer — the interleaved-write hazard the
+    * claims exist to prevent. The same in-flight protection covers a
+    * saver that has already created its version DIRECTORY (tables
+    * written, `_manifest` not yet): unfinished versions numbered
+    * above the finished pruned range keep directory and claim
+    * together. `force = true` collects both (the administrative
     * caller asserting nothing is in flight).
     */
   def prune(spark: SparkSession, dir: String, retainLast: Int = 1,
@@ -392,7 +399,13 @@ object CatalogStore {
     val candidates = all.filterNot(retained.contains)
     // active read leases on would-be-pruned versions → refuse (the
     // reader's lazy plans still point at those files); a lease older
-    // than graft.catalog.lease.ttl.ms is a crashed reader and ignored
+    // than graft.catalog.lease.ttl.ms is a crashed reader and ignored.
+    // CAVEAT: the age compares this driver's clock to the FILESYSTEM's
+    // modification time — on a store whose clock skews ahead of the
+    // driver's by ~ttl, a live lease can look expired. Size the TTL in
+    // minutes-to-hours (crash recovery, not coordination) or leave the
+    // default 0 = never expire, where crashed readers block until
+    // close()/force.
     val ttl = spark.conf.get("graft.catalog.lease.ttl.ms", "0").toLong
     val now = System.currentTimeMillis()
     def leaseFiles = fs.listStatus(p).toSeq.filter(st =>
@@ -411,17 +424,52 @@ object CatalogStore {
             "prune(force = true) — an overridden reader fails mid-query " +
             "on the deleted files.")
     }
-    candidates.foreach(v => fs.delete(new Path(s"$dir/$v"), true))
+    // an UNFINISHED candidate (no _manifest) above every finished
+    // candidate may be an in-flight saver that has created its version
+    // directory but not yet written its manifest — deleting it would
+    // yank tables out from under the writer, the same hazard the
+    // claim-marker preservation exists for. Keep directory AND claim
+    // together: unfinished versions numbered above the finished pruned
+    // range survive unless `force` (the administrative caller asserting
+    // nothing is in flight); unfinished debris BELOW a finished
+    // candidate is a long-dead crashed save and is collected.
+    val finishedNums = candidates.filter(finished.contains)
+      .collect { case VersionRe(n) => n.toLong }
+    val maxFinishedPruned =
+      if (finishedNums.isEmpty) -1L else finishedNums.max
+    val deletable = candidates.filter { v =>
+      force || finished.contains(v) ||
+        (v match { case VersionRe(n) => n.toLong <= maxFinishedPruned
+                   case _ => true })
+    }
+    // re-check for a lease IMMEDIATELY before each delete: a reader
+    // explicitly loading an older retained-but-now-candidate version
+    // can lease it after the listing above (TOCTOU — the window
+    // shrinks to the exists-then-delete gap, which only a filesystem
+    // transaction could close). Late-leased versions are skipped and
+    // reported AFTER the remaining candidates are pruned.
+    def leasedNow(v: String): Boolean = leaseFiles.exists(st =>
+      st.getPath.getName.startsWith(s"_lease_${v}_") &&
+        (ttl <= 0 || now - st.getModificationTime < ttl))
+    val (lateBlocked, deleted) =
+      deletable.partition(v => !force && leasedNow(v))
+    deleted.foreach(v => fs.delete(new Path(s"$dir/$v"), true))
     // lease markers of the versions just pruned (expired or forced)
     // have nothing left to protect
-    leaseFiles.filter(st => candidates.exists(v =>
+    leaseFiles.filter(st => deleted.exists(v =>
         st.getPath.getName.startsWith(s"_lease_${v}_")))
       .foreach(st => fs.delete(st.getPath, false))
-    val prunedNums = candidates.collect { case VersionRe(n) => n.toLong }
+    val prunedNums = deleted.collect { case VersionRe(n) => n.toLong }
     val maxPruned = if (prunedNums.isEmpty) -1L else prunedNums.max
     listClaims(spark, dir)
       .filter(n => force || n <= maxPruned)
       .map(n => f"v$n%05d").filterNot(retained.contains)
       .foreach(v => fs.delete(new Path(s"$dir/_claim_$v"), false))
+    if (lateBlocked.nonEmpty)
+      throw new IllegalStateException(
+        s"prune: version(s) ${lateBlocked.mkString(", ")} at $dir were " +
+          "leased by a reader after the initial lease check and were " +
+          "NOT pruned (every other candidate was); re-run prune after " +
+          "the readers close().")
   }
 }

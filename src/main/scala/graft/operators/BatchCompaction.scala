@@ -69,6 +69,24 @@ object BatchCompaction {
         fs.delete(st.getPath, true)
     }
 
+  /** Rename `src` to `dst` and VERIFY it took: `FileSystem.rename`
+    * reports failure as a `false` return (object-store semantics, dst
+    * oddities), and an unchecked false here is how the swap protocol
+    * loses data — a later recovery that sees the commit marker gone
+    * (or, worse, a tmp with no marker) classifies the still-unrenamed
+    * tmp as garbage and deletes the only copy of the consolidated
+    * rows. Failing loudly keeps the marker in place, so recovery can
+    * redo the swap.
+    */
+  private[graft] def renameOrThrow(fs: FileSystem, src: Path,
+                                   dst: Path): Unit = {
+    if (!fs.rename(src, dst) || !fs.exists(dst))
+      throw new java.io.IOException(
+        s"rename $src -> $dst failed (filesystem returned false or the " +
+          "destination is missing); the commit marker is left in place " +
+          "so a recovery pass can redo the swap")
+  }
+
   /** Repair an interrupted compaction of `dir` (idempotent; no-op on a
     * healthy directory). Run automatically at the start of every
     * [[compactDir]].
@@ -87,8 +105,12 @@ object BatchCompaction {
       }
       if (fs.exists(tmp)) {
         deleteBatches(fs, d, batchCol, upTo)
-        fs.rename(tmp, new Path(d, s"$batchCol=-1"))
+        renameOrThrow(fs, tmp, new Path(d, s"$batchCol=-1"))
       }
+      // the marker falls only after the consolidated partition is
+      // verifiably in place — a false rename above throws with the
+      // marker intact, so the next recovery retries the swap instead
+      // of classifying the tmp as pre-commit garbage
       fs.delete(marker, false)
       ()
     } else if (fs.exists(tmp)) {
@@ -131,7 +153,7 @@ object BatchCompaction {
     val out = fs.create(marker, true)
     try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
     deleteBatches(fs, d, batchCol, upTo)
-    fs.rename(tmp, new Path(d, s"$batchCol=-1"))
+    renameOrThrow(fs, tmp, new Path(d, s"$batchCol=-1"))
     fs.delete(marker, false)
     (before, dataFileCount(fs, d))
   }
@@ -142,20 +164,41 @@ object BatchCompaction {
     * `upTo`. `_meta`/`_centroids` are untouched. Returns one stats
     * row per component present.
     */
+  /** Every batch-partitioned component a streaming dedup index can
+    * have, with its residual partition columns: exact-stage `keys`,
+    * minhash `bands`/`_sigs`, vector `vecs`, and the fuzzy arm's
+    * deletion-hood keys plus its nested char-bigram sketch (a full
+    * minHashIndexPut layout).
+    */
+  private val indexComponents: Seq[(String, Seq[String])] = Seq(
+    ("keys", Seq.empty[String]),
+    ("bands", Seq("band")),
+    ("_sigs", Seq.empty[String]),
+    ("vecs", Seq("__bucket")),
+    ("hood", Seq.empty[String]),
+    ("sketch/bands", Seq("band")),
+    ("sketch/_sigs", Seq.empty[String]))
+
+  /** Repair any interrupted compaction across ALL components of a
+    * streaming dedup index-at-rest (idempotent, two `exists` calls per
+    * component on a healthy index). MUST run before a probe reads the
+    * index whenever a compaction could have crashed since the last
+    * read: [[compactDir]]'s window between the batch deletes and the
+    * tmp rename leaves the index missing every consolidated row, and
+    * the recovery inside the COMPACTION step comes too late for the
+    * probes at the START of a replayed micro-batch — the ordering hole
+    * this entry point closes ([[graft.etl.CurationStages.runStreaming]]
+    * calls it per micro-batch, next to the legacy-layout migration).
+    */
+  def recoverIndex(spark: SparkSession, indexDir: String): Unit =
+    indexComponents.foreach { case (name, _) =>
+      recoverDir(spark, s"$indexDir/$name", "batch")
+    }
+
   def compactIndex(spark: SparkSession, indexDir: String,
                    upTo: Long, targetFiles: Int = 1): DataFrame = {
     import spark.implicits._
-    val components = Seq(
-      ("keys", Seq.empty[String]),
-      ("bands", Seq("band")),
-      ("_sigs", Seq.empty[String]),
-      ("vecs", Seq("__bucket")),
-      // the fuzzy arm: deletion-hood keys, and its minhash tier's
-      // nested char-bigram sketch (a full minHashIndexPut layout)
-      ("hood", Seq.empty[String]),
-      ("sketch/bands", Seq("band")),
-      ("sketch/_sigs", Seq.empty[String]))
-    val rows = components.flatMap { case (name, residual) =>
+    val rows = indexComponents.flatMap { case (name, residual) =>
       val p = new Path(s"$indexDir/$name")
       if (fsOf(spark, p).exists(p)) {
         val (b, a) = compactDir(spark, s"$indexDir/$name", "batch",

@@ -691,11 +691,14 @@ object Dedup {
     if (fs.exists(mig)) {
       if (!fs.exists(dir)) fs.mkdirs(dir)
       val dst = new org.apache.hadoop.fs.Path(dir, "batch=-1")
-      if (!fs.exists(dst)) fs.rename(mig, dst)
+      // renames are CHECKED (BatchCompaction.renameOrThrow): an
+      // unchecked false here would silently leave the legacy rows in
+      // the staging sibling while probes read an empty batch=-1
+      if (!fs.exists(dst)) BatchCompaction.renameOrThrow(fs, mig, dst)
       else {
         // a re-migration raced a completed one: fold the stragglers in
-        fs.listStatus(mig).foreach(s => fs.rename(s.getPath,
-          new org.apache.hadoop.fs.Path(dst, s.getPath.getName)))
+        fs.listStatus(mig).foreach(s => BatchCompaction.renameOrThrow(fs,
+          s.getPath, new org.apache.hadoop.fs.Path(dst, s.getPath.getName)))
         fs.delete(mig, true)
       }
       ()
@@ -725,7 +728,7 @@ object Dedup {
         !n.startsWith("batch=") && !n.startsWith("_") && !n.startsWith(".")
       }
       if (flat) {
-        fs.rename(dir, new org.apache.hadoop.fs.Path(
+        BatchCompaction.renameOrThrow(fs, dir, new org.apache.hadoop.fs.Path(
           dir.getParent, dir.getName + ".__migrating"))
         completeBatchMigration(fs, dir)
       }
@@ -756,14 +759,18 @@ object Dedup {
                          excludeBatchFrom: Option[Long] = None): DataFrame = {
     val m = spark.read.parquet(s"$path/_meta").head()
     val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
-    // a crash mid-way through ensureBatchLayout's legacy migration
-    // must not wedge the probe: finish the interrupted renames first
-    // (no-op in every other state)
+    // a crash mid-way through ensureBatchLayout's legacy migration —
+    // or mid-way through a BatchCompaction swap (batch partitions
+    // deleted, tmp not yet renamed) — must not leave the probe reading
+    // a broken index: finish the interrupted renames first (no-op in
+    // every other state)
     locally {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       completeBatchMigration(fs, new org.apache.hadoop.fs.Path(s"$path/bands"))
       completeBatchMigration(fs, new org.apache.hadoop.fs.Path(s"$path/_sigs"))
+      BatchCompaction.recoverDir(spark, s"$path/bands", "batch")
+      BatchCompaction.recoverDir(spark, s"$path/_sigs", "batch")
     }
     // batch-tagged (minHashIndexPut) indexes only: a replayed
     // micro-batch must probe the index AS OF the batches before it —
@@ -1453,10 +1460,17 @@ object Dedup {
       .localCheckpoint(true)
     def spaced(d: DataFrame): DataFrame = d.select(col("s").as("id"),
       regexp_replace(col("s"), "(?s)(.)", "$1 ").as("chars"))
-    val (tier, md) =
+    // an EXISTING index pins tier/maxDist AND the minhash sketch params:
+    // the intra-batch banding (edLshSelfPairs) and the admit's
+    // minHashIndexPut must use the num_hashes/bands the index was
+    // created with, not the caller's — a crawl configured differently
+    // than the fuzzyIndexPut seed would otherwise silently change
+    // intra-batch banding recall and let the outer _meta drift from the
+    // sketch's own _meta
+    val (tier, md, nh, bs) =
       if (have) {
         val m = spark.read.parquet(s"$indexDir/_meta").head()
-        (m.getString(0), m.getInt(1))
+        (m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3))
       } else {
         val density = deletionCollisionDensity(v, "s", maxDist,
           sampleSixteenths)
@@ -1473,7 +1487,7 @@ object Dedup {
           s"[graft] streaming fuzzy routing: tier=$t density=$density " +
             s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
             s"(max $maxMeanKeyLen) maxDist=$maxDist")
-        (t, maxDist)
+        (t, maxDist, numHashes, bands)
       }
     // 1. cross-batch drop: batch strings within md of anything the
     //    index admitted before this batch
@@ -1490,7 +1504,7 @@ object Dedup {
       if (tier == "exact") editDistancePairs(pre, idCol, strCol, md)
       else edLshSelfPairs(
         pre.select(col(idCol).as("id"), col(strCol).as("s")),
-        md, numHashes, bands)
+        md, nh, bs)
     val nonCanon = Components
       .connectedComponents(pairs.select(col("id1"), col("id2")),
         "id1", "id2")
@@ -1515,8 +1529,8 @@ object Dedup {
         } else {
           minHashIndexPut(spark, s"$indexDir/sketch",
             spaced(keys.select(col("k").as("s"))), "id", "chars",
-            batchId, shingleSize = 2, numHashes = numHashes,
-            bands = bands)
+            batchId, shingleSize = 2, numHashes = nh,
+            bands = bs)
         }
         // the outer _meta pins the tier and means "the index exists":
         // write it only once the tier's OWN write actually landed. The
@@ -1529,7 +1543,7 @@ object Dedup {
           fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sketch/_meta"))
         if (tierLanded && !fs.exists(metaPath)) {
           import spark.implicits._
-          Seq((tier, md, numHashes, bands))
+          Seq((tier, md, nh, bs))
             .toDF("tier", "max_dist", "num_hashes", "bands")
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$indexDir/_meta")
@@ -1555,6 +1569,9 @@ object Dedup {
         val hoodDir = new org.apache.hadoop.fs.Path(s"$indexDir/hood")
         val fs = hoodDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         completeBatchMigration(fs, hoodDir)
+        // interrupted-compaction repair before the read, same as the
+        // migration completion above (the minHashIndexLookup discipline)
+        BatchCompaction.recoverDir(spark, s"$indexDir/hood", "batch")
         val idx0 = spark.read.parquet(s"$indexDir/hood")
         val idx = excludeBatchFrom match {
           case Some(b) if idx0.columns.contains("batch") =>

@@ -692,9 +692,13 @@ object Similarity {
       .select(col("id"), col("v"), col("cid").as("__bucket"), col("__rn"))
       .localCheckpoint(true)
     val home = assigned.filter(col("__rn") === 1).drop("__rn")
-    // 1. cross-batch drop (index as of batches before this one)
+    // 1. cross-batch drop (index as of batches before this one). An
+    //    interrupted compaction (batch partitions deleted, tmp not yet
+    //    renamed) is repaired BEFORE the read — a probe against the
+    //    broken window would silently re-admit everything consolidated
     val pre =
       if (have) {
+        BatchCompaction.recoverDir(spark, s"$indexDir/vecs", "batch")
         val idx = spark.read.parquet(s"$indexDir/vecs")
           .filter(col("batch") < lit(batchId))
           .select(col("__bucket"), col("v").as("iv"))
@@ -809,6 +813,9 @@ object Similarity {
                        indexDir: String,
                        thresholdRatio: Double = 4.0): DataFrame = {
     readMeta(spark, indexDir, "sem_stream")
+    // repair an interrupted compaction before auditing — a broken
+    // window would report drift over a partial index
+    BatchCompaction.recoverDir(spark, s"$indexDir/vecs", "batch")
     val cent = spark.read.parquet(s"$indexDir/_centroids")
     val vecs = spark.read.parquet(s"$indexDir/vecs")
     val nd = dimsOf(vecs, "v")
@@ -867,20 +874,26 @@ object Similarity {
     val liveVecs = new Path(root, "vecs")
     val liveCent = new Path(root, "_centroids")
     def swap(): Unit = {
-      // idempotent completion: every step guards on existence
+      // idempotent completion: every step guards on existence; renames
+      // are CHECKED (a false return with the marker then deleted would
+      // strand the refit dirs as unrecognized garbage — the
+      // BatchCompaction.renameOrThrow rationale)
       if (fs.exists(tmpVecs)) {
         fs.delete(liveVecs, true)
-        fs.rename(tmpVecs, liveVecs)
+        BatchCompaction.renameOrThrow(fs, tmpVecs, liveVecs)
       }
       if (fs.exists(tmpCent)) {
         fs.delete(liveCent, true)
-        fs.rename(tmpCent, liveCent)
+        BatchCompaction.renameOrThrow(fs, tmpCent, liveCent)
       }
       fs.delete(marker, false)
       ()
     }
     if (fs.exists(marker)) { swap(); return } // finish an interrupted refit
     fs.delete(tmpVecs, true); fs.delete(tmpCent, true) // pre-commit garbage
+    // a refit over a mid-compaction index would PERSIST the missing
+    // rows into the rewritten vecs — repair before reading
+    BatchCompaction.recoverDir(spark, s"$indexDir/vecs", "batch")
     val vecs = spark.read.parquet(s"$indexDir/vecs")
       .select(col("id"), col("v"), col("batch"))
     val nd = dimsOf(vecs, "v")

@@ -808,6 +808,46 @@ class MutationSpec extends SparkSpec {
     r2.close() // idempotent even though the lease file is gone
   }
 
+  test("catalog snapshot prune: an in-flight saver's PARTIAL version " +
+    "directory (claim + tables, _manifest not yet) survives prune with " +
+    "its claim; the same version is collected once a LATER finished " +
+    "version prunes above it (then it is crashed debris, not in-flight)") {
+    import graft.model.CatalogStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp")
+      .toFile.getAbsolutePath
+    val eng = freshEngine
+    CatalogStore.save(spark, eng.catalog, dir) // v00001
+    CatalogStore.save(spark, eng.catalog, dir) // v00002 (current)
+    // an in-flight saver mid-write: claim taken, version directory
+    // created with table data, manifest NOT yet written
+    new java.io.File(s"$dir/_claim_v00003").createNewFile()
+    new java.io.File(s"$dir/v00003/Person").mkdirs()
+    CatalogStore.prune(spark, dir)
+    // v00001 pruned; the in-flight v00003 keeps DIRECTORY and CLAIM
+    // together (the r14 advisor inconsistency: the old code kept the
+    // claim but deleted the half-written directory under the saver)
+    assert(!new java.io.File(s"$dir/v00001").exists())
+    assert(new java.io.File(s"$dir/v00003/Person").isDirectory)
+    assert(new java.io.File(s"$dir/_claim_v00003").exists())
+    // a later saver numbers PAST the in-flight claim
+    assert(CatalogStore.save(spark, eng.catalog, dir) == "v00004")
+    assert(CatalogStore.save(spark, eng.catalog, dir) == "v00005")
+    // now v00003 sorts BELOW a finished prune candidate (v00004):
+    // nothing in flight can still hold it — collected, claim included
+    CatalogStore.prune(spark, dir)
+    assert(CatalogStore.versions(spark, dir) == Seq("v00005"),
+      CatalogStore.versions(spark, dir))
+    assert(!new java.io.File(s"$dir/v00003").exists())
+    assert(!new java.io.File(s"$dir/_claim_v00003").exists())
+    // force collects a fresh in-flight partial too (the administrative
+    // caller asserting nothing is in flight)
+    new java.io.File(s"$dir/_claim_v00006").createNewFile()
+    new java.io.File(s"$dir/v00006/Person").mkdirs()
+    CatalogStore.prune(spark, dir, force = true)
+    assert(!new java.io.File(s"$dir/v00006").exists())
+    assert(!new java.io.File(s"$dir/_claim_v00006").exists())
+  }
+
   test("CALL catalog.save/versions/prune: snapshots are reachable from " +
     "the Cypher surface and SHOW PROCEDURES lists them") {
     import graft.model.CatalogStore

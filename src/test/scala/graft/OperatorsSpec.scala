@@ -2066,6 +2066,99 @@ class OperatorsSpec extends SparkSpec {
     assert(links() == before)
   }
 
+  test("compaction CRASH WINDOW is repaired BEFORE the next probe reads " +
+    "the index: tmp written, marker committed, batch partitions deleted, " +
+    "rename never ran — the probe still sees every admitted key") {
+    import graft.operators.BatchCompaction
+    val d = s"${java.nio.file.Files.createTempDirectory("graft_fzx")}/index"
+    Dedup.fuzzyIndexPut(spark,
+      d, Seq("martha stewart", "david bowie").toDF("k"), "k",
+      batch = 0L, maxDist = 1)
+    Dedup.fuzzyIndexPut(spark, d, Seq("someone else").toDF("k"), "k",
+      batch = 1L)
+    val probe = Seq((1L, "martha stewar"), (2L, "someone elsx"),
+      (3L, "unrelated")).toDF("id", "s")
+    def links(): Seq[(Long, String, Long)] =
+      Dedup.fuzzyIndexMatches(spark, d, probe, "id", "s")
+        .orderBy("id", "k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val before = links()
+    assert(before.map(_._1).toSet == Set(1L, 2L), before)
+    // SIMULATE compactDir dying in the window the r14 advisor flagged:
+    // consolidated rows fully in .compact_tmp, _compact_commit marker
+    // written, old batch partitions deleted — the rename to batch=-1
+    // never ran. A probe reading the raw directory now would see an
+    // index missing EVERY admitted key and silently re-admit dups.
+    val hood = s"$d/hood"
+    val consolidated = spark.read.parquet(hood)
+      .filter(col("batch") <= 1).drop("batch").coalesce(1)
+    consolidated.write.parquet(s"$hood/.compact_tmp")
+    val fs = new org.apache.hadoop.fs.Path(hood)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$hood/_compact_commit")
+    val out = fs.create(marker, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hood/batch=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hood/batch=1"), true)
+    // the probe path repairs first (matchStrings → recoverDir), so the
+    // links are bit-identical to the healthy index
+    assert(links() == before, "probe read the broken mid-compaction index")
+    assert(new java.io.File(s"$hood/batch=-1").isDirectory)
+    assert(!fs.exists(marker))
+    assert(!new java.io.File(s"$hood/.compact_tmp").exists())
+    // and renameOrThrow fails LOUDLY on a rename the filesystem
+    // refuses, leaving the marker protocol able to retry — an
+    // unchecked false here is how recovery would misclassify a live
+    // tmp as garbage (permanent data loss)
+    // (local fs reports the missing source itself; object stores
+    // return false and hit renameOrThrow's own message — both are
+    // loud IOExceptions, which is the contract)
+    val err = intercept[java.io.IOException] {
+      BatchCompaction.renameOrThrow(fs,
+        new org.apache.hadoop.fs.Path(s"$hood/.does_not_exist"),
+        new org.apache.hadoop.fs.Path(s"$hood/.dst"))
+    }
+    assert(err.getMessage.contains(".does_not_exist") ||
+      err.getMessage.contains("rename"), err.getMessage)
+  }
+
+  test("fuzzyCrawlBatch pins the minhash sketch params from the index " +
+    "_meta: a crawl configured with DIFFERENT num_hashes/bands than the " +
+    "seed keeps the seed's, so sketch and outer _meta can never drift") {
+    val d = s"${java.nio.file.Files.createTempDirectory("graft_fzm")}/index"
+    // ~80-char keys: the dd25 certain-recall regime (char-bigram jaccard
+    // >= ~0.97 at dist<=1, miss probability ~1e-10 even at 16 hashes)
+    val k1 = "the quick brown fox jumps over the lazy dog while " +
+      "the band plays on through the night"
+    val k2 = "completely different second seed key about winter " +
+      "mornings and the sound of distant trains"
+    Dedup.fuzzyIndexPut(spark, d, Seq(k1, k2).toDF("k"), "k",
+      batch = -1L, maxDist = 1, tier = "minhash", numHashes = 16, bands = 8)
+    val om0 = spark.read.parquet(s"$d/_meta").head()
+    assert(om0.getString(0) == "minhash" &&
+      (om0.getInt(2), om0.getInt(3)) == (16, 8))
+    // crawl with caller params 64/32 (the defaults): one near-dup of k1
+    // (one char deleted) and one fresh key
+    val batch = Seq((1L, k1.dropRight(1)), (2L, "a genuinely new key"))
+      .toDF("id", "s")
+    val (surv, admit) = Dedup.fuzzyCrawlBatch(spark, d, batch,
+      "id", "s", batchId = 0L, maxDist = 1, numHashes = 64, bands = 32)
+    val kept = surv.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"cross-batch minhash probe missed: $kept")
+    admit(surv.select(col("id")))
+    // the admitted sketch kept the SEED's params, not the caller's
+    val sm = spark.read.parquet(s"$d/sketch/_meta").head()
+    assert((sm.getInt(1), sm.getInt(2)) == (16, 8),
+      s"sketch _meta drifted: (${sm.getInt(1)}, ${sm.getInt(2)})")
+    val om = spark.read.parquet(s"$d/_meta").head()
+    assert((om.getInt(2), om.getInt(3)) == (16, 8))
+    // and the newly admitted key is findable at the pinned params
+    val hits = Dedup.fuzzyIndexMatches(spark, d,
+        Seq((9L, "a genuinely new kez")).toDF("id", "s"), "id", "s")
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(hits == Set("a genuinely new key"), hits)
+  }
+
   test("graft.iter.checkpointDir routes loop pins through reliable " +
     "checkpoints: results unchanged, and free() RECLAIMS superseded " +
     "rounds' checkpoint directories (bounded disk, not one dir/round)") {

@@ -1398,6 +1398,60 @@ class StreamingSpec extends SparkSpec {
     assert(survivors() == Set(1L, 2L, 4L, 6L, 8L), survivors())
   }
 
+  test("YAML streaming: an interrupted index compaction is repaired at " +
+    "the START of the next micro-batch — before its probes read the " +
+    "index — so no admitted key is ever re-admitted (r14 advisor hole)") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val src = Files.createTempDirectory("graft_cr_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_cr_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_cr_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_cr_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: cr}
+         |curation:
+         |  - id: cr
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: exact_dedup, index_dir: $idx}
+         |""".stripMargin)
+    def run(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "cr")
+      q.processAllAvailable(); q.stop()
+    }
+    def survivors(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    run(Seq((1L, "alpha"), (2L, "beta")))   // batch 0
+    run(Seq((3L, "alpha"), (4L, "gamma")))  // batch 1
+    assert(survivors() == Set(1L, 2L, 4L), survivors())
+    // SIMULATE an admin `CALL curation.compactIndex` crashing in the
+    // lethal window: consolidated keys in .compact_tmp, marker
+    // committed, batch partitions deleted, rename never ran — and the
+    // admin never re-ran it. The index is now missing EVERY key.
+    val keys = s"$idx/keys"
+    spark.read.parquet(keys).filter(col("batch") <= 1).drop("batch")
+      .coalesce(1).write.parquet(s"$keys/.compact_tmp")
+    val fs = new org.apache.hadoop.fs.Path(keys)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = fs.create(
+      new org.apache.hadoop.fs.Path(s"$keys/_compact_commit"), true)
+    try mk.write("1".getBytes("UTF-8")) finally mk.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$keys/batch=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$keys/batch=1"), true)
+    // the next micro-batch re-sends two already-admitted texts: the
+    // start-of-batch recovery pass must restore the consolidated keys
+    // BEFORE the probe anti-join, or both dups ship to the output
+    run(Seq((5L, "beta"), (6L, "gamma"), (7L, "delta")))  // batch 2
+    assert(survivors() == Set(1L, 2L, 4L, 7L),
+      s"duplicates re-admitted through the broken index: ${survivors()}")
+    assert(new java.io.File(s"$keys/batch=-1").isDirectory)
+    assert(!new java.io.File(s"$keys/_compact_commit").exists())
+  }
+
   test("YAML streaming fuzzy_dedup against an index-at-rest (exact tier): " +
     "cross-batch edit-distance dups drop across restarts, batching is " +
     "boundary-invariant and differential vs the batch stage, and a " +
