@@ -412,7 +412,60 @@ object CurationStages {
               }
             }
           }
+          // DRIFT WATCHDOG: `semantic_dedup` stages with `drift_every: N`
+          // append the NEWEST batch's streamIndexDrift row to a
+          // `drift_dir` ledger every N batches — the index's centroids
+          // are frozen at the first committed batch (FAISS `add`
+          // semantics), so a long crawl needs a periodic self-audit, not
+          // a manual CALL someone must remember. The row is
+          // audit_batch-tagged with dynamic partition overwrite (a
+          // replayed batch overwrites its own audit, exactly-once like
+          // every write in this loop); an `alert` row (drift ratio over
+          // `drift_threshold`, default 4.0) is also logged — the
+          // operator response is an offline
+          // [[graft.operators.Similarity.refitStreamIndex]].
+          pipeline.stages.foreach { st =>
+            if (st.op == "semantic_dedup" && st.params.contains("index_dir") &&
+                st.params.contains("drift_dir")) {
+              st.params.get("drift_every").map(_.toLong).foreach { every =>
+                val idx = st.params("index_dir")
+                val meta = new org.apache.hadoop.fs.Path(s"$idx/_meta")
+                val ifs = meta
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                if (every > 0 && batchId % every == 0 && ifs.exists(meta)) {
+                  val thr = st.params.get("drift_threshold")
+                    .map(_.toDouble).getOrElse(4.0)
+                  val latest = graft.operators.Similarity
+                    .streamIndexDrift(spark, idx, thr)
+                    .orderBy(col("batch").desc).limit(1)
+                    .withColumn("audit_batch", lit(batchId))
+                    .localCheckpoint(true)
+                  latest.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("audit_batch")
+                    .parquet(st.params("drift_dir"))
+                  val row = latest.head()
+                  if (row.getAs[Boolean]("alert"))
+                    System.err.println(
+                      s"[graft] drift ALERT pipeline=${pipeline.id} " +
+                        s"index=$idx batch=${row.get(0)} " +
+                        s"mean_dist=${row.getAs[Double]("mean_dist")} " +
+                        s"baseline=${row.getAs[Double]("baseline_dist")} " +
+                        "— frozen centroids no longer fit the stream; " +
+                        "schedule an offline refitStreamIndex")
+                  graft.operators.IterPin.free(latest)
+                }
+              }
+            }
+          }
+          // release this batch's surviving pin deterministically (the
+          // IterPin discipline one level up — every consumer has run:
+          // output write, deferred admits over shipped ids, compaction,
+          // drift audit). Without the free, a high-rate crawl
+          // accumulates block-manager storage between GC cycles.
+          graft.operators.IterPin.free(curated)
         }
+        graft.operators.IterPin.free(batch)
         ()
       }
     pipeline.checkpointUri.fold(writer)(
@@ -535,6 +588,11 @@ object CurationStages {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch").parquet(keysDir)
       }
+      // admit is this batch's LAST consumer of these pins (survivors
+      // already materialized into the curated output checkpoint) —
+      // free them now instead of waiting on GC-triggered cleanup
+      graft.operators.IterPin.free(keys)
+      graft.operators.IterPin.free(survivors)
     }
     (survivors, admit)
   }
@@ -605,10 +663,13 @@ object CurationStages {
       } else df
     val survivors = intraSurvivors(pre, shingleSize, numHashes, bands)
       .localCheckpoint(true)
-    val admit: DataFrame => Unit = shipped =>
+    val admit: DataFrame => Unit = shipped => {
       Dedup.minHashIndexPut(spark, indexDir,
         survivors.join(shipped, Seq(idCol), "left_semi"),
         idCol, textCol, batchId, shingleSize, numHashes, bands)
+      // last consumer of the survivors pin ran (the put is eager)
+      graft.operators.IterPin.free(survivors)
+    }
     (survivors, admit)
   }
 }

@@ -1016,7 +1016,6 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nlist: Int = 0, tau: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nd = Similarity.dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
     // nlist <= 0 → derive from the corpus: candidate cost is
@@ -1032,13 +1031,28 @@ object Dedup {
           .getOrElse(1024)
         math.max(16, math.ceil(v.count().toDouble / target).toInt)
       }
-    val cent = Similarity.sampledCentroids(v, k)
-    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("__dist", Similarity.sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("cluster"),
+    // assignment MAP-SIDE against the plan-constant centroid matrix
+    // (Similarity.centroidAssigner — no broadcast-expand + window
+    // shuffle, the r14 plan-shape fix); the centroid VECTOR for csim
+    // comes back through a broadcast hash equi-join on the assigned
+    // cluster id (nlist rows — map-side, no exchange of the corpus)
+    val spark = df.sparkSession
+    val centPlan = Similarity.sampledCentroids(v, k)
+    val centRows = centPlan.collect().toIndexedSeq
+    // an EMPTY corpus has no centroids to assign against — the result
+    // is the same empty (id, cluster, csim, kept) frame either way
+    if (centRows.isEmpty)
+      return v.limit(0).select(col("id").as(idCol),
+        col("id").as("cluster"), lit(0.0).as("csim"), lit(1).as("kept"))
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), centPlan.schema)
+    val asg = Similarity.centroidAssigner(centRows,
+      centPlan.schema("cid").dataType, 1)
+    val assigned = v
+      .withColumn("cluster", asg.home(col("v")))
+      .join(broadcast(cent.select(col("cid").as("cluster"), col("c"))),
+        Seq("cluster"))
+      .select(col("id"), col("v"), col("cluster"),
         round(Similarity.cosine(col("v"), col("c"), nd), 6).as("csim"))
     val hotClusterWarn = df.sparkSession.conf
       .getOption("graft.semanticDedup.hotClusterWarn").map(_.toInt)
@@ -1549,6 +1563,12 @@ object Dedup {
             .parquet(s"$indexDir/_meta")
         }
       }
+      // admit is the batch's LAST consumer of this operator's pins
+      // (survivors were materialized into the caller's output
+      // checkpoint before admit ran): free deterministically
+      IterPin.free(keys)
+      IterPin.free(survivors)
+      IterPin.free(v)
     }
     (survivors, admit)
   }
@@ -1680,6 +1700,7 @@ object Dedup {
           .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_meta")
       }
     }
+    IterPin.free(keys) // the writes above were the pin's last consumers
   }
 
   /** [[fuzzyLink]] behind the collision-density ROUTER — the

@@ -455,4 +455,43 @@ object GraphAlgos {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_reached"),
         round(sum(lit(1.0) / col("dist")) + lit(1e-11), 6).as("closeness"))
+
+  /** Pivot-sampled harmonic closeness of EVERY vertex (Eppstein & Wang
+    * 2001, "Fast approximation of centrality", SODA — the pivot
+    * estimator, on the harmonic variant): BFS from `pivots` md5-ranked
+    * seed vertices (deterministic — the sampledCentroids rank rule, so
+    * an external SQL engine replays the pivot pick verbatim) and
+    * estimate each vertex's harmonic centrality as
+    * `(n / k) * Σ_pivots 1/d(pivot, v)` — the unbiased scale-up of the
+    * sampled inverse-distance sum (a pivot at `v` itself contributes 0:
+    * `d = 0` rows are excluded, exactly the self-term the true sum
+    * excludes). With `pivots >= n` the sample IS every vertex and the
+    * estimate is the exact (in-)harmonic centrality — the oracle-gate
+    * regime; the scale factor is then exactly 1.0, so values are
+    * bit-identical to the unscaled sum.
+    *
+    * Why this exists: exact all-vertex closeness is all-sources BFS —
+    * state |V| × reached, quadratic-ish in total at 100× data. Here
+    * cost is ∝ pivots × graph (the [[multiSourceHopDistances]] state is
+    * |pivots| × reached), with accuracy O(1/√k) per Eppstein–Wang —
+    * tens of pivots suffice for ranking, independent of |V|.
+    */
+  def sampledHarmonicCloseness(edges: DataFrame, pivots: Int,
+                               maxRounds: Int = 10): DataFrame = {
+    require(pivots >= 1, s"pivots must be >= 1, got $pivots")
+    val verts = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    val n = verts.count()
+    val k = math.min(pivots.toLong, n)
+    val seeds = verts
+      .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
+      .limit(k.toInt)
+    multiSourceHopDistances(edges, seeds, maxRounds)
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("pivots_reached"),
+        round(sum(lit(1.0) / col("dist")) *
+            (lit(n.toDouble) / lit(k.toDouble)) + lit(1e-11), 6)
+          .as("closeness_est"))
+  }
 }

@@ -487,48 +487,132 @@ object Similarity {
       .limit(nlist)
       .select(col("id").as("cid"), col("v").as("c"))
 
+  /** MAP-SIDE coarse assignment against a driver-collected centroid
+    * table — the builders this hands out replace the
+    * `crossJoin(broadcast(cent))` + per-id `row_number` window every
+    * sampled-IVF path used to run. The window was the 100 TB liability
+    * (VERDICT r14 #1): the broadcast cross join is map-side, but
+    * ranking forces an Exchange of the EXPANDED set — nlist (default
+    * 64) rows per vector, each carrying the full vector payload, i.e.
+    * shuffle volume ≈ 64× the corpus on the semantic-dedup/vector-index
+    * path a 100 TB crawl hammers per micro-batch. Assignment now runs
+    * inside the scan's codegen stage against a plan-constant centroid
+    * matrix ([[graft.functions.NearestCentroids]], the PqEncode/
+    * BpeApply reference-object discipline): no join, no window, no
+    * shuffle, bit-identical results (deterministic argmin, ties to the
+    * lower centroid id — the kernel documents the exact parity rules).
+    *
+    * Collecting the centroid table is the blessed bounded collect
+    * (nlist ≤ a few hundred rows — the nlist/codebook-table class);
+    * `ivfSampledIndexWrite` and `pqIndexWrite` always pinned it
+    * driver-side anyway.
+    *
+    * `nearestOrds(v)` → `array<int>` of the `n` nearest centroid
+    * ORDINALS by (squared L2, centroid id); `cidOf(ord)` maps an
+    * ordinal back to the centroid id through a small literal array —
+    * id-type-agnostic (long, int, string ids all sort here with
+    * Spark's own ordering, so the tie rule matches the relational
+    * `orderBy(dist, cid)` exactly); `home(v)` is the rank-1 bucket.
+    */
+  private[graft] final case class CentroidAssigner(
+      nearestOrds: Column => Column, cidOf: Column => Column) {
+    def home(v: Column): Column = cidOf(get(nearestOrds(v), lit(0)))
+  }
+
+  private[graft] def centroidAssigner(
+      centRows: Seq[org.apache.spark.sql.Row],
+      cidType: org.apache.spark.sql.types.DataType,
+      n: Int): CentroidAssigner = {
+    require(centRows.nonEmpty, "centroidAssigner needs >= 1 centroid")
+    require(n >= 1, s"centroidAssigner needs n >= 1, got $n")
+    // ascending-centroid-id matrix with SPARK's ordering for the id
+    // type (UTF8String binary order for strings — java String order
+    // differs on supplementary planes), so kernel ordinal order IS the
+    // relational (dist, cid) tie rule
+    val cmp: (Any, Any) => Int =
+      cidType match {
+        case org.apache.spark.sql.types.StringType => (a, b) =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String]))
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => (a, b) =>
+          java.lang.Long.compare(a.asInstanceOf[Number].longValue,
+            b.asInstanceOf[Number].longValue)
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => (a, b) =>
+          java.lang.Double.compare(a.asInstanceOf[Number].doubleValue,
+            b.asInstanceOf[Number].doubleValue)
+        case other => throw new IllegalArgumentException(
+          s"unsupported centroid id type for map-side assignment: $other")
+      }
+    val sorted = centRows.sortWith((x, y) => cmp(x.get(0), y.get(0)) < 0)
+    require(sorted.forall(!_.isNullAt(1)),
+      "null centroid vector — filter null embeddings before building an " +
+        "index (a null sampled centroid has no meaningful distance to " +
+        "anything)")
+    val matrix: Array[Array[Double]] =
+      sorted.map(_.getSeq[Double](1).toArray).toArray
+    val cids: Seq[Any] = sorted.map(_.get(0))
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val cidArr = column(org.apache.spark.sql.catalyst.expressions.Literal
+      .create(cids, org.apache.spark.sql.types.ArrayType(cidType)))
+    CentroidAssigner(
+      v => column(graft.functions.NearestCentroids(expression(v), matrix, n)),
+      o => get(cidArr, o))
+  }
+
   /** Deterministic cluster ASSIGNMENT (the ann03/dd14 sampled-centroid
     * rule) exposed as its own operator: (id, cluster) by argmin squared
     * L2 against the nlist md5-sampled centroids, ties to the lower
     * centroid id — the front half of every sampled-IVF pipeline, and
-    * the grouping key for cluster-aware mixing/sampling. Broadcast
-    * nlist-row dim; per-id argmin window (partition size = nlist).
+    * the grouping key for cluster-aware mixing/sampling. The nlist-row
+    * centroid table is collected once and assignment runs MAP-SIDE in
+    * the scan's codegen stage ([[centroidAssigner]]) — no join, no
+    * window, no shuffle.
     */
   def ivfSampledAssign(df: DataFrame, idCol: String, vecCol: String,
                        nlist: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val cent = sampledCentroids(v, nlist)
-    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
-    v.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .filter(col("__rn") === 1)
-      .select(col("id").as(idCol), col("cid").as("cluster"))
+    val centRows = cent.collect().toIndexedSeq
+    if (centRows.isEmpty) // empty corpus: empty (id, cluster) frame
+      return v.limit(0).select(col("id").as(idCol), col("id").as("cluster"))
+    val asg = centroidAssigner(centRows, cent.schema("cid").dataType, 1)
+    v.select(col("id").as(idCol), asg.home(col("v")).as("cluster"))
   }
 
   /** Deterministic IVF-Flat top-k: sampled centroids, assignment =
-    * argmin squared distance (broadcast join + per-id argmin window,
-    * ties to the lower centroid id), probe = the same argmin rule on
-    * the query vector, exact cosine inside the probed buckets. Fully
-    * relational — no ML fit, no driver centroid math — and replayable
-    * end-to-end by the DuckDB oracle. The k-means `ivfTopK` remains
-    * the higher-recall learned variant; this is the auditable one.
+    * map-side argmin squared distance against the plan-constant
+    * centroid matrix (ties to the lower centroid id —
+    * [[centroidAssigner]]), probe = the same argmin rule on the query
+    * vector, exact cosine inside the probed buckets. No ML fit; the
+    * only driver work is the nlist-row centroid collect, and the
+    * assignment values are replayable end-to-end by the DuckDB oracle
+    * (same argmin, same tie rule). The k-means `ivfTopK` remains the
+    * higher-recall learned variant; this is the auditable one.
     */
   def ivfSampledTopK(df: DataFrame, idCol: String, vecCol: String,
                      queryVecId: Long, k: Int, nlist: Int = 16,
                      nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val cent = sampledCentroids(v, nlist)
-    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("__bucket"))
+    // centroid table pinned driver-side once: corpus assignment runs
+    // map-side (no window shuffle — centroidAssigner); the probe
+    // ranking below reuses the materialized nlist-row frame instead of
+    // re-running the corpus-wide sample scan
+    val centPlan = sampledCentroids(v, nlist)
+    val centRows = centPlan.collect().toIndexedSeq
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), centPlan.schema)
+    val asg = centroidAssigner(centRows, centPlan.schema("cid").dataType, 1)
+    val assigned = v
+      .withColumn("__bucket", asg.home(col("v")))
+      .select(col("id"), col("v"), col("__bucket"))
     val q = v.filter(col("id") === queryVecId).select(col("v").as("qv"))
     val probes = cent.crossJoin(broadcast(q))
       .select(col("cid"), sqDist(col("c"), col("qv"), nd).as("__dist"))
@@ -547,8 +631,6 @@ object Similarity {
     */
   def ivfSampledIndexWrite(df: DataFrame, idCol: String, vecCol: String,
                            path: String, nlist: Int): Long = {
-    import org.apache.spark.sql.expressions.Window
-    val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // pin the nlist-row centroid table on the driver: the sampled-
     // centroid TakeOrdered is a corpus-wide scan, and leaving it lazy
@@ -563,20 +645,18 @@ object Similarity {
     // column isn't LongType (sampledCentroids itself is id-type-agnostic)
     val cent = spark.createDataFrame(
       spark.sparkContext.parallelize(centRows, 1), centPlan.schema)
-    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
-    v.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("__bucket"))
+    val asg = centroidAssigner(centRows, centPlan.schema("cid").dataType, 1)
+    v.withColumn("__bucket", asg.home(col("v")))
+      .select(col("id"), col("v"), col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
     writeMeta(spark, path, "ivf_sampled", nlist, 0L)
   }
 
   /** Append a batch to a stored deterministic IVF index: assign the
-    * batch vectors to the EXISTING persisted centroids (broadcast
-    * nlist-row table, same argmin rule as the build) and append them to
+    * batch vectors to the EXISTING persisted centroids (map-side
+    * against the collected nlist-row table, same argmin rule as the
+    * build) and append them to
     * their buckets at batch cost; the epoch bumps. Append-assign is the
     * standard IVF maintenance trade-off (FAISS `add` semantics): the
     * coarse quantizer is NOT refit, so if the appended data's
@@ -590,17 +670,13 @@ object Similarity {
   def ivfSampledIndexAppend(spark: org.apache.spark.sql.SparkSession,
                             path: String, df: DataFrame,
                             idCol: String, vecCol: String): Long = {
-    import org.apache.spark.sql.expressions.Window
     val (nlist, _, _) = readMeta(spark, path, "ivf_sampled")
-    val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val cent = spark.read.parquet(s"$path/_centroids")
-    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
-    v.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("__bucket"))
+    val asg = centroidAssigner(cent.collect().toIndexedSeq,
+      cent.schema("cid").dataType, 1)
+    v.withColumn("__bucket", asg.home(col("v")))
+      .select(col("id"), col("v"), col("__bucket"))
       .write.mode("append").partitionBy("__bucket").parquet(path)
     writeMeta(spark, path, "ivf_sampled", nlist, 0L)
   }
@@ -667,7 +743,6 @@ object Similarity {
                          idCol: String, vecCol: String, tau: Double,
                          nlist: Int, nprobe: Int, batchId: Long)
   : (DataFrame, DataFrame => Unit) = {
-    import org.apache.spark.sql.expressions.Window
     val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(true)
@@ -677,21 +752,31 @@ object Similarity {
     // centroids: persisted and frozen after the first committed batch;
     // a replay of batch 0 refits from the same rows (md5-ranked sample
     // — deterministic), so the rebuild is idempotent
-    val cent =
-      if (have) spark.read.parquet(s"$indexDir/_centroids")
-      else {
+    val (centRows, centSchema) =
+      if (have) {
+        val c = spark.read.parquet(s"$indexDir/_centroids")
+        (c.collect().toIndexedSeq, c.schema)
+      } else {
         val plan = sampledCentroids(v, nlist)
-        val rows = plan.collect().toIndexedSeq
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), plan.schema)
+        (plan.collect().toIndexedSeq, plan.schema)
       }
-    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .select(col("id"), col("v"), col("cid").as("__bucket"), col("__rn"))
+    // an EMPTY batch against a not-yet-created index has no centroids
+    // to sample: nothing to dedup, nothing to admit (the empty-admit
+    // guard — never bootstrap an index from a data-less batch)
+    if (!have && centRows.isEmpty) return (df, _ => IterPin.free(v))
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), centSchema)
+    // home bucket AND the nprobe probe set in ONE map-side pass
+    // (centroidAssigner — no broadcast-expand, no window shuffle; the
+    // r14 plan-shape fix): __ords carries the top-nprobe centroid
+    // ordinals per vector, rank-1 is the home bucket
+    val asg = centroidAssigner(centRows, centSchema("cid").dataType,
+      math.max(1, nprobe))
+    val assigned = v
+      .withColumn("__ords", asg.nearestOrds(col("v")))
+      .withColumn("__bucket", asg.cidOf(get(col("__ords"), lit(0))))
       .localCheckpoint(true)
-    val home = assigned.filter(col("__rn") === 1).drop("__rn")
+    val home = assigned.drop("__ords")
     // 1. cross-batch drop (index as of batches before this one). An
     //    interrupted compaction (batch partitions deleted, tmp not yet
     //    renamed) is repaired BEFORE the read — a probe against the
@@ -702,7 +787,9 @@ object Similarity {
         val idx = spark.read.parquet(s"$indexDir/vecs")
           .filter(col("batch") < lit(batchId))
           .select(col("__bucket"), col("v").as("iv"))
-        val dup = assigned.filter(col("__rn") <= nprobe)
+        val dup = assigned
+          .select(col("id"), col("v"), explode(col("__ords")).as("__o"))
+          .select(col("id"), col("v"), asg.cidOf(col("__o")).as("__bucket"))
           .join(idx, Seq("__bucket"))
           .filter(cosine(col("v"), col("iv"), nd) >= tau)
           .select(col("id")).distinct()
@@ -741,6 +828,14 @@ object Similarity {
           writeMeta(spark, indexDir, "sem_stream", nlist, 0L)
         }
       }
+      // admit is the batch's LAST consumer of every pin this operator
+      // took (the caller materialized survivors into its own checkpoint
+      // before the output write — the deferred-admit contract): free
+      // them deterministically instead of waiting on GC
+      IterPin.free(adm)
+      IterPin.free(keep)
+      IterPin.free(assigned)
+      IterPin.free(v)
     }
     (survivors, admit)
   }
@@ -759,28 +854,28 @@ object Similarity {
                   indexDir: String, df: DataFrame,
                   idCol: String, vecCol: String, batch: Long,
                   nlist: Int = 64): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val nd = dimsOf(df, vecCol)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(true)
-    if (v.isEmpty) return
+    if (v.isEmpty) { IterPin.free(v); return }
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val have = fs.exists(metaPath)
-    val cent =
-      if (have) spark.read.parquet(s"$indexDir/_centroids")
-      else {
+    val (centRows, centSchema) =
+      if (have) {
+        val c = spark.read.parquet(s"$indexDir/_centroids")
+        (c.collect().toIndexedSeq, c.schema)
+      } else {
         val plan = sampledCentroids(v, nlist)
-        val rows = plan.collect().toIndexedSeq
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), plan.schema)
+        (plan.collect().toIndexedSeq, plan.schema)
       }
-    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
-    v.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("__bucket"))
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), centSchema)
+    // map-side home-bucket assignment (centroidAssigner): the write
+    // plan is scan → project → sort-for-partitioning, zero Exchange —
+    // PlanSpec gates this shape
+    val asg = centroidAssigner(centRows, centSchema("cid").dataType, 1)
+    v.withColumn("__bucket", asg.home(col("v")))
+      .select(col("id"), col("v"), col("__bucket"))
       .withColumn("batch", lit(batch))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "__bucket").parquet(s"$indexDir/vecs")
@@ -790,6 +885,7 @@ object Similarity {
       writeMeta(spark, indexDir, "sem_stream", nlist, 0L)
       ()
     }
+    IterPin.free(v) // the write was the pin's last consumer
   }
 
   /** Drift audit for a STREAMING vector index
@@ -864,7 +960,6 @@ object Similarity {
   def refitStreamIndex(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.expressions.Window
     val (nlist, _, _) = readMeta(spark, indexDir, "sem_stream")
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -896,16 +991,16 @@ object Similarity {
     BatchCompaction.recoverDir(spark, s"$indexDir/vecs", "batch")
     val vecs = spark.read.parquet(s"$indexDir/vecs")
       .select(col("id"), col("v"), col("batch"))
-    val nd = dimsOf(vecs, "v")
-    val cent = sampledCentroids(vecs.select(col("id"), col("v")), nlist)
-      .localCheckpoint(true)
-    val wid = Window.partitionBy(col("id"), col("batch"))
-      .orderBy(col("__dist"), col("cid"))
-    vecs.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("batch"), col("cid").as("__bucket"))
+    // centroid refit pinned driver-side (nlist rows), reassignment
+    // map-side per ROW — same result as the old per-(id, batch) window
+    // (assignment is a pure function of the vector), zero Exchange
+    val centPlan = sampledCentroids(vecs.select(col("id"), col("v")), nlist)
+    val centRows = centPlan.collect().toIndexedSeq
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), centPlan.schema)
+    val asg = centroidAssigner(centRows, centPlan.schema("cid").dataType, 1)
+    vecs.withColumn("__bucket", asg.home(col("v")))
+      .select(col("id"), col("v"), col("batch"), col("__bucket"))
       .write.mode("overwrite").partitionBy("batch", "__bucket")
       .parquet(tmpVecs.toString)
     cent.coalesce(1).write.mode("overwrite").parquet(tmpCent.toString)
@@ -1039,7 +1134,6 @@ object Similarity {
   def pqIndexWrite(df: DataFrame, idCol: String, vecCol: String,
                    path: String, nlist: Int = 16, m: Int = 8,
                    ksub: Int = 16): Long = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val nd = dimsOf(df, vecCol)
     require(m > 0 && nd % m == 0, s"dims $nd not divisible into $m subspaces")
@@ -1058,12 +1152,12 @@ object Similarity {
       Array.tabulate(m)(mi => sorted.map(_._2.slice(mi * sd, (mi + 1) * sd)).toArray)
     }
     import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
-    val wid = Window.partitionBy(col("id")).orderBy(col("__dist"), col("cid"))
-    v.crossJoin(broadcast(coarse))
-      .withColumn("__dist", sqDist(col("v"), col("c"), nd))
-      .withColumn("__rn", row_number().over(wid))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("__bucket"))
+    // both quantizers map-side in ONE codegen stage: coarse bucket via
+    // the plan-constant centroid matrix, PQ codes via the codebook
+    val asg = centroidAssigner(centRows.take(nlist),
+      centPlan.schema("cid").dataType, 1)
+    v.withColumn("__bucket", asg.home(col("v")))
+      .select(col("id"), col("v"), col("__bucket"))
       .withColumn("codes",
         column(graft.functions.PqEncode(expression(col("v")), codebook)))
       .select(col("id"), col("codes"), col("__bucket"))

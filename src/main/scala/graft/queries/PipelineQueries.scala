@@ -720,6 +720,29 @@ object PipelineQueries {
       GraphAlgos.harmonicCloseness(edges, seeds, maxRounds = 10)
     },
 
+    // Pivot-sampled harmonic closeness of EVERY vertex (Eppstein-Wang)
+    // gated in its EXACT regime: pivots >= |V| makes the sample every
+    // vertex and the scale factor exactly 1.0, so the estimate IS the
+    // all-sources harmonic centrality the DuckDB oracle replays
+    // (fixed-unroll BFS from all vertices over a tighter md5 slice
+    // than gr06 — all-sources state is |V| x reached, the exact cost
+    // the sampled arm exists to avoid at scale). FULLY oracled.
+    "gr08_sampled_closeness" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .filter(substring(md5(concat(col("src").cast("string"), lit("-"),
+          col("dst").cast("string")).cast("binary")), 1, 2) < "06")
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      GraphAlgos.sampledHarmonicCloseness(edges, pivots = Int.MaxValue,
+        maxRounds = 10)
+    },
+
     // CCNet-style LM quality bucketing: stupid-backoff bigram LM
     // trained on the src0 slice, per-doc occurrence-weighted mean
     // -ln S over bigrams, head/middle/tail at the score tertiles.
@@ -2424,6 +2447,32 @@ object PipelineQueries {
          ${(1 to 10).map(iter).mkString(",\n         ")}
          SELECT origin, count(*) AS n_reached,
                 round(sum(1.0 / dist) + 1e-11, 6) AS closeness
+         FROM d10 WHERE dist > 0 GROUP BY 1"""
+    },
+    // full replay of gr08: every vertex is a pivot (the exact regime —
+    // scale factor n/k = 1), 10 unrolled BFS rounds grouped per NODE
+    "gr08_sampled_closeness" -> {
+      val iter = (i: Int) =>
+        s"""d$i AS MATERIALIZED (SELECT origin, node, min(dist) AS dist
+           FROM (
+             SELECT origin, node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT d.origin, e.dst AS node, d.dist + 1 AS dist
+             FROM d${i - 1} d JOIN e ON d.node = e.src) GROUP BY 1, 2)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         th AS (SELECT src, dst FROM pr
+             WHERE substr(md5(CAST(src AS VARCHAR) || '-' ||
+               CAST(dst AS VARCHAR)), 1, 2) < '06'),
+         e AS MATERIALIZED (SELECT src, dst FROM th
+               UNION ALL SELECT dst, src FROM th),
+         d0 AS MATERIALIZED (SELECT src AS origin, src AS node,
+               CAST(0 AS BIGINT) AS dist FROM (SELECT DISTINCT src FROM e)),
+         ${(1 to 10).map(iter).mkString(",\n         ")}
+         SELECT node, count(*) AS pivots_reached,
+                round(sum(1.0 / dist) + 1e-11, 6) AS closeness_est
          FROM d10 WHERE dist > 0 GROUP BY 1"""
     },
     // brute-force ground truth for dd17's cross-table linkage

@@ -1528,6 +1528,51 @@ class OperatorsSpec extends SparkSpec {
     assert(probed(2L).getLong(3) == 500L)
   }
 
+  test("multimodal: the decode seam is content-dispatched, not " +
+    "extension-gated — TIFF/BMP images and AIFF audio (the rest of the " +
+    "JDK's offline codec surface) decode through the same operators") {
+    import graft.operators.Multimodal
+    import javax.sound.sampled._
+    def img(fmt: String, rgb: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = im.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    def aiff(samples: Array[Double], sampleRate: Float = 8000f): Array[Byte] = {
+      // AIFF is 16-bit BIG-endian PCM
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, true)
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val v = math.round(s * 32767).toInt.max(-32768).min(32767)
+        data(i * 2) = ((v >> 8) & 0xFF).toByte
+        data(i * 2 + 1) = (v & 0xFF).toByte
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+        fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", img("tiff", 0xFFFFFF)),
+      (2L, "image", img("bmp", 0x000000)),
+      (3L, "audio", aiff(Array.fill(4000)(0.25))))
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.extractFeatures(rows, dims = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(feats(1L).forall(_ > 0.99f), feats(1L))  // white TIFF
+    assert(feats(2L).forall(_ < 0.01f), feats(2L))  // black BMP
+    assert(feats(3L).forall(f => math.abs(f - 0.25) < 1e-3), feats(3L))
+    val probed = Multimodal.probeMeta(rows).collect()
+      .map(r => r.getLong(0) -> r.getStruct(3)).toMap
+    assert(probed(1L).getInt(1) == 8 && probed(1L).getInt(2) == 8)
+    assert(probed(3L).getLong(3) == 500L) // 4000 frames @ 8 kHz
+  }
+
   test("multimodal: injectable decoder seam — a custom codec chains in front of the JDK one") {
     import graft.operators.Multimodal
     // stand-in for an ffmpeg-linked build: claims video payloads only,
@@ -2120,6 +2165,26 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains(".does_not_exist") ||
       err.getMessage.contains("rename"), err.getMessage)
+  }
+
+  test("map-side IVF assignment parity: distance ties go to the LOWER " +
+    "centroid id and malformed vectors (null / wrong length) degrade to " +
+    "the lowest centroid — the relational window's exact rules") {
+    import graft.operators.Similarity
+    // md5 rank of small ids (the sampledCentroids order): 6 < 19 < 9 <
+    // 11 < 7 < 4 — so nlist=2 samples ids {6, 19} as centroids
+    val df = Seq[(Long, Seq[Double])](
+      (4L, Seq(1.0, 0.0)),   // EXACTLY between both centroids → tie
+      (6L, Seq(0.0, 0.0)),   // centroid itself
+      (7L, null),            // null vector → null distance everywhere
+      (11L, Seq(5.0)),       // wrong dimensionality
+      (9L, Seq(1.9, 0.0)),   // strictly nearer 19
+      (19L, Seq(2.0, 0.0))). // centroid itself
+      toDF("id", "v")
+    val got = Similarity.ivfSampledAssign(df, "id", "v", nlist = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(4L -> 6L, 6L -> 6L, 7L -> 6L, 11L -> 6L,
+      9L -> 19L, 19L -> 19L), got)
   }
 
   test("fuzzyCrawlBatch pins the minhash sketch params from the index " +

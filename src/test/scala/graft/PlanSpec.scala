@@ -168,6 +168,65 @@ class PlanSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("IVF coarse assignment is MAP-SIDE: no window, no shuffle, no join — " +
+    "on the public assign operator AND inside the vector-index write plan") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // 1. the public operator: scan → project(nearest_centroids) only.
+    //    The old plan exchanged nlist× the corpus through a row_number
+    //    window (the r14 plan-shape finding) — gate that it never
+    //    comes back.
+    val p = plan(Similarity.ivfSampledAssign(emb, "vec_id", "embedding", 8))
+    assert(p.contains("nearest_centroids"), s"kernel expr absent:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Window") &&
+      !p.contains("Join"),
+      s"assignment must be one map-side codegen stage:\n$p")
+    // 2. the streaming vector-index put (the per-micro-batch 100 TB
+    //    path): capture the vecs write's executed plan and assert the
+    //    same shape — scan of the pinned batch → project → write, with
+    //    no shuffle exchange and no window between them
+    val plans = scala.collection.mutable.Buffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val vdir = s"${java.nio.file.Files.createTempDirectory("graft_vput")}/idx"
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.vecIndexPut(spark, vdir, emb, "vec_id", "embedding",
+        batch = -1L, nlist = 8)
+      // execution listeners fire asynchronously — wait for the write's
+      // plan (the one evaluating the assignment kernel) to arrive
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def writePlan: Option[String] = plans.synchronized {
+        plans.find(_.contains("nearest_centroids"))
+      }
+      while (writePlan.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val wp = writePlan.getOrElse(
+        fail("vecs write plan never reached the execution listener"))
+      assert(!wp.contains("Exchange hashpartitioning") &&
+        !wp.contains("ShuffleExchange") && !wp.contains("Window") &&
+        !wp.contains("Join"),
+        s"index write must not shuffle the corpus:\n$wp")
+    } finally spark.listenerManager.unregister(listener)
+    // 3. value parity: the written buckets ARE the public operator's
+    //    clusters (same corpus, same nlist → same sampled centroids,
+    //    same argmin)
+    val put = spark.read.parquet(s"$vdir/vecs")
+      .select(col("id"), col("__bucket").cast("long").as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asg = Similarity.ivfSampledAssign(emb, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(put == asg, "index buckets diverge from the assign operator")
+  }
+
   test("PQ ADC top-k is shuffle-free: map-only encode/score, broadcast query, " +
     "TakeOrdered") {
     import graft.operators.Similarity
