@@ -554,7 +554,7 @@ object CurationStages {
     // finish any interrupted legacy-layout migration before reading
     Dedup.completeBatchMigration(fs, p)
     val have = fs.exists(p)
-    val fresh =
+    val (fresh, batchKeysPin) =
       if (have) {
         // a LEGACY key index (pre-batch-tagging plain appends) lacks
         // the batch column: keep always-earlier semantics instead of
@@ -566,9 +566,29 @@ object CurationStages {
           if (keys0.columns.contains("batch"))
             keys0.filter(col("batch") < lit(batchId))
           else keys0
-        df.join(asOf.select(col("k").as(textCol)), Seq(textCol), "left_anti")
-          .select(df.columns.map(col).toSeq: _*)
-      } else df
+        // probe SHAPE (the minHashIndexLookup discipline): the at-rest
+        // key index must stream through ONE scan with no shuffle. The
+        // old plain left_anti against the index planned a sort-merge
+        // join once the index outgrew the auto-broadcast threshold —
+        // shuffling the ENTIRE admitted history every micro-batch, a
+        // cost linear in crawl age. Instead: semi-join the index
+        // against the BROADCAST batch keys (batch-sized, size-gated),
+        // then anti-join the batch against the <= batch-sized hits.
+        val batchKeys = df.select(col(textCol)).distinct()
+          .localCheckpoint(true)
+        val st = batchKeys.agg(count(lit(1)),
+          coalesce(avg(length(col(textCol))), lit(0.0))).head()
+        val estBytes = (st.getLong(0) * (st.getDouble(1) * 2 + 20)).toLong
+        // a bulk batch comparable to the index itself falls back to the
+        // shuffle join — then it IS the right plan
+        val small = st.getLong(0) <= 2000000L &&
+          estBytes <= 64L * 1024 * 1024
+        val hits = exactProbeHits(asOf.select(col("k").as(textCol)),
+          batchKeys, textCol, small)
+        (df.join(if (small) broadcast(hits) else hits,
+            Seq(textCol), "left_anti")
+          .select(df.columns.map(col).toSeq: _*), Some(batchKeys))
+      } else (df, None)
     val survivors = fresh.join(
         fresh.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
         Seq(textCol, idCol), "left_semi")
@@ -593,9 +613,25 @@ object CurationStages {
       // free them now instead of waiting on GC-triggered cleanup
       graft.operators.IterPin.free(keys)
       graft.operators.IterPin.free(survivors)
+      batchKeysPin.foreach(graft.operators.IterPin.free)
     }
     (survivors, admit)
   }
+
+  /** The exact-dedup index probe core, exposed for plan gating: hits =
+    * index keys also present in the batch. `small = true` (the normal
+    * micro-batch regime, size-gated by the caller) broadcasts the
+    * BATCH side so the at-rest index streams through one scan with no
+    * shuffle — Catalyst cannot pick this itself because the batch
+    * frame is LogicalRDD-rooted (checkpointed) and carries the default
+    * unknown-size stats.
+    */
+  private[graft] def exactProbeHits(idxKeys: DataFrame, batchKeys: DataFrame,
+                                    textCol: String,
+                                    small: Boolean): DataFrame =
+    idxKeys.join(if (small) broadcast(batchKeys) else batchKeys,
+        Seq(textCol), "left_semi")
+      .distinct()
 
   /** The cross-batch arm of `minhash_dedup` in streaming mode.
     * Returns (survivors, admit): probe + intra-batch dedup run in the

@@ -787,13 +787,23 @@ object Similarity {
         val idx = spark.read.parquet(s"$indexDir/vecs")
           .filter(col("batch") < lit(batchId))
           .select(col("__bucket"), col("v").as("iv"))
-        val dup = assigned
+        // probe SHAPE (the minHashIndexLookup discipline): the index
+        // must stream through ONE scan; the batch's exploded nprobe
+        // assignments are the SMALL side and must be the broadcast
+        // build. Catalyst cannot see that itself — `assigned` is
+        // LogicalRDD-rooted (checkpointed) with default unknown-size
+        // stats, so left alone the planner sort-merge-joins and
+        // SHUFFLES THE WHOLE INDEX every micro-batch, a cost linear
+        // in crawl age. Size-gated: a bulk batch too big to broadcast
+        // falls back to the shuffle join, which is then the right plan.
+        val probe = assigned
           .select(col("id"), col("v"), explode(col("__ords")).as("__o"))
           .select(col("id"), col("v"), asg.cidOf(col("__o")).as("__bucket"))
-          .join(idx, Seq("__bucket"))
-          .filter(cosine(col("v"), col("iv"), nd) >= tau)
-          .select(col("id")).distinct()
-        home.join(dup, Seq("id"), "left_anti")
+        val nProbeRows = v.count() * math.max(1, nprobe).toLong
+        val estBytes = nProbeRows * (nd.toLong * 8 + 32)
+        val small = nProbeRows <= 2000000L && estBytes <= 64L * 1024 * 1024
+        val dup = vecProbeDups(idx, probe, nd, tau, small)
+        home.join(if (small) broadcast(dup) else dup, Seq("id"), "left_anti")
       } else home
     // 2. intra-batch components over home-bucket tau-pairs
     val l = pre.select(col("__bucket"), col("id").as("id1"), col("v").as("v1"))
@@ -839,6 +849,20 @@ object Similarity {
     }
     (survivors, admit)
   }
+
+  /** The vector-index probe core, exposed for plan gating: batch ids
+    * whose vector is within cosine >= tau of any indexed vector in a
+    * probed bucket. `small = true` (the normal micro-batch regime,
+    * size-gated by the caller) broadcasts the BATCH probe side so the
+    * at-rest index streams through one partition-pruned scan with no
+    * shuffle.
+    */
+  private[graft] def vecProbeDups(idx: DataFrame, probe: DataFrame,
+                                  nd: Int, tau: Double,
+                                  small: Boolean): DataFrame =
+    idx.join(if (small) broadcast(probe) else probe, Seq("__bucket"))
+      .filter(cosine(col("v"), col("iv"), nd) >= tau)
+      .select(col("id")).distinct()
 
   /** Seed or bulk-append ALL of `df`'s vectors into a STREAMING vector
     * index ([[semanticCrawlBatch]]'s layout) — no dedup, the bootstrap

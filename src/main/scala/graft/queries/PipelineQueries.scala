@@ -743,6 +743,29 @@ object PipelineQueries {
         maxRounds = 10)
     },
 
+    // The SAMPLED regime of gr08, oracled directly: 16 md5-ranked
+    // pivots on the larger gr06 slice — the deterministic pivot pick
+    // makes even the APPROXIMATE estimator bit-replayable in SQL
+    // (the dd25 move: gate the approximation itself, not just its
+    // exact degenerate case). This is the arm whose cost is ∝ pivots,
+    // the 100 TB path; its sf10 exponent is recorded in
+    // PERFORMANCE.md. FULLY oracled.
+    "gr09_pivot_closeness" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .filter(substring(md5(concat(col("src").cast("string"), lit("-"),
+          col("dst").cast("string")).cast("binary")), 1, 2) < "0d")
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      GraphAlgos.sampledHarmonicCloseness(edges, pivots = 16,
+        maxRounds = 10)
+    },
+
     // CCNet-style LM quality bucketing: stupid-backoff bigram LM
     // trained on the src0 slice, per-doc occurrence-weighted mean
     // -ln S over bigrams, head/middle/tail at the score tertiles.
@@ -2473,6 +2496,39 @@ object PipelineQueries {
          ${(1 to 10).map(iter).mkString(",\n         ")}
          SELECT node, count(*) AS pivots_reached,
                 round(sum(1.0 / dist) + 1e-11, 6) AS closeness_est
+         FROM d10 WHERE dist > 0 GROUP BY 1"""
+    },
+    // full replay of gr09: md5-ranked 16-pivot pick on the gr06 slice,
+    // 10 unrolled BFS rounds, per-NODE inverse-distance sum scaled by
+    // n/k — the approximate estimator replayed bit-exactly (the pivot
+    // pick is deterministic, so there is nothing to approximate away)
+    "gr09_pivot_closeness" -> {
+      val iter = (i: Int) =>
+        s"""d$i AS MATERIALIZED (SELECT origin, node, min(dist) AS dist
+           FROM (
+             SELECT origin, node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT d.origin, e.dst AS node, d.dist + 1 AS dist
+             FROM d${i - 1} d JOIN e ON d.node = e.src) GROUP BY 1, 2)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         th AS (SELECT src, dst FROM pr
+             WHERE substr(md5(CAST(src AS VARCHAR) || '-' ||
+               CAST(dst AS VARCHAR)), 1, 2) < '0d'),
+         e AS MATERIALIZED (SELECT src, dst FROM th
+               UNION ALL SELECT dst, src FROM th),
+         verts AS (SELECT DISTINCT src AS node FROM e),
+         s AS (SELECT node FROM verts
+               ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 16),
+         d0 AS MATERIALIZED (SELECT node AS origin, node,
+               CAST(0 AS BIGINT) AS dist FROM s),
+         ${(1 to 10).map(iter).mkString(",\n         ")}
+         SELECT node, count(*) AS pivots_reached,
+                round(sum(1.0 / dist) *
+                  ((SELECT CAST(count(*) AS DOUBLE) FROM verts) / 16.0)
+                  + 1e-11, 6) AS closeness_est
          FROM d10 WHERE dist > 0 GROUP BY 1"""
     },
     // brute-force ground truth for dd17's cross-table linkage

@@ -227,6 +227,44 @@ class PlanSpec extends SparkSpec {
     assert(put == asg, "index buckets diverge from the assign operator")
   }
 
+  test("streaming index probes broadcast the BATCH side: the at-rest " +
+    "index streams through one scan, never a sort-merge shuffle " +
+    "(exact key index and vector bucket index)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Similarity
+    import spark.implicits._
+    // both probe sides are LogicalRDD-rooted in production (the batch
+    // is checkpointed), which carries default unknown-size stats —
+    // left to itself Catalyst sort-merge-joins and shuffles the whole
+    // index every micro-batch; the probe cores force the broadcast
+    val tmp = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    // exact: an at-rest key index vs a pinned batch
+    spark.range(0, 1000).selectExpr("cast(id as string) as text")
+      .write.parquet(s"$tmp/keys")
+    val idxKeys = spark.read.parquet(s"$tmp/keys")
+    val batch = Seq("5", "6", "nope").toDF("text").localCheckpoint(true)
+    val pe = plan(graft.etl.CurationStages
+      .exactProbeHits(idxKeys, batch, "text", small = true))
+    assert(pe.contains("BroadcastHashJoin") && !pe.contains("SortMergeJoin"),
+      s"exact probe shuffles the index:\n$pe")
+    // vector: an at-rest bucket index vs a pinned probe batch
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vdir = s"$tmp/vidx"
+    Similarity.vecIndexPut(spark, vdir, emb, "vec_id", "embedding",
+      batch = -1L, nlist = 8)
+    val idx = spark.read.parquet(s"$vdir/vecs")
+      .select(col("__bucket"), col("v").as("iv"))
+    val probe = emb.limit(5)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("__bucket", lit(0L))
+      .localCheckpoint(true)
+    val pv = plan(Similarity.vecProbeDups(idx, probe, nd = 0, tau = 0.9,
+      small = true))
+    assert(pv.contains("BroadcastHashJoin") && !pv.contains("SortMergeJoin"),
+      s"vector probe shuffles the index:\n$pv")
+  }
+
   test("PQ ADC top-k is shuffle-free: map-only encode/score, broadcast query, " +
     "TakeOrdered") {
     import graft.operators.Similarity
