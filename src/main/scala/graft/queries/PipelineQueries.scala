@@ -725,11 +725,16 @@ object PipelineQueries {
     // vertex and the scale factor exactly 1.0, so the estimate IS the
     // all-sources harmonic centrality the DuckDB oracle replays
     // (fixed-unroll BFS from all vertices over a tighter md5 slice
-    // than gr06 — all-sources state is |V| x reached, the exact cost
-    // the sampled arm exists to avoid at scale). FULLY oracled.
+    // than gr06). All-sources state is |V| x reached — the exact cost
+    // the sampled arm (gr09) exists to avoid — so this TRUTH ARM is
+    // deliberately scale-capped at part keys <= 2000: at the sf0.01
+    // gate that is EVERY part (results unchanged), at bench scale and
+    // above the graph stays absolutely bounded instead of going
+    // quadratic with the data. FULLY oracled.
     "gr08_sampled_closeness" -> { (s, dir) =>
       val li = Tables(s, dir).lineitem
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .filter(col("pk") <= 2000)
         .distinct()
       val pairs = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -2483,7 +2488,7 @@ object PipelineQueries {
              SELECT d.origin, e.dst AS node, d.dist + 1 AS dist
              FROM d${i - 1} d JOIN e ON d.node = e.src) GROUP BY 1, 2)"""
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-             FROM lineitem),
+             FROM lineitem WHERE l_partkey <= 2000),
          pr AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
              FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
          th AS (SELECT src, dst FROM pr
