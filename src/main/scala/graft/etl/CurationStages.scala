@@ -435,8 +435,27 @@ object CurationStages {
                 if (every > 0 && batchId % every == 0 && ifs.exists(meta)) {
                   val thr = st.params.get("drift_threshold")
                     .map(_.toDouble).getOrElse(4.0)
+                  // INCREMENTAL audit: scan only the EARLIEST batch
+                  // (the baseline) and the NEWEST one — partition
+                  // pruning makes the periodic watchdog O(2 batches),
+                  // not O(index); a full-index audit per N batches
+                  // would itself become the heavy term on exactly the
+                  // months-long crawls it serves. Values are identical
+                  // to the full audit's rows for those batches
+                  // (per-batch means are independent).
+                  val vecsPath = new org.apache.hadoop.fs.Path(s"$idx/vecs")
+                  val batchNums =
+                    if (!ifs.exists(vecsPath)) Seq.empty[Long]
+                    else ifs.listStatus(vecsPath).toSeq
+                      .filter(s0 => s0.isDirectory &&
+                        s0.getPath.getName.startsWith("batch="))
+                      .flatMap(s0 => s0.getPath.getName
+                        .stripPrefix("batch=").toLongOption)
+                  if (batchNums.nonEmpty) {
                   val latest = graft.operators.Similarity
-                    .streamIndexDrift(spark, idx, thr)
+                    .streamIndexDrift(spark, idx, thr,
+                      onlyBatches = Some(
+                        Seq(batchNums.min, batchNums.max).distinct))
                     .orderBy(col("batch").desc).limit(1)
                     .withColumn("audit_batch", lit(batchId))
                     .localCheckpoint(true)
@@ -454,6 +473,7 @@ object CurationStages {
                         "— frozen centroids no longer fit the stream; " +
                         "schedule an offline refitStreamIndex")
                   graft.operators.IterPin.free(latest)
+                  }
                 }
               }
             }

@@ -931,13 +931,23 @@ object Similarity {
     */
   def streamIndexDrift(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String,
-                       thresholdRatio: Double = 4.0): DataFrame = {
+                       thresholdRatio: Double = 4.0,
+                       onlyBatches: Option[Seq[Long]] = None): DataFrame = {
     readMeta(spark, indexDir, "sem_stream")
     // repair an interrupted compaction before auditing — a broken
     // window would report drift over a partial index
     BatchCompaction.recoverDir(spark, s"$indexDir/vecs", "batch")
     val cent = spark.read.parquet(s"$indexDir/_centroids")
-    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    // `onlyBatches` = the INCREMENTAL audit (the streaming drift
+    // watchdog's arm): restrict the scan to the named batch partitions
+    // — partition pruning, so a periodic audit costs O(named batches),
+    // not O(index). The caller must include the EARLIEST live batch,
+    // which is this audit's baseline row; values for the named batches
+    // are identical to the full audit's (per-batch means are
+    // independent). None = audit everything (the CALL surface / ann14).
+    val vecs0 = spark.read.parquet(s"$indexDir/vecs")
+    val vecs = onlyBatches.fold(vecs0)(bs =>
+      vecs0.filter(col("batch").isin(bs.distinct: _*)))
     val nd = dimsOf(vecs, "v")
     // bucket partition values come back as DISCOVERED types (int for
     // numeric ids, string otherwise) while cid keeps the id column's

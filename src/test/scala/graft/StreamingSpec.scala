@@ -1129,6 +1129,22 @@ class StreamingSpec extends SparkSpec {
         col("alert")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(rows == Seq((0L, 0L, false), (1L, 1L, true)), rows)
+    // batch 2: the watchdog's INCREMENTAL audit (earliest + newest
+    // partitions only — O(2 batches), not O(index)) must produce the
+    // same row as the full-index audit for that batch
+    run(Seq((15L, "e", Seq(-5.0, -5.0))))
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Number]("batch").longValue,
+      r.getAs[Number]("n_vecs").longValue,
+      r.getAs[Double]("mean_dist"),
+      Option(r.get(r.fieldIndex("drift_ratio"))),
+      r.getAs[Boolean]("alert"))
+    val full = graft.operators.Similarity.streamIndexDrift(spark, idx)
+      .filter(col("batch") === 2).collect().head
+    val led = spark.read.parquet(drift)
+      .filter(col("audit_batch") === 2).collect().head
+    assert(key(led) == key(full), s"${key(led)} vs ${key(full)}")
+    assert(key(led)._5, "batch 2 should still alert")
   }
 
   test("YAML streaming curation: token_budget with a spend ledger is " +
