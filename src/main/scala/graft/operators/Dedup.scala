@@ -810,13 +810,27 @@ object Dedup {
     val joined =
       if (smallBatch) idx.join(broadcast(bandedNew), Seq("band", "bkey"))
       else idx.join(bandedNew, Seq("band", "bkey"))
-    val cand = joined.select(col("new_id"), col("id").as("corpus_id")).distinct()
+    val cand0 = joined.select(col("new_id"), col("id").as("corpus_id")).distinct()
+    // the candidate ⋈ signature join must not shuffle the at-rest
+    // `_sigs` table either (id + numHashes longs per row — the WHOLE
+    // index through an exchange on every probe; candidate stats derive
+    // from the index scan, so left alone the planner sort-merge-joins).
+    // Candidates are collision-bounded: pin them (the sigNew rationale
+    // above — freed by the context cleaner with the probe plan), count,
+    // and broadcast under the same 64 MB gate; an oversized candidate
+    // set falls back to the shuffle join, which is then the right plan.
+    val (cand, smallCand) =
+      if (smallBatch) {
+        val c = cand0.localCheckpoint(true)
+        val n = c.count()
+        (c, n <= 2000000L && n * 64L <= 64L * 1024 * 1024)
+      } else (cand0, false)
     val matches = (1 to numHashes)
       .map(i => when(element_at(col("sig1"), i) === element_at(col("sig2"), i),
         1).otherwise(0))
       .reduce(_ + _)
     val sigNewSide = sigNew.select(col("id").as("new_id"), col("sig").as("sig2"))
-    cand
+    (if (smallCand) broadcast(cand) else cand)
       .join(asOf(spark.read.parquet(s"$path/_sigs"))
         .select(col("id").as("corpus_id"), col("sig").as("sig1")), Seq("corpus_id"))
       .join(if (smallBatch) broadcast(sigNewSide) else sigNewSide, Seq("new_id"))

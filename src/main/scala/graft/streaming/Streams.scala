@@ -387,7 +387,12 @@ object Streams {
             .localCheckpoint(true)
           Dedup.minHashIndexAppend(spark, indexPath, survivors, idCol, textCol)
           survivors.write.mode("append").parquet(survivorDir)
+          // deterministic pin release: the append + write were the
+          // survivors pin's last consumers (the runStreaming discipline)
+          graft.operators.IterPin.free(survivors)
         }
+        graft.operators.IterPin.free(batch)
+        ()
       }
   }
 
@@ -462,7 +467,7 @@ object Streams {
           // the key files directly or rode back in through the bloom
           // rebuild above — the bloom is only an accelerator, the
           // as-of join decides
-          val sliver =
+          val (sliver, probePin) =
             if (haveIndex) {
               // a pre-seeded or legacy index may lack the batch
               // partition key (seed convention: write plain parquet
@@ -474,10 +479,31 @@ object Streams {
                 if (keys0.columns.contains("batch"))
                   keys0.filter(col("batch") < lit(batchId))
                 else keys0
-              batch.filter(BloomJoin.mightContain(bytes, col(textCol)))
-                .join(asOf.select(col("k").as(textCol)),
-                  Seq(textCol), "left_anti")
-            } else batch.filter(BloomJoin.mightContain(bytes, col(textCol)))
+              // probe SHAPE (the exactProbeHits discipline): the
+              // bloom-bounded sliver is the SMALL side; a plain
+              // left_anti against the index would sort-merge once the
+              // index outgrows auto-broadcast, shuffling the whole
+              // admitted history per batch. Semi-join the index
+              // against the broadcast sliver keys instead (size-gated
+              // — the bloom keeps the sliver to true dups + FPs, so
+              // the gate trips only on genuinely dup-dense bulk loads,
+              // where the shuffle join is the right plan).
+              val maybeDup = batch
+                .filter(BloomJoin.mightContain(bytes, col(textCol)))
+                .localCheckpoint(true)
+              val st = maybeDup.agg(count(lit(1)),
+                coalesce(avg(length(col(textCol))), lit(0.0))).head()
+              val small = st.getLong(0) <= 2000000L &&
+                (st.getLong(0) * (st.getDouble(1) * 2 + 20)).toLong <=
+                  64L * 1024 * 1024
+              val hits = graft.etl.CurationStages.exactProbeHits(
+                asOf.select(col("k").as(textCol)),
+                maybeDup.select(col(textCol)).distinct(), textCol, small)
+              (maybeDup.join(if (small) broadcast(hits) else hits,
+                Seq(textCol), "left_anti"), Some(maybeDup))
+            } else
+              (batch.filter(BloomJoin.mightContain(bytes, col(textCol))),
+                None)
           // intra-batch exact dedup, smallest id survives (unionByName:
           // the using-column anti join reorders the sliver's columns)
           val fresh = definitelyNew.unionByName(
@@ -486,6 +512,8 @@ object Streams {
               fresh.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
               Seq(textCol, idCol), "left_semi")
             .localCheckpoint(true)
+          // the survivors checkpoint was the probe pin's last consumer
+          probePin.foreach(graft.operators.IterPin.free)
           if (!survivors.isEmpty) {
             // batch-tagged DYNAMIC PARTITION OVERWRITES, output first
             // (the runStreaming exactly-once contract): a replayed
@@ -506,7 +534,13 @@ object Streams {
                 .stat.bloomFilter("__h", expectedItems, fpp))
             ()
           }
+          // deterministic pin release (the runStreaming discipline):
+          // the writes and the bloom merge above were the last
+          // consumers of this batch's pins
+          graft.operators.IterPin.free(survivors)
         }
+        graft.operators.IterPin.free(batch)
+        ()
       }
   }
 
@@ -546,7 +580,11 @@ object Streams {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(survivorDir)
           admit(pinned.select(col(idCol)))
+          // the admit (which frees the operator's own pins) was the
+          // last consumer — release this loop's pins deterministically
+          graft.operators.IterPin.free(pinned)
         }
+        graft.operators.IterPin.free(batch)
         ()
       }
 

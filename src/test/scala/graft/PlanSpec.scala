@@ -263,6 +263,17 @@ class PlanSpec extends SparkSpec {
       small = true))
     assert(pv.contains("BroadcastHashJoin") && !pv.contains("SortMergeJoin"),
       s"vector probe shuffles the index:\n$pv")
+    // minhash: BOTH at-rest sides of the probe — the band files AND
+    // the signature table — must stream, never sort-merge (the
+    // candidate side is pinned, counted, and broadcast under the gate)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mdir = s"$tmp/midx"
+    graft.operators.Dedup.minHashIndexWrite(docs, "doc_id", "text", mdir,
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val pm = plan(graft.operators.Dedup.minHashIndexLookup(spark, mdir,
+      docs.limit(20), "doc_id", "text"))
+    assert(pm.contains("BroadcastHashJoin") && !pm.contains("SortMergeJoin"),
+      s"minhash probe shuffles an at-rest side:\n$pm")
   }
 
   test("PQ ADC top-k is shuffle-free: map-only encode/score, broadcast query, " +
