@@ -182,6 +182,8 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Window") &&
       !p.contains("Join"),
       s"assignment must be one map-side codegen stage:\n$p")
+    assert(p.contains("[codegen id"),
+      s"assignment fell out of whole-stage codegen:\n$p")
     // 2. the streaming vector-index put (the per-micro-batch 100 TB
     //    path): capture the vecs write's executed plan and assert the
     //    same shape — scan of the pinned batch → project → write, with

@@ -744,4 +744,44 @@ class PropertySpec extends AnyFunSuite {
       assert(got == dist.toMap, s"trial $trial diverged; edges=$edges")
     }
   }
+
+  test("map-side IVF assignment matches a driver-side argmin replay on " +
+    "random TIE-DENSE corpora (small integer grids force distance ties)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 1 to 6) {
+      val n = 15 + rnd.nextInt(40)
+      val dims = 1 + rnd.nextInt(4)
+      val nlist = 1 + rnd.nextInt(6)
+      // coordinates from {0, 1, 2}: many exact distance ties, the
+      // regime where the (dist, cid) tie rule actually decides
+      val rows = (1 to n).map(i =>
+        (i.toLong, Seq.fill(dims)(rnd.nextInt(3).toDouble)))
+      val df = rows.toDF("id", "v")
+      val got = Similarity.ivfSampledAssign(df, "id", "v", nlist)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference replay: md5-ranked sample (Spark's md5 = lowercase
+      // hex over utf8 — ASCII ordering equals Spark string ordering),
+      // argmin of the same left-to-right squared-distance fold, ties
+      // to the lower centroid id
+      val byId = rows.toMap
+      val cents = rows.map(_._1)
+        .sortBy(id => (md5Hex(id.toString), id)).take(nlist)
+        .sorted
+      val expected = rows.map { case (id, v) =>
+        val best = cents.minBy { cid =>
+          val c = byId(cid)
+          (v.zip(c).foldLeft(0.0)((a, p) =>
+            a + (p._1 - p._2) * (p._1 - p._2)), cid)
+        }
+        id -> best
+      }.toMap
+      assert(got == expected,
+        s"trial $trial (n=$n dims=$dims nlist=$nlist) diverged")
+    }
+  }
 }
