@@ -674,7 +674,7 @@ object CurationStages {
     require(rankBy == "id" || rankBy == "quality",
       s"minhash_dedup rank_by must be 'id' or 'quality', got '$rankBy'")
     def intraSurvivors(d: DataFrame, shingleSize: Int, numHashes: Int,
-                       bands: Int): DataFrame = {
+                       bands: Int): (DataFrame, Seq[DataFrame]) = {
       val pairs = Dedup.minHashLshPairs(d, idCol, textCol,
           shingleSize, numHashes, bands)
         .filter(col("est_jaccard") >= threshold)
@@ -683,14 +683,21 @@ object CurationStages {
         val quality = TextAnalysis.qualityScore(
             d.select(col(idCol).as("doc_id"), col(textCol).as("text")))
           .select(col("doc_id").as(idCol), col("quality"))
+        // resolveDuplicates' internal pins are read by ITS returned
+        // plan, so they free via the context cleaner once the caller's
+        // checkpoint drops the plan — the documented batch-op trade
         val keep = Sampling.resolveDuplicates(pairs, quality, idCol)
           .select(col(idCol))
-        d.join(keep, Seq(idCol), "left_semi")
+        (d.join(keep, Seq(idCol), "left_semi"), Nil)
       } else {
-        val nonCanon = Components.connectedComponents(pairs, "id1", "id2")
+        // the component labels come back PINNED in the distributed
+        // regime — hand them up so the caller frees after its own
+        // checkpoint consumed them (no-op in the driver regime)
+        val comps = Components.connectedComponents(pairs, "id1", "id2")
+        val nonCanon = comps
           .filter(col("id") =!= col("comp"))
           .select(col("id").as(idCol))
-        d.join(nonCanon, Seq(idCol), "left_anti")
+        (d.join(nonCanon, Seq(idCol), "left_anti"), Seq(comps))
       }
     }
     // HDFS-safe existence check (a java.io.File check is always false
@@ -708,17 +715,20 @@ object CurationStages {
         stage.params.get("shingle_size").map(_.toInt).getOrElse(3),
         stage.params.get("num_hashes").map(_.toInt).getOrElse(64),
         stage.params.get("bands").map(_.toInt).getOrElse(16))
-    val pre =
+    val (pre, probePins) =
       if (haveIndex) {
-        val idxDup = Dedup
-          .minHashIndexLookup(spark, indexDir, df, idCol, textCol,
-            excludeBatchFrom = Some(batchId))
+        val (lookup, pins) = Dedup.minHashIndexLookupPinned(spark,
+          indexDir, df, idCol, textCol, excludeBatchFrom = Some(batchId))
+        val idxDup = lookup
           .filter(col("est_jaccard") >= threshold)
           .select(col("new_id").as(idCol)).distinct()
-        df.join(idxDup, Seq(idCol), "left_anti")
-      } else df
-    val survivors = intraSurvivors(pre, shingleSize, numHashes, bands)
-      .localCheckpoint(true)
+        (df.join(idxDup, Seq(idCol), "left_anti"), pins)
+      } else (df, Seq.empty[DataFrame])
+    val (intra, compPins) = intraSurvivors(pre, shingleSize, numHashes, bands)
+    val survivors = intra.localCheckpoint(true)
+    // the survivors checkpoint consumed the probe's and the component
+    // loop's eager pins
+    (probePins ++ compPins).foreach(graft.operators.IterPin.free)
     val admit: DataFrame => Unit = shipped => {
       Dedup.minHashIndexPut(spark, indexDir,
         survivors.join(shipped, Seq(idCol), "left_semi"),

@@ -676,6 +676,9 @@ object Dedup {
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
       }
     }
+    // the two index writes were the signature pin's last consumers —
+    // release it deterministically (a crawl loop calls this per batch)
+    IterPin.free(sigs)
   }
 
   /** Finish an interrupted [[ensureBatchLayout]] migration: if the
@@ -747,16 +750,33 @@ object Dedup {
     * `localCheckpoint` — the shingle+signature aggregate is the costly
     * part of a probe, and THREE consumers need it (the size gate, the
     * band keys, the Jaccard estimate side); without pinning, the plan
-    * would re-run it per consumer. localCheckpoint (not persist) so
-    * the blocks free themselves via the context cleaner when the
-    * returned plan is dropped — a long-lived crawl loop calling this
-    * per micro-batch must not accumulate cache-manager entries.
+    * would re-run it per consumer. Through THIS entry point the pins
+    * free via the context cleaner when the returned plan is dropped
+    * (fine for ad-hoc probes); per-micro-batch loops should call
+    * [[minHashIndexLookupPinned]] and free the returned pins once the
+    * result is materialized — the deterministic-release discipline.
     */
   def minHashIndexLookup(spark: org.apache.spark.sql.SparkSession,
                          path: String, newDf: DataFrame,
                          idCol: String, textCol: String,
                          maxBroadcastDocs: Long = 100000L,
-                         excludeBatchFrom: Option[Long] = None): DataFrame = {
+                         excludeBatchFrom: Option[Long] = None): DataFrame =
+    minHashIndexLookupPinned(spark, path, newDf, idCol, textCol,
+      maxBroadcastDocs, excludeBatchFrom)._1
+
+  /** [[minHashIndexLookup]] exposing its internal eager pins (the
+    * batch signature table and, under the broadcast gate, the pinned
+    * candidate set) so per-batch callers can free them
+    * deterministically AFTER the result is materialized — a freed
+    * localCheckpoint cannot be recomputed, so free only then.
+    */
+  private[graft] def minHashIndexLookupPinned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, newDf: DataFrame,
+      idCol: String, textCol: String,
+      maxBroadcastDocs: Long = 100000L,
+      excludeBatchFrom: Option[Long] = None)
+  : (DataFrame, Seq[DataFrame]) = {
     val m = spark.read.parquet(s"$path/_meta").head()
     val (shingleSize, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
     // a crash mid-way through ensureBatchLayout's legacy migration —
@@ -830,12 +850,13 @@ object Dedup {
         1).otherwise(0))
       .reduce(_ + _)
     val sigNewSide = sigNew.select(col("id").as("new_id"), col("sig").as("sig2"))
-    (if (smallCand) broadcast(cand) else cand)
+    val result = (if (smallCand) broadcast(cand) else cand)
       .join(asOf(spark.read.parquet(s"$path/_sigs"))
         .select(col("id").as("corpus_id"), col("sig").as("sig1")), Seq("corpus_id"))
       .join(if (smallBatch) broadcast(sigNewSide) else sigNewSide, Seq("new_id"))
       .select(col("new_id"), col("corpus_id"),
         round(matches / lit(numHashes.toDouble), 4).as("est_jaccard"))
+    (result, if (smallBatch) Seq(sigNew, cand) else Seq(sigNew))
   }
 
   /** Positional word n-grams: (id, pos, gh) with 1-based token start
@@ -1302,13 +1323,14 @@ object Dedup {
       .localCheckpoint(true) // two consumers: the bucket agg + count
     val frac = sampleSixteenths / 16.0
     val n = s.count()
-    if (n == 0L) return 0.0
+    if (n == 0L) { IterPin.free(s); return 0.0 }
     // Spark's `/` is double division — exact here (c·(c−1) is even and
     // a sample count is far under 2^53)
     val pairs = s.select(explode(deletionHood(col("s"), maxDist)).as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)), lit(0.0)))
       .head().getDouble(0)
+    IterPin.free(s) // both consumers (count + bucket agg) have run
     pairs / frac / n
   }
 
@@ -1533,13 +1555,17 @@ object Dedup {
       else edLshSelfPairs(
         pre.select(col(idCol).as("id"), col(strCol).as("s")),
         md, nh, bs)
-    val nonCanon = Components
+    val comps = Components
       .connectedComponents(pairs.select(col("id1"), col("id2")),
         "id1", "id2")
+    val nonCanon = comps
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     val survivors = pre.join(nonCanon, Seq(idCol), "left_anti")
       .localCheckpoint(true)
+    // the survivors checkpoint consumed the component labels — free
+    // their pin (distributed regime; no-op under the driver cap)
+    IterPin.free(comps)
     // 3. deferred admit over shipped ids only
     val admit: DataFrame => Unit = shipped => {
       val keys = survivors.join(shipped, Seq(idCol), "left_semi")

@@ -812,10 +812,14 @@ object Similarity {
       .filter(col("id1") < col("id2") &&
         cosine(col("v1"), col("v2"), nd) >= tau)
       .select(col("id1"), col("id2"))
-    val nonCanon = Components.connectedComponents(pairs, "id1", "id2")
+    val comps = Components.connectedComponents(pairs, "id1", "id2")
+    val nonCanon = comps
       .filter(col("id") =!= col("comp")).select(col("id"))
     val keep = pre.join(nonCanon, Seq("id"), "left_anti")
       .localCheckpoint(true)
+    // the keep checkpoint consumed the component labels — free their
+    // pin (distributed regime; no-op under the driver cap)
+    IterPin.free(comps)
     val survivors = df.join(keep.select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
     val admit: DataFrame => Unit = shipped => {

@@ -370,8 +370,9 @@ object Streams {
           val m = spark.read.parquet(s"$indexPath/_meta").head()
           val (shingleSize, numHashes, bands) =
             (m.getInt(0), m.getInt(1), m.getInt(2))
-          val idxDup = Dedup
-            .minHashIndexLookup(spark, indexPath, batch, idCol, textCol)
+          val (lookup, probePins) = Dedup.minHashIndexLookupPinned(
+            spark, indexPath, batch, idCol, textCol)
+          val idxDup = lookup
             .filter(col("est_jaccard") >= threshold)
             .select(col("new_id").as(idCol)).distinct()
           val pairs = Dedup.minHashLshPairs(batch, idCol, textCol,
@@ -385,6 +386,8 @@ object Streams {
             .join(idxDup, Seq(idCol), "left_anti")
             .join(nonCanon, Seq(idCol), "left_anti")
             .localCheckpoint(true)
+          // the survivors checkpoint consumed the probe's eager pins
+          probePins.foreach(graft.operators.IterPin.free)
           Dedup.minHashIndexAppend(spark, indexPath, survivors, idCol, textCol)
           survivors.write.mode("append").parquet(survivorDir)
           // deterministic pin release: the append + write were the

@@ -1084,6 +1084,44 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(got == ((0L until 10L).toSet + 100L), got)
+    // the MINHASH stage holds flat too — it takes MORE eager pins per
+    // batch (probe sigNew + gated candidates, the put's signature
+    // table, the component labels) and every one must release
+    val src2 = Files.createTempDirectory("graft_pf2_src").toFile.getAbsolutePath
+    val out2 = Files.createTempDirectory("graft_pf2_out").toFile.getAbsolutePath
+    val ck2 = Files.createTempDirectory("graft_pf2_ck").toFile.getAbsolutePath
+    val idx2 = s"${Files.createTempDirectory("graft_pf2_idx")}/index"
+    val config2 = PipelineConfig.parse(
+      s"""project: {name: pf2}
+         |curation:
+         |  - id: pf2
+         |    input: $src2
+         |    streaming: true
+         |    checkpoint: $ck2
+         |    output: $out2
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: minhash_dedup, index_dir: $idx2, shingle_size: "2",
+         |         num_hashes: "16", bands: "8", threshold: "0.5"}
+         |""".stripMargin)
+    val base2 = pinned()
+    (0 until 6).foreach { i =>
+      // unique docs share NO 2-gram (every token carries the batch id);
+      // the constant text re-sent each batch dedups via the index probe
+      Seq((i.toLong,
+          s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"),
+          (i.toLong + 100L,
+          "the constant duplicated document text repeated every batch"))
+        .toDF("doc_id", "text").write.mode("append").parquet(src2)
+      val q = PipelineRunner.startCuration(spark, config2, "pf2")
+      q.processAllAvailable(); q.stop()
+      val extra = pinned() -- base2
+      assert(extra.isEmpty,
+        s"minhash batch $i leaked ${extra.size} pinned RDDs: $extra")
+    }
+    val got2 = spark.read.parquet(out2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == ((0L until 6L).toSet + 100L), got2)
   }
 
   test("YAML streaming drift watchdog: semantic_dedup with drift_every " +
