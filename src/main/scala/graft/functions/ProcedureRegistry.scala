@@ -22,6 +22,11 @@ object ProcedureRegistry {
     procs.getOrElse(name.toLowerCase,
       throw new IllegalArgumentException(s"unknown procedure: $name"))
 
+  private def boolArg(a: Option[Any]): Boolean = a match {
+    case Some(b: java.lang.Boolean) => b.booleanValue
+    case _ => false
+  }
+
   // built-ins (reference: db.labels / db.relationshipTypes / db.propertyKeys)
   register("db.labels", (spark, cat, _) => {
     import spark.implicits._
@@ -172,35 +177,55 @@ object ProcedureRegistry {
     graft.operators.GraphAlgos.sssp(e, seedIds.toDF("node"))
   })
 
-  // harmonic closeness of explicit landmark seeds:
-  // CALL graph.closeness('KNOWS', [seedId, ...][, undirected])
-  //   YIELD origin, n_reached, closeness
+  // harmonic closeness, two arms:
+  //   CALL graph.closeness('KNOWS', [seedId, ...][, undirected])
+  //     YIELD origin, n_reached, closeness        — per-seed landmark
+  //     closeness (cost ∝ seeds, fine at any scale)
+  //   CALL graph.closeness('KNOWS'[, undirected])
+  //     YIELD node, pivots_reached, closeness_est — EVERY vertex,
+  //     SIZE-ROUTED (GraphAlgos.harmonicClosenessAuto): exact
+  //     all-sources when |V| <= spark.conf
+  //     `graft.closeness.exact.maxVertices` (default 10000), else the
+  //     Eppstein–Wang pivot estimator with `graft.closeness.pivots`
+  //     (default 16) — cost ∝ pivots × graph, the 100 TB plan; raise
+  //     the threshold to opt back into exact.
   register("graph.closeness", (spark, cat, args) => {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val relType = args.headOption match {
       case Some(s: String) => s
       case other => throw new IllegalArgumentException(
-        s"graph.closeness takes (relType, [seeds...][, undirected]), got $other")
+        s"graph.closeness takes (relType[, seeds...][, undirected]), got $other")
     }
-    val seedIds: Seq[Long] = args.lift(1) match {
-      case Some(s: Seq[_]) if s.nonEmpty =>
-        s.map(x => x.asInstanceOf[Number].longValue)
-      case Some(l: java.util.List[_]) if !l.isEmpty =>
-        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
-          .map(x => x.asInstanceOf[Number].longValue)
+    // seeds are OPTIONAL: absent (or an empty list) = the all-vertex
+    // routed arm; a bare boolean in the seeds slot is the undirected
+    // flag of that arm
+    val (seedIds, und): (Seq[Long], Boolean) = (args.lift(1), args.lift(2)) match {
+      case (Some(s: Seq[_]), u) if s.nonEmpty =>
+        (s.map(x => x.asInstanceOf[Number].longValue), boolArg(u))
+      case (Some(l: java.util.List[_]), u) if !l.isEmpty =>
+        (scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+          .map(x => x.asInstanceOf[Number].longValue), boolArg(u))
+      case (Some(s: Seq[_]), u) if s.isEmpty => (Seq.empty, boolArg(u))
+      case (Some(l: java.util.List[_]), u) if l.isEmpty => (Seq.empty, boolArg(u))
+      case (Some(b: java.lang.Boolean), _) => (Seq.empty, b.booleanValue)
+      case (None, _) => (Seq.empty, false)
       case other => throw new IllegalArgumentException(
-        s"graph.closeness needs a non-empty seed id list, got $other")
-    }
-    val und = args.lift(2) match {
-      case Some(b: java.lang.Boolean) => b.booleanValue
-      case _ => false
+        s"graph.closeness takes (relType[, seeds...][, undirected]), got $other")
     }
     val rel = cat.relationship(relType)
     val e0 = rel.df.select(col(rel.srcCol).as("src"), col(rel.dstCol).as("dst"))
     val e = if (und) e0.unionAll(e0.select(col("dst").as("src"),
       col("src").as("dst"))) else e0
-    graft.operators.GraphAlgos.harmonicCloseness(e, seedIds.toDF("node"))
+    if (seedIds.nonEmpty)
+      graft.operators.GraphAlgos.harmonicCloseness(e, seedIds.toDF("node"))
+    else
+      graft.operators.GraphAlgos.harmonicClosenessAuto(e,
+        exactMaxVertices = spark.conf
+          .getOption("graft.closeness.exact.maxVertices").map(_.toLong)
+          .getOrElse(10000L),
+        pivots = spark.conf.getOption("graft.closeness.pivots")
+          .map(_.toInt).getOrElse(16))
   })
 
   // connected components over a relationship table (always treated as

@@ -375,7 +375,16 @@ object CatalogStore {
     * the class doc's open-readers contract; the lease check is
     * re-run immediately before each version's delete, so a reader
     * that leases a candidate mid-prune is skipped (and reported)
-    * rather than having its files deleted underneath it. Claim
+    * rather than having its files deleted underneath it.
+    *
+    * EXCEPTION CONTRACT — the two lease refusals differ in timing and
+    * callers must not conflate them: the UP-FRONT refusal (leases held
+    * when prune starts) fires BEFORE anything is deleted — on-disk
+    * state is untouched; the LATE-LEASE refusal (a reader leased a
+    * candidate mid-prune) fires AFTER every other unblocked candidate
+    * was already pruned — it reports a PARTIAL prune, not a no-op.
+    * Treat any prune exception as "inspect `versions()`, then re-run
+    * after readers close()", never as "nothing was deleted". Claim
     * markers are collected ONLY when their number falls at/below the
     * pruned range: a directory-less claim ABOVE it may be an
     * in-flight saver mid-write, and deleting it would re-open its

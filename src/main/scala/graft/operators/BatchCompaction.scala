@@ -49,11 +49,21 @@ object BatchCompaction {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Count non-hidden data files under `d` (the before/after stat). */
+  /** Count non-hidden data files under `d` (the before/after stat).
+    * Hidden = underscore/dot prefix WITHOUT an `=` — Spark's own
+    * discovery rule (PartitioningAwareFileIndex): a partition
+    * directory like `__bucket=4` is DATA, and treating it as hidden
+    * here made `compactDir` see `before == 0` and early-return — vec
+    * indexes (the one component partitioned on an underscore-named
+    * column) were silently never compacted (round-16 find; the drift
+    * baseline spec caught it).
+    */
   private def dataFileCount(fs: FileSystem, d: Path): Long = {
+    def hidden(n: String) =
+      (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
     def walk(p: Path): Long = fs.listStatus(p).map { st =>
       val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) 0L
+      if (hidden(n)) 0L
       else if (st.isDirectory) walk(st.getPath)
       else 1L
     }.sum

@@ -108,15 +108,25 @@ object Dedup {
 
   /** MinHash + LSH banding near-duplicate candidate pairs.
     *
-    * Pipeline: shingle → signature → explode one row per band (band key =
-    * hash of that band's signature slice) → self-equi-join on
-    * (band, key) with id1 < id2 → distinct pairs → estimate Jaccard as
-    * the fraction of matching signature components.
+    * Pipeline: shingle → signature → collapse identical signatures to
+    * one representative ([[lshSigReps]] — the clone-cluster guard) →
+    * explode one row per band (band key = hash of that band's
+    * signature slice) → self-equi-join on (band, key) over the
+    * representatives → expand surviving representative pairs over
+    * their clone groups → estimate Jaccard as the fraction of matching
+    * signature components (1.0 by construction inside a clone group).
     *
-    * Scale: the only shuffles are the band-key join and the final
-    * distinct; both are hash-partitioned on short keys. Bucket skew is
-    * bounded because a band key is 64 bits of minhash — collisions are
-    * genuine near-dups, not hot keys.
+    * Scale: the only shuffles are hash-partitioned on short keys (the
+    * signature group key, the band key, the representative ids).
+    * Bucket skew from DISTINCT signatures is bounded because a band
+    * key is 64 bits of minhash — those collisions are genuine
+    * near-dups; the one hot-key structure real corpora produce at
+    * scale — a boilerplate mega-cluster of IDENTICAL documents — is
+    * collapsed to a single row per bucket before the join, so
+    * candidate work scales with distinct signatures, never with clone
+    * counts (spec-gated). Near-identical-but-distinct floods can still
+    * heat a bucket; `graft.lsh.bucketCap` (opt-in) bounds those with a
+    * loud, documented recall trade — see [[lshRepPairs]].
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int, numHashes: Int, bands: Int): DataFrame =
@@ -136,16 +146,71 @@ object Dedup {
     }: _*)
   }
 
-  /** (id1, id2, est_jaccard) candidate pairs from banded signatures. */
-  private def lshBandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val banded = sig.select(col("id"), col("sig"),
-      explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  /** One representative per DISTINCT signature: (sig, rid = min id).
+    * The clone-cluster collapse key: band keys are a pure function of
+    * the signature, so ids sharing a signature form an equivalence
+    * class — every band decision (and every lane-match count) made for
+    * the representative holds for every member. Exact clones
+    * (boilerplate pages, templated spam — the dominant duplicate
+    * structure of a web crawl) shingle identically and therefore sign
+    * identically, so a 10⁶-member flood contributes ONE row to every
+    * band join instead of 10⁶ rows to one bucket. Same
+    * exactness-preserving move as [[edSelfPairs]]' distinct-string
+    * collapse (round 12), lifted from strings to signatures.
+    */
+  private[graft] def lshSigReps(sig: DataFrame): DataFrame =
+    sig.groupBy(col("sig")).agg(min(col("id")).as("rid"))
 
+  /** (r1, r2, est_jaccard) candidate pairs over the DISTINCT-signature
+    * representatives `reps` = (sig, rid) — the band self-join, run on
+    * one row per signature. Candidate volume is therefore a function
+    * of distinct signatures, never of clone multiplicity (spec-gated
+    * on an engineered clone flood).
+    *
+    * `graft.lsh.bucketCap` (session conf, opt-in): buckets holding
+    * more than this many DISTINCT signatures are dropped from the
+    * join with loud stderr accounting — the escape hatch for
+    * near-identical-but-distinct floods (j ≈ 0.999 clusters whose
+    * members sign differently but still collide in most bands), where
+    * one (band, bkey) bucket is quadratic in distinct signatures and
+    * no skew split makes it linear. The trade is RECALL: pairs
+    * connected ONLY through a dropped bucket are lost (they usually
+    * also collide in a surviving band — that is what banding is for);
+    * exact clone groups are immune (collapsed to one row, they never
+    * overflow a bucket). Default off: results are bit-identical to the
+    * uncapped join.
+    */
+  private[graft] def lshRepPairs(reps: DataFrame, numHashes: Int,
+                                 bands: Int): DataFrame = {
+    val banded0 = reps.select(col("rid"), col("sig"),
+      explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("rid"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cap = reps.sparkSession.conf.getOption("graft.lsh.bucketCap")
+      .map(_.toInt).getOrElse(Int.MaxValue)
+    require(cap >= 0, s"graft.lsh.bucketCap must be >= 0, got $cap")
+    val banded =
+      if (cap == Int.MaxValue) banded0
+      else {
+        val hot = banded0.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        // loud overflow accounting (an eager aggregate — the cap is
+        // opt-in, and a silent recall cut would be worse than the job)
+        val st = hot.agg(count(lit(1)).as("b"),
+          coalesce(sum(col("__n")), lit(0L)).as("r")).head()
+        if (st.getLong(0) > 0L)
+          System.err.println(
+            s"[graft] lshRepPairs bucket cap $cap: dropping " +
+              s"${st.getLong(0)} hot buckets (${st.getLong(1)} signature " +
+              "rows); pairs connected ONLY through a dropped bucket are " +
+              "lost — recall trade, see README 'Operating a long-running " +
+              "deployment'")
+        banded0.join(hot.select(col("band"), col("bkey")),
+          Seq("band", "bkey"), "left_anti")
+      }
     val l = banded.select(col("band"), col("bkey"),
-      col("id").as("id1"), col("sig").as("sig1"))
+      col("rid").as("r1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bkey"),
-      col("id").as("id2"), col("sig").as("sig2"))
+      col("rid").as("r2"), col("sig").as("sig2"))
     // matching-lane count unrolled over the plan-time-constant lane
     // count (signatures are length-numHashes by construction): a
     // codegen'd integer sum instead of an interpreted zip_with/filter
@@ -155,11 +220,66 @@ object Dedup {
         1).otherwise(0))
       .reduce(_ + _)
     l.join(r, Seq("band", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
+      .filter(col("r1") < col("r2"))
+      .select(col("r1"), col("r2"),
         (matches / lit(numHashes.toDouble)).as("est_jaccard"))
-      .groupBy(col("id1"), col("id2"))
+      .groupBy(col("r1"), col("r2"))
       .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
+  }
+
+  /** (id1, id2, est_jaccard) candidate pairs from banded signatures —
+    * [[lshRepPairs]] over the distinct-signature representatives, then
+    * the group-wise expansion. Bit-identical to banding every id
+    * directly: a cross-group member pair collides in a band iff its
+    * representatives do (band keys are signature-pure) with the same
+    * lane-match count, and an intra-group pair matches on every lane,
+    * so est_jaccard = 1.0 exactly. The expansion joins all hash on the
+    * representative id; a mega-group's quadratic OUTPUT (its pairs ARE
+    * the answer in this pairs-level API) is spread by AQE's skew
+    * split, and — unlike the pre-collapse plan — it is paid once, not
+    * once per band plus a corpus-wide distinct. The signature
+    * aggregate runs ONCE: the groups aggregate and the members
+    * join-back both exchange on `sig`, so ReuseExchange shares the
+    * subtree, as do the four `rid`-keyed exchanges of `members`.
+    */
+  private def lshBandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val (members, repPairs) = lshCollapsed(sig, numHashes, bands)
+    expandRepPairs(members, repPairs,
+      Seq(col("est_jaccard")), Seq(lit(1.0).as("est_jaccard")))
+  }
+
+  /** The collapse front half shared by [[lshBandPairs]] and
+    * [[ngramJaccardPairs]]' LSH mode: (members = (rid, id), repPairs).
+    * Both the groups aggregate and the members join-back exchange on
+    * `sig`, so the corpus-wide signature aggregate runs ONCE under
+    * ReuseExchange, and every downstream consumer of `members`
+    * exchanges on `rid` — also shared.
+    */
+  private def lshCollapsed(sig: DataFrame, numHashes: Int,
+                           bands: Int): (DataFrame, DataFrame) = {
+    val reps = lshSigReps(sig)
+    val members = sig.join(reps, Seq("sig")).select(col("rid"), col("id"))
+    (members, lshRepPairs(reps, numHashes, bands))
+  }
+
+  /** Group-wise expansion of representative pairs to member pairs:
+    * cross-group pairs carry `crossExtra` (columns of `repPairs`),
+    * intra-group pairs (an equivalence class — every unordered member
+    * pair of a >= 2 group) carry `intraExtra`.
+    */
+  private def expandRepPairs(members: DataFrame, repPairs: DataFrame,
+                             crossExtra: Seq[Column],
+                             intraExtra: Seq[Column]): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rid").as("r1"), col("id").as("m1")), Seq("r1"))
+      .join(members.select(col("rid").as("r2"), col("id").as("m2")), Seq("r2"))
+      .select(least(col("m1"), col("m2")).as("id1") +:
+        greatest(col("m1"), col("m2")).as("id2") +: crossExtra: _*)
+    val intra = members.select(col("rid"), col("id").as("id1"))
+      .join(members.select(col("rid"), col("id").as("id2")), Seq("rid"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1") +: col("id2") +: intraExtra: _*)
+    cross.unionByName(intra)
   }
 
   /** (id, sim) 48-bit SimHash per document: explode the token multiset,
@@ -319,26 +439,37 @@ object Dedup {
     if (exhaustive)
       return countJaccardPairs(rows.dropDuplicates("id", "shingle"),
         threshold, maxShingleDf)
-    // the candidate subtree is referenced twice below (candIds + pair
-    // base); the heavy stages (signature aggregate, band join) sit
-    // BELOW the candidate-pair exchange, which Spark's ReuseExchange
-    // shares across both consumers — only the cheap post-shuffle
-    // aggregate re-runs, so no pin is needed (and a localCheckpoint
-    // here would leak persisted blocks to library callers, breaking the
-    // no-persisted-RDDs contract the spec asserts)
-    val cand =
-      lshBandPairs(minHashSignatures(rows, numHashes), numHashes, bands)
-        .select(col("id1"), col("id2"))
-    // shingle SETS are only needed for docs that appear in a candidate
-    // pair — semi-join first, then collect_set (distinct by definition),
-    // so the set-building aggregate scales with the near-duplicate rate
-    // rather than the corpus
-    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("id"))
+    // candidates at the REPRESENTATIVE level (the lshBandPairs
+    // collapse): the heavy stages (signature aggregate, band join) run
+    // once under shared exchanges, candidate DOC ids derive from group
+    // membership WITHOUT expanding pairs, and the member-pair
+    // expansion runs exactly once, feeding verification directly. No
+    // pin is needed (a localCheckpoint here would leak persisted
+    // blocks to library callers, breaking the no-persisted-RDDs
+    // contract the spec asserts). NOTE: identical signatures do NOT
+    // imply identical shingle sets, so verification stays per-member —
+    // only candidate GENERATION collapses.
+    val (members, repPairs) =
+      lshCollapsed(minHashSignatures(rows, numHashes), numHashes, bands)
+    // shingle SETS are only needed for docs that can appear in a
+    // candidate pair: members of a group on either side of a cross
+    // rep-pair, plus members of any clone group of >= 2 (its intra
+    // pairs are candidates by construction) — semi-join first, then
+    // collect_set, so the set-building aggregate scales with the
+    // near-duplicate rate rather than the corpus
+    val candRids = repPairs
+      .select(explode(array(col("r1"), col("r2"))).as("rid"))
+      .unionByName(members.groupBy(col("rid"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+        .select(col("rid")))
       .distinct()
+    val candIds = members.join(candRids, Seq("rid"), "left_semi")
+      .select(col("id")).distinct()
     val sized = rows.join(candIds, Seq("id"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
       .withColumn("set_size", size(col("sh")))
-    cand
+    expandRepPairs(members, repPairs.select(col("r1"), col("r2")),
+        Seq.empty, Seq.empty)
       .join(sized.select(col("id").as("id1"), col("sh").as("sh1"),
         col("set_size").as("sz1")), Seq("id1"))
       .join(sized.select(col("id").as("id2"), col("sh").as("sh2"),
@@ -749,8 +880,8 @@ object Dedup {
     * The batch signature table is materialized eagerly with
     * `localCheckpoint` — the shingle+signature aggregate is the costly
     * part of a probe, and THREE consumers need it (the size gate, the
-    * band keys, the Jaccard estimate side); without pinning, the plan
-    * would re-run it per consumer. Through THIS entry point the pins
+    * distinct-signature collapse, the member expansion); without
+    * pinning, the plan would re-run it per consumer. Through THIS entry point the pins
     * free via the context cleaner when the returned plan is dropped
     * (fine for ad-hoc probes); per-micro-batch loops should call
     * [[minHashIndexLookupPinned]] and free the returned pins once the
@@ -809,10 +940,24 @@ object Dedup {
     val sigNew = minHashSignatures(
       shingleRows(newDf, idCol, textCol, shingleSize), numHashes)
       .localCheckpoint(true)
-    val bandedNew = sigNew
-      .select(col("id").as("new_id"),
+    // CLONE-FLOOD GUARD (the lshBandPairs collapse, probe side): band,
+    // candidate-dedup, and estimate over ONE representative per
+    // DISTINCT batch signature, expanding to members only at the end.
+    // A boilerplate flood in a crawl re-probes the same hot index
+    // bucket every micro-batch; un-collapsed, the bucket's match set
+    // multiplies by the batch's clone count (batch_clones ×
+    // index_cluster join rows). Collapsed, per-batch candidate work is
+    // bounded by the batch's DISTINCT signatures (spec-gated via the
+    // returned candidate pin) — the expansion at the end is the true
+    // output. Pinned: consumed by the banding, the estimate side, and
+    // the member mapping.
+    val repsNew = lshSigReps(sigNew)
+      .select(col("rid").as("__rep"), col("sig"))
+      .localCheckpoint(true)
+    val bandedNew = repsNew
+      .select(col("__rep"),
         explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("new_id"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("__rep"))
     // size-gated join strategy: the usual incremental batch is tiny
     // next to the index, so its band keys broadcast and the at-rest
     // side streams through ONE scan with no shuffle. The gate estimates
@@ -830,7 +975,7 @@ object Dedup {
     val joined =
       if (smallBatch) idx.join(broadcast(bandedNew), Seq("band", "bkey"))
       else idx.join(bandedNew, Seq("band", "bkey"))
-    val cand0 = joined.select(col("new_id"), col("id").as("corpus_id")).distinct()
+    val cand0 = joined.select(col("__rep"), col("id").as("corpus_id")).distinct()
     // the candidate ⋈ signature join must not shuffle the at-rest
     // `_sigs` table either (id + numHashes longs per row — the WHOLE
     // index through an exchange on every probe; candidate stats derive
@@ -849,14 +994,25 @@ object Dedup {
       .map(i => when(element_at(col("sig1"), i) === element_at(col("sig2"), i),
         1).otherwise(0))
       .reduce(_ + _)
-    val sigNewSide = sigNew.select(col("id").as("new_id"), col("sig").as("sig2"))
+    // estimate per REPRESENTATIVE (the lane-match count is a pure
+    // function of the two signatures, so it is shared by every clone),
+    // then expand over the member mapping — both batch-side joins
+    // broadcast under the same smallBatch gate so the at-rest `_sigs`
+    // side still streams through one scan
+    val repSide = repsNew.select(col("__rep"), col("sig").as("sig2"))
+    val mem = sigNew
+      .join(if (smallBatch) broadcast(repsNew) else repsNew, Seq("sig"))
+      .select(col("__rep"), col("id").as("new_id"))
     val result = (if (smallCand) broadcast(cand) else cand)
       .join(asOf(spark.read.parquet(s"$path/_sigs"))
         .select(col("id").as("corpus_id"), col("sig").as("sig1")), Seq("corpus_id"))
-      .join(if (smallBatch) broadcast(sigNewSide) else sigNewSide, Seq("new_id"))
-      .select(col("new_id"), col("corpus_id"),
+      .join(if (smallBatch) broadcast(repSide) else repSide, Seq("__rep"))
+      .select(col("__rep"), col("corpus_id"),
         round(matches / lit(numHashes.toDouble), 4).as("est_jaccard"))
-    (result, if (smallBatch) Seq(sigNew, cand) else Seq(sigNew))
+      .join(if (smallBatch) broadcast(mem) else mem, Seq("__rep"))
+      .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
+    (result,
+      if (smallBatch) Seq(sigNew, repsNew, cand) else Seq(sigNew, repsNew))
   }
 
   /** Positional word n-grams: (id, pos, gh) with 1-based token start

@@ -494,4 +494,32 @@ object GraphAlgos {
             (lit(n.toDouble) / lit(k.toDouble)) + lit(1e-11), 6)
           .as("closeness_est"))
   }
+
+  /** SIZE-ROUTED all-vertex harmonic closeness — the production entry
+    * the CALL surface uses: graphs at or under `exactMaxVertices`
+    * vertices run the exact regime (every vertex a pivot — the
+    * estimator's `pivots >= n` degenerate case, scale factor exactly
+    * 1.0), larger graphs get the Eppstein–Wang `pivots` estimator
+    * whose cost is ∝ pivots × graph instead of |V| × graph — a caller
+    * should get the ∝-pivots plan at scale without having to know the
+    * estimator exists. Exact stays opt-in by raising the threshold.
+    * Both regimes return (node, pivots_reached, closeness_est) and the
+    * routing decision is logged. The vertex-count job the router pays
+    * is one distinct count — noise next to either BFS.
+    */
+  def harmonicClosenessAuto(edges: DataFrame,
+                            exactMaxVertices: Long = 10000L,
+                            pivots: Int = 16,
+                            maxRounds: Int = 10): DataFrame = {
+    require(pivots >= 1, s"pivots must be >= 1, got $pivots")
+    val n = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct().count()
+    val exact = n <= exactMaxVertices
+    System.err.println(
+      s"[graft] closeness routing: n_vertices=$n regime=" +
+        (if (exact) "exact" else s"sampled(pivots=$pivots)") +
+        s" (exact.maxVertices=$exactMaxVertices)")
+    sampledHarmonicCloseness(edges,
+      if (exact) Int.MaxValue else pivots, maxRounds)
+  }
 }

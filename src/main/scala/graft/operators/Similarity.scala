@@ -550,10 +550,14 @@ object Similarity {
           s"unsupported centroid id type for map-side assignment: $other")
       }
     val sorted = centRows.sortWith((x, y) => cmp(x.get(0), y.get(0)) < 0)
-    require(sorted.forall(!_.isNullAt(1)),
-      "null centroid vector — filter null embeddings before building an " +
-        "index (a null sampled centroid has no meaningful distance to " +
-        "anything)")
+    // reject null ELEMENTS too, not just null vectors: a null inside a
+    // sampled centroid would otherwise surface later as an opaque
+    // unboxing NullPointerException in getSeq[Double].toArray
+    require(sorted.forall(r =>
+        !r.isNullAt(1) && !r.getSeq[Any](1).contains(null)),
+      "null centroid vector (or null vector element) — filter null " +
+        "embeddings before building an index (a null sampled centroid " +
+        "has no meaningful distance to anything)")
     val matrix: Array[Array[Double]] =
       sorted.map(_.getSeq[Double](1).toArray).toArray
     val cids: Seq[Any] = sorted.map(_.get(0))
@@ -607,6 +611,11 @@ object Similarity {
     // re-running the corpus-wide sample scan
     val centPlan = sampledCentroids(v, nlist)
     val centRows = centPlan.collect().toIndexedSeq
+    // empty corpus: no centroids (and no query row) — the lazily-empty
+    // frame the old window plan returned, not centroidAssigner's
+    // "needs >= 1 centroid" IllegalArgumentException
+    if (centRows.isEmpty)
+      return v.limit(0).select(col("id").as(idCol), lit(0.0).as("cos_sim"))
     val cent = spark.createDataFrame(
       spark.sparkContext.parallelize(centRows, 1), centPlan.schema)
     val asg = centroidAssigner(centRows, centPlan.schema("cid").dataType, 1)
@@ -640,6 +649,11 @@ object Similarity {
     val spark = df.sparkSession
     val centPlan = sampledCentroids(v, nlist)
     val centRows = centPlan.collect().toIndexedSeq
+    // curated empty-corpus error (the pqIndexWrite rationale: an empty
+    // index dir would wedge probes on schema inference)
+    require(centRows.nonEmpty,
+      "cannot build an IVF index over an empty corpus — no rows to " +
+        "sample centroids from")
     // re-created with the collected plan's OWN schema — a hand-written
     // StructType would hard-code the id type and crash callers whose id
     // column isn't LongType (sampledCentroids itself is id-type-agnostic)
@@ -924,14 +938,27 @@ object Similarity {
     * the nprobe-pruned probe starts missing true neighbors near
     * Voronoi boundaries. This audit is the cheap watchdog: per batch,
     * the mean squared distance of each stored vector to its HOME
-    * centroid, compared against the earliest batch's mean as the
-    * baseline. `alert = drift_ratio > thresholdRatio` (when the
+    * centroid, compared against the FIRST audit's earliest-batch mean
+    * as the baseline. `alert = drift_ratio > thresholdRatio` (when the
     * baseline is 0 — every first-batch vector IS a centroid — any
     * later nonzero mean alerts). Fire → schedule [[refitStreamIndex]].
     *
+    * The baseline is PINNED: the first audit persists its
+    * earliest-batch (batch, n_vecs, mean) row to a `_drift_baseline`
+    * sidecar (tmp + checked rename) and every later audit compares
+    * against that row, never against whatever partition currently
+    * sorts first — once `compact_every` folds batches 0..K under
+    * `batch=-1`, the earliest LIVE partition's mean is the blend over
+    * all compacted batches (post-drift ones included), which would
+    * silently creep the reference toward the historical average and
+    * desensitize the alert on exactly the long crawls it exists for.
+    * [[refitStreamIndex]] deletes the sidecar (new centroids = new
+    * drift epoch), so the next audit re-pins.
+    *
     * Scale shape: one scan of `vecs` joined against the broadcast
     * nlist-row centroid table, then a groupBy on the batch partition
-    * key — no driver data beyond the result (one row per batch).
+    * key — no driver data beyond the result (one row per batch); the
+    * sidecar is one row, written once per index lifetime.
     */
   def streamIndexDrift(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String,
@@ -964,18 +991,53 @@ object Similarity {
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_vecs"),
         avg(col("__d")).as("__mean"))
-    val base = perBatch.orderBy(col("batch")).limit(1)
-      .select(col("__mean").as("__base"))
-    perBatch.crossJoin(broadcast(base))
-      .select(col("batch"), col("n_vecs"),
-        round(col("__mean") + lit(1e-11), 6).as("mean_dist"),
-        round(col("__base") + lit(1e-11), 6).as("baseline_dist"),
-        when(col("__base") > 0,
-          round(col("__mean") / col("__base") + lit(1e-11), 4))
-          .as("drift_ratio"),
-        when(col("__base") > 0, col("__mean") / col("__base") > thresholdRatio)
-          .otherwise(col("__mean") > 0).as("alert"))
-      .orderBy(col("batch"))
+    // pinned baseline: read the sidecar, or (first audit) pin the
+    // earliest scanned batch's UNROUNDED mean — identical to the old
+    // earliest-live-partition rule on a fresh index, immune to
+    // compaction's batch=-1 fold afterwards
+    val basePath = new org.apache.hadoop.fs.Path(s"$indexDir/_drift_baseline")
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseVal: Option[Double] =
+      if (fs.exists(basePath))
+        Some(spark.read.parquet(basePath.toString).head()
+          .getAs[Double]("baseline_dist"))
+      else
+        perBatch.orderBy(col("batch"))
+          .select(col("batch").cast("long"), col("n_vecs"), col("__mean"))
+          .head(1).headOption.map { r =>
+            val b = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$indexDir/.drift_baseline_tmp")
+            fs.delete(tmp, true)
+            import spark.implicits._
+            Seq((r.getLong(0), r.getLong(1), b))
+              .toDF("batch", "n_vecs", "baseline_dist")
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            // checked rename; a concurrent pin (not expected under the
+            // single-administrative-caller contract) wins harmlessly
+            if (!fs.exists(basePath))
+              BatchCompaction.renameOrThrow(fs, tmp, basePath)
+            else fs.delete(tmp, true)
+            b
+          }
+    baseVal match {
+      case Some(b) =>
+        val baseCol = lit(b)
+        perBatch.select(col("batch"), col("n_vecs"),
+            round(col("__mean") + lit(1e-11), 6).as("mean_dist"),
+            round(baseCol + lit(1e-11), 6).as("baseline_dist"),
+            when(baseCol > 0,
+              round(col("__mean") / baseCol + lit(1e-11), 4))
+              .as("drift_ratio"),
+            when(baseCol > 0, col("__mean") / baseCol > thresholdRatio)
+              .otherwise(col("__mean") > 0).as("alert"))
+          .orderBy(col("batch"))
+      case None => // nothing scanned and nothing pinned: empty report
+        perBatch.limit(0)
+          .select(col("batch"), col("n_vecs"),
+            lit(0.0).as("mean_dist"), lit(0.0).as("baseline_dist"),
+            lit(0.0).as("drift_ratio"), lit(false).as("alert"))
+    }
   }
 
   /** OFFLINE centroid refit for a streaming vector index (run while
@@ -1019,6 +1081,11 @@ object Similarity {
         fs.delete(liveCent, true)
         BatchCompaction.renameOrThrow(fs, tmpCent, liveCent)
       }
+      // new centroids = a new drift epoch: drop the pinned
+      // [[streamIndexDrift]] baseline so the next audit re-pins
+      // against distances to the REFIT centroids (the old baseline
+      // measured the old ones)
+      fs.delete(new Path(root, "_drift_baseline"), true)
       fs.delete(marker, false)
       ()
     }
@@ -1181,6 +1248,13 @@ object Similarity {
     // ivfSampledIndexWrite: one corpus pass for the sample
     val centPlan = sampledCentroids(v, math.max(nlist, ksub))
     val centRows = centPlan.collect().toIndexedSeq
+    // curated error for the empty corpus instead of centroidAssigner's
+    // bare require: an "empty index" is never the right outcome here —
+    // data-less parquet dirs wedge every later probe on schema
+    // inference (the empty-admit rule)
+    require(centRows.nonEmpty,
+      "cannot build an IVF-PQ index over an empty corpus — no rows to " +
+        "sample centroids from")
     val coarse = spark.createDataFrame(
       spark.sparkContext.parallelize(centRows.take(nlist), 1), centPlan.schema)
     val codebook: Array[Array[Array[Double]]] = {

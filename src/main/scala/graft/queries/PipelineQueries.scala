@@ -1206,6 +1206,35 @@ object PipelineQueries {
         .select(col("c_custkey").as("id1"), col("k"), col("dist"))
     },
 
+    // CLONE-FLOOD gate for the LSH clone-cluster collapse (round 16):
+    // an ENGINEERED boilerplate mega-cluster corpus — 8 base documents
+    // replicated into clone groups of 120/60/1/25 members (ids
+    // doc_id*10000+k) — through the full minHashLshPairs pipeline,
+    // aggregated per (group, group). Identical texts shingle and sign
+    // identically, so the collapsed band join sees ONE row per distinct
+    // signature (the OperatorsSpec scaling gate) while the OUTPUT must
+    // still be every intra-group pair at est_jaccard = 1.0 exactly and
+    // no cross-group pair (the 8 base docs share no band bucket —
+    // verified; a collapse bug leaking a grp1 != grp2 row or an est !=
+    // 1.0 hash-mismatches). The DuckDB oracle replays the clone-group
+    // combinatorics: C(R, 2) pairs per group of R >= 2. FULLY oracled.
+    "dd26_lsh_clone_flood" -> { (s, dir) =>
+      val reps = when(col("doc_id") % 4 === 0, 120)
+        .when(col("doc_id") % 4 === 1, 60)
+        .when(col("doc_id") % 4 === 2, 1).otherwise(25)
+      val flood = Tables(s, dir).documents.filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), reps - 1)).as("k"))
+        .select((col("doc_id") * 10000 + col("k")).as("id"), col("text"))
+      Dedup.minHashLshPairs(flood, "id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        .groupBy(floor(col("id1") / 10000).cast("long").as("grp1"),
+          floor(col("id2") / 10000).cast("long").as("grp2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("est_jaccard")).as("est_min"),
+          max(col("est_jaccard")).as("est_max"))
+    },
+
     // SemDeDup semantic dedup (Abbas et al. 2023): md5-sampled
     // centroids → argmin-L2 cluster assignment → within-cluster
     // cosine >= tau neighbors → drop all but the lowest
@@ -2334,6 +2363,21 @@ object PipelineQueries {
          WHERE a.c_custkey % 9 = 0 AND a.c_custkey % 7 = 0
            AND b.c_custkey % 9 = 0 AND b.c_custkey % 7 <> 0
            AND levenshtein(a.c_name, b.c_name) <= 1""",
+    // dd26 replay: clone-group combinatorics — identical texts pair
+    // only within their group (verified: no cross-group band
+    // collision among the 8 base docs), every intra-group pair at
+    // est_jaccard exactly 1.0, C(R, 2) pairs per group of R members
+    "dd26_lsh_clone_flood" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 120
+                  WHEN doc_id % 4 = 1 THEN 60
+                  WHEN doc_id % 4 = 2 THEN 1 ELSE 25 END AS r
+           FROM documents WHERE doc_id < 8)
+         SELECT doc_id AS grp1, doc_id AS grp2,
+                CAST(r * (r - 1) // 2 AS BIGINT) AS n_pairs,
+                CAST(1.0 AS DOUBLE) AS est_min,
+                CAST(1.0 AS DOUBLE) AS est_max
+         FROM d WHERE r >= 2""",
     // brute-force ground truth for dd16 at distance 2 (same slice)
     "dd16_fuzzy_join2" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
@@ -2532,7 +2576,8 @@ object PipelineQueries {
          ${(1 to 10).map(iter).mkString(",\n         ")}
          SELECT node, count(*) AS pivots_reached,
                 round(sum(1.0 / dist) *
-                  ((SELECT CAST(count(*) AS DOUBLE) FROM verts) / 16.0)
+                  ((SELECT CAST(count(*) AS DOUBLE) FROM verts) /
+                   (SELECT LEAST(16, count(*)) FROM verts))
                   + 1e-11, 6) AS closeness_est
          FROM d10 WHERE dist > 0 GROUP BY 1"""
     },

@@ -522,6 +522,47 @@ class MutationSpec extends SparkSpec {
     assert(de.length == 1 && math.abs(de(0).getDouble(0) - 3.0) < 0.1, de.toSeq)
   }
 
+  test("CALL graph.closeness without seeds is SIZE-ROUTED: exact regime " +
+    "at or under graft.closeness.exact.maxVertices, the Eppstein-Wang " +
+    "pivot estimator above it; the seeded landmark arm is untouched") {
+    val eng = freshEngine // KNOWS: 0 — 1 (undirected below)
+    // exact regime (default threshold 10000 >> 2 vertices): every
+    // vertex is a pivot, scale factor exactly 1 — each node reaches
+    // the other at distance 1
+    val ex = eng.query(
+      """CALL graph.closeness('KNOWS', true)
+         YIELD node, pivots_reached, closeness_est
+         RETURN node, pivots_reached, closeness_est ORDER BY node""").collect()
+    assert(ex.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((0L, 1L, 1.0), (1L, 1L, 1.0)), ex.toSeq)
+    // force the sampled regime: 2 vertices > maxVertices 1, pivots 1 →
+    // the single md5-ranked pivot is node 1 (md5("1") < md5("0")), so
+    // only node 0 gets a row, its inverse-distance sum scaled by
+    // n/k = 2 — the production caller gets the ∝-pivots plan without
+    // knowing the estimator exists
+    spark.conf.set("graft.closeness.exact.maxVertices", "1")
+    spark.conf.set("graft.closeness.pivots", "1")
+    try {
+      val sm = eng.query(
+        """CALL graph.closeness('KNOWS', true)
+           YIELD node, pivots_reached, closeness_est
+           RETURN node, pivots_reached, closeness_est ORDER BY node""").collect()
+      assert(sm.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq((0L, 1L, 2.0)), sm.toSeq)
+    } finally {
+      spark.conf.unset("graft.closeness.exact.maxVertices")
+      spark.conf.unset("graft.closeness.pivots")
+    }
+    // the explicit-seed landmark arm keeps its own exact semantics and
+    // YIELD columns, independent of the router
+    val cl = eng.query(
+      """CALL graph.closeness('KNOWS', [0, 1], true)
+         YIELD origin, n_reached, closeness
+         RETURN origin, n_reached, closeness ORDER BY origin""").collect()
+    assert(cl.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((0L, 1L, 1.0), (1L, 1L, 1.0)), cl.toSeq)
+  }
+
   test("CALL db.procedures lists the registry, including graph analytics") {
     val names = freshEngine.query(
       "CALL db.procedures() YIELD name RETURN name").collect()

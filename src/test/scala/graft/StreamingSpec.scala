@@ -1185,6 +1185,125 @@ class StreamingSpec extends SparkSpec {
     assert(key(led)._5, "batch 2 should still alert")
   }
 
+  test("clone-flood crawl batch: per-batch candidate work is bounded by " +
+    "the batch's DISTINCT signatures (probe-side collapse), dedup " +
+    "semantics unchanged") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    import graft.operators.Dedup
+    // 1) the BOUND, asserted on the probe core's own pins: an index
+    //    with 3 admitted docs probed by a 3000-clone boilerplate flood
+    //    of one admitted text plus one fresh doc. Pre-collapse, every
+    //    clone hit the hot band bucket individually (3000 × bands
+    //    probe rows, 3000 candidate rows per colliding corpus doc,
+    //    every micro-batch of a crawl); collapsed, the probe bands one
+    //    representative per DISTINCT signature and the candidate set
+    //    is rep-level. (The fuzzy arm is bounded the same way twice
+    //    over: fuzzyCrawlBatch probes DISTINCT strings, and its
+    //    minhash tier goes through this same lookup.)
+    val idir = s"${Files.createTempDirectory("graft_cf_idx")}/index"
+    val corpus = Seq(
+      (1L, "the constant boilerplate page every mirror serves"),
+      (2L, "a second admitted document about streaming state"),
+      (3L, "a third admitted document about catalyst plans"))
+      .toDF("doc_id", "text")
+    Dedup.minHashIndexPut(spark, idir, corpus, "doc_id", "text",
+      batch = 0L, shingleSize = 2, numHashes = 16, bands = 8)
+    val flood = ((0 until 3000).map(k =>
+        (1000L + k, "the constant boilerplate page every mirror serves")) :+
+        (9999L, "a fresh never before seen document about lazy plans"))
+      .toDF("doc_id", "text")
+    val (lookup, pins) = Dedup.minHashIndexLookupPinned(
+      spark, idir, flood, "doc_id", "text", excludeBatchFrom = Some(1L))
+    val hits = lookup.filter(col("est_jaccard") >= 0.9)
+      .select("new_id").distinct().count()
+    assert(hits == 3000L, s"every clone must match the admitted text: $hits")
+    // pins = Seq(sigNew, repsNew, cand): 3001 batch docs → 2 distinct
+    // signatures → candidate rows bounded by reps × colliding corpus
+    // docs, never by the clone count
+    assert(pins.length == 3, s"pin contract: ${pins.length}")
+    assert(pins(1).count() == 2L, "distinct-signature representatives")
+    assert(pins(2).count() <= 2L * 3L,
+      s"rep-level candidate rows: ${pins(2).count()}")
+    pins.foreach(graft.operators.IterPin.free)
+    // 2) the STREAMING arm: a minhash_dedup crawl whose second
+    //    micro-batch is a clone flood of an admitted doc — every clone
+    //    drops via the index probe, the fresh doc survives, the stream
+    //    completes (no hot-bucket straggler semantics change)
+    val src = Files.createTempDirectory("graft_cf_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_cf_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_cf_ck").toFile.getAbsolutePath
+    val idx2 = s"${Files.createTempDirectory("graft_cf_idx2")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: cf}
+         |curation:
+         |  - id: cf
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: minhash_dedup, index_dir: $idx2, shingle_size: "2",
+         |         num_hashes: "16", bands: "8", threshold: "0.5"}
+         |""".stripMargin)
+    def run(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "cf")
+      q.processAllAvailable(); q.stop()
+    }
+    run(Seq(
+      (1L, "the constant boilerplate page every mirror serves"),
+      (2L, "a second admitted document about streaming state")))
+    run((0 until 500).map(k =>
+        (1000L + k, "the constant boilerplate page every mirror serves")) :+
+      (9999L, "a fresh never before seen document about lazy plans"))
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 9999L), got)
+  }
+
+  test("drift baseline is PINNED across compaction: the batch=-1 fold " +
+    "cannot blend post-drift batches into the reference, and a refit " +
+    "opens a fresh drift epoch") {
+    import graft.operators.{BatchCompaction, Similarity}
+    val idx = s"${Files.createTempDirectory("graft_db_idx")}/index"
+    // batch 0: both vectors ARE the frozen centroids → true baseline 0
+    Similarity.vecIndexPut(spark, idx,
+      Seq((4L, Seq(1.0, 0.0)), (6L, Seq(0.0, 1.0))).toDF("id", "v"),
+      "id", "v", batch = 0L, nlist = 2)
+    // batch 1 drifts hard off both centroids
+    Similarity.vecIndexPut(spark, idx,
+      Seq((9L, Seq(5.0, 5.0)), (11L, Seq(-3.0, 4.0))).toDF("id", "v"),
+      "id", "v", batch = 1L, nlist = 2)
+    val before = Similarity.streamIndexDrift(spark, idx).collect()
+    val b0 = before.find(_.getAs[Number]("batch").longValue == 0L).get
+    val b1 = before.find(_.getAs[Number]("batch").longValue == 1L).get
+    assert(b0.getAs[Double]("baseline_dist") == 0.0, b0.toString)
+    assert(b1.getAs[Boolean]("alert"), b1.toString)
+    // fold EVERYTHING under batch=-1 (what compact_every does over a
+    // long crawl): the earliest LIVE partition's mean is now the blend
+    // over all folded batches — nonzero, drift included
+    BatchCompaction.compactIndex(spark, idx, upTo = 1L)
+    val after = Similarity.streamIndexDrift(spark, idx).collect()
+    assert(after.length == 1, after.mkString(", "))
+    val f = after.head
+    assert(f.getAs[Number]("batch").longValue == -1L, f.toString)
+    // the pinned baseline still reads the FIRST audit's 0.0 — the
+    // pre-pin rule recomputed it from the earliest live partition and
+    // would report the blended mean here (drift_ratio exactly 1.0, no
+    // alert: the desensitization this sidecar exists to prevent)
+    assert(f.getAs[Double]("baseline_dist") == 0.0, f.toString)
+    assert(f.getAs[Boolean]("alert"), f.toString)
+    // refit = new centroids = new drift epoch: the sidecar drops so
+    // the next audit re-pins against distances to the refit centroids
+    Similarity.refitStreamIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_drift_baseline")),
+      "refit must drop the pinned baseline")
+  }
+
   test("YAML streaming curation: token_budget with a spend ledger is " +
     "GLOBAL across batches, refunds gate-dropped survivors, and replays " +
     "idempotently") {
