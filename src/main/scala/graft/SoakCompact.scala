@@ -86,7 +86,7 @@ object SoakCompact {
         case "semantic" =>
           ("doc_id LONG, text STRING, emb ARRAY<DOUBLE>",
             s"""- {op: semantic_dedup, index_dir: $idx, vec_col: emb,
-               |         tau: "0.999", nlist: "4", drift_every: "10",
+               |         tau: "0.9999", nlist: "4", drift_every: "10",
                |         drift_dir: $base/drift$compact}""".stripMargin,
             s"$idx/vecs")
         case _ =>
@@ -109,13 +109,24 @@ object SoakCompact {
       import spark.implicits._
       for (i <- 0 until batches) {
         // one fresh doc + one constant dup per batch; the semantic arm
-        // walks the unit circle so most batches admit a fresh vector
+        // walks the unit circle in 0.1 rad steps — at tau 0.9999
+        // (admit iff below it; threshold angle ~0.014 rad) every step
+        // AND every wrap-around offset (0.018 rad at i=63) stays a
+        // fresh admit for 150 batches, so the OFF curve keeps growing
+        // instead of plateauing at the first wrap;
+        // the fuzzy arm's fresh keys must be PAIRWISE far in edit
+        // distance (plain "document $i" keys are all within dist 1 of
+        // "document 0", so nothing past batch 0 would ever admit)
         val df = stage match {
           case "semantic" =>
             Seq((i.toLong, s"document $i",
                 Seq(math.cos(i * 0.1), math.sin(i * 0.1))),
               (i.toLong + 1000000L, "the dup", Seq(1.0, 0.0)))
               .toDF("doc_id", "text", "emb")
+          case "fuzzy" =>
+            Seq((i.toLong, s"record $i key ${i * 31} tag ${i * 17}"),
+              (i.toLong + 1000000L, "the constant duplicated entry"))
+              .toDF("doc_id", "text")
           case _ =>
             Seq((i.toLong, s"document $i"), (i.toLong + 1000000L, "the dup"))
               .toDF("doc_id", "text")

@@ -146,7 +146,20 @@ object Dedup {
     }: _*)
   }
 
-  /** One representative per DISTINCT signature: (sig, rid = min id).
+  /** The 128-bit structural group key of a signature vector: two
+    * independent xxhash64 lanes. Grouping and joining on two LONGs
+    * instead of the 8·numHashes-byte array keeps every collapse stage
+    * hash-based (an array join key costs corpus-wide sorts) and — the
+    * big one — makes the member mapping a MAP-SIDE projection instead
+    * of a corpus⋈groups join-back. Two distinct signatures sharing
+    * both lanes would merge groups; at P ≈ 2⁻¹²⁸ per pair this sits
+    * far below the operator's existing 64-bit band-key event class
+    * (band keys already gate which candidates exist).
+    */
+  private def sigKeyCols(sig: Column): Seq[Column] =
+    Seq(xxhash64(sig).as("__k1"), xxhash64(lit(1), sig).as("__k2"))
+
+  /** One representative row per DISTINCT signature: (__k1, __k2, sig).
     * The clone-cluster collapse key: band keys are a pure function of
     * the signature, so ids sharing a signature form an equivalence
     * class — every band decision (and every lane-match count) made for
@@ -159,7 +172,9 @@ object Dedup {
     * collapse (round 12), lifted from strings to signatures.
     */
   private[graft] def lshSigReps(sig: DataFrame): DataFrame =
-    sig.groupBy(col("sig")).agg(min(col("id")).as("rid"))
+    sig.select(sigKeyCols(col("sig")) :+ col("sig"): _*)
+      .groupBy(col("__k1"), col("__k2"))
+      .agg(first(col("sig")).as("sig")) // identical within a group
 
   /** (r1, r2, est_jaccard) candidate pairs over the DISTINCT-signature
     * representatives `reps` = (sig, rid) — the band self-join, run on
@@ -182,9 +197,10 @@ object Dedup {
     */
   private[graft] def lshRepPairs(reps: DataFrame, numHashes: Int,
                                  bands: Int): DataFrame = {
-    val banded0 = reps.select(col("rid"), col("sig"),
+    val banded0 = reps.select(col("__k1"), col("__k2"), col("sig"),
       explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("rid"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("__k1"), col("__k2"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val cap = reps.sparkSession.conf.getOption("graft.lsh.bucketCap")
       .map(_.toInt).getOrElse(Int.MaxValue)
     require(cap >= 0, s"graft.lsh.bucketCap must be >= 0, got $cap")
@@ -208,9 +224,9 @@ object Dedup {
           Seq("band", "bkey"), "left_anti")
       }
     val l = banded.select(col("band"), col("bkey"),
-      col("rid").as("r1"), col("sig").as("sig1"))
+      col("__k1").as("__k1_a"), col("__k2").as("__k2_a"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bkey"),
-      col("rid").as("r2"), col("sig").as("sig2"))
+      col("__k1").as("__k1_b"), col("__k2").as("__k2_b"), col("sig").as("sig2"))
     // matching-lane count unrolled over the plan-time-constant lane
     // count (signatures are length-numHashes by construction): a
     // codegen'd integer sum instead of an interpreted zip_with/filter
@@ -219,11 +235,14 @@ object Dedup {
       .map(i => when(element_at(col("sig1"), i) === element_at(col("sig2"), i),
         1).otherwise(0))
       .reduce(_ + _)
+    // each unordered group pair once, oriented by the lexicographic
+    // (k1, k2) order (keys are unique per group)
     l.join(r, Seq("band", "bkey"))
-      .filter(col("r1") < col("r2"))
-      .select(col("r1"), col("r2"),
+      .filter(col("__k1_a") < col("__k1_b") ||
+        (col("__k1_a") === col("__k1_b") && col("__k2_a") < col("__k2_b")))
+      .select(col("__k1_a"), col("__k2_a"), col("__k1_b"), col("__k2_b"),
         (matches / lit(numHashes.toDouble)).as("est_jaccard"))
-      .groupBy(col("r1"), col("r2"))
+      .groupBy(col("__k1_a"), col("__k2_a"), col("__k1_b"), col("__k2_b"))
       .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
   }
 
@@ -233,50 +252,57 @@ object Dedup {
     * directly: a cross-group member pair collides in a band iff its
     * representatives do (band keys are signature-pure) with the same
     * lane-match count, and an intra-group pair matches on every lane,
-    * so est_jaccard = 1.0 exactly. The expansion joins all hash on the
-    * representative id; a mega-group's quadratic OUTPUT (its pairs ARE
-    * the answer in this pairs-level API) is spread by AQE's skew
-    * split, and — unlike the pre-collapse plan — it is paid once, not
-    * once per band plus a corpus-wide distinct. The signature
-    * aggregate runs ONCE: the groups aggregate and the members
-    * join-back both exchange on `sig`, so ReuseExchange shares the
-    * subtree, as do the four `rid`-keyed exchanges of `members`.
+    * so est_jaccard = 1.0 exactly. The member mapping is a MAP-SIDE
+    * projection (id, structural key) — no join-back of the corpus
+    * against the groups — and every expansion join hashes on two
+    * longs; a mega-group's quadratic OUTPUT (its pairs ARE the answer
+    * in this pairs-level API) is spread by AQE's skew split, and —
+    * unlike the pre-collapse plan — it is paid once, not once per
+    * band plus a corpus-wide distinct.
     */
   private def lshBandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val (members, repPairs) = lshCollapsed(sig, numHashes, bands)
-    expandRepPairs(members, repPairs,
+    expandRepPairs(members, Seq("__k1", "__k2"), repPairs,
       Seq(col("est_jaccard")), Seq(lit(1.0).as("est_jaccard")))
   }
 
   /** The collapse front half shared by [[lshBandPairs]] and
-    * [[ngramJaccardPairs]]' LSH mode: (members = (rid, id), repPairs).
-    * Both the groups aggregate and the members join-back exchange on
-    * `sig`, so the corpus-wide signature aggregate runs ONCE under
-    * ReuseExchange, and every downstream consumer of `members`
-    * exchanges on `rid` — also shared.
+    * [[ngramJaccardPairs]]' LSH mode: (members = (__k1, __k2, id) —
+    * map-side, no join), repPairs over the distinct signatures.
     */
   private def lshCollapsed(sig: DataFrame, numHashes: Int,
                            bands: Int): (DataFrame, DataFrame) = {
-    val reps = lshSigReps(sig)
-    val members = sig.join(reps, Seq("sig")).select(col("rid"), col("id"))
-    (members, lshRepPairs(reps, numHashes, bands))
+    val members = sig.select(sigKeyCols(col("sig")) :+ col("id"): _*)
+    (members, lshRepPairs(lshSigReps(sig), numHashes, bands))
   }
 
-  /** Group-wise expansion of representative pairs to member pairs:
-    * cross-group pairs carry `crossExtra` (columns of `repPairs`),
-    * intra-group pairs (an equivalence class — every unordered member
-    * pair of a >= 2 group) carry `intraExtra`.
+  /** Group-wise expansion of representative pairs to member pairs.
+    * `members` = key columns `keys` + `id`; `repPairs` carries the
+    * pair's keys as `<k>_a` / `<k>_b`. Cross-group pairs carry
+    * `crossExtra` (columns of `repPairs`), intra-group pairs (an
+    * equivalence class — every unordered member pair of a >= 2 group)
+    * carry `intraExtra`. All joins hash on the key columns; the three
+    * member-side exchanges share one canonical subtree.
     */
-  private def expandRepPairs(members: DataFrame, repPairs: DataFrame,
+  private def expandRepPairs(members: DataFrame, keys: Seq[String],
+                             repPairs: DataFrame,
                              crossExtra: Seq[Column],
                              intraExtra: Seq[Column]): DataFrame = {
+    val mA = members.select(
+      keys.map(k => col(k).as(k + "_a")) :+ col("id").as("m1"): _*)
+    val mB = members.select(
+      keys.map(k => col(k).as(k + "_b")) :+ col("id").as("m2"): _*)
     val cross = repPairs
-      .join(members.select(col("rid").as("r1"), col("id").as("m1")), Seq("r1"))
-      .join(members.select(col("rid").as("r2"), col("id").as("m2")), Seq("r2"))
+      .join(mA, keys.map(_ + "_a"))
+      .join(mB, keys.map(_ + "_b"))
       .select(least(col("m1"), col("m2")).as("id1") +:
         greatest(col("m1"), col("m2")).as("id2") +: crossExtra: _*)
-    val intra = members.select(col("rid"), col("id").as("id1"))
-      .join(members.select(col("rid"), col("id").as("id2")), Seq("rid"))
+      // a repeated id value spanning two signature groups would emit
+      // an id1 == id2 row the pre-collapse `id1 < id2` filter silently
+      // dropped — keep that contract (the expandStringPairs guard)
+      .filter(col("id1") =!= col("id2"))
+    val intra = members.select(keys.map(col) :+ col("id").as("id1"): _*)
+      .join(members.select(keys.map(col) :+ col("id").as("id2"): _*), keys)
       .filter(col("id1") < col("id2"))
       .select(col("id1") +: col("id2") +: intraExtra: _*)
     cross.unionByName(intra)
@@ -327,9 +353,15 @@ object Dedup {
     * any covering block layout (which is also why the external oracle
     * may replay a different covering layout and still hash-match).
     *
-    * `hotBucketWarn` (opt-in): log any (blk, bval) bucket holding more
-    * than this many rows before the self-join runs — see the guard
-    * comment below and [[simHashBucketStats]].
+    * Clone floods: identical token multisets produce identical
+    * fingerprints, and the blocking runs on ONE representative per
+    * DISTINCT fingerprint (the lshBandPairs collapse — exact, since
+    * block values and hamming are pure functions of the fingerprint),
+    * so a boilerplate mega-cluster costs one row per bucket, not a
+    * quadratic self-join. `hotBucketWarn` (opt-in): log any
+    * (blk, bval) bucket holding more than this many DISTINCT
+    * fingerprints before the self-join runs — see the guard comment
+    * below and [[simHashBucketStats]].
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, hotBucketWarn: Int = Int.MaxValue): DataFrame = {
@@ -341,15 +373,26 @@ object Dedup {
     val widths = Seq.tabulate(nBlocks)(i => base + (if (i < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
     val sigDf = simHashes(df, idCol, textCol)
-    val blocked = sigDf.select(col("id"), col("sim"),
+    // CLONE-CLUSTER COLLAPSE (the lshBandPairs rule on the 48-bit
+    // fingerprint, which is a pure function of the token multiset):
+    // block and verify ONE representative per distinct fingerprint —
+    // an exact-clone flood contributes one row per pigeonhole bucket
+    // instead of |cluster| rows whose self-join is quadratic — then
+    // expand group-wise (intra pairs are hamming 0 by construction,
+    // cross pairs share their representatives' hamming). The
+    // fingerprint ITSELF is the group key (one long — exact, no hash
+    // lane needed) and the member mapping is a map-side projection.
+    val groups = sigDf.select(col("sim")).distinct()
+    val members = sigDf.select(col("sim").as("__g"), col("id"))
+    val blocked = groups.select(col("sim"),
       explode(array((0 until nBlocks).map { b =>
         struct(lit(b).as("blk"),
           shiftrightunsigned(col("sim"), offsets(b))
             .bitwiseAND((1L << widths(b)) - 1).as("bval"))
       }: _*)).as("kb"))
-      .select(col("id"), col("sim"), col("kb.blk").as("blk"), col("kb.bval").as("bval"))
-    val l = blocked.select(col("blk"), col("bval"), col("id").as("id1"), col("sim").as("sim1"))
-    val r = blocked.select(col("blk"), col("bval"), col("id").as("id2"), col("sim").as("sim2"))
+      .select(col("sim"), col("kb.blk").as("blk"), col("kb.bval").as("bval"))
+    val l = blocked.select(col("blk"), col("bval"), col("sim").as("sim1"))
+    val r = blocked.select(col("blk"), col("bval"), col("sim").as("sim2"))
     // emit each pair ONLY from its first agreeing block (all earlier
     // blocks must differ): pairs agreeing on k blocks would otherwise
     // reach the output k times and need a shuffle-heavy distinct over
@@ -362,12 +405,14 @@ object Dedup {
         .foldLeft(col("blk") === b)(_ && _)
     }.reduce(_ || _)
     // Hot-bucket observability guard (opt-in, like Wcoj.maxAdjDegree):
-    // a boilerplate-heavy corpus can put m rows into one (blk, bval)
-    // bucket, making that bucket's self-join quadratic — inherent to
-    // candidate generation (the true near-dup pairs ARE quadratic in
-    // the cluster), but the failure mode should be a NAMED log line,
-    // not an anonymous straggler task. Costs one small aggregate over
-    // the blocked frame; results are never altered.
+    // a near-identical-but-DISTINCT flood can still put m distinct
+    // fingerprints into one (blk, bval) bucket, making that bucket's
+    // self-join quadratic — inherent to candidate generation (the true
+    // near-dup pairs ARE quadratic in the cluster), but the failure
+    // mode should be a NAMED log line, not an anonymous straggler
+    // task. Exact clones no longer count here (collapsed above). Costs
+    // one small aggregate over the blocked frame; results are never
+    // altered.
     if (hotBucketWarn != Int.MaxValue) {
       val hot = blocked.groupBy(col("blk"), col("bval"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > hotBucketWarn)
@@ -375,21 +420,26 @@ object Dedup {
       hot.foreach { h =>
         System.err.println(
           s"[graft] simHashPairs hot bucket: blk=${h.get(0)} bval=${h.get(1)} " +
-            s"rows=${h.get(2)} (> $hotBucketWarn; self-join is ~rows^2/2 candidate pairs)")
+            s"distinct_fingerprints=${h.get(2)} (> $hotBucketWarn; " +
+            "self-join is ~n^2/2 candidate pairs)")
       }
     }
-    l.join(r, Seq("blk", "bval"))
-      .filter(col("id1") < col("id2"))
+    val repPairs = l.join(r, Seq("blk", "bval"))
+      .filter(col("sim1") < col("sim2"))
       .filter(firstAgree)
-      .select(col("id1"), col("id2"),
+      .select(col("sim1").as("__g_a"), col("sim2").as("__g_b"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    expandRepPairs(members, Seq("__g"), repPairs,
+      Seq(col("hamming")), Seq(lit(0).as("hamming")))
   }
 
   /** Per-bucket candidate histogram for `simHashPairs` — the standalone
-    * observability view: (blk, bval, rows) for every pigeonhole bucket,
-    * heaviest first. Run it when a simhash job stragglers to see which
-    * buckets carry the quadratic mass.
+    * observability view: (blk, bval, rows, distinct_fingerprints) for
+    * every pigeonhole bucket, heaviest first. Run it when a simhash
+    * job stragglers: `distinct_fingerprints` is the bucket's actual
+    * self-join width after the clone collapse (exact clones cost one
+    * row), `rows` the raw document count landing there.
     */
   def simHashBucketStats(df: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int): DataFrame = {
@@ -405,7 +455,8 @@ object Dedup {
             .bitwiseAND((1L << widths(b)) - 1).as("bval"))
       }: _*)).as("kb"))
       .groupBy(col("kb.blk").as("blk"), col("kb.bval").as("bval"))
-      .agg(count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("sim")).as("distinct_fingerprints"))
       .orderBy(col("rows").desc)
   }
 
@@ -457,19 +508,21 @@ object Dedup {
     // pairs are candidates by construction) — semi-join first, then
     // collect_set, so the set-building aggregate scales with the
     // near-duplicate rate rather than the corpus
-    val candRids = repPairs
-      .select(explode(array(col("r1"), col("r2"))).as("rid"))
-      .unionByName(members.groupBy(col("rid"))
+    val candKeys = repPairs
+      .select(col("__k1_a").as("__k1"), col("__k2_a").as("__k2"))
+      .unionByName(repPairs
+        .select(col("__k1_b").as("__k1"), col("__k2_b").as("__k2")))
+      .unionByName(members.groupBy(col("__k1"), col("__k2"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
-        .select(col("rid")))
+        .select(col("__k1"), col("__k2")))
       .distinct()
-    val candIds = members.join(candRids, Seq("rid"), "left_semi")
+    val candIds = members.join(candKeys, Seq("__k1", "__k2"), "left_semi")
       .select(col("id")).distinct()
     val sized = rows.join(candIds, Seq("id"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
       .withColumn("set_size", size(col("sh")))
-    expandRepPairs(members, repPairs.select(col("r1"), col("r2")),
-        Seq.empty, Seq.empty)
+    expandRepPairs(members, Seq("__k1", "__k2"),
+        repPairs.drop("est_jaccard"), Seq.empty, Seq.empty)
       .join(sized.select(col("id").as("id1"), col("sh").as("sh1"),
         col("set_size").as("sz1")), Seq("id1"))
       .join(sized.select(col("id").as("id2"), col("sh").as("sh2"),
@@ -564,14 +617,34 @@ object Dedup {
         }: _*).as("sigs"))
     // candidate id-pairs first (ids only through the 8-way bucket join,
     // deduped BEFORE the 64-dim vectors are attached — an 8x cut in
-    // array bytes shuffled), then one exact-cosine verification pass
-    val bucketed = sigs.select(col("id"),
+    // array bytes shuffled), then one exact-cosine verification pass.
+    // CLONE COLLAPSE (the lshBandPairs rule): identical vectors sign
+    // identically across every table, so the bucket self-join runs on
+    // ONE representative per distinct signature ARRAY and candidate
+    // pairs expand group-wise — a duplicate-document embedding flood
+    // costs one row per bucket instead of a quadratic self-join.
+    // Unlike minhash/simhash, equal signatures do NOT pin the verify
+    // result (distinct vectors can share all 4 sketches), so the
+    // expansion emits intra-group pairs as CANDIDATES and every member
+    // pair still gets its own exact cosine — bit-identical output.
+    val skey = Seq(xxhash64(col("sigs")).as("__k1"),
+      xxhash64(lit(1), col("sigs")).as("__k2"))
+    val groups = sigs.select(skey :+ col("sigs"): _*)
+      .groupBy(col("__k1"), col("__k2"))
+      .agg(first(col("sigs")).as("sigs"))
+    val members = sigs.select(skey :+ col("id"): _*)
+    val bucketed = groups.select(col("__k1"), col("__k2"),
       posexplode(col("sigs")).as(Seq("tbl", "sig")))
-    val candidates = bucketed.select(col("tbl"), col("sig"), col("id").as("id1"))
-      .join(bucketed.select(col("tbl"), col("sig"), col("id").as("id2")),
-        Seq("tbl", "sig"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    val repCand = bucketed.select(col("tbl"), col("sig"),
+        col("__k1").as("__k1_a"), col("__k2").as("__k2_a"))
+      .join(bucketed.select(col("tbl"), col("sig"),
+        col("__k1").as("__k1_b"), col("__k2").as("__k2_b")), Seq("tbl", "sig"))
+      .filter(col("__k1_a") < col("__k1_b") ||
+        (col("__k1_a") === col("__k1_b") && col("__k2_a") < col("__k2_b")))
+      .select(col("__k1_a"), col("__k2_a"), col("__k1_b"), col("__k2_b"))
+      .distinct()
+    val candidates = expandRepPairs(members, Seq("__k1", "__k2"), repCand,
+      Seq.empty, Seq.empty)
     val vn = v.join(sigs.select(col("id"), col("norm")), Seq("id"))
     cosineVerify(candidates, vn, threshold, probeDims(df, vecCol))
   }
@@ -942,22 +1015,22 @@ object Dedup {
       .localCheckpoint(true)
     // CLONE-FLOOD GUARD (the lshBandPairs collapse, probe side): band,
     // candidate-dedup, and estimate over ONE representative per
-    // DISTINCT batch signature, expanding to members only at the end.
-    // A boilerplate flood in a crawl re-probes the same hot index
-    // bucket every micro-batch; un-collapsed, the bucket's match set
-    // multiplies by the batch's clone count (batch_clones ×
-    // index_cluster join rows). Collapsed, per-batch candidate work is
-    // bounded by the batch's DISTINCT signatures (spec-gated via the
-    // returned candidate pin) — the expansion at the end is the true
-    // output. Pinned: consumed by the banding, the estimate side, and
-    // the member mapping.
-    val repsNew = lshSigReps(sigNew)
-      .select(col("rid").as("__rep"), col("sig"))
-      .localCheckpoint(true)
+    // DISTINCT batch signature (identified by the 128-bit structural
+    // key — two xxhash64 lanes), expanding over the map-side member
+    // projection only at the end. A boilerplate flood in a crawl
+    // re-probes the same hot index bucket every micro-batch;
+    // un-collapsed, the bucket's match set multiplies by the batch's
+    // clone count (batch_clones × index_cluster join rows). Collapsed,
+    // per-batch candidate work is bounded by the batch's DISTINCT
+    // signatures (spec-gated via the returned candidate pin) — the
+    // expansion at the end is the true output. Pinned: consumed by the
+    // banding and the estimate side.
+    val repsNew = lshSigReps(sigNew).localCheckpoint(true)
     val bandedNew = repsNew
-      .select(col("__rep"),
+      .select(col("__k1"), col("__k2"),
         explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("__rep"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("__k1"), col("__k2"))
     // size-gated join strategy: the usual incremental batch is tiny
     // next to the index, so its band keys broadcast and the at-rest
     // side streams through ONE scan with no shuffle. The gate estimates
@@ -975,7 +1048,8 @@ object Dedup {
     val joined =
       if (smallBatch) idx.join(broadcast(bandedNew), Seq("band", "bkey"))
       else idx.join(bandedNew, Seq("band", "bkey"))
-    val cand0 = joined.select(col("__rep"), col("id").as("corpus_id")).distinct()
+    val cand0 = joined
+      .select(col("__k1"), col("__k2"), col("id").as("corpus_id")).distinct()
     // the candidate ⋈ signature join must not shuffle the at-rest
     // `_sigs` table either (id + numHashes longs per row — the WHOLE
     // index through an exchange on every probe; candidate stats derive
@@ -996,20 +1070,21 @@ object Dedup {
       .reduce(_ + _)
     // estimate per REPRESENTATIVE (the lane-match count is a pure
     // function of the two signatures, so it is shared by every clone),
-    // then expand over the member mapping — both batch-side joins
-    // broadcast under the same smallBatch gate so the at-rest `_sigs`
-    // side still streams through one scan
-    val repSide = repsNew.select(col("__rep"), col("sig").as("sig2"))
-    val mem = sigNew
-      .join(if (smallBatch) broadcast(repsNew) else repsNew, Seq("sig"))
-      .select(col("__rep"), col("id").as("new_id"))
+    // then expand over the MAP-SIDE member projection — both
+    // batch-side joins broadcast under the same smallBatch gate so the
+    // at-rest `_sigs` side still streams through one scan
+    val repSide = repsNew.select(col("__k1"), col("__k2"),
+      col("sig").as("sig2"))
+    val mem = sigNew.select(xxhash64(col("sig")).as("__k1"),
+      xxhash64(lit(1), col("sig")).as("__k2"), col("id").as("new_id"))
     val result = (if (smallCand) broadcast(cand) else cand)
       .join(asOf(spark.read.parquet(s"$path/_sigs"))
         .select(col("id").as("corpus_id"), col("sig").as("sig1")), Seq("corpus_id"))
-      .join(if (smallBatch) broadcast(repSide) else repSide, Seq("__rep"))
-      .select(col("__rep"), col("corpus_id"),
+      .join(if (smallBatch) broadcast(repSide) else repSide,
+        Seq("__k1", "__k2"))
+      .select(col("__k1"), col("__k2"), col("corpus_id"),
         round(matches / lit(numHashes.toDouble), 4).as("est_jaccard"))
-      .join(if (smallBatch) broadcast(mem) else mem, Seq("__rep"))
+      .join(if (smallBatch) broadcast(mem) else mem, Seq("__k1", "__k2"))
       .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
     (result,
       if (smallBatch) Seq(sigNew, repsNew, cand) else Seq(sigNew, repsNew))

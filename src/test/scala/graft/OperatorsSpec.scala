@@ -96,6 +96,19 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.getLong(0) == expected.values.map(_._1).sum)
     assert(capped.getDouble(1) == 1.0)
     assert(errBuf.toString.contains("bucket cap"), errBuf.toString)
+    // simHashPairs carries the same collapse on the 48-bit fingerprint
+    // (a pure function of the token multiset): the flood's output is
+    // exactly every intra-group pair at hamming 0, and the three base
+    // fingerprints are farther than hamming 6 apart (no cross pairs)
+    val sh = Dedup.simHashPairs(flood, "id", "text", maxHamming = 6)
+      .groupBy(floor(col("id1") / 10000).cast("long").as("g1"),
+        floor(col("id2") / 10000).cast("long").as("g2"))
+      .agg(count(lit(1)).as("n"), max(col("hamming")).as("h"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(sh == sizes.map { case (g, n, _) =>
+      ((g, g), (n.toLong * (n - 1) / 2, 0)) }.toMap, sh)
   }
 
   test("simhash: identical text => identical fingerprint; near-dup within hamming 6") {
