@@ -1235,6 +1235,27 @@ object PipelineQueries {
           max(col("est_jaccard")).as("est_max"))
     },
 
+    // dd26's clone flood through SIMHASH (round 16): the collapse on
+    // the 48-bit fingerprint must reproduce exactly every intra-group
+    // pair at hamming 0 and no cross-group pair — the 8 base docs'
+    // fingerprints are pairwise >= 11 apart (verified), so at
+    // maxHamming 6 the clone-group combinatorics ARE the full answer
+    // and the DuckDB oracle replays them. FULLY oracled.
+    "dd27_simhash_clone_flood" -> { (s, dir) =>
+      val reps = when(col("doc_id") % 4 === 0, 120)
+        .when(col("doc_id") % 4 === 1, 60)
+        .when(col("doc_id") % 4 === 2, 1).otherwise(25)
+      val flood = Tables(s, dir).documents.filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), reps - 1)).as("k"))
+        .select((col("doc_id") * 10000 + col("k")).as("id"), col("text"))
+      Dedup.simHashPairs(flood, "id", "text", maxHamming = 6)
+        .groupBy(floor(col("id1") / 10000).cast("long").as("grp1"),
+          floor(col("id2") / 10000).cast("long").as("grp2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("hamming")).cast("long").as("max_hamming"))
+    },
+
     // SemDeDup semantic dedup (Abbas et al. 2023): md5-sampled
     // centroids → argmin-L2 cluster assignment → within-cluster
     // cosine >= tau neighbors → drop all but the lowest
@@ -2363,6 +2384,19 @@ object PipelineQueries {
          WHERE a.c_custkey % 9 = 0 AND a.c_custkey % 7 = 0
            AND b.c_custkey % 9 = 0 AND b.c_custkey % 7 <> 0
            AND levenshtein(a.c_name, b.c_name) <= 1""",
+    // dd27 replay: the same clone-group combinatorics at hamming 0
+    // (the 8 base fingerprints are pairwise >= 11 apart, so no cross
+    // pair survives maxHamming 6)
+    "dd27_simhash_clone_flood" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 120
+                  WHEN doc_id % 4 = 1 THEN 60
+                  WHEN doc_id % 4 = 2 THEN 1 ELSE 25 END AS r
+           FROM documents WHERE doc_id < 8)
+         SELECT doc_id AS grp1, doc_id AS grp2,
+                CAST(r * (r - 1) // 2 AS BIGINT) AS n_pairs,
+                CAST(0 AS BIGINT) AS max_hamming
+         FROM d WHERE r >= 2""",
     // dd26 replay: clone-group combinatorics — identical texts pair
     // only within their group (verified: no cross-group band
     // collision among the 8 base docs), every intra-group pair at
