@@ -201,28 +201,7 @@ object Dedup {
       explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
       .select(col("__k1"), col("__k2"), col("sig"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cap = reps.sparkSession.conf.getOption("graft.lsh.bucketCap")
-      .map(_.toInt).getOrElse(Int.MaxValue)
-    require(cap >= 0, s"graft.lsh.bucketCap must be >= 0, got $cap")
-    val banded =
-      if (cap == Int.MaxValue) banded0
-      else {
-        val hot = banded0.groupBy(col("band"), col("bkey"))
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-        // loud overflow accounting (an eager aggregate — the cap is
-        // opt-in, and a silent recall cut would be worse than the job)
-        val st = hot.agg(count(lit(1)).as("b"),
-          coalesce(sum(col("__n")), lit(0L)).as("r")).head()
-        if (st.getLong(0) > 0L)
-          System.err.println(
-            s"[graft] lshRepPairs bucket cap $cap: dropping " +
-              s"${st.getLong(0)} hot buckets (${st.getLong(1)} signature " +
-              "rows); pairs connected ONLY through a dropped bucket are " +
-              "lost — recall trade, see README 'Operating a long-running " +
-              "deployment'")
-        banded0.join(hot.select(col("band"), col("bkey")),
-          Seq("band", "bkey"), "left_anti")
-      }
+    val banded = capHotBuckets(banded0, Seq("band", "bkey"), "lshRepPairs")
     val l = banded.select(col("band"), col("bkey"),
       col("__k1").as("__k1_a"), col("__k2").as("__k2_a"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bkey"),
@@ -244,6 +223,41 @@ object Dedup {
         (matches / lit(numHashes.toDouble)).as("est_jaccard"))
       .groupBy(col("__k1_a"), col("__k2_a"), col("__k1_b"), col("__k2_b"))
       .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
+  }
+
+  /** Opt-in hot-bucket cap (`graft.lsh.bucketCap`, session conf)
+    * shared by every banded/blocked candidate self-join: drop buckets
+    * (grouped by `keys`) holding more than the cap's DISTINCT
+    * signatures, with loud stderr accounting — the escape hatch for
+    * near-identical-but-distinct floods, where one bucket is quadratic
+    * in distinct signatures and no skew split makes it linear. The
+    * trade is RECALL (pairs connected ONLY through a dropped bucket
+    * are lost; they usually also collide in a surviving bucket); exact
+    * clone groups are immune — collapsed to one row upstream, they
+    * never overflow. Default off: bit-identical to the uncapped join.
+    */
+  private def capHotBuckets(banded: DataFrame, keys: Seq[String],
+                            opName: String): DataFrame = {
+    val cap = banded.sparkSession.conf.getOption("graft.lsh.bucketCap")
+      .map(_.toInt).getOrElse(Int.MaxValue)
+    require(cap >= 0, s"graft.lsh.bucketCap must be >= 0, got $cap")
+    if (cap == Int.MaxValue) banded
+    else {
+      val hot = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+      // loud overflow accounting (an eager aggregate — the cap is
+      // opt-in, and a silent recall cut would be worse than the job)
+      val st = hot.agg(count(lit(1)).as("b"),
+        coalesce(sum(col("__n")), lit(0L)).as("r")).head()
+      if (st.getLong(0) > 0L)
+        System.err.println(
+          s"[graft] $opName bucket cap $cap: dropping " +
+            s"${st.getLong(0)} hot buckets (${st.getLong(1)} signature " +
+            "rows); pairs connected ONLY through a dropped bucket are " +
+            "lost — recall trade, see README 'Operating a long-running " +
+            "deployment'")
+      banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
+    }
   }
 
   /** (id1, id2, est_jaccard) candidate pairs from banded signatures —
@@ -391,8 +405,9 @@ object Dedup {
             .bitwiseAND((1L << widths(b)) - 1).as("bval"))
       }: _*)).as("kb"))
       .select(col("sim"), col("kb.blk").as("blk"), col("kb.bval").as("bval"))
-    val l = blocked.select(col("blk"), col("bval"), col("sim").as("sim1"))
-    val r = blocked.select(col("blk"), col("bval"), col("sim").as("sim2"))
+    val capped = capHotBuckets(blocked, Seq("blk", "bval"), "simHashPairs")
+    val l = capped.select(col("blk"), col("bval"), col("sim").as("sim1"))
+    val r = capped.select(col("blk"), col("bval"), col("sim").as("sim2"))
     // emit each pair ONLY from its first agreeing block (all earlier
     // blocks must differ): pairs agreeing on k blocks would otherwise
     // reach the output k times and need a shuffle-heavy distinct over
@@ -633,8 +648,10 @@ object Dedup {
       .groupBy(col("__k1"), col("__k2"))
       .agg(first(col("sigs")).as("sigs"))
     val members = sigs.select(skey :+ col("id"): _*)
-    val bucketed = groups.select(col("__k1"), col("__k2"),
-      posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val bucketed = capHotBuckets(
+      groups.select(col("__k1"), col("__k2"),
+        posexplode(col("sigs")).as(Seq("tbl", "sig"))),
+      Seq("tbl", "sig"), "embeddingNearDupPairs")
     val repCand = bucketed.select(col("tbl"), col("sig"),
         col("__k1").as("__k1_a"), col("__k2").as("__k2_a"))
       .join(bucketed.select(col("tbl"), col("sig"),

@@ -109,6 +109,31 @@ class OperatorsSpec extends SparkSpec {
       .toMap
     assert(sh == sizes.map { case (g, n, _) =>
       ((g, g), (n.toLong * (n - 1) / 2, 0)) }.toMap, sh)
+    // the bucket cap covers the simhash and embedding block joins too;
+    // clone groups stay immune (collapsed upstream, never overflow)
+    val vecs = Seq.tabulate(3)(g => (g, Seq.tabulate(8)(d =>
+      if (d == g) 1.0 else 0.1 * (g + 1) * (d + 1))))
+    val vflood = vecs.flatMap { case (g, v) =>
+      (0 until 50).map(k => (g * 10000L + k, v)) }.toDF("id", "emb")
+    def vpairs() = Dedup.embeddingNearDupPairs(vflood, "id", "emb",
+      threshold = 0.99, planes = 6, tables = 4)
+      .agg(count(lit(1)), min(col("cos_sim"))).collect().head
+    val vUncapped = vpairs()
+    try {
+      spark.conf.set("graft.lsh.bucketCap", "0")
+      val vCapped = vpairs()
+      val shCapped = Dedup.simHashPairs(flood, "id", "text", maxHamming = 6)
+        .agg(count(lit(1)), max(col("hamming"))).collect().head
+      // every intra-clone pair survives the cap at both operators
+      assert(shCapped.getLong(0) ==
+        sizes.map { case (_, n, _) => n.toLong * (n - 1) / 2 }.sum)
+      assert(shCapped.getInt(1) == 0)
+      assert(vCapped.getLong(0) == 3L * 50 * 49 / 2, vCapped.toString)
+      assert(vCapped.getDouble(1) == 1.0)
+    } finally spark.conf.unset("graft.lsh.bucketCap")
+    // with no near-identical cross groups in this corpus, the capped
+    // embedding output IS the uncapped one (identical-vector pairs)
+    assert(vUncapped.getLong(0) == 3L * 50 * 49 / 2, vUncapped.toString)
   }
 
   test("simhash: identical text => identical fingerprint; near-dup within hamming 6") {
