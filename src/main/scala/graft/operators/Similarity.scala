@@ -1366,7 +1366,16 @@ object Similarity {
     * is an equi-join on a `planes`-bit key, and expected bucket size is
     * n / 2^planes — `planes` is the cost/recall knob; size it so
     * buckets stay bounded at the corpus's row count (8 is the
-    * bench-scale demo value, a 100 TB corpus wants 24+).
+    * bench-scale demo value, a 100 TB corpus wants 24+). That
+    * expectation assumes a deduplicated corpus: a clone flood
+    * (identical vectors sign identically) piles one bucket quadratically
+    * here, because the vote semantics are PER ROW — each clone
+    * legitimately owns a k-neighbor list, so there is no
+    * exactness-preserving collapse like the dedup operators' (votes
+    * and labels differ per member). Run exact/embedding dedup before
+    * auditing label agreement on a corpus that may contain clones —
+    * which is the right audit order anyway (a clone cluster's
+    * self-votes would drown the signal the screen looks for).
     */
   def knnLabelAgreementLsh(df: DataFrame, idCol: String, vecCol: String,
                            labelCol: String, k: Int = 5,
