@@ -72,14 +72,18 @@ object CurationStages {
         // MinHash-LSH candidates EXACT-VERIFIED at the Jaccard
         // threshold (band collisions alone would over-merge), then
         // connected components → the highest-quality doc per cluster
-        // survives (the dd08 shape on its scale path)
-        val pairs = Dedup.ngramJaccardPairs(df, idCol, textCol,
+        // survives (the dd08 shape on its scale path). The component
+        // input is the connectivity-THIN edge graph (star per distinct
+        // shingle set + one verified edge per set pair) — same
+        // survivors as the full pair set (dd28 gate), but a
+        // boilerplate mega-cluster feeds |cluster| edges into the
+        // components instead of |cluster|²/2
+        val pairs = Dedup.ngramJaccardDedupEdges(df, idCol, textCol,
             n = intParam("shingle_size", 3),
             threshold = doubleParam("threshold", 0.8),
             numHashes = intParam("num_hashes", 64),
             bands = intParam("bands", 16),
             exhaustive = false)
-          .select("id1", "id2")
         val quality = TextAnalysis.qualityScore(docs)
           .select(col("doc_id").as(idCol), col("quality"))
         val survivors = Sampling.resolveDuplicates(pairs, quality, idCol)
@@ -103,7 +107,10 @@ object CurationStages {
         // crash); the index-at-rest form (`index_dir`) is the
         // exactly-once arm.
         val maxDist = intParam("max_dist", 1)
-        val (pairs, ledger) = Dedup.editDistancePairsAuto(
+        // connectivity-thin edges (same router/ledger as the pairs
+        // form): identical components and survivors, but an exact-dup
+        // key flood contributes |group| star edges, not |group|²/2
+        val (pairs, ledger) = Dedup.editDistanceDedupEdgesAuto(
           df, idCol, textCol, maxDist = maxDist,
           densityThreshold = doubleParam("density_threshold", 64.0),
           maxMeanKeyLen = doubleParam("max_mean_key_len", 64.0))
@@ -675,10 +682,11 @@ object CurationStages {
       s"minhash_dedup rank_by must be 'id' or 'quality', got '$rankBy'")
     def intraSurvivors(d: DataFrame, shingleSize: Int, numHashes: Int,
                        bands: Int): (DataFrame, Seq[DataFrame]) = {
-      val pairs = Dedup.minHashLshPairs(d, idCol, textCol,
-          shingleSize, numHashes, bands)
-        .filter(col("est_jaccard") >= threshold)
-        .select(col("id1"), col("id2"))
+      // connectivity-thin edges at the est threshold — identical
+      // components/survivors to the filtered pair set, linear in a
+      // clone flood (the dd28/StreamingSpec gates)
+      val pairs = Dedup.minHashLshDedupEdges(d, idCol, textCol,
+        shingleSize, numHashes, bands, threshold)
       if (rankBy == "quality") {
         val quality = TextAnalysis.qualityScore(
             d.select(col(idCol).as("doc_id"), col(textCol).as("text")))

@@ -322,6 +322,73 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Connectivity-THIN edges over a member mapping + surviving rep
+    * pairs: one STAR edge (group-canonical member, member) per clone
+    * group member plus ONE edge per rep pair — |members| + |rep pairs|
+    * edges whose connected components EQUAL the expanded member-pair
+    * graph's. A clone group is an equivalence class, so its star spans
+    * exactly the clique the expansion would emit, and a cross-group
+    * rep pair holds for EVERY member pair of the two groups (the
+    * expansion emits the complete bipartite graph — one canonical edge
+    * has the same connectivity). Node sets match too: every >= 2 group
+    * rides its star (its intra pairs are always in the pair graph);
+    * a singleton group appears iff one of its rep pairs survives —
+    * exactly when the expansion would include it. The SURVIVOR-path
+    * counterpart of [[expandRepPairs]]: components/resolveDuplicates
+    * consumers get linear-in-corpus edges where the pair expansion is
+    * quadratic per clone group.
+    */
+  private def thinComponentEdges(members: DataFrame, keys: Seq[String],
+                                 repPairs: DataFrame): DataFrame = {
+    val canon = members.groupBy(keys.map(col): _*)
+      .agg(min(col("id")).as("__cid"))
+    val star = members.join(canon, keys)
+      .filter(col("id") =!= col("__cid"))
+      .select(col("__cid").as("id1"), col("id").as("id2"))
+    val cA = canon.select(
+      keys.map(k => col(k).as(k + "_a")) :+ col("__cid").as("__ca"): _*)
+    val cB = canon.select(
+      keys.map(k => col(k).as(k + "_b")) :+ col("__cid").as("__cb"): _*)
+    val cross = repPairs
+      .join(cA, keys.map(_ + "_a"))
+      .join(cB, keys.map(_ + "_b"))
+      .select(least(col("__ca"), col("__cb")).as("id1"),
+        greatest(col("__ca"), col("__cb")).as("id2"))
+      // a repeated id value spanning two groups would self-loop; keep
+      // the expandRepPairs guard's contract
+      .filter(col("id1") =!= col("id2"))
+    star.unionByName(cross)
+  }
+
+  /** Connectivity-thin MinHash-LSH duplicate edges at `minEstJaccard`:
+    * (id1, id2) whose connected components EQUAL those of
+    * `minHashLshPairs(...).filter(est_jaccard >= minEstJaccard)` — the
+    * survivor-selection input — at |corpus| + |rep pairs| edges
+    * instead of the pair set's per-clone-group quadratic cliques.
+    * Exact by the collapse argument: est_jaccard is a pure function of
+    * the signature (an intra-group pair sits at exactly 1.0 >= any
+    * threshold <= 1; a cross-group member pair inherits its rep
+    * pair's estimate), so the group star plus one edge per surviving
+    * rep pair reproduce the pair graph's connectivity bit for bit
+    * (differential-spec'd). THE scale path for dedup survivor
+    * selection: a 10⁶-member boilerplate flood contributes 10⁶ star
+    * edges to the component step, not the 5·10¹¹ clique rows the
+    * pairs API must emit — reach for [[minHashLshPairs]] only when the
+    * pairs themselves are the product.
+    */
+  def minHashLshDedupEdges(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int, numHashes: Int, bands: Int,
+                           minEstJaccard: Double): DataFrame = {
+    require(minEstJaccard <= 1.0,
+      "minEstJaccard must be <= 1.0 (intra-clone pairs sit at exactly " +
+        s"1.0, so a higher cut would drop whole clone groups), got $minEstJaccard")
+    val (members, repPairs) = lshCollapsed(
+      minHashSignatures(shingleRows(df, idCol, textCol, shingleSize), numHashes),
+      numHashes, bands)
+    thinComponentEdges(members, Seq("__k1", "__k2"),
+      repPairs.filter(col("est_jaccard") >= minEstJaccard))
+  }
+
   /** (id, sim) 48-bit SimHash per document: explode the token multiset,
     * hash each token ONCE, then one hash aggregate with 48 ±1-vote sum()
     * columns folded into the fingerprint. Codegen'd end to end with
@@ -503,8 +570,18 @@ object Dedup {
                         exhaustive: Boolean = true): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, n)
     if (exhaustive)
-      return countJaccardPairs(rows.dropDuplicates("id", "shingle"),
+      countJaccardPairs(rows.dropDuplicates("id", "shingle"),
         threshold, maxShingleDf)
+    else lshVerifiedJaccardPairs(rows, threshold, numHashes, bands)
+  }
+
+  /** The LSH-candidate + exact-verify body of [[ngramJaccardPairs]]
+    * over prepared shingle rows — shared with
+    * [[ngramJaccardDedupEdges]], which runs it on one canonical
+    * document per distinct shingle set.
+    */
+  private def lshVerifiedJaccardPairs(rows: DataFrame, threshold: Double,
+                                      numHashes: Int, bands: Int): DataFrame = {
     // candidates at the REPRESENTATIVE level (the lshBandPairs
     // collapse): the heavy stages (signature aggregate, band join) run
     // once under shared exchanges, candidate DOC ids derive from group
@@ -549,6 +626,115 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connectivity-thin EXACT n-gram-Jaccard duplicate edges at
+    * `threshold`: (id1, id2) whose connected components EQUAL those of
+    * `ngramJaccardPairs(...)` (same mode, same parameters) while BOTH
+    * the verification work and the emitted graph stay linear in
+    * DISTINCT shingle sets — the survivor-selection input for
+    * clone-dense corpora, where the pair set is quadratic per clone
+    * group.
+    *
+    * The collapse key is a 128-bit order-insensitive fingerprint of
+    * the shingle SET (two XOR-folded xxhash64 lanes + the set size).
+    * True Jaccard is a pure function of the two sets, so — unlike the
+    * SIGNATURE groups of [[minHashLshPairs]], which do not pin the
+    * sets — members of a fingerprint group are duplicates at J = 1
+    * exactly (the star edges) and ONE canonical verification per
+    * candidate group pair decides every member pair across the two
+    * groups at once, where [[ngramJaccardPairs]] must verify per
+    * member pair. Candidate generation runs on one canonical document
+    * per group (signatures are set-pure, so banding decisions are
+    * identical to the member-level path); in exhaustive mode the
+    * shingle document-frequency cap is weighted by group size AND the
+    * star edges inherit the cap's documented lower-bound semantics
+    * (a group whose capped self-Jaccard falls below the threshold
+    * emits no star — exactly the intra pairs the member-level path
+    * drops), so the surviving edge set's components match the
+    * member-level path bit for bit. Fingerprint collisions (two
+    * distinct sets sharing both lanes and the size) sit at ~2⁻¹²⁸ per
+    * pair — the same event class as the collapse keys upstream.
+    * PRECONDITION: distinct ids (the [[editDistancePairs]] contract).
+    */
+  def ngramJaccardDedupEdges(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, threshold: Double,
+                             maxShingleDf: Int = 1000,
+                             numHashes: Int = 64, bands: Int = 16,
+                             exhaustive: Boolean = true): DataFrame = {
+    require(threshold <= 1.0,
+      "threshold must be <= 1.0 (identical-set pairs sit at exactly " +
+        s"1.0, so a higher cut would drop whole clone groups), got $threshold")
+    val rows = shingleRows(df, idCol, textCol, n).dropDuplicates("id", "shingle")
+    // per-document set fingerprint: one map-side-combined aggregate —
+    // XOR-folded hash lanes (order-insensitive over the deduped
+    // shingles, and unlike sum() cannot hit the ANSI long-overflow
+    // guard), re-hashed into two long keys so every downstream
+    // join/group is hash-based
+    val members = rows
+      .select(col("id"), xxhash64(col("shingle")).as("__h1"),
+        xxhash64(lit(1), col("shingle")).as("__h2"))
+      .groupBy(col("id"))
+      .agg(expr("bit_xor(__h1)").as("__s1"),
+        expr("bit_xor(__h2)").as("__s2"),
+        count(lit(1)).as("__n"))
+      .select(col("id"),
+        xxhash64(col("__s1"), col("__s2"), col("__n")).as("__k1"),
+        xxhash64(lit(1), col("__s1"), col("__s2"), col("__n")).as("__k2"))
+    val canon = members.groupBy(col("__k1"), col("__k2"))
+      .agg(min(col("id")).as("__cid"), count(lit(1)).as("__w"))
+    val canonRows = rows.join(
+      canon.select(col("__cid").as("id")), Seq("id"), "left_semi")
+    // exact-verified candidate pairs BETWEEN groups, on canonical ids
+    val groupPairs =
+      (if (exhaustive)
+        countJaccardPairs(canonRows, threshold, maxShingleDf,
+          docWeights = Some(canon.select(col("__cid").as("id"), col("__w"))))
+      else lshVerifiedJaccardPairs(canonRows, threshold, numHashes, bands))
+        .select(col("id1"), col("id2"))
+    // star eligibility: in LSH mode verification reads the FULL sets,
+    // so an identical-set pair is J = 1 and every star edge stands. In
+    // exhaustive mode the df cap's documented LOWER-BOUND semantics
+    // apply to intra-group pairs too (overlap excludes capped
+    // shingles, sizes stay full — identical docs made of boilerplate
+    // grams can legitimately fall below threshold), so a group's star
+    // is emitted iff (a) its capped self-Jaccard kept/(2·sz − kept)
+    // clears the threshold with at least one kept shingle — exactly
+    // when the member-level path keeps the intra pair — OR (b) the
+    // group rides a surviving cross pair, whose member-level expansion
+    // is the complete bipartite graph and therefore connects every
+    // member regardless of the intra verdict. (b) re-evaluates the
+    // candidate subtree once more in-plan; the exhaustive mode is the
+    // certified-recall small-scale mode, and the cost is at GROUP
+    // granularity — the LSH scale path keeps unconditional stars.
+    val starGroups =
+      if (!exhaustive) canon.select(col("__k1"), col("__k2"), col("__cid"))
+      else {
+        val dfcKeep = canonRows
+          .join(canon.select(col("__cid").as("id"), col("__w")), Seq("id"))
+          .groupBy(col("shingle")).agg(sum(col("__w")).as("__dfc"))
+          .filter(col("__dfc") <= maxShingleDf)
+          .select(col("shingle"))
+        val kept = canonRows.join(dfcKeep, Seq("shingle"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("__kept"))
+        val sz = canonRows.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
+        val selfOk = canon.select(col("__cid"))
+          .join(sz.select(col("id").as("__cid"), col("__sz")), Seq("__cid"))
+          .join(kept.select(col("id").as("__cid"), col("__kept")), Seq("__cid"))
+          .filter(col("__kept") >= 1 &&
+            round(col("__kept") / (lit(2) * col("__sz") - col("__kept"))
+              + lit(1e-11), 4) >= threshold)
+          .select(col("__cid"))
+        val crossOk = groupPairs.select(col("id1").as("__cid"))
+          .unionByName(groupPairs.select(col("id2").as("__cid")))
+        canon.select(col("__k1"), col("__k2"), col("__cid"))
+          .join(selfOk.unionByName(crossOk).distinct(), Seq("__cid"), "left_semi")
+      }
+    val star = members
+      .join(starGroups, Seq("__k1", "__k2"))
+      .filter(col("id") =!= col("__cid"))
+      .select(col("__cid").as("id1"), col("id").as("id2"))
+    star.unionByName(groupPairs)
+  }
+
   /** Exact Jaccard pairs by CO-OCCURRENCE COUNTING: self-join the
     * inverted index on the shingle key, count shared shingles per
     * (id1, id2), and compute J = o / (|A| + |B| - o) from the counts —
@@ -570,7 +756,8 @@ object Dedup {
     * intended path at scales where the cap matters).
     */
   private def countJaccardPairs(distinctRows: DataFrame, threshold: Double,
-                                maxShingleDf: Int): DataFrame = {
+                                maxShingleDf: Int,
+                                docWeights: Option[DataFrame] = None): DataFrame = {
     // set sizes and shingle document-frequencies via map-side-combined
     // aggregates + equi-joins — deliberately NOT count().over(Window
     // .partitionBy(...)): a window ships EVERY occurrence of a key to
@@ -579,8 +766,16 @@ object Dedup {
     // The aggregate collapses hot keys to one row per map task before
     // the shuffle, and the join-back is AQE-skew-splittable.
     val sz = distinctRows.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
-    val dfc = distinctRows.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("__dfc"))
+    // `docWeights` (id, __w): when the caller's rows carry one
+    // canonical document per distinct shingle SET, the weight is the
+    // set's member count, so the document-frequency cap gates on the
+    // same corpus-level df as the member-level path — bit-identical
+    // capped-index survival (ngramJaccardDedupEdges' equivalence
+    // argument leans on this)
+    val dfc = docWeights.fold(distinctRows)(w =>
+        distinctRows.join(w, Seq("id")))
+      .groupBy(col("shingle"))
+      .agg(docWeights.fold(count(lit(1)))(_ => sum(col("__w"))).as("__dfc"))
       .filter(col("__dfc") <= maxShingleDf)
       .select(col("shingle"))
     val idx = distinctRows
@@ -1420,7 +1615,14 @@ object Dedup {
     * replication) the blocking stage shrinks by the clone factor
     * squared.
     */
-  private def edSelfPairs(v: DataFrame, maxDist: Int): DataFrame = {
+  private def edSelfPairs(v: DataFrame, maxDist: Int): DataFrame =
+    expandStringPairs(v, edSelfStringPairs(v, maxDist))
+
+  /** The distinct-string stage of [[edSelfPairs]]: verified
+    * (__sa, __sb, dist) pairs over DISTINCT strings — shared by the
+    * full pair expansion and [[thinStringEdges]].
+    */
+  private def edSelfStringPairs(v: DataFrame, maxDist: Int): DataFrame = {
     val d = v.select(col("s")).distinct().select(col("s").as("id"), col("s"))
     val vars = d.select(col("id"), col("s"),
       explode(deletionHood(col("s"), maxDist)).as("__v"))
@@ -1429,10 +1631,9 @@ object Dedup {
     // verify with an O(cap·n) capped-distance kernel, then dedupe the
     // narrow (id1, id2, dist) survivors — the full-DP levenshtein at
     // ~d² per pair was the dominant cost of the whole operator
-    val sp = verifyCandidates(
+    verifyCandidates(
       a.join(b, Seq("__v")).filter(col("id1") < col("id2")), maxDist)
       .select(col("id1").as("__sa"), col("id2").as("__sb"), col("dist"))
-    expandStringPairs(v, sp)
   }
 
   /** Expand verified DISTINCT-string pairs (__sa, __sb, dist) over the
@@ -1471,7 +1672,14 @@ object Dedup {
     * precision stays exact: every emitted pair is a true ≤maxDist pair.
     */
   private def edLshSelfPairs(v: DataFrame, maxDist: Int,
-                             numHashes: Int, bands: Int): DataFrame = {
+                             numHashes: Int, bands: Int): DataFrame =
+    expandStringPairs(v, edLshSelfStringPairs(v, maxDist, numHashes, bands))
+
+  /** The distinct-string stage of [[edLshSelfPairs]] — shared by the
+    * full pair expansion and [[thinStringEdges]].
+    */
+  private def edLshSelfStringPairs(v: DataFrame, maxDist: Int,
+                                   numHashes: Int, bands: Int): DataFrame = {
     val d = v.select(col("s")).distinct()
     // char bigrams via the word-shingle machinery: space out the
     // characters so tokens() yields one char per token (candidate
@@ -1484,9 +1692,31 @@ object Dedup {
       numHashes, bands)
       .select(col("id1"), col("id2"),
         col("id1").as("s1"), col("id2").as("s2"))
-    val sp = verifyCandidates(cand, maxDist)
+    verifyCandidates(cand, maxDist)
       .select(col("id1").as("__sa"), col("id2").as("__sb"), col("dist"))
-    expandStringPairs(v, sp)
+  }
+
+  /** Connectivity-thin edges over verified DISTINCT-string pairs: one
+    * STAR edge per member of a >= 2 exact-dup string group (intra
+    * pairs are d = 0 <= maxDist always) plus ONE edge per surviving
+    * string pair — [[expandStringPairs]]' survivor-path counterpart.
+    * Edit distance is a pure function of the two strings, so the
+    * components of this graph equal the components of the full
+    * expansion exactly (the same equivalence-class argument as
+    * [[thinComponentEdges]], with the string itself as the group key).
+    */
+  private def thinStringEdges(v: DataFrame, sp: DataFrame): DataFrame = {
+    val canon = v.groupBy(col("s")).agg(min(col("id")).as("__cid"))
+    val star = v.join(canon, Seq("s"))
+      .filter(col("id") =!= col("__cid"))
+      .select(col("__cid").as("id1"), col("id").as("id2"))
+    val cross = sp
+      .join(canon.select(col("s").as("__sa"), col("__cid").as("__ca")), Seq("__sa"))
+      .join(canon.select(col("s").as("__sb"), col("__cid").as("__cb")), Seq("__sb"))
+      .select(least(col("__ca"), col("__cb")).as("id1"),
+        greatest(col("__ca"), col("__cb")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    star.unionByName(cross)
   }
 
   /** [[editDistancePairs]] behind the collision-density ROUTER — the
@@ -1512,6 +1742,56 @@ object Dedup {
                             sampleSixteenths: Int = 4,
                             numHashes: Int = 64, bands: Int = 32)
   : (DataFrame, DataFrame) = {
+    val (v, sp, ledger) = edAutoRouted(df, idCol, strCol, maxDist,
+      densityThreshold, maxMeanKeyLen, sampleSixteenths, numHashes, bands)
+    // pairs schema matches editDistancePairs: (id1, id2, dist)
+    (expandStringPairs(v, sp), ledger)
+  }
+
+  /** [[editDistancePairsAuto]]'s connectivity-thin counterpart for
+    * SURVIVOR selection: (edges = (id1, id2), ledger) where the edges'
+    * connected components equal those of the auto-routed pair set —
+    * so `min id per component` / `resolveDuplicates` survivors are
+    * identical — at |corpus| + |distinct-string pairs| edges instead
+    * of per-clone-group quadratic cliques ([[thinStringEdges]]). The
+    * same router, measurements, and ledger row as the pairs form.
+    */
+  def editDistanceDedupEdgesAuto(df: DataFrame, idCol: String, strCol: String,
+                                 maxDist: Int = 1,
+                                 densityThreshold: Double = 64.0,
+                                 maxMeanKeyLen: Double = 64.0,
+                                 sampleSixteenths: Int = 4,
+                                 numHashes: Int = 64, bands: Int = 32)
+  : (DataFrame, DataFrame) = {
+    val (v, sp, ledger) = edAutoRouted(df, idCol, strCol, maxDist,
+      densityThreshold, maxMeanKeyLen, sampleSixteenths, numHashes, bands)
+    (thinStringEdges(v, sp), ledger)
+  }
+
+  /** [[editDistancePairs]]' connectivity-thin counterpart (the exact
+    * tier without the router): components equal the full pair set's —
+    * see [[editDistanceDedupEdgesAuto]].
+    */
+  def editDistanceDedupEdges(df: DataFrame, idCol: String, strCol: String,
+                             maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (deletion-neighborhood size is len^d), got $maxDist")
+    val v = compactTemplate(
+      df.select(col(idCol).as("id"), col(strCol).as("s")))
+    thinStringEdges(v, edSelfStringPairs(v, maxDist))
+  }
+
+  /** The shared measurement + routing core of the two auto forms:
+    * (v = compacted (id, s), sp = verified distinct-string pairs,
+    * ledger).
+    */
+  private def edAutoRouted(df: DataFrame, idCol: String, strCol: String,
+                           maxDist: Int,
+                           densityThreshold: Double,
+                           maxMeanKeyLen: Double,
+                           sampleSixteenths: Int,
+                           numHashes: Int, bands: Int)
+  : (DataFrame, DataFrame, DataFrame) = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2, got $maxDist")
     val spark = df.sparkSession
@@ -1532,15 +1812,15 @@ object Dedup {
       s"[graft] fuzzy routing: tier=$tier density=$density " +
         s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
         s"(max $maxMeanKeyLen) maxDist=$maxDist")
-    val pairs =
-      if (tier == "minhash") edLshSelfPairs(v, maxDist, numHashes, bands)
-      else edSelfPairs(v, maxDist)
+    val sp =
+      if (tier == "minhash") edLshSelfStringPairs(v, maxDist, numHashes, bands)
+      else edSelfStringPairs(v, maxDist)
     import spark.implicits._
     val ledger = Seq((tier, density, densityThreshold, meanLen,
         maxMeanKeyLen, sampleSixteenths, maxDist))
       .toDF("tier", "density", "density_threshold", "mean_key_cp",
         "max_mean_key_cp", "sample_sixteenths", "max_dist")
-    (pairs, ledger) // pairs schema matches editDistancePairs: (id1, id2, dist)
+    (v, sp, ledger)
   }
 
   /** Symmetric-delete collision-density detector: the estimated
@@ -1797,12 +2077,15 @@ object Dedup {
     val pre = df
       .join(dupStrings.select(col("s").as(strCol)), Seq(strCol), "left_anti")
       .select(df.columns.map(col).toSeq: _*)
-    // 2. intra-batch: min-id survivor per edit-distance component
+    // 2. intra-batch: min-id survivor per edit-distance component —
+    //    over connectivity-THIN edges (identical components; a clone
+    //    flood batch feeds |batch| edges, not |group|²/2 per group)
     val pairs =
-      if (tier == "exact") editDistancePairs(pre, idCol, strCol, md)
-      else edLshSelfPairs(
-        pre.select(col(idCol).as("id"), col(strCol).as("s")),
-        md, nh, bs)
+      if (tier == "exact") editDistanceDedupEdges(pre, idCol, strCol, md)
+      else {
+        val vb = pre.select(col(idCol).as("id"), col(strCol).as("s"))
+        thinStringEdges(vb, edLshSelfStringPairs(vb, md, nh, bs))
+      }
     val comps = Components
       .connectedComponents(pairs.select(col("id1"), col("id2")),
         "id1", "id2")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, GraphAlgos, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Components, Dedup, GraphAlgos, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis)
   * exposed through the driver's queries()/oracleSql() correctness gate.
@@ -1256,6 +1256,33 @@ object PipelineQueries {
           max(col("hamming")).cast("long").as("max_hamming"))
     },
 
+    // SURVIVOR selection is clone-flood-linear end to end (round 16):
+    // the dd26 flood through the connectivity-THIN edge graph
+    // (ngramJaccardDedupEdges — star per distinct shingle set + one
+    // exact-verified edge per set pair) and distributed connected
+    // components, emitting every flood doc's component label. The
+    // DuckDB oracle materializes the FULL quadratic member-pair graph
+    // (true Jaccard over every intra/cross clone pair — ~21k pairs at
+    // gate scale) and resolves components by recursive reachability —
+    // a green row certifies the thin graph's components, and therefore
+    // the dedup survivors, are EXACTLY the pair graph's. FULLY oracled.
+    "dd28_thin_survivor_flood" -> { (s, dir) =>
+      val reps = when(col("doc_id") % 4 === 0, 120)
+        .when(col("doc_id") % 4 === 1, 60)
+        .when(col("doc_id") % 4 === 2, 1).otherwise(25)
+      val flood = Tables(s, dir).documents.filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), reps - 1)).as("k"))
+        .select((col("doc_id") * 10000 + col("k")).as("id"), col("text"))
+      val edges = Dedup.ngramJaccardDedupEdges(flood, "id", "text",
+        n = 3, threshold = 0.5)
+      val comps = Components.connectedComponents(edges, "id1", "id2")
+      flood.select(col("id"))
+        .join(comps, Seq("id"), "left_outer")
+        .select(col("id").cast("long").as("id"),
+          coalesce(col("comp"), col("id")).cast("long").as("comp"))
+    },
+
     // SemDeDup semantic dedup (Abbas et al. 2023): md5-sampled
     // centroids → argmin-L2 cluster assignment → within-cluster
     // cosine >= tau neighbors → drop all but the lowest
@@ -2412,6 +2439,58 @@ object PipelineQueries {
                 CAST(1.0 AS DOUBLE) AS est_min,
                 CAST(1.0 AS DOUBLE) AS est_max
          FROM d WHERE r >= 2""",
+    // dd28 replay: the FULL quadratic member-pair graph over the
+    // replayed flood (dd04's shingle/Jaccard machinery per member),
+    // then dd08's recursive reachability — certifying the Spark arm's
+    // connectivity-THIN edges produce identical components
+    "dd28_thin_survivor_flood" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id, text,
+                  CASE WHEN doc_id % 4 = 0 THEN 120
+                       WHEN doc_id % 4 = 1 THEN 60
+                       WHEN doc_id % 4 = 2 THEN 1 ELSE 25 END AS reps
+           FROM documents WHERE doc_id < 8
+         ),
+         flood AS (
+           SELECT doc_id * 10000 + u.k AS id, text
+           FROM base, UNNEST(generate_series(0, reps - 1)) AS u(k)
+         ),
+         toks AS (
+           SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM flood
+         ),
+         sh AS (
+           SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+           WHERE len(t) >= 3
+           UNION
+           SELECT DISTINCT id, array_to_string(t, ' ') AS shingle
+           FROM toks WHERE len(t) < 3
+         ),
+         sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+         p0 AS (
+           SELECT s1.id AS id1, s2.id AS id2, count(*) AS cmn
+           FROM sh s1 JOIN sh s2 USING (shingle)
+           WHERE s1.id < s2.id
+           GROUP BY 1, 2
+         ),
+         pairs AS (
+           SELECT id1, id2 FROM p0
+           JOIN sz z1 ON z1.id = id1
+           JOIN sz z2 ON z2.id = id2
+           WHERE round(cmn * 1.0 / (z1.sz + z2.sz - cmn) + 1e-11, 4) >= 0.5
+         ),
+         und AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS r FROM und
+           UNION
+           SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+         ),
+         comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
+         SELECT CAST(f.id AS BIGINT) AS id,
+                CAST(coalesce(c.comp, f.id) AS BIGINT) AS comp
+         FROM flood f LEFT JOIN comp c ON c.id = f.id""",
     // brute-force ground truth for dd16 at distance 2 (same slice)
     "dd16_fuzzy_join2" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,

@@ -136,6 +136,76 @@ class OperatorsSpec extends SparkSpec {
     assert(vUncapped.getLong(0) == 3L * 50 * 49 / 2, vUncapped.toString)
   }
 
+  test("connectivity-thin dedup edges: components equal the full pair " +
+    "graph's at every tier, edge count is linear in a clone flood, and " +
+    "the weighted df cap matches the member-level path") {
+    import org.apache.spark.sql.DataFrame
+    // mixed corpus: clone groups (the quadratic hazard), genuine
+    // near-dups ACROSS groups (exercising the cross-group edges), and
+    // distinct docs (exercising absent nodes)
+    val base = Seq(
+      (0L, 60, "the quick brown fox jumps over the lazy dog and naps at noon"),
+      (1L, 40, "the quick brown fox jumps over the lazy dog and naps at night"),
+      (2L, 25, "completely different content about spark engines and scale limits"),
+      (3L, 1, "completely different content about spark engines and scale limit"),
+      (4L, 10, "streaming pipelines checkpoint state across micro batch boundaries"),
+      (5L, 1, "an entirely unrelated document about gardening tools and soil"))
+    val flood = base.flatMap { case (g, n, t) =>
+      (0 until n).map(k => (g * 1000L + k, t)) }.toDF("id", "text")
+    val nDocs = base.map(_._2).sum.toLong
+    val nStars = base.map(_._2 - 1).sum.toLong
+    def compsOf(edges: DataFrame): Map[Long, Long] =
+      Components.connectedComponents(edges.select(col("id1"), col("id2")),
+        "id1", "id2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // est tier: minHashLshDedupEdges vs the filtered pair set
+    val estFull = Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16)
+      .filter(col("est_jaccard") >= 0.5)
+    val estThin = Dedup.minHashLshDedupEdges(flood, "id", "text", 3, 64, 16, 0.5)
+    assert(compsOf(estThin) == compsOf(estFull))
+    // linear in the corpus: one star edge per non-canonical member plus
+    // at most C(6,2) rep pairs — where the pair set is clone-quadratic
+    assert(estThin.count() <= nStars + 15)
+    assert(estFull.count() > 10 * estThin.count())
+
+    // exact tier, BOTH candidate modes, with a df cap that ENGAGES
+    // (the shared fox/dog shingles have member-level df 100 > 80): the
+    // weighted group-level cap must reproduce the member-level capped
+    // edge set's components exactly
+    for (ex <- Seq(true, false)) {
+      val full = Dedup.ngramJaccardPairs(flood, "id", "text", n = 3,
+        threshold = 0.5, maxShingleDf = 80, exhaustive = ex)
+      val thin = Dedup.ngramJaccardDedupEdges(flood, "id", "text", n = 3,
+        threshold = 0.5, maxShingleDf = 80, exhaustive = ex)
+      assert(compsOf(thin) == compsOf(full), s"exhaustive=$ex")
+      assert(thin.count() <= nStars + 15, s"exhaustive=$ex")
+    }
+
+    // fuzzy tier: auto-routed thin edges vs auto-routed pairs (exact
+    // dup key groups + distance-1 neighbours)
+    val keys = (0 until 5).flatMap(g => (0 until 10).map(k =>
+        (g * 100L + k, s"key-alpha-$g"))) ++
+      Seq((900L, "key-alpha-0x"), (901L, "key-alpha-11"))
+    val keyDf = keys.toDF("id", "text")
+    val (fp, _) = Dedup.editDistancePairsAuto(keyDf, "id", "text", maxDist = 1)
+    val (fe, _) = Dedup.editDistanceDedupEdgesAuto(keyDf, "id", "text", maxDist = 1)
+    assert(compsOf(fe) == compsOf(fp))
+    assert(fe.count() < fp.count())
+
+    // the flood's survivor set through the wired stage shape: thin
+    // edges → components → min-id per component — identical to the
+    // full pair graph's survivors by the component equality above,
+    // spot-checked here against first principles (the canonical clone
+    // of each merged near-dup family)
+    val thinComps = compsOf(estThin)
+    // a clone group is always one component, labeled by its min id
+    assert((1 until 60).forall(k => thinComps(k.toLong) == thinComps(1L)))
+    assert(thinComps(1L) == 0L || thinComps.contains(0L))
+    assert(!thinComps.contains(5000L)) // singleton distinct doc: no edges
+    assert(nDocs == flood.count())
+  }
+
   test("simhash: identical text => identical fingerprint; near-dup within hamming 6") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
