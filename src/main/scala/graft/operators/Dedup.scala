@@ -668,7 +668,20 @@ object Dedup {
     // XOR-folded hash lanes (order-insensitive over the deduped
     // shingles, and unlike sum() cannot hit the ANSI long-overflow
     // guard), re-hashed into two long keys so every downstream
-    // join/group is hash-based
+    // join/group is hash-based.
+    //
+    // The collapse skeleton is PINNED (eager localCheckpoint): members
+    // feeds the canon aggregate AND the star expansion, canon feeds
+    // the canonical-row semi-join, the df weights, and the star
+    // eligibility — without the pins each consumer re-runs the
+    // corpus-wide shingle explode + aggregates through its own
+    // exchange chain (no two consumers prune the same columns, so
+    // ReuseExchange never fires; measured 7.6× wall on clone-free
+    // sf0.01). Same internal-pin trade as Sampling.resolveDuplicates:
+    // the pins are read by the RETURNED lazy plan, so they free via
+    // the context cleaner once the caller's materialization drops the
+    // plan — this is the batch curation stage's operator, not a
+    // streaming-loop body with a pin-flatness contract.
     val members = rows
       .select(col("id"), xxhash64(col("shingle")).as("__h1"),
         xxhash64(lit(1), col("shingle")).as("__h2"))
@@ -679,17 +692,28 @@ object Dedup {
       .select(col("id"),
         xxhash64(col("__s1"), col("__s2"), col("__n")).as("__k1"),
         xxhash64(lit(1), col("__s1"), col("__s2"), col("__n")).as("__k2"))
+      .localCheckpoint()
     val canon = members.groupBy(col("__k1"), col("__k2"))
       .agg(min(col("id")).as("__cid"), count(lit(1)).as("__w"))
+      .localCheckpoint()
+    // both candidate modes fan out over the canonical rows (exhaustive:
+    // the counting join's sz/df/index plus the star eligibility; LSH:
+    // the signature aggregate, the set-size/collect_set verification
+    // join, and the candidate-key derivation) — every consumer would
+    // otherwise re-run the corpus shingle explode
     val canonRows = rows.join(
       canon.select(col("__cid").as("id")), Seq("id"), "left_semi")
-    // exact-verified candidate pairs BETWEEN groups, on canonical ids
-    val groupPairs =
+      .localCheckpoint()
+    // exact-verified candidate pairs BETWEEN groups, on canonical ids.
+    // Pinned in exhaustive mode: the star's cross-pair rescue reads
+    // the pair set a second time (see below)
+    val groupPairs0 =
       (if (exhaustive)
         countJaccardPairs(canonRows, threshold, maxShingleDf,
           docWeights = Some(canon.select(col("__cid").as("id"), col("__w"))))
       else lshVerifiedJaccardPairs(canonRows, threshold, numHashes, bands))
         .select(col("id1"), col("id2"))
+    val groupPairs = if (exhaustive) groupPairs0.localCheckpoint() else groupPairs0
     // star eligibility: in LSH mode verification reads the FULL sets,
     // so an identical-set pair is J = 1 and every star edge stands. In
     // exhaustive mode the df cap's documented LOWER-BOUND semantics
@@ -701,10 +725,10 @@ object Dedup {
     // when the member-level path keeps the intra pair — OR (b) the
     // group rides a surviving cross pair, whose member-level expansion
     // is the complete bipartite graph and therefore connects every
-    // member regardless of the intra verdict. (b) re-evaluates the
-    // candidate subtree once more in-plan; the exhaustive mode is the
-    // certified-recall small-scale mode, and the cost is at GROUP
-    // granularity — the LSH scale path keeps unconditional stars.
+    // member regardless of the intra verdict. (b) reads the PINNED
+    // pair set, so the candidate join runs once; the LSH scale path
+    // keeps unconditional stars (full-set verification pins intra
+    // pairs at J = 1).
     val starGroups =
       if (!exhaustive) canon.select(col("__k1"), col("__k2"), col("__cid"))
       else {
