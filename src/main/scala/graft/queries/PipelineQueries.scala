@@ -1283,6 +1283,49 @@ object PipelineQueries {
           coalesce(col("comp"), col("id")).cast("long").as("comp"))
     },
 
+    // The STREAMING survivor arm's thin operator, end-to-end oracled:
+    // the dd26 flood through minHashLshDedupEdges (star per distinct
+    // signature + one edge per rep pair at est >= 0.8) + distributed
+    // components. Identical texts sign identically and the 8 base docs
+    // share no band bucket (dd26-verified), so the true components ARE
+    // the clone groups and the DuckDB oracle replays them as
+    // group-combinatoric labels: comp(id) = the group's min id for
+    // groups of >= 2, self for singletons. FULLY oracled.
+    "dd29_minhash_thin_flood" -> { (s, dir) =>
+      val reps = when(col("doc_id") % 4 === 0, 120)
+        .when(col("doc_id") % 4 === 1, 60)
+        .when(col("doc_id") % 4 === 2, 1).otherwise(25)
+      val flood = Tables(s, dir).documents.filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), reps - 1)).as("k"))
+        .select((col("doc_id") * 10000 + col("k")).as("id"), col("text"))
+      val edges = Dedup.minHashLshDedupEdges(flood, "id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, minEstJaccard = 0.8)
+      val comps = Components.connectedComponents(edges, "id1", "id2")
+      flood.select(col("id"))
+        .join(comps, Seq("id"), "left_outer")
+        .select(col("id").cast("long").as("id"),
+          coalesce(col("comp"), col("id")).cast("long").as("comp"))
+    },
+
+    // The FUZZY survivor arm's thin operator, end-to-end oracled on a
+    // natural slice (no engineered flood): auto-routed edit-distance
+    // thin edges over customer names + distributed components; DuckDB
+    // replays the FULL quadratic pair graph with its native
+    // levenshtein and resolves components by recursive reachability.
+    "dd30_fuzzy_thin_components" -> { (s, dir) =>
+      val slice = Tables(s, dir).customer
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val (edges, _) = Dedup.editDistanceDedupEdgesAuto(slice,
+        "c_custkey", "c_name", maxDist = 1)
+      val comps = Components.connectedComponents(edges, "id1", "id2")
+      slice.select(col("c_custkey").as("id"))
+        .join(comps, Seq("id"), "left_outer")
+        .select(col("id").cast("long").as("id"),
+          coalesce(col("comp"), col("id")).cast("long").as("comp"))
+    },
+
     // SemDeDup semantic dedup (Abbas et al. 2023): md5-sampled
     // centroids → argmin-L2 cluster assignment → within-cluster
     // cosine >= tau neighbors → drop all but the lowest
@@ -2491,6 +2534,41 @@ object PipelineQueries {
          SELECT CAST(f.id AS BIGINT) AS id,
                 CAST(coalesce(c.comp, f.id) AS BIGINT) AS comp
          FROM flood f LEFT JOIN comp c ON c.id = f.id""",
+    // dd29 replay: identical texts = one clone group each; no
+    // cross-group band collision among the 8 base docs (dd26), so
+    // comp(id) = group min id for groups of >= 2, self for singletons
+    "dd29_minhash_thin_flood" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 120
+                  WHEN doc_id % 4 = 1 THEN 60
+                  WHEN doc_id % 4 = 2 THEN 1 ELSE 25 END AS reps
+           FROM documents WHERE doc_id < 8)
+         SELECT CAST(doc_id * 10000 + u.k AS BIGINT) AS id,
+                CAST(CASE WHEN reps >= 2 THEN doc_id * 10000
+                          ELSE doc_id * 10000 + u.k END AS BIGINT) AS comp
+         FROM d, UNNEST(generate_series(0, reps - 1)) AS u(k)""",
+    // dd30 replay: the full quadratic distance-1 pair graph via native
+    // levenshtein, then recursive reachability (the dd08 machinery)
+    "dd30_fuzzy_thin_components" ->
+      """WITH RECURSIVE sl AS (
+           SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_custkey % 3 = 0
+         ),
+         pairs AS (
+           SELECT a.id AS id1, b.id AS id2 FROM sl a, sl b
+           WHERE a.id < b.id AND levenshtein(a.s, b.s) <= 1
+         ),
+         und AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS r FROM und
+           UNION
+           SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+         ),
+         comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)
+         SELECT CAST(sl.id AS BIGINT) AS id,
+                CAST(coalesce(c.comp, sl.id) AS BIGINT) AS comp
+         FROM sl LEFT JOIN comp c ON c.id = sl.id""",
     // brute-force ground truth for dd16 at distance 2 (same slice)
     "dd16_fuzzy_join2" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
