@@ -446,6 +446,34 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, hotBucketWarn: Int = Int.MaxValue): DataFrame = {
+    val (members, repPairs) =
+      simHashRepPairs(df, idCol, textCol, maxHamming, hotBucketWarn)
+    expandRepPairs(members, Seq("__g"), repPairs,
+      Seq(col("hamming")), Seq(lit(0).as("hamming")))
+  }
+
+  /** [[simHashPairs]]' connectivity-thin counterpart for SURVIVOR
+    * selection: (id1, id2) edges whose connected components equal the
+    * full pair set's. Hamming distance is a pure function of the two
+    * fingerprints — an intra-group pair sits at hamming 0 <= maxHamming
+    * always, a cross-group member pair inherits its representatives'
+    * hamming — so the group star + one edge per rep pair reproduce the
+    * pair graph's connectivity exactly ([[thinComponentEdges]]).
+    */
+  def simHashDedupEdges(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int,
+                        hotBucketWarn: Int = Int.MaxValue): DataFrame = {
+    val (members, repPairs) =
+      simHashRepPairs(df, idCol, textCol, maxHamming, hotBucketWarn)
+    thinComponentEdges(members, Seq("__g"), repPairs)
+  }
+
+  /** The shared blocking + verification core of the two simhash forms:
+    * (members = (__g = fingerprint, id), verified rep pairs).
+    */
+  private def simHashRepPairs(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int, hotBucketWarn: Int)
+  : (DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming < SimHashBits,
       s"maxHamming must be in [0, $SimHashBits)")
     val nBlocks = maxHamming + 1
@@ -512,8 +540,7 @@ object Dedup {
       .select(col("sim1").as("__g_a"), col("sim2").as("__g_b"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    expandRepPairs(members, Seq("__g"), repPairs,
-      Seq(col("hamming")), Seq(lit(0).as("hamming")))
+    (members, repPairs)
   }
 
   /** Per-bucket candidate histogram for `simHashPairs` — the standalone
@@ -885,6 +912,58 @@ object Dedup {
     cosineVerify(candidates, vn, threshold, probeDims(df, vecCol))
   }
 
+  /** [[embeddingNearDupPairs]]' connectivity-thin counterpart for
+    * SURVIVOR selection: (id1, id2) edges whose connected components
+    * equal the verified pair set's. The collapse key is the VECTOR
+    * itself (two xxhash64 lanes over the double array — unlike the
+    * sketch, the vector pins cosine), so cross-group verification runs
+    * once per candidate group pair via [[embeddingNearDupPairs]] over
+    * one canonical row per distinct vector, and a group's star is
+    * emitted iff its self-cosine clears the threshold THROUGH THE SAME
+    * verification expression the member-level path applies to its
+    * intra candidates (identical vectors share every sketch, so the
+    * member path always generates those candidates; self-verifying
+    * with the same rounding keeps edge cases — zero vectors, ulp
+    * drift — decided identically). Internal pins follow the
+    * resolveDuplicates batch-op trade. PRECONDITION: distinct ids.
+    */
+  def embeddingNearDupDedupEdges(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, planes: Int = 8,
+                                 tables: Int = 4): DataFrame = {
+    require(threshold <= 1.0,
+      "threshold must be <= 1.0 (identical-vector pairs verify at " +
+        s"cosine 1.0, so a higher cut would drop whole clone groups), got $threshold")
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val keyed = v.select(col("id"),
+        xxhash64(col("v")).as("__k1"), xxhash64(lit(1), col("v")).as("__k2"))
+      .localCheckpoint()
+    val canon = keyed.groupBy(col("__k1"), col("__k2"))
+      .agg(min(col("id")).as("__cid"))
+      .localCheckpoint()
+    val canonDf = v.join(canon.select(col("__cid").as("id")),
+        Seq("id"), "left_semi")
+      .localCheckpoint()
+    val groupPairs = embeddingNearDupPairs(canonDf, "id", "v", threshold,
+      planes, tables).select(col("id1"), col("id2"))
+    // star eligibility: the member path's intra candidates run through
+    // cosineVerify — replay it per group on the canonical vector
+    val dimsN = probeDims(df, vecCol)
+    val vn = canonDf.join(
+      canonDf.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("id")).agg(sqrt(sum(col("x") * col("x"))).as("norm")),
+      Seq("id"))
+    val selfOk = cosineVerify(
+      canon.select(col("__cid").as("id1"), col("__cid").as("id2")),
+      vn, threshold, dimsN)
+      .select(col("id1").as("__cid"))
+    val star = keyed.join(canon, Seq("__k1", "__k2"))
+      .filter(col("id") =!= col("__cid"))
+      .join(selfOk, Seq("__cid"), "left_semi")
+      .select(col("__cid").as("id1"), col("id").as("id2"))
+    star.unionByName(groupPairs)
+  }
+
   /** Codegen'd dot product for fixed-dim vectors: the same left-fold
     * order as the interpreted `aggregate(zip_with(...))` HOF
     * (bit-identical doubles — `(((0+x1)+x2)+…)`), but unrolled into
@@ -926,9 +1005,15 @@ object Dedup {
     cand
       .join(vn.select(col("id").as("id1"), col("v").as("v1"), col("norm").as("n1")), Seq("id1"))
       .join(vn.select(col("id").as("id2"), col("v").as("v2"), col("norm").as("n2")), Seq("id2"))
+      // cosine against a zero-norm vector is undefined — drop the pair
+      // (null falls out of the >= filter) instead of tripping the ANSI
+      // divide-by-zero guard; the `when` keeps the division inside the
+      // taken branch, and DuckDB's list_cosine_similarity NaN takes
+      // the same exit through its own threshold filter
       .select(col("id1"), col("id2"),
-        round(dotUnrolled(col("v1"), col("v2"), dims) /
-          (col("n1") * col("n2")), 6).as("cos_sim"))
+        when(col("n1") * col("n2") > 0,
+          round(dotUnrolled(col("v1"), col("v2"), dims) /
+            (col("n1") * col("n2")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
 
   /** Exact-cosine pair verification over an explicit candidate relation:

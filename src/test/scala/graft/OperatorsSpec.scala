@@ -193,6 +193,33 @@ class OperatorsSpec extends SparkSpec {
     assert(compsOf(fe) == compsOf(fp))
     assert(fe.count() < fp.count())
 
+    // simhash tier: hamming is fingerprint-pure
+    val shFull = Dedup.simHashPairs(flood, "id", "text", maxHamming = 6)
+    val shThin = Dedup.simHashDedupEdges(flood, "id", "text", maxHamming = 6)
+    assert(compsOf(shThin) == compsOf(shFull))
+    assert(shThin.count() <= nStars + 15)
+
+    // embedding tier: cosine is VECTOR-pure (the sketch is not), so
+    // the thin form collapses on the vector itself; include exact
+    // clones, a near-dup pair, an unrelated vector, and a ZERO vector
+    // clone group (whatever NaN/zero-norm semantics cosineVerify has,
+    // the self-verified star must decide it identically to the member
+    // path's intra candidates)
+    val vbase = Seq(
+      (0L, 40, Seq.tabulate(8)(i => 1.0 / (i + 1))),
+      (1L, 25, Seq.tabulate(8)(i => 1.0 / (i + 1) + (if (i == 7) 0.01 else 0.0))),
+      (2L, 10, Seq.tabulate(8)(i => if (i % 2 == 0) -1.0 else 0.9 * i)),
+      (3L, 5, Seq.fill(8)(0.0)),
+      (4L, 1, Seq.tabulate(8)(i => -0.3 * (i + 1))))
+    val vflood2 = vbase.flatMap { case (g, n, vec) =>
+      (0 until n).map(k => (g * 1000L + k, vec)) }.toDF("id", "emb")
+    val vFull = Dedup.embeddingNearDupPairs(vflood2, "id", "emb",
+      threshold = 0.9, planes = 6, tables = 4).select(col("id1"), col("id2"))
+    val vThin = Dedup.embeddingNearDupDedupEdges(vflood2, "id", "emb",
+      threshold = 0.9, planes = 6, tables = 4)
+    assert(compsOf(vThin) == compsOf(vFull))
+    assert(vThin.count() <= vbase.map(_._2 - 1).sum.toLong + 10)
+
     // the flood's survivor set through the wired stage shape: thin
     // edges → components → min-id per component — identical to the
     // full pair graph's survivors by the component equality above,
