@@ -70,6 +70,16 @@ object Bpe {
   /** Learn `numMerges` BPE merges from the corpus. Deterministic: the
     * argmax pair breaks count ties lexicographically on (left, right).
     * Stops early when no pair reaches `minPairCount`.
+    *
+    * Scale: each merge is one aggregate over the DISTINCT-WORD table
+    * (the corpus is scanned once, before the loop), so training cost
+    * is numMerges × vocab-aggregate — argmax merges are sequential by
+    * definition, and Spark has no updatable pair-count store to make
+    * the per-merge step delta-sized. At 32k merges over a web-scale
+    * vocabulary, train on a hash-sampled slice (standard tokenizer
+    * practice — merge quality converges long before the full corpus)
+    * and keep the full corpus for `encode`, whose plan is O(1) in the
+    * vocabulary.
     */
   def train(df: DataFrame, textCol: String = "text", numMerges: Int = 50,
             minPairCount: Long = 2L): Seq[Merge] = {

@@ -1006,14 +1006,17 @@ object Dedup {
       .join(vn.select(col("id").as("id1"), col("v").as("v1"), col("norm").as("n1")), Seq("id1"))
       .join(vn.select(col("id").as("id2"), col("v").as("v2"), col("norm").as("n2")), Seq("id2"))
       // cosine against a zero-norm vector is undefined — drop the pair
-      // (null falls out of the >= filter) instead of tripping the ANSI
-      // divide-by-zero guard; the `when` keeps the division inside the
-      // taken branch, and DuckDB's list_cosine_similarity NaN takes
-      // the same exit through its own threshold filter
+      // BEFORE the division (zero-norm rows would otherwise trip the
+      // ANSI divide-by-zero guard; DuckDB's list_cosine_similarity NaN
+      // takes the same exit through its own threshold filter). A
+      // separate filter rather than a when() around the division: the
+      // division stays the same bare codegen'd expression the >=
+      // filter has always fused against (dd05 A/B'd at parity with
+      // the same-session control — artifacts/r16/dd05_drift.txt)
+      .filter(col("n1") > 0 && col("n2") > 0)
       .select(col("id1"), col("id2"),
-        when(col("n1") * col("n2") > 0,
-          round(dotUnrolled(col("v1"), col("v2"), dims) /
-            (col("n1") * col("n2")), 6)).as("cos_sim"))
+        round(dotUnrolled(col("v1"), col("v2"), dims) /
+          (col("n1") * col("n2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
 
   /** Exact-cosine pair verification over an explicit candidate relation:
