@@ -1263,6 +1263,63 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 9999L), got)
   }
 
+  test("fuzzy clone-flood crawl: intra-batch survivor edges are LINEAR " +
+    "in the batch (thin edges), dedup semantics unchanged") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    import graft.operators.Dedup
+    // operator-level bound: a 2000-clone key batch yields
+    // |batch|-bounded thin edges — 1999 star edges for the clone group
+    // plus one cross edge to the distance-1 neighbour — where the pair
+    // expansion the intra-batch stage used to feed components was
+    // C(2000, 2) ≈ 2M rows
+    val keys = ((0 until 2000).map(k => (k.toLong, "Customer#000001234")) :+
+      (8888L, "Customer#000001235") :+ (9999L, "Supplier#unrelated"))
+      .toDF("id", "k")
+    val edges = Dedup.editDistanceDedupEdges(keys, "id", "k", maxDist = 1)
+    assert(edges.count() == 2000L, edges.count())
+    // and the components still resolve the whole family to min-id
+    val comps = graft.operators.Components
+      .connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(8888L) == 0L && comps(1999L) == 0L && !comps.contains(9999L))
+    // streaming arm: a fuzzy_dedup crawl whose second micro-batch is a
+    // 500-clone flood of an admitted key — every clone drops via the
+    // index probe, the intra-batch fresh pair resolves to its min id,
+    // and the stream completes
+    val src = Files.createTempDirectory("graft_fcf_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_fcf_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_fcf_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_fcf_idx")}/index"
+    val config = PipelineConfig.parse(
+      s"""project: {name: fcf}
+         |curation:
+         |  - id: fcf
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: fuzzy_dedup, index_dir: $idx, max_dist: "1"}
+         |""".stripMargin)
+    def run(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "fcf")
+      q.processAllAvailable(); q.stop()
+    }
+    run(Seq(
+      (1L, "Customer#000001234"),
+      (2L, "Supplier#unrelated")))
+    run((0 until 500).map(k => (1000L + k, "Customer#000001234")) :+
+      (8887L, "Widget#fresh00001") :+ (8889L, "Widget#fresh00002"))
+    // clones of the admitted key all drop; the two fresh distance-1
+    // widgets resolve intra-batch to the min id
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 8887L), got)
+  }
+
   test("drift baseline is PINNED across compaction: the batch=-1 fold " +
     "cannot blend post-drift batches into the reference, and a refit " +
     "opens a fresh drift epoch") {
