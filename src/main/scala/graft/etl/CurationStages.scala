@@ -73,12 +73,15 @@ object CurationStages {
         // threshold (band collisions alone would over-merge), then
         // connected components → the highest-quality doc per cluster
         // survives (the dd08 shape on its scale path). The component
-        // input is the connectivity-THIN edge graph (star per distinct
-        // shingle set + one verified edge per set pair) — same
-        // survivors as the full pair set (dd28 gate), but a
-        // boilerplate mega-cluster feeds |cluster| edges into the
-        // components instead of |cluster|²/2
-        val pairs = Dedup.ngramJaccardDedupEdges(df, idCol, textCol,
+        // input routes by SAMPLED CLONE DENSITY: clone-dense corpora
+        // get the connectivity-THIN edge graph (star per distinct
+        // shingle set + one verified edge per set pair — a boilerplate
+        // mega-cluster feeds |cluster| edges into the components
+        // instead of |cluster|²/2), clone-light corpora the plain pair
+        // expansion (no collapse premium). Survivors are identical on
+        // both routes (dd28 gate + the thin differential spec); the
+        // routing decision is logged
+        val pairs = Dedup.ngramJaccardDedupEdgesAuto(df, idCol, textCol,
             n = intParam("shingle_size", 3),
             threshold = doubleParam("threshold", 0.8),
             numHashes = intParam("num_hashes", 64),

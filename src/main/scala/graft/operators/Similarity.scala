@@ -30,7 +30,14 @@ object Similarity {
   def cosine(a: Column, b: Column, dims: Int = 0): Column = {
     def hofDot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     def hofN2(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x * x)
-    if (dims <= 0) hofDot / (sqrt(hofN2(a)) * sqrt(hofN2(b)))
+    // cosine against a zero-norm vector is undefined: return NULL
+    // (drops out of every >= / top-k filter) instead of tripping
+    // Spark 4's ANSI divide-by-zero error — the same exit DuckDB's
+    // list_cosine_similarity NaN takes through the oracles' filters
+    def guarded(dot: Column, na: Column, nb: Column): Column =
+      when(na * nb > 0, dot / (na * nb))
+    if (dims <= 0)
+      guarded(hofDot, sqrt(hofN2(a)), sqrt(hofN2(b)))
     else {
       val ok = size(a) === dims && size(b) === dims
       def unroll(ps: Seq[Column]) = ps.foldLeft(lit(0.0))(_ + _)
@@ -43,7 +50,7 @@ object Similarity {
       val nb = sqrt(when(ok,
         unroll((1 to dims).map(d => element_at(b, d) * element_at(b, d))))
         .otherwise(hofN2(b)))
-      dot / (na * nb)
+      guarded(dot, na, nb)
     }
   }
 
@@ -819,13 +826,36 @@ object Similarity {
         val dup = vecProbeDups(idx, probe, nd, tau, small)
         home.join(if (small) broadcast(dup) else dup, Seq("id"), "left_anti")
       } else home
-    // 2. intra-batch components over home-bucket tau-pairs
-    val l = pre.select(col("__bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = pre.select(col("__bucket"), col("id").as("id2"), col("v").as("v2"))
-    val pairs = l.join(r, Seq("__bucket"))
+    // 2. intra-batch components over home-bucket tau-pairs — at the
+    //    DISTINCT-VECTOR level: cosine and the bucket assignment are
+    //    pure functions of the vector, so identical embeddings (a
+    //    boilerplate crawl flood's shape after text→embedding) form an
+    //    equivalence class. One representative per distinct vector
+    //    runs the bucket self-join and the cosine evals; members ride
+    //    STAR edges into the components (eligibility decided by the
+    //    same cosine >= tau predicate the member pairs faced, so
+    //    zero-norm clones drop identically). A clone flood costs
+    //    |batch| edges, not |group|²/2 join rows + cosine evals — the
+    //    minHashLshDedupEdges rule on vectors.
+    val keyed = pre.select(col("id"), col("__bucket"), col("v"),
+      xxhash64(col("v")).as("__vk1"), xxhash64(lit(1), col("v")).as("__vk2"))
+    val vcanon = keyed.groupBy(col("__vk1"), col("__vk2"))
+      .agg(min(col("id")).as("__vcid"))
+    val canonPre = keyed.join(
+      vcanon.select(col("__vcid").as("id")), Seq("id"), "left_semi")
+    val l = canonPre.select(col("__bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = canonPre.select(col("__bucket"), col("id").as("id2"), col("v").as("v2"))
+    val repPairs = l.join(r, Seq("__bucket"))
       .filter(col("id1") < col("id2") &&
         cosine(col("v1"), col("v2"), nd) >= tau)
       .select(col("id1"), col("id2"))
+    val selfOk = canonPre.filter(cosine(col("v"), col("v"), nd) >= tau)
+      .select(col("id").as("__vcid"))
+    val star = keyed.join(vcanon, Seq("__vk1", "__vk2"))
+      .filter(col("id") =!= col("__vcid"))
+      .join(selfOk, Seq("__vcid"), "left_semi")
+      .select(col("__vcid").as("id1"), col("id").as("id2"))
+    val pairs = star.unionByName(repPairs)
     val comps = Components.connectedComponents(pairs, "id1", "id2")
     val nonCanon = comps
       .filter(col("id") =!= col("comp")).select(col("id"))

@@ -375,10 +375,10 @@ object Streams {
           val idxDup = lookup
             .filter(col("est_jaccard") >= threshold)
             .select(col("new_id").as(idCol)).distinct()
-          val pairs = Dedup.minHashLshPairs(batch, idCol, textCol,
-              shingleSize, numHashes, bands)
-            .filter(col("est_jaccard") >= threshold)
-            .select(col("id1"), col("id2"))
+          // connectivity-thin intra-batch edges — identical components
+          // to the filtered pair set, linear in a clone-flood batch
+          val pairs = Dedup.minHashLshDedupEdges(batch, idCol, textCol,
+            shingleSize, numHashes, bands, threshold)
           val nonCanon = Components.connectedComponents(pairs, "id1", "id2")
             .filter(col("id") =!= col("comp"))
             .select(col("id").as(idCol))

@@ -231,6 +231,29 @@ class OperatorsSpec extends SparkSpec {
     assert(thinComps(1L) == 0L || thinComps.contains(0L))
     assert(!thinComps.contains(5000L)) // singleton distinct doc: no edges
     assert(nDocs == flood.count())
+
+    // the CLONE-DENSITY router: the flood routes thin (edge count
+    // linear), a distinct-doc corpus routes to the pair expansion —
+    // components identical on both routes by the equalities above, so
+    // the router can only change plans, never survivors
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val floodAuto = Dedup.ngramJaccardDedupEdgesAuto(flood, "id", "text",
+        n = 3, threshold = 0.5, exhaustive = false, sampleSixteenths = 16)
+      assert(floodAuto.count() <= nStars + 15)
+      val distinctDocs = base.map { case (g, _, t) => (g, t + s" tail$g") }
+        .toDF("id", "text")
+      val distAuto = Dedup.ngramJaccardDedupEdgesAuto(distinctDocs, "id", "text",
+        n = 3, threshold = 0.5, exhaustive = false, sampleSixteenths = 16)
+      assert(compsOf(distAuto) == compsOf(
+        Dedup.ngramJaccardDedupEdges(distinctDocs, "id", "text",
+          n = 3, threshold = 0.5, exhaustive = false)))
+    } finally System.setErr(prevErr)
+    val log = errBuf.toString
+    assert(log.contains("route=thin"), log)
+    assert(log.contains("route=pairs"), log)
   }
 
   test("simhash: identical text => identical fingerprint; near-dup within hamming 6") {
