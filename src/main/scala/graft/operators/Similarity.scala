@@ -33,9 +33,15 @@ object Similarity {
     // cosine against a zero-norm vector is undefined: return NULL
     // (drops out of every >= / top-k filter) instead of tripping
     // Spark 4's ANSI divide-by-zero error — the same exit DuckDB's
-    // list_cosine_similarity NaN takes through the oracles' filters
+    // list_cosine_similarity NaN takes through the oracles' filters.
+    // try_divide, NOT a when() guard: when() re-evaluates the unrolled
+    // norm sums in both the condition and the value branch (no
+    // cross-branch subexpression elimination), which a same-session
+    // A/B measured at 1.4-2.6× on the cosine-hot queries
+    // (ann01/dd14/dd18); try_divide is the division itself with a
+    // null-on-zero exit, evaluated once
     def guarded(dot: Column, na: Column, nb: Column): Column =
-      when(na * nb > 0, dot / (na * nb))
+      try_divide(dot, na * nb)
     if (dims <= 0)
       guarded(hofDot, sqrt(hofN2(a)), sqrt(hofN2(b)))
     else {
