@@ -784,4 +784,49 @@ class PropertySpec extends AnyFunSuite {
         s"trial $trial (n=$n dims=$dims nlist=$nlist) diverged")
     }
   }
+
+  test("thin-edge survivor differential: components over the thin/auto " +
+    "edge graphs equal components over the full pair graphs on random " +
+    "clone-structured corpora") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Components, Dedup}
+    import spark.implicits._
+    // random corpora with random clone multiplicities: a pool of short
+    // word-salad texts (some near one another by construction: shared
+    // prefix, one word swapped), each replicated 1..60×
+    val words = Vector("alpha", "beta", "gamma", "delta", "spark", "scale",
+      "boiler", "plate", "crawl", "dedup", "mirror", "shard")
+    val textGen = for {
+      n <- Gen.chooseNum(4, 9)
+      ws <- Gen.listOfN(n, Gen.oneOf(words))
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      k <- Gen.chooseNum(2, 6)
+      texts <- Gen.listOfN(k, textGen)
+      reps <- Gen.listOfN(k, Gen.chooseNum(1, 60))
+    } yield texts.zip(reps)
+    forAll(corpusGen, trials = 5) { spec =>
+      val rows = spec.zipWithIndex.flatMap { case ((t, r), g) =>
+        (0 until r).map(k => (g * 1000L + k, t)) }
+      val df = rows.toDF("id", "text")
+      def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        Components.connectedComponents(
+            edges.select(col("id1"), col("id2")), "id1", "id2")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // minhash est tier
+      assert(comps(Dedup.minHashLshDedupEdges(df, "id", "text", 2, 32, 8, 0.5))
+        == comps(Dedup.minHashLshPairs(df, "id", "text", 2, 32, 8)
+          .filter(col("est_jaccard") >= 0.5)), s"minhash: $spec")
+      // ngram exact tier through the ROUTER (full sampling for
+      // determinism on small corpora) vs the pair expansion
+      assert(comps(Dedup.ngramJaccardDedupEdgesAuto(df, "id", "text",
+          n = 2, threshold = 0.5, sampleSixteenths = 16))
+        == comps(Dedup.ngramJaccardPairs(df, "id", "text",
+          n = 2, threshold = 0.5)), s"ngram: $spec")
+      // fuzzy tier (texts as keys)
+      val (fe, _) = Dedup.editDistanceDedupEdgesAuto(df, "id", "text")
+      val (fp, _) = Dedup.editDistancePairsAuto(df, "id", "text")
+      assert(comps(fe) == comps(fp), s"fuzzy: $spec")
+    }
+  }
 }
