@@ -73,20 +73,28 @@ object CurationStages {
         // threshold (band collisions alone would over-merge), then
         // connected components → the highest-quality doc per cluster
         // survives (the dd08 shape on its scale path). The component
-        // input routes by SAMPLED CLONE DENSITY: clone-dense corpora
+        // input routes by SAMPLED CLONE DENSITY — clone-dense corpora
         // get the connectivity-THIN edge graph (star per distinct
         // shingle set + one verified edge per set pair — a boilerplate
         // mega-cluster feeds |cluster| edges into the components
         // instead of |cluster|²/2), clone-light corpora the plain pair
-        // expansion (no collapse premium). Survivors are identical on
-        // both routes (dd28 gate + the thin differential spec); the
-        // routing decision is logged
-        val pairs = Dedup.ngramJaccardDedupEdgesAuto(df, idCol, textCol,
+        // expansion (no collapse premium) — OR by the MAX sampled
+        // clone-group size, which catches a rare-but-mega group the
+        // corpus-wide ratio dilutes below its threshold. Survivors are
+        // identical on both routes (dd28 gate + the thin differential
+        // spec); the decision is logged and, when `ledger_dir` is set,
+        // appended to a parquet ledger (the fuzzy_dedup audit pattern)
+        val (pairs, ledger) = Dedup.ngramJaccardDedupEdgesAutoLedger(
+            df, idCol, textCol,
             n = intParam("shingle_size", 3),
             threshold = doubleParam("threshold", 0.8),
             numHashes = intParam("num_hashes", 64),
             bands = intParam("bands", 16),
-            exhaustive = false)
+            exhaustive = false,
+            cloneRatioThreshold = doubleParam("clone_ratio_threshold", 0.02),
+            maxSampledGroup = longParam("max_sampled_group").getOrElse(64L))
+        param("ledger_dir").foreach(d =>
+          ledger.write.mode("append").parquet(d))
         val quality = TextAnalysis.qualityScore(docs)
           .select(col("doc_id").as(idCol), col("quality"))
         val survivors = Sampling.resolveDuplicates(pairs, quality, idCol)
@@ -272,7 +280,11 @@ object CurationStages {
     * (the dd13/crawlDedup shape, Streams.scala): probe for
     * cross-batch near-dups, band
     * the batch against itself for intra-batch dups (min-id canonical),
-    * then append the survivors' signatures to the index. The index
+    * then append the survivors' signatures to the index. `minhash_dedup`
+    * REQUIRES index_dir under streaming (validated at stream build):
+    * the index-less batch operator runs an eager routing-sample job
+    * and holds lineage pins per call, which a micro-batch loop would
+    * pay — and leak between GC cycles — every batch. The index
     * parquet is the SOURCE OF TRUTH across restarts — a duplicate of
     * anything ever admitted is dropped by the probe no matter where
     * batch or restart boundaries fall. The first batch creates the
@@ -313,6 +325,19 @@ object CurationStages {
     val outDir = pipeline.outputUri.getOrElse(
       throw new IllegalArgumentException(
         s"streaming curation pipeline ${pipeline.id} needs output:"))
+    // minhash_dedup is a BATCH operator without its index-at-rest: the
+    // fall-through would run its eager routing-sample job and 3-4
+    // lineage pins EVERY micro-batch (pins free only via the
+    // GC-driven context cleaner — they accumulate on a long crawl),
+    // and per-batch-only dedup with no cross-batch memory is almost
+    // always a config mistake. Fail at stream build, not per batch.
+    pipeline.stages.find(st =>
+        st.op == "minhash_dedup" && !st.params.contains("index_dir"))
+      .foreach(_ => throw new IllegalArgumentException(
+        s"streaming curation pipeline ${pipeline.id}: minhash_dedup " +
+          "under streaming needs index_dir: (the cross-batch " +
+          "index-at-rest arm — see CurationStages.runStreaming); the " +
+          "index-less form is batch-only"))
     val writer = stream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -680,6 +705,11 @@ object CurationStages {
     import graft.operators.Components
     val indexDir = stage.params("index_dir")
     val threshold = stage.params.get("threshold").map(_.toDouble).getOrElse(0.8)
+    // fail early and identically on both the probe filter (which would
+    // silently pass everything through) and the intra-batch edge form
+    // (which requires it) — the batch router's contract
+    require(threshold <= 1.0,
+      s"minhash_dedup threshold must be <= 1.0, got $threshold")
     val rankBy = stage.params.getOrElse("rank_by", "id")
     require(rankBy == "id" || rankBy == "quality",
       s"minhash_dedup rank_by must be 'id' or 'quality', got '$rankBy'")

@@ -679,7 +679,15 @@ object Dedup {
     * drops), so the surviving edge set's components match the
     * member-level path bit for bit. Fingerprint collisions (two
     * distinct sets sharing both lanes and the size) sit at ~2⁻¹²⁸ per
-    * pair — the same event class as the collapse keys upstream.
+    * RANDOM pair — the same event class as the collapse keys upstream.
+    * Adversarial caveat: the XOR fold is GF(2)-linear and xxhash64 is
+    * invertible, so a corpus CONSTRUCTED to collide (distinct shingle
+    * sets engineered to share both folded lanes and the size) would be
+    * merged as J = 1 clones and silently deduped — acceptable for the
+    * non-adversarial web corpora this stage targets (identical event
+    * class as every signature-collapse key in this file), but a
+    * pipeline deduping hostile input should run [[ngramJaccardPairs]],
+    * whose verification reads the actual sets.
     * PRECONDITION: distinct ids (the [[editDistancePairs]] contract).
     */
   def ngramJaccardDedupEdges(df: DataFrame, idCol: String, textCol: String,
@@ -797,23 +805,62 @@ object Dedup {
     * graph is per-group quadratic and the thin graph linear (28.8× at
     * 8000 clones/group). Connected components — and therefore
     * survivors — are identical on BOTH routes, so the router can never
-    * change results, only plans; the decision is logged. Sampling
-    * note: a clone group contributes to the estimate only when >= 2
-    * members land in the sample, so small groups can hide — they are
-    * also not the hazard (the straggler needs a mega-group, which a
-    * 1/8 sample cannot miss).
+    * change results, only plans; the decision is logged and returned
+    * as a one-row LEDGER.
+    *
+    * TWO decision statistics, OR'd — both computed by the same sampled
+    * aggregate: (1) `clone_ratio` = 1 − distinct_sets/docs, the
+    * corpus-wide clone-mass share; and (2) `max_group` = the largest
+    * sampled clone group, which catches the rare-but-MEGA group that
+    * dilution buries: one 10⁶-member shingle-set clone group inside
+    * 10⁹ clone-free docs has clone_ratio ≈ 0.001 — under any sane mass
+    * threshold — yet feeds |group|²/2 intra pairs into the component
+    * step on the pairs route, and the 1/8 sample still holds ~125k of
+    * its members, so the MAX statistic cannot miss it (exact_dedup
+    * upstream does NOT protect: the collapse key is the shingle SET,
+    * and reordered/near-identical docs share a set without being
+    * byte-identical). A group whose TRUE size is g lands
+    * Binomial(g, s/16) members in the sample, so `maxSampledGroup` 64
+    * at the default 1/8 sample routes thin for true groups ≳ 512 —
+    * far below where the quadratic pair expansion hurts, and far
+    * above what clone-free corpora produce. Small groups can still
+    * hide below both statistics; they are also not the hazard (their
+    * pair cliques are small). The same guarded-quadratic eligibility
+    * discipline as the reference's leapfrog join (reference:
+    * packages/pycypher/src/pycypher/leapfrog_triejoin.py:421-461).
+    *
+    * Ledger row: (route, clone_ratio, clone_ratio_threshold,
+    * max_group, max_group_threshold, sampled_docs, distinct_sets,
+    * sample_sixteenths) — the auditable counterpart of the fuzzy
+    * router's dd20 ledger, and the race-free way for callers/specs to
+    * observe the decision (scraping the stderr line is not).
     */
-  def ngramJaccardDedupEdgesAuto(df: DataFrame, idCol: String, textCol: String,
-                                 n: Int, threshold: Double,
-                                 maxShingleDf: Int = 1000,
-                                 numHashes: Int = 64, bands: Int = 16,
-                                 exhaustive: Boolean = true,
-                                 cloneRatioThreshold: Double = 0.02,
-                                 sampleSixteenths: Int = 2): DataFrame = {
+  def ngramJaccardDedupEdgesAutoLedger(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       n: Int, threshold: Double,
+                                       maxShingleDf: Int = 1000,
+                                       numHashes: Int = 64, bands: Int = 16,
+                                       exhaustive: Boolean = true,
+                                       cloneRatioThreshold: Double = 0.02,
+                                       sampleSixteenths: Int = 2,
+                                       maxSampledGroup: Long = 64L)
+  : (DataFrame, DataFrame) = {
+    // validated BEFORE routing so both routes fail identically — the
+    // thin form requires it, and the pairs form would silently return
+    // empty (est-filter pass-through), the one input where the router
+    // could otherwise change observable behavior
+    require(threshold <= 1.0,
+      "threshold must be <= 1.0 (identical-set pairs sit at exactly " +
+        s"1.0, so a higher cut would drop whole clone groups), got $threshold")
     require(sampleSixteenths >= 1 && sampleSixteenths <= 16,
       s"sampleSixteenths must be in [1, 16], got $sampleSixteenths")
+    require(maxSampledGroup >= 2L,
+      s"maxSampledGroup must be >= 2 (1 would route every corpus thin), got $maxSampledGroup")
+    val spark = df.sparkSession
     val sampled = df
       .filter(pmod(xxhash64(col(idCol)), lit(16)) < lit(sampleSixteenths))
+    // one extra groupBy level vs the old docs/sets aggregate buys the
+    // per-group sizes: docs = Σ group, sets = #groups, max_group = max
     val fp = shingleRows(sampled, idCol, textCol, n)
       .dropDuplicates("id", "shingle")
       .select(col("id"), xxhash64(col("shingle")).as("__h1"),
@@ -821,25 +868,53 @@ object Dedup {
       .groupBy(col("id"))
       .agg(expr("bit_xor(__h1)").as("__s1"),
         expr("bit_xor(__h2)").as("__s2"), count(lit(1)).as("__n"))
-      .agg(count(lit(1)).as("docs"),
-        countDistinct(col("__s1"), col("__s2"), col("__n")).as("sets"))
+      .groupBy(col("__s1"), col("__s2"), col("__n"))
+      .agg(count(lit(1)).as("__g"))
+      .agg(coalesce(sum(col("__g")), lit(0L)).as("docs"),
+        count(lit(1)).as("sets"),
+        coalesce(max(col("__g")), lit(0L)).as("max_group"))
       .head()
-    val (docs, sets) = (fp.getLong(0), fp.getLong(1))
+    val (docs, sets, maxGroup) = (fp.getLong(0), fp.getLong(1), fp.getLong(2))
     val ratio = if (docs == 0L) 0.0 else 1.0 - sets.toDouble / docs
-    val thin = ratio >= cloneRatioThreshold
+    val thin = ratio >= cloneRatioThreshold || maxGroup >= maxSampledGroup
+    val route = if (thin) "thin" else "pairs"
     System.err.println(
-      s"[graft] ngram dedup-edges routing: route=${if (thin) "thin" else "pairs"} " +
+      s"[graft] ngram dedup-edges routing: route=$route " +
         s"clone_ratio=$ratio (threshold $cloneRatioThreshold) " +
+        s"max_group=$maxGroup (threshold $maxSampledGroup) " +
         s"sampled_docs=$docs distinct_sets=$sets " +
         s"sample_sixteenths=$sampleSixteenths")
-    if (thin)
-      ngramJaccardDedupEdges(df, idCol, textCol, n, threshold, maxShingleDf,
-        numHashes, bands, exhaustive)
-    else
-      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf,
-        numHashes, bands, exhaustive)
-        .select(col("id1"), col("id2"))
+    val edges =
+      if (thin)
+        ngramJaccardDedupEdges(df, idCol, textCol, n, threshold, maxShingleDf,
+          numHashes, bands, exhaustive)
+      else
+        ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf,
+          numHashes, bands, exhaustive)
+          .select(col("id1"), col("id2"))
+    import spark.implicits._
+    val ledger = Seq((route, ratio, cloneRatioThreshold, maxGroup,
+        maxSampledGroup, docs, sets, sampleSixteenths))
+      .toDF("route", "clone_ratio", "clone_ratio_threshold", "max_group",
+        "max_group_threshold", "sampled_docs", "distinct_sets",
+        "sample_sixteenths")
+    (edges, ledger)
   }
+
+  /** [[ngramJaccardDedupEdgesAutoLedger]] without the ledger — the
+    * original edges-only surface.
+    */
+  def ngramJaccardDedupEdgesAuto(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int, threshold: Double,
+                                 maxShingleDf: Int = 1000,
+                                 numHashes: Int = 64, bands: Int = 16,
+                                 exhaustive: Boolean = true,
+                                 cloneRatioThreshold: Double = 0.02,
+                                 sampleSixteenths: Int = 2,
+                                 maxSampledGroup: Long = 64L): DataFrame =
+    ngramJaccardDedupEdgesAutoLedger(df, idCol, textCol, n, threshold,
+      maxShingleDf, numHashes, bands, exhaustive, cloneRatioThreshold,
+      sampleSixteenths, maxSampledGroup)._1
 
   /** Exact Jaccard pairs by CO-OCCURRENCE COUNTING: self-join the
     * inverted index on the shingle key, count shared shingles per

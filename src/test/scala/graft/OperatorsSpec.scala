@@ -235,25 +235,76 @@ class OperatorsSpec extends SparkSpec {
     // the CLONE-DENSITY router: the flood routes thin (edge count
     // linear), a distinct-doc corpus routes to the pair expansion —
     // components identical on both routes by the equalities above, so
-    // the router can only change plans, never survivors
-    val errBuf = new java.io.ByteArrayOutputStream()
-    val prevErr = System.err
-    try {
-      System.setErr(new java.io.PrintStream(errBuf, true))
-      val floodAuto = Dedup.ngramJaccardDedupEdgesAuto(flood, "id", "text",
-        n = 3, threshold = 0.5, exhaustive = false, sampleSixteenths = 16)
-      assert(floodAuto.count() <= nStars + 15)
-      val distinctDocs = base.map { case (g, _, t) => (g, t + s" tail$g") }
-        .toDF("id", "text")
-      val distAuto = Dedup.ngramJaccardDedupEdgesAuto(distinctDocs, "id", "text",
-        n = 3, threshold = 0.5, exhaustive = false, sampleSixteenths = 16)
-      assert(compsOf(distAuto) == compsOf(
-        Dedup.ngramJaccardDedupEdges(distinctDocs, "id", "text",
-          n = 3, threshold = 0.5, exhaustive = false)))
-    } finally System.setErr(prevErr)
-    val log = errBuf.toString
-    assert(log.contains("route=thin"), log)
-    assert(log.contains("route=pairs"), log)
+    // the router can only change plans, never survivors. The decision
+    // is observed through the returned LEDGER (race-free — scraping
+    // the process-global stderr swallowed other tests' output under
+    // parallel execution)
+    val (floodAuto, floodLedger) = Dedup.ngramJaccardDedupEdgesAutoLedger(
+      flood, "id", "text",
+      n = 3, threshold = 0.5, exhaustive = false, sampleSixteenths = 16)
+    assert(floodAuto.count() <= nStars + 15)
+    val fl = floodLedger.collect().head
+    assert(fl.getAs[String]("route") == "thin", fl.toString)
+    assert(fl.getAs[Double]("clone_ratio") >= 0.02)
+    assert(fl.getAs[Long]("max_group") == 60L) // the largest clone group
+    val distinctDocs = base.map { case (g, _, t) => (g, t + s" tail$g") }
+      .toDF("id", "text")
+    val (distAuto, distLedger) = Dedup.ngramJaccardDedupEdgesAutoLedger(
+      distinctDocs, "id", "text",
+      n = 3, threshold = 0.5, exhaustive = false, sampleSixteenths = 16)
+    assert(compsOf(distAuto) == compsOf(
+      Dedup.ngramJaccardDedupEdges(distinctDocs, "id", "text",
+        n = 3, threshold = 0.5, exhaustive = false)))
+    val dl = distLedger.collect().head
+    assert(dl.getAs[String]("route") == "pairs", dl.toString)
+    assert(dl.getAs[Long]("max_group") == 1L)
+    // a threshold > 1.0 fails on BOTH routes, before routing (the
+    // pairs arm would otherwise silently return empty — the one input
+    // where the router could change observable behavior)
+    for (corpus <- Seq(flood, distinctDocs))
+      intercept[IllegalArgumentException] {
+        Dedup.ngramJaccardDedupEdgesAuto(corpus, "id", "text",
+          n = 3, threshold = 1.1, exhaustive = false, sampleSixteenths = 16)
+      }
+  }
+
+  test("clone-density router: a DILUTED mega clone group routes thin " +
+    "via the max-sampled-group disjunct even when the corpus-wide " +
+    "clone-mass ratio sits under its threshold") {
+    import graft.operators.Dedup
+    // one 200-member shingle-set clone group buried in 12,800 distinct
+    // docs: clone_ratio = 1 - 12801/13000 ≈ 0.0153 < 0.02 (the mass
+    // statistic is BLIND to it), but max_group = 200 >= 64 — exactly
+    // the 10⁶-in-10⁹ web-corpus shape scaled to gate size. Distinct
+    // docs are built from md5 tokens so they share no shingle with
+    // anything (no near-dup noise in the linearity bound).
+    val mega = spark.range(200L)
+      .select(col("id"), lit("the mega boilerplate clone body that " +
+        "floods the component input when expanded pairwise").as("text"))
+    val rest = spark.range(1000L, 13800L)
+      .select(col("id"), concat_ws(" ",
+        md5(concat(col("id").cast("string"), lit("a"))),
+        md5(concat(col("id").cast("string"), lit("b"))),
+        md5(concat(col("id").cast("string"), lit("c"))),
+        md5(concat(col("id").cast("string"), lit("d")))).as("text"))
+    val corpus = mega.unionByName(rest)
+    val (edges, ledger) = Dedup.ngramJaccardDedupEdgesAutoLedger(
+      corpus, "id", "text",
+      n = 3, threshold = 0.5, exhaustive = false, sampleSixteenths = 16)
+    val l = ledger.collect().head
+    assert(l.getAs[Double]("clone_ratio") < 0.02, l.toString)  // diluted
+    assert(l.getAs[Long]("max_group") == 200L, l.toString)     // but seen
+    assert(l.getAs[String]("route") == "thin", l.toString)
+    // thin-route linearity: the mega group contributes |group| - 1
+    // star edges, never |group|²/2 = 19,900 pairs; the distinct
+    // remainder contributes nothing
+    val n = edges.count()
+    assert(n == 199L, s"expected 199 star edges, got $n")
+    // and the routed edges resolve to the single true component
+    val comps = graft.operators.Components
+      .connectedComponents(edges, "id1", "id2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 200 && comps.values.toSet == Set(0L))
   }
 
   test("simhash: identical text => identical fingerprint; near-dup within hamming 6") {

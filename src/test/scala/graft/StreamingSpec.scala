@@ -2050,4 +2050,27 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batchPick == quality, s"$batchPick vs $quality")
   }
+
+  test("streaming minhash_dedup without index_dir fails at stream " +
+    "build: the index-less batch operator is batch-only (its eager " +
+    "routing sample + lineage pins would run every micro-batch)") {
+    import graft.etl.{CurationStages, CurationPipelineDef, CurationStageDef}
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    val e = intercept[IllegalArgumentException] {
+      CurationStages.runStreaming(spark, stream,
+        CurationPipelineDef("noidx", "unused", "doc_id", "text",
+          Seq(CurationStageDef("minhash_dedup", Map("threshold" -> "0.5"))),
+          outputUri = Some("/tmp/graft_noidx_out"), format = None,
+          streaming = true))
+    }
+    assert(e.getMessage.contains("index_dir"), e.getMessage)
+    // with index_dir the same stage list builds fine (not started)
+    CurationStages.runStreaming(spark, stream,
+      CurationPipelineDef("okidx", "unused", "doc_id", "text",
+        Seq(CurationStageDef("minhash_dedup",
+          Map("threshold" -> "0.5", "index_dir" -> "/tmp/graft_okidx"))),
+        outputUri = Some("/tmp/graft_okidx_out"), format = None,
+        streaming = true))
+  }
 }
