@@ -75,16 +75,72 @@ object Bpe {
     * (the corpus is scanned once, before the loop), so training cost
     * is numMerges × vocab-aggregate — argmax merges are sequential by
     * definition, and Spark has no updatable pair-count store to make
-    * the per-merge step delta-sized. At 32k merges over a web-scale
-    * vocabulary, train on a hash-sampled slice (standard tokenizer
-    * practice — merge quality converges long before the full corpus)
-    * and keep the full corpus for `encode`, whose plan is O(1) in the
-    * vocabulary.
+    * the per-merge step delta-sized. The web-scale path is therefore
+    * FIRST-CLASS, not advice: `sampleSixteenths` < 16 trains on a
+    * deterministic md5 hash sample of DOCUMENTS (keyed on the text —
+    * engine-portable, the [[Sampling.hashSample]] rule; standard
+    * tokenizer practice, merge quality converges long before the full
+    * corpus), and a BUDGET GUARD fails fast when distinct-words ×
+    * numMerges exceeds `graft.bpe.trainBudget` (session conf, default
+    * 10⁹ word-merge rows ≈ minutes of cluster aggregates), with the
+    * error routing to the sampled arm — so a 32k-merge full-corpus
+    * train is an informed, auditable decision instead of a silent 32k
+    * sequential jobs ([[trainWithLedger]] records what was decided).
+    * `encode` stays O(1)-plan in the vocabulary and always runs on the
+    * full corpus.
     */
   def train(df: DataFrame, textCol: String = "text", numMerges: Int = 50,
-            minPairCount: Long = 2L): Seq[Merge] = {
-    var words = wordCounts(df, textCol).persist()
-    words.count() // materialize before the loop so the scan runs once
+            minPairCount: Long = 2L, sampleSixteenths: Int = 16): Seq[Merge] =
+    trainWithLedger(df, textCol, numMerges, minPairCount, sampleSixteenths)._1
+
+  /** [[train]] plus a one-row audit LEDGER (the editDistancePairsAuto
+    * discipline): (sample_sixteenths, distinct_words, requested_merges,
+    * learned_merges, min_pair_count, budget, estimated_rows) —
+    * `estimated_rows` is the guarded distinct-words × numMerges
+    * product the budget gates on.
+    */
+  def trainWithLedger(df: DataFrame, textCol: String = "text",
+                      numMerges: Int = 50, minPairCount: Long = 2L,
+                      sampleSixteenths: Int = 16)
+  : (Seq[Merge], DataFrame) = {
+    require(sampleSixteenths >= 1 && sampleSixteenths <= 16,
+      s"sampleSixteenths must be in [1, 16], got $sampleSixteenths")
+    val spark = df.sparkSession
+    val budget = spark.conf.getOption("graft.bpe.trainBudget")
+      .map(_.toLong).getOrElse(1000000000L)
+    val corpus =
+      if (sampleSixteenths >= 16) df
+      else Sampling.hashSample(df, textCol, sampleSixteenths)
+    var words = wordCounts(corpus, textCol).persist()
+    val distinctWords = words.count() // materialize; the scan runs once
+    // the guard reads the POST-SAMPLE vocabulary — the sampled arm is
+    // exactly how a caller gets back under budget
+    val est = distinctWords * numMerges.toLong
+    if (est > budget) {
+      words.unpersist()
+      throw new IllegalArgumentException(
+        s"BPE train budget exceeded: $distinctWords distinct words x " +
+          s"$numMerges merges = $est word-merge rows > graft.bpe.trainBudget " +
+          s"= $budget. Train on a hash sample (sampleSixteenths < 16 — " +
+          "merge quality converges long before the full corpus; encode " +
+          "stays full-corpus and O(1)-plan), reduce numMerges, or raise " +
+          "the budget conf to opt into the full sequential loop.")
+    }
+    val merges = trainLoop(words, numMerges, minPairCount)
+    import spark.implicits._
+    val ledger = Seq((sampleSixteenths, distinctWords, numMerges,
+        merges.size, minPairCount, budget, est))
+      .toDF("sample_sixteenths", "distinct_words", "requested_merges",
+        "learned_merges", "min_pair_count", "budget", "estimated_rows")
+    (merges, ledger)
+  }
+
+  /** The sequential merge loop over a materialized distinct-word count
+    * table (consumes the persist; see [[train]] for the cost model).
+    */
+  private def trainLoop(words0: DataFrame, numMerges: Int,
+                        minPairCount: Long): Seq[Merge] = {
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     var done = false
@@ -118,9 +174,10 @@ object Bpe {
     * persistence): one row per merge in rank order.
     */
   def trainTable(spark: SparkSession, df: DataFrame, textCol: String = "text",
-                 numMerges: Int = 50, minPairCount: Long = 2L): DataFrame = {
+                 numMerges: Int = 50, minPairCount: Long = 2L,
+                 sampleSixteenths: Int = 16): DataFrame = {
     import spark.implicits._
-    train(df, textCol, numMerges, minPairCount)
+    train(df, textCol, numMerges, minPairCount, sampleSixteenths)
       .map(m => (m.rank, m.left, m.right, m.pairCount))
       .toDF("rank", "left", "right", "pair_count")
   }

@@ -477,6 +477,17 @@ object PipelineQueries {
       Bpe.encodeStats(Tables(s, dir).documents, bpeMerges(s, dir))
     },
 
+    // The SAMPLED-train arm — the web-scale path the budget guard
+    // routes to: merges learned on the deterministic md5 half-sample
+    // of documents (hashSample keyed on the text). The DuckDB oracle
+    // replays the identical sample filter and the same 20-iteration
+    // Sennrich unroll, so a green row certifies the sampled arm is the
+    // full trainer on the sampled corpus, bit for bit. FULLY oracled.
+    "bpe03_bpe_train_sampled" -> { (s, dir) =>
+      Bpe.trainTable(s, Tables(s, dir).documents, numMerges = 20,
+        sampleSixteenths = 8)
+    },
+
     // Query-performance regression detection (QueryAnalytics, the
     // reference's RegressionDetector) under the hash gate: a synthetic
     // audit history derived deterministically from the events table —
@@ -3310,6 +3321,18 @@ object PipelineQueries {
             s"""SELECT $i AS rank, a AS "left", b AS "right", n AS pair_count FROM m$i""")
            .mkString("\n         UNION ALL ")}"""
     },
+    // bpe03 replay: the identical md5 half-sample of documents (the
+    // hashSample hex-digit rule), then the same training unroll at 20
+    // merges
+    "bpe03_bpe_train_sampled" -> {
+      s"""WITH bpe_sample AS (
+           SELECT * FROM documents
+           WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 8),
+         ${bpeTrainCtes(20, "bpe_sample")}
+         ${(1 to 20).map(i =>
+            s"""SELECT $i AS rank, a AS "left", b AS "right", n AS pair_count FROM m$i""")
+           .mkString("\n         UNION ALL ")}"""
+    },
     // full replay of bpe02: the same 30 training CTEs yield the merge
     // table, then a second chain applies each merge in rank order to
     // the distinct words of the corpus (rank order IS priority order —
@@ -3351,7 +3374,7 @@ object PipelineQueries {
     * (m_i argmax merge, w_i replace). Mirrors Bpe.train exactly —
     * cited there per iteration step.
     */
-  private def bpeTrainCtes(n: Int): String = {
+  private def bpeTrainCtes(n: Int, corpus: String = "documents"): String = {
     val S = "chr(31)"
     val SS = "chr(31)||chr(31)"
     def pairs(src: String) =
@@ -3365,7 +3388,7 @@ object PipelineQueries {
       s"""wc AS (
            SELECT word, count(*) AS cnt FROM (
              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
-             FROM documents)
+             FROM $corpus)
            WHERE length(replace(word, chr(31), '')) > 0 GROUP BY 1),
          w0 AS MATERIALIZED (
            SELECT $S || array_to_string(

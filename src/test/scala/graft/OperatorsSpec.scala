@@ -1047,6 +1047,45 @@ class OperatorsSpec extends SparkSpec {
     assert(merges.map(_.rank) == Seq(1, 2, 3, 4, 5))
   }
 
+  test("BPE train budget guard + sampled arm: an over-budget full-corpus " +
+    "train fails fast routing to the sampled arm, which equals the full " +
+    "trainer on the hash-sampled corpus and records an audit ledger") {
+    import graft.operators.{Bpe, Sampling}
+    // 400 docs, each contributing distinct words — comfortably over a
+    // tiny test budget at 40 merges, under it on the md5 half-sample
+    val corpus = spark.range(400L)
+      .select(col("id").as("doc_id"), concat_ws(" ",
+        concat(lit("alpha"), col("id").cast("string")),
+        concat(lit("beta"), col("id").cast("string")),
+        lit("shared common tail words")).as("text"))
+    spark.conf.set("graft.bpe.trainBudget", "20000")
+    try {
+      // full corpus: ~804 distinct words x 40 merges ≈ 32k > 20k
+      val e = intercept[IllegalArgumentException] {
+        Bpe.train(corpus, numMerges = 40)
+      }
+      assert(e.getMessage.contains("trainBudget"), e.getMessage)
+      assert(e.getMessage.contains("sampleSixteenths"), e.getMessage)
+      // the sampled arm fits and IS the full trainer on the sample
+      val (merges, ledger) = Bpe.trainWithLedger(corpus, numMerges = 40,
+        sampleSixteenths = 6)
+      val manual = Bpe.train(Sampling.hashSample(corpus, "text", 6),
+        numMerges = 40)
+      assert(merges == manual)
+      assert(merges.nonEmpty)
+      val l = ledger.collect().head
+      assert(l.getAs[Int]("sample_sixteenths") == 6)
+      assert(l.getAs[Int]("requested_merges") == 40)
+      assert(l.getAs[Int]("learned_merges") == merges.size)
+      assert(l.getAs[Long]("budget") == 20000L)
+      assert(l.getAs[Long]("estimated_rows") ==
+        l.getAs[Long]("distinct_words") * 40L)
+      assert(l.getAs[Long]("estimated_rows") <= 20000L)
+    } finally spark.conf.unset("graft.bpe.trainBudget")
+    // default budget (1e9) never trips a gate-scale train
+    assert(Bpe.train(corpus, numMerges = 3).size == 3)
+  }
+
   test("BPE encode applies merges in rank order: lowest → [low, est]") {
     val corpus = Seq(
       (1L, Seq.fill(5)("low").mkString(" ")),
