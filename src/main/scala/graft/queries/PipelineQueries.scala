@@ -1319,6 +1319,35 @@ object PipelineQueries {
           coalesce(col("comp"), col("id")).cast("long").as("comp"))
     },
 
+    // The clone-density ROUTER's decision statistics on a DILUTED
+    // mega-group corpus — the r16 verdict's headline hazard: one
+    // 400-member shingle-set clone group buried in 22,000 distinct
+    // docs sits UNDER the clone-mass ratio threshold (≈0.018 < 0.02)
+    // but must still route thin via the max-sampled-group disjunct.
+    // The DuckDB oracle independently recomputes BOTH statistics from
+    // first principles (distinct shingle-SET counts via sorted set
+    // keys — not the operator's xxhash fingerprints) and replays the
+    // routing rule, so a green row certifies the decision inputs AND
+    // the decision. FULLY oracled.
+    "dd31_router_diluted_mega" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val mega = docs.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(0), lit(399))).as("k"), col("text"))
+        .select((lit(1000000) + col("k")).cast("long").as("id"), col("text"))
+      val rest = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(43))).as("k"))
+        .select((col("doc_id") * 100 + col("k")).cast("long").as("id"),
+          concat(col("text"), lit(" u"),
+            (col("doc_id") * 100 + col("k")).cast("string")).as("text"))
+      val (_, ledger) = Dedup.ngramJaccardDedupEdgesAutoLedger(
+        mega.unionByName(rest), "id", "text",
+        n = 3, threshold = 0.5, exhaustive = false, sampleSixteenths = 16)
+      ledger.select(col("route"),
+        round(col("clone_ratio") + lit(1e-11), 6).as("clone_ratio"),
+        col("max_group"), col("sampled_docs"), col("distinct_sets"))
+    },
+
     // The FUZZY survivor arm's thin operator, end-to-end oracled on a
     // natural slice (no engineered flood): auto-routed edit-distance
     // thin edges over customer names + distributed components; DuckDB
@@ -2558,6 +2587,47 @@ object PipelineQueries {
                 CAST(CASE WHEN reps >= 2 THEN doc_id * 10000
                           ELSE doc_id * 10000 + u.k END AS BIGINT) AS comp
          FROM d, UNNEST(generate_series(0, reps - 1)) AS u(k)""",
+    // dd31 replay: both router statistics recomputed from first
+    // principles — distinct shingle SETS counted via sorted set keys
+    // (chr(30)-joined), never the operator's xxhash fingerprint fold —
+    // then the routing rule (ratio >= 0.02 OR max group >= 64)
+    "dd31_router_diluted_mega" ->
+      """WITH mega AS (
+           SELECT 1000000 + u.k AS id, text
+           FROM documents, UNNEST(generate_series(0, 399)) AS u(k)
+           WHERE doc_id = 0
+         ),
+         rest AS (
+           SELECT doc_id * 100 + u.k AS id,
+                  text || ' u' || CAST(doc_id * 100 + u.k AS VARCHAR) AS text
+           FROM documents, UNNEST(generate_series(0, 43)) AS u(k)
+         ),
+         corpus AS (SELECT * FROM mega UNION ALL SELECT * FROM rest),
+         toks AS (
+           SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM corpus
+         ),
+         sh AS (
+           SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+           WHERE len(t) >= 3
+           UNION
+           SELECT DISTINCT id, array_to_string(t, ' ') AS shingle
+           FROM toks WHERE len(t) < 3
+         ),
+         fp AS (
+           SELECT id, array_to_string(list_sort(list(shingle)), chr(30)) AS setkey
+           FROM sh GROUP BY id
+         ),
+         grp AS (SELECT setkey, count(*) AS g FROM fp GROUP BY 1),
+         st AS (SELECT CAST(sum(g) AS BIGINT) AS docs,
+                       CAST(count(*) AS BIGINT) AS sets,
+                       CAST(max(g) AS BIGINT) AS max_group FROM grp)
+         SELECT CASE WHEN 1.0 - sets * 1.0 / docs >= 0.02 OR max_group >= 64
+                     THEN 'thin' ELSE 'pairs' END AS route,
+                round(1.0 - sets * 1.0 / docs + 1e-11, 6) AS clone_ratio,
+                max_group, docs AS sampled_docs, sets AS distinct_sets
+         FROM st""",
     // dd30 replay: the full quadratic distance-1 pair graph via native
     // levenshtein, then recursive reachability (the dd08 machinery)
     "dd30_fuzzy_thin_components" ->
