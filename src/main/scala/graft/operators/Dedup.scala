@@ -235,10 +235,18 @@ object Dedup {
     * are lost; they usually also collide in a surviving bucket); exact
     * clone groups are immune — collapsed to one row upstream, they
     * never overflow. Default off: bit-identical to the uncapped join.
+    *
+    * Audit trail (`graft.lsh.bucketCapLedgerDir`, same conf family):
+    * when set, every engaged cap ALSO appends one parquet row per
+    * dropped bucket — (op, cap, bucket = "k=v,..." of `keys`,
+    * signatures) — at 100 TB an executor/driver stderr line is not an
+    * audit trail; this is the fuzzy router's `ledger_dir` pattern
+    * applied to the recall trade. Default unset: stderr only.
     */
   private def capHotBuckets(banded: DataFrame, keys: Seq[String],
                             opName: String): DataFrame = {
-    val cap = banded.sparkSession.conf.getOption("graft.lsh.bucketCap")
+    val conf = banded.sparkSession.conf
+    val cap = conf.getOption("graft.lsh.bucketCap")
       .map(_.toInt).getOrElse(Int.MaxValue)
     require(cap >= 0, s"graft.lsh.bucketCap must be >= 0, got $cap")
     if (cap == Int.MaxValue) banded
@@ -249,13 +257,21 @@ object Dedup {
       // opt-in, and a silent recall cut would be worse than the job)
       val st = hot.agg(count(lit(1)).as("b"),
         coalesce(sum(col("__n")), lit(0L)).as("r")).head()
-      if (st.getLong(0) > 0L)
+      if (st.getLong(0) > 0L) {
         System.err.println(
           s"[graft] $opName bucket cap $cap: dropping " +
             s"${st.getLong(0)} hot buckets (${st.getLong(1)} signature " +
             "rows); pairs connected ONLY through a dropped bucket are " +
             "lost — recall trade, see README 'Operating a long-running " +
             "deployment'")
+        conf.getOption("graft.lsh.bucketCapLedgerDir").foreach { dir =>
+          hot.select(lit(opName).as("op"), lit(cap).as("cap"),
+              concat_ws(",", keys.map(k =>
+                concat(lit(s"$k="), col(k).cast("string"))): _*).as("bucket"),
+              col("__n").as("signatures"))
+            .write.mode("append").parquet(dir)
+        }
+      }
       banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
     }
   }
@@ -2040,8 +2056,13 @@ object Dedup {
     val v = compactTemplate(
       df.select(col(idCol).as("id"), col(strCol).as("s")))
     // both measurements run on the POST-COMPACTION distinct strings —
-    // the population the exact tier's blocking would actually explode
-    val density = deletionCollisionDensity(v, "s", maxDist, sampleSixteenths)
+    // the population the exact tier's blocking would actually explode.
+    // max_bucket is ledger visibility, not a route input — see
+    // [[deletionCollisionStats]] for why no route dodges a mega bucket
+    // of DISTINCT near-identical strings (exact KEY-CLONE mega groups
+    // are already collapse-safe here).
+    val (density, maxBucket) =
+      deletionCollisionStats(v, "s", maxDist, sampleSixteenths)
     val meanLen = v.select(col("s"))
       .filter(pmod(xxhash64(col("s")), lit(16)) < lit(sampleSixteenths))
       .distinct()
@@ -2053,15 +2074,15 @@ object Dedup {
     System.err.println(
       s"[graft] fuzzy routing: tier=$tier density=$density " +
         s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
-        s"(max $maxMeanKeyLen) maxDist=$maxDist")
+        s"(max $maxMeanKeyLen) max_bucket=$maxBucket maxDist=$maxDist")
     val sp =
       if (tier == "minhash") edLshSelfStringPairs(v, maxDist, numHashes, bands)
       else edSelfStringPairs(v, maxDist)
     import spark.implicits._
     val ledger = Seq((tier, density, densityThreshold, meanLen,
-        maxMeanKeyLen, sampleSixteenths, maxDist))
+        maxMeanKeyLen, maxBucket, sampleSixteenths, maxDist))
       .toDF("tier", "density", "density_threshold", "mean_key_cp",
-        "max_mean_key_cp", "sample_sixteenths", "max_dist")
+        "max_mean_key_cp", "max_bucket", "sample_sixteenths", "max_dist")
     (v, sp, ledger)
   }
 
@@ -2078,7 +2099,30 @@ object Dedup {
     */
   def deletionCollisionDensity(df: DataFrame, strCol: String,
                                maxDist: Int = 2,
-                               sampleSixteenths: Int = 4): Double = {
+                               sampleSixteenths: Int = 4): Double =
+    deletionCollisionStats(df, strCol, maxDist, sampleSixteenths)._1
+
+  /** [[deletionCollisionDensity]] plus the MAX sampled bucket
+    * occupancy (distinct strings sharing one deletion value) — the
+    * dilution-proof companion statistic: the density is a MEAN over
+    * the whole sample, so one mega collision bucket buried in a large
+    * distinct corpus can sit under the density threshold while still
+    * being per-bucket quadratic. Recorded in the routing ledgers for
+    * audit visibility. NOTE it deliberately does NOT route: an exact
+    * KEY-CLONE mega group is already safe on the exact tier (both
+    * measurement and blocking run on DISTINCT strings — a 10⁶-member
+    * clone group is ONE row here, and its survivor edges are the
+    * linear [[thinStringEdges]] star), while a mega bucket of DISTINCT
+    * near-identical strings is candidate-quadratic on BOTH tiers (they
+    * share most char bigrams, so the MinHash tier's band buckets go
+    * quadratic too — `graft.lsh.bucketCap` is the bound there), so no
+    * route dodges it; the ledger row is the honest signal. Same
+    * measurement, same single aggregate — max(c) rides the bucket
+    * groupBy the density already pays for.
+    */
+  def deletionCollisionStats(df: DataFrame, strCol: String,
+                             maxDist: Int = 2,
+                             sampleSixteenths: Int = 4): (Double, Long) = {
     require(sampleSixteenths >= 1 && sampleSixteenths <= 16,
       "sampleSixteenths in 1..16")
     // DISTINCT strings, matching the blocking stage this density
@@ -2093,15 +2137,17 @@ object Dedup {
       .localCheckpoint(true) // two consumers: the bucket agg + count
     val frac = sampleSixteenths / 16.0
     val n = s.count()
-    if (n == 0L) { IterPin.free(s); return 0.0 }
+    if (n == 0L) { IterPin.free(s); return (0.0, 0L) }
     // Spark's `/` is double division — exact here (c·(c−1) is even and
     // a sample count is far under 2^53)
-    val pairs = s.select(explode(deletionHood(col("s"), maxDist)).as("__v"))
+    val r = s.select(explode(deletionHood(col("s"), maxDist)).as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)), lit(0.0)))
-      .head().getDouble(0)
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)), lit(0.0)),
+        coalesce(max(col("c")), lit(0L)))
+      .head()
+    val (pairs, maxBucket) = (r.getDouble(0), r.getLong(1))
     IterPin.free(s) // both consumers (count + bucket agg) have run
-    pairs / frac / n
+    (pairs / frac / n, maxBucket)
   }
 
   /** Corpus-constant affixes of a string column: (prefix, suffix)
@@ -2544,7 +2590,9 @@ object Dedup {
       l0.select(col("s")).unionByName(r0.select(col("s"))))
     val unionS = stripAffixes(l0, pre, suf).select(col("s"))
       .unionByName(stripAffixes(r0, pre, suf).select(col("s")))
-    val density = deletionCollisionDensity(unionS, "s", maxDist,
+    // max_bucket: ledger visibility for a diluted mega collision
+    // bucket the mean-based density cannot see ([[deletionCollisionStats]])
+    val (density, maxBucket) = deletionCollisionStats(unionS, "s", maxDist,
       sampleSixteenths)
     val meanLen = unionS
       .filter(pmod(xxhash64(col("s")), lit(16)) < lit(sampleSixteenths))
@@ -2557,7 +2605,7 @@ object Dedup {
     System.err.println(
       s"[graft] fuzzy-link routing: tier=$tier density=$density " +
         s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
-        s"(max $maxMeanKeyLen) maxDist=$maxDist")
+        s"(max $maxMeanKeyLen) max_bucket=$maxBucket maxDist=$maxDist")
     val links =
       if (tier == "exact")
         fuzzyLink(left, lIdCol, lStrCol, right, rIdCol, rStrCol, maxDist)
@@ -2592,9 +2640,9 @@ object Dedup {
       }
     import spark.implicits._
     val ledger = Seq((tier, density, densityThreshold, meanLen,
-        maxMeanKeyLen, sampleSixteenths, maxDist))
+        maxMeanKeyLen, maxBucket, sampleSixteenths, maxDist))
       .toDF("tier", "density", "density_threshold", "mean_key_cp",
-        "max_mean_key_cp", "sample_sixteenths", "max_dist")
+        "max_mean_key_cp", "max_bucket", "sample_sixteenths", "max_dist")
     (links, ledger)
   }
 }

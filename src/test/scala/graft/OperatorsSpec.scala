@@ -1411,6 +1411,85 @@ class OperatorsSpec extends SparkSpec {
     assert(longLedger.collect().head.getAs[String]("tier") == "minhash")
   }
 
+  test("fuzzy routing ledger records max_bucket: a diluted mega " +
+    "collision bucket is VISIBLE even when the mean-based density sits " +
+    "under its threshold, and an exact key-clone mega group stays safe " +
+    "on the exact tier (distinct-string collapse)") {
+    import graft.operators.Dedup
+    // 300 DISTINCT strings sharing one deletion bucket (they differ
+    // only in the final char, so deleting it lands them all on
+    // "prefix-"), diluted by 12,000 distinct high-entropy keys whose
+    // deletions collide with nothing: density ≈ 300²/2 / 12300 ≈ 3.7
+    // — far under 64 — but max_bucket must record the 300
+    val hot = (0L until 300L).map(i =>
+      (i, "prefix-" + (0x4E00 + i).toChar))
+    val dilute = (1000L until 13000L).map(i =>
+      (i, java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)))
+    val (_, ledger) = Dedup.editDistancePairsAuto(
+      (hot ++ dilute).toDF("id", "s"), "id", "s", maxDist = 1,
+      sampleSixteenths = 16)
+    val l = ledger.collect().head
+    assert(l.getAs[Double]("density") <= l.getAs[Double]("density_threshold"), l)
+    assert(l.getAs[String]("tier") == "exact", l)
+    assert(l.getAs[Long]("max_bucket") >= 300L, l)
+    // exact KEY-CLONE mega group: 5000 byte-identical keys collapse to
+    // ONE distinct string before both the measurement and the blocking
+    // — density/max_bucket unmoved, and the thin survivor edges are
+    // the linear star, never the 12.5M-pair clique
+    val clones = (0L until 5000L).map(i => (i, "the-cloned-key"))
+    val others = (10000L until 10100L).map(i =>
+      (i, java.security.MessageDigest.getInstance("MD5")
+        .digest(("o" + i).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)))
+    val (edges, cl) = Dedup.editDistanceDedupEdgesAuto(
+      (clones ++ others).toDF("id", "s"), "id", "s", maxDist = 1,
+      sampleSixteenths = 16)
+    val clRow = cl.collect().head
+    assert(clRow.getAs[String]("tier") == "exact", clRow)
+    assert(clRow.getAs[Long]("max_bucket") <= 4L, clRow)
+    val nEdges = edges.count()
+    assert(nEdges >= 4999L && nEdges <= 4999L + 50L, nEdges)
+  }
+
+  test("bucket-cap audit ledger: graft.lsh.bucketCapLedgerDir appends " +
+    "one parquet row per dropped bucket alongside the stderr line") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_capledger").toFile.getAbsolutePath + "/led"
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "pack my box with five dozen assorted liquor jugs today",
+      "sphinx of black quartz judge my vow says the sign")
+    val flood = texts.zipWithIndex.flatMap { case (t, g) =>
+      (0 until 40).map(k => (g * 10000L + k, t)) }.toDF("id", "text")
+    try {
+      spark.conf.set("graft.lsh.bucketCap", "0")
+      spark.conf.set("graft.lsh.bucketCapLedgerDir", dir)
+      Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16).count()
+    } finally {
+      spark.conf.unset("graft.lsh.bucketCap")
+      spark.conf.unset("graft.lsh.bucketCapLedgerDir")
+    }
+    val led = spark.read.parquet(dir)
+    assert(led.columns.toSeq == Seq("op", "cap", "bucket", "signatures"))
+    val rows = led.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("op") == "lshRepPairs"))
+    assert(rows.forall(_.getAs[Int]("cap") == 0))
+    assert(rows.forall(_.getAs[Long]("signatures") >= 1L))
+    assert(rows.forall(_.getAs[String]("bucket").startsWith("band=")))
+    // default (no ledger dir conf): nothing is ever written
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_capledger2").toFile.getAbsolutePath + "/led"
+    try {
+      spark.conf.set("graft.lsh.bucketCap", "0")
+      Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16).count()
+    } finally spark.conf.unset("graft.lsh.bucketCap")
+    assert(!new java.io.File(dir2).exists())
+  }
+
   test("band join equals the brute-force range join on random doubles") {
     import graft.operators.BandJoin
     val rnd = new scala.util.Random(23)
