@@ -1042,19 +1042,8 @@ object Similarity {
           .select(col("batch").cast("long"), col("n_vecs"), col("__mean"))
           .head(1).headOption.map { r =>
             val b = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
-            val tmp = new org.apache.hadoop.fs.Path(
-              s"$indexDir/.drift_baseline_tmp")
-            fs.delete(tmp, true)
-            import spark.implicits._
-            Seq((r.getLong(0), r.getLong(1), b))
-              .toDF("batch", "n_vecs", "baseline_dist")
-              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            // checked rename; a concurrent pin (not expected under the
-            // single-administrative-caller contract) wins harmlessly
-            if (!fs.exists(basePath))
-              BatchCompaction.renameOrThrow(fs, tmp, basePath)
-            else fs.delete(tmp, true)
-            b
+            pinDriftBaseline(spark, fs, indexDir, r.getLong(0),
+              r.getLong(1), b)
           }
     baseVal match {
       case Some(b) =>
@@ -1075,6 +1064,64 @@ object Similarity {
             lit(0.0).as("drift_ratio"), lit(false).as("alert"))
     }
   }
+
+  /** Pin the `_drift_baseline` sidecar via tmp + checked rename and
+    * return the value THIS audit must compare against. Concurrency
+    * contract (spec'd): the first writer wins the rename; a concurrent
+    * LOSER — whether it loses at the pre-check or at the rename itself
+    * — deletes its tmp and ADOPTS the winner's stored value, so every
+    * audit in a race reports against the one pinned epoch rather than
+    * its own candidate (two racing first audits can legitimately
+    * compute different candidates when given different `onlyBatches`
+    * windows). A crash between the tmp write and the rename leaves
+    * only the orphan tmp, which the next audit deletes and rewrites —
+    * no torn sidecar is ever observable because the rename is atomic
+    * on every Hadoop filesystem that supports rename at all.
+    */
+  private[graft] def pinDriftBaseline(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String,
+      batch: Long, nVecs: Long, mean: Double): Double = {
+    val basePath = new org.apache.hadoop.fs.Path(s"$indexDir/_drift_baseline")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.drift_baseline_tmp")
+    fs.delete(tmp, true) // clear a crash's orphan before rewriting
+    import spark.implicits._
+    Seq((batch, nVecs, mean))
+      .toDF("batch", "n_vecs", "baseline_dist")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    def adoptWinner(): Double = {
+      fs.delete(tmp, true)
+      spark.read.parquet(basePath.toString)
+        .head().getAs[Double]("baseline_dist")
+    }
+    if (fs.exists(basePath)) adoptWinner()
+    else if (claimRename(fs, tmp, basePath)) mean
+    else adoptWinner()
+  }
+
+  /** Atomically CLAIM `dst` by renaming `tmp` onto it; true = this
+    * caller won. Deliberately FileContext.rename, not
+    * FileSystem.rename: the latter's POSIX semantics move the source
+    * INTO an existing destination directory (nesting the loser's tmp
+    * inside the winner's sidecar — spec-pinned) instead of failing,
+    * which makes a lost race undetectable; FileContext without
+    * Rename.OVERWRITE fails on any existing destination, on local
+    * filesystems and HDFS alike.
+    */
+  private[graft] def claimRename(fs: org.apache.hadoop.fs.FileSystem,
+                                 tmp: org.apache.hadoop.fs.Path,
+                                 dst: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        .rename(tmp, dst)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException =>
+        // some filesystems surface the existing-destination failure as
+        // a generic IOException — a winner being present IS that case
+        if (fs.exists(dst)) false else throw e
+    }
 
   /** OFFLINE centroid refit for a streaming vector index (run while
     * the owning stream is STOPPED — the single-administrative-caller

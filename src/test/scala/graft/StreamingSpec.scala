@@ -1361,6 +1361,66 @@ class StreamingSpec extends SparkSpec {
       "refit must drop the pinned baseline")
   }
 
+  test("drift-baseline sidecar under crash and race: an orphan tmp from " +
+    "a crashed pin is cleaned and re-pinned; a rename loser adopts the " +
+    "winner's baseline instead of reporting against its own candidate") {
+    import graft.operators.Similarity
+    val idx = s"${Files.createTempDirectory("graft_dbr_idx")}/index"
+    Similarity.vecIndexPut(spark, idx,
+      Seq((4L, Seq(1.0, 0.0)), (6L, Seq(0.0, 1.0))).toDF("id", "v"),
+      "id", "v", batch = 0L, nlist = 2)
+    Similarity.vecIndexPut(spark, idx,
+      Seq((9L, Seq(5.0, 5.0))).toDF("id", "v"),
+      "id", "v", batch = 1L, nlist = 2)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(s"$idx/_drift_baseline")
+    val tmp = new org.apache.hadoop.fs.Path(s"$idx/.drift_baseline_tmp")
+    // CRASH window: tmp written (with garbage — worse than a valid
+    // candidate), rename never ran. The next audit must clean it, pin
+    // the true batch-0 baseline, and leave no orphan.
+    fs.mkdirs(tmp)
+    val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "junk"))
+    o.write(Array[Byte](1, 2, 3)); o.close()
+    val rows = Similarity.streamIndexDrift(spark, idx).collect()
+    assert(rows.exists(_.getAs[Boolean]("alert")), rows.mkString(", "))
+    assert(rows.forall(_.getAs[Double]("baseline_dist") == 0.0))
+    assert(fs.exists(base) && !fs.exists(tmp))
+    // RACE, loser at the pre-check: the baseline already exists with
+    // the winner's value — a pin with a DIFFERENT candidate (a racing
+    // audit given another onlyBatches window) must adopt the stored
+    // 0.0, not its own 42.0, and must not disturb the sidecar
+    val adopted = Similarity.pinDriftBaseline(spark, fs, idx,
+      batch = 1L, nVecs = 1L, mean = 42.0)
+    assert(adopted == 0.0, adopted.toString)
+    assert(spark.read.parquet(base.toString).head()
+      .getAs[Double]("baseline_dist") == 0.0)
+    assert(!fs.exists(tmp)) // the loser's tmp is cleaned
+    // RACE, loser at the rename itself (both passed the pre-check).
+    // Why claimRename exists: FileSystem.rename onto an existing
+    // directory destination does NOT fail — POSIX semantics move the
+    // source INTO it, which would nest the loser's tmp inside the
+    // winner's sidecar undetectably. Pin that hazard, then prove the
+    // claim primitive loses loudly and leaves the winner intact.
+    val idx2 = s"${Files.createTempDirectory("graft_dbr_idx2")}/index"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx2))
+    assert(Similarity.pinDriftBaseline(spark, fs, idx2, 0L, 2L, 7.5) == 7.5)
+    val base2 = new org.apache.hadoop.fs.Path(s"$idx2/_drift_baseline")
+    val loserTmp = new org.apache.hadoop.fs.Path(s"$idx2/.loser_tmp")
+    fs.mkdirs(loserTmp)
+    assert(fs.rename(loserTmp, base2)) // the hazard: "succeeds" by nesting
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base2, ".loser_tmp")))
+    fs.delete(new org.apache.hadoop.fs.Path(base2, ".loser_tmp"), true)
+    // the claim primitive: renaming onto the existing sidecar LOSES
+    fs.mkdirs(loserTmp)
+    assert(!Similarity.claimRename(fs, loserTmp, base2))
+    fs.delete(loserTmp, true)
+    assert(spark.read.parquet(base2.toString).head()
+      .getAs[Double]("baseline_dist") == 7.5) // winner undisturbed
+    // end-to-end: a losing pin returns the winner's value
+    assert(Similarity.pinDriftBaseline(spark, fs, idx2, 3L, 9L, 99.9) == 7.5)
+  }
+
   test("YAML streaming curation: token_budget with a spend ledger is " +
     "GLOBAL across batches, refunds gate-dropped survivors, and replays " +
     "idempotently") {
