@@ -43,6 +43,16 @@ object Multimodal {
     * for payloads the decoder does not claim; the kernel falls through
     * to the next decoder in the chain and ultimately to the
     * deterministic stub, so a partial decoder never fails a task.
+    *
+    * THIS CONTRACT IS FINAL (round 17): registration = implement
+    * `decode`, compose with [[MediaDecoder.orElse]] ahead of
+    * [[JdkDecoder]], pass via `extractFeatures(decoder = ...)` — the
+    * shape the OperatorsSpec "injectable decoder seam" test pins
+    * end-to-end with a fake video codec. Video/compressed-audio
+    * kernels stay honestly stubbed in THIS offline build (no JDK
+    * codecs exist and none can be fetched); everything around the
+    * kernel — dispatch, chaining, batching, schema — is real and
+    * spec-tested, so linking a codec library is a one-method change.
     */
   trait MediaDecoder extends Serializable {
     def decode(kind: String, content: Array[Byte], dims: Int): Option[Array[Float]]

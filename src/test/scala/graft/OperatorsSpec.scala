@@ -2697,3 +2697,4 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 }
+
