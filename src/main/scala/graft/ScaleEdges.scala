@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent harness for the dedup SURVIVOR-selection paths
+  * (VERDICT r16 item 3): times the connectivity-thin edge operators
+  * and the router's two arms on a ScaleData corpus so their absolute
+  * scaling exponents can be recorded alongside the r12-r15 families in
+  * PERFORMANCE.md. Run once per scale:
+  *
+  *   sbt "runMain graft.ScaleData /root/testdata/sf0.1 /tmp/graft_sf1_full 10"
+  *   sbt "runMain graft.ScaleData /root/testdata/sf0.1 /tmp/graft_sf10 100"
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf1_full sbt "runMain graft.ScaleEdges"
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_GRAFT_SHUFFLE=128 \
+  *     sbt "runMain graft.ScaleEdges"
+  *
+  * Emits ONE JSON line {"sf_dir":…,"queries":{name:sec},"rows":{name:n}}
+  * — rows are reported because the ScaleData corpus's TRUE near-dup
+  * pair set grows ~replicas² per document group (each base doc gains
+  * `replicaK`-marked variants at j≈0.9+), so a super-linear wall-clock
+  * exponent must be read against the output growth, not assumed to be
+  * a plan defect (the r12 dd02/dd04 adjudication).
+  */
+object ScaleEdges {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1_full")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // two passes, min — the ScaleCheck warmup discipline (the first
+    // pass pays JIT/codegen; the min is the steady-state plan cost)
+    def timed(name: String)(body: => Long): Unit = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+        (s, n)
+      }
+      times(name) = runs.map(_._1).min
+      rows(name) = runs.head._2
+      println(f"[scale-edges] $name: ${times(name)}%.1fs rows=${runs.head._2}")
+    }
+
+    // the streaming survivor arm (signature-estimated, thin)
+    timed("minhash_thin_edges")(
+      Dedup.minHashLshDedupEdges(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16,
+        minEstJaccard = 0.8).count())
+    // the batch stage's two router arms at the wired configuration
+    // (LSH candidates, exact-verified at the Jaccard threshold)
+    timed("ngram_thin_edges")(
+      Dedup.ngramJaccardDedupEdges(docs, "doc_id", "text", n = 3,
+        threshold = 0.8, exhaustive = false).count())
+    timed("ngram_pairs_arm")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.8, exhaustive = false)
+        .select(col("id1"), col("id2")).count())
+    // the router itself (sampling aggregate + whichever arm it picks;
+    // the routing line on stderr records the decision + statistics)
+    timed("ngram_auto_routed")(
+      Dedup.ngramJaccardDedupEdgesAuto(docs, "doc_id", "text", n = 3,
+        threshold = 0.8, exhaustive = false).count())
+
+    val json =
+      s"""{"sf_dir":"$sfDir","queries":{${times.map { case (k, v) =>
+        s""""$k":${f"$v%.2f"}""" }.mkString(",")}},""" +
+      s""""rows":{${rows.map { case (k, v) =>
+        s""""$k":$v""" }.mkString(",")}}}"""
+    println(json)
+    spark.stop()
+  }
+}

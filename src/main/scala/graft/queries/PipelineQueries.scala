@@ -1330,7 +1330,10 @@ object PipelineQueries {
     // routing rule, so a green row certifies the decision inputs AND
     // the decision. FULLY oracled.
     "dd31_router_diluted_mega" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
+      // fixed 500-doc base (the whole table at the sf0.01 gate) so the
+      // engineered corpus — like the dd26-dd29 floods — does not scale
+      // with the bench SF
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 500)
       val mega = docs.filter(col("doc_id") === 0)
         .select(explode(sequence(lit(0), lit(399))).as("k"), col("text"))
         .select((lit(1000000) + col("k")).cast("long").as("id"), col("text"))
@@ -2592,15 +2595,16 @@ object PipelineQueries {
     // (chr(30)-joined), never the operator's xxhash fingerprint fold —
     // then the routing rule (ratio >= 0.02 OR max group >= 64)
     "dd31_router_diluted_mega" ->
-      """WITH mega AS (
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         mega AS (
            SELECT 1000000 + u.k AS id, text
-           FROM documents, UNNEST(generate_series(0, 399)) AS u(k)
+           FROM base, UNNEST(generate_series(0, 399)) AS u(k)
            WHERE doc_id = 0
          ),
          rest AS (
            SELECT doc_id * 100 + u.k AS id,
                   text || ' u' || CAST(doc_id * 100 + u.k AS VARCHAR) AS text
-           FROM documents, UNNEST(generate_series(0, 43)) AS u(k)
+           FROM base, UNNEST(generate_series(0, 43)) AS u(k)
          ),
          corpus AS (SELECT * FROM mega UNION ALL SELECT * FROM rest),
          toks AS (
