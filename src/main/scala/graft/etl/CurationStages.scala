@@ -92,6 +92,7 @@ object CurationStages {
             bands = intParam("bands", 16),
             exhaustive = false,
             cloneRatioThreshold = doubleParam("clone_ratio_threshold", 0.02),
+            sampleSixteenths = intParam("sample_sixteenths", 2),
             maxSampledGroup = longParam("max_sampled_group").getOrElse(64L))
         param("ledger_dir").foreach(d =>
           ledger.write.mode("append").parquet(d))

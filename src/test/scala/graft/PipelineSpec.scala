@@ -131,6 +131,34 @@ class PipelineSpec extends SparkSpec {
     assert(written == Set(1L, 5L))
   }
 
+  test("minhash_dedup stage: ledger_dir appends the routing row and " +
+    "the YAML thresholds reach the router") {
+    import graft.etl.{CurationStages, CurationStageDef}
+    import spark.implicits._
+    val led = s"${java.nio.file.Files.createTempDirectory("graft_mdl")}/led"
+    val docs = ((0 until 30).map(k => (k.toLong, "the same clone body here")) ++
+      Seq((100L, "something else entirely different words"),
+          (101L, "a third unrelated document body text"))).toSeq
+      .toDF("doc_id", "text")
+    val out = CurationStages.apply(spark, docs, "doc_id", "text",
+      CurationStageDef("minhash_dedup", Map(
+        "threshold" -> "0.5", "ledger_dir" -> led, "sample_sixteenths" -> "16",
+        "clone_ratio_threshold" -> "0.5", "max_sampled_group" -> "1000000")))
+    // one survivor from the 30-clone group + the two distinct docs
+    assert(out.count() == 3L)
+    val row = spark.read.parquet(led).collect().head
+    // clone_ratio ≈ 0.9 >= the YAML-raised 0.5 → thin; the raised
+    // max_sampled_group proves the param flowed (1e6 can't trigger)
+    assert(row.getAs[String]("route") == "thin", row)
+    assert(row.getAs[Double]("clone_ratio_threshold") == 0.5)
+    assert(row.getAs[Long]("max_group_threshold") == 1000000L)
+    // a threshold > 1 fails at stage level, before any route runs
+    intercept[IllegalArgumentException] {
+      CurationStages.apply(spark, docs, "doc_id", "text",
+        CurationStageDef("minhash_dedup", Map("threshold" -> "1.5"))).count()
+    }
+  }
+
   test("curation stages: pii_redact rewrites text in place; sample and " +
     "langid filter rows; unknown op rejected") {
     import spark.implicits._
