@@ -251,8 +251,17 @@ object Dedup {
     require(cap >= 0, s"graft.lsh.bucketCap must be >= 0, got $cap")
     if (cap == Int.MaxValue) banded
     else {
+      // ONE bucket aggregate for all three consumers — the overflow
+      // accounting head(), the optional ledger write, and the
+      // anti-join inside the returned plan; unpinned, each consumer
+      // re-runs the banded subtree's corpus-wide aggregate (the
+      // documented fan-out trap). Engaged-cap only: the default-off
+      // path stays zero-cost and pin-free (the streaming pin-flatness
+      // arms run uncapped), and the pin frees via the context cleaner
+      // once the caller's materialization drops the plan.
       val hot = banded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .localCheckpoint(true)
       // loud overflow accounting (an eager aggregate — the cap is
       // opt-in, and a silent recall cut would be worse than the job)
       val st = hot.agg(count(lit(1)).as("b"),
