@@ -117,7 +117,12 @@ object CurationStages {
         // per micro-batch, and the optional ledger_dir audit append is
         // NOT replay-deduplicated (audit rows may repeat after a
         // crash); the index-at-rest form (`index_dir`) is the
-        // exactly-once arm.
+        // exactly-once arm. (Unlike minhash_dedup — whose index-less
+        // form is REJECTED under streaming — this fall-through is
+        // allowed: its per-batch eager work is the routing
+        // measurement, whose pins are freed deterministically, not
+        // the unfreed collapse-skeleton pins the minhash thin form
+        // holds.)
         val maxDist = intParam("max_dist", 1)
         // connectivity-thin edges (same router/ledger as the pairs
         // form): identical components and survivors, but an exact-dup
