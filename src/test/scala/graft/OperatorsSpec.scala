@@ -2357,7 +2357,12 @@ class OperatorsSpec extends SparkSpec {
     val (links, ledger) = Dedup.fuzzyLinkAuto(
       ls.toDF("id", "s"), "id", "s", rs.toDF("id", "s"), "id", "s",
       maxDist = 1, sampleSixteenths = 16)
-    assert(ledger.collect().head.getAs[String]("tier") == "exact")
+    val lrow = ledger.collect().head
+    assert(lrow.getAs[String]("tier") == "exact")
+    // the link ledger carries the same dilution-visibility statistic
+    // as the self-join router's (high-entropy keys: tiny buckets)
+    assert(lrow.getAs[Long]("max_bucket") >= 1L &&
+      lrow.getAs[Long]("max_bucket") <= 4L, lrow)
     val got = links.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val want = Dedup.fuzzyLink(ls.toDF("id", "s"), "id", "s",
