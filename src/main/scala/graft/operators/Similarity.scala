@@ -1116,6 +1116,16 @@ object Similarity {
         .rename(tmp, dst)
       true
     } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem binding for this scheme (some
+        // object-store configs ship only the FileSystem impl): fall
+        // back to FileSystem.rename and detect its move-INTO-an-
+        // existing-directory outcome as the lost race — the nested
+        // path is exactly where a lost POSIX rename lands the source
+        // (spec-pinned in the sidecar race test)
+        BatchCompaction.renameOrThrow(fs, tmp, dst)
+        val nested = new org.apache.hadoop.fs.Path(dst, tmp.getName)
+        if (fs.exists(nested)) { fs.delete(nested, true); false } else true
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case e: java.io.IOException =>
         // some filesystems surface the existing-destination failure as
