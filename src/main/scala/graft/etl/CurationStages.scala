@@ -83,7 +83,9 @@ object CurationStages {
         // corpus-wide ratio dilutes below its threshold. Survivors are
         // identical on both routes (dd28 gate + the thin differential
         // spec); the decision is logged and, when `ledger_dir` is set,
-        // appended to a parquet ledger (the fuzzy_dedup audit pattern)
+        // appended to a parquet ledger (the fuzzy_dedup audit pattern —
+        // and like it, the batch append is not replay-deduplicated:
+        // audit rows may repeat after a retry, results cannot)
         val (pairs, ledger) = Dedup.ngramJaccardDedupEdgesAutoLedger(
             df, idCol, textCol,
             n = intParam("shingle_size", 3),

@@ -241,7 +241,10 @@ object Dedup {
     * dropped bucket — (op, cap, bucket = "k=v,..." of `keys`,
     * signatures) — at 100 TB an executor/driver stderr line is not an
     * audit trail; this is the fuzzy router's `ledger_dir` pattern
-    * applied to the recall trade. Default unset: stderr only.
+    * applied to the recall trade. Like that pattern's batch form, the
+    * append is NOT replay-deduplicated — a retried job may append its
+    * rows again (audit rows can repeat, results cannot). Default
+    * unset: stderr only.
     */
   private def capHotBuckets(banded: DataFrame, keys: Seq[String],
                             opName: String): DataFrame = {
