@@ -27,6 +27,9 @@ object ScaleEdges {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1_full")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64")
+    // optional arg: comma-separated op names, so a new op's sf10 run
+    // doesn't re-pay the already-recorded suite (the Bench `only` aid)
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
@@ -40,6 +43,7 @@ object ScaleEdges {
     // two passes, min — the ScaleCheck warmup discipline (the first
     // pass pays JIT/codegen; the min is the steady-state plan cost)
     def timed(name: String)(body: => Long): Unit = {
+      if (!only.forall(_.contains(name))) return
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val n = body
@@ -72,6 +76,30 @@ object ScaleEdges {
     timed("ngram_auto_routed")(
       Dedup.ngramJaccardDedupEdgesAuto(docs, "doc_id", "text", n = 3,
         threshold = 0.8, exhaustive = false).count())
+
+    // The three thin survivor arms r17 measured only BY ANALOGY
+    // (VERDICT r17 item 1), at their wired configurations. The fuzzy
+    // auto-routed thin path runs on the replicated customer names —
+    // ScaleData offsets c_custkey but keeps c_name, so every name is
+    // an exact clone group of size `replicas` plus its natural lev<=1
+    // neighbors: TRUE thin output grows ~linearly in replicas (star
+    // edges), unlike the documents corpora's ~replicas² truth.
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    timed("fuzzy_thin_edges_auto")(
+      Dedup.editDistanceDedupEdgesAuto(cust, "c_custkey", "c_name",
+        maxDist = 1)._1.count())
+    // simhash thin edges on the marked documents (dd03's maxHamming=6)
+    timed("simhash_thin_edges")(
+      Dedup.simHashDedupEdges(docs, "doc_id", "text",
+        maxHamming = 6).count())
+    // embedding near-dup thin edges (dd05's threshold/planes/tables):
+    // replicas carry IDENTICAL vectors, so each base vector is an exact
+    // clone group of size `replicas` — star edges linear in replicas,
+    // rep pairs constant in the base corpus
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    timed("embedding_thin_edges")(
+      Dedup.embeddingNearDupDedupEdges(emb, "vec_id", "embedding",
+        threshold = 0.4, planes = 6, tables = 8).count())
 
     val json =
       s"""{"sf_dir":"$sfDir","queries":{${times.map { case (k, v) =>

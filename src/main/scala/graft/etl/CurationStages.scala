@@ -27,9 +27,38 @@ object CurationStages {
     "decontaminate", "pii_redact", "span_cut", "paragraph_dedup", "sample",
     "token_budget")
 
-  /** Apply one stage to the document frame. */
+  /** Write a stage's routing-ledger rows. Batch form (`streamBatch`
+    * None): plain append — audit rows may repeat if the JOB retries
+    * (documented at every batch site). Streaming form (Some(batchId),
+    * threaded by [[runStreaming]]'s fall-through): the rows land under
+    * a `batch=<id>` partition with dynamic partition overwrite, so a
+    * REPLAYED micro-batch overwrites its own audit rows instead of
+    * appending them again — the same exactly-once contract as every
+    * other write in the streaming loop (and what makes the existing
+    * `compact_every`/recoverDir machinery, which is keyed on the
+    * `batch` partition, apply to routing ledgers too). One ledger_dir
+    * per stage: two stages sharing a dir would overwrite each other's
+    * batch partition.
+    */
+  private def writeLedger(ledger: DataFrame, dir: String,
+                          streamBatch: Option[Long]): Unit =
+    streamBatch match {
+      case Some(b) =>
+        ledger.withColumn("batch", lit(b))
+          .coalesce(1).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(dir)
+      case None => ledger.write.mode("append").parquet(dir)
+    }
+
+  /** Apply one stage to the document frame. `streamBatch` is set only
+    * by the streaming fall-through: it switches ledger appends to
+    * per-batch partition overwrites (see [[writeLedger]]); the stage
+    * semantics themselves are identical.
+    */
   def apply(spark: SparkSession, df: DataFrame, idCol: String,
-            textCol: String, stage: CurationStageDef): DataFrame = {
+            textCol: String, stage: CurationStageDef,
+            streamBatch: Option[Long] = None): DataFrame = {
     def param(name: String): Option[String] = stage.params.get(name)
     def intParam(name: String, default: Int): Int =
       param(name).map(_.toInt).getOrElse(default)
@@ -83,9 +112,10 @@ object CurationStages {
         // corpus-wide ratio dilutes below its threshold. Survivors are
         // identical on both routes (dd28 gate + the thin differential
         // spec); the decision is logged and, when `ledger_dir` is set,
-        // appended to a parquet ledger (the fuzzy_dedup audit pattern —
-        // and like it, the batch append is not replay-deduplicated:
-        // audit rows may repeat after a retry, results cannot)
+        // written to a parquet ledger (the fuzzy_dedup audit pattern:
+        // plain append in batch mode — audit rows may repeat after a
+        // retry, results cannot — and a batch=<id> partition overwrite
+        // under the streaming fall-through, see [[writeLedger]])
         val (pairs, ledger) = Dedup.ngramJaccardDedupEdgesAutoLedger(
             df, idCol, textCol,
             n = intParam("shingle_size", 3),
@@ -96,8 +126,7 @@ object CurationStages {
             cloneRatioThreshold = doubleParam("clone_ratio_threshold", 0.02),
             sampleSixteenths = intParam("sample_sixteenths", 2),
             maxSampledGroup = longParam("max_sampled_group").getOrElse(64L))
-        param("ledger_dir").foreach(d =>
-          ledger.write.mode("append").parquet(d))
+        param("ledger_dir").foreach(d => writeLedger(ledger, d, streamBatch))
         val quality = TextAnalysis.qualityScore(docs)
           .select(col("doc_id").as(idCol), col("quality"))
         val survivors = Sampling.resolveDuplicates(pairs, quality, idCol)
@@ -116,15 +145,20 @@ object CurationStages {
         // the right stage for short KEYS (titles, names, urls), not
         // long documents (those want minhash_dedup). NOTE: under
         // `streaming: true` WITHOUT `index_dir` this batch form runs
-        // per micro-batch, and the optional ledger_dir audit append is
-        // NOT replay-deduplicated (audit rows may repeat after a
-        // crash); the index-at-rest form (`index_dir`) is the
-        // exactly-once arm. (Unlike minhash_dedup — whose index-less
+        // per micro-batch; the optional ledger_dir audit rows land
+        // under a batch=<id> partition with dynamic overwrite (see
+        // [[writeLedger]] — a replayed batch overwrites its own audit
+        // rows), and the index-at-rest form (`index_dir`) is the
+        // exactly-once DEDUP arm (this fall-through has no cross-batch
+        // memory). (Unlike minhash_dedup — whose index-less
         // form is REJECTED under streaming — this fall-through is
         // allowed: its per-batch eager work is the routing
         // measurement, whose pins are freed deterministically, not
         // the unfreed collapse-skeleton pins the minhash thin form
-        // holds.)
+        // holds. Not just an argument: the StreamingSpec index-less
+        // fall-through arm runs 6 micro-batches through this stage and
+        // asserts sc.getPersistentRDDs stays flat — the same
+        // pin-flatness contract the index forms carry.)
         val maxDist = intParam("max_dist", 1)
         // connectivity-thin edges (same router/ledger as the pairs
         // form): identical components and survivors, but an exact-dup
@@ -133,8 +167,7 @@ object CurationStages {
           df, idCol, textCol, maxDist = maxDist,
           densityThreshold = doubleParam("density_threshold", 64.0),
           maxMeanKeyLen = doubleParam("max_mean_key_len", 64.0))
-        param("ledger_dir").foreach(d =>
-          ledger.write.mode("append").parquet(d))
+        param("ledger_dir").foreach(d => writeLedger(ledger, d, streamBatch))
         val nonCanon = Components
           .connectedComponents(pairs.select(col("id1"), col("id2")),
             "id1", "id2")
@@ -352,6 +385,16 @@ object CurationStages {
         // pinned once per batch: several stages semi-join the batch
         // against their own derived frames
         val batch = batch0.localCheckpoint(true)
+        // bucket-cap audit rows written anywhere inside this batch
+        // (Dedup.capHotBuckets reads the conf) become batch-partitioned
+        // overwrites — exactly-once on replay, like every other write
+        // in this loop. Session-scoped: two streaming queries sharing
+        // one SparkSession would clobber each other's tag (run them on
+        // cloned sessions — the standing multi-query guidance).
+        val prevCapBatch =
+          spark.conf.getOption("graft.lsh.bucketCapLedgerBatch")
+        spark.conf.set("graft.lsh.bucketCapLedgerBatch", batchId.toString)
+        try {
         if (!batch.isEmpty) {
           // FIRST, before any probe reads an index: repair interrupted
           // compactions. compactDir's crash window (batch partitions
@@ -421,7 +464,8 @@ object CurationStages {
                 pipeline.idCol, pipeline.textCol, stage, batchId)
               deferred += admit
               survivors
-            } else apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
+            } else apply(spark, df, pipeline.idCol, pipeline.textCol, stage,
+              streamBatch = Some(batchId))
           }.localCheckpoint(true)
           curated.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
@@ -527,6 +571,10 @@ object CurationStages {
           // drift audit). Without the free, a high-rate crawl
           // accumulates block-manager storage between GC cycles.
           graft.operators.IterPin.free(curated)
+        }
+        } finally prevCapBatch match {
+          case Some(v) => spark.conf.set("graft.lsh.bucketCapLedgerBatch", v)
+          case None => spark.conf.unset("graft.lsh.bucketCapLedgerBatch")
         }
         graft.operators.IterPin.free(batch)
         ()

@@ -260,31 +260,67 @@ object Dedup {
       // re-runs the banded subtree's corpus-wide aggregate (the
       // documented fan-out trap). Engaged-cap only: the default-off
       // path stays zero-cost and pin-free (the streaming pin-flatness
-      // arms run uncapped), and the pin frees via the context cleaner
-      // once the caller's materialization drops the plan.
-      val hot = banded.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-        .localCheckpoint(true)
+      // arms run uncapped). Pinned through IterPin (checkpointDir
+      // routing + the graft.iter.free hatch) and FREED deterministically
+      // on the common path: hot buckets are outliers by construction
+      // (at most rows/cap of them), so the key set collects under the
+      // repo's 2M broadcast gate, the pin releases before return, and
+      // the returned plan anti-joins against a BROADCAST local relation
+      // instead of a pinned RDD scan.
+      val hot = IterPin.pin(banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap))
       // loud overflow accounting (an eager aggregate — the cap is
       // opt-in, and a silent recall cut would be worse than the job)
       val st = hot.agg(count(lit(1)).as("b"),
         coalesce(sum(col("__n")), lit(0L)).as("r")).head()
-      if (st.getLong(0) > 0L) {
+      val nHot = st.getLong(0)
+      if (nHot > 0L) {
         System.err.println(
           s"[graft] $opName bucket cap $cap: dropping " +
-            s"${st.getLong(0)} hot buckets (${st.getLong(1)} signature " +
+            s"$nHot hot buckets (${st.getLong(1)} signature " +
             "rows); pairs connected ONLY through a dropped bucket are " +
             "lost — recall trade, see README 'Operating a long-running " +
             "deployment'")
         conf.getOption("graft.lsh.bucketCapLedgerDir").foreach { dir =>
-          hot.select(lit(opName).as("op"), lit(cap).as("cap"),
-              concat_ws(",", keys.map(k =>
-                concat(lit(s"$k="), col(k).cast("string"))): _*).as("bucket"),
-              col("__n").as("signatures"))
-            .write.mode("append").parquet(dir)
+          val rows = hot.select(lit(opName).as("op"), lit(cap).as("cap"),
+            concat_ws(",", keys.map(k =>
+              concat(lit(s"$k="), col(k).cast("string"))): _*).as("bucket"),
+            col("__n").as("signatures"))
+          // `graft.lsh.bucketCapLedgerBatch` (set per micro-batch by
+          // the streaming curation loop) routes the audit rows under a
+          // (batch, op) partition with dynamic overwrite: a REPLAYED
+          // micro-batch overwrites its own audit rows — exactly-once,
+          // like the loop's other writes. (op in the partition key so
+          // two capped operators inside one batch don't clobber each
+          // other.) Unset — the batch form — stays a plain append:
+          // audit rows may repeat on a job retry, results cannot.
+          conf.getOption("graft.lsh.bucketCapLedgerBatch") match {
+            case Some(b) =>
+              rows.withColumn("batch", lit(b.toLong))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch", "op").parquet(dir)
+            case None => rows.write.mode("append").parquet(dir)
+          }
         }
       }
-      banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
+      if (nHot == 0L) { IterPin.free(hot); banded }
+      else if (nHot <= 2000000L) {
+        val hotKeys = hot.select(keys.map(col): _*)
+        val schema = hotKeys.schema
+        val rows = hotKeys.collect()
+        IterPin.free(hot) // all three consumers have run
+        val local = banded.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+        banded.join(broadcast(local), keys, "left_anti")
+      } else {
+        // a >2M-bucket overflow set: keep the pinned scan in the plan
+        // (a broadcast that size would be its own hazard); this pin
+        // frees via the context cleaner once the caller's
+        // materialization drops the plan — the one documented IterPin
+        // exemption (README graft.iter.free row)
+        banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
+      }
     }
   }
 

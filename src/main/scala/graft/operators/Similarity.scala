@@ -1074,29 +1074,41 @@ object Similarity {
     * its own candidate (two racing first audits can legitimately
     * compute different candidates when given different `onlyBatches`
     * windows). A crash between the tmp write and the rename leaves
-    * only the orphan tmp, which the next audit deletes and rewrites —
-    * no torn sidecar is ever observable because the rename is atomic
-    * on every Hadoop filesystem that supports rename at all.
+    * only the orphan tmp, which a later audit sweeps by prefix glob —
+    * no torn sidecar is ever observable because every writer writes
+    * its OWN uniquely-named tmp (no two racers ever share a tmp path,
+    * so no racer can rename another's partially-written parquet) and
+    * the rename itself is atomic on every Hadoop filesystem that
+    * supports rename at all. The `fs.exists(basePath)` pre-check runs
+    * BEFORE the tmp write, so a pre-check loser adopts immediately
+    * without paying a write job it would only delete.
     */
   private[graft] def pinDriftBaseline(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, indexDir: String,
       batch: Long, nVecs: Long, mean: Double): Double = {
     val basePath = new org.apache.hadoop.fs.Path(s"$indexDir/_drift_baseline")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.drift_baseline_tmp")
-    fs.delete(tmp, true) // clear a crash's orphan before rewriting
+    def adoptWinner(): Double =
+      spark.read.parquet(basePath.toString)
+        .head().getAs[Double]("baseline_dist")
+    if (fs.exists(basePath)) return adoptWinner()
+    // sweep ORPHAN tmps (a crash between write and rename) by prefix;
+    // a live racer's tmp swept here is harmless — its claimRename just
+    // loses and it adopts
+    val dirPath = new org.apache.hadoop.fs.Path(indexDir)
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath).foreach { st =>
+        if (st.getPath.getName.startsWith(".drift_baseline_tmp"))
+          fs.delete(st.getPath, true)
+      }
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/.drift_baseline_tmp-${java.util.UUID.randomUUID()}")
     import spark.implicits._
     Seq((batch, nVecs, mean))
       .toDF("batch", "n_vecs", "baseline_dist")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    def adoptWinner(): Double = {
-      fs.delete(tmp, true)
-      spark.read.parquet(basePath.toString)
-        .head().getAs[Double]("baseline_dist")
-    }
-    if (fs.exists(basePath)) adoptWinner()
-    else if (claimRename(fs, tmp, basePath)) mean
-    else adoptWinner()
+    if (claimRename(fs, tmp, basePath)) mean
+    else { fs.delete(tmp, true); adoptWinner() }
   }
 
   /** Atomically CLAIM `dst` by renaming `tmp` onto it; true = this

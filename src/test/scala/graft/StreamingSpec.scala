@@ -1124,6 +1124,88 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == ((0L until 6L).toSet + 100L), got2)
   }
 
+  test("streaming INDEX-LESS fall-throughs hold the block manager flat: " +
+    "fuzzy_dedup and exact_dedup without index_dir run their batch form " +
+    "per micro-batch and every routing-measurement pin is released — the " +
+    "contract that makes the fall-through allowed where minhash_dedup's " +
+    "is rejected") {
+    // CurationStages' fuzzy_dedup doc argues the index-less streaming
+    // fall-through is safe because its per-batch eager work (the
+    // collision-density routing measurement + components) frees its
+    // pins deterministically — unlike the minhash thin form's collapse
+    // skeleton, whose index-less streaming form FAILS at stream build.
+    // This arm turns that argument from prose into the same pin-
+    // flatness contract the exact/minhash index forms carry.
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    val sc = spark.sparkContext
+    def pinned(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val src = Files.createTempDirectory("graft_pf3_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_pf3_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_pf3_ck").toFile.getAbsolutePath
+    val config = PipelineConfig.parse(
+      s"""project: {name: pf3}
+         |curation:
+         |  - id: pf3
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: fuzzy_dedup, max_dist: "1"}
+         |""".stripMargin)
+    val base = pinned()
+    (0 until 6).foreach { i =>
+      // two within-batch near-dups at lev=1 (the min-id survivor drops
+      // the other) + one far key per batch; no cross-batch state — the
+      // fall-through's documented per-batch semantics
+      Seq((10L * i, s"alpha$i"), (10L * i + 1L, s"alpha${i}x"),
+          (10L * i + 2L, s"zzz-unique-$i-key"))
+        .toDF("doc_id", "text").write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "pf3")
+      q.processAllAvailable(); q.stop()
+      val extra = pinned() -- base
+      assert(extra.isEmpty,
+        s"index-less fuzzy_dedup batch $i leaked ${extra.size} pinned " +
+          s"RDDs: $extra — either free the measurement pins or fail " +
+          "fast at stream build like minhash_dedup")
+    }
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 6).flatMap(i =>
+      Seq(10L * i, 10L * i + 2L)).toSet, got)
+    // exact_dedup's index-less fall-through: same contract
+    val src2 = Files.createTempDirectory("graft_pf4_src").toFile.getAbsolutePath
+    val out2 = Files.createTempDirectory("graft_pf4_out").toFile.getAbsolutePath
+    val ck2 = Files.createTempDirectory("graft_pf4_ck").toFile.getAbsolutePath
+    val config2 = PipelineConfig.parse(
+      s"""project: {name: pf4}
+         |curation:
+         |  - id: pf4
+         |    input: $src2
+         |    streaming: true
+         |    checkpoint: $ck2
+         |    output: $out2
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: exact_dedup}
+         |""".stripMargin)
+    val base2 = pinned()
+    (0 until 6).foreach { i =>
+      Seq((10L * i, s"batch $i body"), (10L * i + 1L, s"batch $i body"))
+        .toDF("doc_id", "text").write.mode("append").parquet(src2)
+      val q = PipelineRunner.startCuration(spark, config2, "pf4")
+      q.processAllAvailable(); q.stop()
+      val extra = pinned() -- base2
+      assert(extra.isEmpty,
+        s"index-less exact_dedup batch $i leaked ${extra.size} pinned " +
+          s"RDDs: $extra")
+    }
+    val got2 = spark.read.parquet(out2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == (0 until 6).map(i => 10L * i).toSet, got2)
+  }
+
   test("YAML streaming drift watchdog: semantic_dedup with drift_every " +
     "self-audits the index against its frozen centroids — a drifting " +
     "stream appends an ALERT row to the drift_dir ledger") {
@@ -1376,26 +1458,37 @@ class StreamingSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(s"$idx/_drift_baseline")
     val tmp = new org.apache.hadoop.fs.Path(s"$idx/.drift_baseline_tmp")
-    // CRASH window: tmp written (with garbage — worse than a valid
-    // candidate), rename never ran. The next audit must clean it, pin
-    // the true batch-0 baseline, and leave no orphan.
+    def tmpOrphans(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(idx)).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(".drift_baseline_tmp"))
+    // CRASH window: tmps written (with garbage — worse than a valid
+    // candidate), rename never ran. Each writer uses its OWN
+    // uuid-suffixed tmp (no shared tmp path = no racer can rename
+    // another's half-written parquet), so the sweep is a PREFIX glob:
+    // both the bare legacy name and a uuid-suffixed orphan must go.
     fs.mkdirs(tmp)
     val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "junk"))
     o.write(Array[Byte](1, 2, 3)); o.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$idx/.drift_baseline_tmp-0000-dead-beef"))
     val rows = Similarity.streamIndexDrift(spark, idx).collect()
     assert(rows.exists(_.getAs[Boolean]("alert")), rows.mkString(", "))
     assert(rows.forall(_.getAs[Double]("baseline_dist") == 0.0))
-    assert(fs.exists(base) && !fs.exists(tmp))
+    assert(fs.exists(base))
+    assert(tmpOrphans().isEmpty, tmpOrphans().mkString(", "))
     // RACE, loser at the pre-check: the baseline already exists with
     // the winner's value — a pin with a DIFFERENT candidate (a racing
     // audit given another onlyBatches window) must adopt the stored
-    // 0.0, not its own 42.0, and must not disturb the sidecar
+    // 0.0, not its own 42.0, and must not disturb the sidecar. The
+    // pre-check runs BEFORE the tmp write, so the loser pays no write
+    // job and leaves no tmp entry at all.
     val adopted = Similarity.pinDriftBaseline(spark, fs, idx,
       batch = 1L, nVecs = 1L, mean = 42.0)
     assert(adopted == 0.0, adopted.toString)
     assert(spark.read.parquet(base.toString).head()
       .getAs[Double]("baseline_dist") == 0.0)
-    assert(!fs.exists(tmp)) // the loser's tmp is cleaned
+    assert(tmpOrphans().isEmpty) // the pre-check loser never wrote one
     // RACE, loser at the rename itself (both passed the pre-check).
     // Why claimRename exists: FileSystem.rename onto an existing
     // directory destination does NOT fail — POSIX semantics move the
@@ -1569,6 +1662,60 @@ class StreamingSpec extends SparkSpec {
     val q2 = PipelineRunner.startCuration(spark, config, "rp")
     q2.processAllAvailable(); q2.stop()
     assert(state() == first, s"${state()} vs $first")
+  }
+
+  test("streaming routing-ledger rows are exactly-once: a replayed " +
+    "micro-batch overwrites its own batch=<id> audit partition instead " +
+    "of appending duplicate ledger rows; distinct batches keep their own") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    import org.apache.commons.io.FileUtils
+    val src = Files.createTempDirectory("graft_lx_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_lx_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_lx_ck").toFile.getAbsolutePath
+    val led = s"${Files.createTempDirectory("graft_lx_led")}/ledger"
+    // the index-less fuzzy_dedup fall-through writes ONE routing-ledger
+    // row per micro-batch — in r17 a plain append, so a wiped-checkpoint
+    // replay duplicated the audit trail (documented then; gated now)
+    val config = PipelineConfig.parse(
+      s"""project: {name: lx}
+         |curation:
+         |  - id: lx
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: fuzzy_dedup, max_dist: "1", ledger_dir: $led}
+         |""".stripMargin)
+    Seq((1L, "alpha"), (2L, "alphax"), (3L, "zzz-far-key"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = PipelineRunner.startCuration(spark, config, "lx")
+    q1.processAllAvailable(); q1.stop()
+    def ledgerState(): (Long, Seq[Long]) = {
+      val l = spark.read.parquet(led)
+      (l.count(), l.select(col("batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted)
+    }
+    val first = ledgerState()
+    assert(first == ((1L, Seq(0L))), first)
+    // crash-replay: wiped checkpoint re-processes the same file as
+    // batch 0 again — the audit partition must overwrite, not append
+    FileUtils.deleteDirectory(new java.io.File(ck))
+    val q2 = PipelineRunner.startCuration(spark, config, "lx")
+    q2.processAllAvailable(); q2.stop()
+    assert(ledgerState() == first,
+      s"replayed batch duplicated ledger rows: ${ledgerState()} vs $first")
+    // a GENUINE second batch appends its own partition
+    Seq((11L, "beta"), (12L, "betax")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q3 = PipelineRunner.startCuration(spark, config, "lx")
+    q3.processAllAvailable(); q3.stop()
+    assert(ledgerState() == ((2L, Seq(0L, 1L))), ledgerState())
+    // and the dedup semantics were untouched throughout
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 11L), got)
   }
 
   test("YAML streaming curation indexes only rows that reach the output: " +
