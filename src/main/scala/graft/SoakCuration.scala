@@ -38,11 +38,18 @@ object SoakCuration {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    // the tx13 contamination split: % 29 == 0 is the benchmark corpus
+    // the tx13 contamination split, keyed on the BASE doc id (ScaleData
+    // replicas offset doc_id by k·1e8 and near-clone the text): a raw
+    // doc_id % 29 split puts some replica of EVERY base doc into the
+    // benchmark, so decontaminate correctly drops the whole corpus —
+    // a degenerate artifact. Splitting by clone FAMILY keeps each base
+    // doc and all its replicas on one side, so decontaminate measures
+    // genuine cross-family n-gram sharing.
+    val family = pmod(pmod(col("doc_id"), lit(100000000L)), lit(29))
     val benchPath = s"$work/bench.parquet"
-    docs.filter(col("doc_id") % 29 === 0).write.parquet(benchPath)
+    docs.filter(family === 0).write.parquet(benchPath)
     val stage0 = s"$work/stage_00_input.parquet"
-    docs.filter(col("doc_id") % 29 =!= 0).write.parquet(stage0)
+    docs.filter(family =!= 0).write.parquet(stage0)
 
     val stages = Seq(
       "quality_gate" ->

@@ -78,9 +78,16 @@ object Bpe {
     * the per-merge step delta-sized. The web-scale path is therefore
     * FIRST-CLASS, not advice: `sampleSixteenths` < 16 trains on a
     * deterministic md5 hash sample of DOCUMENTS (keyed on the text —
-    * engine-portable, the [[Sampling.hashSample]] rule; standard
-    * tokenizer practice, merge quality converges long before the full
-    * corpus), and a BUDGET GUARD fails fast when distinct-words ×
+    * engine-portable, the [[Sampling.hashSample]] rule). Sampled-train
+    * quality is MEASURED, not cited (graft.BpeAgreement, sf1 corpus,
+    * 128 requested / 102 learned merges — artifacts/r18/
+    * bpe_agreement_sf1.json): the HALF sample learns the IDENTICAL
+    * merge set (top-all overlap 1.0000) and the QUARTER sample 97.1%
+    * (top-64 overlap 0.98/0.92), while the exact greedy ORDER diverges
+    * at rank 7 in both — near-tie counts reorder early under sampling
+    * even when the learned vocabulary matches, so compare merge SETS,
+    * not rank sequences, when auditing a sampled train. A BUDGET GUARD
+    * fails fast when distinct-words ×
     * numMerges exceeds `graft.bpe.trainBudget` (session conf, default
     * 10⁹ word-merge rows ≈ minutes of cluster aggregates), with the
     * error routing to the sampled arm — so a 32k-merge full-corpus
