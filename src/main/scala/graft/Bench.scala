@@ -40,8 +40,14 @@ object Bench {
     // ann08-14, bpe*) are offline-build/online-probe by design; their
     // lazily-memoized builds otherwise land inside the first timed
     // repeat, and the build's write I/O is exactly the machine-coupled
-    // term that made dd25 drift ~2× in-suite every round
-    graft.queries.PipelineQueries.prepareIndexes(spark, sfDir)
+    // term that made dd25 drift ~2× in-suite every round. Skipped for
+    // single-query dev runs outside the dedup/ann/bpe families (the
+    // interleaved A/B protocol spawns many JVMs — a cy/q/gr A/B should
+    // not pay index builds it never touches; an index query's first
+    // timed repeat would still lazily build, as before the setup phase)
+    if (only.forall(_.exists(n => n.startsWith("dd") ||
+        n.startsWith("ann") || n.startsWith("bpe"))))
+      graft.queries.PipelineQueries.prepareIndexes(spark, sfDir)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // median-of-N per query so one GC pause or first-run plan compile
     // can't masquerade as a slow plan; a query that throws is reported

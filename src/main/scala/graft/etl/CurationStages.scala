@@ -388,12 +388,17 @@ object CurationStages {
         // bucket-cap audit rows written anywhere inside this batch
         // (Dedup.capHotBuckets reads the conf) become batch-partitioned
         // overwrites — exactly-once on replay, like every other write
-        // in this loop. Session-scoped: two streaming queries sharing
-        // one SparkSession would clobber each other's tag (run them on
-        // cloned sessions — the standing multi-query guidance).
+        // in this loop. Set on the BATCH's session: Structured
+        // Streaming runs micro-batches on a per-stream session CLONE
+        // (conf copied at stream start), so a mid-stream set on the
+        // outer session would be invisible to the stage plans, which
+        // all descend from batch0. Per-stream scoping also means two
+        // concurrent streams never clobber each other's tag — each
+        // owns its clone.
+        val confSess = batch0.sparkSession
         val prevCapBatch =
-          spark.conf.getOption("graft.lsh.bucketCapLedgerBatch")
-        spark.conf.set("graft.lsh.bucketCapLedgerBatch", batchId.toString)
+          confSess.conf.getOption("graft.lsh.bucketCapLedgerBatch")
+        confSess.conf.set("graft.lsh.bucketCapLedgerBatch", batchId.toString)
         try {
         if (!batch.isEmpty) {
           // FIRST, before any probe reads an index: repair interrupted
@@ -573,8 +578,10 @@ object CurationStages {
           graft.operators.IterPin.free(curated)
         }
         } finally prevCapBatch match {
-          case Some(v) => spark.conf.set("graft.lsh.bucketCapLedgerBatch", v)
-          case None => spark.conf.unset("graft.lsh.bucketCapLedgerBatch")
+          case Some(v) =>
+            confSess.conf.set("graft.lsh.bucketCapLedgerBatch", v)
+          case None =>
+            confSess.conf.unset("graft.lsh.bucketCapLedgerBatch")
         }
         graft.operators.IterPin.free(batch)
         ()

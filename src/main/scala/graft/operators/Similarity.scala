@@ -1074,14 +1074,16 @@ object Similarity {
     * its own candidate (two racing first audits can legitimately
     * compute different candidates when given different `onlyBatches`
     * windows). A crash between the tmp write and the rename leaves
-    * only the orphan tmp, which a later audit sweeps by prefix glob —
-    * no torn sidecar is ever observable because every writer writes
-    * its OWN uniquely-named tmp (no two racers ever share a tmp path,
-    * so no racer can rename another's partially-written parquet) and
-    * the rename itself is atomic on every Hadoop filesystem that
-    * supports rename at all. The `fs.exists(basePath)` pre-check runs
-    * BEFORE the tmp write, so a pre-check loser adopts immediately
-    * without paying a write job it would only delete.
+    * only the orphan tmp, which a later audit sweeps by prefix glob
+    * (age-gated so a live racer's in-flight tmp is never deleted from
+    * under it) — no torn sidecar is ever observable because every
+    * writer writes its OWN uniquely-named tmp (no two racers ever
+    * share a tmp path, so no racer can rename another's
+    * partially-written parquet) and the rename itself is atomic on
+    * every Hadoop filesystem that supports rename at all. The
+    * `fs.exists(basePath)` pre-check runs BEFORE the tmp write, so a
+    * pre-check loser adopts immediately without paying a write job it
+    * would only delete.
     */
   private[graft] def pinDriftBaseline(
       spark: org.apache.spark.sql.SparkSession,
@@ -1092,13 +1094,20 @@ object Similarity {
       spark.read.parquet(basePath.toString)
         .head().getAs[Double]("baseline_dist")
     if (fs.exists(basePath)) return adoptWinner()
-    // sweep ORPHAN tmps (a crash between write and rename) by prefix;
-    // a live racer's tmp swept here is harmless — its claimRename just
-    // loses and it adopts
+    // sweep ORPHAN tmps (a crash between write and rename) by prefix,
+    // AGE-GATED: a tmp still minutes young may be a LIVE racer's
+    // in-flight write — deleting it mid-write fails that racer's write
+    // job (its task output dir vanishes) or its claimRename
+    // (src-missing before any winner exists, which the IOException
+    // handler correctly rethrows). A genuine crash orphan is, by the
+    // time anyone re-audits, old; a 1-row parquet write is not.
     val dirPath = new org.apache.hadoop.fs.Path(indexDir)
+    val orphanAgeMs = 10L * 60L * 1000L
+    val now = System.currentTimeMillis()
     if (fs.exists(dirPath))
       fs.listStatus(dirPath).foreach { st =>
-        if (st.getPath.getName.startsWith(".drift_baseline_tmp"))
+        if (st.getPath.getName.startsWith(".drift_baseline_tmp") &&
+            now - st.getModificationTime > orphanAgeMs)
           fs.delete(st.getPath, true)
       }
     val tmp = new org.apache.hadoop.fs.Path(

@@ -1465,18 +1465,30 @@ class StreamingSpec extends SparkSpec {
     // CRASH window: tmps written (with garbage — worse than a valid
     // candidate), rename never ran. Each writer uses its OWN
     // uuid-suffixed tmp (no shared tmp path = no racer can rename
-    // another's half-written parquet), so the sweep is a PREFIX glob:
-    // both the bare legacy name and a uuid-suffixed orphan must go.
+    // another's half-written parquet), so the sweep is a PREFIX glob —
+    // both the bare legacy name and a uuid-suffixed orphan must go —
+    // and it is AGE-GATED (a young tmp may be a live racer's in-flight
+    // write), so the crash orphans are aged past the gate here; a
+    // fresh one must SURVIVE the sweep (asserted below).
     fs.mkdirs(tmp)
     val o = fs.create(new org.apache.hadoop.fs.Path(tmp, "junk"))
     o.write(Array[Byte](1, 2, 3)); o.close()
-    fs.mkdirs(new org.apache.hadoop.fs.Path(
-      s"$idx/.drift_baseline_tmp-0000-dead-beef"))
+    val uuidOrphan = new org.apache.hadoop.fs.Path(
+      s"$idx/.drift_baseline_tmp-0000-dead-beef")
+    fs.mkdirs(uuidOrphan)
+    val old = System.currentTimeMillis() - 11L * 60L * 1000L
+    fs.setTimes(tmp, old, old)
+    fs.setTimes(uuidOrphan, old, old)
+    val fresh = new org.apache.hadoop.fs.Path(
+      s"$idx/.drift_baseline_tmp-1111-live-racer")
+    fs.mkdirs(fresh) // a live racer's seconds-old tmp: NOT swept
     val rows = Similarity.streamIndexDrift(spark, idx).collect()
     assert(rows.exists(_.getAs[Boolean]("alert")), rows.mkString(", "))
     assert(rows.forall(_.getAs[Double]("baseline_dist") == 0.0))
     assert(fs.exists(base))
-    assert(tmpOrphans().isEmpty, tmpOrphans().mkString(", "))
+    assert(tmpOrphans() == Seq(".drift_baseline_tmp-1111-live-racer"),
+      tmpOrphans().mkString(", ")) // aged orphans swept, live tmp kept
+    fs.delete(fresh, true)
     // RACE, loser at the pre-check: the baseline already exists with
     // the winner's value — a pin with a DIFFERENT candidate (a racing
     // audit given another onlyBatches window) must adopt the stored
