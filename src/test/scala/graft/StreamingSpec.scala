@@ -1730,6 +1730,72 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 11L), got)
   }
 
+  test("streaming bucket-cap audit rows are exactly-once end to end: the " +
+    "per-batch tag reaches the stage plans through the per-stream session " +
+    "CLONE, a replayed batch overwrites its own (batch, op) partitions, " +
+    "and a genuine second batch appends its own") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    import org.apache.commons.io.FileUtils
+    val src = Files.createTempDirectory("graft_cb_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_cb_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_cb_ck").toFile.getAbsolutePath
+    val idx = s"${Files.createTempDirectory("graft_cb_idx")}/index"
+    val led = s"${Files.createTempDirectory("graft_cb_led")}/capledger"
+    val config = PipelineConfig.parse(
+      s"""project: {name: cb}
+         |curation:
+         |  - id: cb
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: minhash_dedup, index_dir: $idx, shingle_size: "2",
+         |         num_hashes: "16", bands: "8", threshold: "0.5"}
+         |""".stripMargin)
+    // cap 0 = every nonempty candidate bucket overflows, so the
+    // intra-batch thin-edge banding (minHashLshDedupEdges →
+    // capHotBuckets) writes ledger rows on EVERY batch. Cap + ledger
+    // dir are set on the MAIN session BEFORE stream start — the
+    // per-stream clone copies conf at start, which is also why the
+    // loop must set the per-batch TAG on the clone itself (a
+    // mid-stream set on this outer session never reaches the stage
+    // plans; this spec fails with duplicate untagged appends if the
+    // tag misses).
+    spark.conf.set("graft.lsh.bucketCap", "0")
+    spark.conf.set("graft.lsh.bucketCapLedgerDir", led)
+    try {
+      Seq((1L, "alpha beta gamma delta"), (2L, "wholly different text rows"))
+        .toDF("doc_id", "text").write.mode("append").parquet(src)
+      val q1 = PipelineRunner.startCuration(spark, config, "cb")
+      q1.processAllAvailable(); q1.stop()
+      def state(): (Long, Seq[Long]) = {
+        val l = spark.read.parquet(led)
+        (l.count(), l.select(col("batch").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted)
+      }
+      val first = state()
+      assert(first._1 > 0L && first._2 == Seq(0L), first)
+      // crash-replay: wiped checkpoint re-processes the file as batch 0
+      FileUtils.deleteDirectory(new java.io.File(ck))
+      val q2 = PipelineRunner.startCuration(spark, config, "cb")
+      q2.processAllAvailable(); q2.stop()
+      assert(state() == first,
+        s"replayed batch duplicated cap-ledger rows: ${state()} vs $first")
+      // a genuine batch 1 appends its own partition
+      Seq((11L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      val q3 = PipelineRunner.startCuration(spark, config, "cb")
+      q3.processAllAvailable(); q3.stop()
+      val after = state()
+      assert(after._1 > first._1 && after._2 == Seq(0L, 1L), after)
+    } finally {
+      spark.conf.unset("graft.lsh.bucketCap")
+      spark.conf.unset("graft.lsh.bucketCapLedgerDir")
+    }
+  }
+
   test("YAML streaming curation indexes only rows that reach the output: " +
     "a dedup survivor filtered by a LATER stage is not admitted, so its " +
     "future near-duplicates still compete") {
