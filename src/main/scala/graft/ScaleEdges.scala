@@ -92,6 +92,13 @@ object ScaleEdges {
     timed("simhash_thin_edges")(
       Dedup.simHashDedupEdges(docs, "doc_id", "text",
         maxHamming = 6).count())
+    // the blocking's candidate mass (Σ C(bucket, 2) over the collapsed
+    // pigeonhole buckets — what the verification stage actually pays;
+    // reported as ROWS so the simhash wall exponent can be adjudicated
+    // against candidate growth, not guessed from output growth)
+    timed("simhash_candidates")(
+      Dedup.simHashCandidateStats(docs, "doc_id", "text", maxHamming = 6)
+        .head().getAs[Long]("candidate_pairs"))
     // embedding near-dup thin edges (dd05's threshold/planes/tables):
     // replicas carry IDENTICAL vectors, so each base vector is an exact
     // clone group of size `replicas` — star edges linear in replicas,

@@ -535,16 +535,65 @@ object Dedup {
   /** The shared blocking + verification core of the two simhash forms:
     * (members = (__g = fingerprint, id), verified rep pairs).
     */
-  private def simHashRepPairs(df: DataFrame, idCol: String, textCol: String,
-                              maxHamming: Int, hotBucketWarn: Int)
-  : (DataFrame, DataFrame) = {
+  /** Pigeonhole split of the 48-bit fingerprint space into
+    * `maxHamming + 1` blocks: (widths, offsets). Any pair within
+    * `maxHamming` agrees on at least one whole block (Manku et al.).
+    */
+  private def simHashBlocks(maxHamming: Int): (Seq[Int], Seq[Int]) = {
     require(maxHamming >= 0 && maxHamming < SimHashBits,
       s"maxHamming must be in [0, $SimHashBits)")
     val nBlocks = maxHamming + 1
     val base = SimHashBits / nBlocks
     val rem = SimHashBits % nBlocks
     val widths = Seq.tabulate(nBlocks)(i => base + (if (i < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).init
+    (widths, widths.scanLeft(0)(_ + _).init)
+  }
+
+  /** One row of (blk, bval) per pigeonhole block per distinct
+    * fingerprint — the candidate-generation frame both simhash forms
+    * self-join.
+    */
+  private def simHashBlockedReps(groups: DataFrame,
+                                 maxHamming: Int): DataFrame = {
+    val (widths, offsets) = simHashBlocks(maxHamming)
+    groups.select(col("sim"),
+      explode(array(widths.indices.map { b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("sim"), offsets(b))
+            .bitwiseAND((1L << widths(b)) - 1).as("bval"))
+      }: _*)).as("kb"))
+      .select(col("sim"), col("kb.blk").as("blk"), col("kb.bval").as("bval"))
+  }
+
+  /** One-row candidate-volume DIAGNOSTIC for the simhash blocking:
+    * (distinct_fingerprints, buckets, candidate_pairs) where
+    * candidate_pairs = Σ_bucket C(n, 2) — the self-join volume the
+    * verification stage pays BEFORE the hamming filter, over the same
+    * collapse + pigeonhole split [[simHashPairs]] uses (so the number
+    * is the operator's true candidate mass, not an estimate). Costs
+    * one aggregate over the blocked reps — no join. The scale-study
+    * companion of the hotBucketWarn guard: candidate growth, not
+    * output growth, is what moved simhash's per-output-row cost at
+    * sf10 (PERFORMANCE.md round 18).
+    */
+  def simHashCandidateStats(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int): DataFrame = {
+    val groups = simHashes(df, idCol, textCol).select(col("sim")).distinct()
+    simHashBlockedReps(groups, maxHamming)
+      .groupBy(col("blk"), col("bval")).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("buckets"),
+        coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+          .cast("long").as("candidate_pairs"))
+      .crossJoin(groups.agg(count(lit(1)).as("distinct_fingerprints")))
+      .select(col("distinct_fingerprints"), col("buckets"),
+        col("candidate_pairs"))
+  }
+
+  private def simHashRepPairs(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int, hotBucketWarn: Int)
+  : (DataFrame, DataFrame) = {
+    val (widths, offsets) = simHashBlocks(maxHamming)
+    val nBlocks = widths.size
     val sigDf = simHashes(df, idCol, textCol)
     // CLONE-CLUSTER COLLAPSE (the lshBandPairs rule on the 48-bit
     // fingerprint, which is a pure function of the token multiset):
@@ -557,13 +606,7 @@ object Dedup {
     // lane needed) and the member mapping is a map-side projection.
     val groups = sigDf.select(col("sim")).distinct()
     val members = sigDf.select(col("sim").as("__g"), col("id"))
-    val blocked = groups.select(col("sim"),
-      explode(array((0 until nBlocks).map { b =>
-        struct(lit(b).as("blk"),
-          shiftrightunsigned(col("sim"), offsets(b))
-            .bitwiseAND((1L << widths(b)) - 1).as("bval"))
-      }: _*)).as("kb"))
-      .select(col("sim"), col("kb.blk").as("blk"), col("kb.bval").as("bval"))
+    val blocked = simHashBlockedReps(groups, maxHamming)
     val capped = capHotBuckets(blocked, Seq("blk", "bval"), "simHashPairs")
     val l = capped.select(col("blk"), col("bval"), col("sim").as("sim1"))
     val r = capped.select(col("blk"), col("bval"), col("sim").as("sim2"))
@@ -616,13 +659,9 @@ object Dedup {
     */
   def simHashBucketStats(df: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int): DataFrame = {
-    val nBlocks = maxHamming + 1
-    val base = SimHashBits / nBlocks
-    val rem = SimHashBits % nBlocks
-    val widths = Seq.tabulate(nBlocks)(i => base + (if (i < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).init
+    val (widths, offsets) = simHashBlocks(maxHamming)
     simHashes(df, idCol, textCol).select(col("sim"),
-      explode(array((0 until nBlocks).map { b =>
+      explode(array(widths.indices.map { b =>
         struct(lit(b).as("blk"),
           shiftrightunsigned(col("sim"), offsets(b))
             .bitwiseAND((1L << widths(b)) - 1).as("bval"))

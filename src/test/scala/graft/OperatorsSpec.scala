@@ -338,6 +338,46 @@ class OperatorsSpec extends SparkSpec {
     assert(stats.collect().head.getLong(2) > 10)
   }
 
+  test("simHashCandidateStats: exact clones contribute ZERO candidate " +
+    "mass (the collapse), a hamming<=max pair contributes at least one " +
+    "(the pigeonhole recall guarantee), and the total is the blocking's " +
+    "true self-join volume") {
+    import graft.operators.Dedup
+    // 3 byte-identical docs → ONE distinct fingerprint → one singleton
+    // bucket per pigeonhole block (7 at maxHamming 6), no candidates
+    val clones = Seq((1L, "alpha beta gamma delta"),
+        (2L, "alpha beta gamma delta"), (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val s0 = Dedup.simHashCandidateStats(clones, "doc_id", "text", 6).head()
+    assert(s0.getAs[Long]("distinct_fingerprints") == 1L, s0)
+    assert(s0.getAs[Long]("buckets") == 7L, s0)
+    assert(s0.getAs[Long]("candidate_pairs") == 0L, s0)
+    // DISTINCT fingerprints within hamming <= 6 (the boilerplate
+    // corpus: texts differing by one number token): the pigeonhole
+    // guarantee says every such pair agrees on at least one whole
+    // block, so the candidate mass is at least the verified
+    // cross-fingerprint pair count
+    val boiler = (1L to 30L).map(i =>
+      (i, s"terms of service apply to all users of product number $i"))
+      .toDF("doc_id", "text")
+    val nearPairs = Dedup.simHashPairs(boiler, "doc_id", "text", maxHamming = 6)
+      .filter(col("hamming") > 0).count()
+    assert(nearPairs >= 1L, "boilerplate corpus lost its hamming>0 pairs")
+    // (the DOC-pair count is not a lower bound on the FINGERPRINT-pair
+    // candidate mass — a clone group expands one rep pair into many
+    // doc pairs — so the recall assertion is existence, and the exact
+    // accounting is the histogram equality below)
+    val s1 = Dedup.simHashCandidateStats(boiler, "doc_id", "text", 6).head()
+    assert(s1.getAs[Long]("candidate_pairs") >= 1L, s1)
+    // internal consistency: Σ C(distinct_fingerprints, 2) over the
+    // bucket histogram IS the candidate total
+    val fromHist = Dedup.simHashBucketStats(boiler, "doc_id", "text", 6)
+      .collect().map { r =>
+        val d = r.getLong(3); d * (d - 1) / 2
+      }.sum
+    assert(s1.getAs[Long]("candidate_pairs") == fromHist, s1)
+  }
+
   test("hash sampling: deterministic, monotone, quota-respecting") {
     import graft.operators.Sampling
     val df = spark.range(0, 400).toDF("doc_id")
