@@ -99,6 +99,13 @@ object ScaleEdges {
     timed("simhash_candidates")(
       Dedup.simHashCandidateStats(docs, "doc_id", "text", maxHamming = 6)
         .head().getAs[Long]("candidate_pairs"))
+    // same lens for the minhash tier at the thin arm's configuration
+    // (adjudicates r17's 1.59 minhash exponent against measured
+    // candidate growth instead of inference)
+    timed("minhash_candidates")(
+      Dedup.lshCandidateStats(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16)
+        .head().getAs[Long]("candidate_pairs"))
     // embedding near-dup thin edges (dd05's threshold/planes/tables):
     // replicas carry IDENTICAL vectors, so each base vector is an exact
     // clone group of size `replicas` — star edges linear in replicas,

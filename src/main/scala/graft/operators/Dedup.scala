@@ -195,6 +195,33 @@ object Dedup {
     * overflow a bucket). Default off: results are bit-identical to the
     * uncapped join.
     */
+  /** One-row candidate-volume DIAGNOSTIC for the MinHash banding:
+    * (distinct_signatures, buckets, candidate_pairs) where
+    * candidate_pairs = Σ_bucket C(n, 2) over the (band, bkey) buckets
+    * of DISTINCT-signature representatives — the exact self-join
+    * volume [[lshRepPairs]] pays before the lane-match filter (a pair
+    * colliding in k bands is counted k times, exactly as the join
+    * emits it). One aggregate over the banded reps, no join —
+    * [[simHashCandidateStats]]' counterpart for the minhash tier, so
+    * a scale study can adjudicate the minhash wall against candidate
+    * growth instead of inferring it (PERFORMANCE.md rounds 17-18).
+    */
+  def lshCandidateStats(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int,
+                        bands: Int): DataFrame = {
+    val reps = lshSigReps(minHashSignatures(
+      shingleRows(df, idCol, textCol, shingleSize), numHashes))
+    reps.select(explode(bandKeyArray(col("sig"), numHashes, bands)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__rows"),
+        count(lit(1)).as("buckets"),
+        coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+          .cast("long").as("candidate_pairs"))
+      .select((col("__rows") / bands).cast("long").as("distinct_signatures"),
+        col("buckets"), col("candidate_pairs"))
+  }
+
   private[graft] def lshRepPairs(reps: DataFrame, numHashes: Int,
                                  bands: Int): DataFrame = {
     val banded0 = reps.select(col("__k1"), col("__k2"), col("sig"),

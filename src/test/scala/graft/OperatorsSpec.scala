@@ -376,6 +376,19 @@ class OperatorsSpec extends SparkSpec {
         val d = r.getLong(3); d * (d - 1) / 2
       }.sum
     assert(s1.getAs[Long]("candidate_pairs") == fromHist, s1)
+    // the minhash tier's counterpart (lshCandidateStats): the clone
+    // corpus collapses to ONE distinct signature — one singleton bucket
+    // per band (16), zero candidate mass; the boilerplate corpus's
+    // near-identical texts collide in at least one band
+    val l0 = Dedup.lshCandidateStats(clones, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16).head()
+    assert(l0.getAs[Long]("distinct_signatures") == 1L, l0)
+    assert(l0.getAs[Long]("buckets") == 16L, l0)
+    assert(l0.getAs[Long]("candidate_pairs") == 0L, l0)
+    val l1 = Dedup.lshCandidateStats(boiler, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16).head()
+    assert(l1.getAs[Long]("distinct_signatures") == 30L, l1)
+    assert(l1.getAs[Long]("candidate_pairs") >= 1L, l1)
   }
 
   test("hash sampling: deterministic, monotone, quota-respecting") {
