@@ -331,8 +331,14 @@ object Dedup {
           }
         }
       }
+      // spec seam: `graft.lsh.bucketCapBroadcastMax` (default = the
+      // repo's 2M broadcast gate) lets the >max pinned-scan branch be
+      // forced at test size and differentially asserted against the
+      // broadcast branch — not an operator knob
+      val broadcastMax = conf
+        .get("graft.lsh.bucketCapBroadcastMax", "2000000").toLong
       if (nHot == 0L) { IterPin.free(hot); banded }
-      else if (nHot <= 2000000L) {
+      else if (nHot <= broadcastMax) {
         val hotKeys = hot.select(keys.map(col): _*)
         val schema = hotKeys.schema
         val rows = hotKeys.collect()
@@ -341,11 +347,11 @@ object Dedup {
           java.util.Arrays.asList(rows: _*), schema)
         banded.join(broadcast(local), keys, "left_anti")
       } else {
-        // a >2M-bucket overflow set: keep the pinned scan in the plan
-        // (a broadcast that size would be its own hazard); this pin
-        // frees via the context cleaner once the caller's
-        // materialization drops the plan — the one documented IterPin
-        // exemption (README graft.iter.free row)
+        // an overflow set past the broadcast gate: keep the pinned
+        // scan in the plan (a broadcast that size would be its own
+        // hazard); this pin frees via the context cleaner once the
+        // caller's materialization drops the plan — the one documented
+        // IterPin exemption (README graft.iter.free row)
         banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
       }
     }

@@ -1572,6 +1572,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bucket-cap broadcast and pinned-scan branches are differential: " +
+    "forcing the >broadcastMax path via the spec seam returns the " +
+    "identical capped pair set") {
+    import graft.operators.Dedup
+    // near-identical-but-DISTINCT boilerplate (30 distinct signatures
+    // colliding in most bands — the flood the cap exists for) plus two
+    // genuinely different docs whose pair survives in uncapped buckets
+    val corpus = ((1L to 30L).map(i =>
+        (i, s"terms of service apply to all users of product number $i")) ++
+      Seq((100L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+          (101L, "alpha bravo charlie delta echo foxtrot golf india")))
+      .toDF("doc_id", "text")
+    def pairsWith(confs: (String, String)*): Set[(Long, Long)] = {
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        Dedup.minHashLshPairs(corpus, "doc_id", "text", 3, 64, 16)
+          .select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val uncapped = pairsWith()
+    val cappedBroadcast = pairsWith("graft.lsh.bucketCap" -> "5")
+    // the seam: broadcastMax 0 forces every engaged cap through the
+    // pinned-scan anti-join branch (unreachable at test size otherwise)
+    val cappedPinned = pairsWith("graft.lsh.bucketCap" -> "5",
+      "graft.lsh.bucketCapBroadcastMax" -> "0")
+    assert(cappedBroadcast == cappedPinned,
+      s"branches disagree: ${cappedBroadcast.diff(cappedPinned)} vs " +
+        s"${cappedPinned.diff(cappedBroadcast)}")
+    assert(cappedBroadcast != uncapped, "the cap never engaged — the " +
+      "differential proved nothing; shrink the cap or densify the flood")
+    assert(cappedBroadcast.subsetOf(uncapped)) // a cap only DROPS pairs
+  }
+
   test("band join equals the brute-force range join on random doubles") {
     import graft.operators.BandJoin
     val rnd = new scala.util.Random(23)
