@@ -36,7 +36,13 @@ object ScaleEdges {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Dedup
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // LAZY table handles: spark.read.parquet infers schema EAGERLY, so
+    // an unconditional read of customer/embeddings would fail a
+    // documents-only `only` rerun outright if those files are absent
+    // from the sf dir — defeating the arg's purpose of not re-paying
+    // unrelated work. Each table is opened on first use by an op the
+    // `only` filter actually selected.
+    lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -84,7 +90,7 @@ object ScaleEdges {
     // an exact clone group of size `replicas` plus its natural lev<=1
     // neighbors: TRUE thin output grows ~linearly in replicas (star
     // edges), unlike the documents corpora's ~replicas² truth.
-    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    lazy val cust = spark.read.parquet(s"$sfDir/customer.parquet")
     timed("fuzzy_thin_edges_auto")(
       Dedup.editDistanceDedupEdgesAuto(cust, "c_custkey", "c_name",
         maxDist = 1)._1.count())
@@ -110,7 +116,7 @@ object ScaleEdges {
     // replicas carry IDENTICAL vectors, so each base vector is an exact
     // clone group of size `replicas` — star edges linear in replicas,
     // rep pairs constant in the base corpus
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     timed("embedding_thin_edges")(
       Dedup.embeddingNearDupDedupEdges(emb, "vec_id", "embedding",
         threshold = 0.4, planes = 6, tables = 8).count())

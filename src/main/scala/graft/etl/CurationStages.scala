@@ -398,6 +398,8 @@ object CurationStages {
         val confSess = batch0.sparkSession
         val prevCapBatch =
           confSess.conf.getOption("graft.lsh.bucketCapLedgerBatch")
+        val prevCapStage =
+          confSess.conf.getOption("graft.lsh.bucketCapLedgerStage")
         confSess.conf.set("graft.lsh.bucketCapLedgerBatch", batchId.toString)
         try {
         if (!batch.isEmpty) {
@@ -421,7 +423,17 @@ object CurationStages {
           // over ids that reached the output
           val deferred = scala.collection.mutable.ListBuffer
             .empty[DataFrame => Unit]
-          val curated = pipeline.stages.foldLeft(batch) { (df, stage) =>
+          val curated = pipeline.stages.zipWithIndex.foldLeft(batch) {
+            case (df, (stage, stageIdx)) =>
+            // stage discriminator for the bucket-cap audit partition
+            // key: two stages of the SAME capped operator in one
+            // micro-batch (both opName=lshRepPairs, say) must not
+            // overwrite each other's (batch, op) rows — the cap's
+            // eager aggregate + ledger write run synchronously inside
+            // the stage call below, so a per-iteration set is seen by
+            // exactly this stage's write
+            confSess.conf
+              .set("graft.lsh.bucketCapLedgerStage", stageIdx.toString)
             if (stage.params.contains("index_dir") && stage.op == "minhash_dedup") {
               val (survivors, admit) = streamingMinhashDedup(spark, df,
                 pipeline.idCol, pipeline.textCol, stage, batchId)
@@ -577,11 +589,19 @@ object CurationStages {
           // accumulates block-manager storage between GC cycles.
           graft.operators.IterPin.free(curated)
         }
-        } finally prevCapBatch match {
-          case Some(v) =>
-            confSess.conf.set("graft.lsh.bucketCapLedgerBatch", v)
-          case None =>
-            confSess.conf.unset("graft.lsh.bucketCapLedgerBatch")
+        } finally {
+          prevCapBatch match {
+            case Some(v) =>
+              confSess.conf.set("graft.lsh.bucketCapLedgerBatch", v)
+            case None =>
+              confSess.conf.unset("graft.lsh.bucketCapLedgerBatch")
+          }
+          prevCapStage match {
+            case Some(v) =>
+              confSess.conf.set("graft.lsh.bucketCapLedgerStage", v)
+            case None =>
+              confSess.conf.unset("graft.lsh.bucketCapLedgerStage")
+          }
         }
         graft.operators.IterPin.free(batch)
         ()

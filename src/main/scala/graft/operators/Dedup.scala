@@ -264,20 +264,35 @@ object Dedup {
     * never overflow. Default off: bit-identical to the uncapped join.
     *
     * Audit trail (`graft.lsh.bucketCapLedgerDir`, same conf family):
-    * when set, every engaged cap ALSO appends one parquet row per
+    * when set, every engaged cap ALSO writes one parquet row per
     * dropped bucket — (op, cap, bucket = "k=v,..." of `keys`,
     * signatures) — at 100 TB an executor/driver stderr line is not an
     * audit trail; this is the fuzzy router's `ledger_dir` pattern
-    * applied to the recall trade. Like that pattern's batch form, the
-    * append is NOT replay-deduplicated — a retried job may append its
-    * rows again (audit rows can repeat, results cannot). Default
-    * unset: stderr only.
+    * applied to the recall trade. TWO write arms: in batch mode
+    * (no streaming tag) the write is a plain append, NOT
+    * replay-deduplicated — a retried job may append its rows again
+    * (audit rows can repeat, results cannot). Under the streaming
+    * curation loop — `graft.lsh.bucketCapLedgerBatch` set per
+    * micro-batch — the rows land under a (batch, op, stage) partition
+    * with dynamic overwrite instead: a REPLAYED micro-batch overwrites
+    * its own audit rows, exactly-once like the loop's other writes.
+    * `stage` comes from `graft.lsh.bucketCapLedgerStage` (the loop
+    * sets it to the stage's pipeline index; default 0), so two stages
+    * of the SAME operator inside one micro-batch — e.g. two
+    * minhash_dedup stages, both opName=lshRepPairs — keep distinct
+    * audit partitions instead of the second overwrite silently
+    * deleting the first's rows. Default unset: stderr only.
     */
   private def capHotBuckets(banded: DataFrame, keys: Seq[String],
-                            opName: String): DataFrame = {
+                            opName: String,
+                            capOverride: Option[Int] = None): DataFrame = {
     val conf = banded.sparkSession.conf
-    val cap = conf.getOption("graft.lsh.bucketCap")
-      .map(_.toInt).getOrElse(Int.MaxValue)
+    // capOverride (router-engaged, e.g. simHashDedupEdgesAutoLedger's
+    // "cap" fallback) beats the session conf — an auto-engaged cap is
+    // a per-operator decision with its own ledger row, not a
+    // session-wide policy
+    val cap = capOverride.orElse(conf.getOption("graft.lsh.bucketCap")
+      .map(_.toInt)).getOrElse(Int.MaxValue)
     require(cap >= 0, s"graft.lsh.bucketCap must be >= 0, got $cap")
     if (cap == Int.MaxValue) banded
     else {
@@ -315,18 +330,23 @@ object Dedup {
             col("__n").as("signatures"))
           // `graft.lsh.bucketCapLedgerBatch` (set per micro-batch by
           // the streaming curation loop) routes the audit rows under a
-          // (batch, op) partition with dynamic overwrite: a REPLAYED
-          // micro-batch overwrites its own audit rows — exactly-once,
-          // like the loop's other writes. (op in the partition key so
-          // two capped operators inside one batch don't clobber each
-          // other.) Unset — the batch form — stays a plain append:
-          // audit rows may repeat on a job retry, results cannot.
+          // (batch, op, stage) partition with dynamic overwrite: a
+          // REPLAYED micro-batch overwrites its own audit rows —
+          // exactly-once, like the loop's other writes. op AND the
+          // loop-assigned stage index are both in the partition key so
+          // neither two different capped operators nor two stages of
+          // the SAME operator inside one batch clobber each other.
+          // Unset — the batch form — stays a plain append: audit rows
+          // may repeat on a job retry, results cannot.
           conf.getOption("graft.lsh.bucketCapLedgerBatch") match {
             case Some(b) =>
+              val stage = conf
+                .get("graft.lsh.bucketCapLedgerStage", "0").toInt
               rows.withColumn("batch", lit(b.toLong))
+                .withColumn("stage", lit(stage))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch", "op").parquet(dir)
+                .partitionBy("batch", "op", "stage").parquet(dir)
             case None => rows.write.mode("append").parquet(dir)
           }
         }
@@ -540,6 +560,17 @@ object Dedup {
     * (blk, bval) bucket holding more than this many DISTINCT
     * fingerprints before the self-join runs — see the guard comment
     * below and [[simHashBucketStats]].
+    *
+    * SCALE CEILING on DIVERSE corpora: the pigeonhole bucket space is
+    * FIXED (~832 (blk, bval) buckets at 48-bit/h=6), so candidate mass
+    * is Θ(n²) in DISTINCT fingerprints — the collapse only absorbs
+    * exact clones. For survivor selection, go through
+    * [[simHashDedupEdgesAutoLedger]], whose one-aggregate pre-flight
+    * routes over-budget corpora to the diversity-safe minhash tier or
+    * auto-engages the audited bucket cap. The pairs form has no routed
+    * equivalent because its OUTPUT is the pair set itself — quadratic
+    * whenever the near-dup truth is; measure with
+    * [[simHashCandidateStats]] before running it at scale.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, hotBucketWarn: Int = Int.MaxValue): DataFrame = {
@@ -556,6 +587,9 @@ object Dedup {
     * always, a cross-group member pair inherits its representatives'
     * hamming — so the group star + one edge per rep pair reproduce the
     * pair graph's connectivity exactly ([[thinComponentEdges]]).
+    * At scale, prefer [[simHashDedupEdgesAutoLedger]] — this plain
+    * form pays the fixed-bucket-space Θ(n²) candidate mass unguarded
+    * on a diverse corpus.
     */
   def simHashDedupEdges(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int,
@@ -564,6 +598,119 @@ object Dedup {
       simHashRepPairs(df, idCol, textCol, maxHamming, hotBucketWarn)
     thinComponentEdges(members, Seq("__g"), repPairs)
   }
+
+  /** [[simHashDedupEdges]] behind a CANDIDATE-BUDGET router — the
+    * scale guard the simhash tier needs that the other sketch tiers do
+    * not: its pigeonhole bucket space is FIXED (maxHamming + 1 blocks
+    * of ≤ 2^width values — ~832 (blk, bval) buckets at the wired
+    * 48-bit/h=6 point), so on a DIVERSE corpus n distinct fingerprints
+    * spread over a constant number of buckets and the verification
+    * self-join's candidate mass Σ_bucket C(n_b, 2) grows Θ(n²) no
+    * matter how the clone collapse or the hot-bucket cap behave —
+    * measured onset at sf1→sf10: ×11.9 candidates for ×10 data
+    * (artifacts/r18/simhash_candidates_sf1_sf10.json), and a 100×
+    * diverse scale-up is ~10,000× candidates. The minhash tier does
+    * NOT share the defect: its (band, bkey) space grows with signature
+    * diversity, so collisions require genuine similarity.
+    *
+    * PRE-FLIGHT: [[simHashCandidateStats]] — one aggregate over the
+    * collapsed pigeonhole blocking, no join — measures the EXACT
+    * candidate mass the verification stage would pay. Within
+    * `candidateBudget`, the plain [[simHashDedupEdges]] runs
+    * (bit-identical, spec-gated). Over budget, `fallback` picks the
+    * scale-safe arm:
+    *
+    *  - `"minhash"` (default): route to [[minHashLshDedupEdges]] at
+    *    (`shingleSize`, `numHashes`, `bands`, `minEstJaccard`). The
+    *    results are a DIFFERENT near-dup relation (estimated
+    *    shingle-Jaccard edges, not fingerprint-hamming edges) — both
+    *    are survivor-selection edge graphs, but pairs near either cut
+    *    can differ, which is exactly why the decision is returned as
+    *    an auditable LEDGER row rather than made silently, and why the
+    *    routed form carries its own oracle gate (dd32) rather than
+    *    inheriting dd03's.
+    *  - `"cap"`: stay on the simhash relation but auto-engage the
+    *    hot-bucket cap at `fallbackBucketCap` distinct fingerprints
+    *    per (blk, bval) bucket, bounding candidate mass at
+    *    ~buckets × C(cap, 2) independent of n. The trade is RECALL
+    *    (pairs connected ONLY through a dropped bucket are lost), with
+    *    the same stderr + optional `graft.lsh.bucketCapLedgerDir`
+    *    audit trail as every capped join.
+    *
+    * The same guarded-quadratic eligibility discipline as the
+    * clone-density router ([[ngramJaccardDedupEdgesAutoLedger]]) and
+    * the reference's leapfrog join (reference: packages/pycypher/src/
+    * pycypher/leapfrog_triejoin.py:421-461); the pre-flight costs one
+    * linear fingerprint pass — noise against either arm's join.
+    *
+    * Ledger row: (route, fallback, distinct_fingerprints, buckets,
+    * candidate_pairs, candidate_budget, max_hamming).
+    */
+  def simHashDedupEdgesAutoLedger(df: DataFrame, idCol: String,
+                                  textCol: String, maxHamming: Int,
+                                  candidateBudget: Long = 2000000000L,
+                                  fallback: String = "minhash",
+                                  shingleSize: Int = 3, numHashes: Int = 64,
+                                  bands: Int = 16,
+                                  minEstJaccard: Double = 0.9,
+                                  fallbackBucketCap: Int = 4096)
+  : (DataFrame, DataFrame) = {
+    require(candidateBudget >= 0L,
+      s"candidateBudget must be >= 0, got $candidateBudget")
+    require(fallback == "minhash" || fallback == "cap",
+      s"""fallback must be "minhash" or "cap", got "$fallback"""")
+    require(fallbackBucketCap >= 0,
+      s"fallbackBucketCap must be >= 0, got $fallbackBucketCap")
+    // validated before routing so every route fails identically
+    require(minEstJaccard <= 1.0,
+      "minEstJaccard must be <= 1.0 (intra-clone pairs sit at exactly " +
+        s"1.0, so a higher cut would drop whole clone groups), got $minEstJaccard")
+    val spark = df.sparkSession
+    val st = simHashCandidateStats(df, idCol, textCol, maxHamming).head()
+    val (nFp, buckets, cand) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val over = cand > candidateBudget
+    val route = if (!over) "simhash" else fallback
+    System.err.println(
+      s"[graft] simhash dedup-edges routing: route=$route " +
+        s"candidate_pairs=$cand (budget $candidateBudget) " +
+        s"distinct_fingerprints=$nFp buckets=$buckets " +
+        s"max_hamming=$maxHamming" +
+        (if (over && fallback == "cap") s" bucket_cap=$fallbackBucketCap"
+         else ""))
+    val edges = route match {
+      case "simhash" =>
+        simHashDedupEdges(df, idCol, textCol, maxHamming)
+      case "minhash" =>
+        minHashLshDedupEdges(df, idCol, textCol, shingleSize, numHashes,
+          bands, minEstJaccard)
+      case "cap" =>
+        val (members, repPairs) = simHashRepPairs(df, idCol, textCol,
+          maxHamming, hotBucketWarn = Int.MaxValue,
+          capOverride = Some(fallbackBucketCap))
+        thinComponentEdges(members, Seq("__g"), repPairs)
+    }
+    import spark.implicits._
+    val ledger = Seq((route, fallback, nFp, buckets, cand,
+        candidateBudget, maxHamming))
+      .toDF("route", "fallback", "distinct_fingerprints", "buckets",
+        "candidate_pairs", "candidate_budget", "max_hamming")
+    (edges, ledger)
+  }
+
+  /** [[simHashDedupEdgesAutoLedger]] without the ledger — the
+    * edges-only surface, for callers that only read the stderr line.
+    */
+  def simHashDedupEdgesAuto(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int,
+                            candidateBudget: Long = 2000000000L,
+                            fallback: String = "minhash",
+                            shingleSize: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, minEstJaccard: Double = 0.9,
+                            fallbackBucketCap: Int = 4096): DataFrame =
+    simHashDedupEdgesAutoLedger(df, idCol, textCol, maxHamming,
+      candidateBudget, fallback, shingleSize, numHashes, bands,
+      minEstJaccard, fallbackBucketCap)._1
 
   /** The shared blocking + verification core of the two simhash forms:
     * (members = (__g = fingerprint, id), verified rep pairs).
@@ -623,7 +770,8 @@ object Dedup {
   }
 
   private def simHashRepPairs(df: DataFrame, idCol: String, textCol: String,
-                              maxHamming: Int, hotBucketWarn: Int)
+                              maxHamming: Int, hotBucketWarn: Int,
+                              capOverride: Option[Int] = None)
   : (DataFrame, DataFrame) = {
     val (widths, offsets) = simHashBlocks(maxHamming)
     val nBlocks = widths.size
@@ -640,7 +788,8 @@ object Dedup {
     val groups = sigDf.select(col("sim")).distinct()
     val members = sigDf.select(col("sim").as("__g"), col("id"))
     val blocked = simHashBlockedReps(groups, maxHamming)
-    val capped = capHotBuckets(blocked, Seq("blk", "bval"), "simHashPairs")
+    val capped =
+      capHotBuckets(blocked, Seq("blk", "bval"), "simHashPairs", capOverride)
     val l = capped.select(col("blk"), col("bval"), col("sim").as("sim1"))
     val r = capped.select(col("blk"), col("bval"), col("sim").as("sim2"))
     // emit each pair ONLY from its first agreeing block (all earlier

@@ -1083,7 +1083,15 @@ object Similarity {
     * every Hadoop filesystem that supports rename at all. The
     * `fs.exists(basePath)` pre-check runs BEFORE the tmp write, so a
     * pre-check loser adopts immediately without paying a write job it
-    * would only delete.
+    * would only delete — but the orphan sweep runs BEFORE that
+    * pre-check, so a tmp orphaned by a crash AFTER the baseline
+    * already exists is still cleaned by the next audit instead of
+    * accumulating forever behind the adopt-winner fast path.
+    *
+    * `graft.drift.orphanAgeMs` (session conf, default 10 min) sets the
+    * age gate — operator control for filesystems whose writes can
+    * legitimately outlive the default (a sweep of a LIVE racer's tmp
+    * fails that racer's write job loudly, never tears the sidecar).
     */
   private[graft] def pinDriftBaseline(
       spark: org.apache.spark.sql.SparkSession,
@@ -1093,16 +1101,20 @@ object Similarity {
     def adoptWinner(): Double =
       spark.read.parquet(basePath.toString)
         .head().getAs[Double]("baseline_dist")
-    if (fs.exists(basePath)) return adoptWinner()
     // sweep ORPHAN tmps (a crash between write and rename) by prefix,
     // AGE-GATED: a tmp still minutes young may be a LIVE racer's
     // in-flight write — deleting it mid-write fails that racer's write
     // job (its task output dir vanishes) or its claimRename
     // (src-missing before any winner exists, which the IOException
     // handler correctly rethrows). A genuine crash orphan is, by the
-    // time anyone re-audits, old; a 1-row parquet write is not.
+    // time anyone re-audits, old; a 1-row parquet write is not. Runs
+    // regardless of whether a winner already exists (one listStatus):
+    // a crash after the pin leaves an orphan too.
     val dirPath = new org.apache.hadoop.fs.Path(indexDir)
-    val orphanAgeMs = 10L * 60L * 1000L
+    val orphanAgeMs = spark.conf
+      .get("graft.drift.orphanAgeMs", (10L * 60L * 1000L).toString).toLong
+    require(orphanAgeMs >= 0L,
+      s"graft.drift.orphanAgeMs must be >= 0, got $orphanAgeMs")
     val now = System.currentTimeMillis()
     if (fs.exists(dirPath))
       fs.listStatus(dirPath).foreach { st =>
@@ -1110,6 +1122,7 @@ object Similarity {
             now - st.getModificationTime > orphanAgeMs)
           fs.delete(st.getPath, true)
       }
+    if (fs.exists(basePath)) return adoptWinner()
     val tmp = new org.apache.hadoop.fs.Path(
       s"$indexDir/.drift_baseline_tmp-${java.util.UUID.randomUUID()}")
     import spark.implicits._

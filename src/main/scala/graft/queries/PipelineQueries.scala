@@ -1372,6 +1372,39 @@ object PipelineQueries {
         col("max_group"), col("sampled_docs"), col("distinct_sets"))
     },
 
+    // The simhash tier's CANDIDATE-BUDGET router on a DIVERSE flood —
+    // the r18 verdict's scale-killer: near-identical-but-DISTINCT
+    // fingerprints (each replica perturbed by three unique tokens, so
+    // the clone collapse CANNOT absorb them) pile n distinct
+    // fingerprints into the tier's FIXED ~832-bucket pigeonhole space,
+    // and the measured candidate mass Σ C(n_b, 2) blows past the
+    // budget, routing survivor selection to the diversity-safe minhash
+    // tier. The DuckDB oracle independently replays the ENTIRE
+    // decision: token md5 → bit votes → fingerprints → Spark's exact
+    // 7-block (7,7,7,7,7,7,6)-bit layout → per-bucket candidate mass →
+    // the budget rule — so a green row certifies the routing inputs
+    // AND the routing decision, the dd31 discipline applied to the
+    // candidate-budget router. FULLY oracled. (The routed EDGES are
+    // oracled by dd29's minhash-thin gate and the below-budget arm is
+    // bit-identical to dd03's operator — both differentially spec'd in
+    // OperatorsSpec.)
+    "dd32_simhash_router_flood" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 6)
+      val fid = col("doc_id") * 10000 + col("k")
+      val flood = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(199))).as("k"))
+        .select(fid.cast("long").as("id"),
+          concat(col("text"),
+            lit(" u"), fid.cast("string"),
+            lit(" v"), (fid * 7).cast("string"),
+            lit(" w"), (fid * 13).cast("string")).as("text"))
+      val (_, ledger) = Dedup.simHashDedupEdgesAutoLedger(flood, "id", "text",
+        maxHamming = 6, candidateBudget = 15000L)
+      ledger.select(col("route"), col("distinct_fingerprints"),
+        col("buckets"), col("candidate_pairs"), col("candidate_budget"))
+    },
+
     // The FUZZY survivor arm's thin operator, end-to-end oracled on a
     // natural slice (no engineered flood): auto-routed edit-distance
     // thin edges over customer names + distributed components; DuckDB
@@ -2652,6 +2685,69 @@ object PipelineQueries {
                      THEN 'thin' ELSE 'pairs' END AS route,
                 round(1.0 - sets * 1.0 / docs + 1e-11, 6) AS clone_ratio,
                 max_group, docs AS sampled_docs, sets AS distinct_sets
+         FROM st""",
+    // dd32 replay: the candidate-budget router's ENTIRE decision from
+    // first principles — dd03's md5 fingerprint pipeline over the
+    // diverse flood, then Spark's exact 7-block pigeonhole layout
+    // (six 7-bit blocks at offsets b*7, one 6-bit tail), per-bucket
+    // counts over DISTINCT fingerprints, Σ C(n, 2) candidate mass,
+    // and the budget rule (> 15000 → minhash)
+    "dd32_simhash_router_flood" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 6),
+         flood AS (
+           SELECT doc_id * 10000 + u.k AS id,
+                  text || ' u' || CAST(doc_id * 10000 + u.k AS VARCHAR)
+                       || ' v' || CAST((doc_id * 10000 + u.k) * 7 AS VARCHAR)
+                       || ' w' || CAST((doc_id * 10000 + u.k) * 13 AS VARCHAR)
+                    AS text
+           FROM base, UNNEST(generate_series(0, 199)) AS u(k)
+         ),
+         toks AS (
+           SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM flood
+         ),
+         tok AS (
+           SELECT id, i AS pos, md5(t[i]) AS h
+           FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+         ),
+         hv AS (
+           SELECT id, pos,
+                  CAST(sum((strpos('0123456789abcdef', substr(h, g.d, 1)) - 1)
+                       * pow(16, 12 - g.d)) AS BIGINT) AS hv
+           FROM tok, UNNEST(generate_series(1, 12)) AS g(d)
+           GROUP BY 1, 2
+         ),
+         votes AS (
+           SELECT id, b.b,
+                  sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM hv, UNNEST(generate_series(0, 47)) AS b(b)
+           GROUP BY 1, 2
+         ),
+         sim AS (
+           SELECT id,
+                  sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sim
+           FROM votes GROUP BY 1
+         ),
+         fps AS (SELECT DISTINCT sim FROM sim),
+         blk AS (
+           SELECT sim, b.b AS blk,
+                  (sim >> (b.b * 7)) &
+                    (CASE WHEN b.b = 6 THEN 63 ELSE 127 END) AS bval
+           FROM fps, UNNEST(generate_series(0, 6)) AS b(b)
+         ),
+         bk AS (SELECT blk, bval, count(*) AS n FROM blk GROUP BY 1, 2),
+         st AS (
+           SELECT (SELECT count(*) FROM fps) AS nfp,
+                  count(*) AS buckets,
+                  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+           FROM bk
+         )
+         SELECT CASE WHEN candidate_pairs > 15000 THEN 'minhash'
+                     ELSE 'simhash' END AS route,
+                CAST(nfp AS BIGINT) AS distinct_fingerprints,
+                CAST(buckets AS BIGINT) AS buckets,
+                candidate_pairs,
+                CAST(15000 AS BIGINT) AS candidate_budget
          FROM st""",
     // dd30 replay: the full quadratic distance-1 pair graph via native
     // levenshtein, then recursive reachability (the dd08 machinery)

@@ -1565,10 +1565,30 @@ class OperatorsSpec extends SparkSpec {
       assert(l3.count() == 2 * once, l3.count())
       assert(l3.select(col("batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet == Set(5L, 6L))
+      // STAGE discriminator (the two-minhash-stages-one-batch hazard):
+      // two stages of the SAME op in the SAME micro-batch land under
+      // distinct (batch, op, stage) partitions — without the stage key
+      // the second dynamic overwrite would silently delete the first
+      // stage's audit rows (both write op=lshRepPairs, batch=6)
+      spark.conf.set("graft.lsh.bucketCapLedgerStage", "1")
+      Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16).count()
+      val l4 = spark.read.parquet(dir3)
+      assert(l4.count() == 3 * once,
+        s"stage=1 rows must coexist with batch 6's stage=0 rows, " +
+          s"got ${l4.count()} (expected ${3 * once})")
+      assert(l4.filter(col("batch").cast("long") === 6L)
+        .select(col("stage").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet == Set(0, 1))
+      // and a REPLAY of stage 1 stays exactly-once within its own
+      // (batch, op, stage) partition
+      Dedup.minHashLshPairs(flood, "id", "text", 3, 64, 16).count()
+      assert(spark.read.parquet(dir3).count() == 3 * once,
+        "a replayed stage-tagged write must overwrite its own partition")
     } finally {
       spark.conf.unset("graft.lsh.bucketCap")
       spark.conf.unset("graft.lsh.bucketCapLedgerDir")
       spark.conf.unset("graft.lsh.bucketCapLedgerBatch")
+      spark.conf.unset("graft.lsh.bucketCapLedgerStage")
     }
   }
 
@@ -1604,6 +1624,86 @@ class OperatorsSpec extends SparkSpec {
     assert(cappedBroadcast != uncapped, "the cap never engaged — the " +
       "differential proved nothing; shrink the cap or densify the flood")
     assert(cappedBroadcast.subsetOf(uncapped)) // a cap only DROPS pairs
+  }
+
+  test("simhash candidate-budget router: a DIVERSE flood routes to the " +
+    "minhash tier or is capped (both differentially identical to the " +
+    "explicit arm), below-budget stays bit-identical to plain simhash, " +
+    "and the ledger carries the measured decision inputs") {
+    import graft.operators.Dedup
+    // DIVERSE flood — the regime the r18 verdict flagged: every
+    // replica carries 3 unique tokens, so fingerprints are distinct
+    // (the clone collapse cannot absorb them) yet near-identical
+    // within a family → they pile into the fixed pigeonhole buckets
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog tonight and sleeps well",
+      "pack my box with five dozen assorted liquor jugs for the big party",
+      "sphinx of black quartz judge my vow says the old weathered sign")
+    val flood = bases.zipWithIndex.flatMap { case (t, g) =>
+      (0 until 60).map { k =>
+        val id = g * 10000L + k
+        (id, s"$t u$id v${id * 7} w${id * 13}")
+      }
+    }.toDF("id", "text")
+    val nFp = Dedup.simHashes(flood, "id", "text")
+      .select("sim").distinct().count()
+    assert(nFp >= 150L,
+      s"flood not diverse enough to exercise the router: $nFp of 180")
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stats = Dedup.simHashCandidateStats(flood, "id", "text", 6).head()
+    val cand = stats.getLong(2)
+    assert(cand > 1000L, s"candidate mass $cand too small to route on")
+    // (1) below budget — and AT the budget (> is strict): the plain
+    // simhash edges, bit-identical
+    val (eLow, lLow) = Dedup.simHashDedupEdgesAutoLedger(flood, "id",
+      "text", maxHamming = 6, candidateBudget = cand)
+    val lowRow = lLow.head()
+    assert(lowRow.getAs[String]("route") == "simhash", lowRow)
+    assert(lowRow.getAs[Long]("candidate_pairs") == cand, lowRow)
+    assert(lowRow.getAs[Long]("distinct_fingerprints") == nFp, lowRow)
+    val plain = edgeSet(
+      Dedup.simHashDedupEdges(flood, "id", "text", maxHamming = 6))
+    assert(edgeSet(eLow) == plain)
+    // (2) over budget, default fallback: the minhash tier's thin
+    // edges, bit-identical to the explicit operator at the same params
+    val (eMh, lMh) = Dedup.simHashDedupEdgesAutoLedger(flood, "id",
+      "text", maxHamming = 6, candidateBudget = cand - 1)
+    assert(lMh.head().getAs[String]("route") == "minhash", lMh.head())
+    assert(edgeSet(eMh) == edgeSet(
+      Dedup.minHashLshDedupEdges(flood, "id", "text", shingleSize = 3,
+        numHashes = 64, bands = 16, minEstJaccard = 0.9)))
+    // (3) over budget, "cap" fallback: stays on the simhash relation
+    // with the hot-bucket cap auto-engaged — identical to the session
+    // conf path at the same cap, a strict subset of the uncapped edges
+    // (the cap must actually engage on this flood), audited
+    val (eCap, lCap) = Dedup.simHashDedupEdgesAutoLedger(flood, "id",
+      "text", maxHamming = 6, candidateBudget = cand - 1,
+      fallback = "cap", fallbackBucketCap = 10)
+    assert(lCap.head().getAs[String]("route") == "cap", lCap.head())
+    val capSet = edgeSet(eCap)
+    val confSet =
+      try {
+        spark.conf.set("graft.lsh.bucketCap", "10")
+        edgeSet(Dedup.simHashDedupEdges(flood, "id", "text", maxHamming = 6))
+      } finally spark.conf.unset("graft.lsh.bucketCap")
+    assert(capSet == confSet,
+      s"auto-engaged cap diverged from the conf path: " +
+        s"${capSet.diff(confSet)} vs ${confSet.diff(capSet)}")
+    assert(capSet != plain && capSet.subsetOf(plain),
+      "cap fallback never dropped a bucket — the differential proved " +
+        "nothing; shrink fallbackBucketCap or densify the flood")
+    // an explicit capOverride must beat a looser session conf (the
+    // router's decision is per-operator, not session policy)
+    val confLoose =
+      try {
+        spark.conf.set("graft.lsh.bucketCap", "1000000")
+        edgeSet(Dedup.simHashDedupEdgesAutoLedger(flood, "id", "text",
+          maxHamming = 6, candidateBudget = cand - 1,
+          fallback = "cap", fallbackBucketCap = 10)._1)
+      } finally spark.conf.unset("graft.lsh.bucketCap")
+    assert(confLoose == capSet)
   }
 
   test("band join equals the brute-force range join on random doubles") {

@@ -1501,6 +1501,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(base.toString).head()
       .getAs[Double]("baseline_dist") == 0.0)
     assert(tmpOrphans().isEmpty) // the pre-check loser never wrote one
+    // POST-PIN orphan: a crash AFTER the baseline already exists (a
+    // loser that died between its tmp write and its lost rename) must
+    // still be swept by the NEXT pin — the sweep runs before the
+    // adopt-winner early return, not behind it, or leftover tmps
+    // accumulate in indexDir forever
+    val postPin = new org.apache.hadoop.fs.Path(
+      s"$idx/.drift_baseline_tmp-2222-post-pin-crash")
+    fs.mkdirs(postPin)
+    fs.setTimes(postPin, old, old)
+    assert(Similarity.pinDriftBaseline(spark, fs, idx, 2L, 3L, 13.0) == 0.0)
+    assert(tmpOrphans().isEmpty,
+      "an aged orphan must be swept even when the adopt-winner " +
+        s"fast path returns early: ${tmpOrphans().mkString(", ")}")
+    // graft.drift.orphanAgeMs (conf, default 10 min): at a tiny
+    // configured age even a seconds-old tmp is sweepable — the
+    // operator control for unusual filesystems; the DEFAULT arm (a
+    // fresh tmp surviving the sweep) is asserted above
+    val freshCfg = new org.apache.hadoop.fs.Path(
+      s"$idx/.drift_baseline_tmp-3333-tiny-age")
+    fs.mkdirs(freshCfg)
+    val oneSecAgo = System.currentTimeMillis() - 1000L
+    fs.setTimes(freshCfg, oneSecAgo, oneSecAgo)
+    try {
+      spark.conf.set("graft.drift.orphanAgeMs", "1")
+      Similarity.pinDriftBaseline(spark, fs, idx, 2L, 3L, 13.0)
+    } finally spark.conf.unset("graft.drift.orphanAgeMs")
+    assert(tmpOrphans().isEmpty,
+      "orphanAgeMs=1 must sweep a seconds-old tmp: " +
+        tmpOrphans().mkString(", "))
     // RACE, loser at the rename itself (both passed the pre-check).
     // Why claimRename exists: FileSystem.rename onto an existing
     // directory destination does NOT fail — POSIX semantics move the
@@ -1732,15 +1761,22 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming bucket-cap audit rows are exactly-once end to end: the " +
     "per-batch tag reaches the stage plans through the per-stream session " +
-    "CLONE, a replayed batch overwrites its own (batch, op) partitions, " +
-    "and a genuine second batch appends its own") {
+    "CLONE, two stages of the SAME op keep distinct (batch, op, stage) " +
+    "partitions, a replayed batch overwrites its own, and a genuine " +
+    "second batch appends its own") {
     import graft.etl.{PipelineConfig, PipelineRunner}
     import org.apache.commons.io.FileUtils
     val src = Files.createTempDirectory("graft_cb_src").toFile.getAbsolutePath
     val out = Files.createTempDirectory("graft_cb_out").toFile.getAbsolutePath
     val ck = Files.createTempDirectory("graft_cb_ck").toFile.getAbsolutePath
     val idx = s"${Files.createTempDirectory("graft_cb_idx")}/index"
+    val idxB = s"${Files.createTempDirectory("graft_cb_idxb")}/index"
     val led = s"${Files.createTempDirectory("graft_cb_led")}/capledger"
+    // TWO minhash_dedup stages — the same operator twice in one
+    // pipeline, both engaging the cap through opName=lshRepPairs in
+    // the SAME micro-batch: without the stage discriminator in the
+    // partition key the second stage's dynamic overwrite of
+    // (batch, op) silently deletes the first stage's audit rows
     val config = PipelineConfig.parse(
       s"""project: {name: cb}
          |curation:
@@ -1753,6 +1789,8 @@ class StreamingSpec extends SparkSpec {
          |    stages:
          |      - {op: minhash_dedup, index_dir: $idx, shingle_size: "2",
          |         num_hashes: "16", bands: "8", threshold: "0.5"}
+         |      - {op: minhash_dedup, index_dir: $idxB, shingle_size: "2",
+         |         num_hashes: "16", bands: "8", threshold: "0.9"}
          |""".stripMargin)
     // cap 0 = every nonempty candidate bucket overflows, so the
     // intra-batch thin-edge banding (minHashLshDedupEdges →
@@ -1775,8 +1813,15 @@ class StreamingSpec extends SparkSpec {
         (l.count(), l.select(col("batch").cast("long")).distinct()
           .collect().map(_.getLong(0)).toSeq.sorted)
       }
+      def stagesOf(batch: Long): Set[Int] = spark.read.parquet(led)
+        .filter(col("batch").cast("long") === batch)
+        .select(col("stage").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
       val first = state()
       assert(first._1 > 0L && first._2 == Seq(0L), first)
+      // both same-op stages kept their audit partitions in batch 0 —
+      // the second stage's overwrite must not delete the first's rows
+      assert(stagesOf(0L) == Set(0, 1), stagesOf(0L))
       // crash-replay: wiped checkpoint re-processes the file as batch 0
       FileUtils.deleteDirectory(new java.io.File(ck))
       val q2 = PipelineRunner.startCuration(spark, config, "cb")
