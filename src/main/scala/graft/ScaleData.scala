@@ -74,15 +74,54 @@ object ScaleData {
     done.createNewFile()
   }
 
+  /** DIVERSE-corpus documents variant (r18 verdict item 2): same
+    * ×replicas row volume, but every replica carries SIX unique tokens
+    * derived from its (already-offset, globally unique) doc_id, so —
+    * unlike the single-marker `ensure` corpus, whose replicas usually
+    * keep their base doc's 48-bit simhash FINGERPRINT (one extra token
+    * rarely flips a vote margin) — essentially every row lands a
+    * DISTINCT fingerprint and a distinct shingle set. This is the
+    * regime real web data lives in (boilerplate + unique bits): the
+    * clone collapse absorbs nothing, so the sketch tiers' candidate
+    * mass is measured against genuine diversity instead of being
+    * masked by replica collapse. documents.parquet only — the
+    * fuzzy/embedding arms keep the clone corpora, and ScaleEdges'
+    * lazily-opened tables let a documents-only dir run the
+    * documents-only ops.
+    */
+  def ensureDiverse(spark: SparkSession, src: String, out: String,
+                    replicas: Int = 10): Unit = {
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    (0 until replicas).map { k =>
+      val keyed = base.withColumn("doc_id", col("doc_id") + lit(k * Offset))
+      if (k == 0) keyed
+      else keyed.withColumn("text", concat(col("text"),
+        lit(" u"), col("doc_id").cast("string"),
+        lit(" v"), (col("doc_id") * 7).cast("string"),
+        lit(" w"), (col("doc_id") * 13).cast("string"),
+        lit(" x"), (col("doc_id") * 31).cast("string"),
+        lit(" y"), (col("doc_id") * 53).cast("string"),
+        lit(" z"), (col("doc_id") * 97).cast("string")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    done.createNewFile()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ensure(spark, args.headOption.getOrElse("/root/testdata/sf0.1"),
-      if (args.length > 1) args(1) else "/tmp/graft_sf1_full",
-      replicas = if (args.length > 2) args(2).toInt else 10)
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1_full"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    if (args.length > 3 && args(3) == "diverse")
+      ensureDiverse(spark, src, out, replicas)
+    else ensure(spark, src, out, replicas)
     spark.stop()
   }
 }

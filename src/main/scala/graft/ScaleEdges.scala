@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_GRAFT_SHUFFLE=128 \
   *     sbt "runMain graft.ScaleEdges"
   *
+  * DIVERSE-corpus arm (r19): the clone corpora above let the collapse
+  * absorb replicas, masking the distinct-fingerprint regime real web
+  * data lives in — generate the unique-token variants (documents only)
+  * and rerun the documents ops there, naming the regime in the
+  * PERFORMANCE.md adjudication:
+  *
+  *   sbt "runMain graft.ScaleData /root/testdata/sf0.1 /tmp/graft_sf1_div 10 diverse"
+  *   sbt "runMain graft.ScaleData /root/testdata/sf0.1 /tmp/graft_sf10_div 100 diverse"
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf1_div sbt "runMain graft.ScaleEdges \
+  *     minhash_thin_edges,simhash_thin_edges,simhash_candidates,minhash_candidates,simhash_auto_routed"
+  *
   * Emits ONE JSON line {"sf_dir":…,"queries":{name:sec},"rows":{name:n}}
   * — rows are reported because the ScaleData corpus's TRUE near-dup
   * pair set grows ~replicas² per document group (each base doc gains
@@ -112,6 +123,13 @@ object ScaleEdges {
       Dedup.lshCandidateStats(docs, "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16)
         .head().getAs[Long]("candidate_pairs"))
+    // the candidate-budget ROUTER at its default budget: on the clone
+    // corpora sf10 already crosses 2e9 measured candidates, and the
+    // DIVERSE corpora cross it harder — the stderr routing line +
+    // this wall record what the guard buys vs the raw simhash arm
+    timed("simhash_auto_routed")(
+      Dedup.simHashDedupEdgesAuto(docs, "doc_id", "text",
+        maxHamming = 6).count())
     // embedding near-dup thin edges (dd05's threshold/planes/tables):
     // replicas carry IDENTICAL vectors, so each base vector is an exact
     // clone group of size `replicas` — star edges linear in replicas,

@@ -160,13 +160,36 @@ object CurationStages {
         // asserts sc.getPersistentRDDs stays flat — the same
         // pin-flatness contract the index forms carry.)
         val maxDist = intParam("max_dist", 1)
+        // STICKY TIER under streaming (`sticky_tier: "true"` +
+        // `ledger_dir`): a near-threshold corpus (sf10 measured
+        // density 63.76 vs threshold 64) alternates tiers between
+        // micro-batches as sampling noise wiggles the statistic — read
+        // the PREVIOUS batch's ledger row (batch < this one, so a
+        // REPLAYED batch sees the same prior as its first attempt) and
+        // hold its tier unless the measurements leave the ±10%
+        // hysteresis band; the ledger row records any suppressed flip
+        val prevTier: Option[String] =
+          if (param("sticky_tier").contains("true")) {
+            for {
+              d <- param("ledger_dir")
+              b <- streamBatch
+              row <- scala.util.Try(
+                  spark.read.parquet(d)
+                    .filter(col("batch").cast("long") < b)
+                    .orderBy(col("batch").cast("long").desc)
+                    .select(col("tier")).limit(1).collect().headOption)
+                .toOption.flatten
+            } yield row.getString(0)
+          } else None
         // connectivity-thin edges (same router/ledger as the pairs
         // form): identical components and survivors, but an exact-dup
         // key flood contributes |group| star edges, not |group|²/2
         val (pairs, ledger) = Dedup.editDistanceDedupEdgesAuto(
           df, idCol, textCol, maxDist = maxDist,
           densityThreshold = doubleParam("density_threshold", 64.0),
-          maxMeanKeyLen = doubleParam("max_mean_key_len", 64.0))
+          maxMeanKeyLen = doubleParam("max_mean_key_len", 64.0),
+          previousTier = prevTier,
+          hysteresisPct = doubleParam("hysteresis_pct", 0.10))
         param("ledger_dir").foreach(d => writeLedger(ledger, d, streamBatch))
         val nonCanon = Components
           .connectedComponents(pairs.select(col("id1"), col("id2")),

@@ -2267,10 +2267,13 @@ object Dedup {
                             densityThreshold: Double = 64.0,
                             maxMeanKeyLen: Double = 64.0,
                             sampleSixteenths: Int = 4,
-                            numHashes: Int = 64, bands: Int = 32)
+                            numHashes: Int = 64, bands: Int = 32,
+                            previousTier: Option[String] = None,
+                            hysteresisPct: Double = 0.10)
   : (DataFrame, DataFrame) = {
     val (v, sp, ledger) = edAutoRouted(df, idCol, strCol, maxDist,
-      densityThreshold, maxMeanKeyLen, sampleSixteenths, numHashes, bands)
+      densityThreshold, maxMeanKeyLen, sampleSixteenths, numHashes, bands,
+      previousTier, hysteresisPct)
     // pairs schema matches editDistancePairs: (id1, id2, dist)
     (expandStringPairs(v, sp), ledger)
   }
@@ -2288,10 +2291,13 @@ object Dedup {
                                  densityThreshold: Double = 64.0,
                                  maxMeanKeyLen: Double = 64.0,
                                  sampleSixteenths: Int = 4,
-                                 numHashes: Int = 64, bands: Int = 32)
+                                 numHashes: Int = 64, bands: Int = 32,
+                                 previousTier: Option[String] = None,
+                                 hysteresisPct: Double = 0.10)
   : (DataFrame, DataFrame) = {
     val (v, sp, ledger) = edAutoRouted(df, idCol, strCol, maxDist,
-      densityThreshold, maxMeanKeyLen, sampleSixteenths, numHashes, bands)
+      densityThreshold, maxMeanKeyLen, sampleSixteenths, numHashes, bands,
+      previousTier, hysteresisPct)
     (thinStringEdges(v, sp), ledger)
   }
 
@@ -2317,10 +2323,16 @@ object Dedup {
                            densityThreshold: Double,
                            maxMeanKeyLen: Double,
                            sampleSixteenths: Int,
-                           numHashes: Int, bands: Int)
+                           numHashes: Int, bands: Int,
+                           previousTier: Option[String] = None,
+                           hysteresisPct: Double = 0.10)
   : (DataFrame, DataFrame, DataFrame) = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2, got $maxDist")
+    require(hysteresisPct >= 0.0 && hysteresisPct < 1.0,
+      s"hysteresisPct must be in [0, 1), got $hysteresisPct")
+    previousTier.foreach(t => require(t == "exact" || t == "minhash",
+      s"""previousTier must be "exact" or "minhash", got "$t""""))
     val spark = df.sparkSession
     val v = compactTemplate(
       df.select(col(idCol).as("id"), col(strCol).as("s")))
@@ -2337,21 +2349,53 @@ object Dedup {
       .distinct()
       .agg(coalesce(avg(length(col("s"))), lit(0.0)))
       .head().getDouble(0)
-    val tier =
+    val rawTier =
       if (density > densityThreshold || meanLen > maxMeanKeyLen) "minhash"
       else "exact"
+    // TIER HYSTERESIS (r18 verdict item 4): a corpus whose measured
+    // density sits AT the threshold (sf10 measured 63.76 vs 64)
+    // alternates tiers between crawls as sampling noise and corpus
+    // drift wiggle the statistic — both tiers are correct (parity
+    // spec'd), but a flip re-pays plan warmup and makes audit ledgers
+    // read as churn. With `previousTier` supplied (e.g. the previous
+    // crawl's ledger row under the streaming fall-through), the tier
+    // only flips when the measurements leave a ±hysteresisPct band
+    // around their thresholds: minhash needs density or length
+    // CONFIDENTLY over (> (1+h)·threshold), exact needs both
+    // CONFIDENTLY under (<= (1-h)·threshold). Inside the band the
+    // previous tier holds and the ledger records the suppressed flip.
+    val confidentlyMinhash =
+      density > densityThreshold * (1.0 + hysteresisPct) ||
+        meanLen > maxMeanKeyLen * (1.0 + hysteresisPct)
+    val confidentlyExact =
+      density <= densityThreshold * (1.0 - hysteresisPct) &&
+        meanLen <= maxMeanKeyLen * (1.0 - hysteresisPct)
+    val tier = previousTier match {
+      case Some("exact") if rawTier == "minhash" && !confidentlyMinhash =>
+        "exact"
+      case Some("minhash") if rawTier == "exact" && !confidentlyExact =>
+        "minhash"
+      case _ => rawTier
+    }
+    val suppressedFlip = tier != rawTier
     System.err.println(
       s"[graft] fuzzy routing: tier=$tier density=$density " +
         s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
-        s"(max $maxMeanKeyLen) max_bucket=$maxBucket maxDist=$maxDist")
+        s"(max $maxMeanKeyLen) max_bucket=$maxBucket maxDist=$maxDist" +
+        (if (suppressedFlip)
+          s" suppressed_flip=true (raw=$rawTier held=${previousTier.get}" +
+            s" hysteresis=$hysteresisPct)"
+         else ""))
     val sp =
       if (tier == "minhash") edLshSelfStringPairs(v, maxDist, numHashes, bands)
       else edSelfStringPairs(v, maxDist)
     import spark.implicits._
     val ledger = Seq((tier, density, densityThreshold, meanLen,
-        maxMeanKeyLen, maxBucket, sampleSixteenths, maxDist))
+        maxMeanKeyLen, maxBucket, sampleSixteenths, maxDist,
+        rawTier, previousTier.getOrElse(""), suppressedFlip))
       .toDF("tier", "density", "density_threshold", "mean_key_cp",
-        "max_mean_key_cp", "max_bucket", "sample_sixteenths", "max_dist")
+        "max_mean_key_cp", "max_bucket", "sample_sixteenths", "max_dist",
+        "raw_tier", "previous_tier", "suppressed_flip")
     (v, sp, ledger)
   }
 

@@ -1506,6 +1506,55 @@ class OperatorsSpec extends SparkSpec {
     assert(nEdges >= 4999L && nEdges <= 4999L + 50L, nEdges)
   }
 
+  test("fuzzy router hysteresis: a measurement inside the ±band holds " +
+    "the previous tier in BOTH directions and the ledger records the " +
+    "suppressed flip; outside the band it flips; without previousTier " +
+    "the raw rule is unchanged") {
+    import graft.operators.Dedup
+    // template-dense corpus with a stable nonzero measured density —
+    // the thresholds below are DERIVED from the measurement, so the
+    // spec places the density inside/outside the band exactly
+    val corpus = (0L until 200L).map(i =>
+      (i, f"rec-$i%03d-${(i * 7) % 10}")).toDF("id", "s")
+    def route(thr: Double, prev: Option[String]) = {
+      val (_, l) = Dedup.editDistanceDedupEdgesAuto(corpus, "id", "s",
+        maxDist = 1, densityThreshold = thr, maxMeanKeyLen = 1000.0,
+        sampleSixteenths = 16, previousTier = prev)
+      l.collect().head
+    }
+    val d = route(64.0, None).getAs[Double]("density")
+    assert(d > 1.0, s"corpus density $d too low to derive band thresholds")
+    // no previousTier: the raw rule, exactly as before
+    val raw = route(d / 1.05, None)
+    assert(raw.getAs[String]("tier") == "minhash" &&
+      !raw.getAs[Boolean]("suppressed_flip") &&
+      raw.getAs[String]("previous_tier") == "", raw)
+    // raw says minhash but density is within +10% of the threshold:
+    // a previous "exact" holds, and the ledger says so
+    val held = route(d / 1.05, Some("exact"))
+    assert(held.getAs[String]("tier") == "exact" &&
+      held.getAs[String]("raw_tier") == "minhash" &&
+      held.getAs[Boolean]("suppressed_flip"), held)
+    // confidently over (+20%): flips to minhash despite the previous
+    val flip = route(d / 1.2, Some("exact"))
+    assert(flip.getAs[String]("tier") == "minhash" &&
+      !flip.getAs[Boolean]("suppressed_flip"), flip)
+    // raw says exact but only just (within -10%): previous "minhash"
+    // holds
+    val held2 = route(d * 1.05, Some("minhash"))
+    assert(held2.getAs[String]("tier") == "minhash" &&
+      held2.getAs[String]("raw_tier") == "exact" &&
+      held2.getAs[Boolean]("suppressed_flip"), held2)
+    // confidently under (-23%): flips back to exact
+    val flip2 = route(d * 1.3, Some("minhash"))
+    assert(flip2.getAs[String]("tier") == "exact" &&
+      !flip2.getAs[Boolean]("suppressed_flip"), flip2)
+    // (result-parity across tiers is the existing contract — exact
+    // recall guaranteed, minhash recall banded, both exact-verified —
+    // pinned by the dd15/dd30 gates; hysteresis only picks WHICH of
+    // those already-gated plans runs, so no parity re-proof here)
+  }
+
   test("bucket-cap audit ledger: graft.lsh.bucketCapLedgerDir appends " +
     "one parquet row per dropped bucket alongside the stderr line") {
     import graft.operators.Dedup

@@ -1841,6 +1841,93 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming fuzzy_dedup sticky tier: a micro-batch whose density " +
+    "dips just inside the hysteresis band HOLDS the previous batch's " +
+    "tier (ledger records the suppressed flip), and a confidently-sparse " +
+    "batch flips; a replayed batch reads the same prior as its first run") {
+    import graft.etl.{PipelineConfig, PipelineRunner}
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft_st_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_st_out").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_st_ck").toFile.getAbsolutePath
+    val led = s"${Files.createTempDirectory("graft_st_led")}/ledger"
+    // batch corpora, engineered by MEASURED density (the thresholds
+    // derive from the mild batch's own ledger measurement, so the spec
+    // places it inside the band exactly, not by guesswork):
+    //   b0 dense — one shared deletion bucket, density far above any
+    //   derived threshold; b1 mild — template keys, nonzero density;
+    //   b2 sparse — high-entropy keys, density ~0
+    val dense = (0L until 150L).map(i =>
+      (i, "prefix-" + (0x4E00 + i).toChar))
+    val mild = (1000L until 1200L).map(i =>
+      (i, f"rec-${i - 1000}%03d-${(i * 7) % 10}"))
+    val sparse = (2000L until 2100L).map(i =>
+      (i, java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)))
+    // the stage's own measurement of the mild corpus (same defaults:
+    // maxDist 1, sampleSixteenths 4)
+    val dMild = Dedup.editDistanceDedupEdgesAuto(
+        mild.toDF("doc_id", "text"), "doc_id", "text", maxDist = 1)
+      ._2.collect().head.getAs[Double]("density")
+    assert(dMild > 0.5, s"mild corpus density $dMild too low to band")
+    val dDense = Dedup.editDistanceDedupEdgesAuto(
+        dense.toDF("doc_id", "text"), "doc_id", "text", maxDist = 1)
+      ._2.collect().head.getAs[Double]("density")
+    val thr = dMild * 1.05 // mild sits at thr/1.05 ≈ 0.95·thr: in band
+    assert(dDense > thr * 1.1, s"dense $dDense not confidently over $thr")
+    val config = PipelineConfig.parse(
+      s"""project: {name: st}
+         |curation:
+         |  - id: st
+         |    input: $src
+         |    streaming: true
+         |    checkpoint: $ck
+         |    output: $out
+         |    schema: "doc_id LONG, text STRING"
+         |    stages:
+         |      - {op: fuzzy_dedup, max_dist: "1", ledger_dir: $led,
+         |         sticky_tier: "true", density_threshold: "$thr"}
+         |""".stripMargin)
+    def runBatch(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+      val q = PipelineRunner.startCuration(spark, config, "st")
+      q.processAllAvailable(); q.stop()
+    }
+    def ledgerRow(batch: Long) = spark.read.parquet(led)
+      .filter(col("batch").cast("long") === batch).collect().head
+    runBatch(dense)
+    val r0 = ledgerRow(0L)
+    assert(r0.getAs[String]("tier") == "minhash" &&
+      r0.getAs[String]("previous_tier") == "" &&
+      !r0.getAs[Boolean]("suppressed_flip"), r0)
+    runBatch(mild)
+    val r1 = ledgerRow(1L)
+    assert(r1.getAs[String]("tier") == "minhash" &&
+      r1.getAs[String]("raw_tier") == "exact" &&
+      r1.getAs[String]("previous_tier") == "minhash" &&
+      r1.getAs[Boolean]("suppressed_flip"),
+      s"mild batch must HOLD the dense batch's tier inside the band: $r1")
+    runBatch(sparse)
+    val r2 = ledgerRow(2L)
+    assert(r2.getAs[String]("tier") == "exact" &&
+      !r2.getAs[Boolean]("suppressed_flip"), r2)
+    // REPLAY determinism: the sticky read filters batch < id, so a
+    // replayed batch 2 sees batch 1's row (minhash) as its prior — not
+    // its own batch-2 "exact" row — and decides identically
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ck))
+    val qAll = PipelineRunner.startCuration(spark, config, "st")
+    qAll.processAllAvailable(); qAll.stop()
+    // the wiped checkpoint replays ALL files as one batch 0 — its
+    // prior set (batch < 0) is empty, the raw rule runs, and earlier
+    // partitions for batches 1/2 stay untouched (exactly-once)
+    val rAll = ledgerRow(0L)
+    assert(rAll.getAs[String]("previous_tier") == "", rAll)
+    assert(spark.read.parquet(led).count() == 3L,
+      "replay must overwrite its own batch partition only")
+  }
+
   test("YAML streaming curation indexes only rows that reach the output: " +
     "a dedup survivor filtered by a LATER stage is not admitted, so its " +
     "future near-duplicates still compete") {
