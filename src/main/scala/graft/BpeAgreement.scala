@@ -28,6 +28,10 @@ object BpeAgreement {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64")
     val numMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "128").toInt
+    // r18 verdict item 6: the 128-merge run hit the minPairCount floor
+    // at 102 merges — the deep-convergence run (1k+ merges, where real
+    // tokenizers live) needs the floor at 1
+    val minPair = sys.env.getOrElse("SPARK_GRAFT_BPE_MINPAIR", "2").toLong
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
@@ -39,7 +43,7 @@ object BpeAgreement {
     def trained(sx: Int): (Seq[Bpe.Merge], Double) = {
       val t0 = System.nanoTime()
       val m = Bpe.train(docs, "text", numMerges = numMerges,
-        minPairCount = 2L, sampleSixteenths = sx)
+        minPairCount = minPair, sampleSixteenths = sx)
       (m, (System.nanoTime() - t0) / 1e9)
     }
     val (full, tFull) = trained(16)
@@ -63,9 +67,11 @@ object BpeAgreement {
         s""""overlap16":${overlapAt(full, s, 16)},""" +
         s""""overlap32":${overlapAt(full, s, 32)},""" +
         s""""overlap64":${overlapAt(full, s, 64)},""" +
+        s""""overlap256":${f"${overlapAt(full, s, 256)}%.4f"},""" +
+        s""""overlap512":${f"${overlapAt(full, s, 512)}%.4f"},""" +
         s""""overlap_all":${f"${overlapAt(full, s, numMerges)}%.4f"},""" +
         s""""first_divergence":${firstDivergence(full, s)}}"""
-    println(s"""{"sf_dir":"$sfDir","num_merges":$numMerges,""" +
+    println(s"""{"sf_dir":"$sfDir","num_merges":$numMerges,"min_pair_count":$minPair,""" +
       s""""full":{"learned":${full.size},"secs":${f"$tFull%.1f"}},""" +
       s"${block("half_sample", half, tHalf)}," +
       s"${block("quarter_sample", quarter, tQuarter)}}")

@@ -606,12 +606,18 @@ object Dedup {
     * 48-bit/h=6 point), so on a DIVERSE corpus n distinct fingerprints
     * spread over a constant number of buckets and the verification
     * self-join's candidate mass Σ_bucket C(n_b, 2) grows Θ(n²) no
-    * matter how the clone collapse or the hot-bucket cap behave —
-    * measured onset at sf1→sf10: ×11.9 candidates for ×10 data
-    * (artifacts/r18/simhash_candidates_sf1_sf10.json), and a 100×
-    * diverse scale-up is ~10,000× candidates. The minhash tier does
-    * NOT share the defect: its (band, bkey) space grows with signature
-    * diversity, so collisions require genuine similarity.
+    * matter how the clone collapse or the hot-bucket cap behave.
+    * MEASURED (r19, diverse unique-token corpora — artifacts/r19/
+    * scale_edges_diverse_sf{1,10}.json): sf1 531M candidates over
+    * 45.8k distinct fingerprints in 812 buckets (wall 113 s); sf10
+    * 33.05 BILLION over 384k fingerprints in 831 buckets — ×62 for
+    * ×10 data, a projected ~2 h raw wall at the measured 0.21 µs per
+    * candidate, where this router's pre-flight cost 4.2 s and the
+    * routed minhash arm finished in ~8 min. The minhash tier does
+    * NOT share the defect: its (band, bkey) space grows with
+    * signature diversity, so collisions require genuine similarity —
+    * 1.7M candidates on the same sf1 corpus (314× less), 170M at
+    * sf10 (all true near-dup structure, per-candidate cost falling).
     *
     * PRE-FLIGHT: [[simHashCandidateStats]] — one aggregate over the
     * collapsed pigeonhole blocking, no join — measures the EXACT
