@@ -636,12 +636,16 @@ object Dedup {
     *    routed form carries its own oracle gate (dd32) rather than
     *    inheriting dd03's.
     *  - `"cap"`: stay on the simhash relation but auto-engage the
-    *    hot-bucket cap at `fallbackBucketCap` distinct fingerprints
-    *    per (blk, bval) bucket, bounding candidate mass at
-    *    ~buckets × C(cap, 2) independent of n. The trade is RECALL
-    *    (pairs connected ONLY through a dropped bucket are lost), with
-    *    the same stderr + optional `graft.lsh.bucketCapLedgerDir`
-    *    audit trail as every capped join.
+    *    hot-bucket cap, bounding candidate mass at ~buckets × C(cap, 2)
+    *    independent of n. `fallbackBucketCap` = -1 (default) DERIVES
+    *    the cap from the measurements the pre-flight already paid for:
+    *    the largest c with buckets · C(c, 2) <= candidateBudget — the
+    *    budget keeps one meaning on both fallbacks instead of the cap
+    *    being a second magic number; pass an explicit cap to override.
+    *    The trade is RECALL (pairs connected ONLY through a dropped
+    *    bucket are lost), with the same stderr + optional
+    *    `graft.lsh.bucketCapLedgerDir` audit trail as every capped
+    *    join.
     *
     * The same guarded-quadratic eligibility discipline as the
     * clone-density router ([[ngramJaccardDedupEdgesAutoLedger]]) and
@@ -650,7 +654,8 @@ object Dedup {
     * linear fingerprint pass — noise against either arm's join.
     *
     * Ledger row: (route, fallback, distinct_fingerprints, buckets,
-    * candidate_pairs, candidate_budget, max_hamming).
+    * candidate_pairs, candidate_budget, max_hamming, bucket_cap —
+    * the engaged per-bucket cap on the "cap" route, 0 otherwise).
     */
   def simHashDedupEdgesAutoLedger(df: DataFrame, idCol: String,
                                   textCol: String, maxHamming: Int,
@@ -659,14 +664,15 @@ object Dedup {
                                   shingleSize: Int = 3, numHashes: Int = 64,
                                   bands: Int = 16,
                                   minEstJaccard: Double = 0.9,
-                                  fallbackBucketCap: Int = 4096)
+                                  fallbackBucketCap: Int = -1)
   : (DataFrame, DataFrame) = {
     require(candidateBudget >= 0L,
       s"candidateBudget must be >= 0, got $candidateBudget")
     require(fallback == "minhash" || fallback == "cap",
       s"""fallback must be "minhash" or "cap", got "$fallback"""")
-    require(fallbackBucketCap >= 0,
-      s"fallbackBucketCap must be >= 0, got $fallbackBucketCap")
+    require(fallbackBucketCap >= -1,
+      s"fallbackBucketCap must be >= 0, or -1 to derive it from the " +
+        s"budget, got $fallbackBucketCap")
     // validated before routing so every route fails identically
     require(minEstJaccard <= 1.0,
       "minEstJaccard must be <= 1.0 (intra-clone pairs sit at exactly " +
@@ -677,12 +683,23 @@ object Dedup {
       (st.getLong(0), st.getLong(1), st.getLong(2))
     val over = cand > candidateBudget
     val route = if (!over) "simhash" else fallback
+    // the engaged per-bucket cap on the "cap" route: explicit, or
+    // derived as the largest c with buckets · C(c, 2) <= budget (so
+    // the capped join's worst-case candidate mass honors the SAME
+    // budget the routing decision used), never below 1
+    val engagedCap: Int =
+      if (route != "cap") 0
+      else if (fallbackBucketCap >= 0) fallbackBucketCap
+      else math.max(1L, ((1.0 + math.sqrt(
+        1.0 + 8.0 * candidateBudget / math.max(1L, buckets))) / 2.0).toLong)
+        .min(Int.MaxValue.toLong).toInt
     System.err.println(
       s"[graft] simhash dedup-edges routing: route=$route " +
         s"candidate_pairs=$cand (budget $candidateBudget) " +
         s"distinct_fingerprints=$nFp buckets=$buckets " +
         s"max_hamming=$maxHamming" +
-        (if (over && fallback == "cap") s" bucket_cap=$fallbackBucketCap"
+        (if (route == "cap") s" bucket_cap=$engagedCap" +
+          (if (fallbackBucketCap < 0) " (derived)" else "")
          else ""))
     val edges = route match {
       case "simhash" =>
@@ -693,14 +710,15 @@ object Dedup {
       case "cap" =>
         val (members, repPairs) = simHashRepPairs(df, idCol, textCol,
           maxHamming, hotBucketWarn = Int.MaxValue,
-          capOverride = Some(fallbackBucketCap))
+          capOverride = Some(engagedCap))
         thinComponentEdges(members, Seq("__g"), repPairs)
     }
     import spark.implicits._
     val ledger = Seq((route, fallback, nFp, buckets, cand,
-        candidateBudget, maxHamming))
+        candidateBudget, maxHamming, engagedCap))
       .toDF("route", "fallback", "distinct_fingerprints", "buckets",
-        "candidate_pairs", "candidate_budget", "max_hamming")
+        "candidate_pairs", "candidate_budget", "max_hamming",
+        "bucket_cap")
     (edges, ledger)
   }
 
@@ -713,7 +731,7 @@ object Dedup {
                             fallback: String = "minhash",
                             shingleSize: Int = 3, numHashes: Int = 64,
                             bands: Int = 16, minEstJaccard: Double = 0.9,
-                            fallbackBucketCap: Int = 4096): DataFrame =
+                            fallbackBucketCap: Int = -1): DataFrame =
     simHashDedupEdgesAutoLedger(df, idCol, textCol, maxHamming,
       candidateBudget, fallback, shingleSize, numHashes, bands,
       minEstJaccard, fallbackBucketCap)._1

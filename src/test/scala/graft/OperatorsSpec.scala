@@ -1753,6 +1753,29 @@ class OperatorsSpec extends SparkSpec {
           fallback = "cap", fallbackBucketCap = 10)._1)
       } finally spark.conf.unset("graft.lsh.bucketCap")
     assert(confLoose == capSet)
+    // (4) DERIVED cap (fallbackBucketCap = -1, the default): the
+    // engaged cap is the largest c with buckets · C(c, 2) <= budget —
+    // the budget keeps one meaning on both fallbacks — recorded in
+    // the ledger and identical to the conf path at that cap
+    val budget = cand - 1
+    val (eDer, lDer) = Dedup.simHashDedupEdgesAutoLedger(flood, "id",
+      "text", maxHamming = 6, candidateBudget = budget, fallback = "cap")
+    val dRow = lDer.head()
+    val nBuckets = dRow.getAs[Long]("buckets")
+    val expect = math.max(1L,
+      ((1.0 + math.sqrt(1.0 + 8.0 * budget / nBuckets)) / 2.0).toLong)
+    assert(dRow.getAs[Int]("bucket_cap") == expect.toInt, dRow)
+    assert(nBuckets * expect * (expect - 1) / 2 <= budget,
+      "the derived cap must bound worst-case candidate mass by the budget")
+    val confDer =
+      try {
+        spark.conf.set("graft.lsh.bucketCap", expect.toString)
+        edgeSet(Dedup.simHashDedupEdges(flood, "id", "text", maxHamming = 6))
+      } finally spark.conf.unset("graft.lsh.bucketCap")
+    assert(edgeSet(eDer) == confDer)
+    // non-cap routes record bucket_cap = 0
+    assert(lowRow.getAs[Int]("bucket_cap") == 0 &&
+      lMh.head().getAs[Int]("bucket_cap") == 0)
   }
 
   test("band join equals the brute-force range join on random doubles") {
