@@ -2908,7 +2908,11 @@ object Dedup {
     * oracle), collision-dense or long-key corpora run the char-bigram
     * MinHash-LSH tier (left-vs-right band join, exact-verified
     * precision, banding recall). Returns (links, one-row ledger) with
-    * the same schema conventions as the self-join router.
+    * the same schema conventions as the self-join router — including
+    * the hysteresis columns: a nightly re-linkage of a near-threshold
+    * corpus alternates tiers exactly like the dedup crawl, so
+    * `previousTier` (e.g. the previous run's ledger row) +
+    * `hysteresisPct` apply the same ±band rule as [[edAutoRouted]].
     */
   def fuzzyLinkAuto(left: DataFrame, lIdCol: String, lStrCol: String,
                     right: DataFrame, rIdCol: String, rStrCol: String,
@@ -2916,10 +2920,16 @@ object Dedup {
                     densityThreshold: Double = 64.0,
                     maxMeanKeyLen: Double = 64.0,
                     sampleSixteenths: Int = 4,
-                    numHashes: Int = 64, bands: Int = 32)
+                    numHashes: Int = 64, bands: Int = 32,
+                    previousTier: Option[String] = None,
+                    hysteresisPct: Double = 0.10)
   : (DataFrame, DataFrame) = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2, got $maxDist")
+    require(hysteresisPct >= 0.0 && hysteresisPct < 1.0,
+      s"hysteresisPct must be in [0, 1), got $hysteresisPct")
+    previousTier.foreach(t => require(t == "exact" || t == "minhash",
+      s"""previousTier must be "exact" or "minhash", got "$t""""))
     val spark = left.sparkSession
     val l0 = left.select(col(lIdCol).as("id"), col(lStrCol).as("s"))
     val r0 = right.select(col(rIdCol).as("id"), col(rStrCol).as("s"))
@@ -2936,13 +2946,33 @@ object Dedup {
       .distinct()
       .agg(coalesce(avg(length(col("s"))), lit(0.0)))
       .head().getDouble(0)
-    val tier =
+    val rawTier =
       if (density > densityThreshold || meanLen > maxMeanKeyLen) "minhash"
       else "exact"
+    // the edAutoRouted hysteresis band, verbatim: flips need the
+    // measurements CONFIDENTLY outside ±hysteresisPct
+    val confidentlyMinhash =
+      density > densityThreshold * (1.0 + hysteresisPct) ||
+        meanLen > maxMeanKeyLen * (1.0 + hysteresisPct)
+    val confidentlyExact =
+      density <= densityThreshold * (1.0 - hysteresisPct) &&
+        meanLen <= maxMeanKeyLen * (1.0 - hysteresisPct)
+    val tier = previousTier match {
+      case Some("exact") if rawTier == "minhash" && !confidentlyMinhash =>
+        "exact"
+      case Some("minhash") if rawTier == "exact" && !confidentlyExact =>
+        "minhash"
+      case _ => rawTier
+    }
+    val suppressedFlip = tier != rawTier
     System.err.println(
       s"[graft] fuzzy-link routing: tier=$tier density=$density " +
         s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
-        s"(max $maxMeanKeyLen) max_bucket=$maxBucket maxDist=$maxDist")
+        s"(max $maxMeanKeyLen) max_bucket=$maxBucket maxDist=$maxDist" +
+        (if (suppressedFlip)
+          s" suppressed_flip=true (raw=$rawTier held=${previousTier.get}" +
+            s" hysteresis=$hysteresisPct)"
+         else ""))
     val links =
       if (tier == "exact")
         fuzzyLink(left, lIdCol, lStrCol, right, rIdCol, rStrCol, maxDist)
@@ -2977,9 +3007,11 @@ object Dedup {
       }
     import spark.implicits._
     val ledger = Seq((tier, density, densityThreshold, meanLen,
-        maxMeanKeyLen, maxBucket, sampleSixteenths, maxDist))
+        maxMeanKeyLen, maxBucket, sampleSixteenths, maxDist,
+        rawTier, previousTier.getOrElse(""), suppressedFlip))
       .toDF("tier", "density", "density_threshold", "mean_key_cp",
-        "max_mean_key_cp", "max_bucket", "sample_sixteenths", "max_dist")
+        "max_mean_key_cp", "max_bucket", "sample_sixteenths", "max_dist",
+        "raw_tier", "previous_tier", "suppressed_flip")
     (links, ledger)
   }
 }

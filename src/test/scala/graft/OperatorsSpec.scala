@@ -1549,10 +1549,28 @@ class OperatorsSpec extends SparkSpec {
     val flip2 = route(d * 1.3, Some("minhash"))
     assert(flip2.getAs[String]("tier") == "exact" &&
       !flip2.getAs[Boolean]("suppressed_flip"), flip2)
+    // the CROSS-TABLE twin (fuzzyLinkAuto — a nightly re-linkage of a
+    // near-threshold corpus alternates exactly like the dedup crawl):
+    // same band rule, own measurement over the two-sided union
+    val right = corpus.select((col("id") + 1000L).as("rid"),
+      col("s").as("rs"))
+    def linkRoute(thr: Double, prev: Option[String]) =
+      Dedup.fuzzyLinkAuto(corpus, "id", "s", right, "rid", "rs",
+        maxDist = 1, densityThreshold = thr, maxMeanKeyLen = 1000.0,
+        sampleSixteenths = 16, previousTier = prev)._2.collect().head
+    val dl = linkRoute(64.0, None).getAs[Double]("density")
+    assert(dl > 1.0, s"link density $dl too low to band")
+    val lHeld = linkRoute(dl / 1.05, Some("exact"))
+    assert(lHeld.getAs[String]("tier") == "exact" &&
+      lHeld.getAs[String]("raw_tier") == "minhash" &&
+      lHeld.getAs[Boolean]("suppressed_flip"), lHeld)
+    val lFlip = linkRoute(dl / 1.2, Some("exact"))
+    assert(lFlip.getAs[String]("tier") == "minhash" &&
+      !lFlip.getAs[Boolean]("suppressed_flip"), lFlip)
     // (result-parity across tiers is the existing contract — exact
     // recall guaranteed, minhash recall banded, both exact-verified —
-    // pinned by the dd15/dd30 gates; hysteresis only picks WHICH of
-    // those already-gated plans runs, so no parity re-proof here)
+    // pinned by the dd15/dd17/dd30 gates; hysteresis only picks WHICH
+    // of those already-gated plans runs, so no parity re-proof here)
   }
 
   test("bucket-cap audit ledger: graft.lsh.bucketCapLedgerDir appends " +
