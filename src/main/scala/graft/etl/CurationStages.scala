@@ -51,6 +51,48 @@ object CurationStages {
       case None => ledger.write.mode("append").parquet(dir)
     }
 
+  /** Previous-batch tier for a sticky `fuzzy_dedup` stage, O(1) on the
+    * happy path: Structured Streaming's batch ids are contiguous, so
+    * batch `b`'s prior row lives in exactly `$dir/batch=${b-1}` — that
+    * ONE partition is probed directly instead of listing the whole
+    * ledger (one directory per batch: the full-scan probe pays an O(B)
+    * listing at batch B, an O(B²) cumulative control-path cost over a
+    * long stream's lifetime). Only when that partition is absent (a
+    * retention gap) does the read widen to a full scan — restricted to
+    * LIVE rows (`batch >= 0`): [[graft.operators.BatchCompaction]]
+    * folds compacted ledger rows under `batch=-1` WITHOUT preserving
+    * their original batch order, so a compacted row is never a valid
+    * "most recent prior" (the tied batch=-1 partition would yield an
+    * arbitrary member). No live prior ⇒ None ⇒ the raw routing rule —
+    * i.e. COMPACTION RESETS STICKINESS for any batch whose prior was
+    * folded (with `compact_retain >= 1`, the default, the previous
+    * batch is live on every first attempt; only a crash between a
+    * retain=1 end-of-batch compaction and the stream commit can replay
+    * into the reset). Errors are NOT swallowed: a missing dir/partition
+    * is handled by existence checks, so any exception out of the reads
+    * is a real ledger failure (corruption, permissions) and propagates.
+    */
+  private[graft] def stickyPriorTier(spark: SparkSession, dir: String,
+                                     batch: Long): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) return None
+    val prev = new Path(d, s"batch=${batch - 1}")
+    val rows =
+      if (batch > 0 && fs.exists(prev))
+        // partition-pruned to the one known directory (the partition
+        // value is the path, so the files carry only the data columns)
+        spark.read.parquet(prev.toString).select(col("tier"))
+      else
+        spark.read.parquet(dir)
+          .filter(col("batch").cast("long") >= 0 &&
+            col("batch").cast("long") < batch)
+          .orderBy(col("batch").cast("long").desc)
+          .select(col("tier"))
+    rows.limit(1).collect().headOption.map(_.getString(0))
+  }
+
   /** Apply one stage to the document frame. `streamBatch` is set only
     * by the streaming fall-through: it switches ledger appends to
     * per-batch partition overwrites (see [[writeLedger]]); the stage
@@ -164,22 +206,19 @@ object CurationStages {
         // `ledger_dir`): a near-threshold corpus (sf10 measured
         // density 63.76 vs threshold 64) alternates tiers between
         // micro-batches as sampling noise wiggles the statistic — read
-        // the PREVIOUS batch's ledger row (batch < this one, so a
-        // REPLAYED batch sees the same prior as its first attempt) and
-        // hold its tier unless the measurements leave the ±10%
-        // hysteresis band; the ledger row records any suppressed flip
+        // the PREVIOUS batch's ledger row ([[stickyPriorTier]]: the
+        // batch ids are contiguous, so batch b-1's partition is probed
+        // DIRECTLY, and a REPLAYED batch sees the same prior as its
+        // first attempt) and hold its tier unless the measurements
+        // leave the ±10% hysteresis band; the ledger row records any
+        // suppressed flip
         val prevTier: Option[String] =
           if (param("sticky_tier").contains("true")) {
             for {
               d <- param("ledger_dir")
               b <- streamBatch
-              row <- scala.util.Try(
-                  spark.read.parquet(d)
-                    .filter(col("batch").cast("long") < b)
-                    .orderBy(col("batch").cast("long").desc)
-                    .select(col("tier")).limit(1).collect().headOption)
-                .toOption.flatten
-            } yield row.getString(0)
+              t <- stickyPriorTier(spark, d, b)
+            } yield t
           } else None
         // connectivity-thin edges (same router/ledger as the pairs
         // form): identical components and survivors, but an exact-dup

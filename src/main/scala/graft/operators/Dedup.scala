@@ -288,11 +288,18 @@ object Dedup {
                             capOverride: Option[Int] = None): DataFrame = {
     val conf = banded.sparkSession.conf
     // capOverride (router-engaged, e.g. simHashDedupEdgesAutoLedger's
-    // "cap" fallback) beats the session conf — an auto-engaged cap is
-    // a per-operator decision with its own ledger row, not a
-    // session-wide policy
-    val cap = capOverride.orElse(conf.getOption("graft.lsh.bucketCap")
-      .map(_.toInt)).getOrElse(Int.MaxValue)
+    // "cap" fallback) composes with the session conf as the MIN of the
+    // two: the router's budget-derived cap is a per-operator decision
+    // with its own ledger row, but a session-wide graft.lsh.bucketCap
+    // is a global safety bound an operator set deliberately — a router
+    // must be able to TIGHTEN it, never to silently loosen it
+    val sessionCap = conf.getOption("graft.lsh.bucketCap").map(_.toInt)
+    val cap = (capOverride, sessionCap) match {
+      case (Some(o), Some(s)) => math.min(o, s)
+      case (Some(o), None)    => o
+      case (None, Some(s))    => s
+      case (None, None)       => Int.MaxValue
+    }
     require(cap >= 0, s"graft.lsh.bucketCap must be >= 0, got $cap")
     if (cap == Int.MaxValue) banded
     else {
@@ -1286,35 +1293,101 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-dup pairs (cosine >= threshold) via random-hyperplane
-    * LSH: `tables` independent 8-bit signatures; pairs agreeing on any
-    * signature are verified with exact double-precision cosine.
+  /** Shared signature stage of the embedding-LSH forms: (id, norm,
+    * sigs = array of `tables` independent `planes`-bit hyperplane
+    * signatures). Signatures via explode + hash aggregate: one sum()
+    * per (table, plane) plus the norm, all codegen'd with map-side
+    * combine. The hyperplane sign for (table, plane, dim) comes from
+    * the md5 sign table (Similarity.mdSign, plane index t*planes+p)
+    * embedded as literal arrays — constant-folded per lane, and
+    * REPLAYABLE by the DuckDB oracle, which recomputes the same signs
+    * from md5 in SQL and therefore reproduces the exact candidate set,
+    * misses and all.
     */
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, planes: Int = 8,
-                            tables: Int = 4): DataFrame = {
+  private def embeddingSigs(df: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, tables: Int): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    // signatures via explode + hash aggregate: one sum() per (table,
-    // plane) plus the norm, all codegen'd with map-side combine. The
-    // hyperplane sign for (table, plane, dim) comes from the md5 sign
-    // table (Similarity.mdSign, plane index t*planes+p) embedded as
-    // literal arrays — constant-folded per lane, and REPLAYABLE by the
-    // DuckDB oracle, which recomputes the same signs from md5 in SQL
-    // and therefore reproduces the exact candidate set, misses and all.
     val dims = v.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
     val dotAggs = (for (t <- 0 until tables; p <- 0 until planes) yield {
       val signs = lit((0 until Similarity.MaxSignDims)
         .map(d => Similarity.mdSign(42, t * planes + p, d)).toArray)
       sum(col("x") * element_at(signs, col("d") + 1)).as(s"__dot_${t}_$p")
     }) :+ sum(col("x") * col("x")).as("__norm2")
-    val sigs = dims.groupBy(col("id")).agg(dotAggs.head, dotAggs.tail: _*)
+    dims.groupBy(col("id")).agg(dotAggs.head, dotAggs.tail: _*)
       .select(col("id"), sqrt(col("__norm2")).as("norm"),
         array((0 until tables).map { t =>
           (0 until planes).map { p =>
             when(col(s"__dot_${t}_$p") > 0, lit(1L << p)).otherwise(lit(0L))
           }.reduce((a, b) => a.bitwiseOR(b))
         }: _*).as("sigs"))
+  }
+
+  /** One-row candidate-volume DIAGNOSTIC for the embedding hyperplane
+    * blocking: (distinct_signatures, buckets, candidate_pairs) where
+    * distinct_signatures counts distinct signature ARRAYS (the clone
+    * collapse unit — identical vectors sign identically everywhere)
+    * and candidate_pairs = Σ_bucket C(n, 2) over the (tbl, sig)
+    * buckets of collapsed representatives — the EXACT self-join volume
+    * [[embeddingNearDupPairs]]' verification stage pays (a pair
+    * colliding in k tables is counted k times, exactly as the join
+    * emits it before its distinct). One aggregate over the signature
+    * frame, no join — [[simHashCandidateStats]]' counterpart for the
+    * embedding tier, and [[embeddingNearDupDedupEdgesAutoLedger]]'s
+    * pre-flight. The number to watch at scale: the (tbl, sig) space is
+    * FIXED at tables × 2^planes buckets, so on a DIVERSE vector corpus
+    * (every document embeds to a distinct float vector — the norm, not
+    * the corner) candidate mass grows Θ(n²) in distinct signatures no
+    * matter how the clone collapse or a hot-bucket cap behave.
+    */
+  def embeddingCandidateStats(df: DataFrame, idCol: String, vecCol: String,
+                              planes: Int = 8, tables: Int = 4): DataFrame = {
+    val sigs = embeddingSigs(df, idCol, vecCol, planes, tables)
+    val skey = Seq(xxhash64(col("sigs")).as("__k1"),
+      xxhash64(lit(1), col("sigs")).as("__k2"))
+    val groups = sigs.select(skey :+ col("sigs"): _*)
+      .groupBy(col("__k1"), col("__k2"))
+      .agg(first(col("sigs")).as("sigs"))
+    groups.select(posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .groupBy(col("tbl"), col("sig")).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("buckets"),
+        coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+          .cast("long").as("candidate_pairs"))
+      .crossJoin(groups.agg(count(lit(1)).as("distinct_signatures")))
+      .select(col("distinct_signatures"), col("buckets"),
+        col("candidate_pairs"))
+  }
+
+  /** Embedding near-dup pairs (cosine >= threshold) via random-hyperplane
+    * LSH: `tables` independent 8-bit signatures; pairs agreeing on any
+    * signature are verified with exact double-precision cosine.
+    *
+    * SCALE CEILING on DIVERSE corpora: the (tbl, sig) bucket space is
+    * FIXED (tables × 2^planes — 512 at the dd05-wired planes=6/
+    * tables=8), so candidate mass is Θ(n²) in DISTINCT signature
+    * arrays, and the clone collapse absorbs only bit-identical
+    * vectors — which real embedding corpora essentially never contain.
+    * For survivor selection, go through
+    * [[embeddingNearDupDedupEdgesAutoLedger]], whose one-aggregate
+    * pre-flight routes over-budget corpora to the IVF-clustered
+    * blocking (growing cluster count, same verify predicate) or
+    * auto-engages the audited bucket cap. The pairs form has no routed
+    * equivalent because its OUTPUT is the pair set itself; measure
+    * with [[embeddingCandidateStats]] before running it at scale.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Int = 8,
+                            tables: Int = 4): DataFrame =
+    embeddingNearDupPairsImpl(df, idCol, vecCol, threshold, planes, tables,
+      capOverride = None)
+
+  private def embeddingNearDupPairsImpl(df: DataFrame, idCol: String,
+                                        vecCol: String, threshold: Double,
+                                        planes: Int, tables: Int,
+                                        capOverride: Option[Int]): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sigs = embeddingSigs(df, idCol, vecCol, planes, tables)
     // candidate id-pairs first (ids only through the 8-way bucket join,
     // deduped BEFORE the 64-dim vectors are attached — an 8x cut in
     // array bytes shuffled), then one exact-cosine verification pass.
@@ -1336,7 +1409,7 @@ object Dedup {
     val bucketed = capHotBuckets(
       groups.select(col("__k1"), col("__k2"),
         posexplode(col("sigs")).as(Seq("tbl", "sig"))),
-      Seq("tbl", "sig"), "embeddingNearDupPairs")
+      Seq("tbl", "sig"), "embeddingNearDupPairs", capOverride)
     val repCand = bucketed.select(col("tbl"), col("sig"),
         col("__k1").as("__k1_a"), col("__k2").as("__k2_a"))
       .join(bucketed.select(col("tbl"), col("sig"),
@@ -1368,7 +1441,33 @@ object Dedup {
     */
   def embeddingNearDupDedupEdges(df: DataFrame, idCol: String, vecCol: String,
                                  threshold: Double, planes: Int = 8,
-                                 tables: Int = 4): DataFrame = {
+                                 tables: Int = 4): DataFrame =
+    embeddingNearDupDedupEdgesImpl(df, idCol, vecCol, threshold, planes,
+      tables, capOverride = None)
+
+  private def embeddingNearDupDedupEdgesImpl(df: DataFrame, idCol: String,
+                                             vecCol: String, threshold: Double,
+                                             planes: Int, tables: Int,
+                                             capOverride: Option[Int])
+  : DataFrame =
+    embeddingDedupEdgesVia(df, idCol, vecCol, threshold)(canonDf =>
+      embeddingNearDupPairsImpl(canonDf, "id", "v", threshold, planes,
+        tables, capOverride))
+
+  /** The clone-collapse + star-expansion skeleton shared by every
+    * embedding survivor-selection arm: collapse on the VECTOR (two
+    * xxhash64 lanes over the double array — the vector pins cosine),
+    * run `candidates` (canonDf → verified (id1, id2) pairs at the
+    * shared [[cosineVerify]] predicate) over one canonical row per
+    * distinct vector, and emit a group's star iff its self-cosine
+    * clears the threshold through the SAME verification expression.
+    * Internal pins follow the resolveDuplicates batch-op trade.
+    * PRECONDITION: distinct ids.
+    */
+  private def embeddingDedupEdgesVia(df: DataFrame, idCol: String,
+                                     vecCol: String, threshold: Double)
+                                    (candidates: DataFrame => DataFrame)
+  : DataFrame = {
     require(threshold <= 1.0,
       "threshold must be <= 1.0 (identical-vector pairs verify at " +
         s"cosine 1.0, so a higher cut would drop whole clone groups), got $threshold")
@@ -1383,8 +1482,7 @@ object Dedup {
     val canonDf = v.join(canon.select(col("__cid").as("id")),
         Seq("id"), "left_semi")
       .localCheckpoint()
-    val groupPairs = embeddingNearDupPairs(canonDf, "id", "v", threshold,
-      planes, tables).select(col("id1"), col("id2"))
+    val groupPairs = candidates(canonDf).select(col("id1"), col("id2"))
     // star eligibility: the member path's intra candidates run through
     // cosineVerify — replay it per group on the canonical vector
     val dimsN = probeDims(df, vecCol)
@@ -1402,6 +1500,191 @@ object Dedup {
       .select(col("__cid").as("id1"), col("id").as("id2"))
     star.unionByName(groupPairs)
   }
+
+  /** [[embeddingNearDupDedupEdges]]' SCALE-SAFE sibling: the same
+    * clone collapse, star expansion, and exact-cosine pair predicate
+    * (round(cos, 6) >= threshold through the shared [[cosineVerify]]
+    * expression), but candidates come from an IVF-CLUSTERED blocking
+    * instead of the fixed hyperplane buckets — assignment by argmin
+    * squared L2 against nlist md5-sampled centroids (the dd14/ann03
+    * rule, externally replayable), candidates = same-cluster canonical
+    * pairs. nlist <= 0 DERIVES from the corpus as
+    * ceil(distinct_vectors / graft.semanticDedup.targetClusterSize)
+    * (default 1024, min 16) — the [[semanticDedup]] discipline: the
+    * bucket space GROWS with n, so expected per-cluster pair cost
+    * stays constant as the corpus scales, the property the hyperplane
+    * blocking lacks. The trade against the LSH arm is RECALL SHAPE,
+    * not predicate: a near-dup pair split across two clusters is
+    * missed here, a pair the `tables` sketches all miss is missed
+    * there — both candidate generators feed the identical verifier,
+    * which is what makes the router's fallback an apples-to-apples
+    * survivor graph ([[embeddingNearDupDedupEdgesAutoLedger]]).
+    */
+  def embeddingIvfDedupEdges(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, nlist: Int = 0): DataFrame =
+    embeddingDedupEdgesVia(df, idCol, vecCol, threshold)(canonDf =>
+      ivfCosinePairs(canonDf, threshold, nlist, probeDims(df, vecCol)))
+
+  /** IVF-blocked verified cosine pairs over a canonical (id, v) frame —
+    * [[embeddingIvfDedupEdges]]' candidate generator. Assignment runs
+    * MAP-SIDE against the collected nlist-row centroid table
+    * (Similarity.centroidAssigner — the blessed bounded collect); the
+    * cluster self-join ships ids only, and vectors re-attach in
+    * [[cosineVerify]] over the cluster-bounded candidate set.
+    */
+  private def ivfCosinePairs(canonDf: DataFrame, threshold: Double,
+                             nlist: Int, dims: Int): DataFrame = {
+    val spark = canonDf.sparkSession
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val target = spark.conf
+          .getOption("graft.semanticDedup.targetClusterSize").map(_.toInt)
+          .getOrElse(1024)
+        math.max(16, math.ceil(canonDf.count().toDouble / target).toInt)
+      }
+    val centPlan = Similarity.sampledCentroids(canonDf, k)
+    val centRows = centPlan.collect().toIndexedSeq
+    if (centRows.isEmpty)
+      return canonDf.limit(0)
+        .select(col("id").as("id1"), col("id").as("id2"))
+    val asg = Similarity.centroidAssigner(centRows,
+      centPlan.schema("cid").dataType, 1)
+    val assigned = canonDf.select(col("id"), asg.home(col("v")).as("__cluster"))
+    val cand = assigned.select(col("__cluster"), col("id").as("id1"))
+      .join(assigned.select(col("__cluster"), col("id").as("id2")),
+        Seq("__cluster"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    val vn = canonDf.join(
+      canonDf.select(col("id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("id")).agg(sqrt(sum(col("x") * col("x"))).as("norm")),
+      Seq("id"))
+    cosineVerify(cand, vn, threshold, dims)
+  }
+
+  /** [[embeddingNearDupDedupEdges]] behind a CANDIDATE-BUDGET router —
+    * the scale guard the embedding tier needs for the same reason
+    * simhash does ([[simHashDedupEdgesAutoLedger]], whose discipline
+    * this reuses verbatim): the hyperplane (tbl, sig) bucket space is
+    * FIXED at tables × 2^planes (512 at the dd05-wired planes=6/
+    * tables=8), so on a corpus of DISTINCT vectors — the norm for real
+    * embeddings, where every document embeds to a distinct float
+    * vector — n distinct signature arrays spread over a constant
+    * bucket count and the verification self-join's candidate mass
+    * Σ_bucket C(n_b, 2) grows Θ(n²) regardless of the clone collapse
+    * or the hot-bucket cap. (r18's 0.14 wall exponent for this arm was
+    * measured on identical-vector clone replicas — the masked regime;
+    * the diverse-vector measurements live in artifacts/r20/
+    * scale_edges_emb_*.json and PERFORMANCE.md round 20.)
+    *
+    * PRE-FLIGHT: [[embeddingCandidateStats]] — one aggregate over the
+    * collapsed hyperplane blocking, no join — measures the EXACT
+    * candidate mass the verification stage would pay. Within
+    * `candidateBudget`, the plain [[embeddingNearDupDedupEdges]] runs
+    * (bit-identical, spec-gated). Over budget, `fallback` picks the
+    * scale-safe arm:
+    *
+    *  - `"ivf"` (default): route to [[embeddingIvfDedupEdges]] —
+    *    UNLIKE the simhash router's minhash fallback, this is the SAME
+    *    pair predicate (the shared exact-cosine verifier), only the
+    *    candidate blocking changes: IVF clusters whose count derives
+    *    from n (the [[semanticDedup]] nlist discipline), so per-bucket
+    *    pair cost stays constant at any scale. The recall difference
+    *    is which candidate pairs each blocking surfaces (cross-cluster
+    *    near-dups there, all-sketches-miss pairs here) — why the
+    *    decision is an auditable LEDGER row and the routed form
+    *    carries its own oracle gate (dd33/dd34) rather than
+    *    inheriting dd05's.
+    *  - `"cap"`: stay on the hyperplane relation but auto-engage the
+    *    hot-bucket cap, bounding candidate mass at ~buckets × C(cap, 2)
+    *    independent of n. `fallbackBucketCap` = -1 (default) DERIVES
+    *    the cap from the pre-flight's measurements: the largest c with
+    *    buckets · C(c, 2) <= candidateBudget. The trade is RECALL
+    *    (pairs connected ONLY through a dropped bucket are lost), with
+    *    the same stderr + optional `graft.lsh.bucketCapLedgerDir`
+    *    audit trail as every capped join; a session-wide
+    *    `graft.lsh.bucketCap` composes as the MIN of the two caps.
+    *
+    * Ledger row: (route, fallback, distinct_signatures, buckets,
+    * candidate_pairs, candidate_budget, planes, tables, bucket_cap —
+    * the engaged per-bucket cap on the "cap" route, 0 otherwise).
+    */
+  def embeddingNearDupDedupEdgesAutoLedger(df: DataFrame, idCol: String,
+                                           vecCol: String, threshold: Double,
+                                           planes: Int = 8, tables: Int = 4,
+                                           candidateBudget: Long = 2000000000L,
+                                           fallback: String = "ivf",
+                                           nlist: Int = 0,
+                                           fallbackBucketCap: Int = -1)
+  : (DataFrame, DataFrame) = {
+    require(candidateBudget >= 0L,
+      s"candidateBudget must be >= 0, got $candidateBudget")
+    require(fallback == "ivf" || fallback == "cap",
+      s"""fallback must be "ivf" or "cap", got "$fallback"""")
+    require(fallbackBucketCap >= -1,
+      s"fallbackBucketCap must be >= 0, or -1 to derive it from the " +
+        s"budget, got $fallbackBucketCap")
+    // validated before routing so every route fails identically
+    require(threshold <= 1.0,
+      "threshold must be <= 1.0 (identical-vector pairs verify at " +
+        s"cosine 1.0, so a higher cut would drop whole clone groups), got $threshold")
+    val spark = df.sparkSession
+    val st = embeddingCandidateStats(df, idCol, vecCol, planes, tables).head()
+    val (nSig, buckets, cand) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val over = cand > candidateBudget
+    val route = if (!over) "embedding" else fallback
+    // the engaged per-bucket cap on the "cap" route: explicit, or
+    // derived as the largest c with buckets · C(c, 2) <= budget (the
+    // simhash router's rule — one budget, one meaning on both
+    // fallbacks), never below 1
+    val engagedCap: Int =
+      if (route != "cap") 0
+      else if (fallbackBucketCap >= 0) fallbackBucketCap
+      else math.max(1L, ((1.0 + math.sqrt(
+        1.0 + 8.0 * candidateBudget / math.max(1L, buckets))) / 2.0).toLong)
+        .min(Int.MaxValue.toLong).toInt
+    System.err.println(
+      s"[graft] embedding dedup-edges routing: route=$route " +
+        s"candidate_pairs=$cand (budget $candidateBudget) " +
+        s"distinct_signatures=$nSig buckets=$buckets " +
+        s"planes=$planes tables=$tables" +
+        (if (route == "cap") s" bucket_cap=$engagedCap" +
+          (if (fallbackBucketCap < 0) " (derived)" else "")
+         else ""))
+    val edges = route match {
+      case "embedding" =>
+        embeddingNearDupDedupEdges(df, idCol, vecCol, threshold, planes,
+          tables)
+      case "ivf" =>
+        embeddingIvfDedupEdges(df, idCol, vecCol, threshold, nlist)
+      case "cap" =>
+        embeddingNearDupDedupEdgesImpl(df, idCol, vecCol, threshold, planes,
+          tables, capOverride = Some(engagedCap))
+    }
+    import spark.implicits._
+    val ledger = Seq((route, fallback, nSig, buckets, cand,
+        candidateBudget, planes, tables, engagedCap))
+      .toDF("route", "fallback", "distinct_signatures", "buckets",
+        "candidate_pairs", "candidate_budget", "planes", "tables",
+        "bucket_cap")
+    (edges, ledger)
+  }
+
+  /** [[embeddingNearDupDedupEdgesAutoLedger]] without the ledger — the
+    * edges-only surface, for callers that only read the stderr line.
+    */
+  def embeddingNearDupDedupEdgesAuto(df: DataFrame, idCol: String,
+                                     vecCol: String, threshold: Double,
+                                     planes: Int = 8, tables: Int = 4,
+                                     candidateBudget: Long = 2000000000L,
+                                     fallback: String = "ivf",
+                                     nlist: Int = 0,
+                                     fallbackBucketCap: Int = -1): DataFrame =
+    embeddingNearDupDedupEdgesAutoLedger(df, idCol, vecCol, threshold,
+      planes, tables, candidateBudget, fallback, nlist,
+      fallbackBucketCap)._1
 
   /** Codegen'd dot product for fixed-dim vectors: the same left-fold
     * order as the interpreted `aggregate(zip_with(...))` HOF

