@@ -84,30 +84,79 @@ object ScaleData {
     * regime real web data lives in (boilerplate + unique bits): the
     * clone collapse absorbs nothing, so the sketch tiers' candidate
     * mass is measured against genuine diversity instead of being
-    * masked by replica collapse. documents.parquet only — the
-    * fuzzy/embedding arms keep the clone corpora, and ScaleEdges'
-    * lazily-opened tables let a documents-only dir run the
-    * documents-only ops.
+    * masked by replica collapse.
+    *
+    * Round 20 extends the diverse treatment to the two arms r19 left
+    * clone-regime-only (VERDICT r19 items 1 and 6):
+    *
+    *  - embeddings.parquet: every replica's vector is perturbed
+    *    per-dim by a deterministic vec_id-derived factor
+    *    1 + 0.02·(((id·31 + d) mod (3 + d mod 5)) − 2) — the per-dim
+    *    moduli give the factor pattern period lcm(3..7) = 420 in id,
+    *    so EVERY row is a distinct vector (the vector-level clone
+    *    collapse absorbs nothing) while each family stays at cosine
+    *    ≈ 0.999 to its base (well inside any realistic near-dup
+    *    threshold — the true near-dup structure survives).
+    *  - customer.parquet: every replica k > 0 appends ONE distinct
+    *    BMP character to c_name, so each base name becomes a family
+    *    of `replicas` DISTINCT strings pairwise within Levenshtein 1
+    *    (substitute the last char member-to-member, insert it
+    *    base-to-member) — the exact-duplicate collapse absorbs
+    *    nothing, and the fuzzy tier's candidate mass is measured
+    *    against genuine string diversity.
+    *
+    * Tables carry independent done markers so a dir generated by r19's
+    * documents-only version upgrades in place.
     */
   def ensureDiverse(spark: SparkSession, src: String, out: String,
                     replicas: Int = 10): Unit = {
-    val done = new java.io.File(s"$out/_DONE")
-    if (done.exists()) return
     new java.io.File(out).mkdirs()
-    val base = spark.read.parquet(s"$src/documents.parquet")
-    (0 until replicas).map { k =>
-      val keyed = base.withColumn("doc_id", col("doc_id") + lit(k * Offset))
-      if (k == 0) keyed
-      else keyed.withColumn("text", concat(col("text"),
-        lit(" u"), col("doc_id").cast("string"),
-        lit(" v"), (col("doc_id") * 7).cast("string"),
-        lit(" w"), (col("doc_id") * 13).cast("string"),
-        lit(" x"), (col("doc_id") * 31).cast("string"),
-        lit(" y"), (col("doc_id") * 53).cast("string"),
-        lit(" z"), (col("doc_id") * 97).cast("string")))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    done.createNewFile()
+    val doneDocs = new java.io.File(s"$out/_DONE")
+    if (!doneDocs.exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      (0 until replicas).map { k =>
+        val keyed = base.withColumn("doc_id", col("doc_id") + lit(k * Offset))
+        if (k == 0) keyed
+        else keyed.withColumn("text", concat(col("text"),
+          lit(" u"), col("doc_id").cast("string"),
+          lit(" v"), (col("doc_id") * 7).cast("string"),
+          lit(" w"), (col("doc_id") * 13).cast("string"),
+          lit(" x"), (col("doc_id") * 31).cast("string"),
+          lit(" y"), (col("doc_id") * 53).cast("string"),
+          lit(" z"), (col("doc_id") * 97).cast("string")))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      doneDocs.createNewFile()
+    }
+    val doneEmb = new java.io.File(s"$out/_DONE_EMB")
+    if (!doneEmb.exists()) {
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      (0 until replicas).map { k =>
+        val keyed = base.withColumn("vec_id", col("vec_id") + lit(k * Offset))
+        if (k == 0) keyed
+        else keyed.withColumn("embedding",
+          transform(col("embedding"), (x, d) =>
+            x * (lit(1.0) + lit(0.02) *
+              (pmod(col("vec_id") * 31 + d, lit(3) + pmod(d, lit(5)))
+                - lit(2)).cast("double"))))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      doneEmb.createNewFile()
+    }
+    val doneCust = new java.io.File(s"$out/_DONE_CUST")
+    if (!doneCust.exists()) {
+      val base = spark.read.parquet(s"$src/customer.parquet")
+      (0 until replicas).map { k =>
+        val keyed = base.withColumn("c_custkey",
+          col("c_custkey") + lit(k * Offset))
+        if (k == 0) keyed
+        else keyed.withColumn("c_name",
+          concat(col("c_name"), lit((0x4E00 + k).toChar.toString)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      doneCust.createNewFile()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -58,10 +58,14 @@ object ScaleEdges {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     // two passes, min — the ScaleCheck warmup discipline (the first
-    // pass pays JIT/codegen; the min is the steady-state plan cost)
+    // pass pays JIT/codegen; the min is the steady-state plan cost).
+    // SPARK_GRAFT_SCALE_RUNS=1 for multi-minute sf10 arms where the
+    // doubled wall outweighs the warmup bias (record the bias caveat
+    // next to the artifact when used).
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
     def timed(name: String)(body: => Long): Unit = {
       if (!only.forall(_.contains(name))) return
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         val n = body
         val s = (System.nanoTime() - t0) / 1e9
@@ -105,6 +109,24 @@ object ScaleEdges {
     timed("fuzzy_thin_edges_auto")(
       Dedup.editDistanceDedupEdgesAuto(cust, "c_custkey", "c_name",
         maxDist = 1)._1.count())
+    // the fuzzy EXACT tier bypassing the density router — the control
+    // arm of the r20 diverse sweep: on the diverse-name corpus the
+    // density statistic sits just over its threshold (70.4 vs 64 at
+    // sf1_div) and routes to the minhash tier, while the exact
+    // symmetric-delete candidate mass (fuzzy_candidates below) stays
+    // small because its key space grows with the corpus — this arm
+    // prices what that near-threshold routing decision costs
+    timed("fuzzy_thin_edges_exact")(
+      Dedup.editDistanceDedupEdges(cust, "c_custkey", "c_name",
+        maxDist = 1).count())
+    // the router WITH the r20 opt-in absolute-mass disjunct: on the
+    // diverse corpus the density rule says minhash, the measured exact
+    // mass fits the budget, and the route drops back to the exact
+    // tier — this wall prices the disjunct (exact arm + one pre-flight
+    // aggregate) against the 603 s sf1_div misroute it avoids
+    timed("fuzzy_thin_edges_budget")(
+      Dedup.editDistanceDedupEdgesAuto(cust, "c_custkey", "c_name",
+        maxDist = 1, exactCandidateBudget = 2000000000L)._1.count())
     // simhash thin edges on the marked documents (dd03's maxHamming=6)
     timed("simhash_thin_edges")(
       Dedup.simHashDedupEdges(docs, "doc_id", "text",
@@ -138,6 +160,31 @@ object ScaleEdges {
     timed("embedding_thin_edges")(
       Dedup.embeddingNearDupDedupEdges(emb, "vec_id", "embedding",
         threshold = 0.4, planes = 6, tables = 8).count())
+    // the hyperplane blocking's candidate mass (Σ C(bucket, 2) over
+    // collapsed signature-array reps — what the verification stage
+    // pays; the r19 verdict's one weak mark measured in its real
+    // regime on the ensureDiverse perturbed-vector corpus)
+    timed("embedding_candidates")(
+      Dedup.embeddingCandidateStats(emb, "vec_id", "embedding",
+        planes = 6, tables = 8).head().getAs[Long]("candidate_pairs"))
+    // the embedding candidate-budget router at its default budget
+    // (the stderr routing line + this wall record what the guard buys
+    // vs the raw hyperplane arm)
+    timed("embedding_auto_routed")(
+      Dedup.embeddingNearDupDedupEdgesAuto(emb, "vec_id", "embedding",
+        threshold = 0.4, planes = 6, tables = 8).count())
+    // the fuzzy tier's symmetric-delete candidate mass (the regime
+    // audit's control arm: this key space GROWS with the corpus, so
+    // mass should track true near-dup structure, not a bucket count)
+    timed("fuzzy_candidates")(
+      Dedup.edCandidateStats(cust, "c_custkey", "c_name", maxDist = 1)
+        .head().getAs[Long]("candidate_pairs"))
+    // the embedding router's IVF fallback arm on its own — what the
+    // route buys when the hyperplane arm's fixed bucket space goes
+    // quadratic (same exact-cosine predicate, cluster-local blocking)
+    timed("embedding_ivf_edges")(
+      Dedup.embeddingIvfDedupEdges(emb, "vec_id", "embedding",
+        threshold = 0.4).count())
 
     val json =
       s"""{"sf_dir":"$sfDir","queries":{${times.map { case (k, v) =>

@@ -93,6 +93,9 @@ object SoakStreaming {
     val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val pins = scala.collection.mutable.ArrayBuffer.empty[Int]
     val outRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ledgerParts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val probeDirectMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probeScanMs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var replayBlock = ""
     (0 until nBatches).foreach { b =>
       docs.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === b)
@@ -101,9 +104,35 @@ object SoakStreaming {
       walls += secs
       pins += spark.sparkContext.getPersistentRDDs.size
       outRows += countDir(out)
+      // CONTROL-PATH CREEP probes (r19 verdict items 2-3): the ledger
+      // accrues one batch=<id> partition per micro-batch, so the
+      // r19-era sticky probe (full-directory scan, filter batch < b)
+      // pays an O(B) listing at batch B — O(B²) cumulative — while the
+      // r20 probe reads the ONE known batch=<b-1> partition. Both are
+      // timed against the same on-disk ledger every batch; the soak's
+      // job is to expose the scan's growth term and the direct probe's
+      // flatness over 100+ batches.
+      ledgerParts += Option(new java.io.File(led).list())
+        .map(_.count(_.startsWith("batch="))).getOrElse(0)
+      val tD = System.nanoTime()
+      val direct = graft.etl.CurationStages
+        .stickyPriorTier(spark, led, b + 1)
+      probeDirectMs += (System.nanoTime() - tD) / 1e6
+      val tS = System.nanoTime()
+      val scan = spark.read.parquet(led)
+        .filter(col("batch").cast("long") >= 0 &&
+          col("batch").cast("long") < b + 1)
+        .orderBy(col("batch").cast("long").desc)
+        .select(col("tier")).limit(1).collect().headOption
+        .map(_.getString(0))
+      probeScanMs += (System.nanoTime() - tS) / 1e6
+      require(direct == scan,
+        s"probe disagreement at batch $b: direct=$direct scan=$scan")
       println(f"[soak-streaming] batch $b: $secs%.1fs " +
         f"pins=${pins.last} out_rows=${outRows.last} " +
-        f"ledger_rows=${countDir(led)}")
+        f"ledger_rows=${countDir(led)} ledger_parts=${ledgerParts.last} " +
+        f"probe_direct=${probeDirectMs.last}%.0fms " +
+        f"probe_scan=${probeScanMs.last}%.0fms")
       if (b == replayAt) {
         // INJECTED REPLAY: drop the committed marker for this batch —
         // the restart finds offsets/<b> without commits/<b> and
@@ -140,7 +169,12 @@ object SoakStreaming {
       s""""ledger_rows":${countDir(led)},$replayBlock""" +
       s""""walls":[${walls.map(w => f"$w%.1f").mkString(",")}],""" +
       s""""pins":[${pins.mkString(",")}],""" +
-      s""""out_rows":[${outRows.mkString(",")}]}""")
+      s""""out_rows":[${outRows.mkString(",")}],""" +
+      s""""ledger_parts":[${ledgerParts.mkString(",")}],""" +
+      s""""probe_direct_ms":[${probeDirectMs.map(v => f"$v%.0f")
+        .mkString(",")}],""" +
+      s""""probe_scan_ms":[${probeScanMs.map(v => f"$v%.0f")
+        .mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -228,7 +228,13 @@ object CurationStages {
           densityThreshold = doubleParam("density_threshold", 64.0),
           maxMeanKeyLen = doubleParam("max_mean_key_len", 64.0),
           previousTier = prevTier,
-          hysteresisPct = doubleParam("hysteresis_pct", 0.10))
+          hysteresisPct = doubleParam("hysteresis_pct", 0.10),
+          // opt-in absolute-mass disjunct (r20): a minhash-routed
+          // batch whose EXACT symmetric-delete mass fits this budget
+          // drops back to the exact tier — the ledger records the
+          // measured mass and the override either way
+          exactCandidateBudget =
+            longParam("exact_candidate_budget").getOrElse(0L))
         param("ledger_dir").foreach(d => writeLedger(ledger, d, streamBatch))
         val nonCanon = Components
           .connectedComponents(pairs.select(col("id1"), col("id2")),

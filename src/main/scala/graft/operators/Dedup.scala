@@ -1324,38 +1324,70 @@ object Dedup {
   }
 
   /** One-row candidate-volume DIAGNOSTIC for the embedding hyperplane
-    * blocking: (distinct_signatures, buckets, candidate_pairs) where
-    * distinct_signatures counts distinct signature ARRAYS (the clone
-    * collapse unit — identical vectors sign identically everywhere)
-    * and candidate_pairs = Σ_bucket C(n, 2) over the (tbl, sig)
-    * buckets of collapsed representatives — the EXACT self-join volume
-    * [[embeddingNearDupPairs]]' verification stage pays (a pair
-    * colliding in k tables is counted k times, exactly as the join
-    * emits it before its distinct). One aggregate over the signature
-    * frame, no join — [[simHashCandidateStats]]' counterpart for the
-    * embedding tier, and [[embeddingNearDupDedupEdgesAutoLedger]]'s
-    * pre-flight. The number to watch at scale: the (tbl, sig) space is
-    * FIXED at tables × 2^planes buckets, so on a DIVERSE vector corpus
-    * (every document embeds to a distinct float vector — the norm, not
-    * the corner) candidate mass grows Θ(n²) in distinct signatures no
-    * matter how the clone collapse or a hot-bucket cap behave.
+    * blocking: (distinct_signatures, buckets, candidate_pairs,
+    * member_candidate_pairs), measured over one canonical row per
+    * DISTINCT VECTOR (the population [[embeddingNearDupDedupEdges]]'
+    * clone collapse hands its candidate stage — a bit-identical
+    * duplicate flood costs nothing here, exactly as it costs the
+    * operator nothing).
+    *
+    *  - `candidate_pairs` = Σ_bucket C(n, 2) over signature-ARRAY
+    *    representatives per (tbl, sig) bucket — the bucket self-JOIN
+    *    volume (a pair colliding in k tables counted k times, as the
+    *    join emits it before its distinct).
+    *  - `member_candidate_pairs` = Σ_bucket C(v, 2) over DISTINCT
+    *    VECTORS per bucket — the VERIFY-stage bound: unlike the
+    *    minhash/simhash sketches, equal signature arrays do NOT pin
+    *    the cosine, so the group expansion emits every member pair as
+    *    its own exact-cosine candidate — a corpus of near-dup FAMILIES
+    *    whose members share sketches keeps the rep-level join small
+    *    while the verify stage still pays the member-level mass
+    *    (measured: ε-perturbed families at sf10_div show 2.6 M rep
+    *    pairs; the sign-diverse regime shows mass exponent 2.0 in
+    *    distinct arrays — artifacts/r20).
+    *
+    * One aggregate pass over the signature frame, no join —
+    * [[simHashCandidateStats]]' counterpart for the embedding tier,
+    * and [[embeddingNearDupDedupEdgesAutoLedger]]'s pre-flight (which
+    * routes when EITHER number exceeds the budget). The structural
+    * hazard both columns watch: the (tbl, sig) space is FIXED at
+    * tables × 2^planes buckets, so on a diverse corpus candidate mass
+    * grows Θ(n²) no matter how the collapse or a hot-bucket cap
+    * behave.
     */
   def embeddingCandidateStats(df: DataFrame, idCol: String, vecCol: String,
                               planes: Int = 8, tables: Int = 4): DataFrame = {
-    val sigs = embeddingSigs(df, idCol, vecCol, planes, tables)
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // one canonical row per distinct vector (the DedupEdges collapse,
+    // two-lane keyed so the group-by never ships the arrays)
+    val canon = v
+      .groupBy(xxhash64(col("v")).as("__v1"),
+        xxhash64(lit(1), col("v")).as("__v2"))
+      .agg(min(col("id")).as("id"), first(col("v")).as("v"))
+      .select(col("id"), col("v"))
+    val sigs = embeddingSigs(canon, "id", "v", planes, tables)
     val skey = Seq(xxhash64(col("sigs")).as("__k1"),
       xxhash64(lit(1), col("sigs")).as("__k2"))
     val groups = sigs.select(skey :+ col("sigs"): _*)
       .groupBy(col("__k1"), col("__k2"))
       .agg(first(col("sigs")).as("sigs"))
-    groups.select(posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val repStats = groups
+      .select(posexplode(col("sigs")).as(Seq("tbl", "sig")))
       .groupBy(col("tbl"), col("sig")).agg(count(lit(1)).as("__n"))
       .agg(count(lit(1)).as("buckets"),
         coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
           .cast("long").as("candidate_pairs"))
+    val memStats = sigs
+      .select(posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .groupBy(col("tbl"), col("sig")).agg(count(lit(1)).as("__m"))
+      .agg(coalesce(sum(col("__m") * (col("__m") - 1) / 2), lit(0L))
+        .cast("long").as("member_candidate_pairs"))
+    repStats
       .crossJoin(groups.agg(count(lit(1)).as("distinct_signatures")))
+      .crossJoin(memStats)
       .select(col("distinct_signatures"), col("buckets"),
-        col("candidate_pairs"))
+        col("candidate_pairs"), col("member_candidate_pairs"))
   }
 
   /** Embedding near-dup pairs (cosine >= threshold) via random-hyperplane
@@ -1579,11 +1611,13 @@ object Dedup {
     * scale_edges_emb_*.json and PERFORMANCE.md round 20.)
     *
     * PRE-FLIGHT: [[embeddingCandidateStats]] — one aggregate over the
-    * collapsed hyperplane blocking, no join — measures the EXACT
-    * candidate mass the verification stage would pay. Within
+    * collapsed hyperplane blocking, no join — measures BOTH the
+    * rep-level bucket-join mass and the member-level verify bound
+    * (they diverge on near-dup-family corpora, whose members share
+    * sketches; see the stats scaladoc). With both within
     * `candidateBudget`, the plain [[embeddingNearDupDedupEdges]] runs
-    * (bit-identical, spec-gated). Over budget, `fallback` picks the
-    * scale-safe arm:
+    * (bit-identical, spec-gated). With EITHER over budget, `fallback`
+    * picks the scale-safe arm:
     *
     *  - `"ivf"` (default): route to [[embeddingIvfDedupEdges]] —
     *    UNLIKE the simhash router's minhash fallback, this is the SAME
@@ -1607,8 +1641,9 @@ object Dedup {
     *    `graft.lsh.bucketCap` composes as the MIN of the two caps.
     *
     * Ledger row: (route, fallback, distinct_signatures, buckets,
-    * candidate_pairs, candidate_budget, planes, tables, bucket_cap —
-    * the engaged per-bucket cap on the "cap" route, 0 otherwise).
+    * candidate_pairs, member_candidate_pairs, candidate_budget,
+    * planes, tables, bucket_cap — the engaged per-bucket cap on the
+    * "cap" route, 0 otherwise).
     */
   def embeddingNearDupDedupEdgesAutoLedger(df: DataFrame, idCol: String,
                                            vecCol: String, threshold: Double,
@@ -1631,9 +1666,13 @@ object Dedup {
         s"cosine 1.0, so a higher cut would drop whole clone groups), got $threshold")
     val spark = df.sparkSession
     val st = embeddingCandidateStats(df, idCol, vecCol, planes, tables).head()
-    val (nSig, buckets, cand) =
-      (st.getLong(0), st.getLong(1), st.getLong(2))
-    val over = cand > candidateBudget
+    val (nSig, buckets, cand, memberCand) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    // EITHER mass over budget routes: the rep-level join volume and
+    // the member-level verify bound diverge exactly on near-dup-family
+    // corpora (members share sketches → small rep join, full member
+    // verify) — see [[embeddingCandidateStats]]
+    val over = cand > candidateBudget || memberCand > candidateBudget
     val route = if (!over) "embedding" else fallback
     // the engaged per-bucket cap on the "cap" route: explicit, or
     // derived as the largest c with buckets · C(c, 2) <= budget (the
@@ -1647,7 +1686,8 @@ object Dedup {
         .min(Int.MaxValue.toLong).toInt
     System.err.println(
       s"[graft] embedding dedup-edges routing: route=$route " +
-        s"candidate_pairs=$cand (budget $candidateBudget) " +
+        s"candidate_pairs=$cand member_candidate_pairs=$memberCand " +
+        s"(budget $candidateBudget) " +
         s"distinct_signatures=$nSig buckets=$buckets " +
         s"planes=$planes tables=$tables" +
         (if (route == "cap") s" bucket_cap=$engagedCap" +
@@ -1664,11 +1704,11 @@ object Dedup {
           tables, capOverride = Some(engagedCap))
     }
     import spark.implicits._
-    val ledger = Seq((route, fallback, nSig, buckets, cand,
+    val ledger = Seq((route, fallback, nSig, buckets, cand, memberCand,
         candidateBudget, planes, tables, engagedCap))
       .toDF("route", "fallback", "distinct_signatures", "buckets",
-        "candidate_pairs", "candidate_budget", "planes", "tables",
-        "bucket_cap")
+        "candidate_pairs", "member_candidate_pairs", "candidate_budget",
+        "planes", "tables", "bucket_cap")
     (edges, ledger)
   }
 
@@ -2437,6 +2477,46 @@ object Dedup {
       df.select(col(idCol).as("id"), col(strCol).as("s"))), maxDist)
   }
 
+  /** One-row candidate-volume DIAGNOSTIC for the symmetric-delete
+    * blocking: (distinct_strings, keys, candidate_pairs) where
+    * candidate_pairs = Σ_key C(n, 2) over the deletion-neighborhood
+    * variant keys of DISTINCT (template-compacted) strings — the exact
+    * self-join volume [[editDistancePairs]]' verification stage pays
+    * before the distance filter (a pair sharing k variant keys is
+    * counted k times, exactly as the join emits it before its dedupe).
+    * [[simHashCandidateStats]]' counterpart for the fuzzy tier, and
+    * the regime lens for its scale audit: unlike the simhash/embedding
+    * sketches, the variant-key space GROWS with the corpus (keys
+    * derive from the strings themselves), so candidate mass should
+    * track true near-dup structure rather than a fixed bucket count —
+    * this aggregate is what verifies that on a diverse corpus
+    * (PERFORMANCE.md round 20). One aggregate over the exploded
+    * neighborhood, no join.
+    */
+  def edCandidateStats(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (deletion-neighborhood size is len^d), got $maxDist")
+    edCandidateStatsOf(compactTemplate(
+      df.select(col(idCol).as("id"), col(strCol).as("s"))), maxDist)
+  }
+
+  /** [[edCandidateStats]]' core over an already-compacted (id, s)
+    * frame — shared with [[edAutoRouted]]'s opt-in exact-tier
+    * candidate-budget disjunct, so the router's pre-flight measures
+    * the IDENTICAL mass the diagnostic reports.
+    */
+  private def edCandidateStatsOf(v: DataFrame, maxDist: Int): DataFrame = {
+    val d = v.select(col("s")).distinct()
+    d.select(explode(deletionHood(col("s"), maxDist)).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("keys"),
+        coalesce(sum(col("__n") * (col("__n") - 1) / 2), lit(0L))
+          .cast("long").as("candidate_pairs"))
+      .crossJoin(d.agg(count(lit(1)).as("distinct_strings")))
+      .select(col("distinct_strings"), col("keys"), col("candidate_pairs"))
+  }
+
   /** The blocking+verify core over a prepared (id, s) frame.
     *
     * Exact-duplicate collapse first: candidate volume grows
@@ -2576,11 +2656,12 @@ object Dedup {
                             sampleSixteenths: Int = 4,
                             numHashes: Int = 64, bands: Int = 32,
                             previousTier: Option[String] = None,
-                            hysteresisPct: Double = 0.10)
+                            hysteresisPct: Double = 0.10,
+                            exactCandidateBudget: Long = 0L)
   : (DataFrame, DataFrame) = {
     val (v, sp, ledger) = edAutoRouted(df, idCol, strCol, maxDist,
       densityThreshold, maxMeanKeyLen, sampleSixteenths, numHashes, bands,
-      previousTier, hysteresisPct)
+      previousTier, hysteresisPct, exactCandidateBudget)
     // pairs schema matches editDistancePairs: (id1, id2, dist)
     (expandStringPairs(v, sp), ledger)
   }
@@ -2600,11 +2681,12 @@ object Dedup {
                                  sampleSixteenths: Int = 4,
                                  numHashes: Int = 64, bands: Int = 32,
                                  previousTier: Option[String] = None,
-                                 hysteresisPct: Double = 0.10)
+                                 hysteresisPct: Double = 0.10,
+                                 exactCandidateBudget: Long = 0L)
   : (DataFrame, DataFrame) = {
     val (v, sp, ledger) = edAutoRouted(df, idCol, strCol, maxDist,
       densityThreshold, maxMeanKeyLen, sampleSixteenths, numHashes, bands,
-      previousTier, hysteresisPct)
+      previousTier, hysteresisPct, exactCandidateBudget)
     (thinStringEdges(v, sp), ledger)
   }
 
@@ -2632,12 +2714,16 @@ object Dedup {
                            sampleSixteenths: Int,
                            numHashes: Int, bands: Int,
                            previousTier: Option[String] = None,
-                           hysteresisPct: Double = 0.10)
+                           hysteresisPct: Double = 0.10,
+                           exactCandidateBudget: Long = 0L)
   : (DataFrame, DataFrame, DataFrame) = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2, got $maxDist")
     require(hysteresisPct >= 0.0 && hysteresisPct < 1.0,
       s"hysteresisPct must be in [0, 1), got $hysteresisPct")
+    require(exactCandidateBudget >= 0L,
+      s"exactCandidateBudget must be >= 0 (0 disables the disjunct), " +
+        s"got $exactCandidateBudget")
     previousTier.foreach(t => require(t == "exact" || t == "minhash",
       s"""previousTier must be "exact" or "minhash", got "$t""""))
     val spark = df.sparkSession
@@ -2677,14 +2763,39 @@ object Dedup {
     val confidentlyExact =
       density <= densityThreshold * (1.0 - hysteresisPct) &&
         meanLen <= maxMeanKeyLen * (1.0 - hysteresisPct)
-    val tier = previousTier match {
+    val tierH = previousTier match {
       case Some("exact") if rawTier == "minhash" && !confidentlyMinhash =>
         "exact"
       case Some("minhash") if rawTier == "exact" && !confidentlyExact =>
         "minhash"
       case _ => rawTier
     }
-    val suppressedFlip = tier != rawTier
+    val suppressedFlip = tierH != rawTier
+    // EXACT-TIER CANDIDATE-BUDGET DISJUNCT (opt-in, r20 — the
+    // simhash/embedding routers' absolute-mass lens applied to the
+    // fuzzy tier): the density statistic is candidate pairs PER ROW,
+    // so a corpus of genuine distance-≤d FAMILIES (the diverse-name
+    // regime, sf1_div density 70.4 vs threshold 64) trips the minhash
+    // route even though the exact tier's TOTAL mass is small in
+    // absolute terms — and the minhash tier's char-bigram signatures
+    // over every distinct string cost far more there (measured 603 s
+    // routed vs 14 s exact at sf1_div — a 42× miss, with the minhash
+    // tier's banding also dropping ~8.5k of 3.30 M true edges;
+    // artifacts/r20/scale_edges_*_sf1_div.json). With a budget set, a
+    // minhash-routed corpus pays one extra aggregate
+    // ([[edCandidateStatsOf]] — the EXACT mass, not the sampled
+    // estimate) and drops back to the exact tier when total mass fits
+    // the budget; the measured mass lands in the ledger either way.
+    // 0 (default) disables the disjunct: routing is bit-identical to
+    // r19 and the pre-flight is never paid.
+    val exactCand: Long =
+      if (exactCandidateBudget > 0L && tierH == "minhash")
+        edCandidateStatsOf(v, maxDist).head().getAs[Long]("candidate_pairs")
+      else -1L
+    val budgetOverride =
+      exactCandidateBudget > 0L && tierH == "minhash" &&
+        exactCand <= exactCandidateBudget
+    val tier = if (budgetOverride) "exact" else tierH
     System.err.println(
       s"[graft] fuzzy routing: tier=$tier density=$density " +
         s"(threshold $densityThreshold) mean_key_cp=$meanLen " +
@@ -2692,6 +2803,11 @@ object Dedup {
         (if (suppressedFlip)
           s" suppressed_flip=true (raw=$rawTier held=${previousTier.get}" +
             s" hysteresis=$hysteresisPct)"
+         else "") +
+        (if (exactCand >= 0L)
+          s" exact_candidate_pairs=$exactCand (budget " +
+            s"$exactCandidateBudget${if (budgetOverride)
+              " — budget override to exact" else ""})"
          else ""))
     val sp =
       if (tier == "minhash") edLshSelfStringPairs(v, maxDist, numHashes, bands)
@@ -2699,10 +2815,13 @@ object Dedup {
     import spark.implicits._
     val ledger = Seq((tier, density, densityThreshold, meanLen,
         maxMeanKeyLen, maxBucket, sampleSixteenths, maxDist,
-        rawTier, previousTier.getOrElse(""), suppressedFlip))
+        rawTier, previousTier.getOrElse(""), suppressedFlip,
+        exactCandidateBudget, exactCand, budgetOverride))
       .toDF("tier", "density", "density_threshold", "mean_key_cp",
         "max_mean_key_cp", "max_bucket", "sample_sixteenths", "max_dist",
-        "raw_tier", "previous_tier", "suppressed_flip")
+        "raw_tier", "previous_tier", "suppressed_flip",
+        "exact_candidate_budget", "exact_candidate_pairs",
+        "budget_override")
     (v, sp, ledger)
   }
 

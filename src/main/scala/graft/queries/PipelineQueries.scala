@@ -1436,7 +1436,8 @@ object PipelineQueries {
         "id", "v", threshold = 0.4, planes = 6, tables = 8,
         candidateBudget = 20000L)
       ledger.select(col("route"), col("distinct_signatures"),
-        col("buckets"), col("candidate_pairs"), col("candidate_budget"))
+        col("buckets"), col("candidate_pairs"),
+        col("member_candidate_pairs"), col("candidate_budget"))
     },
 
     // The embedding router's ROUTED ARM end-to-end: IVF-clustered
@@ -2851,17 +2852,22 @@ object PipelineQueries {
            SELECT s.t, s.bsig FROM grp g JOIN sig s ON s.id = g.gid
          ),
          bk AS (SELECT t, bsig, count(*) AS n FROM gsig GROUP BY 1, 2),
+         mk AS (SELECT t, bsig, count(*) AS m FROM sig GROUP BY 1, 2),
          st AS (
            SELECT (SELECT count(*) FROM grp) AS nsig,
-                  count(*) AS buckets,
-                  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
-           FROM bk
+                  (SELECT count(*) FROM bk) AS buckets,
+                  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM bk)
+                    AS candidate_pairs,
+                  (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) FROM mk)
+                    AS member_candidate_pairs
          )
-         SELECT CASE WHEN candidate_pairs > 20000 THEN 'ivf'
+         SELECT CASE WHEN candidate_pairs > 20000
+                       OR member_candidate_pairs > 20000 THEN 'ivf'
                      ELSE 'embedding' END AS route,
                 CAST(nsig AS BIGINT) AS distinct_signatures,
                 CAST(buckets AS BIGINT) AS buckets,
                 candidate_pairs,
+                member_candidate_pairs,
                 CAST(20000 AS BIGINT) AS candidate_budget
          FROM st""",
     // dd34 replay: the IVF-clustered embedding survivor edges in full —

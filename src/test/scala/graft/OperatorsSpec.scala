@@ -1841,24 +1841,28 @@ class OperatorsSpec extends SparkSpec {
     }.toDF("id", "v")
     val st = Dedup.embeddingCandidateStats(flood, "id", "v",
       planes = 6, tables = 8).head()
-    val (nSig, nBuckets, cand) =
-      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val (nSig, nBuckets, cand, memberCand) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
     assert(nSig >= 150L,
       s"flood not diverse enough to exercise the router: $nSig of 180")
     assert(nBuckets <= 8L * 64L,
       s"bucket space must be bounded by tables * 2^planes: $nBuckets")
     assert(cand > 1000L, s"candidate mass $cand too small to route on")
+    // the member-level verify bound dominates the rep-level join mass
+    assert(memberCand >= cand, st)
     def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("id1", "id2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // (1) below budget — and AT the budget (> is strict): the plain
-    // hyperplane edges, bit-identical
+    // (1) below budget — and AT the budget (> is strict, on BOTH
+    // masses — member >= rep, so the member bound is the binding one):
+    // the plain hyperplane edges, bit-identical
     val (eLow, lLow) = Dedup.embeddingNearDupDedupEdgesAutoLedger(flood,
       "id", "v", threshold = 0.4, planes = 6, tables = 8,
-      candidateBudget = cand)
+      candidateBudget = memberCand)
     val lowRow = lLow.head()
     assert(lowRow.getAs[String]("route") == "embedding", lowRow)
     assert(lowRow.getAs[Long]("candidate_pairs") == cand, lowRow)
+    assert(lowRow.getAs[Long]("member_candidate_pairs") == memberCand, lowRow)
     assert(lowRow.getAs[Long]("distinct_signatures") == nSig, lowRow)
     val plain = edgeSet(Dedup.embeddingNearDupDedupEdges(flood, "id", "v",
       threshold = 0.4, planes = 6, tables = 8))
@@ -1908,6 +1912,77 @@ class OperatorsSpec extends SparkSpec {
     // non-cap routes record bucket_cap = 0
     assert(lowRow.getAs[Int]("bucket_cap") == 0 &&
       lIvf.head().getAs[Int]("bucket_cap") == 0)
+  }
+
+  test("fuzzy router exact-candidate-budget disjunct: a diverse-family " +
+    "corpus whose per-row density trips the minhash route drops back to " +
+    "the exact tier when its ABSOLUTE mass fits the opt-in budget " +
+    "(bit-identical to the explicit exact operator); an insufficient " +
+    "budget keeps the minhash route; default 0 disables the disjunct") {
+    import graft.operators.Dedup
+    // the sf1_div shape in miniature: template names, each a family of
+    // 8 distinct strings pairwise within d<=1 (one appended char) —
+    // per-row density is high (families share ~every deletion key) but
+    // absolute mass is tiny
+    val names = (0L until 80L).flatMap { i =>
+      val base = f"record-$i%04d"
+      (0 until 8).map(k =>
+        (i * 100 + k, if (k == 0) base else base + ('a' + k).toChar))
+    }.toDF("id", "s")
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default: the density rule routes minhash on this corpus (the
+    // precondition that makes the disjunct arms meaningful)
+    val (eDef, lDef) = Dedup.editDistanceDedupEdgesAuto(names, "id", "s",
+      maxDist = 1, densityThreshold = 4.0)
+    val d0 = lDef.head()
+    assert(d0.getAs[String]("tier") == "minhash", d0)
+    assert(d0.getAs[Long]("exact_candidate_pairs") == -1L &&
+      !d0.getAs[Boolean]("budget_override"),
+      s"disabled disjunct must not measure or override: $d0")
+    val mass = Dedup.edCandidateStats(names, "id", "s", maxDist = 1)
+      .head().getAs[Long]("candidate_pairs")
+    // budget >= mass: override to exact, bit-identical to the explicit
+    // exact-tier operator, mass recorded in the ledger
+    val (eEx, lEx) = Dedup.editDistanceDedupEdgesAuto(names, "id", "s",
+      maxDist = 1, densityThreshold = 4.0, exactCandidateBudget = mass)
+    val r1 = lEx.head()
+    assert(r1.getAs[String]("tier") == "exact" &&
+      r1.getAs[String]("raw_tier") == "minhash" &&
+      r1.getAs[Boolean]("budget_override") &&
+      r1.getAs[Long]("exact_candidate_pairs") == mass, r1)
+    assert(edges(eEx) == edges(
+      Dedup.editDistanceDedupEdges(names, "id", "s", maxDist = 1)))
+    // budget < mass: the minhash route stands, mass still recorded
+    val (eMh, lMh) = Dedup.editDistanceDedupEdgesAuto(names, "id", "s",
+      maxDist = 1, densityThreshold = 4.0,
+      exactCandidateBudget = mass - 1)
+    val r2 = lMh.head()
+    assert(r2.getAs[String]("tier") == "minhash" &&
+      !r2.getAs[Boolean]("budget_override") &&
+      r2.getAs[Long]("exact_candidate_pairs") == mass, r2)
+    assert(edges(eMh) == edges(eDef))
+  }
+
+  test("edCandidateStats: Σ C(n, 2) over deletion-neighborhood variant " +
+    "keys of distinct strings — hand-checked, and an upper bound on the " +
+    "verified pair count") {
+    import graft.operators.Dedup
+    // no corpus-constant affix (so compactTemplate is a no-op):
+    // hoods ab→{ab,b,a}, ac→{ac,c,a}, xy→{xy,y,x} — only "a" is
+    // shared (n=2 → 1 candidate pair), 8 distinct keys
+    val df = Seq((1L, "ab"), (2L, "ac"), (3L, "xy")).toDF("id", "s")
+    val st = Dedup.edCandidateStats(df, "id", "s", maxDist = 1).head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ((3L, 8L, 1L)),
+      st)
+    // candidate mass bounds the verified pairs on any corpus
+    val names = (0L until 40L).map(i => (i, f"rec-${i % 7}%02d-${i / 7}"))
+      .toDF("id", "s")
+    val cand = Dedup.edCandidateStats(names, "id", "s", maxDist = 1)
+      .head().getLong(2)
+    val pairs = Dedup.editDistancePairs(names, "id", "s", maxDist = 1).count()
+    assert(cand >= pairs, s"candidates $cand < verified pairs $pairs")
   }
 
   test("embeddingIvfDedupEdges: with one cluster the candidate set is " +
