@@ -641,7 +641,14 @@ object Dedup {
     *    can differ, which is exactly why the decision is returned as
     *    an auditable LEDGER row rather than made silently, and why the
     *    routed form carries its own oracle gate (dd32) rather than
-    *    inheriting dd03's.
+    *    inheriting dd03's. MEASURED shift at the wired defaults
+    *    (sf1_div diverse corpus — artifacts/r20/
+    *    route_overlap_sf1_div.json): est-J ≥ 0.9 pairs are 97%
+    *    hamming-true but cover only 0.56% of the hamming ≤ 6 pair set
+    *    (42.9k vs 7.49M pairs; survivor sets 29,087 vs 1,970 of 50k,
+    *    Jaccard 0.068) — the route is a TIGHTER merge radius, so
+    *    lower `minEstJaccard` if the hamming relation's looser merge
+    *    was load-bearing.
     *  - `"cap"`: stay on the simhash relation but auto-engage the
     *    hot-bucket cap, bounding candidate mass at ~buckets × C(cap, 2)
     *    independent of n. `fallbackBucketCap` = -1 (default) DERIVES

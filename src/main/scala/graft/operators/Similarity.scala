@@ -291,6 +291,19 @@ object Similarity {
     * + signature compute. For repeated lookups use `lshIndexWrite` +
     * `lshIndexTopK`: the signed corpus lives at rest partitioned by
     * bucket and a query's scan prunes to its probe buckets.
+    *
+    * ROUTE BY CORPUS SIZE (r19 verdict item 5, measured): the 2^planes
+    * signature space is FIXED, so a query's multi-probe candidate set
+    * is a constant FRACTION of the corpus, not a constant count —
+    * measured on the diverse embeddings at the wired planes=8
+    * (artifacts/r20/lsh_topk_occupancy.json): 798 candidates/query at
+    * 20k vectors and 7,983 at 200k — 4.0% of n at BOTH scales, i.e.
+    * per-query cost grows linearly and the prefilter buys a constant
+    * ~25× over brute force, nothing more. Small corpora (≤ ~100k) or
+    * one-shot lookups: this is fine. At scale, use the IVF family
+    * ([[ivfTopK]] / the persisted `ivfSampledIndex*`), whose nlist
+    * derives from n so per-query candidates stay ~constant — the
+    * production ANN path at 100 TB.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryVecId: Long, k: Int, planes: Int, seed: Int = 42): DataFrame = {
