@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -28,6 +28,95 @@ object VectorKernels {
     }
     acc
   }
+}
+
+/** `sqrt(Σ v_i²)` as ONE native expression — the L2 norm with the same
+  * left-to-right double fold as the unrolled
+  * `element_at(v,1)*element_at(v,1) + ...` chain (bit-identical). A
+  * null element nullifies the norm, matching element_at propagation.
+  *
+  * Why it exists: the norm feeds BOTH a zero-norm filter and a
+  * per-element divide, and CollapseProject inlines a column-expression
+  * norm into every consumer — 64 copies of a 64-term chain blew the
+  * normalization projection past codegen limits into interpreted
+  * per-row evaluation (measured ~3 s per 2k-vector corpus load; one
+  * native eval per consumer is ~130 primitive ops).
+  */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"l2norm expects array<double>, got ${t.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double __x = $a.getDouble($i);
+         |  $acc += __x * __x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): VectorNorm =
+    copy(child = c)
+  override def prettyName: String = "l2norm"
+}
+
+/** `array(v_1/d, ..., v_n/d)` as ONE native expression — per-element
+  * divide by a scalar, same IEEE division as the unrolled
+  * `element_at(v,i) / d` array constructor it replaces (bit-identical).
+  * Null elements stay null; a null array or divisor yields null.
+  */
+case class VectorDivScalar(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vecdiv expects (array<double>, double), got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val d = r.asInstanceOf[Double]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) out(i) = a.getDouble(i) / d
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDivScalar =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vecdiv"
 }
 
 /** `dot(array<double>, array<double>)` as ONE native expression.

@@ -41,7 +41,8 @@ object Bpe {
     * lowercase whitespace tokenization, in wrapped-symbol form.
     */
   private[graft] def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(Dedup.tokens(col(textCol))).as("word"))
+    Par.spread(df.select(col(textCol).as("__txt")))
+      .select(explode(Dedup.tokens(col("__txt"))).as("word"))
       .filter(length(translate(col("word"), S, "")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(wrapChars(col("word")).as("w"), col("cnt"))
@@ -159,10 +160,24 @@ object Bpe {
     */
   private def trainLoop(words0: DataFrame, numMerges: Int,
                         minPairCount: Long): Seq[Merge] = {
-    var words = words0
+    // ONE job per merge: the argmax aggregate itself re-derives the
+    // current word table from the last pinned frame plus at most 7
+    // pending literal replaces — a narrow, codegen'd prefix of the
+    // same stage, so deferring the state materialization costs a few
+    // string scans while saving a whole scheduled job per merge (the
+    // old shape paid argmax + persist-count every iteration: 2x the
+    // scheduler floor, which DOMINATES at vocab-table row counts).
+    // Every 8th merge the state is pinned eagerly (plan stays O(1)
+    // across iterations) and the superseded pin is freed (IterPin
+    // discipline). Same expressions in the same order → bit-identical
+    // merges.
+    var pinned = words0 // last materialized frame (caller persisted it)
+    var words = words0  // pinned + <8 lazy replaces
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     var done = false
+    def freeSuperseded(prev: DataFrame): Unit =
+      if (prev eq words0) words0.unpersist() else IterPin.free(prev)
     while (rank <= numMerges && !done) {
       val best = words
         .select(explode(pairsOf(col("w"))).as("p"), col("cnt"))
@@ -172,20 +187,20 @@ object Bpe {
       best.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2))) match {
         case Some((a, b, n)) if n >= minPairCount =>
           merges += Merge(rank, a, b, n)
-          val prev = words
           words = words.select(
             replace(col("w"), lit(S + a + S + S + b + S), lit(S + a + b + S)).as("w"),
             col("cnt"))
-          // truncate lineage so the plan stays O(1) across iterations
-          words = (if (rank % 8 == 0) words.localCheckpoint(true)
-                   else words.persist())
-          words.count()
-          prev.unpersist()
+          if (rank % 8 == 0) {
+            val next = IterPin.pin(words) // eager — truncates lineage
+            freeSuperseded(pinned)
+            pinned = next
+            words = next
+          }
           rank += 1
         case _ => done = true
       }
     }
-    words.unpersist()
+    freeSuperseded(pinned)
     merges.toSeq
   }
 

@@ -47,8 +47,20 @@ object Components {
       return r
     }
 
-    var labels = IterPin.pin(und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")))
+    // convergence by MONOTONE SIGNATURE, folded into each round's pin
+    // (IterPin.pinProbed): every update is least()/min() over the
+    // current labels, so each comp is non-increasing — the label sum
+    // (exact DECIMAL, ids can be near Long.Max at 100 TB key spaces)
+    // is unchanged iff NO label changed. Replaces the old
+    // join-the-previous-vector probe: one job per round instead of
+    // two, and no second pass over the label vector.
+    val sigCol = sum(col("comp").cast("decimal(38,0)"))
+    def sigOf(r: org.apache.spark.sql.Row): java.math.BigDecimal =
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    var (labels, labelsRow) = IterPin.pinProbed(
+      und.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")), Seq(sigCol))
+    var signature = sigOf(labelsRow)
 
     var converged = false
     var it = 0
@@ -59,15 +71,16 @@ object Components {
       val stepped = labels.join(nbrMin, col("id") === col("src"), "left_outer")
         .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c1"))
       // pointer jump: follow the label one more level
-      val next = IterPin.pin(stepped
+      val (next, nextRow) = IterPin.pinProbed(stepped
         .join(stepped.select(col("id").as("jid"), col("c1").as("jc")),
           col("c1") === col("jid"), "left_outer")
-        .select(col("id"), coalesce(col("jc"), col("c1")).as("comp")))
-      converged = next
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).limit(1).isEmpty
-      IterPin.free(labels) // superseded label vector (convergence probe ran)
+        .select(col("id"), coalesce(col("jc"), col("c1")).as("comp")),
+        Seq(sigCol))
+      val nextSig = sigOf(nextRow)
+      converged = nextSig.compareTo(signature) == 0
+      IterPin.free(labels) // superseded label vector
       labels = next
+      signature = nextSig
       it += 1
     }
     IterPin.free(und) // exit free — the final pinned labels read nothing

@@ -96,7 +96,11 @@ object Dedup {
     */
   private[graft] def shingleRows(df: DataFrame, idCol: String, textCol: String,
                                  n: Int): DataFrame = {
-    val t = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    // single-split scans spread to session parallelism before the
+    // CPU-heavy explode (Par.spread is a no-op on parallel/derived
+    // inputs — never a corpus-wide shuffle at scale)
+    val t = Par.spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), tokens(col("__txt")).as("t"))
     val gram = concat_ws(" ", (0 until n).map(j => element_at(col("t"), col("__i") + j)): _*)
     t.select(col("id"), col("t"),
         explode(when(size(col("t")) >= n, sequence(lit(1), size(col("t")) - (n - 1)))
@@ -527,8 +531,10 @@ object Dedup {
   private[graft] val SimHashBits = 48
 
   private[graft] def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toksHashed = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    // single-split scans spread before the token explode (see shingleRows)
+    val toksHashed = Par.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), explode(tokens(col("__txt"))).as("tok"))
       .select(col("id"),
         conv(substring(md5(col("tok").cast("binary")), 1, 12), 16, 10)
           .cast("long").as("h"))
@@ -1747,10 +1753,21 @@ object Dedup {
   private[graft] def dotUnrolled(v1: Column, v2: Column, dims: Int): Column = {
     val hof = aggregate(zip_with(v1, v2, (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)
+    // equal-size branch through the native DotProduct kernel (one eval,
+    // primitive loop — same left-to-right fold from 0.0, bit-identical)
+    // instead of a 2·dims-deep unrolled chain: the chain is fine inside
+    // whole-stage codegen but pays ~4·dims virtual evals + boxing per
+    // pair on interpreted stages, and its plan-size bloat is what
+    // CollapseProject amplifies (see Similarity.normalizedVectors).
+    // Size-mismatched rows keep the HOF branch: DotProduct folds over
+    // min-length and would miss the null the zip_with form produces.
     if (dims <= 0) hof
-    else when(size(v1) === dims && size(v2) === dims,
-      (1 to dims).map(d => element_at(v1, d) * element_at(v2, d))
-        .foldLeft(lit(0.0))(_ + _)).otherwise(hof)
+    else {
+      import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+      when(size(v1) === dims && size(v2) === dims,
+        column(graft.functions.DotProduct(expression(v1), expression(v2))))
+        .otherwise(hof)
+    }
   }
 
   /** One-row probe of the vector dimensionality (reads a single
@@ -2545,8 +2562,19 @@ object Dedup {
     */
   private def edSelfStringPairs(v: DataFrame, maxDist: Int): DataFrame = {
     val d = v.select(col("s")).distinct().select(col("s").as("id"), col("s"))
+    // pin the blocking join's partition count (explicit-count
+    // repartition = REPARTITION_BY_NUM, which AQE must not coalesce):
+    // the verify stage downstream is CPU-bound (a DP kernel per
+    // candidate pair), so AQE's BYTE-based coalescing — candidate rows
+    // are a few short strings each — starves it to 1-2 tasks exactly
+    // when candidates are dense (measured 3.8 s single-task at dd16's
+    // d=2 regime). The count is the session's shuffle-partition conf —
+    // the same knob a cluster sizes to its data. The two frames share
+    // one physical exchange (reuse).
+    val par = v.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val vars = d.select(col("id"), col("s"),
-      explode(deletionHood(col("s"), maxDist)).as("__v"))
+        explode(deletionHood(col("s"), maxDist)).as("__v"))
+      .repartition(par, col("__v"))
     val a = vars.select(col("__v"), col("id").as("id1"), col("s").as("s1"))
     val b = vars.select(col("__v"), col("id").as("id2"), col("s").as("s2"))
     // verify with an O(cap·n) capped-distance kernel, then dedupe the
@@ -3000,10 +3028,17 @@ object Dedup {
     // per-side exact-duplicate collapse, as in the self-join form:
     // block/verify over distinct strings, expand links over both id
     // groups afterward — identical output, clone-factor² less blocking
+    // explicit-count repartition on the blocking key: the downstream
+    // DP verify is CPU-bound and AQE's byte-based coalescing would run
+    // it in 1-2 tasks at small candidate bytes (the edSelfStringPairs
+    // discipline)
+    val par = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     def distinctVars(v: DataFrame, idAs: String, sAs: String) = {
       val c = stripAffixes(v, pre, suf).select(col("s")).distinct()
       c.select(col("s").as(idAs), col("s").as(sAs),
-        explode(deletionHood(col("s"), maxDist)).as("__v"))
+          explode(deletionHood(col("s"), maxDist)).as("__v"))
+        .repartition(par, col("__v"))
     }
     val sp = verifyCandidates(
       distinctVars(l0, "id1", "s1").join(distinctVars(r0, "id2", "s2"),

@@ -58,19 +58,26 @@ object GraphAlgos {
     // weighted edges split a source's rank ∝ weight instead of evenly;
     // with unit weights sum(__w) is exactly the outdegree count, so the
     // unweighted results are bit-identical to the count formulation
-    val e = weightCol match {
+    // pin the raw edge projection FIRST: `edges` is usually a lazy
+    // build plan (scan → join → distinct), and the two consumers below
+    // (w pin, nodes pin) would otherwise each re-execute it from the
+    // source — one materialization instead of two full builds
+    val e = IterPin.pin(weightCol match {
       case Some(wc) => edges.select(col("src"), col("dst"),
         col(wc).cast("double").as("__w"))
       case None => edges.select(col("src"), col("dst"), lit(1.0).as("__w"))
-    }
+    })
     val od = e.groupBy(col("src")).agg(sum(col("__w")).as("outdeg"))
     // edge ⋈ outdeg pinned once: every iteration re-reads this at the
     // cost of a materialized scan, never the upstream shuffles
     val w = IterPin.pin(e.join(od, Seq("src"))
       .select(col("src").as("node"), col("dst"), col("__w"), col("outdeg")))
-    val nodes = IterPin.pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
-    val nN = nodes.count()
+    // node count folded into the nodes pin (one job — IterPin.pinProbed)
+    val (nodes, nodesRow) = IterPin.pinProbed(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(),
+      Seq(count(lit(1))))
+    IterPin.free(e) // both derived pins are materialized
+    val nN = nodesRow.getLong(0)
     val base = (1.0 - damping) / nN
     // personalized PageRank: teleport (and dangling redistribution)
     // concentrate on the seed set instead of uniform — rank becomes
@@ -181,8 +188,9 @@ object GraphAlgos {
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = IterPin.pin(edges.select(col("src"), col("dst")))
-    var nEdges = e.count()
+    var (e, eRow) = IterPin.pinProbed(edges.select(col("src"), col("dst")),
+      Seq(count(lit(1))))
+    var nEdges = eRow.getLong(0)
     var round = 0
     var converged = nEdges == 0
     while (round < maxRounds && !converged) {
@@ -203,8 +211,9 @@ object GraphAlgos {
           .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
       }
-      val next = IterPin.pin(cur)
-      val nNext = next.count()
+      // edge count folded into the pin's own job (IterPin.pinProbed)
+      val (next, nextRow) = IterPin.pinProbed(cur, Seq(count(lit(1))))
+      val nNext = nextRow.getLong(0)
       converged = nNext == nEdges
       IterPin.free(e) // superseded peel state — nothing references it
       e = next
@@ -339,8 +348,9 @@ object GraphAlgos {
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 15): DataFrame = {
     val e = IterPin.pin(edges.select(col("src"), col("dst"),
       col("weight").cast("long").as("weight")))
-    var dist = IterPin.pin(seeds.select(col("node"), lit(0L).as("dist")))
-    var signature = (dist.count(), 0L)
+    var (dist, seedRow) = IterPin.pinProbed(
+      seeds.select(col("node"), lit(0L).as("dist")), Seq(count(lit(1))))
+    var signature = (seedRow.getLong(0), 0L)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -357,11 +367,11 @@ object GraphAlgos {
         cur = cur.unionAll(offers)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }
-      val next = IterPin.pin(cur)
-      // coalesce: an empty seed set makes sum(dist) null — converge to
-      // an empty result instead of an NPE on getLong
-      val sig = next.agg(count(lit(1)),
-        coalesce(sum(col("dist")), lit(0L))).collect()(0)
+      // convergence signature folded into the pin's own job
+      // (IterPin.pinProbed); coalesce: an empty seed set makes
+      // sum(dist) null — converge to an empty result, not an NPE
+      val (next, sig) = IterPin.pinProbed(cur,
+        Seq(count(lit(1)), coalesce(sum(col("dist")), lit(0L))))
       val nextSig = (sig.getLong(0), sig.getLong(1))
       converged = nextSig == signature
       IterPin.free(dist) // superseded distance vector
@@ -382,9 +392,10 @@ object GraphAlgos {
   def multiSourceHopDistances(edges: DataFrame, seeds: DataFrame,
                               maxRounds: Int = 10): DataFrame = {
     val e = IterPin.pin(edges.select(col("src"), col("dst")))
-    var dist = IterPin.pin(seeds.select(col("node").as("origin"), col("node"),
-      lit(0L).as("dist")))
-    var signature = (dist.count(), 0L)
+    var (dist, seedRow) = IterPin.pinProbed(
+      seeds.select(col("node").as("origin"), col("node"),
+        lit(0L).as("dist")), Seq(count(lit(1))))
+    var signature = (seedRow.getLong(0), 0L)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -399,11 +410,11 @@ object GraphAlgos {
         cur = cur.unionAll(offers)
           .groupBy(col("origin"), col("node")).agg(min(col("dist")).as("dist"))
       }
-      val next = IterPin.pin(cur)
-      // coalesce: an empty seed set makes sum(dist) null — converge to
-      // an empty result instead of an NPE on getLong
-      val sig = next.agg(count(lit(1)),
-        coalesce(sum(col("dist")), lit(0L))).collect()(0)
+      // convergence signature folded into the pin's own job
+      // (IterPin.pinProbed); coalesce: an empty seed set makes
+      // sum(dist) null — converge to an empty result, not an NPE
+      val (next, sig) = IterPin.pinProbed(cur,
+        Seq(count(lit(1)), coalesce(sum(col("dist")), lit(0L))))
       val nextSig = (sig.getLong(0), sig.getLong(1))
       converged = nextSig == signature
       IterPin.free(dist) // superseded distance vector
@@ -479,14 +490,25 @@ object GraphAlgos {
   def sampledHarmonicCloseness(edges: DataFrame, pivots: Int,
                                maxRounds: Int = 10): DataFrame = {
     require(pivots >= 1, s"pivots must be >= 1, got $pivots")
-    val verts = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
-    val n = verts.count()
+    // pin the edges once: `edges` is usually a lazy build plan, and the
+    // vertex set, the pivot pick, and the BFS would otherwise each
+    // re-execute it from the source (4 full builds per call measured
+    // before this). The vertex count rides on the verts pin's own job.
+    val e = IterPin.pin(edges.select(col("src"), col("dst")))
+    val (verts, vRow) = IterPin.pinProbed(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct(),
+      Seq(count(lit(1))))
+    val n = vRow.getLong(0)
     val k = math.min(pivots.toLong, n)
     val seeds = verts
       .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
       .limit(k.toInt)
-    multiSourceHopDistances(edges, seeds, maxRounds)
+    val dists = multiSourceHopDistances(e, seeds, maxRounds)
+    // the BFS pinned its own edge/seed state — the loop inputs can go
+    IterPin.free(e)
+    IterPin.free(verts)
+    dists
       .filter(col("dist") > 0)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("pivots_reached"),

@@ -43,6 +43,47 @@ private[graft] object IterPin {
       case None => df.localCheckpoint()
     }
 
+  private val probeId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** [[pin]] plus the round's convergence probe IN THE SAME JOB: the
+    * aggregate columns ride as a `Dataset.observe` node on the frame
+    * being checkpointed, so the materialization action itself fills
+    * them and the loop reads the row off the executed plan
+    * ([[org.apache.spark.sql.graftshim.MetricsBridge]]) — one
+    * scheduled job per round where pin-then-agg paid two. At the
+    * bench's state sizes the probe job was pure scheduler floor; at
+    * cluster scale it was a full extra pass over the round's state.
+    *
+    * Exactness: observed metrics are accumulator-backed. Spark applies
+    * accumulator updates once per successful task per stage execution,
+    * which is exact everywhere the bench runs (local mode — no
+    * speculation, no stage retries). On clusters, a stage RETRY after
+    * executor loss can double-apply a lost task's update; a loop whose
+    * convergence rule would be corrupted by an inflated probe can set
+    * `graft.iter.observeProbe=false` to route through the old
+    * pin-then-aggregate two-job probe (bit-identical results either
+    * way — the probe only decides WHEN to stop, and every caller's
+    * update rule is idempotent past its fixpoint).
+    */
+  def pinProbed(df: DataFrame, metrics: Seq[org.apache.spark.sql.Column])
+  : (DataFrame, org.apache.spark.sql.Row) = {
+    val observe = df.sparkSession.conf
+      .get("graft.iter.observeProbe", "true").toBoolean
+    if (observe) {
+      val name = s"__iterpin_probe_${probeId.incrementAndGet()}"
+      val obs = df.observe(name, metrics.head, metrics.tail: _*)
+      val pinned = pin(obs)
+      val row = org.apache.spark.sql.graftshim.MetricsBridge
+        .observed(obs, name)
+        .getOrElse(throw new IllegalStateException(
+          s"observed metrics '$name' missing after materialization"))
+      (pinned, row)
+    } else {
+      val pinned = pin(df)
+      (pinned, pinned.agg(metrics.head, metrics.tail: _*).head())
+    }
+  }
+
   /** Drop the storage behind a SUPERSEDED pinned frame — block-manager
     * blocks for localCheckpoint pins, the checkpoint DIRECTORY for
     * reliable pins (nothing else ever reclaims those files: without

@@ -45,17 +45,23 @@ object Similarity {
     if (dims <= 0)
       guarded(hofDot, sqrt(hofN2(a)), sqrt(hofN2(b)))
     else {
+      // equal-size branch through the native [[graft.functions.DotProduct]]
+      // kernel (one virtual eval + a primitive loop) instead of the
+      // 2·dims-deep unrolled element_at/Add chain: inside whole-stage
+      // codegen both compile to the same loop shape, but the cosine-hot
+      // operators (broadcast nested-loop top-k, LSH verify) host their
+      // projection on stages with NO codegen region, where the unrolled
+      // chain paid ~400 virtual evals + boxed doubles per pair. The
+      // kernel folds left-to-right from 0.0 — bit-identical doubles.
+      // Size-mismatched rows keep the HOF branch (DotProduct folds over
+      // min-length and would MISS the null the zip_with form produces).
+      import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+      def native(x: Column, y: Column) =
+        column(graft.functions.DotProduct(expression(x), expression(y)))
       val ok = size(a) === dims && size(b) === dims
-      def unroll(ps: Seq[Column]) = ps.foldLeft(lit(0.0))(_ + _)
-      val dot = when(ok,
-        unroll((1 to dims).map(d => element_at(a, d) * element_at(b, d))))
-        .otherwise(hofDot)
-      val na = sqrt(when(ok,
-        unroll((1 to dims).map(d => element_at(a, d) * element_at(a, d))))
-        .otherwise(hofN2(a)))
-      val nb = sqrt(when(ok,
-        unroll((1 to dims).map(d => element_at(b, d) * element_at(b, d))))
-        .otherwise(hofN2(b)))
+      val dot = when(ok, native(a, b)).otherwise(hofDot)
+      val na = sqrt(when(ok, native(a, a)).otherwise(hofN2(a)))
+      val nb = sqrt(when(ok, native(b, b)).otherwise(hofN2(b)))
       guarded(dot, na, nb)
     }
   }
@@ -1598,20 +1604,38 @@ object Similarity {
     */
   private[operators] def normalizedVectors(df: DataFrame, idCol: String, vecCol: String,
                                 labelCol: String, nd: Int): DataFrame = {
-    def norm(c: Column) = sqrt(
-      (1 to nd).map(d => element_at(c, d) * element_at(c, d))
-        .foldLeft(lit(0.0))(_ + _))
+    // native L2 norm (one eval per consumer): the unrolled element_at
+    // chain was inlined by CollapseProject into the zero-norm filter
+    // AND all nd division slots — ~nd² expression nodes per row, past
+    // codegen limits into interpreted eval (measured ~3 s per 2k-row
+    // corpus load; same left-to-right fold, bit-identical)
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    def norm(c: Column) = column(graft.functions.VectorNorm(expression(c)))
+    // explicit-count repartition: the corpus parquet often arrives as
+    // ONE partition at these row counts, and the checkpoint below would
+    // run the whole norm+divide projection in a single task (the
+    // exactPairs discipline; downstream consumers are joins/aggregates
+    // and the fused kernel's selection is a strict total order on
+    // (cosine, id), so row order is immaterial)
     df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
       asDouble(col(vecCol)).as("__raw"))
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt)
       .filter(col("__raw").isNotNull)
       .withColumn("__norm", norm(col("__raw")))
       .filter(col("__norm") > 0)
       // __raw rides along so signature paths can sign the ORIGINAL
       // vector: sign is scale-invariant in exact arithmetic, but a
       // near-zero hyperplane dot can flip under the normalized floats,
-      // diverging from the index convention and the oracle replay
+      // diverging from the index convention and the oracle replay.
+      // The division is ONE native kernel (VectorDivScalar) instead of
+      // transform() or an unrolled array constructor: the lambda was
+      // interpreted CodegenFallback dispatch per ELEMENT, and the
+      // unrolled form re-inlined __norm per slot (see the norm note).
+      // Same IEEE divisions in the same order, bit-identical.
       .select(col("id"), col("lbl"), col("__raw"),
-        transform(col("__raw"), x => x / col("__norm")).as("v"))
+        column(graft.functions.VectorDivScalar(
+          expression(col("__raw")), expression(col("__norm")))).as("v"))
       .localCheckpoint(true)
   }
 
@@ -1658,10 +1682,21 @@ object Similarity {
     val probes = array(
       (col("__sig") +: (0 until planes).map(p =>
         col("__sig").bitwiseXOR(lit(1L << p)))): _*)
+    // pin the candidate join's partition count (explicit-count
+    // repartition — AQE must not coalesce it): the join's output stage
+    // computes an nd-dim dot per candidate pair, CPU-bound at tiny
+    // bytes, and AQE's byte-based coalescing ran the whole candidate
+    // stream in ONE task (measured 4.2 s of ann06's wall). The two
+    // sides co-partition on the signature key, so the join itself
+    // needs no further exchange.
+    val par = v.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val lhs = signed.select(col("id"), col("lbl"), col("v"),
-      explode(probes).as("__probe"))
+        explode(probes).as("__probe"))
+      .repartition(par, col("__probe"))
     val rhs = signed.select(col("id").as("id2"), col("lbl").as("lbl2"),
-      col("v").as("v2"), col("__sig").as("__sig2"))
+        col("v").as("v2"), col("__sig").as("__sig2"))
+      .repartition(par, col("__sig2"))
     lhs.join(rhs, col("__probe") === col("__sig2") && col("id") =!= col("id2"))
       .select(col("id"), col("lbl"), col("id2"), col("lbl2"),
         round(pairDot(nd), 6).as("__cos"))

@@ -67,15 +67,20 @@ object Sketches {
     // etc. skip nulls), and it keeps "one (key, est) row per distinct
     // NON-NULL value" exact
     val in = df.filter(col(valueCol).isNotNull)
-    val ex = in.select(col(valueCol).as("key"),
-        explode(array(cells(col(valueCol)): _*)).as("rc"))
-      .select(col("rc.r").as("r"), col("rc.c").as("c"))
-    val counters = ex.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
-    // probes hash the DISTINCT keys, not a distinct over the exploded
-    // corpus — d·|keys| rows instead of re-aggregating d·|rows|
-    in.select(col(valueCol).as("key")).distinct()
-      .select(col("key"), explode(array(cells(col("key")): _*)).as("rc"))
-      .select(col("key"), col("rc.r").as("r"), col("rc.c").as("c"))
+    // aggregate to per-key counts FIRST, then hash: cell(key) is a pure
+    // function of the key, so counter(r,c) = Σ_{key→(r,c)} count(key) —
+    // identical counters with d·|distinct keys| md5 evaluations instead
+    // of d·|rows| (the corpus row count never meets the hash), and ONE
+    // corpus scan feeding both the counters and the probe side (the old
+    // shape scanned it twice). The exploded keyCnt frame is the shared
+    // subtree of both consumers.
+    val keyCnt = in.groupBy(col(valueCol).as("key"))
+      .agg(count(lit(1)).as("__n"))
+    val ex = keyCnt
+      .select(col("key"), col("__n"), explode(array(cells(col("key")): _*)).as("rc"))
+      .select(col("key"), col("__n"), col("rc.r").as("r"), col("rc.c").as("c"))
+    val counters = ex.groupBy(col("r"), col("c")).agg(sum(col("__n")).as("cnt"))
+    ex.select(col("key"), col("r"), col("c"))
       .join(counters, Seq("r", "c"))
       .groupBy(col("key")).agg(min(col("cnt")).as("est"))
   }

@@ -147,10 +147,15 @@ object PathExpand {
       .reduce(_ unionByName _)
     val nPart = edges0.sparkSession.sessionState.conf.numShufflePartitions
     val loops = maxHopsOpt.getOrElse(DefaultMaxHops) > 1
-    val materialized = if (loops) edges0.localCheckpoint() else edges0
+    // edge count folded into the materialization job (IterPin.pinProbed)
+    val (materialized, edgeCount) =
+      if (loops) {
+        val (m, r) = graft.operators.IterPin.pinProbed(edges0,
+          Seq(count(lit(1))))
+        (m, r.getLong(0))
+      } else (edges0, 0L)
     val threshold = edges0.sparkSession.conf
       .get("graft.pathExpand.broadcastThreshold", MaxBroadcastEdges.toString).toLong
-    val edgeCount = if (loops) materialized.count() else 0L
     val coPartitioned = loops && edgeCount > threshold
     val edges =
       if (coPartitioned)
@@ -224,10 +229,12 @@ object PathExpand {
           .select(col("l.__a").as("__a"), col("r.__b").as("__b"),
             (col("l.__hops") + col("r.__hops")).as("__hops"))
           .filter(col("__hops") <= maxHops)
-        val next = graft.operators.IterPin.pin(
+        // row-cap probe folded into the pin's own job
+        val (next, nextRow) = graft.operators.IterPin.pinProbed(
           closure.unionByName(composed)
-            .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops")))
-        if (next.count() > closureRowCap) abandoned = true
+            .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops")),
+          Seq(count(lit(1))))
+        if (nextRow.getLong(0) > closureRowCap) abandoned = true
         else {
           // fixpoint: no new pair and no improved hop count. (Count
           // equality is NOT sufficient — a pair whose true distance
@@ -334,11 +341,13 @@ object PathExpand {
       // would never be consumed. The remaining per-round cost at local
       // scale is the Spark scheduling floor (~2 stages/hop), which is
       // exactly what buys horizontal scale-out on a cluster.
-      frontier =
-        (if (coPartitioned && hop < maxHops)
-           next.repartition(nPart, col("__node"))
-         else next).localCheckpoint()
-      val frontierRows = frontier.count()
+      // early-stop/cap probe folded into the checkpoint's own job
+      val (pinned, pinnedRow) = graft.operators.IterPin.pinProbed(
+        if (coPartitioned && hop < maxHops)
+          next.repartition(nPart, col("__node"))
+        else next, Seq(count(lit(1))))
+      frontier = pinned
+      val frontierRows = pinnedRow.getLong(0)
       if (frontierRows == 0) exhausted = true
       else {
         totalRows += frontierRows

@@ -705,13 +705,18 @@ object PipelineQueries {
         .distinct()
         .filter(substring(md5(concat(col("src").cast("string"), lit("-"),
           col("dst").cast("string")).cast("binary")), 1, 2) < "0d")
-      val edges = pairs.unionAll(
+      // pin the edge build once: the seed aggregate and the loop's own
+      // edge pin would otherwise each re-run the scan→join→distinct
+      // build (results identical; one materialization instead of two)
+      val edges = graft.operators.IterPin.pin(pairs.unionAll(
           pairs.select(col("dst").as("src"), col("src").as("dst")))
         .withColumn("weight", lit(1) +
           (least(col("src"), col("dst")) * 7 +
-            greatest(col("src"), col("dst")) * 13) % 10)
+            greatest(col("src"), col("dst")) * 13) % 10))
       val seeds = edges.agg(min(col("src")).as("node"))
-      GraphAlgos.sssp(edges, seeds, maxRounds = 15)
+      val r = GraphAlgos.sssp(edges, seeds, maxRounds = 15)
+      graft.operators.IterPin.free(edges) // sssp pinned its own state
+      r
     },
 
     // Weighted bipartite projection: order—part membership edges
@@ -742,12 +747,17 @@ object PipelineQueries {
         .distinct()
         .filter(substring(md5(concat(col("src").cast("string"), lit("-"),
           col("dst").cast("string")).cast("binary")), 1, 2) < "0d")
-      val edges = pairs.unionAll(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // pin the edge build once: the seed pick and the BFS would
+      // otherwise each re-run the scan→join→distinct build (results
+      // identical; one materialization instead of three)
+      val edges = graft.operators.IterPin.pin(pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))))
       val seeds = edges.select(col("src").as("node")).distinct()
         .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
         .limit(4)
-      GraphAlgos.harmonicCloseness(edges, seeds, maxRounds = 10)
+      val r = GraphAlgos.harmonicCloseness(edges, seeds, maxRounds = 10)
+      graft.operators.IterPin.free(edges) // the BFS pinned its own state
+      r
     },
 
     // Pivot-sampled harmonic closeness of EVERY vertex (Eppstein-Wang)
@@ -865,7 +875,13 @@ object PipelineQueries {
         .select(col("c_custkey").as("id"), col("c_name").as("s"))
       val routed = Dedup.editDistancePairs(cust, "id", "s", maxDist = 2)
         .select(col("id1"), col("id2")).localCheckpoint(true)
+      // the small parquet slice arrives as ONE partition and a broadcast
+      // nested-loop join preserves left partitioning — repartition by id
+      // so the O(n²) levenshtein verify parallelizes (the Similarity
+      // exactPairs discipline; rows identical)
       val truth = cust
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("id"))
         .crossJoin(cust.select(col("id").as("id2"), col("s").as("s2")))
         .filter(col("id") < col("id2") &&
           levenshtein(col("s"), col("s2")) <= 2)
@@ -1139,7 +1155,13 @@ object PipelineQueries {
       val (pairs, ledger) = Dedup.editDistancePairsAuto(
         cust, "c_custkey", "c_name", maxDist = 1)
       val routed = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+      // repartition by id before the O(n²) truth crossJoin: the slice is
+      // ONE parquet partition and BNLJ preserves left partitioning, so
+      // the levenshtein verify otherwise runs in a single task (measured
+      // 8-9 s of this row's wall; rows identical)
       val truth = cust
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("c_custkey"))
         .crossJoin(cust.select(col("c_custkey").as("k2"),
           col("c_name").as("n2")))
         .filter(col("c_custkey") < col("k2") &&
@@ -1173,7 +1195,11 @@ object PipelineQueries {
       val (links, ledger) = Dedup.fuzzyLinkAuto(c, "c_custkey", "c_name",
         right, "r_id", "r_name", maxDist = 1)
       val routed = links.select(col("id1"), col("id2")).localCheckpoint(true)
+      // same single-task hazard as dd21's truth arm: parallelize the
+      // O(n²) levenshtein crossJoin (rows identical)
       val truth = c
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("c_custkey"))
         .crossJoin(right)
         .filter(levenshtein(col("c_name"), col("r_name")) <= 1)
         .select(col("c_custkey").as("id1"), col("r_id").as("id2"))
