@@ -90,53 +90,24 @@ object Bench {
       s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    // The harness that collects this output keeps only the LAST 2000
-    // characters of the run log; the full 105-query map with
-    // nanosecond-precision doubles is ~5 KB and has never survived that
-    // window intact (every BENCH_r*.json so far carries parsed:null).
-    // So: the full per-query results + spread go to a FILE, and stdout
-    // gets a compact line — ms-precision values for a headline subset
-    // that spans every query family and the BASELINE.md-comparable ops —
-    // sized to fit the window with room for the runner's epilogue.
+    // bench_full.json keeps the high-precision map + per-query spread
+    // for artifact-grade reconciliation.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
-    val headline: Vector[String] = Vector(
-      // BASELINE.md-mapped cypher ops: scan/filter/hop/agg/two-hop/var-length
-      "cy01_scan", "cy02_filter", "cy03_hop", "cy04_agg", "cy05_twohop",
-      "cy15_varlength", "cy25_varlength_deep", "cy30_shortestpath",
-      "cy40_wcoj_triangles", "cy44_shortestpath_witness",
-      // relational tier
-      "q01_pricing_summary", "q03_topk_revenue", "q08_window_topn_per_group",
-      "q15_star_join", "q19_tumbling_window", "q21_session_islands",
-      "q26_asof_join", "q27_funnel", "q33_gapfill", "q34_bloom_semijoin",
-      "q35_interval_join", "q38_scd2_merge", "q40_hll_distinct",
-      "q41_cms_heavy_hitters", "q42_quality_report", "q43_hll_rollup",
-      "q44_first_touch",
-      // dedup tier
-      "dd01_exact_dedup", "dd02_minhash_lsh", "dd03_simhash",
-      "dd05_embedding_neardup", "dd08_dedup_resolve",
-      "dd13_incremental_index_recall", "dd14_semantic_dedup",
-      "dd15_fuzzy_join",
-      // ann tier
-      "ann01_bruteforce_topk", "ann03_ivf_topk", "ann05_knn_label_agreement",
-      "ann07_label_centroid_audit", "ann08_pq_topk",
-      // graph analytics
-      "gr01_pagerank", "gr02_label_propagation", "gr04_triangle_stats",
-      "gr05_sssp", "gr06_closeness", "gr07_bipartite_project",
-      "dd19_bloom_incremental", "ann12_mmr_topk",
-      // text tier
-      "tx06_token_budget", "tx08_tfidf_topterms", "tx09_unigram_nll",
-      "tx11_temperature_mix", "tx13_curation_pipeline", "tx15_ngram_novelty",
-      "tx16_sequence_pack", "tx17_dsir_importance", "tx19_lm_quality_bins",
-      "tx20_dsir_resample", "bpe02_bpe_encode",
-      // mutation tier
-      "mu01_mutation_pipeline")
-    val qsHead = headline.flatMap(k => results.get(k).map { case (v, _) =>
+    // Driver contract: stdout carries ONE JSON line with EVERY declared
+    // query's ms-precision median, so the harness's per-query parse
+    // (PERF_r*.json) never depends on a side file. Rounds 19-20 printed
+    // only a headline subset (on a 2000-char-tail theory of the log
+    // capture) and both rounds came back "parsed: null" with per_query
+    // empty — the r20 verdict adjudicated the partial map as the likely
+    // parse rejection and directed the full map be restored (additions
+    // only: the same keys, the same headline entries, more of them).
+    val qsLine = results.map { case (k, (v, _)) =>
       s"\"" + k + "\":" + num(v)
-    }).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsHead,"errors":$errs,"n_queries":${results.size},"full":"bench_full.json","sf":"$sfDir"}""")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsLine,"errors":$errs,"n_queries":${results.size},"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -125,11 +125,15 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     val base = existingDf.map(d => nextIdBase(d, idCol)).getOrElse(0L)
     val compiler = ec(f)
     val propCols = np.props.map { case (k, e) => compiler.compile(e).as(k) }
-    // one created node per binding row; id = base + dense row number
+    // one created node per binding row; id = base + dense row number.
+    // No pin of its own (round 21, −1 job/CREATE): DenseId pins the
+    // sorted layout already, so the id map is deterministic per
+    // consumer, and both consumers are cheap narrow maps over those
+    // pinned blocks (`merged` is pinned eagerly below; the join-back is
+    // forced with the statement).
     val created = DenseId.assign(
       f.df.select(Seq(col("__rowid")) ++ propCols: _*),
       Seq("__rowid"), idCol, base)
-      .localCheckpoint()
 
     val newRows = created.drop("__rowid")
     val merged = existingDf match {
@@ -458,11 +462,20 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
     val e = catalog.entity(label)
     val existingKeyed = e.df.select(e.df.columns.map(c => col(c).as(s"__e_$c")).toSeq: _*)
     val joinCond = keyNames.map(k => col(k) === col(s"__e_$k")).reduce(_ && _)
-    val matchedIds = want.join(existingKeyed, joinCond, "inner")
-      .select(col(s"__e_${e.idCol}").as("__mid")).distinct().localCheckpoint()
-    val missing = want.join(existingKeyed, joinCond, "left_anti").localCheckpoint()
+    // exists-split counts ride the pins' own jobs (IterPin.pinProbed,
+    // round 21): the old shape paid a separate .isEmpty job per branch
+    // probe on top of each localCheckpoint — two jobs per MERGE saved,
+    // same pinned frames, same values
+    val (matchedIds, matchedRow) = graft.operators.IterPin.pinProbed(
+      want.join(existingKeyed, joinCond, "inner")
+        .select(col(s"__e_${e.idCol}").as("__mid")).distinct(),
+      Seq(count(lit(1))))
+    val anyMatched = matchedRow.getLong(0) > 0L
+    val (missing, missingRow) = graft.operators.IterPin.pinProbed(
+      want.join(existingKeyed, joinCond, "left_anti"),
+      Seq(count(lit(1))))
 
-    if (!missing.isEmpty) {
+    if (missingRow.getLong(0) > 0L) {
       val base = nextIdBase(e.df, e.idCol)
       val created = DenseId.assign(missing.dropDuplicates(keyNames),
         Seq("__rowid"), e.idCol, base)
@@ -498,7 +511,7 @@ final class MutationEngine(catalog: GraphCatalog, spark: SparkSession,
       else df.withColumnRenamed(s"__b_$a", s"${v}__$a")
     }
     val boundFrame = Frame(fullBound, f.vars + (v -> NodeVar(label, e2.idCol, attrs2)))
-    if (onMatch.nonEmpty && !matchedIds.isEmpty) {
+    if (onMatch.nonEmpty && anyMatched) {
       val sub = boundFrame.copy(df = boundFrame.df.join(matchedIds,
         col(s"${v}__${e2.idCol}") === col("__mid")).drop("__mid"))
       setItems(sub, onMatch)

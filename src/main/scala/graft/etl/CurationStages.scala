@@ -365,7 +365,18 @@ object CurationStages {
   /** Run a whole curation pipeline: stages in order over the input. */
   def run(spark: SparkSession, input: DataFrame,
           pipeline: CurationPipelineDef): DataFrame =
-    pipeline.stages.foldLeft(input) { (df, stage) =>
+    // guarded spread + pin (identity on well-split/derived inputs): a
+    // small corpus arrives as ONE parquet split and every CPU-bound
+    // stage kernel downstream (quality regexes, langid, shingles)
+    // would run single-task — AQE's byte-based coalescing cannot see
+    // that the stages multiply work per input byte. Pinned because the
+    // stage chain consumes the input in MANY subtrees (each gate's
+    // score + its ledger write + the survivor filter — cu01's plan
+    // re-scanned the corpus 16×); the pin only ever fires for inputs
+    // small enough to have arrived under-split, so the at-scale path
+    // materializes nothing. Stages are document filters / per-doc
+    // rewrites, so row order is immaterial.
+    pipeline.stages.foldLeft(graft.operators.Par.spreadPinned(input)) { (df, stage) =>
       apply(spark, df, pipeline.idCol, pipeline.textCol, stage)
     }
 

@@ -119,6 +119,74 @@ case class VectorDivScalar(left: Expression, right: Expression)
   override def prettyName: String = "vecdiv"
 }
 
+/** Int8 max-abs quantization codes as ONE native expression:
+  * `round(v_i * 127 / nullif(max|v|, 0)) :: tinyint` per element, the
+  * fused form of [[graft.operators.Similarity.quantize]]'s
+  * `__m = greatest(|v_1|..|v_n|)` + n `round(element_at(v,i)*127/__m)`
+  * slots. Why fused: `__m` had n consumer slots and CollapseProject
+  * inlines the n-term max into every one of them — ~n² expression
+  * nodes per row, past codegen limits into interpreted eval (the
+  * VectorNorm disease with a smaller exponent). One kernel eval per
+  * row replaces both the max and the code array.
+  *
+  * Bit-identical semantics to the expression forms (spec-gated):
+  *  - max|v| skips null elements (greatest/array_max contract); an
+  *    all-null or empty array has no max → every code is null;
+  *  - a zero max (the zero vector) nullifies like nullif(m, 0.0) —
+  *    every code null, array length preserved;
+  *  - per element: null stays null, else the double fold
+  *    `(v_i * 127.0) / m` rounded HALF_UP at scale 0 exactly as
+  *    Spark's `round` on doubles (BigDecimal.valueOf round-trip; NaN
+  *    and infinities pass through round unrounded), then narrowed to
+  *    byte exactly as `cast(.. as tinyint)` does for the in-range
+  *    values this construction guarantees (|code| <= 127).
+  */
+case class VectorQuantize(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.ByteType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vecquantize expects array<double>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    // max |v_i| skipping nulls; NaN ranks greatest (Spark ordering)
+    var m = 0.0
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = math.abs(a.getDouble(i))
+        if (!seen || x > m || x.isNaN) { m = x; seen = true }
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    if (seen && m != 0.0) {
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val d = a.getDouble(i) * 127.0 / m
+          val r =
+            if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+            else java.math.BigDecimal.valueOf(d)
+              .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+          out(i) = r.toByte
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): VectorQuantize =
+    copy(child = c)
+  override def prettyName: String = "vecquantize"
+}
+
 /** `dot(array<double>, array<double>)` as ONE native expression.
   *
   * The unrolled alternative — a 2·d-deep chain of `element_at` and

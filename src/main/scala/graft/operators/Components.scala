@@ -64,24 +64,41 @@ object Components {
 
     var converged = false
     var it = 0
+    // step fusion (the GraphAlgos discipline): each round is pure
+    // min/least propagation, so consecutive rounds compose into one
+    // linear plan between pins — identical labels, and the monotone
+    // signature still detects a block-level fixpoint exactly (labels
+    // are non-increasing, so an unchanged sum across a fused block
+    // means NO round in the block moved a label). Fusion is capped at
+    // 2 here regardless of graft.iter.stepsPerPin: one round
+    // references the incoming label vector 4× (twice in `stepped`,
+    // `stepped` twice in the jump), so the un-materialized plan grows
+    // 4^steps — exchange reuse executes the duplicates once, but
+    // Catalyst still plans them, and past 2 rounds the planning cost
+    // outruns the saved materializations.
+    val fuse = math.min(2, IterPin.stepsPerPin(pairs.sparkSession, 2))
     while (!converged && it < maxIter) {
-      // neighbour minimum
-      val nbrMin = und.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
-      val stepped = labels.join(nbrMin, col("id") === col("src"), "left_outer")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c1"))
-      // pointer jump: follow the label one more level
-      val (next, nextRow) = IterPin.pinProbed(stepped
-        .join(stepped.select(col("id").as("jid"), col("c1").as("jc")),
-          col("c1") === col("jid"), "left_outer")
-        .select(col("id"), coalesce(col("jc"), col("c1")).as("comp")),
-        Seq(sigCol))
+      val steps = math.min(fuse, maxIter - it)
+      var cur = labels
+      for (_ <- 1 to steps) {
+        // neighbour minimum
+        val nbrMin = und.join(cur, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+        val stepped = cur.join(nbrMin, col("id") === col("src"), "left_outer")
+          .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c1"))
+        // pointer jump: follow the label one more level
+        cur = stepped
+          .join(stepped.select(col("id").as("jid"), col("c1").as("jc")),
+            col("c1") === col("jid"), "left_outer")
+          .select(col("id"), coalesce(col("jc"), col("c1")).as("comp"))
+      }
+      val (next, nextRow) = IterPin.pinProbed(cur, Seq(sigCol))
       val nextSig = sigOf(nextRow)
       converged = nextSig.compareTo(signature) == 0
       IterPin.free(labels) // superseded label vector
       labels = next
       signature = nextSig
-      it += 1
+      it += steps
     }
     IterPin.free(und) // exit free — the final pinned labels read nothing
     labels

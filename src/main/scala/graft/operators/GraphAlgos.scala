@@ -94,19 +94,24 @@ object GraphAlgos {
     var ranks = nodes.select(col("node"), teleport.as("rank"))
     var it = 0
     var converged = false
+    val fuse = IterPin.stepsPerPin(edges.sparkSession, 2)
     while (it < iterations && !converged) {
-      // double-step between materializations (the sssp/closeness
-      // fusion): the dangling scalar is IN-PLAN (a broadcast 1-row
-      // aggregate of the contribution table, not a driver collect), so
-      // two full iterations compose into one linear plan and the rank
-      // vector materializes once per two steps — same expressions,
-      // bit-identical ranks, half the checkpoint + scheduler floor.
-      // Within a fused step the contribution subplan has two readers
-      // (dangling mass + rank update); Catalyst's exchange reuse
-      // shares its shuffle, so the cost is one extra n-row hash
-      // aggregate, far below a materialization. Tolerance mode stays
-      // single-step: the stop rule compares CONSECUTIVE iterations.
-      val steps = if (tolerance.isDefined) 1 else math.min(2, iterations - it)
+      // step fusion between materializations (the sssp/closeness
+      // fusion; depth 2 is the measured optimum for this loop — the
+      // contribution subplan is read twice per step, so deeper fusion
+      // doubles the un-pinned plan per step; see IterPin.stepsPerPin):
+      // the dangling scalar is IN-PLAN (a broadcast 1-row aggregate of
+      // the contribution table, not a driver collect), so consecutive
+      // iterations compose into one linear plan and the rank vector
+      // materializes once per `fuse` steps — same expressions,
+      // bit-identical ranks, a fraction of the checkpoint + scheduler
+      // floor. Within a fused
+      // step the contribution subplan has two readers (dangling mass +
+      // rank update); Catalyst's exchange reuse shares its shuffle, so
+      // the cost is one extra n-row hash aggregate, far below a
+      // materialization. Tolerance mode stays single-step: the stop
+      // rule compares CONSECUTIVE iterations.
+      val steps = if (tolerance.isDefined) 1 else math.min(fuse, iterations - it)
       var cur = ranks
       for (_ <- 1 to steps) {
         val contrib = w.join(cur, Seq("node"))
@@ -193,15 +198,16 @@ object GraphAlgos {
     var nEdges = eRow.getLong(0)
     var round = 0
     var converged = nEdges == 0
+    val fuse = IterPin.stepsPerPin(edges.sparkSession, 2)
     while (round < maxRounds && !converged) {
-      // double-step between materializations (the pageRank/LPA/sssp
+      // step fusion between materializations (the pageRank/LPA/sssp
       // fusion): one peel is a pure degree-filter + two semi joins, so
-      // two peels compose into one linear plan. Edges only shrink and
-      // peeling is idempotent past the fixpoint, so an equal edge
-      // count after a fused pair implies neither step changed
-      // anything — the convergence test and the fixed-unroll oracle
-      // are both unaffected.
-      val steps = math.min(2, maxRounds - round)
+      // consecutive peels compose into one linear plan. Edges only
+      // shrink and peeling is idempotent past the fixpoint, so an
+      // equal edge count after a fused block implies no step in the
+      // block changed anything — the convergence test and the
+      // fixed-unroll oracle are both unaffected.
+      val steps = math.min(fuse, maxRounds - round)
       var cur = e
       for (_ <- 1 to steps) {
         val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -252,12 +258,16 @@ object GraphAlgos {
       .union(e.select(col("dst").as("node"))).distinct())
     var labels = nodes.select(col("node"), col("node").as("label"))
     var it = 0
+    // single-reference step → linear fused-plan growth → depth 4 is
+    // the measured optimum here (unlike the multi-ref loops; see
+    // IterPin.stepsPerPin)
+    val fuse = IterPin.stepsPerPin(edges.sparkSession, 4)
     while (it < iterations) {
-      // the update is pure (join + count + argmax aggregate), so two
-      // iterations fuse into one linear plan between checkpoints —
-      // identical labels, half the materializations (the pageRank/
-      // sssp double-step)
-      val steps = math.min(2, iterations - it)
+      // the update is pure (join + count + argmax aggregate), so
+      // consecutive iterations fuse into one linear plan between
+      // checkpoints — identical labels, a fraction of the
+      // materializations (the pageRank/sssp step fusion)
+      val steps = math.min(fuse, iterations - it)
       var cur = labels
       for (_ <- 1 to steps) {
         val counts = e.join(cur, e("src") === cur("node"))
@@ -348,39 +358,65 @@ object GraphAlgos {
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 15): DataFrame = {
     val e = IterPin.pin(edges.select(col("src"), col("dst"),
       col("weight").cast("long").as("weight")))
+    // FRONTIER-DELTA relaxation (round 21, guide §2.3 — shuffle fewer
+    // bytes): each round offers only from nodes whose distance CHANGED
+    // last round (`__f`), not from the whole reached set. Bit-identical
+    // per round to full relaxation: an unchanged node's offers were
+    // already applied the round after it last changed and min() is
+    // idempotent, so dropping them changes no minimum (the classic
+    // Bellman–Ford frontier invariant — the fixed-unroll oracle, which
+    // replays the FULL relaxation, stays exact at every round). At
+    // scale this turns O(rounds × reached-set) join traffic into
+    // O(total improvements); at bench scale it shrinks the offers join
+    // once the frontier passes its peak. The changed flag rides the
+    // existing per-round aggregate (one extra map-side min column — no
+    // extra exchange): a node is frontier iff it is newly reached
+    // (no pre-round row → old-dist min over the tagged union is null)
+    // or its new min beats its pre-round distance.
     var (dist, seedRow) = IterPin.pinProbed(
-      seeds.select(col("node"), lit(0L).as("dist")), Seq(count(lit(1))))
-    var signature = (seedRow.getLong(0), 0L)
+      seeds.select(col("node"), lit(0L).as("dist"), lit(true).as("__f")),
+      Seq(count(lit(1))))
     var round = 0
-    var converged = false
+    var converged = seedRow.getLong(0) == 0L
+    val fuse = IterPin.stepsPerPin(edges.sparkSession, 2)
     while (round < maxRounds && !converged) {
-      // two relaxations per materialization: min-plus relaxation is
+      // fused relaxations per materialization: min-plus relaxation is
       // associative, so composing steps between checkpoints yields
       // bit-identical distances to single-stepping (the fixed-unroll
-      // oracle stays exact) while halving the dominant per-round cost
-      // (materialize + scheduler floor)
-      val steps = math.min(2, maxRounds - round)
+      // oracle stays exact) while dividing the per-round materialize +
+      // scheduler cost by the fusion depth
+      val steps = math.min(fuse, maxRounds - round)
       var cur = dist
       for (_ <- 1 to steps) {
-        val offers = e.join(cur, e("src") === cur("node"))
+        val frontier = cur.filter(col("__f"))
+        val offers = e.join(frontier, e("src") === frontier("node"))
           .select(col("dst").as("node"), (col("dist") + col("weight")).as("dist"))
-        cur = cur.unionAll(offers)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        cur = cur.select(col("node"), col("dist"), lit(false).as("__n"))
+          .unionAll(offers.select(col("node"), col("dist"), lit(true).as("__n")))
+          .groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"),
+            min(when(!col("__n"), col("dist"))).as("__od"))
+          .select(col("node"), col("dist"),
+            (col("__od").isNull || col("dist") < col("__od")).as("__f"))
       }
-      // convergence signature folded into the pin's own job
-      // (IterPin.pinProbed); coalesce: an empty seed set makes
-      // sum(dist) null — converge to an empty result, not an NPE
+      // convergence probe folded into the pin's own job: fixpoint ⟺
+      // the block's LAST step changed nothing (zero frontier rows) —
+      // relaxation past a fixpoint stays a fixpoint, so earlier steps
+      // of the block are covered by induction. Same detection latency
+      // as the old cross-block (count, sum) signature (one block past
+      // the last change either way), but that trailing block's offers
+      // join now runs on an EMPTY frontier instead of the full reached
+      // set — the wasted block costs scheduler floor, not data.
       val (next, sig) = IterPin.pinProbed(cur,
-        Seq(count(lit(1)), coalesce(sum(col("dist")), lit(0L))))
-      val nextSig = (sig.getLong(0), sig.getLong(1))
-      converged = nextSig == signature
+        Seq(coalesce(sum(when(col("__f"), lit(1L)).otherwise(lit(0L))),
+          lit(0L))))
+      converged = sig.getLong(0) == 0L
       IterPin.free(dist) // superseded distance vector
       dist = next
-      signature = nextSig
       round += steps
     }
     IterPin.free(e) // exit free — the pinned distance vector reads nothing
-    dist
+    dist.select(col("node"), col("dist"))
   }
 
   /** Per-origin hop distances from a seed set — synchronous BFS with
@@ -392,38 +428,52 @@ object GraphAlgos {
   def multiSourceHopDistances(edges: DataFrame, seeds: DataFrame,
                               maxRounds: Int = 10): DataFrame = {
     val e = IterPin.pin(edges.select(col("src"), col("dst")))
+    // frontier-delta BFS (see [[sssp]] — identical invariant, (origin,
+    // node) keys): offers come only from rows reached/improved last
+    // round, the flag rides the per-round aggregate, and the loop
+    // stops in the block where the last step changed nothing. At
+    // scale this is the difference between moving |seeds| × reached
+    // rows through the edge join EVERY round and moving each (origin,
+    // node) exactly once, in its reach round (synchronous BFS never
+    // improves a set distance).
     var (dist, seedRow) = IterPin.pinProbed(
       seeds.select(col("node").as("origin"), col("node"),
-        lit(0L).as("dist")), Seq(count(lit(1))))
-    var signature = (seedRow.getLong(0), 0L)
+        lit(0L).as("dist"), lit(true).as("__f")), Seq(count(lit(1))))
     var round = 0
-    var converged = false
+    var converged = seedRow.getLong(0) == 0L
+    val fuse = IterPin.stepsPerPin(edges.sparkSession, 2)
     while (round < maxRounds && !converged) {
-      // double-step between checkpoints — same associativity argument
-      // as [[sssp]], identical distances, half the materializations
-      val steps = math.min(2, maxRounds - round)
+      // fused steps between checkpoints — same associativity argument
+      // as [[sssp]], identical distances, a fraction of the
+      // materializations
+      val steps = math.min(fuse, maxRounds - round)
       var cur = dist
       for (_ <- 1 to steps) {
-        val offers = cur.join(e, cur("node") === e("src"))
+        val frontier = cur.filter(col("__f"))
+        val offers = frontier.join(e, frontier("node") === e("src"))
           .select(col("origin"), col("dst").as("node"),
             (col("dist") + 1).as("dist"))
-        cur = cur.unionAll(offers)
-          .groupBy(col("origin"), col("node")).agg(min(col("dist")).as("dist"))
+        cur = cur.select(col("origin"), col("node"), col("dist"),
+            lit(false).as("__n"))
+          .unionAll(offers.select(col("origin"), col("node"), col("dist"),
+            lit(true).as("__n")))
+          .groupBy(col("origin"), col("node"))
+          .agg(min(col("dist")).as("dist"),
+            min(when(!col("__n"), col("dist"))).as("__od"))
+          .select(col("origin"), col("node"), col("dist"),
+            (col("__od").isNull || col("dist") < col("__od")).as("__f"))
       }
-      // convergence signature folded into the pin's own job
-      // (IterPin.pinProbed); coalesce: an empty seed set makes
-      // sum(dist) null — converge to an empty result, not an NPE
+      // zero-frontier fixpoint probe folded into the pin's own job
       val (next, sig) = IterPin.pinProbed(cur,
-        Seq(count(lit(1)), coalesce(sum(col("dist")), lit(0L))))
-      val nextSig = (sig.getLong(0), sig.getLong(1))
-      converged = nextSig == signature
+        Seq(coalesce(sum(when(col("__f"), lit(1L)).otherwise(lit(0L))),
+          lit(0L))))
+      converged = sig.getLong(0) == 0L
       IterPin.free(dist) // superseded distance vector
       dist = next
-      signature = nextSig
       round += steps
     }
     IterPin.free(e) // exit free — the pinned distance vector reads nothing
-    dist
+    dist.select(col("origin"), col("node"), col("dist"))
   }
 
   /** Weighted one-mode projection of a bipartite graph: given

@@ -45,6 +45,39 @@ private[graft] object IterPin {
 
   private val probeId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Fused steps per materialization for the iterative loops
+    * (pageRank/LPA/k-core/sssp/BFS/components). Each loop composes up
+    * to this many pure update steps into ONE linear plan between
+    * checkpoints — bit-identical state by associativity/purity of the
+    * updates; what changes is bookkeeping: state materializes (and the
+    * convergence probe runs) once per BLOCK instead of once per step,
+    * so a converging loop can run up to `steps-1` extra update rounds
+    * past its fixpoint before the block-level signature sees it.
+    *
+    * `algoDefault` is the loop's MEASURED structural optimum, not a
+    * guess (round-21 regime table, OPTIMIZATION_r21.md): a step that
+    * references the incoming state MORE THAN ONCE (sssp/BFS's
+    * `cur ∪ offers(cur)`, pageRank's twice-read contribution table,
+    * k-core's three state reads per peel) duplicates the un-pinned
+    * subtree 2-3× per fused step — 2^k/3^k plan copies that Catalyst
+    * must plan and AQE must stage even where exchange reuse executes
+    * them once — so depth 4 REGRESSED those loops 20-40% (gr05 warm
+    * 5.1 s @2 vs 7.0 s @4; gr01 4.8 vs 6.6) while cutting jobs only
+    * ~20% (AQE schedules one job per exchange, and fusion does not
+    * remove exchanges). Single-reference steps grow linearly and do
+    * win at 4 (LPA 4.5 vs 4.9). `graft.iter.stepsPerPin` overrides
+    * uniformly for experiments or cluster regimes where the
+    * wasted-rounds-past-fixpoint trade differs (a past-fixpoint round
+    * moves no new rows through the aggregates, but it still re-scans
+    * the pinned state).
+    */
+  def stepsPerPin(spark: org.apache.spark.sql.SparkSession,
+                  algoDefault: Int): Int = {
+    val v = spark.conf.get("graft.iter.stepsPerPin", algoDefault.toString).toInt
+    require(v >= 1, s"graft.iter.stepsPerPin must be >= 1, got $v")
+    v
+  }
+
   /** [[pin]] plus the round's convergence probe IN THE SAME JOB: the
     * aggregate columns ride as a `Dataset.observe` node on the frame
     * being checkpointed, so the materialization action itself fills
@@ -54,21 +87,40 @@ private[graft] object IterPin {
     * bench's state sizes the probe job was pure scheduler floor; at
     * cluster scale it was a full extra pass over the round's state.
     *
-    * Exactness: observed metrics are accumulator-backed. Spark applies
-    * accumulator updates once per successful task per stage execution,
-    * which is exact everywhere the bench runs (local mode — no
-    * speculation, no stage retries). On clusters, a stage RETRY after
-    * executor loss can double-apply a lost task's update; a loop whose
-    * convergence rule would be corrupted by an inflated probe can set
-    * `graft.iter.observeProbe=false` to route through the old
-    * pin-then-aggregate two-job probe (bit-identical results either
-    * way — the probe only decides WHEN to stop, and every caller's
-    * update rule is idempotent past its fixpoint).
+    * Exactness: observed metrics are accumulator-backed, and callers
+    * consume them as ABSOLUTE values (pageRank's node count feeds the
+    * teleport term, closeness's n/k scale factor, PathExpand's row
+    * caps) — not just as stop signals — so an inflated probe corrupts
+    * results, it doesn't merely delay a fixpoint. Two inflation
+    * hazards, both closed here rather than left to a manual conf:
+    *
+    *  - Stage RETRY / speculation (cluster masters): Spark applies
+    *    accumulator updates once per successful task per STAGE
+    *    EXECUTION, so a retry after executor loss can double-apply a
+    *    lost task's update. Local masters run no speculation and no
+    *    stage retries, so the observe route defaults ON only under
+    *    `local[*]`; non-local masters take the exact pin-then-agg
+    *    two-job probe unless `graft.iter.observeProbe=true` opts in
+    *    explicitly.
+    *  - RELIABLE checkpointing (`graft.iter.checkpointDir` set):
+    *    `Dataset.checkpoint()` on an unpersisted plan executes it
+    *    TWICE (the eager count job, then the checkpoint write in
+    *    `rdd.doCheckpoint()`), so every observed metric merges two
+    *    full passes and reads 2x. That route always uses the exact
+    *    probe — even under an explicit observeProbe=true, because 2x
+    *    is not a risk but a certainty.
+    *
+    * Both routes return bit-identical metric VALUES when exact (same
+    * aggregate expressions over the same rows); the observe route just
+    * rides the pin's own action instead of paying a second job.
     */
   def pinProbed(df: DataFrame, metrics: Seq[org.apache.spark.sql.Column])
   : (DataFrame, org.apache.spark.sql.Row) = {
-    val observe = df.sparkSession.conf
-      .get("graft.iter.observeProbe", "true").toBoolean
+    val conf = df.sparkSession.conf
+    val localMaster = df.sparkSession.sparkContext.master.startsWith("local")
+    val reliable = conf.getOption("graft.iter.checkpointDir").isDefined
+    val observe = !reliable &&
+      conf.get("graft.iter.observeProbe", localMaster.toString).toBoolean
     if (observe) {
       val name = s"__iterpin_probe_${probeId.incrementAndGet()}"
       val obs = df.observe(name, metrics.head, metrics.tail: _*)

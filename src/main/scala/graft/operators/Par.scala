@@ -49,4 +49,21 @@ private[graft] object Par {
       if (cur * 2 <= par) df.repartition(par) else df
     }
   }
+
+  /** [[spread]] plus a one-shot eager materialization WHEN THE SPREAD
+    * FIRED — for frames consumed by several independent subtrees of
+    * one query. A fired spread means the source arrived as one (or
+    * few) splits; without the pin every consumer re-runs its own
+    * scan + spread shuffle (Catalyst's exchange reuse does not fire
+    * across the consumers — column pruning specializes each scan, so
+    * the exchanges never canonicalize equal; dd02's round-20 plan
+    * carried SEVEN scans of the same parquet). Identity when spread
+    * no-ops, so the at-scale path (thousands of splits) never
+    * materializes a corpus: the pin only ever holds a frame small
+    * enough to have arrived under-split.
+    */
+  def spreadPinned(df: DataFrame): DataFrame = {
+    val s = spread(df)
+    if (s eq df) df else s.localCheckpoint(true)
+  }
 }

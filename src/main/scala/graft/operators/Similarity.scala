@@ -111,30 +111,17 @@ object Similarity {
     * Zero vectors quantize to null and drop out of similarity search.
     */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val nd = dimsOf(df, vecCol)
-    val v = col("v")
-    // max-|x| and the code array unroll into codegen'd arithmetic when
-    // the dimensionality is known (same values as the HOF forms, which
-    // remain the guard fallback): greatest() over literal element_at
-    // positions and a native array() constructor
-    def hofM = array_max(transform(v, x => abs(x)))
-    val m =
-      if (nd <= 0) hofM
-      else {
-        val els = (1 to nd).map(d => abs(element_at(v, d)))
-        when(size(v) === nd,
-          if (nd == 1) els.head else greatest(els: _*)).otherwise(hofM)
-      }
-    def hofCodes = transform(v, x => round(x * lit(127.0) / col("__m")).cast("tinyint"))
-    val codes =
-      if (nd <= 0) hofCodes
-      else when(size(v) === nd,
-        array((1 to nd).map(d =>
-          round(element_at(v, d) * lit(127.0) / col("__m")).cast("tinyint")): _*))
-        .otherwise(hofCodes)
+    // ONE native kernel per row (graft.functions.VectorQuantize), not
+    // a `__m` column + per-slot rounds: CollapseProject inlined the
+    // nd-term max-abs into all nd code slots — ~nd² expression nodes,
+    // interpreted eval (the normalizedVectors disease, round 20 #8,
+    // with a smaller exponent). Same max/skip-null/zero→null/HALF_UP
+    // semantics bit for bit — spec-gated against both expression forms
+    // in OptimizationInternalsSpec.
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
     df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("__m", nullif(m, lit(0.0)))
-      .select(col(idCol), codes.as("codes"))
+      .select(col(idCol),
+        column(graft.functions.VectorQuantize(expression(col("v")))).as("codes"))
   }
 
   /** Exact cosine top-k over int8-quantized vectors: same plan shape as
@@ -1611,16 +1598,18 @@ object Similarity {
     // corpus load; same left-to-right fold, bit-identical)
     import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
     def norm(c: Column) = column(graft.functions.VectorNorm(expression(c)))
-    // explicit-count repartition: the corpus parquet often arrives as
-    // ONE partition at these row counts, and the checkpoint below would
-    // run the whole norm+divide projection in a single task (the
-    // exactPairs discipline; downstream consumers are joins/aggregates
-    // and the fused kernel's selection is a strict total order on
-    // (cosine, id), so row order is immaterial)
-    df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
-      asDouble(col(vecCol)).as("__raw"))
-      .repartition(df.sparkSession.conf
-        .get("spark.sql.shuffle.partitions", "32").toInt)
+    // guarded spread (Par.spread), not an unconditional repartition:
+    // the corpus parquet often arrives as ONE partition at bench row
+    // counts, and the checkpoint below would run the whole norm+divide
+    // projection in a single task (the exactPairs discipline;
+    // downstream consumers are joins/aggregates and the fused kernel's
+    // selection is a strict total order on (cosine, id), so row order
+    // is immaterial). The guard matters at scale: a well-split corpus
+    // must NOT pay a corpus-wide round-robin shuffle plus a second
+    // copy in the localCheckpoint just to normalize — spread no-ops
+    // unless scan parallelism is below half the session target.
+    Par.spread(df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      asDouble(col(vecCol)).as("__raw")))
       .filter(col("__raw").isNotNull)
       .withColumn("__norm", norm(col("__raw")))
       .filter(col("__norm") > 0)

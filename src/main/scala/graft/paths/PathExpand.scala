@@ -217,9 +217,12 @@ object PathExpand {
       edgeCount <= math.min(doublingThreshold, threshold)
 
     if (doubling) {
-      var closure = graft.operators.IterPin.pin(edges
+      val probe = Seq(count(lit(1)), coalesce(sum(col("__hops")), lit(0L)))
+      var (closure, closureRow) = graft.operators.IterPin.pinProbed(edges
         .select(col("__src").as("__a"), col("__dst").as("__b"), lit(1L).as("__hops"))
-        .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops")))
+        .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops")),
+        probe)
+      var signature = (closureRow.getLong(0), closureRow.getLong(1))
       var span = 1L
       var abandoned = false
       var converged = false
@@ -229,25 +232,31 @@ object PathExpand {
           .select(col("l.__a").as("__a"), col("r.__b").as("__b"),
             (col("l.__hops") + col("r.__hops")).as("__hops"))
           .filter(col("__hops") <= maxHops)
-        // row-cap probe folded into the pin's own job
+        // row-cap AND fixpoint probe folded into the pin's own job:
+        // the closure is MONOTONE — union ∪ min never removes a pair
+        // (count non-decreasing) and never increases a pair's hops
+        // (sum non-increasing at fixed count) — so (count, sum(__hops))
+        // unchanged ⟺ no pair added and no hop improved, the exact
+        // fixpoint. (Count equality ALONE is not sufficient — a pair
+        // whose true distance exceeds the current horizon can hold a
+        // non-minimal path length that later rounds improve in place;
+        // the sum term catches exactly those in-place improvements.)
+        // Replaces the old per-round left_anti probe job.
         val (next, nextRow) = graft.operators.IterPin.pinProbed(
           closure.unionByName(composed)
             .groupBy(col("__a"), col("__b")).agg(min(col("__hops")).as("__hops")),
-          Seq(count(lit(1))))
+          probe)
         if (nextRow.getLong(0) > closureRowCap) abandoned = true
         else {
-          // fixpoint: no new pair and no improved hop count. (Count
-          // equality is NOT sufficient — a pair whose true distance
-          // exceeds the current horizon can hold a non-minimal path
-          // length that later rounds improve in place.)
-          converged = next
-            .join(closure, Seq("__a", "__b", "__hops"), "left_anti").isEmpty
-          // superseded closure: its last consumer (the fixpoint
-          // anti-join) has run; each round's closure is the full pair
-          // set, so retention across log2(maxHops) rounds is the
-          // doubling regime's dominant memory term
+          val nextSig = (nextRow.getLong(0), nextRow.getLong(1))
+          converged = nextSig == signature
+          // superseded closure: its last consumer (the composed join)
+          // has run; each round's closure is the full pair set, so
+          // retention across log2(maxHops) rounds is the doubling
+          // regime's dominant memory term
           graft.operators.IterPin.free(closure)
           closure = next
+          signature = nextSig
           span *= 2
         }
       }

@@ -29,6 +29,76 @@ class OptimizationInternalsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.iter.observeProbe")
   }
 
+  test("pinProbed under graft.iter.checkpointDir takes the exact probe " +
+       "(reliable checkpoint executes the plan twice — observed metrics " +
+       "would read 2x)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("graft.iter.checkpointDir", dir)
+    // even an explicit observe opt-in must NOT win: 2x under the
+    // reliable route is a certainty, not a retry risk
+    spark.conf.set("graft.iter.observeProbe", "true")
+    try {
+      val df = Seq((1L, 10L), (2L, 20L), (3L, 12L)).toDF("node", "dist")
+      val (p, r) = IterPin.pinProbed(df,
+        Seq(count(lit(1)), coalesce(sum(col("dist")), lit(0L))))
+      assert(r.getLong(0) == 3L, s"count doubled: ${r.getLong(0)}")
+      assert(r.getLong(1) == 42L, s"sum doubled: ${r.getLong(1)}")
+      assert(p.collect().toSet == df.collect().toSet)
+      IterPin.free(p)
+    } finally {
+      spark.conf.unset("graft.iter.checkpointDir")
+      spark.conf.unset("graft.iter.observeProbe")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("iterative step fusion is result-identical across stepsPerPin 1/2/4") {
+    import graft.operators.{Components, GraphAlgos}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L), (7L, 8L), (8L, 7L),
+      // a triangle so the 2-core is non-empty
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (11L, 10L), (12L, 11L), (10L, 12L))
+      .toDF("src", "dst")
+    val wedges = edges.withColumn("weight", (col("src") + col("dst")) % 5 + 1)
+    val seeds = Seq(1L).toDF("node")
+    def runAll(): (Set[org.apache.spark.sql.Row], Set[org.apache.spark.sql.Row],
+                   Set[org.apache.spark.sql.Row], Set[org.apache.spark.sql.Row],
+                   Set[org.apache.spark.sql.Row]) = (
+      GraphAlgos.pageRank(edges, iterations = 5).collect().toSet,
+      GraphAlgos.labelPropagation(edges, iterations = 3).collect().toSet,
+      GraphAlgos.sssp(wedges, seeds, maxRounds = 15).collect().toSet,
+      GraphAlgos.kCore(edges, k = 2, maxRounds = 12).collect().toSet,
+      locally {
+        // force the distributed label-propagation loop (not union-find)
+        spark.conf.set("graft.components.driverMaxEdges", "0")
+        try Components.connectedComponents(edges, "src", "dst").collect().toSet
+        finally spark.conf.unset("graft.components.driverMaxEdges")
+      })
+    val perSteps = Seq("1", "2", "4").map { s =>
+      spark.conf.set("graft.iter.stepsPerPin", s)
+      try runAll() finally spark.conf.unset("graft.iter.stepsPerPin")
+    }
+    assert(perSteps(0) == perSteps(1), "stepsPerPin 1 vs 2 diverged")
+    assert(perSteps(1) == perSteps(2), "stepsPerPin 2 vs 4 diverged")
+  }
+
+  test("Par.spreadPinned materializes a fired spread once, identity otherwise") {
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val one = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+      .select(col("id"), (col("id") * 2).as("y"))
+    val pinned = Par.spreadPinned(one)
+    assert(pinned.rdd.getNumPartitions == par)
+    // the pin is a materialized leaf: consumers share its blocks
+    // instead of re-running scan + spread shuffle per subtree
+    assert(pinned.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+    assert(pinned.collect().toSet == one.collect().toSet)
+    IterPin.free(pinned)
+    val wide = spark.range(0, 100, 1, numPartitions = par).toDF("id")
+    assert(Par.spreadPinned(wide) eq wide) // no spread → no pin
+  }
+
   test("pinProbed observes the frame being pinned, not its input") {
     // the probe must see post-transformation rows (the loop contract:
     // the signature describes the NEW state)
@@ -96,6 +166,42 @@ class OptimizationInternalsSpec extends SparkSpec {
       a.zip(b).foreach { case (x, y) =>
         assert(java.lang.Double.doubleToRawLongBits(x) ==
           java.lang.Double.doubleToRawLongBits(y))
+      }
+    }
+  }
+
+  test("VectorQuantize equals the __m + per-slot round expression forms") {
+    import graft.functions.VectorQuantize
+    val nd = 4
+    val df = Seq(
+      Seq[java.lang.Double](1.0, -2.0, 3.5, -0.25),
+      Seq[java.lang.Double](0.1, 0.2, 0.3, 0.4),
+      Seq[java.lang.Double](-1e-9, 2e9, -3.5, 0.0),
+      Seq[java.lang.Double](0.0, 0.0, 0.0, 0.0),        // zero vector → all-null codes
+      Seq[java.lang.Double](1.0, null, -4.0, 2.0),      // null element stays null
+      Seq[java.lang.Double](0.5, -0.5),                 // size != nd → HOF branch
+      Seq[java.lang.Double]()).map(Tuple1(_)).toDF("v0")
+      .select(col("v0").cast("array<double>").as("v"))
+    val vc = col("v")
+    // the replaced unrolled form (nd known, size matched) + HOF fallback
+    def hofM = array_max(transform(vc, x => abs(x)))
+    val els = (1 to nd).map(d => abs(element_at(vc, d)))
+    val m = when(size(vc) === nd, greatest(els: _*)).otherwise(hofM)
+    def hofCodes = transform(vc,
+      x => round(x * lit(127.0) / col("__m")).cast("tinyint"))
+    val codes = when(size(vc) === nd,
+      array((1 to nd).map(d =>
+        round(element_at(vc, d) * lit(127.0) / col("__m")).cast("tinyint")): _*))
+      .otherwise(hofCodes)
+    val r = df.withColumn("__m", nullif(m, lit(0.0)))
+      .select(column(VectorQuantize(expression(vc))).as("native"),
+        codes.as("chain")).collect()
+    r.foreach { row =>
+      assert(row.isNullAt(0) == row.isNullAt(1))
+      if (!row.isNullAt(0)) {
+        val a = row.getSeq[Any](0)
+        val b = row.getSeq[Any](1)
+        assert(a == b, s"native $a != chain $b")
       }
     }
   }
